@@ -20,7 +20,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = p(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = p(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = p(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = p(spark, dir, "events")
+  /** events.ts is nanosecond-precision parquet (TESTDATA: timestamp[ns]),
+    * which Spark's vectorized reader rejects outright. Read it as a raw
+    * ns-since-epoch long, then rebuild a µs TimestampType column with
+    * integer division (a double division would lose precision at 1e18 ns).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    p(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "embeddings")
 }

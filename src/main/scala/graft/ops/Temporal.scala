@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import OpsUtil._
+
+/** Temporal / interval operators (SURVEY.md §2.15: the reference's
+  * declared-but-unimplemented Advanced Task 2 implies interval-overlap /
+  * as-of semantics, `/root/reference/Assignment-python.py:548-567`).
+  *
+  * Implementation choice for 100 TB: an as-of join is NOT expressed as a
+  * non-equi range join (O(n·m) per key). Instead both streams are unioned
+  * and a per-key ordered window carries the last reference row forward —
+  * one shuffle on user_id, linear scan per partition, no cross product.
+  * This is the standard scalable as-of pattern (also how streaming engines
+  * sequence it).
+  */
+object Temporal {
+
+  /** As-of join: for every purchase event, the most recent click by the
+    * same user at-or-before it. Timestamps leave as epoch seconds (events.ts
+    * is ns-precision parquet; Spark truncates to µs — epoch-second flooring
+    * is identical on both engines, raw ns timestamps would not hash-match).
+    */
+  val q17AsofJoin: Q = (spark, dir) => {
+    import spark.implicits._
+    val tagged = Tables.events(spark, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_id", $"user_id", $"ts", $"event_type",
+        when($"event_type" === "click", $"ts").as("click_ts"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_ts", last($"click_ts", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id",
+        unix_timestamp($"ts".cast("timestamp")).as("ts_sec"),
+        unix_timestamp($"last_click_ts".cast("timestamp")).as("last_click_sec"))
+      .orderBy($"event_id")
+  }
+
+  /** Gap-based sessionization (30-min inactivity ⇒ new session), then
+    * per-user session stats. Two ordered windows over the same user_id
+    * partitioning (single shuffle; Spark reuses the sort), then two
+    * hash aggregations. All outputs integral ⇒ exact cross-engine match. */
+  val q18Sessionize: Q = (spark, dir) => {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_id",
+        unix_timestamp($"ts".cast("timestamp")).as("sec"))
+    val sessions = e
+      .withColumn("prev_sec", lag($"sec", 1).over(
+        Window.partitionBy($"user_id").orderBy($"sec", $"event_id")))
+      .withColumn("new_session",
+        when($"prev_sec".isNull || $"sec" - $"prev_sec" > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(
+        Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max($"sec") - min($"sec")).as("duration_sec"))
+    sessions
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum($"n_events").as("n_events"),
+        max($"n_events").as("longest_session_events"),
+        sum($"duration_sec").as("total_active_sec"))
+      .orderBy($"user_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q17_asof_join" -> q17AsofJoin,
+    "q18_sessionize" -> q18Sessionize,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q17_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CASE WHEN event_type = 'click' THEN ts END AS click_ts
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), win AS (
+        |  SELECT *, LAST_VALUE(click_ts IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        |  FROM tagged
+        |)
+        |SELECT event_id, user_id,
+        |  CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_sec,
+        |  CAST(floor(date_part('epoch', last_click_ts)) AS BIGINT) AS last_click_sec
+        |FROM win WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q18_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT *, LAG(sec) OVER (PARTITION BY user_id
+        |          ORDER BY sec, event_id) AS prev_sec FROM e)
+        |), numbered AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |), sessions AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events,
+        |    MAX(sec) - MIN(sec) AS duration_sec
+        |  FROM numbered GROUP BY 1, 2
+        |)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  CAST(MAX(n_events) AS BIGINT) AS longest_session_events,
+        |  CAST(SUM(duration_sec) AS BIGINT) AS total_active_sec
+        |FROM sessions GROUP BY 1 ORDER BY user_id""".stripMargin,
+  )
+}
