@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.Temporal.queries ++ ops.Scalars.queries
+    ops.Relational.queries ++ ops.Temporal.queries ++ ops.Scalars.queries ++
+      ops.UdfSurface.queries ++ ops.Text.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracle ++ ops.Temporal.oracle ++ ops.Scalars.oracle
+    ops.Relational.oracle ++ ops.Temporal.oracle ++ ops.Scalars.oracle ++
+      ops.UdfSurface.oracle ++ ops.Text.oracle
 }
