@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Temporal.queries ++ ops.Scalars.queries ++
-      ops.UdfSurface.queries ++ ops.Text.queries
+      ops.UdfSurface.queries ++ ops.Text.queries ++
+      ops.Dedup.queries ++ ops.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Temporal.oracle ++ ops.Scalars.oracle ++
-      ops.UdfSurface.oracle ++ ops.Text.oracle
+      ops.UdfSurface.oracle ++ ops.Text.oracle ++
+      ops.Dedup.oracle ++ ops.Similarity.oracle
 }

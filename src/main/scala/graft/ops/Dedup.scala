@@ -1,0 +1,242 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import OpsUtil._
+
+/** Deduplication operators for an LLM-data pipeline (builder prompt):
+  * exact (hash group-by), MinHash+LSH (shingle → minhash → band →
+  * bucket-join), SimHash, and n-gram Jaccard. Embedding-cosine near-dup
+  * lives in [[Similarity]] (shares the quantized-vector machinery).
+  *
+  * Scale design: every pairwise step is *blocked* — LSH band buckets or the
+  * source column — so no O(n²) cross product ever forms; candidate
+  * generation and verification are joins on bucket keys, which shuffle-
+  * partition cleanly at 100 TB. All hashes are md5-derived so the DuckDB
+  * oracle reproduces them bit-for-bit.
+  */
+object Dedup {
+
+  private def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  private val tokensSql =
+    "list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)"
+
+  /** 60-bit integer hash of a string via md5 prefix (cross-engine). */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private def h60Sql(c: String): String =
+    s"CAST(('0x' || substr(md5($c), 1, 15)) AS BIGINT)"
+
+  /** Exact dedup over a corpus with deliberately injected duplicates
+    * (every 7th doc re-appears under a shifted id — the test corpus has no
+    * natural exact dups). Keep-first semantics are verified by summing the
+    * surviving min-ids, not just counting. */
+  val q40DedupExact: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val dups = docs.filter($"doc_id" % 7 === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+    val corpus = docs.unionByName(dups)
+    corpus
+      .groupBy(md5($"text").as("h"))
+      .agg(count(lit(1)).as("cnt"), min($"doc_id").as("keep_id"))
+      .agg(
+        sum($"cnt").as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        count(when($"cnt" > 1, lit(1))).as("n_dup_groups"),
+        sum($"keep_id").as("survivor_id_sum"))
+  }
+
+  /** MinHash + LSH near-dup detection: word-3-shingles → 8 minhash values →
+    * 4 bands of 2 → bucket self-join for candidates → exact Jaccard
+    * verification, keeping pairs ≥ 0.5. The band join is the only pairing
+    * step, so work is proportional to true collisions. */
+  val q41MinhashLsh: Q = (spark, dir) => {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("t"))
+      .filter(size($"t") >= 3)
+    val shingles = toks.select($"doc_id",
+      explode(transform(sequence(lit(0), size($"t") - 3), i =>
+        concat_ws(" ", element_at($"t", i + 1), element_at($"t", i + 2),
+          element_at($"t", i + 3)))).as("s"))
+      .distinct()
+    val minCols = (0 until 8).map(j =>
+      min(h60(concat(lit(s"$j:"), $"s"))).as(s"h$j"))
+    val sig = shingles.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    val bands = sig.select($"doc_id", explode(array(
+      (0 until 4).map(b =>
+        md5(concat_ws("_", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*
+    )).as("band"))
+    val cand = bands.as("ba").join(bands.as("bb"),
+        col("ba.band") === col("bb.band") && col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = shingles.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = cand
+      .join(shingles.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(shingles.as("sb"),
+        $"doc_b" === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), $"doc_a" === col("za.doc_id"))
+      .join(sizes.as("zb"), $"doc_b" === col("zb.doc_id"))
+      .withColumn("jaccard",
+        $"inter".cast("double") / (col("za.nsh") + col("zb.nsh") - $"inter"))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"inter", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** 16-bit SimHash per document over whitespace tokens (with
+    * multiplicity): per-bit ±1 voting via 16 conditional sums, then the
+    * fingerprint reassembled arithmetically — one explode + one hash agg,
+    * no per-bit shuffle. */
+  val q42Simhash: Q = (spark, dir) => {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .withColumn("v", conv(substring(md5($"token"), 1, 4), 16, 10).cast("int"))
+    val bitCols = (0 until 16).map(i =>
+      sum(when(shiftright($"v", i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$i"))
+    val bits = tok.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sim = (0 until 16).map(i =>
+      when(col(s"b$i") > 0, 1L << i).otherwise(0L)).reduce(_ + _)
+    bits.select($"doc_id", sim.as("simhash")).orderBy($"doc_id")
+  }
+
+  /** Character-4-gram Jaccard near-dup, blocked by source: distinct grams
+    * per doc, candidate pairs only through the (source, gram) join, exact
+    * Jaccard ≥ 0.6 (empirically the one true near-dup pair sits at 0.98,
+    * the background at ≤ 0.44). */
+  val q43NgramJaccard: Q = (spark, dir) => {
+    import spark.implicits._
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        explode(transform(sequence(lit(0), length($"text") - 4), i =>
+          $"text".substr(i + 1, lit(4)))).as("g"))
+      .distinct()
+    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = grams.as("ga")
+      .join(grams.as("gb"),
+        col("ga.source") === col("gb.source") && col("ga.g") === col("gb.g")
+          && col("ga.doc_id") < col("gb.doc_id"))
+      .groupBy(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), $"doc_a" === col("za.doc_id"))
+      .join(sizes.as("zb"), $"doc_b" === col("zb.doc_id"))
+      .withColumn("jaccard",
+        $"inter".cast("double") / (col("za.n") + col("zb.n") - $"inter"))
+      .filter($"jaccard" >= 0.6)
+      .select($"doc_a", $"doc_b", $"inter",
+        col("za.n").as("na"), col("zb.n").as("nb"), $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q40_dedup_exact" -> q40DedupExact,
+    "q41_minhash_lsh" -> q41MinhashLsh,
+    "q42_simhash" -> q42Simhash,
+    "q43_ngram_jaccard" -> q43NgramJaccard,
+  )
+
+  private val minhashMins = (0 until 8).map(j =>
+    s"    min(${h60Sql(s"'$j:' || s")}) AS h$j").mkString(",\n")
+  private val bandList = (0 until 4).map(b =>
+    s"md5(${b} || '_' || h${2 * b} || '_' || h${2 * b + 1})").mkString(", ")
+  private val simhashBits = (0 until 16).map(i =>
+    s"    SUM(CASE WHEN (v >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+    .mkString(",\n")
+  private val simhashAssemble = (0 until 16).map(i =>
+    s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0
+        |), groups AS (
+        |  SELECT md5(text) AS h, COUNT(*) AS cnt, MIN(doc_id) AS keep_id
+        |  FROM corpus GROUP BY 1
+        |)
+        |SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_unique,
+        |  COUNT(CASE WHEN cnt > 1 THEN 1 END) AS n_dup_groups,
+        |  CAST(SUM(keep_id) AS BIGINT) AS survivor_id_sum
+        |FROM groups""".stripMargin,
+    "q41_minhash_lsh" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS t FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(0, length(t) - 2),
+         |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+         |  FROM toks WHERE length(t) >= 3
+         |), sig AS (
+         |  SELECT doc_id,
+         |$minhashMins
+         |  FROM sh GROUP BY 1
+         |), bands AS (
+         |  SELECT doc_id, unnest([$bandList]) AS band FROM sig
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1
+         |), inter AS (
+         |  SELECT doc_a, doc_b, COUNT(*) AS inter
+         |  FROM cand
+         |  JOIN sh sa ON doc_a = sa.doc_id
+         |  JOIN sh sb ON doc_b = sb.doc_id AND sa.s = sb.s
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, inter,
+         |  CAST(inter AS DOUBLE) / (za.nsh + zb.nsh - inter) AS jaccard
+         |FROM inter
+         |JOIN sizes za ON doc_a = za.doc_id
+         |JOIN sizes zb ON doc_b = zb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (za.nsh + zb.nsh - inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q42_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(token), 1, 4)) AS INT) AS v
+         |  FROM (SELECT doc_id, unnest($tokensSql) AS token FROM documents)
+         |), bits AS (
+         |  SELECT doc_id,
+         |$simhashBits
+         |  FROM tok GROUP BY 1
+         |)
+         |SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin,
+    "q43_ngram_jaccard" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(range(0, length(text) - 3),
+        |      i -> substr(text, i + 1, 4))) AS g
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM grams a JOIN grams b
+        |    ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, inter, za.n AS na, zb.n AS nb,
+        |  CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jaccard
+        |FROM inter
+        |JOIN sizes za ON doc_a = za.doc_id
+        |JOIN sizes zb ON doc_b = zb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}

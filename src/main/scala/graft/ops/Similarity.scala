@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import OpsUtil._
+
+/** Similarity search over the embeddings table (builder prompt: brute-force
+  * cosine top-k baseline + a blocked/IVF-style scale path + embedding-cosine
+  * near-dup).
+  *
+  * Cross-engine determinism: float embeddings are floor-quantized to
+  * thousandths (`floor(x*1000)` on the widened double — floor of an
+  * identical double is identical everywhere, unlike round), giving integer
+  * vectors whose dot products and norms are EXACT 64-bit sums; the final
+  * cosine is a single IEEE division+sqrt on identical inputs, so even the
+  * double column hash-matches DuckDB bit-for-bit.
+  *
+  * Scale notes: top-k versus one query is a broadcast of the query row and
+  * a TakeOrderedAndProject — no shuffle of the corpus. The near-dup pair
+  * search is blocked by label (the IVF cell stand-in) so no O(n²) pair
+  * explosion; the IVF query prunes to the 2 nearest centroids before
+  * scanning, which is the architecture that survives a 100 TB corpus.
+  */
+object Similarity {
+
+  /** float[] → exact integer vector (thousandths). */
+  private def quantize(e: Column): Column =
+    transform(e, x => floor(x.cast("double") * 1000).cast("long"))
+
+  private val quantizeSql =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** Exact integer dot product of two quantized vectors. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform($a, (x, i) -> x * $b[i]), (p, q) -> p + q)"
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b).cast("double") /
+      (sqrt(dot(a, a).cast("double")) * sqrt(dot(b, b).cast("double")))
+
+  private def cosineSql(a: String, b: String): String =
+    s"""CAST(${dotSql(a, b)} AS DOUBLE)
+       |    / (sqrt(CAST(${dotSql(a, a)} AS DOUBLE))
+       |       * sqrt(CAST(${dotSql(b, b)} AS DOUBLE)))""".stripMargin
+
+  /** Brute-force cosine top-k against one query vector (vec_id 0):
+    * broadcast the query, scan the corpus once, TakeOrderedAndProject. */
+  val q50CosineTopk: Q = (spark, dir) => {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", quantize($"embedding").as("e"))
+    val query = emb.filter($"vec_id" === 0)
+      .select($"e".as("qe"))
+    emb.filter($"vec_id" =!= 0)
+      .join(broadcast(query))
+      .select($"vec_id", cosine($"e", $"qe").as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(10)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked by label: the pairwise
+    * join only forms within a label cell, never across the corpus. */
+  val q44EmbeddingNeardup: Q = (spark, dir) => {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", quantize($"embedding").as("e"))
+    emb.as("va").join(emb.as("vb"),
+        col("va.label") === col("vb.label")
+          && col("va.vec_id") < col("vb.vec_id"))
+      .select(col("va.vec_id").as("vec_a"), col("vb.vec_id").as("vec_b"),
+        cosine(col("va.e"), col("vb.e")).as("cos_sim"))
+      .filter($"cos_sim" >= 0.3)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** IVF-style ANN: per-label centroids (exact int sums / count), probe the
+    * 2 nearest centroids for the query (vec_id 1), brute-force only inside
+    * those cells, return top-10. */
+  val q51AnnIvf: Q = (spark, dir) => {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", quantize($"embedding").as("e"))
+    val comps = emb.select($"label", posexplode($"e").as(Seq("pos", "v")))
+    val centroids = comps.groupBy($"label", $"pos")
+      .agg((sum($"v").cast("double") / count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        s => s.getField("c")).as("ce"))
+    val query = emb.filter($"vec_id" === 1).select($"e".as("qe"))
+    val dotD = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val cosD = (a: Column, b: Column) =>
+      dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+    val qd = transform($"qe", x => x.cast("double"))
+    val probes = centroids.join(broadcast(query))
+      .select($"label", cosD($"ce", qd).as("ccos"))
+      .orderBy($"ccos".desc, $"label")
+      .limit(2)
+      .select($"label")
+    emb.filter($"vec_id" =!= 1)
+      .join(broadcast(probes), Seq("label"))
+      .join(broadcast(query))
+      .select($"vec_id", $"label", cosine($"e", $"qe").as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q44_embedding_neardup" -> q44EmbeddingNeardup,
+    "q50_cosine_topk" -> q50CosineTopk,
+    "q51_ann_ivf" -> q51AnnIvf,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q50_cosine_topk" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, $quantizeSql AS e FROM embeddings
+         |), q AS (SELECT e AS qe FROM v WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  ${cosineSql("v.e", "q.qe")} AS cos_sim
+         |FROM v, q WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q44_embedding_neardup" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, $quantizeSql AS e FROM embeddings
+         |)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${cosineSql("a.e", "b.e")} AS cos_sim
+         |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosineSql("a.e", "b.e")} >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q51_ann_ivf" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, $quantizeSql AS e FROM embeddings
+         |), comps AS (
+         |  SELECT label, i AS pos, e[i] AS val
+         |  FROM v, (SELECT unnest(range(1, 65)) AS i)
+         |), cent AS (
+         |  SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS ce
+         |  FROM (SELECT label, pos, SUM(val) AS s, COUNT(*) AS n
+         |        FROM comps GROUP BY 1, 2)
+         |  GROUP BY 1
+         |), q AS (
+         |  SELECT list_transform(e, x -> CAST(x AS DOUBLE)) AS qd, e AS qe
+         |  FROM v WHERE vec_id = 1
+         |), probes AS (
+         |  SELECT label,
+         |    list_reduce(list_transform(ce, (x, i) -> x * qd[i]), (p, s) -> p + s)
+         |      / (sqrt(list_reduce(list_transform(ce, (x, i) -> x * ce[i]), (p, s) -> p + s))
+         |         * sqrt(list_reduce(list_transform(qd, (x, i) -> x * qd[i]), (p, s) -> p + s)))
+         |      AS ccos
+         |  FROM cent, q
+         |  ORDER BY ccos DESC, label LIMIT 2
+         |)
+         |SELECT vec_id, v.label,
+         |  ${cosineSql("v.e", "q.qe")} AS cos_sim
+         |FROM v JOIN probes ON v.label = probes.label, q
+         |WHERE vec_id <> 1
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+  )
+}
