@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Temporal.queries ++ ops.Scalars.queries ++
       ops.UdfSurface.queries ++ ops.Text.queries ++
-      ops.Dedup.queries ++ ops.Similarity.queries
+      ops.Dedup.queries ++ ops.Similarity.queries ++
+      ml.Pipelines.queries ++ multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Temporal.oracle ++ ops.Scalars.oracle ++
       ops.UdfSurface.oracle ++ ops.Text.oracle ++
-      ops.Dedup.oracle ++ ops.Similarity.oracle
+      ops.Dedup.oracle ++ ops.Similarity.oracle ++
+      multimodal.Multimodal.oracle
 }

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2.14: the reference has no
+  * streaming — these are the engine's forward-looking seams, expressed so
+  * the SAME transformations run over `spark.readStream` sources).
+  *
+  * Each function takes a DataFrame that may be batch (for the harness /
+  * oracle) or streaming (readStream) — the plan is identical; Spark picks
+  * micro-batch execution when the source is streaming.
+  */
+object StreamingOps {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  final case class SessionUpdate(user_id: Long, n_events: Long,
+    start_sec: Long, end_sec: Long, closed: Boolean)
+
+  /** Watermarked sliding-window counts per event type: the streaming analog
+    * of the batch datetime rollup (q19). Late data beyond 30 min is
+    * dropped; state is bounded by watermark × type cardinality. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Stateful sessionization with flatMapGroupsWithState: 30-min
+    * inactivity gap closes a session (the streaming analog of batch q18).
+    * A session is emitted when a later event for the same user proves the
+    * gap; the open tail stays in state. (No processing-time timeout: a
+    * timeout-driven flush re-schedules micro-batches forever under
+    * processAllAvailable, which makes deterministic testing impossible —
+    * the arrival-driven closure below is the portable semantics.) */
+  def sessionize(events: Dataset[Event]): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, it, state: GroupState[List[Long]]) =>
+          val incoming = it.map(_.ts.getTime / 1000).toList
+          val secs = (state.getOption.getOrElse(Nil) ++ incoming).sorted
+          // split on >30min gaps; emit closed sessions, keep the open tail
+          val sessions = secs.foldLeft(List.empty[List[Long]]) {
+            case (acc, t) => acc match {
+              case (cur @ (last :: _)) :: rest if t - last <= 1800 =>
+                (t :: cur) :: rest
+              case _ => List(t) :: acc
+            }
+          }.map(_.reverse).reverse
+          val closed = sessions.dropRight(1)
+          state.update(sessions.lastOption.getOrElse(Nil))
+          closed.iterator.map(s =>
+            SessionUpdate(userId, s.size.toLong, s.head, s.last, closed = true))
+      }
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Unit fixtures per SURVEY.md §5 item 2: tiny in-memory frames that
+  * reproduce each reference operator shape, independent of the test
+  * parquet. */
+class OperatorsSpec extends SparkSpec {
+
+  test("conditional aggregation + left join + fill keeps 0-0 groups (A3/J1/N1)") {
+    import spark.implicits._
+    // matches: (matchId, eventTeam-goals); match 3 has no goal events at all
+    val allMatches = Seq((1, "a", "b"), (2, "a", "c"), (3, "b", "c"))
+      .toDF("matchId", "home", "away")
+    val goalEvents = Seq((1, "a"), (1, "a"), (1, "b"), (2, "c"))
+      .toDF("matchId", "scorer")
+    val counts = goalEvents.join(allMatches, Seq("matchId"))
+      .groupBy($"matchId")
+      .agg(
+        sum(when($"scorer" === $"home", 1).otherwise(0)).as("homeGoals"),
+        sum(when($"scorer" === $"away", 1).otherwise(0)).as("awayGoals"))
+    val result = allMatches.join(counts, Seq("matchId"), "left")
+      .na.fill(Map("homeGoals" -> 0, "awayGoals" -> 0))
+      .orderBy($"matchId")
+      .select($"matchId", $"homeGoals", $"awayGoals")
+      .collect()
+    assert(result.toSeq == Seq(Row(1, 2L, 1L), Row(2, 0L, 1L), Row(3, 0L, 0L)))
+  }
+
+  test("signed goal-difference formatting %+d (X3/X4)") {
+    import spark.implicits._
+    val out = Seq(3, 0, -2).toDF("gd")
+      .select(format_string("%+d", $"gd").as("s")).as[String].collect()
+    assert(out.toSeq == Seq("+3", "+0", "-2"))
+  }
+
+  test("window rank with composite tiebreaks is a permutation (W1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(("a", 10, 5), ("b", 10, 7), ("c", 8, 9)).toDF("t", "pts", "gf")
+    val pos = df.withColumn("pos",
+      row_number().over(Window.orderBy($"pts".desc, $"gf".desc, $"t")))
+      .select($"t", $"pos").as[(String, Int)].collect().toMap
+    assert(pos == Map("b" -> 1, "a" -> 2, "c" -> 3))
+  }
+
+  test("as-of join carries last non-null reference forward (J4)") {
+    val df = ops.Temporal.q17AsofJoin(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every purchase with a preceding click must have click_sec <= ts_sec
+    assert(rows.forall { r =>
+      r.isNullAt(3) || r.getLong(3) <= r.getLong(2)
+    })
+  }
+
+  test("sessionize: session counts bounded by event counts (q18)") {
+    val rows = ops.Temporal.q18Sessionize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) <= r.getLong(2))) // n_sessions <= n_events
+    assert(rows.forall(r => r.getLong(4) >= 0))            // total_active_sec
+  }
+
+  test("pixel color naming: alpha<128 => None, quantization lattice (U2)") {
+    import spark.implicits._
+    // BGRA hex pixels: alpha 0x10 < 128 -> None; 0x00/0xff/0xff with alpha
+    // 0xff -> quantized (0,255,255) = B=0,G=255,R=255 -> r=255,g=255,b=0 = Yellow
+    val df = Seq("00ffff10", "00ffffff", "54a9ffff").toDF("text")
+    val colors = ops.UdfSurface.queries("q25_pixel_colors")
+    // exercise colorName through a 1-pixel corpus: build inline
+    val named = df.select(expr(
+      """CASE WHEN conv(substring(text, 7, 2), 16, 10) < 128 THEN 'None' END"""
+    ).as("probe")).collect()
+    assert(named.head.getString(0) == "None")
+    val full = colors(spark, sf).collect()
+    assert(full.map(_.getLong(1)).sum == 4L * Tables.documents(spark, sf).count())
+  }
+
+  test("cyclic distance evaluator is symmetric and bounded (M8/M9)") {
+    import spark.implicits._
+    val df = (0 until 24).flatMap(a => (0 until 24).map(b => (a, b)))
+      .toDF("a", "b")
+      .withColumn("d", least(abs($"a" - $"b"), lit(24) - abs($"a" - $"b")))
+    val rows = df.collect()
+    assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 12))
+    val m = rows.map(r => ((r.getInt(0), r.getInt(1)), r.getInt(2))).toMap
+    assert(m.forall { case ((a, b), d) => m((b, a)) == d })
+    assert(m((23, 0)) == 1 && m((12, 0)) == 12)
+  }
+
+  test("quantized cosine: self-similarity is exactly 1.0 (q50 machinery)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).limit(5)
+      .select($"vec_id",
+        transform($"embedding", x => floor(x.cast("double") * 1000).cast("long"))
+          .as("e"))
+    val dot = (a: String, b: String) => aggregate(
+      zip_with(col(a), col(b), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val cos = emb.select(
+      (dot("e", "e").cast("double") /
+        (sqrt(dot("e", "e").cast("double")) * sqrt(dot("e", "e").cast("double"))))
+        .as("c")).as[Double].collect()
+    assert(cos.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("simhash is 16-bit and deterministic across runs (q42)") {
+    val a = ops.Dedup.queries("q42_simhash")(spark, sf).collect()
+    val b = ops.Dedup.queries("q42_simhash")(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall { r => val s = r.getLong(1); s >= 0 && s < (1L << 16) })
+  }
+
+  test("exact dedup finds exactly the injected duplicates (q40)") {
+    val r = ops.Dedup.queries("q40_dedup_exact")(spark, sf).head()
+    val nDocs = r.getLong(0); val nUnique = r.getLong(1); val nGroups = r.getLong(2)
+    val base = Tables.documents(spark, sf).count()
+    assert(nDocs == base + (base + 6) / 7)  // every 7th doc duplicated
+    assert(nUnique == base)                  // no natural dups in corpus
+    assert(nGroups == (base + 6) / 7)
+  }
+
+  test("multimodal decode stub: bytes sum matches hex arithmetic (q61)") {
+    import spark.implicits._
+    val agg = multimodal.Multimodal.queries("q61_multimodal_features")(spark, sf)
+    val viaBinary = agg.agg(sum($"total_byte_sum")).head().getLong(0)
+    val viaHex = Tables.documents(spark, sf)
+      .select(aggregate(
+        transform(sequence(lit(0), lit(15)),
+          i => conv(md5($"text").substr(i * 2 + 1, lit(2)), 16, 10).cast("long")),
+        lit(0L), (a, b) => a + b).as("s"))
+      .agg(sum($"s")).head().getLong(0)
+    assert(viaBinary == viaHex)
+  }
+
+  test("ml metrics are deterministic under seed=1 (M1-M11)") {
+    val m = ml.Pipelines.q60MlMetrics(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m.keySet.size == 7)
+    assert(m(("rf_hour", "cyclic_within_2")) >= m(("rf_hour", "cyclic_within_1")))
+    assert(m(("rf_hour", "cyclic_within_1")) >= m(("rf_hour", "accuracy")))
+    assert(m(("rf_peak", "auc")) >= 0.0 && m(("rf_peak", "auc")) <= 1.0)
+    val again = ml.Pipelines.q60MlMetrics(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m == again)
+  }
+
+  test("every oracle query name exists in queries (driver contract)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle-only keys: ${o.diff(q)}")
+    assert(SparkEntry.queries.nonEmpty)
+  }
+
+  test("entry returns rows at sf0.001 (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
