@@ -42,6 +42,7 @@ object Pipelines {
       .setOutputCol("features")
     val assembled = assembler.transform(data)
     val Array(train, test) = assembled.randomSplit(Array(0.8, 0.2), seed = 1)
+    train.cache() // two model fits consume it
 
     // Model A: 24-class hour prediction (cyclic label).
     val rfHour = new RandomForestClassifier()

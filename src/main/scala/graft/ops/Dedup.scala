@@ -60,11 +60,15 @@ object Dedup {
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", tokens($"text").as("t"))
       .filter(size($"t") >= 3)
+    // cached: consumed 4× downstream (signatures, sizes, both sides of the
+    // verification join) — the reference's own missed-cache lesson
+    // (SURVEY.md §2.12 C1) applied.
     val shingles = toks.select($"doc_id",
       explode(transform(sequence(lit(0), size($"t") - 3), i =>
         concat_ws(" ", element_at($"t", i + 1), element_at($"t", i + 2),
           element_at($"t", i + 3)))).as("s"))
       .distinct()
+      .cache()
     val minCols = (0 until 8).map(j =>
       min(h60(concat(lit(s"$j:"), $"s"))).as(s"h$j"))
     val sig = shingles.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
@@ -121,6 +125,7 @@ object Dedup {
         explode(transform(sequence(lit(0), length($"text") - 4), i =>
           $"text".substr(i + 1, lit(4)))).as("g"))
       .distinct()
+      .cache() // consumed 3×: sizes + both sides of the pair join
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = grams.as("ga")
       .join(grams.as("gb"),

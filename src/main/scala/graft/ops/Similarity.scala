@@ -63,16 +63,23 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs, blocked by label: the pairwise
-    * join only forms within a label cell, never across the corpus. */
+    * join only forms within a label cell, never across the corpus. The
+    * squared norm is computed ONCE per vector before the join (n² pairs
+    * would otherwise re-fold both norms per pair — 3× the array work); the
+    * cached pre-norm relation is scanned by both join sides. */
   val q44EmbeddingNeardup: Q = (spark, dir) => {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"label", quantize($"embedding").as("e"))
+      .withColumn("n2", dot($"e", $"e"))
+      .cache()
     emb.as("va").join(emb.as("vb"),
         col("va.label") === col("vb.label")
           && col("va.vec_id") < col("vb.vec_id"))
       .select(col("va.vec_id").as("vec_a"), col("vb.vec_id").as("vec_b"),
-        cosine(col("va.e"), col("vb.e")).as("cos_sim"))
+        (dot(col("va.e"), col("vb.e")).cast("double") /
+          (sqrt(col("va.n2").cast("double")) * sqrt(col("vb.n2").cast("double"))))
+          .as("cos_sim"))
       .filter($"cos_sim" >= 0.3)
       .orderBy($"vec_a", $"vec_b")
   }
