@@ -1,0 +1,73 @@
+package graft.ops
+
+import java.io.File
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import OpsUtil._
+
+/** Text-format source surface (SURVEY.md §2.1): the reference reads CSV
+  * with an explicit StructType schema, header, and a non-default `|`
+  * separator (`/root/reference/Assignment-python.py:38-52`) and JSON-Lines
+  * with inferred schema (`:711`). The test corpus is parquet-only, so each
+  * query round-trips a table through the text format into a scratch dir
+  * and aggregates what was read back — proving the reader surface against
+  * the parquet-direct oracle. Doubles survive exactly: Spark writes
+  * shortest-repr decimal strings, which parse back to the identical bits.
+  */
+object Sources {
+
+  private def scratch(dir: String, tag: String): String =
+    new File(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${new File(dir).getName}").getAbsolutePath
+
+  /** S1: CSV round-trip with explicit schema + header + `|` separator. */
+  val q27CsvSource: Q = (spark, dir) => {
+    import spark.implicits._
+    val out = scratch(dir, "csv")
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+      .write.mode("overwrite").option("header", true).option("sep", "|")
+      .csv(out)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    spark.read.schema(schema).option("header", true).option("sep", "|")
+      .csv(out)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("total_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** S3: JSON-Lines round-trip with inferred schema. */
+  val q28JsonSource: Q = (spark, dir) => {
+    import spark.implicits._
+    val out = scratch(dir, "json")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .write.mode("overwrite").json(out)
+    spark.read.json(out)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"lang")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q27_csv_source" -> q27CsvSource,
+    "q28_json_source" -> q28JsonSource,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q27_csv_source" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+         |  ${dsumSql("c_acctbal")} AS total_bal
+         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q28_json_source" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -119,9 +119,46 @@ object UdfSurface {
       .orderBy($"source")
   }
 
+  /** The same pixel pipeline through an explicit Scala `udf()` — the
+    * reference's registration surface (`:726-727`) re-expressed. Unlike
+    * the reference's Python UDFs this stays in the JVM (no per-batch
+    * serialization boundary), but it still exits codegen, so the native
+    * q25 is the performance path; q36 exists to prove UDF parity (same
+    * oracle SQL as q25). */
+  private val toColorNamesUdf = udf { (hex: String) =>
+    def quant(x: Int): Int = if (x < 85) 0 else if (x < 170) 128 else 255
+    (0 until 4).map { i =>
+      val p = hex.substring(i * 8, i * 8 + 8)
+      def byte(o: Int) = Integer.parseInt(p.substring(o, o + 2), 16)
+      val (b, g, r, a) = (quant(byte(0)), quant(byte(2)), quant(byte(4)), byte(6))
+      if (a < 128) "None"
+      else (r, g, b) match {
+        case (0, 0, 0)       => "Black"
+        case (255, 255, 255) => "White"
+        case (255, 0, 0)     => "Red"
+        case (0, 255, 0)     => "Green"
+        case (0, 0, 255)     => "Blue"
+        case (255, 255, 0)   => "Yellow"
+        case (255, 0, 255)   => "Magenta"
+        case (0, 255, 255)   => "Cyan"
+        case _               => s"Gray-$r-$g-$b"
+      }
+    }
+  }
+
+  val q36UdfPixels: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(toColorNamesUdf(md5($"text"))).as("color"))
+      .groupBy($"color")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"color")
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_pixel_colors" -> q25PixelColors,
     "q26_top_colors" -> q26TopColors,
+    "q36_udf_pixels" -> q36UdfPixels,
   )
 
   private val pixelCte =
@@ -136,6 +173,10 @@ object UdfSurface {
 
   val oracle: Map[String, String] = Map(
     "q25_pixel_colors" ->
+      s"""$pixelCte
+         |SELECT color, COUNT(*) AS n FROM px
+         |GROUP BY 1 ORDER BY n DESC, color""".stripMargin,
+    "q36_udf_pixels" ->
       s"""$pixelCte
          |SELECT color, COUNT(*) AS n FROM px
          |GROUP BY 1 ORDER BY n DESC, color""".stripMargin,
