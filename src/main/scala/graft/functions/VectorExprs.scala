@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Custom Catalyst expression for the similarity hot path.
+  *
+  * Spark's array higher-order functions (`zip_with` + `aggregate`) evaluate
+  * their lambdas through an interpreted-closure boundary per element, which
+  * dominates the n² pair loops of the near-dup/top-k operators. The exact
+  * integer dot product over floor-quantized vectors is a tight primitive
+  * loop, so this is the one place the built-ins genuinely can't express the
+  * performance (SURVEY.md §7.4): a BinaryExpression whose `doGenCode`
+  * emits a plain Java for-loop over the two long arrays, staying fully
+  * inside whole-stage codegen.
+  *
+  * Semantics are identical to `aggregate(zip_with(a, b, _ * _), 0L, _ + _)`
+  * — exact 64-bit sums, so DuckDB-oracle hashes are unchanged (asserted by
+  * OperatorsSpec).
+  */
+case class DotProductLong(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_long"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $a.getLong($i) * $b.getLong($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  /** Column API for [[DotProductLong]]. */
+  def dotLong(a: Column, b: Column): Column =
+    GraftBridge.column(DotProductLong(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+}

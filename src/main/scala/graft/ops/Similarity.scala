@@ -31,9 +31,12 @@ object Similarity {
   private val quantizeSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a custom codegen
+    * Expression ([[graft.functions.VectorExprs.dotLong]]); semantically
+    * identical to aggregate(zip_with(a,b,_*_), 0L, _+_) but a tight
+    * generated loop instead of interpreted HOF lambdas. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorExprs.dotLong(a, b)
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform($a, (x, i) -> x * $b[i]), (p, q) -> p + q)"

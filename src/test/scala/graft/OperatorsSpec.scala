@@ -145,6 +145,17 @@ class OperatorsSpec extends SparkSpec {
     assert(m == again)
   }
 
+  test("custom DotProductLong codegen matches the HOF fold exactly") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .select(transform($"embedding", x => floor(x.cast("double") * 1000).cast("long")).as("e"))
+    val hof = aggregate(zip_with($"e", $"e", (x, y) => x * y), lit(0L), (a, x) => a + x)
+    val mismatches = emb
+      .select((functions.VectorExprs.dotLong($"e", $"e") - hof).as("d"))
+      .filter($"d" =!= 0L).count()
+    assert(mismatches == 0)
+  }
+
   test("every oracle query name exists in queries (driver contract)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
