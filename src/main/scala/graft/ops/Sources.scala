@@ -55,9 +55,41 @@ object Sources {
       .orderBy($"lang")
   }
 
+  /** Bucketed co-located join (the builder prompt's "bucketing for
+    * co-located joins"): lineitem and orders are written as 8-bucket
+    * tables on their order keys, after which the join needs NO shuffle on
+    * either side — the only Exchange left in the plan is the final
+    * aggregation's (asserted by OperatorsSpec). At 100 TB this is the
+    * difference between re-shuffling the fact table per query and reading
+    * co-partitioned buckets. */
+  val q29BucketedJoin: Q = (spark, dir) => {
+    import spark.implicits._
+    val wh = scratch(dir, "bucketed")
+    spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+    spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .write.format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem").mode("overwrite")
+      .saveAsTable("graft_lineitem_b")
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus")
+      .write.format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders").mode("overwrite")
+      .saveAsTable("graft_orders_b")
+    spark.table("graft_lineitem_b")
+      .join(spark.table("graft_orders_b"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_items"), sum(revenueExpr).cast("double").as("revenue"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
     "q27_csv_source" -> q27CsvSource,
     "q28_json_source" -> q28JsonSource,
+    "q29_bucketed_join" -> q29BucketedJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -69,5 +101,10 @@ object Sources {
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_bucketed_join" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_items,
+         |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -156,6 +156,24 @@ class OperatorsSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("bucketed join plan has no join-side shuffle (q29)") {
+    // force a sort-merge join so bucketing (not broadcast) must avoid the
+    // shuffle; restore the threshold afterwards
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = ops.Sources.q29BucketedJoin(spark, sf)
+      df.collect() // materialize so AQE finalizes the plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scans in:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey")
+        && !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"join-side shuffle present in:\n$plan")
+    } finally spark.conf.set(key, old)
+  }
+
   test("every oracle query name exists in queries (driver contract)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
