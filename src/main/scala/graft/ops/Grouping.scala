@@ -35,9 +35,31 @@ object Grouping {
       .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
   }
 
+  /** Skew-salted join (builder prompt: "salting for skew"): ~80% of events
+    * collapse onto one hot key, which would pin a single reducer in a
+    * plain shuffle join. The fact side gets a salt in [0,8); the dimension
+    * is replicated once per salt value; the join key becomes (key, salt),
+    * spreading the hot key over 8 partitions. Semantically identical to
+    * the unsalted join — the oracle runs the plain form. */
+  val q39SaltedJoin: Q = (spark, dir) => {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .withColumn("skew_key",
+        when($"user_id" < 120, 0L).otherwise($"user_id"))
+      .withColumn("salt", pmod($"event_id", lit(8)))
+    val dim = spark.range(150)
+      .select($"id".as("skew_key"), ($"id" % 5).as("grp"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(7L))))
+    e.join(dim, Seq("skew_key", "salt"))
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+      .orderBy($"grp")
+  }
+
   val queries: Map[String, Q] = Map(
     "q34_pivot" -> q34Pivot,
     "q35_rollup" -> q35Rollup,
+    "q39_salted_join" -> q39SaltedJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -57,5 +79,11 @@ object Grouping {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP(r_name, n_name)
          |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q39_salted_join" ->
+      s"""SELECT d.i % 5 AS grp, COUNT(*) AS n_events,
+         |  ${dsumSql("value")} AS total_value
+         |FROM events JOIN (SELECT i FROM range(0, 150) t(i)) d
+         |  ON d.i = CASE WHEN user_id < 120 THEN 0 ELSE user_id END
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -122,11 +122,52 @@ object Text {
       .orderBy($"source")
   }
 
+  /** BPE-ish regex tokenization (builder prompt: "whitespace + a BPE-ish
+    * regex"): letter runs / digit runs / punctuation runs extracted as
+    * separate tokens (the GPT-2 pre-tokenizer shape, ASCII classes for
+    * cross-engine regex parity), aggregated per lang. */
+  val q37BpeTokens: Q = (spark, dir) => {
+    import spark.implicits._
+    val toks = expr(
+      "regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+', 0)")
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .select($"lang", $"doc_id", explode($"toks").as("tok"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("total_tokens"),
+        countDistinct($"tok").as("vocab"),
+        max(length($"tok")).as("max_token_len"),
+        count(when($"tok".rlike("^[0-9]+$"), lit(1))).as("n_numeric_tokens"))
+      .orderBy($"lang")
+  }
+
+  /** Literal polynomial rolling hash over the character stream
+    * (`acc*31 + codepoint mod 1e9+7`), the textbook document fingerprint;
+    * q33's md5-prefix variant is the production shortcut. All-integer ⇒
+    * exact cross-engine. */
+  val q38RollingHash: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("rh", expr(
+        """aggregate(sequence(1, length(text)), 0L,
+          |  (acc, i) -> (acc * 31 + ascii(substr(text, i, 1))) % 1000000007)
+          |""".stripMargin))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"rh").as("n_unique_hashes"),
+        max($"rh").as("max_hash"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_token_stats" -> q30TokenStats,
     "q31_quality" -> q31Quality,
     "q32_langid" -> q32LangId,
     "q33_fingerprint" -> q33Fingerprint,
+    "q37_bpe_tokens" -> q37BpeTokens,
+    "q38_rolling_hash" -> q38RollingHash,
   )
 
   val oracle: Map[String, String] = Map(
@@ -193,6 +234,30 @@ object Text {
          |)
          |SELECT lang, predicted, COUNT(*) AS n
          |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q37_bpe_tokens" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')) AS tok
+        |  FROM documents
+        |)
+        |SELECT lang, COUNT(*) AS total_tokens,
+        |  COUNT(DISTINCT tok) AS vocab,
+        |  CAST(MAX(length(tok)) AS INT) AS max_token_len,
+        |  COUNT(CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 1 END)
+        |    AS n_numeric_tokens
+        |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q38_rolling_hash" ->
+      """WITH rh AS (
+        |  SELECT source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM documents
+        |)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT h) AS n_unique_hashes, MAX(h) AS max_hash
+        |FROM rh GROUP BY 1 ORDER BY 1""".stripMargin,
     "q33_fingerprint" ->
       """WITH fps AS (
         |  SELECT source,

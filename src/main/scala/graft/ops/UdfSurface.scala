@@ -125,9 +125,10 @@ object UdfSurface {
     * serialization boundary), but it still exits codegen, so the native
     * q25 is the performance path; q36 exists to prove UDF parity (same
     * oracle SQL as q25). */
-  private val toColorNamesUdf = udf { (hex: String) =>
+  /** Pure pixel decoding for the UDF path (exposed for property tests). */
+  private[graft] def colorNamesOf(hex: String): Seq[String] = {
     def quant(x: Int): Int = if (x < 85) 0 else if (x < 170) 128 else 255
-    (0 until 4).map { i =>
+    (0 until hex.length / 8).map { i =>
       val p = hex.substring(i * 8, i * 8 + 8)
       def byte(o: Int) = Integer.parseInt(p.substring(o, o + 2), 16)
       val (b, g, r, a) = (quant(byte(0)), quant(byte(2)), quant(byte(4)), byte(6))
@@ -145,6 +146,8 @@ object UdfSurface {
       }
     }
   }
+
+  private val toColorNamesUdf = udf(colorNamesOf _)
 
   val q36UdfPixels: Q = (spark, dir) => {
     import spark.implicits._
