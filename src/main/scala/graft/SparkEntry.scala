@@ -21,7 +21,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Temporal.queries ++ ops.Scalars.queries ++
       ops.UdfSurface.queries ++ ops.Text.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++
-      ops.Sources.queries ++ ops.Grouping.queries ++
+      ops.Sources.queries ++ ops.Grouping.queries ++ ops.Extended.queries ++
       ml.Pipelines.queries ++ multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,6 +30,6 @@ object SparkEntry {
     ops.Relational.oracle ++ ops.Temporal.oracle ++ ops.Scalars.oracle ++
       ops.UdfSurface.oracle ++ ops.Text.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++
-      ops.Sources.oracle ++ ops.Grouping.oracle ++
+      ops.Sources.oracle ++ ops.Grouping.oracle ++ ops.Extended.oracle ++
       multimodal.Multimodal.oracle
 }
