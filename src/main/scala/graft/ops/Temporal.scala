@@ -71,9 +71,43 @@ object Temporal {
       .orderBy($"user_id")
   }
 
+  /** Interval-overlap join (SURVEY.md §2.15: the reference's plus-minus
+    * spec implies point-in-interval semantics): purchase events joined
+    * into the session interval that contains them. The join is equi on
+    * user_id with the range condition as a residual — the equi key blocks
+    * the pairing (per-user intervals × per-user points), so no O(n·m)
+    * cross product forms; this is the J4 mitigation SURVEY §7.3 planned. */
+  val q52IntervalOverlap: Q = (spark, dir) => {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_timestamp($"ts".cast("timestamp")).as("sec"))
+    val sessions = e
+      .withColumn("prev_sec", lag($"sec", 1).over(
+        Window.partitionBy($"user_id").orderBy($"sec", $"event_id")))
+      .withColumn("new_session",
+        when($"prev_sec".isNull || $"sec" - $"prev_sec" > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(
+        Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"sec").as("start_sec"), max($"sec").as("end_sec"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id", $"sec")
+    sessions
+      .join(purchases,
+        $"user_id" === $"p_user"
+          && $"sec" >= $"start_sec" && $"sec" <= $"end_sec")
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        (max($"end_sec") - max($"start_sec")).as("duration_sec"))
+      .orderBy($"user_id", $"session_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q17_asof_join" -> q17AsofJoin,
     "q18_sessionize" -> q18Sessionize,
+    "q52_interval_overlap" -> q52IntervalOverlap,
   )
 
   val oracle: Map[String, String] = Map(
@@ -117,5 +151,34 @@ object Temporal {
         |  CAST(MAX(n_events) AS BIGINT) AS longest_session_events,
         |  CAST(SUM(duration_sec) AS BIGINT) AS total_active_sec
         |FROM sessions GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q52_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), numbered AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |    FROM (SELECT *, LAG(sec) OVER (PARTITION BY user_id
+        |            ORDER BY sec, event_id) AS prev_sec FROM e)
+        |  )
+        |), sessions AS (
+        |  SELECT user_id, session_id, MIN(sec) AS start_sec,
+        |    MAX(sec) AS end_sec
+        |  FROM numbered GROUP BY 1, 2
+        |), purchases AS (
+        |  SELECT user_id AS p_user, event_id, sec FROM e
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(MAX(end_sec) - MAX(start_sec) AS BIGINT) AS duration_sec
+        |FROM sessions JOIN purchases
+        |  ON user_id = p_user AND sec >= start_sec AND sec <= end_sec
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }
