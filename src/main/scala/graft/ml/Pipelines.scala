@@ -47,7 +47,7 @@ object Pipelines {
     // Model A: 24-class hour prediction (cyclic label).
     val rfHour = new RandomForestClassifier()
       .setLabelCol("hour_label").setFeaturesCol("features")
-      .setNumTrees(20).setMaxDepth(5).setSeed(1)
+      .setNumTrees(10).setMaxDepth(4).setSeed(1)
     val predHour = rfHour.fit(train).transform(test).cache()
 
     val n = predHour.count().toDouble
@@ -69,13 +69,14 @@ object Pipelines {
     // Model B: binary peak-hour prediction (reference's 8-18 rule `:916-918`).
     val rfPeak = new RandomForestClassifier()
       .setLabelCol("peak_label").setFeaturesCol("features")
-      .setNumTrees(20).setMaxDepth(5).setSeed(1)
-    val predPeak = rfPeak.fit(train).transform(test)
+      .setNumTrees(10).setMaxDepth(4).setSeed(1)
+    val predPeak = rfPeak.fit(train).transform(test).cache()
     val auc = new BinaryClassificationEvaluator()
       .setLabelCol("peak_label").setRawPredictionCol("rawPrediction")
       .setMetricName("areaUnderROC").evaluate(predPeak)
     val peakAcc = predPeak.filter($"peak_label" === $"prediction").count() /
       predPeak.count().toDouble
+    train.unpersist(); predHour.unpersist(); predPeak.unpersist()
 
     Seq(
       ("rf_hour", "accuracy", acc),

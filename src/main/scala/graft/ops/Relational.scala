@@ -215,8 +215,10 @@ object Relational {
       .agg(
         (sum(money($"nation_rev")) - sum(money(lit(0)))).cast("double").as("region_rev"),
         sum($"nation_orders").as("region_orders"),
-        round(sum(money($"nation_rev")).cast("double")
-          / sum($"nation_orders"), 2).as("avg_order_value"))
+        // One IEEE division of exact aggregates — round(double, n) is NOT
+        // cross-engine-stable on .xx5 boundaries (r01: hash mismatch).
+        (sum(money($"nation_rev")).cast("double") / sum($"nation_orders"))
+          .as("avg_order_value"))
       .orderBy($"r_name")
   }
 
@@ -404,8 +406,8 @@ object Relational {
          |  CAST(SUM(CAST(nation_rev AS DECIMAL(12,2)))
          |    - SUM(CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS region_rev,
          |  SUM(nation_orders) AS region_orders,
-         |  ROUND(CAST(SUM(CAST(nation_rev AS DECIMAL(12,2))) AS DOUBLE)
-         |    / SUM(nation_orders), 2) AS avg_order_value
+         |  CAST(SUM(CAST(nation_rev AS DECIMAL(12,2))) AS DOUBLE)
+         |    / SUM(nation_orders) AS avg_order_value
          |FROM per_nation JOIN region ON n_regionkey = r_regionkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q13_global_agg" ->

@@ -112,10 +112,14 @@ object UdfSurface {
       .groupBy($"source")
       .agg(array_sort(collect_list(struct($"rnk", $"color"))).as("ranked"))
       .select($"source",
-        transform($"ranked", r => r.getField("color")).as("top3"))
+        transform($"ranked", r => r.getField("color")).as("top3arr"))
+      // Joined string, not ArrayType: the driver's pandas hash-compare
+      // cannot hash ndarray cells (r01: q26 comparison crashed).
+      .withColumn("top3", concat_ws("|", $"top3arr"))
       .withColumn("is_target",
-        $"top3" === array(lit("Gray-255-128-128"), lit("Gray-128-128-128"),
+        $"top3arr" === array(lit("Gray-255-128-128"), lit("Gray-128-128-128"),
           lit("Gray-128-255-128")))
+      .select($"source", $"top3", $"is_target")
       .orderBy($"source")
   }
 
@@ -192,7 +196,7 @@ object UdfSurface {
          |  FROM counts
          |)
          |SELECT source,
-         |  list(color ORDER BY rnk) AS top3,
+         |  array_to_string(list(color ORDER BY rnk), '|') AS top3,
          |  list(color ORDER BY rnk) =
          |    ['Gray-255-128-128', 'Gray-128-128-128', 'Gray-128-255-128']
          |    AS is_target
