@@ -1,0 +1,220 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import OpsUtil._
+
+/** Second extension wave (round 2): the grouping-analytics and
+  * generator-operator surface SURVEY.md §2 lists as "free in Spark if
+  * extended" (§2.5 cube/rollup/grouping-sets row, §2.6 frame specs,
+  * §2.10 regex row, §2.15 struct explosion), each with a DuckDB oracle.
+  *
+  * Scale notes are per-operator: every query here is a single shuffle
+  * round (partial+final hash agg or one window exchange) over the fact
+  * table — no driver-side loops, no collects, no cross products.
+  */
+object Extended2 {
+
+  /** CUBE over two low-cardinality keys + grouping_id disambiguation
+    * (reference only exercises plain groupBy, §2.5 A1-A9; CUBE is the
+    * same 2-phase hash agg with 4x grouping-set expansion, so it scales
+    * identically). Null grouping cells are folded to 'ALL' so the output
+    * needs no engine-specific null ordering. */
+  val q53Cube: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_items"),
+        dsum($"l_quantity").as("total_qty"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        $"gid", $"n_items", $"total_qty")
+      .orderBy($"rf", $"ls")
+  }
+
+  /** Explicit GROUPING SETS through the spark.sql entry point: per-segment,
+    * per-nation, and grand-total aggregates of customer balances in one
+    * pass (one shuffle; the expansion is map-side). */
+  val q54GroupingSets: Q = (spark, dir) => {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_gs")
+    spark.sql(
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |  coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nation,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer_gs
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY segment, nation""".stripMargin)
+  }
+
+  /** Regex surface (§2.10 "not used: regex" row): extract the first long
+    * word and count digit runs per document; aggregate per extracted word.
+    * regexp_extract/_extract_all are codegen'd string expressions — they
+    * scan-parallelize with no shuffle until the final small agg. */
+  val q55Regex: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        regexp_extract($"text", "[a-z]{6,}", 0).as("first_long_word"),
+        size(regexp_extract_all($"text", lit("[0-9]+"), lit(0))).as("n_digit_runs"))
+      .filter($"first_long_word" =!= "")
+      .groupBy($"first_long_word")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_digit_runs").as("digit_runs"))
+      .orderBy($"n_docs".desc, $"first_long_word")
+      .limit(15)
+  }
+
+  /** Array-of-struct round trip (§2.15 lineup/substitution shape): pack
+    * each nation's top customers into an ordered array of structs, then
+    * explode it back out and read the fields. The pack is one hash agg;
+    * the explode is a generator (no shuffle). */
+  val q56StructExplode: Q = (spark, dir) => {
+    import spark.implicits._
+    val packed = Tables.customer(spark, dir)
+      .groupBy($"c_nationkey")
+      .agg(slice(
+        reverse(array_sort(collect_list(struct(
+          money($"c_acctbal").as("bal"), $"c_custkey".as("key"))))),
+        1, 2).as("top2"))
+    packed
+      .select($"c_nationkey", posexplode($"top2").as(Seq("pos", "cust")))
+      .select(
+        $"c_nationkey".as("nationkey"),
+        ($"pos" + 1).as("rnk"),
+        $"cust.key".as("custkey"),
+        $"cust.bal".cast("double").as("acctbal"))
+      .orderBy($"nationkey", $"rnk")
+  }
+
+  /** Tumbling time windows in batch via window() — the batch face of the
+    * streaming window surface (§2.14): daily event counts and value sums.
+    * The window struct is computed map-side; one shuffle for the agg. */
+  val q57TimeBuckets: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .select(
+        unix_timestamp($"w.start").as("day_sec"),
+        $"event_type", $"n", $"total_value")
+      .orderBy($"day_sec", $"event_type")
+  }
+
+  /** posexplode generator: token positions per document; keep the leading
+    * 3 tokens and count position-wise vocabulary sizes per source. */
+  val q58PosExplode: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      .filter($"pos" < 3 && length($"tok") > 0)
+      .groupBy($"source", $"pos")
+      .agg(countDistinct($"tok").as("n_distinct"), count(lit(1)).as("n"))
+      .orderBy($"source", $"pos")
+  }
+
+  /** percent_rank + cume_dist frame analytics per user (§2.6 "available if
+    * extended"): both are exact rational values ((rank-1)/(n-1)), so the
+    * doubles are bit-identical across engines — no quantization needed. */
+  val q59PercentRank: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"value", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"value", $"event_id")
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      // floor-quantize before summing: a double SUM's value depends on
+      // accumulation order, an integer SUM's does not (oracle parity).
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor($"pr" * 1e6).cast("long")).as("prq"),
+        sum(floor($"cd" * 1e6).cast("long")).as("cdq"))
+      .select($"event_type", $"n",
+        ($"prq".cast("double") / ($"n" * 1e6)).as("avg_pr"),
+        ($"cdq".cast("double") / ($"n" * 1e6)).as("avg_cd"))
+      .orderBy($"event_type")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q53_cube" -> q53Cube,
+    "q54_grouping_sets" -> q54GroupingSets,
+    "q55_regex" -> q55Regex,
+    "q56_struct_explode" -> q56StructExplode,
+    "q57_time_buckets" -> q57TimeBuckets,
+    "q58_posexplode" -> q58PosExplode,
+    "q59_percent_rank" -> q59PercentRank,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q53_cube" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         |  coalesce(l_linestatus, 'ALL') AS ls,
+         |  GROUPING(l_returnflag, l_linestatus) AS gid,
+         |  COUNT(*) AS n_items,
+         |  ${dsumSql("l_quantity")} AS total_qty
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin,
+    "q54_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |  coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY segment, nation""".stripMargin,
+    "q55_regex" ->
+      """SELECT regexp_extract(text, '[a-z]{6,}') AS first_long_word,
+        |  COUNT(*) AS n_docs,
+        |  SUM(len(regexp_extract_all(text, '[0-9]+'))) AS digit_runs
+        |FROM documents
+        |WHERE regexp_extract(text, '[a-z]{6,}') <> ''
+        |GROUP BY 1 ORDER BY n_docs DESC, first_long_word LIMIT 15""".stripMargin,
+    "q56_struct_explode" ->
+      """SELECT c_nationkey AS nationkey, rnk, custkey, acctbal
+        |FROM (
+        |  SELECT c_nationkey,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_custkey DESC)
+        |      AS rnk,
+        |    c_custkey AS custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+        |  FROM customer
+        |)
+        |WHERE rnk <= 2 ORDER BY nationkey, rnk""".stripMargin,
+    "q57_time_buckets" ->
+      s"""SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_sec,
+         |  event_type, COUNT(*) AS n, ${dsumSql("value")} AS total_value
+         |FROM events
+         |GROUP BY 1, 2 ORDER BY day_sec, event_type""".stripMargin,
+    "q58_posexplode" ->
+      """WITH toks AS (
+        |  SELECT source, generate_subscripts(arr, 1) - 1 AS pos,
+        |    arr[generate_subscripts(arr, 1)] AS tok
+        |  FROM (SELECT source, string_split(text, ' ') AS arr FROM documents) t
+        |)
+        |SELECT source, pos, COUNT(DISTINCT tok) AS n_distinct, COUNT(*) AS n
+        |FROM toks WHERE pos < 3 AND len(tok) > 0
+        |GROUP BY 1, 2 ORDER BY source, pos""".stripMargin,
+    "q59_percent_rank" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    percent_rank() OVER (PARTITION BY user_id
+        |      ORDER BY value, event_id) AS pr,
+        |    cume_dist() OVER (PARTITION BY user_id
+        |      ORDER BY value, event_id) AS cd
+        |  FROM events
+        |)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(pr * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / (COUNT(*) * 1e6) AS avg_pr,
+        |  CAST(SUM(CAST(floor(cd * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / (COUNT(*) * 1e6) AS avg_cd
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+  )
+}
