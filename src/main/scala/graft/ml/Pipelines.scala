@@ -50,21 +50,22 @@ object Pipelines {
       .setNumTrees(10).setMaxDepth(4).setSeed(1)
     val predHour = rfHour.fit(train).transform(test).cache()
 
-    val n = predHour.count().toDouble
-    def cyclicAcc(k: Int): Double = {
-      val d = abs($"hour_label" - $"prediction")
-      predHour.filter(least(d, lit(24) - d) <= k).count() / n
-    }
-    val acc = new MulticlassClassificationEvaluator()
-      .setLabelCol("hour_label").setPredictionCol("prediction")
-      .setMetricName("accuracy").evaluate(predHour)
+    // accuracy (M7), cyclic ±1/±2 (M8/M9), and mean P(correct) (M10) are
+    // all row-wise indicators/values — one aggregation pass computes all
+    // four instead of four separate jobs over the cached predictions.
+    val d = abs($"hour_label" - $"prediction")
+    val cyc = least(d, lit(24) - d)
+    val m = predHour.agg(
+      avg(when($"hour_label" === $"prediction", 1.0).otherwise(0.0)).as("acc"),
+      avg(when(cyc <= 1, 1.0).otherwise(0.0)).as("c1"),
+      avg(when(cyc <= 2, 1.0).otherwise(0.0)).as("c2"),
+      avg(element_at(vector_to_array($"probability"),
+        ($"hour_label" + 1).cast("int"))).as("p")).head()
+    val (acc, cyclic1, cyclic2, avgCorrectProb) =
+      (m.getDouble(0), m.getDouble(1), m.getDouble(2), m.getDouble(3))
     val f1 = new MulticlassClassificationEvaluator()
       .setLabelCol("hour_label").setPredictionCol("prediction")
       .setMetricName("f1").evaluate(predHour)
-    val avgCorrectProb = predHour
-      .select(element_at(vector_to_array($"probability"),
-        ($"hour_label" + 1).cast("int")).as("p"))
-      .agg(avg($"p")).head().getDouble(0)
 
     // Model B: binary peak-hour prediction (reference's 8-18 rule `:916-918`).
     val rfPeak = new RandomForestClassifier()
@@ -74,15 +75,16 @@ object Pipelines {
     val auc = new BinaryClassificationEvaluator()
       .setLabelCol("peak_label").setRawPredictionCol("rawPrediction")
       .setMetricName("areaUnderROC").evaluate(predPeak)
-    val peakAcc = predPeak.filter($"peak_label" === $"prediction").count() /
-      predPeak.count().toDouble
+    val peakAcc = predPeak
+      .agg(avg(when($"peak_label" === $"prediction", 1.0).otherwise(0.0)))
+      .head().getDouble(0)
     train.unpersist(); predHour.unpersist(); predPeak.unpersist()
 
     Seq(
       ("rf_hour", "accuracy", acc),
       ("rf_hour", "f1", f1),
-      ("rf_hour", "cyclic_within_1", cyclicAcc(1)),
-      ("rf_hour", "cyclic_within_2", cyclicAcc(2)),
+      ("rf_hour", "cyclic_within_1", cyclic1),
+      ("rf_hour", "cyclic_within_2", cyclic2),
       ("rf_hour", "avg_correct_prob", avgCorrectProb),
       ("rf_peak", "accuracy", peakAcc),
       ("rf_peak", "auc", auc),

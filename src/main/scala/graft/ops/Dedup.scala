@@ -100,7 +100,8 @@ object Dedup {
     * multiplicity): per-bit ±1 voting via 16 conditional sums, then the
     * fingerprint reassembled arithmetically — one explode + one hash agg,
     * no per-bit shuffle. */
-  val q42Simhash: Q = (spark, dir) => {
+  /** (doc_id, simhash) for every document — shared by q42/q62. */
+  private def simhashDf(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     import spark.implicits._
     val tok = Tables.documents(spark, dir)
       .select($"doc_id", explode(tokens($"text")).as("token"))
@@ -111,7 +112,43 @@ object Dedup {
     val bits = tok.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
     val sim = (0 until 16).map(i =>
       when(col(s"b$i") > 0, 1L << i).otherwise(0L)).reduce(_ + _)
-    bits.select($"doc_id", sim.as("simhash")).orderBy($"doc_id")
+    bits.select($"doc_id", sim.as("simhash"))
+  }
+
+  val q42Simhash: Q = (spark, dir) => {
+    import spark.implicits._
+    simhashDf(spark, dir).orderBy($"doc_id")
+  }
+
+  /** Simhash near-dup PAIRING via LSH banding + native popcount: 4 bands
+    * of 4 bits — by pigeonhole any pair within Hamming distance 3 agrees
+    * on at least one whole band, so the band-bucket self-join is the only
+    * pairing step (no all-pairs cross product), then `bit_count(a XOR b)`
+    * verifies the exact distance inside codegen. At a realistic 64-bit
+    * simhash the same plan uses 4x16-bit bands, where bucket collision
+    * rates stay tiny as the corpus grows — the candidate count scales
+    * with true near-dups, not with n². */
+  val q62SimhashHamming: Q = (spark, dir) => {
+    import spark.implicits._
+    val sh = simhashDf(spark, dir).cache() // both sides of the band join
+    val bands = sh.select($"doc_id", $"simhash",
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("bi"),
+          shiftright($"simhash", 4 * b).bitwiseAND(15).as("bv"))): _*))
+        .as("band"))
+      .select($"doc_id", $"simhash", $"band.bi", $"band.bv")
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INT)"))
+      .filter($"hamming" <= 3)
+      .groupBy($"hamming")
+      .agg(count(lit(1)).as("n_pairs"), sum($"doc_a" + $"doc_b").as("pair_id_sum"))
+      .orderBy($"hamming")
   }
 
   /** Character-4-gram Jaccard near-dup over DISCRIMINATIVE grams, blocked
@@ -157,6 +194,7 @@ object Dedup {
     "q41_minhash_lsh" -> q41MinhashLsh,
     "q42_simhash" -> q42Simhash,
     "q43_ngram_jaccard" -> q43NgramJaccard,
+    "q62_simhash_hamming" -> q62SimhashHamming,
   )
 
   private val minhashMins = (0 until 8).map(j =>
@@ -230,6 +268,33 @@ object Dedup {
          |)
          |SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash
          |FROM bits ORDER BY doc_id""".stripMargin,
+    "q62_simhash_hamming" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(token), 1, 4)) AS INT) AS v
+         |  FROM (SELECT doc_id, unnest($tokensSql) AS token FROM documents)
+         |), bits AS (
+         |  SELECT doc_id,
+         |$simhashBits
+         |  FROM tok GROUP BY 1
+         |), sim AS (
+         |  SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash
+         |  FROM bits
+         |), bands AS (
+         |  SELECT doc_id, simhash, t.bi,
+         |    (simhash >> (4 * CAST(t.bi AS INT))) & 15 AS bv
+         |  FROM sim, range(0, 4) t(bi)
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM bands a JOIN bands b
+         |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |)
+         |SELECT CAST(bit_count(xor(sa, sb)) AS INT) AS hamming,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(SUM(doc_a + doc_b) AS BIGINT) AS pair_id_sum
+         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+         |GROUP BY 1 ORDER BY hamming""".stripMargin,
     "q43_ngram_jaccard" ->
       """WITH grams AS (
         |  SELECT DISTINCT doc_id, source,
