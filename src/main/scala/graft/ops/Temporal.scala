@@ -104,10 +104,30 @@ object Temporal {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** The same as-of semantics as q17, but through the engine's own
+    * whole-operator path: graft.plans.AsOfJoin (custom LogicalPlan →
+    * SparkStrategy → streaming merge exec; see that file's scale notes).
+    * The right side is deduped to one row per (user_id, second) so the
+    * "latest at or before" row is unique — tie-free on both engines. */
+  val q63AsofCustom: Q = (spark, dir) => {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        unix_timestamp($"ts".cast("timestamp")).as("ts_sec"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_sec")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts_sec".as("click_sec")).distinct()
+    graft.plans.AsOf.join(purchases, clicks, "user_id",
+        "ts_sec", "click_sec", Seq("click_sec" -> "last_click_sec"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q17_asof_join" -> q17AsofJoin,
     "q18_sessionize" -> q18Sessionize,
     "q52_interval_overlap" -> q52IntervalOverlap,
+    "q63_asof_custom" -> q63AsofCustom,
   )
 
   val oracle: Map[String, String] = Map(
@@ -126,6 +146,20 @@ object Temporal {
         |  CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_sec,
         |  CAST(floor(date_part('epoch', last_click_ts)) AS BIGINT) AS last_click_sec
         |FROM win WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q63_asof_custom" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_sec
+        |  FROM events WHERE event_type = 'purchase'
+        |), clicks AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(date_part('epoch', ts)) AS BIGINT) AS click_sec
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT p.event_id, p.user_id, p.ts_sec, c.click_sec AS last_click_sec
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts_sec >= c.click_sec
+        |ORDER BY p.event_id""".stripMargin,
     "q18_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id,

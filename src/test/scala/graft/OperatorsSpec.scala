@@ -28,6 +28,35 @@ class OperatorsSpec extends SparkSpec {
     assert(result.toSeq == Seq(Row(1, 2L, 1L), Row(2, 0L, 1L), Row(3, 0L, 0L)))
   }
 
+  test("custom AsOfJoinExec: picks latest right row at-or-before, null before any") {
+    import spark.implicits._
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 5L, "t3"))
+      .toDF("key", "t", "trade")
+    val quotes = Seq((1L, 8L, 100L), (1L, 15L, 110L), (1L, 20L, 120L),
+      (2L, 7L, 200L)).toDF("key", "qt", "px")
+    val out = graft.plans.AsOf.join(trades, quotes, "key", "t", "qt",
+        Seq("px" -> "last_px"))
+      .orderBy($"key", $"t")
+      .select($"trade", $"last_px")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // t1@10: quote@8=100; t2@20: quote@20=120 (inclusive); t3@5: none before 7
+    assert(out.toSeq == Seq(("t1", 100L), ("t2", 120L), ("t3", -1L)))
+    val plan = graft.plans.AsOf.join(trades, quotes, "key", "t", "qt",
+      Seq("px" -> "last_px")).queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+  }
+
+  test("as-of strategy registers once on the live session (AsOf.join path)") {
+    import spark.implicits._
+    val l = Seq((1L, 1L)).toDF("key", "t")
+    val r = Seq((1L, 1L, 1L)).toDF("key", "qt", "v")
+    graft.plans.AsOf.join(l, r, "key", "t", "qt", Seq("v" -> "lv")).count()
+    graft.plans.AsOf.join(l, r, "key", "t", "qt", Seq("v" -> "lv")).count()
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    assert(cs.experimental.extraStrategies
+      .count(_ == graft.plans.AsOfJoinStrategy) == 1)
+  }
+
   test("signed goal-difference formatting %+d (X3/X4)") {
     import spark.implicits._
     val out = Seq(3, 0, -2).toDF("gd")
