@@ -30,6 +30,40 @@ object StreamingOps {
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Streaming exact-dedup: watermark + dropDuplicates on the event key.
+    * The streaming face of q40 — state holds only keys younger than the
+    * watermark, so memory is bounded at any corpus size. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicates("event_id")
+
+  /** Stream-static enrichment join: each micro-batch joins against a
+    * broadcast dimension table (the streaming face of the q05/q08 dim
+    * joins). No stream-side state, no watermark needed — the static side
+    * is re-broadcast per batch only if it changes. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  final case class UserStat(user_id: Long, n_events: Long, max_value: Double)
+
+  /** Per-user running aggregate via mapGroupsWithState (Update mode): the
+    * unbounded-keyed-state API, complementing flatMapGroupsWithState's
+    * append-mode sessionizer below. */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout()) {
+        case (userId, it, state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(userId, 0L, Double.MinValue))
+          val next = it.foldLeft(prev)((s, e) =>
+            UserStat(userId, s.n_events + 1, math.max(s.max_value, e.value)))
+          state.update(next)
+          next
+      }
+  }
+
   /** Stateful sessionization with flatMapGroupsWithState: 30-min
     * inactivity gap closes a session (the streaming analog of batch q18).
     * A session is emitted when a later event for the same user proves the

@@ -32,6 +32,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(1, ts(1), 10, "click", 1.0), // replay of event 1
+      Event(2, ts(2), 10, "view", 2.0))
+    val q = StreamingOps.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == 2)
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches each batch from a broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((10L, "gold"), (11L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 12, "view", 2.0)) // user 12 not in dim -> null tier
+    val q = StreamingOps.enrichWithDim(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("enr").selectExpr("user_id", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows == Set((10L, Some("gold")), (12L, None)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps a running per-user max across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.runningUserStats(mem.toDS())
+      .writeStream.format("memory").queryName("rus")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Event(1, ts(1), 30, "click", 5.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(2), 30, "click", 3.0))
+      q.processAllAvailable()
+      val latest = spark.table("rus").as[StreamingOps.UserStat].collect()
+        .filter(_.user_id == 30).maxBy(_.n_events)
+      assert(latest.n_events == 2 && latest.max_value == 5.0)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on >30min gaps") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
