@@ -24,13 +24,6 @@ object Dedup {
   private val tokensSql =
     "list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)"
 
-  /** 60-bit integer hash of a string via md5 prefix (cross-engine). */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
-  private def h60Sql(c: String): String =
-    s"CAST(('0x' || substr(md5($c), 1, 15)) AS BIGINT)"
-
   /** Exact dedup over a corpus with deliberately injected duplicates
     * (every 7th doc re-appears under a shifted id — the test corpus has no
     * natural exact dups). Keep-first semantics are verified by summing the
@@ -69,8 +62,15 @@ object Dedup {
           element_at($"t", i + 3)))).as("s"))
       .distinct()
       .cache()
-    val minCols = (0 until 8).map(j =>
-      min(h60(concat(lit(s"$j:"), $"s"))).as(s"h$j"))
+    // 8 independent 32-bit hashes from TWO md5 computations (4 hex-chunks
+    // each) instead of 8 salted md5s: hashing is the per-row hot loop at
+    // corpus scale, and a 32-bit space is collision-safe for min-hashing
+    // shingle sets of ~10^3.
+    val minCols = (0 until 8).map { j =>
+      val salted = md5(concat(lit(s"${j / 4}:"), $"s"))
+      min(conv(substring(salted, 1 + 8 * (j % 4), 8), 16, 10).cast("long"))
+        .as(s"h$j")
+    }
     val sig = shingles.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
     val bands = sig.select($"doc_id", explode(array(
       (0 until 4).map(b =>
@@ -170,13 +170,20 @@ object Dedup {
     val df = grams.groupBy($"source", $"g").agg(count(lit(1)).as("c"))
     val rare = grams.join(df.filter($"c" <= 25), Seq("source", "g"))
       .select($"doc_id", $"source", $"g")
-      .cache() // consumed 3×: sizes + both sides of the pair join
+      .cache() // consumed 2×: sizes + the grouped pair expansion
     val sizes = rare.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = rare.as("ga")
-      .join(rare.as("gb"),
-        col("ga.source") === col("gb.source") && col("ga.g") === col("gb.g")
-          && col("ga.doc_id") < col("gb.doc_id"))
-      .groupBy(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))
+    // Pair generation WITHOUT a self-join: group each rare gram's (≤25)
+    // doc ids once, expand the ordered pairs map-side with array HOFs.
+    // One 5M-row shuffle instead of two plus a 2.6M-row join — the
+    // shuffle volume is what dominates at corpus scale.
+    val inter = rare.groupBy($"source", $"g")
+      .agg(sort_array(collect_list($"doc_id")).as("ds"))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |            b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("za"), $"doc_a" === col("za.doc_id"))
@@ -197,8 +204,10 @@ object Dedup {
     "q62_simhash_hamming" -> q62SimhashHamming,
   )
 
-  private val minhashMins = (0 until 8).map(j =>
-    s"    min(${h60Sql(s"'$j:' || s")}) AS h$j").mkString(",\n")
+  private val minhashMins = (0 until 8).map { j =>
+    val pos = 1 + 8 * (j % 4)
+    s"    min(CAST(('0x' || substr(md5('${j / 4}:' || s), $pos, 8)) AS BIGINT)) AS h$j"
+  }.mkString(",\n")
   private val bandList = (0 until 4).map(b =>
     s"md5(${b} || '_' || h${2 * b} || '_' || h${2 * b + 1})").mkString(", ")
   private val simhashBits = (0 until 16).map(i =>
