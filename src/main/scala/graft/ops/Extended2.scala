@@ -140,6 +140,60 @@ object Extended2 {
       .orderBy($"event_type")
   }
 
+  /** HLL sketch surface: approx_count_distinct at 2% rsd vs the exact
+    * count. The two engines' HLL estimates differ, so the CHECK — each
+    * engine's own estimate within 10% of exact (a 5-sigma bound) — is the
+    * comparable output, not the estimate itself. At 100 TB the sketch is
+    * one pass + constant memory where exact distinct is a full shuffle. */
+  val q64ApproxDistinct: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("n_exact"),
+        approx_count_distinct($"user_id", 0.02).as("apx"))
+      .select($"event_type", $"n_exact",
+        (abs($"apx" - $"n_exact").cast("double") / $"n_exact" <= 0.1)
+          .as("approx_ok"))
+      .orderBy($"event_type")
+  }
+
+  /** MapType surface (§1.2 "not used" row): per-nation status→count map
+    * built from entries, queried with element_at, serialized to a sorted
+    * canonical string (maps have no cross-engine storable order). */
+  val q65MapFuncs: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey", $"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"c_nationkey")
+      .agg(map_from_entries(
+        array_sort(collect_list(struct($"o_orderstatus", $"cnt")))).as("m"))
+      .select(
+        $"c_nationkey".as("nationkey"),
+        coalesce(element_at($"m", "F"), lit(0L)).as("n_f"),
+        array_join(
+          transform(array_sort(map_keys($"m")),
+            k => concat(k, lit("="), element_at($"m", k))), ",").as("status_counts"))
+      .orderBy($"nationkey")
+  }
+
+  /** Latest-row-per-key dedup (the SCD/"keep newest version" pattern):
+    * one partitioned window pass, rank 1, then integral rollups. */
+  val q66LatestPerKey: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum($"event_id").as("latest_event_id_sum"),
+        dsum($"value").as("latest_value_sum"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q53_cube" -> q53Cube,
     "q54_grouping_sets" -> q54GroupingSets,
@@ -148,6 +202,9 @@ object Extended2 {
     "q57_time_buckets" -> q57TimeBuckets,
     "q58_posexplode" -> q58PosExplode,
     "q59_percent_rank" -> q59PercentRank,
+    "q64_approx_distinct" -> q64ApproxDistinct,
+    "q65_map_funcs" -> q65MapFuncs,
+    "q66_latest_per_key" -> q66LatestPerKey,
   )
 
   val oracle: Map[String, String] = Map(
@@ -216,5 +273,32 @@ object Extended2 {
         |  CAST(SUM(CAST(floor(cd * 1e6) AS BIGINT)) AS DOUBLE)
         |    / (COUNT(*) * 1e6) AS avg_cd
         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q64_approx_distinct" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_exact,
+        |  abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+        |    / CAST(COUNT(DISTINCT user_id) AS DOUBLE) <= 0.1 AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q65_map_funcs" ->
+      """WITH counts AS (
+        |  SELECT c_nationkey, o_orderstatus, COUNT(*) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT c_nationkey AS nationkey,
+        |  coalesce(MAX(CASE WHEN o_orderstatus = 'F' THEN cnt END), 0) AS n_f,
+        |  string_agg(o_orderstatus || '=' || cnt, ',' ORDER BY o_orderstatus)
+        |    AS status_counts
+        |FROM counts GROUP BY 1 ORDER BY nationkey""".stripMargin,
+    "q66_latest_per_key" ->
+      """WITH r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(event_id) AS BIGINT) AS latest_event_id_sum,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS latest_value_sum
+        |FROM r WHERE rn = 1""".stripMargin,
   )
 }
