@@ -72,8 +72,50 @@ object Multimodal {
         .orderBy($"source")
     }
 
+  final case class FrameFeature(doc_id: Long, source: String, frame_idx: Int,
+    frame_sum: Long, resized_sum: Long)
+
+  /** STUB frame sampler + resizer: treats the payload as `height` frames
+    * of width*channels bytes. A real deployment would seek keyframes /
+    * rescale pixels; the stub keeps the exact batch shape (flatMap: one
+    * media row → N frame rows) and derives "resize" as a stride-2 byte
+    * subsample, deterministic on the payload. */
+  object FakeFrameSampler {
+    def sample(r: MediaRow): Iterator[FrameFeature] = {
+      val frameBytes = r.width * r.channels
+      val unsigned = r.payload.map(b => (b & 0xff).toLong)
+      (0 until r.height).iterator.map { f =>
+        val frame = unsigned.slice(f * frameBytes, (f + 1) * frameBytes)
+        FrameFeature(r.doc_id, r.source, f, frame.sum,
+          frame.zipWithIndex.collect { case (v, i) if i % 2 == 0 => v }.sum)
+      }
+    }
+  }
+
+  /** Frame sampling + resize over the binary column: media → per-frame
+    * rows via a typed flatMap (the one-to-many batch-UDF shape), then a
+    * per-(source, frame) rollup. No shuffle until the final aggregate. */
+  val q67FrameSample: (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      import spark.implicits._
+      val media = mediaTable(spark, dir)
+        .select($"doc_id", $"source", $"payload",
+          $"meta.width".as("width"), $"meta.height".as("height"),
+          $"meta.channels".as("channels"))
+        .as[MediaRow]
+      media.mapPartitions(_.flatMap(FakeFrameSampler.sample))
+        .toDF()
+        .groupBy($"source", $"frame_idx")
+        .agg(
+          count(lit(1)).as("n_frames"),
+          sum($"frame_sum").as("total_frame_sum"),
+          sum($"resized_sum").as("total_resized_sum"))
+        .orderBy($"source", $"frame_idx")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_multimodal_features" -> q61MultimodalFeatures,
+    "q67_frame_sample" -> q67FrameSample,
   )
 
   /** The byte-level features are recomputable from the md5 hex string. */
@@ -93,5 +135,25 @@ object Multimodal {
         |    (a, b) -> CASE WHEN b > a THEN b ELSE a END)) AS INT)
         |    AS global_max_byte
         |FROM bytes GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q67_frame_sample" ->
+      """WITH bytes AS (
+        |  SELECT doc_id, source,
+        |    list_transform(range(0, 16),
+        |      i -> CAST(('0x' || substr(md5(text), i * 2 + 1, 2)) AS INT)) AS bs
+        |  FROM documents
+        |), frames AS (
+        |  SELECT source, CAST(f AS INT) AS frame_idx,
+        |    list_reduce(list_prepend(0,
+        |      bs[CAST(f * 8 + 1 AS INT):CAST(f * 8 + 8 AS INT)]),
+        |      (a, b) -> a + b) AS frame_sum,
+        |    bs[CAST(f * 8 + 1 AS INT)] + bs[CAST(f * 8 + 3 AS INT)]
+        |      + bs[CAST(f * 8 + 5 AS INT)] + bs[CAST(f * 8 + 7 AS INT)]
+        |      AS resized_sum
+        |  FROM bytes, range(0, 2) t(f)
+        |)
+        |SELECT source, frame_idx, COUNT(*) AS n_frames,
+        |  CAST(SUM(frame_sum) AS BIGINT) AS total_frame_sum,
+        |  CAST(SUM(resized_sum) AS BIGINT) AS total_resized_sum
+        |FROM frames GROUP BY 1, 2 ORDER BY source, frame_idx""".stripMargin,
   )
 }

@@ -57,6 +57,15 @@ class OperatorsSpec extends SparkSpec {
       .count(_ == graft.plans.AsOfJoinStrategy) == 1)
   }
 
+  test("frame sampler: height frames of width*channels bytes, stride-2 resize (q67)") {
+    val r = multimodal.Multimodal.MediaRow(
+      1L, "s", Array.tabulate(16)(i => (i + 1).toByte), 4, 2, 2)
+    val fs = multimodal.Multimodal.FakeFrameSampler.sample(r).toList
+    assert(fs.map(_.frame_idx) == List(0, 1))
+    assert(fs.map(_.frame_sum) == List((1 to 8).sum.toLong, (9 to 16).sum.toLong))
+    assert(fs.map(_.resized_sum) == List(1L + 3 + 5 + 7, 9L + 11 + 13 + 15))
+  }
+
   test("signed goal-difference formatting %+d (X3/X4)") {
     import spark.implicits._
     val out = Seq(3, 0, -2).toDF("gd")
