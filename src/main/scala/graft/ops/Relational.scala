@@ -30,13 +30,18 @@ object Relational {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
-    l.join(o, $"l_orderkey" === $"o_orderkey")
+    // Partial aggregation BEFORE the join: collapse the fact table to one
+    // row per order (exact decimal sums commute with the re-aggregation),
+    // so the fact-fact join moves |orders| rows instead of |lineitem|.
+    val perOrder = l.groupBy($"l_orderkey")
+      .agg(sum(revenueExpr).as("rev"), count(lit(1)).as("cnt"))
+    perOrder.join(o, $"l_orderkey" === $"o_orderkey")
       .join(c, $"o_custkey" === $"c_custkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name", year($"o_orderdate").as("order_year"))
       .agg(
-        sum(revenueExpr).cast("double").as("revenue"),
-        count(lit(1)).as("n_items"))
+        sum($"rev").cast("double").as("revenue"),
+        sum($"cnt").as("n_items"))
       .orderBy($"n_name", $"order_year")
   }
 
@@ -48,11 +53,14 @@ object Relational {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
-    l.join(o, $"l_orderkey" === $"o_orderkey")
+    // Same pre-join partial aggregation as q01: one row per order before
+    // the fact-fact join.
+    val perOrder = l.groupBy($"l_orderkey").agg(sum(revenueExpr).as("rev"))
+    perOrder.join(o, $"l_orderkey" === $"o_orderkey")
       .join(c, $"o_custkey" === $"c_custkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
-      .agg(sum(revenueExpr).cast("double").as("revenue"))
+      .agg(sum($"rev").cast("double").as("revenue"))
       .orderBy($"revenue".desc, $"n_name")
       .limit(1)
   }
