@@ -46,6 +46,28 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("AsOfJoin"))
   }
 
+  test("custom as-of join matches a brute-force model on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val trades = Seq.tabulate(200)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val quotes = Seq.tabulate(300)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, 1000L + i))
+      .distinct.groupBy(q => (q._1, q._2)).map(_._2.head).toSeq // unique (key,time)
+    val out = graft.plans.AsOf.join(
+        trades.toDF("key", "t", "tid"), quotes.toDF("key", "qt", "qid"),
+        "key", "t", "qt", Seq("qt" -> "last_qt"))
+      .select($"tid", $"last_qt")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    trades.foreach { case (k, t, tid) =>
+      val expected = quotes.filter(q => q._1 == k && q._2 <= t)
+        .map(_._2).sorted.lastOption
+      assert(out(tid) == expected, s"trade $tid key=$k t=$t")
+    }
+  }
+
   test("as-of strategy registers once on the live session (AsOf.join path)") {
     import spark.implicits._
     val l = Seq((1L, 1L)).toDF("key", "t")
