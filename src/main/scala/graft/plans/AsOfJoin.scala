@@ -171,10 +171,19 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
-/** Session-extension registration (spark.sql.extensions=graft.plans.GraftExtensions). */
+/** Session-extension registration (spark.sql.extensions=graft.plans.GraftExtensions):
+  * the as-of planner strategy plus the custom dot_long expression as a
+  * SQL-callable function. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_long"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.DotProductLong].getName, "dot_long"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.DotProductLong(children.head, children(1))))
+  }
 }
 
 /** User-facing API: backward as-of join on LongType key/time columns. */

@@ -30,4 +30,11 @@ object GraftBridge {
     * custom nodes on top). */
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Register a custom Expression as a SQL function on a live session
+    * (the config-time path is SparkSessionExtensions.injectFunction). */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -68,6 +68,15 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("dot_long is SQL-callable after runtime registration") {
+    org.apache.spark.sql.GraftBridge.registerFunction(spark, "dot_long",
+      exprs => graft.functions.DotProductLong(exprs.head, exprs(1)))
+    val d = spark.sql(
+      "SELECT dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .head().getLong(0)
+    assert(d == 32L)
+  }
+
   test("as-of strategy registers once on the live session (AsOf.join path)") {
     import spark.implicits._
     val l = Seq((1L, 1L)).toDF("key", "t")
