@@ -170,20 +170,19 @@ object Dedup {
     val df = grams.groupBy($"source", $"g").agg(count(lit(1)).as("c"))
     val rare = grams.join(df.filter($"c" <= 25), Seq("source", "g"))
       .select($"doc_id", $"source", $"g")
-      .cache() // consumed 2×: sizes + the grouped pair expansion
+      .cache() // consumed 3×: sizes + both sides of the pair join
     val sizes = rare.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    // Pair generation WITHOUT a self-join: group each rare gram's (≤25)
-    // doc ids once, expand the ordered pairs map-side with array HOFs.
-    // One 5M-row shuffle instead of two plus a 2.6M-row join — the
-    // shuffle volume is what dominates at corpus scale.
-    val inter = rare.groupBy($"source", $"g")
-      .agg(sort_array(collect_list($"doc_id")).as("ds"))
-      .select(explode(expr(
-        """flatten(transform(ds, (a, i) ->
-          |  transform(slice(ds, i + 2, size(ds)),
-          |            b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin))
-        .as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    // Pair generation via self-join on (source, gram): both sides carry
+    // the partitioning of the rare-gram join, so no extra exchange is
+    // needed, and df<=25 bounds the per-key collision count. (A grouped
+    // collect_list + HOF pair expansion was measured SLOWER here: same
+    // shuffle volume, but per-element lambda evaluation replaces the
+    // codegen'd hash-join probe.)
+    val inter = rare.as("ga")
+      .join(rare.as("gb"),
+        col("ga.source") === col("gb.source") && col("ga.g") === col("gb.g")
+          && col("ga.doc_id") < col("gb.doc_id"))
+      .groupBy(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("za"), $"doc_a" === col("za.doc_id"))
