@@ -194,6 +194,43 @@ object Extended2 {
         dsum($"value").as("latest_value_sum"))
   }
 
+  /** Native gap-session operator (session_window), the built-in
+    * counterpart of the hand-rolled lag/cumsum sessionizer (q18) and the
+    * streaming flatMapGroupsWithState sessionizer. Timestamps are floored
+    * to whole seconds first: the raw column carries sub-second noise and
+    * session semantics must match the oracle bit-for-bit. Spark merges an
+    * event into a session while t < last + gap, so the oracle splits on
+    * gap >= 1800 (note: strictly-greater in q18's 30-min variant). */
+  val q68SessionWindow: Q = (spark, dir) => {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"value",
+        timestamp_seconds(unix_timestamp($"ts".cast("timestamp"))).as("tss"))
+    e.groupBy(session_window($"tss", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+      .select($"user_id",
+        unix_timestamp($"w.start").as("start_sec"),
+        unix_timestamp($"w.end").as("end_sec"),
+        $"n_events", $"total_value")
+      .orderBy($"user_id", $"start_sec")
+  }
+
+  /** Unpivot/melt (wide → long): per-segment metric rows from customer's
+    * numeric columns, then a per-(segment, metric) rollup. Map-side
+    * row expansion, one shuffle for the aggregate. */
+  val q69Unpivot: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .select($"c_mktsegment".as("segment"),
+        $"c_acctbal".cast("double").as("c_acctbal"),
+        $"c_nationkey".cast("double").as("c_nationkey"))
+      .unpivot(Array($"segment"),
+        Array($"c_acctbal", $"c_nationkey"), "metric", "v")
+      .groupBy($"segment", $"metric")
+      .agg(count(lit(1)).as("n"), dsum($"v").as("total"))
+      .orderBy($"segment", $"metric")
+  }
+
   val queries: Map[String, Q] = Map(
     "q53_cube" -> q53Cube,
     "q54_grouping_sets" -> q54GroupingSets,
@@ -205,6 +242,8 @@ object Extended2 {
     "q64_approx_distinct" -> q64ApproxDistinct,
     "q65_map_funcs" -> q65MapFuncs,
     "q66_latest_per_key" -> q66LatestPerKey,
+    "q68_session_window" -> q68SessionWindow,
+    "q69_unpivot" -> q69Unpivot,
   )
 
   val oracle: Map[String, String] = Map(
@@ -300,5 +339,35 @@ object Extended2 {
         |  CAST(SUM(event_id) AS BIGINT) AS latest_event_id_sum,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS latest_value_sum
         |FROM r WHERE rn = 1""".stripMargin,
+    "q68_session_window" ->
+      s"""WITH e AS (
+         |  SELECT user_id, CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec,
+         |    value
+         |  FROM events
+         |), o AS (
+         |  SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prev
+         |  FROM e
+         |), m AS (
+         |  SELECT *, CASE WHEN prev IS NULL OR sec - prev >= 1800
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM o
+         |), s AS (
+         |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY sec
+         |    ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m
+         |)
+         |SELECT user_id, MIN(sec) AS start_sec, MAX(sec) + 1800 AS end_sec,
+         |  COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_sec""".stripMargin,
+    "q69_unpivot" ->
+      s"""WITH u AS (
+         |  SELECT c_mktsegment AS segment, 'c_acctbal' AS metric,
+         |    CAST(c_acctbal AS DOUBLE) AS v FROM customer
+         |  UNION ALL
+         |  SELECT c_mktsegment, 'c_nationkey', CAST(c_nationkey AS DOUBLE)
+         |  FROM customer
+         |)
+         |SELECT segment, metric, COUNT(*) AS n, ${dsumSql("v")} AS total
+         |FROM u GROUP BY 1, 2 ORDER BY segment, metric""".stripMargin,
   )
 }
