@@ -231,6 +231,46 @@ object Extended2 {
       .orderBy($"segment", $"metric")
   }
 
+  private val stopwords =
+    Seq("the", "and", "of", "to", "a", "is", "in", "for", "with", "on")
+
+  /** Array set operations (array_intersect/except against a literal
+    * vocabulary): per-document distinct-token overlap with a stopword
+    * set, rolled up per source. Sizes only — element ORDER of set results
+    * differs between engines, so arrays never reach the output. */
+  val q70TokenSetops: Q = (spark, dir) => {
+    import spark.implicits._
+    val stop = array(stopwords.map(lit): _*)
+    Tables.documents(spark, dir)
+      .select($"source",
+        array_distinct(filter(split(lower($"text"), "\\s+"),
+          t => length(t) > 0)).as("toks"))
+      .select($"source",
+        size($"toks").as("n_tok"),
+        size(array_intersect($"toks", stop)).as("n_stop"),
+        size(array_except($"toks", stop)).as("n_content"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("total_distinct_tokens"),
+        sum($"n_stop").as("total_stopword_hits"),
+        sum($"n_content").as("total_content_tokens"))
+      .orderBy($"source")
+  }
+
+  /** Edit distance (levenshtein — the classic DP, identical integers in
+    * both engines): distance from each document's prefix to a fixed
+    * probe string, histogrammed. */
+  val q71EditDistance: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(levenshtein(
+        lower(substring($"text", 1, 15)), lit("data engineering")).as("d"))
+      .groupBy($"d")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"d")
+  }
+
   val queries: Map[String, Q] = Map(
     "q53_cube" -> q53Cube,
     "q54_grouping_sets" -> q54GroupingSets,
@@ -244,6 +284,8 @@ object Extended2 {
     "q66_latest_per_key" -> q66LatestPerKey,
     "q68_session_window" -> q68SessionWindow,
     "q69_unpivot" -> q69Unpivot,
+    "q70_token_setops" -> q70TokenSetops,
+    "q71_edit_distance" -> q71EditDistance,
   )
 
   val oracle: Map[String, String] = Map(
@@ -369,5 +411,32 @@ object Extended2 {
          |)
          |SELECT segment, metric, COUNT(*) AS n, ${dsumSql("v")} AS total
          |FROM u GROUP BY 1, 2 ORDER BY segment, metric""".stripMargin,
+    "q70_token_setops" -> {
+      val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH d AS (
+         |  SELECT source,
+         |    list_distinct(list_filter(
+         |      string_split_regex(lower(text), '\\s+'),
+         |      t -> length(t) > 0)) AS toks
+         |  FROM documents
+         |), m AS (
+         |  SELECT source,
+         |    len(toks) AS n_tok,
+         |    len(list_intersect(toks, $stopList)) AS n_stop,
+         |    len(list_filter(toks,
+         |      t -> NOT list_contains($stopList, t))) AS n_content
+         |  FROM d
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_distinct_tokens,
+         |  CAST(SUM(n_stop) AS BIGINT) AS total_stopword_hits,
+         |  CAST(SUM(n_content) AS BIGINT) AS total_content_tokens
+         |FROM m GROUP BY 1 ORDER BY source""".stripMargin
+    },
+    "q71_edit_distance" ->
+      """SELECT levenshtein(lower(substr(text, 1, 15)), 'data engineering')
+        |    AS d,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY d""".stripMargin,
   )
 }
