@@ -45,6 +45,25 @@ object StreamingOps {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join: purchases joined to the click (same
+    * user) that happened at most 30 minutes earlier. Both sides carry
+    * watermarks and the join condition bounds event time on both ends, so
+    * each side's buffered state is provably droppable once the watermark
+    * passes — the ONLY way a stream-stream join stays bounded at scale. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .selectExpr("user_id AS click_user", "ts AS click_ts",
+        "event_id AS click_id")
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases
+      .selectExpr("user_id", "ts AS purchase_ts", "event_id AS purchase_id")
+      .withWatermark("purchase_ts", "1 hour")
+    p.join(c,
+      expr("""user_id = click_user AND
+              purchase_ts >= click_ts AND
+              purchase_ts <= click_ts + INTERVAL 30 MINUTES"""))
+  }
+
   final case class UserStat(user_id: Long, n_events: Long, max_value: Double)
 
   /** Per-user running aggregate via mapGroupsWithState (Update mode): the

@@ -68,6 +68,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // Event times must sit well above the INITIAL watermark (epoch 0) or
+    // the join's late-row filter drops them before they reach state.
+    def t(min: Int): Timestamp = new Timestamp(1704067200000L + min * 60000L)
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(
+      Event(1, t(0), 40, "click", 1.0),
+      Event(2, t(100), 41, "click", 1.0))
+    purchases.addData(
+      Event(10, t(10), 40, "purchase", 9.0),  // 10 min after click -> joins
+      Event(11, t(50), 40, "purchase", 9.0),  // 50 min after -> outside window
+      Event(12, t(101), 42, "purchase", 9.0)) // other user -> no click
+    val q = StreamingOps.clickAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("attr")
+        .selectExpr("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((10L, 1L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps a running per-user max across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
