@@ -26,8 +26,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local[32] means 32 concurrent tasks sharing this ONE heap. Two measured
+// lessons (round 2→3): (a) 8g starved 32 tasks to ~150 MB of execution
+// memory each and the dedup queries collapsed into spill (11-25x); (b) an
+// UN-pre-sized heap was just as bad the other way — G1 growing 2g→64g
+// under load doubled-to-quadrupled first-run times (measured q41 20 s
+// pre-sized-16g → 6.6 s). Fixed 16g: young collections stay fast, 32
+// tasks get ~300 MB execution memory each, no growth stalls.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+) ++ sys.env.get("SPARK_GRAFT_JVM").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

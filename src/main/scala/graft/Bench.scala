@@ -3,10 +3,27 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the driver's rig (local[32]); round 2 was tuned at the
+    // old default of 4 and regressed badly when the driver ran 32.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Dev-only focus filter (comma-separated query names); the driver
+    // never sets it, so driver runs always time the full surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Let AQE size reduce stages by bytes instead of flooring them at
+      // defaultParallelism: at small SF a 32-task reduce over a few MB is
+      // pure per-task overhead (measured 2-4x per-stage inflation), and on
+      // a real cluster data-sized reduce stages are what you want anyway.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // 71 queries × ~10 codegen units far exceeds the default 100-entry
+      // compiled-class cache; once it thrashes, janino recompiles inside
+      // EVERY task (jstack showed 32 tasks serialized on CodeGenerator
+      // .compile). One compile is ~100 ms of driver CPU; recompiling per
+      // task per stage dominated small-SF stage time.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -24,7 +41,9 @@ object Bench {
       Tables.events(spark, sfDir).count()
       SparkEntry.queries.get("q13_global_agg").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

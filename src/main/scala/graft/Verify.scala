@@ -5,17 +5,28 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val sfDir = args(0); val outDir = args(1)
+    // Optional extra args: query names to restrict to (dev iteration);
+    // the driver always calls with exactly (sfDir, outDir) → full run.
+    val only: Set[String] = args.drop(2).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Same AQE setting as Bench: reduce-stage task counts follow data
+      // size, not the defaultParallelism floor (see Bench.scala).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // See Bench.scala: avoid compiled-class cache thrash across the
+      // full query surface (janino recompiles inside tasks once evicted).
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -72,10 +72,15 @@ object Dedup {
         .as(s"h$j")
     }
     val sig = shingles.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    // cached: the self-join would otherwise evaluate the whole
+    // shingle→signature aggregation once per side (no exchange reuse under
+    // AQE here), doubling the most expensive stage for a 4-rows-per-doc
+    // intermediate.
     val bands = sig.select($"doc_id", explode(array(
       (0 until 4).map(b =>
         md5(concat_ws("_", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*
     )).as("band"))
+      .cache()
     val cand = bands.as("ba").join(bands.as("bb"),
         col("ba.band") === col("bb.band") && col("ba.doc_id") < col("bb.doc_id"))
       .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
@@ -167,6 +172,8 @@ object Dedup {
         explode(transform(sequence(lit(0), length($"text") - 4), i =>
           $"text".substr(i + 1, lit(4)))).as("g"))
       .distinct()
+      .cache() // consumed twice (df aggregate + the rare join input):
+               // without the cache the full explode+distinct runs twice
     val df = grams.groupBy($"source", $"g").agg(count(lit(1)).as("c"))
     val rare = grams.join(df.filter($"c" <= 25), Seq("source", "g"))
       .select($"doc_id", $"source", $"g")

@@ -309,7 +309,7 @@ object Extended2 {
     "q55_regex" ->
       """SELECT regexp_extract(text, '[a-z]{6,}') AS first_long_word,
         |  COUNT(*) AS n_docs,
-        |  SUM(len(regexp_extract_all(text, '[0-9]+'))) AS digit_runs
+        |  CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS digit_runs
         |FROM documents
         |WHERE regexp_extract(text, '[a-z]{6,}') <> ''
         |GROUP BY 1 ORDER BY n_docs DESC, first_long_word LIMIT 15""".stripMargin,

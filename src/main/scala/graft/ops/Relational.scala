@@ -223,10 +223,13 @@ object Relational {
       .agg(
         (sum(money($"nation_rev")) - sum(money(lit(0)))).cast("double").as("region_rev"),
         sum($"nation_orders").as("region_orders"),
-        // One IEEE division of exact aggregates — round(double, n) is NOT
-        // cross-engine-stable on .xx5 boundaries (r01: hash mismatch).
-        (sum(money($"nation_rev")).cast("double") / sum($"nation_orders"))
-          .as("avg_order_value"))
+        // Exact integer cents via integer division: even a single IEEE
+        // division of exact aggregates differed from DuckDB in the last
+        // ulp (r02: hash mismatch — DuckDB divides DECIMAL/BIGINT in
+        // decimal). Values are positive, so DIV (trunc) == // (floor).
+        (sum(money($"nation_rev")) * 100).cast("long").as("region_cents"))
+      .withColumn("avg_order_cents", expr("region_cents DIV region_orders"))
+      .drop("region_cents")
       .orderBy($"r_name")
   }
 
@@ -413,9 +416,9 @@ object Relational {
          |SELECT r_name,
          |  CAST(SUM(CAST(nation_rev AS DECIMAL(12,2)))
          |    - SUM(CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS region_rev,
-         |  SUM(nation_orders) AS region_orders,
-         |  CAST(SUM(CAST(nation_rev AS DECIMAL(12,2))) AS DOUBLE)
-         |    / SUM(nation_orders) AS avg_order_value
+         |  CAST(SUM(nation_orders) AS BIGINT) AS region_orders,
+         |  CAST(CAST(SUM(CAST(nation_rev AS DECIMAL(12,2))) * 100 AS BIGINT)
+         |    // CAST(SUM(nation_orders) AS BIGINT) AS BIGINT) AS avg_order_cents
          |FROM per_nation JOIN region ON n_regionkey = r_regionkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q13_global_agg" ->
