@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.classification.RandomForestClassifier
-import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -16,79 +16,137 @@ import graft.Tables
   * mean-probability-of-correct-class (`:980-985`, via native
   * vector_to_array instead of the reference's Python UDF).
   *
+  * The reference trains an 8-case matrix — four feature sets × labels
+  * month/hour/weekday/peak (`:1015-1022`) — from ONE parameterized
+  * function (`trainMLModel(input, time)`, `:931`). Mirrored here: a
+  * `Seq[TrainCase]` drives a single fit/evaluate function; every feature
+  * set is assembled as its own vector column on one DataFrame so the
+  * train/test split and its cache are shared by all eight fits (the
+  * reference re-assembles and re-splits per case — at scale that's seven
+  * redundant passes over the corpus).
+  *
   * Excluded from the DuckDB oracle per the driver contract (ML is not
   * SQL-expressible); determinism is pinned with seed=1 exactly as the
   * reference does (`:937`), and asserted by the test suite instead.
   */
 object Pipelines {
 
-  /** Long-format metrics table: (model, metric, value) — the union-chain
-    * results-table shape of the reference (`:1010-1033`). */
+  /** One training case of the matrix: which assembled feature column,
+    * which label, the label's cyclic period (12/24/7), binary or not. */
+  final case class TrainCase(input: String, label: String, period: Int,
+    binary: Boolean)
+
+  /** The reference's matrix (`:1015-1022`): input1..input3 × month/hour,
+    * input3 × weekday, input4 × the binary peak flag. */
+  val cases: Seq[TrainCase] = Seq(
+    TrainCase("input1", "month_label", 12, binary = false),
+    TrainCase("input1", "hour_label", 24, binary = false),
+    TrainCase("input2", "month_label", 12, binary = false),
+    TrainCase("input2", "hour_label", 24, binary = false),
+    TrainCase("input3", "month_label", 12, binary = false),
+    TrainCase("input3", "hour_label", 24, binary = false),
+    TrainCase("input3", "weekday_label", 7, binary = false),
+    TrainCase("input4", "peak_label", 2, binary = true),
+  )
+
+  /** Feature sets: non-label-derived columns only (value, the JSON prop,
+    * and two derived sensors), mirroring the reference's weather / power /
+    * combined / peak-input splits (`:921-925`). */
+  val featureSets: Map[String, Array[String]] = Map(
+    "input1" -> Array("f_value", "f_k"),
+    "input2" -> Array("f_vbucket", "f_vk"),
+    "input3" -> Array("f_value", "f_k", "f_vbucket", "f_vk"),
+    "input4" -> Array("f_value", "f_k", "f_vk"),
+  )
+
+  /** Wide results table, one row per trained case, sorted by accuracy like
+    * the reference's `sort(desc("Correct"))` (`:1036`). */
   val q60MlMetrics: (SparkSession, String) => DataFrame = (spark, dir) => {
     import spark.implicits._
     val data = Tables.events(spark, dir)
       .select(
-        month($"ts").cast("double").as("f_month"),
-        dayofweek($"ts").cast("double").as("f_dow"),
         $"value".as("f_value"),
         coalesce(get_json_object($"props", "$.k").cast("double"), lit(0.0))
           .as("f_k"),
+        floor($"value" / 10.0).cast("double").as("f_vbucket"),
+        pmod(floor($"value" * 7), lit(5)).cast("double").as("f_vk"),
+        month($"ts").cast("double").as("month_label"),
         hour($"ts").cast("double").as("hour_label"),
+        (dayofweek($"ts") - 1).cast("double").as("weekday_label"),
         when(hour($"ts").between(8, 18), 1.0).otherwise(0.0).as("peak_label"))
       .na.drop()
 
-    val assembler = new VectorAssembler()
-      .setInputCols(Array("f_month", "f_dow", "f_value", "f_k"))
-      .setOutputCol("features")
-    val assembled = assembler.transform(data)
-    val Array(train, test) = assembled.randomSplit(Array(0.8, 0.2), seed = 1)
-    train.cache() // two model fits consume it
+    // ONE shared split+cache of the plain double columns (cheap columnar
+    // cache); each case assembles its own feature vector on the fly — a
+    // streaming projection, so no per-case pass over the corpus and no
+    // vector-UDT blocks in the cache. The reference re-assembles AND
+    // re-splits per case (`:935-940`) — seven redundant corpus scans.
+    val Array(trainFull, test) = data.randomSplit(Array(0.8, 0.2), seed = 1)
+    // Seeded training-set sample: the reference's own advice for the full
+    // corpus ("only use a portion of the full 13-month dataset",
+    // `Assignment-python.py:902`); fit cost is linear in rows, and eight
+    // fits over the full split would dominate the whole bench. Evaluation
+    // still runs on the COMPLETE held-out test split.
+    val train = trainFull.sample(withReplacement = false, 0.25, seed = 1)
+    // materialize both caches up front: the concurrent fits below would
+    // otherwise each recompute the uncached lineage on first touch
+    train.cache().count(); test.cache().count()
 
-    // Model A: 24-class hour prediction (cyclic label).
-    val rfHour = new RandomForestClassifier()
-      .setLabelCol("hour_label").setFeaturesCol("features")
-      .setNumTrees(10).setMaxDepth(4).setSeed(1)
-    val predHour = rfHour.fit(train).transform(test).cache()
+    def fitCase(c: TrainCase): (String, String, Double, Double, Double, Double, Double) = {
+      val asm = new VectorAssembler()
+        .setInputCols(featureSets(c.input)).setOutputCol("features")
+      val rf = new RandomForestClassifier()
+        .setLabelCol(c.label).setFeaturesCol("features")
+        .setNumTrees(10).setMaxDepth(4).setSeed(1)
+      val pred = rf.fit(asm.transform(train)).transform(asm.transform(test))
+      // accuracy, cyclic ±1/±2, and mean P(correct) are all row-wise
+      // indicators — one aggregation pass computes all four.
+      val d = abs(col(c.label) - $"prediction")
+      val cyc = least(d, lit(c.period) - d)
+      val m = pred.agg(
+        avg(when(col(c.label) === $"prediction", 1.0).otherwise(0.0)),
+        avg(when(cyc <= 1, 1.0).otherwise(0.0)),
+        avg(when(cyc <= 2, 1.0).otherwise(0.0)),
+        avg(element_at(vector_to_array($"probability"),
+          (col(c.label) + 1).cast("int")))).head()
+      // AUC only exists for the binary case (reference returns "N/A"
+      // otherwise, `:988-990`; NaN keeps the column numeric here).
+      val auc =
+        if (c.binary)
+          new BinaryClassificationEvaluator()
+            .setLabelCol(c.label).setRawPredictionCol("rawPrediction")
+            .setMetricName("areaUnderROC").evaluate(pred)
+        else Double.NaN
+      (c.input, c.label, m.getDouble(0), m.getDouble(1), m.getDouble(2),
+        auc, m.getDouble(3))
+    }
 
-    // accuracy (M7), cyclic ±1/±2 (M8/M9), and mean P(correct) (M10) are
-    // all row-wise indicators/values — one aggregation pass computes all
-    // four instead of four separate jobs over the cached predictions.
-    val d = abs($"hour_label" - $"prediction")
-    val cyc = least(d, lit(24) - d)
-    val m = predHour.agg(
-      avg(when($"hour_label" === $"prediction", 1.0).otherwise(0.0)).as("acc"),
-      avg(when(cyc <= 1, 1.0).otherwise(0.0)).as("c1"),
-      avg(when(cyc <= 2, 1.0).otherwise(0.0)).as("c2"),
-      avg(element_at(vector_to_array($"probability"),
-        ($"hour_label" + 1).cast("int"))).as("p")).head()
-    val (acc, cyclic1, cyclic2, avgCorrectProb) =
-      (m.getDouble(0), m.getDouble(1), m.getDouble(2), m.getDouble(3))
-    val f1 = new MulticlassClassificationEvaluator()
-      .setLabelCol("hour_label").setPredictionCol("prediction")
-      .setMetricName("f1").evaluate(predHour)
-
-    // Model B: binary peak-hour prediction (reference's 8-18 rule `:916-918`).
-    val rfPeak = new RandomForestClassifier()
-      .setLabelCol("peak_label").setFeaturesCol("features")
-      .setNumTrees(10).setMaxDepth(4).setSeed(1)
-    val predPeak = rfPeak.fit(train).transform(test).cache()
-    val auc = new BinaryClassificationEvaluator()
-      .setLabelCol("peak_label").setRawPredictionCol("rawPrediction")
-      .setMetricName("areaUnderROC").evaluate(predPeak)
-    val peakAcc = predPeak
-      .agg(avg(when($"peak_label" === $"prediction", 1.0).otherwise(0.0)))
-      .head().getDouble(0)
-    train.unpersist(); predHour.unpersist(); predPeak.unpersist()
-
-    Seq(
-      ("rf_hour", "accuracy", acc),
-      ("rf_hour", "f1", f1),
-      ("rf_hour", "cyclic_within_1", cyclic1),
-      ("rf_hour", "cyclic_within_2", cyclic2),
-      ("rf_hour", "avg_correct_prob", avgCorrectProb),
-      ("rf_peak", "accuracy", peakAcc),
-      ("rf_peak", "auc", auc),
-    ).toDF("model", "metric", "value").coalesce(1).orderBy("model", "metric")
+    // The eight cases are independent (shared cached inputs, separate
+    // models): submit them as concurrent Spark job groups so the fits
+    // overlap instead of serializing — the standard parameter-sweep shape
+    // on a real cluster. Results are collected in case order, and every
+    // fit is seeded, so the output stays deterministic.
+    val poolSize = sys.env.getOrElse("SPARK_GRAFT_ML_POOL", "4").toInt
+    val rows =
+      if (poolSize <= 1) cases.map(fitCase)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val futs = cases.map(c => scala.concurrent.Future(fitCase(c)))
+          futs.map(f => scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration.Inf))
+        } finally pool.shutdown()
+      }
+    train.unpersist(); test.unpersist()
+    rows.toDF("input", "label", "accuracy", "within_one", "within_two",
+        "auc_roc", "avg_correct_prob")
+      .withColumn("classifier", lit("random_forest"))
+      .select($"classifier", $"input", $"label", $"accuracy", $"within_one",
+        $"within_two", $"auc_roc", $"avg_correct_prob")
+      .coalesce(1)
+      .orderBy($"accuracy".desc, $"input", $"label")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -68,11 +68,25 @@ object Sources {
     // Bucket layout is write-once: once the bucketed files exist on disk,
     // later sessions re-attach them as external CLUSTERED BY tables instead
     // of re-shuffling and re-writing the fact table every invocation.
+    // The scratch path is VERSIONED by a layout tag (hash of columns, key,
+    // and bucket count) and the parquet footer schema is compared before
+    // attaching — a stale directory from an older layout lands on a
+    // different path or fails the schema check and is rewritten, instead
+    // of being silently trusted by the bucket-aware join.
     def ensure(tbl: String, sub: String, cols: String, key: String,
                write: String => Unit): Unit = {
-      val path = s"$wh/$sub"
+      val layout = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$cols|$key|8".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      val path = s"$wh/${sub}_$layout"
       if (!spark.catalog.tableExists(tbl)) {
-        if (new File(path, "_SUCCESS").exists())
+        val onDiskOk = new File(path, "_SUCCESS").exists() && {
+          val expected = org.apache.spark.sql.types.StructType.fromDDL(cols)
+          val actual = spark.read.parquet(path).schema
+          actual.map(f => (f.name, f.dataType)) ==
+            expected.map(f => (f.name, f.dataType))
+        }
+        if (onDiskOk)
           spark.sql(s"""CREATE TABLE $tbl ($cols) USING parquet
             |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
             |LOCATION '$path'""".stripMargin)

@@ -136,32 +136,49 @@ case class AsOfJoinExec(
 
       // One-row lookahead over the sorted right side. Rows coming out of
       // a sort are reused buffers: anything retained across next() calls
-      // must be copied.
+      // must be copied. NULL handling: a naive asInstanceOf[Long] would
+      // silently unbox NULL to 0 and match rows as key/time 0 — instead a
+      // right row with null key or time is skipped (it can participate in
+      // no as-of ordering), and a left row with null key or time emits the
+      // null-extended row, preserving left-outer semantics. The required
+      // sort orders NULLS FIRST, so skipped rows are a prefix and the
+      // merge invariant holds.
       var rHead: InternalRow = null
       var rHeadKey = 0L
       var rHeadTime = 0L
       var rHas = false
-      def advanceRight(): Unit =
-        if (rIter.hasNext) {
+      def advanceRight(): Unit = {
+        rHas = false
+        while (!rHas && rIter.hasNext) {
           rHead = rIter.next()
-          rHeadKey = rk.eval(rHead).asInstanceOf[Long]
-          rHeadTime = rt.eval(rHead).asInstanceOf[Long]
-          rHas = true
-        } else rHas = false
+          val k = rk.eval(rHead)
+          val t = rt.eval(rHead)
+          if (k != null && t != null) {
+            rHeadKey = k.asInstanceOf[Long]
+            rHeadTime = t.asInstanceOf[Long]
+            rHas = true
+          }
+        }
+      }
       advanceRight()
 
       var lastKey = Long.MinValue
       var lastMatch: InternalRow = null
 
       lIter.map { l =>
-        val key = lk.eval(l).asInstanceOf[Long]
-        val time = lt.eval(l).asInstanceOf[Long]
-        while (rHas && (rHeadKey < key || (rHeadKey == key && rHeadTime <= time))) {
-          if (rHeadKey == key) { lastKey = key; lastMatch = rHead.copy() }
-          advanceRight()
+        val keyAny = lk.eval(l)
+        val timeAny = lt.eval(l)
+        if (keyAny == null || timeAny == null) proj(joined(l, nullRight))
+        else {
+          val key = keyAny.asInstanceOf[Long]
+          val time = timeAny.asInstanceOf[Long]
+          while (rHas && (rHeadKey < key || (rHeadKey == key && rHeadTime <= time))) {
+            if (rHeadKey == key) { lastKey = key; lastMatch = rHead.copy() }
+            advanceRight()
+          }
+          val r = if (lastKey == key && lastMatch != null) lastMatch else nullRight
+          proj(joined(l, r))
         }
-        val r = if (lastKey == key && lastMatch != null) lastMatch else nullRight
-        proj(joined(l, r))
       }
     }
   }

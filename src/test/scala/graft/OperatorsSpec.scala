@@ -68,6 +68,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("as-of join: null keys/times never match as zero") {
+    import spark.implicits._
+    // key 0 / time 0 rows exist on BOTH sides: a null unboxed to 0L would
+    // silently join against them.
+    val trades = Seq(
+      (Some(0L), Some(0L), "zero"),       // legit key-0/time-0 row
+      (None: Option[Long], Some(5L), "nullkey"),
+      (Some(1L), None: Option[Long], "nulltime"),
+      (Some(1L), Some(9L), "normal"))
+      .toDF("key", "t", "trade")
+    val quotes = Seq(
+      (Some(0L), Some(0L), Some(700L)),   // matches only the legit zero row
+      (None: Option[Long], Some(1L), Some(666L)), // must be skipped
+      (Some(1L), None: Option[Long], Some(667L)), // must be skipped
+      (Some(1L), Some(7L), Some(42L)))
+      .toDF("key", "qt", "px")
+    val out = graft.plans.AsOf.join(trades, quotes, "key", "t", "qt",
+        Seq("px" -> "last_px"))
+      .select($"trade", $"last_px").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out("zero") == Some(700L))   // real 0-key match still works
+    assert(out("nullkey") == None)      // null left key -> null, not key-0
+    assert(out("nulltime") == None)     // null left time -> null
+    assert(out("normal") == Some(42L))  // null right rows skipped, not 667
+  }
+
   test("dot_long is SQL-callable after runtime registration") {
     org.apache.spark.sql.GraftBridge.registerFunction(spark, "dot_long",
       exprs => graft.functions.DotProductLong(exprs.head, exprs(1)))
@@ -202,16 +229,30 @@ class OperatorsSpec extends SparkSpec {
     assert(viaBinary == viaHex)
   }
 
-  test("ml metrics are deterministic under seed=1 (M1-M11)") {
-    val m = ml.Pipelines.q60MlMetrics(spark, sf)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
-    assert(m.keySet.size == 7)
-    assert(m(("rf_hour", "cyclic_within_2")) >= m(("rf_hour", "cyclic_within_1")))
-    assert(m(("rf_hour", "cyclic_within_1")) >= m(("rf_hour", "accuracy")))
-    assert(m(("rf_peak", "auc")) >= 0.0 && m(("rf_peak", "auc")) <= 1.0)
-    val again = ml.Pipelines.q60MlMetrics(spark, sf)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
-    assert(m == again)
+  test("ml metrics: 8-case matrix, deterministic under seed=1 (M1-M11)") {
+    def run() = ml.Pipelines.q60MlMetrics(spark, sf).collect().map { r =>
+      (r.getString(1), r.getString(2)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+          r.getDouble(7))
+    }.toMap
+    // NaN-safe map equality (auc is NaN for non-binary cases)
+    def bits(m: Map[(String, String), (Double, Double, Double, Double, Double)]) =
+      m.view.mapValues { case (a, b, c, d, e) =>
+        Seq(a, b, c, d, e).map(java.lang.Double.doubleToLongBits)
+      }.toMap
+    val m = run()
+    // the reference's full matrix: input1-3 x month/hour, input3 x weekday,
+    // input4 x peak (Assignment-python.py:1015-1022)
+    assert(m.keySet.size == 8)
+    assert(ml.Pipelines.cases.forall(c => m.contains((c.input, c.label))))
+    m.foreach { case ((_, label), (acc, w1, w2, auc, p)) =>
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(w1 >= acc && w2 >= w1) // cyclic-within widens monotonically
+      assert(p >= 0.0 && p <= 1.0)
+      if (label == "peak_label") assert(auc >= 0.0 && auc <= 1.0)
+      else assert(auc.isNaN) // reference emits "N/A" for non-binary
+    }
+    assert(bits(m) == bits(run())) // seed=1 end-to-end determinism
   }
 
   test("custom DotProductLong codegen matches the HOF fold exactly") {
