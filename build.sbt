@@ -38,4 +38,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 74 queries x ~10 janino classes each (plus warmup copies) overflow
+  // the 240 MB default code cache; the JIT then silently flushes hot
+  // compiled methods and re-runs them interpreted — observed as
+  // intermittent 5-10x slowdowns appearing MID-session.
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++ sys.env.get("SPARK_GRAFT_JVM").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

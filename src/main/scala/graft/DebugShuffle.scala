@@ -14,6 +14,7 @@ object DebugShuffle {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.buffer.pageSize", sys.env.getOrElse("SPARK_GRAFT_PAGE", "2m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -19,6 +19,7 @@ object Verify {
       // See Bench.scala: avoid compiled-class cache thrash across the
       // full query surface (janino recompiles inside tasks once evicted).
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.buffer.pageSize", "2m") // see Bench.scala
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

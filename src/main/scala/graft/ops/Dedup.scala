@@ -21,6 +21,17 @@ object Dedup {
   private def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
+  /** Rebalance the corpus BEFORE a fan-out (explode) stage: a small-file
+    * scan is one partition, and without this the entire shingle/gram
+    * explosion and its partial aggregation run in a single task (observed:
+    * 31 of 32 cores parked). The shuffle moves only the narrow pre-explode
+    * rows; at cluster scale the scan already has many partitions and this
+    * is a cheap rebalance of the same shape. */
+  private def fanoutReady(df: DataFrame): DataFrame = {
+    val np = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= np) df else df.repartition(np)
+  }
+
   private val tokensSql =
     "list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)"
 
@@ -50,16 +61,22 @@ object Dedup {
     * step, so work is proportional to true collisions. */
   val q41MinhashLsh: Q = (spark, dir) => {
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
+    val toks = fanoutReady(Tables.documents(spark, dir))
       .select($"doc_id", tokens($"text").as("t"))
       .filter(size($"t") >= 3)
     // cached: consumed 4× downstream (signatures, sizes, both sides of the
     // verification join) — the reference's own missed-cache lesson
     // (SURVEY.md §2.12 C1) applied.
-    val shingles = toks.select($"doc_id",
-      explode(transform(sequence(lit(0), size($"t") - 3), i =>
-        concat_ws(" ", element_at($"t", i + 1), element_at($"t", i + 2),
-          element_at($"t", i + 3)))).as("s"))
+    // Shingles are built by exploding the POSITION range and assembling
+    // each shingle with plain (codegen'd) expressions — a transform()
+    // lambda would evaluate interpreted per shingle (HOF lambdas never
+    // enter whole-stage codegen; profiled as the hot frame).
+    val shingles = toks
+      .select($"doc_id", $"t",
+        explode(sequence(lit(0), size($"t") - 3)).as("i"))
+      .select($"doc_id",
+        concat_ws(" ", element_at($"t", $"i" + 1), element_at($"t", $"i" + 2),
+          element_at($"t", $"i" + 3)).as("s"))
       .distinct()
       .cache()
     // 8 independent 32-bit hashes from TWO md5 computations (4 hex-chunks
@@ -108,7 +125,7 @@ object Dedup {
   /** (doc_id, simhash) for every document — shared by q42/q62. */
   private def simhashDf(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     import spark.implicits._
-    val tok = Tables.documents(spark, dir)
+    val tok = fanoutReady(Tables.documents(spark, dir))
       .select($"doc_id", explode(tokens($"text")).as("token"))
       .withColumn("v", conv(substring(md5($"token"), 1, 4), 16, 10).cast("int"))
     val bitCols = (0 until 16).map(i =>
@@ -167,10 +184,17 @@ object Dedup {
     * scales: df is a per-block aggregate, never a cross product. */
   val q43NgramJaccard: Q = (spark, dir) => {
     import spark.implicits._
-    val grams = Tables.documents(spark, dir)
+    val grams = fanoutReady(Tables.documents(spark, dir))
       .select($"doc_id", $"source",
-        explode(transform(sequence(lit(0), length($"text") - 4), i =>
-          $"text".substr(i + 1, lit(4)))).as("g"))
+        $"text", explode(sequence(lit(0), length($"text") - 4)).as("i"))
+      // gram identity only matters within this query (the output is doc
+      // pairs), so shuffle 8-byte xxhash64 keys instead of strings —
+      // cheaper to hash, compare, and sort at every exchange. A 64-bit
+      // collision among ~10^6 distinct grams is ~1e-8-improbable. Built
+      // from the exploded position with plain codegen'd substr/hash (not
+      // a transform() lambda, which would run interpreted per gram).
+      .select($"doc_id", $"source",
+        xxhash64($"text".substr($"i" + 1, lit(4))).as("g"))
       .distinct()
       .cache() // consumed twice (df aggregate + the rare join input):
                // without the cache the full explode+distinct runs twice

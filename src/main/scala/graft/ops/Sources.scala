@@ -73,6 +73,10 @@ object Sources {
     // attaching — a stale directory from an older layout lands on a
     // different path or fails the schema check and is rewritten, instead
     // of being silently trusted by the bucket-aware join.
+    // Table names carry the sf-dir tag: one session may touch several
+    // data dirs (e.g. a small-SF warmup before the timed run), and a
+    // catalog name shared across dirs would silently reuse the wrong data.
+    val dirTag = new File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
     def ensure(tbl: String, sub: String, cols: String, key: String,
                write: String => Unit): Unit = {
       val layout = java.security.MessageDigest.getInstance("MD5")
@@ -93,7 +97,9 @@ object Sources {
         else write(path)
       }
     }
-    ensure("graft_lineitem_b", "lineitem",
+    val liTbl = s"graft_lineitem_b_$dirTag"
+    val ordTbl = s"graft_orders_b_$dirTag"
+    ensure(liTbl, "lineitem",
       "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
       "l_orderkey",
       path => Tables.lineitem(spark, dir)
@@ -101,17 +107,17 @@ object Sources {
         .write.format("parquet")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", path).mode("overwrite")
-        .saveAsTable("graft_lineitem_b"))
-    ensure("graft_orders_b", "orders",
+        .saveAsTable(liTbl))
+    ensure(ordTbl, "orders",
       "o_orderkey BIGINT, o_orderstatus STRING", "o_orderkey",
       path => Tables.orders(spark, dir)
         .select($"o_orderkey", $"o_orderstatus")
         .write.format("parquet")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", path).mode("overwrite")
-        .saveAsTable("graft_orders_b"))
-    spark.table("graft_lineitem_b")
-      .join(spark.table("graft_orders_b"), $"l_orderkey" === $"o_orderkey")
+        .saveAsTable(ordTbl))
+    spark.table(liTbl)
+      .join(spark.table(ordTbl), $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("n_items"), sum(revenueExpr).cast("double").as("revenue"))
       .orderBy($"o_orderstatus")
