@@ -27,7 +27,7 @@ object Dedup {
     * 31 of 32 cores parked). The shuffle moves only the narrow pre-explode
     * rows; at cluster scale the scan already has many partitions and this
     * is a cheap rebalance of the same shape. */
-  private def fanoutReady(df: DataFrame): DataFrame = {
+  private[ops] def fanoutReady(df: DataFrame): DataFrame = {
     val np = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= np) df else df.repartition(np)
   }

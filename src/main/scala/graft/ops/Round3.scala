@@ -99,11 +99,127 @@ object Round3 {
       .orderBy($"o_orderpriority")
   }
 
+  /** The 8×64 ±1 hyperplane matrix for q75, derived from md5("h:j") so the
+    * DuckDB oracle reproduces it bit-for-bit (same construction family as
+    * the minhash salts in [[Dedup]]). */
+  private lazy val lshPlanes: Seq[Seq[Long]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until 8).map { h =>
+      (0 until 64).map { j =>
+        md.reset()
+        val hex = md.digest(s"$h:$j".getBytes("UTF-8"))
+          .take(2).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex, 16) % 2) * 2 - 1
+      }
+    }
+  }
+
+  /** ANN via random-hyperplane LSH with multi-probe — the LSH-bucketed
+    * scale path beside q51's IVF variant (builder prompt: "an IVF or LSH
+    * bucketed variant"). Every vector gets an 8-bit signature (sign of 8
+    * ±1-hyperplane dot products, computed with the codegen'd dot_long —
+    * one scan, no shuffle); the query (vec_id 2) probes its own bucket
+    * plus the 8 Hamming-1 buckets (multi-probe), and exact cosine runs
+    * only inside the probed buckets. At corpus scale candidate count
+    * follows bucket occupancy (n/256 · 9), never n². */
+  val q75AnnLsh: Q = (spark, dir) => {
+    import spark.implicits._
+    def quant(e: org.apache.spark.sql.Column) =
+      transform(e, x => floor(x.cast("double") * 1000).cast("long"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorExprs.dotLong(a, b)
+    val sig = (0 until 8).map { h =>
+      when(dot($"e", typedLit(lshPlanes(h))) >= 0, 1L << h).otherwise(0L)
+    }.reduce(_ + _)
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", quant($"embedding").as("e"))
+      .withColumn("bucket", sig)
+      .cache() // corpus side + query side of the bucket probe
+    val probes = emb.filter($"vec_id" === 2)
+      .select($"e".as("qe"), explode(array(
+        ($"bucket" +: (0 until 8).map(h =>
+          $"bucket".bitwiseXOR(lit(1L << h)))): _*)).as("bucket"))
+    emb.filter($"vec_id" =!= 2)
+      .join(broadcast(probes), Seq("bucket"))
+      .select($"vec_id",
+        (dot($"e", $"qe").cast("double") /
+          (sqrt(dot($"e", $"e").cast("double")) *
+            sqrt(dot($"qe", $"qe").cast("double")))).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(10)
+  }
+
+  /** TF-IDF top terms per document: per-(doc, term) counts, global
+    * document frequency, idf = ln(N/df), rank per doc. Two hash
+    * aggregations plus one broadcast-able df join — the corpus-global df
+    * table is |vocab|-sized, tiny next to the corpus. Output bounded to
+    * the first 20 docs (scores still computed against GLOBAL df/N). */
+  val q76Tfidf: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count() // corpus-size scalar (driver splice, q74 shape)
+    val terms = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter(length($"term") > 0)
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .withColumn("tf_idf",
+        $"tf" * log(lit(nDocs).cast("double") / $"df".cast("double")))
+    scored.filter($"doc_id" < 20)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+          .orderBy($"tf_idf".desc, $"term")))
+      .filter($"rnk" <= 3)
+      // ln() differs from DuckDB's in the last ulp on some inputs, so the
+      // emitted score is floor-quantized to millionths (playbook rule);
+      // the ranking itself is stable because (score, term) is unique.
+      .select($"doc_id", $"rnk", $"term", $"tf", $"df",
+        floor($"tf_idf" * 1e6).cast("long").as("tfidf_q"))
+      .orderBy($"doc_id", $"rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q72_date_parse" -> q72DateParse,
     "q73_binary_files" -> q73BinaryFiles,
     "q74_driver_splice" -> q74DriverSplice,
+    "q75_ann_lsh" -> q75AnnLsh,
+    "q76_tfidf" -> q76Tfidf,
+    "q77_winnowing" -> q77Winnowing,
   )
+
+  /** Winnowing document fingerprints (the MOSS scheme, Schleimer et al.
+    * SIGMOD'03): hash every 5-gram, slide a window of 8 hashes, keep each
+    * window's minimum — guaranteeing any match of length ≥ w+k-1 shares a
+    * fingerprint — then dedup the selected hashes per document. The
+    * per-source distinct/total fingerprint ratio exposes template
+    * duplication in the corpus. Selection is a partitioned running-min
+    * window (no shuffle beyond the doc partitioning); hashes are
+    * md5-derived so DuckDB reproduces them exactly. */
+  // lazy: referenced by the queries map ABOVE its definition point
+  lazy val q77Winnowing: Q = (spark, dir) => {
+    import spark.implicits._
+    val k = 5; val w = 8
+    val grams = Dedup.fanoutReady(Tables.documents(spark, dir))
+      .select($"doc_id", $"source", $"text",
+        explode(sequence(lit(0), length($"text") - k)).as("pos"))
+      .select($"doc_id", $"source", $"pos",
+        conv(substring(md5($"text".substr($"pos" + 1, lit(k))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos").rowsBetween(-(w - 1), 0)
+    val fps = grams
+      .withColumn("wm", min($"h").over(win))
+      .filter($"pos" >= w - 1)       // full windows only
+      .select($"doc_id", $"source", $"wm")
+      .distinct()
+    fps.groupBy($"source")
+      .agg(
+        countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("total_fps"),
+        countDistinct($"wm").as("distinct_fps"))
+      .orderBy($"source")
+  }
 
   val oracle: Map[String, String] = Map(
     "q72_date_parse" ->
@@ -134,5 +250,85 @@ object Round3 {
          |FROM orders
          |WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q75_ann_lsh" -> {
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform($a, (x, i) -> x * $b[i]), (p, q) -> p + q)"
+      def cosSql(a: String, b: String) =
+        s"""CAST(${dotSql(a, b)} AS DOUBLE)
+           |    / (sqrt(CAST(${dotSql(a, a)} AS DOUBLE))
+           |       * sqrt(CAST(${dotSql(b, b)} AS DOUBLE)))""".stripMargin
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+         |  FROM embeddings
+         |), planes AS (
+         |  SELECT h, list_transform(range(0, 64),
+         |    j -> (CAST(('0x' || substr(md5(h || ':' || j), 1, 4)) AS INT)
+         |          % 2) * 2 - 1) AS w
+         |  FROM range(0, 8) t(h)
+         |), dots AS (
+         |  SELECT vec_id, e, h, ${dotSql("e", "w")} AS d
+         |  FROM v, planes
+         |), sigs AS (
+         |  SELECT vec_id, ANY_VALUE(e) AS e,
+         |    CAST(SUM(CASE WHEN d >= 0 THEN 1 << h ELSE 0 END) AS BIGINT)
+         |      AS bucket
+         |  FROM dots GROUP BY vec_id
+         |), q AS (
+         |  SELECT e AS qe, bucket AS qb FROM sigs WHERE vec_id = 2
+         |), probes AS (
+         |  SELECT qe, unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4),
+         |    xor(qb, 8), xor(qb, 16), xor(qb, 32), xor(qb, 64),
+         |    xor(qb, 128)]) AS bucket
+         |  FROM q
+         |)
+         |SELECT s.vec_id,
+         |  ${cosSql("s.e", "p.qe")} AS cos_sim
+         |FROM sigs s JOIN probes p ON s.bucket = p.bucket
+         |WHERE s.vec_id <> 2
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    },
+    "q76_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM terms WHERE length(term) > 0 GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT COUNT(*) AS n FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df,
+        |    tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS tf_idf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) DESC,
+        |        term) AS rnk
+        |  FROM tf JOIN df USING (term), n
+        |  WHERE doc_id < 20
+        |)
+        |SELECT doc_id, CAST(rnk AS INT) AS rnk, term,
+        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  CAST(floor(tf_idf * 1e6) AS BIGINT) AS tfidf_q
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q77_winnowing" ->
+      """WITH grams AS (
+        |  SELECT doc_id, source, i AS pos,
+        |    CAST(('0x' || substr(md5(substr(text, i + 1, 5)), 1, 8)) AS BIGINT)
+        |      AS h
+        |  FROM documents, LATERAL unnest(range(0, length(text) - 4)) t(i)
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wm
+        |  FROM grams
+        |  QUALIFY pos >= 7
+        |)
+        |SELECT source,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS total_fps,
+        |  CAST(COUNT(DISTINCT wm) AS BIGINT) AS distinct_fps
+        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
