@@ -67,9 +67,78 @@ case class DotProductLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused cosine similarity over two quantized (long) vectors: ONE loop
+  * accumulates the dot product and both squared norms, where the composed
+  * form (three [[DotProductLong]] calls) walks each array twice more. The
+  * division/sqrt at the end is the same single IEEE expression the
+  * composed form produces, so oracle hashes are unchanged (asserted by
+  * OperatorsSpec). Used by the pairwise similarity operators, where this
+  * loop IS the n·pairs hot path. */
+case class CosineSimLong(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "cosine_long"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val xv = x.getLong(i); val yv = y.getLong(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    (dot.toDouble) / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $dot = 0L; long $na = 0L; long $nb = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = ((double) $dot)
+         |  / (java.lang.Math.sqrt((double) $na) * java.lang.Math.sqrt((double) $nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): CosineSimLong =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Column API for [[DotProductLong]]. */
   def dotLong(a: Column, b: Column): Column =
     GraftBridge.column(DotProductLong(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API for [[CosineSimLong]]. */
+  def cosineLong(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimLong(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -142,9 +142,7 @@ object Round3 {
     emb.filter($"vec_id" =!= 2)
       .join(broadcast(probes), Seq("bucket"))
       .select($"vec_id",
-        (dot($"e", $"qe").cast("double") /
-          (sqrt(dot($"e", $"e").cast("double")) *
-            sqrt(dot($"qe", $"qe").cast("double")))).as("cos_sim"))
+        graft.functions.VectorExprs.cosineLong($"e", $"qe").as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(10)
   }

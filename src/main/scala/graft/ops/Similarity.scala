@@ -41,9 +41,12 @@ object Similarity {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform($a, (x, i) -> x * $b[i]), (p, q) -> p + q)"
 
+  /** Fused single-pass cosine ([[graft.functions.CosineSimLong]]): one
+    * generated loop for dot + both norms; bit-identical to the composed
+    * three-dot form (same final IEEE division), 3x less array traversal
+    * in the pair loops. */
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b).cast("double") /
-      (sqrt(dot(a, a).cast("double")) * sqrt(dot(b, b).cast("double")))
+    graft.functions.VectorExprs.cosineLong(a, b)
 
   private def cosineSql(a: String, b: String): String =
     s"""CAST(${dotSql(a, b)} AS DOUBLE)

@@ -123,10 +123,28 @@ object Sources {
       .orderBy($"o_orderstatus")
   }
 
+  /** S8 extension: ORC round-trip — the columnar sibling of the parquet
+    * path (predicate pushdown + column pruning work the same way), read
+    * back with schema-on-read and aggregated against the parquet-direct
+    * oracle. */
+  val q78OrcSource: Q = (spark, dir) => {
+    import spark.implicits._
+    val out = scratch(dir, "orc")
+    Tables.part(spark, dir)
+      .select($"p_partkey", $"p_brand", $"p_size", $"p_retailprice")
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .filter($"p_size" >= 10)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"), dsum($"p_retailprice").as("total_price"))
+      .orderBy($"p_brand")
+  }
+
   val queries: Map[String, Q] = Map(
     "q27_csv_source" -> q27CsvSource,
     "q28_json_source" -> q28JsonSource,
     "q29_bucketed_join" -> q29BucketedJoin,
+    "q78_orc_source" -> q78OrcSource,
   )
 
   val oracle: Map[String, String] = Map(
@@ -142,6 +160,11 @@ object Sources {
       s"""SELECT o_orderstatus, COUNT(*) AS n_items,
          |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q78_orc_source" ->
+      s"""SELECT p_brand, COUNT(*) AS n_parts,
+         |  ${dsumSql("p_retailprice")} AS total_price
+         |FROM part WHERE p_size >= 10
          |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

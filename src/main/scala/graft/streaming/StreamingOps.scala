@@ -83,6 +83,36 @@ object StreamingOps {
       }
   }
 
+  /** foreachBatch sink: per micro-batch, run an arbitrary BATCH write —
+    * the escape hatch for sinks with no streaming connector (JDBC,
+    * upserts, multi-table fan-out). The batch is a plain DataFrame, so
+    * the full batch API (here: a per-batch aggregation + parquet append,
+    * partitioned by batch id for exactly-once-style idempotent re-runs)
+    * applies. */
+  def perBatchTypeTotals(events: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").partitionBy("batch_id").parquet(outDir)
+      }
+
+  /** Bounded drain of a stream into parquet files with
+    * Trigger.AvailableNow: processes everything available, checkpoints,
+    * and stops — the pattern for incremental batch jobs (a cron-scheduled
+    * pipeline that resumes from its checkpoint and exits). */
+  def drainToParquet(events: DataFrame, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Stateful sessionization with flatMapGroupsWithState: 30-min
     * inactivity gap closes a session (the streaming analog of batch q18).
     * A session is emitted when a later event for the same user proves the

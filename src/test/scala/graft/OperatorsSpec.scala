@@ -255,6 +255,28 @@ class OperatorsSpec extends SparkSpec {
     assert(bits(m) == bits(run())) // seed=1 end-to-end determinism
   }
 
+  test("fused CosineSimLong is bit-identical to the composed three-dot form") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id",
+        transform($"embedding", x => floor(x.cast("double") * 1000).cast("long")).as("e"))
+    val pairs = emb.as("a").join(emb.as("b"),
+      col("a.vec_id") % 7 === col("b.vec_id") % 7 && col("a.vec_id") < col("b.vec_id"))
+    def d(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorExprs.dotLong(a, b)
+    val composed = d(col("a.e"), col("b.e")).cast("double") /
+      (sqrt(d(col("a.e"), col("a.e")).cast("double")) *
+        sqrt(d(col("b.e"), col("b.e")).cast("double")))
+    val fused = graft.functions.VectorExprs.cosineLong(col("a.e"), col("b.e"))
+    // compare raw IEEE bits, not values — the parity claim is bit-level
+    val rows = pairs.select(composed.as("c"), fused.as("f")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
   test("custom DotProductLong codegen matches the HOF fold exactly") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)

@@ -49,6 +49,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch writes per-batch aggregates through the batch API") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 10, "click", 2.0),
+      Event(3, ts(3), 11, "view", 4.0))
+    val q = StreamingOps.perBatchTypeTotals(mem.toDF(), out).start()
+    try {
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(4), 12, "click", 8.0))
+      q.processAllAvailable()
+      val all = spark.read.parquet(out)
+      // two micro-batches → two partition dirs; totals add up across both
+      assert(all.select("batch_id").distinct().count() == 2)
+      val clicks = all.filter($"event_type" === "click")
+        .agg(org.apache.spark.sql.functions.sum($"total_value")).head().getDouble(0)
+      assert(clicks == 11.0)
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains the stream to parquet and stops") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_an")
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 11, "view", 2.0))
+    val q = StreamingOps.drainToParquet(mem.toDF(),
+      s"$base/data", s"$base/ckpt")
+    q.awaitTermination(60000) // AvailableNow terminates on its own
+    assert(!q.isActive)
+    assert(spark.read.parquet(s"$base/data").count() == 2)
+    // a second drain resumes from the checkpoint: only NEW rows land
+    mem.addData(Event(3, ts(3), 12, "click", 3.0))
+    val q2 = StreamingOps.drainToParquet(mem.toDF(),
+      s"$base/data", s"$base/ckpt")
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(s"$base/data").count() == 3)
+  }
+
   test("stream-static join enriches each batch from a broadcast dimension") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
