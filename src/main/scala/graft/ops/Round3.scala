@@ -184,7 +184,62 @@ object Round3 {
     "q75_ann_lsh" -> q75AnnLsh,
     "q76_tfidf" -> q76Tfidf,
     "q77_winnowing" -> q77Winnowing,
+    "q79_dup_clusters" -> q79DupClusters,
   )
+
+  /** Near-dup CLUSTER resolution — the step after pairwise detection in a
+    * real dedup pipeline: q41's minhash pairs are treated as edges and
+    * resolved into connected components by distributed min-label
+    * propagation (each round, every vertex takes the minimum label in its
+    * neighborhood; rounds ≤ component diameter, checked by a distributed
+    * convergence count — no driver-side union-find, so a billion-edge
+    * graph partitions the same way). Each component keeps its minimum
+    * doc_id as the canonical survivor. The oracle computes the same
+    * components with a recursive transitive-closure CTE. */
+  lazy val q79DupClusters: Q = (spark, dir) => {
+    import spark.implicits._
+    val pairs = Dedup.q41MinhashLsh(spark, dir)
+      .select($"doc_a", $"doc_b").cache()
+    val edges = pairs
+      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .cache()
+    var labels = edges.select($"doc_a".as("v")).distinct()
+      .withColumn("label", $"v")
+      .cache()
+    var converged = false
+    var rounds = 0
+    // Per round: neighbor-min PLUS pointer doubling (take the label of
+    // your label), which contracts chains geometrically — convergence in
+    // O(log diameter) rounds instead of O(diameter). One Spark action per
+    // round: the changed-count materializes the round's cache.
+    while (!converged && rounds < 12) {
+      val nmin = edges.join(labels, edges("doc_b") === labels("v"))
+        .groupBy(edges("doc_a").as("nv")).agg(min($"label").as("nmin"))
+      val step1 = labels.select($"v", $"label".as("old"))
+        .join(nmin, $"v" === $"nv", "left")
+        .select($"v", $"old",
+          least($"old", coalesce($"nmin", $"old")).as("l1"))
+      val next = step1.as("a")
+        .join(step1.select($"v".as("pv"), $"l1".as("pl")).as("b"),
+          $"l1" === $"pv", "left")
+        .select($"v", $"old",
+          least($"l1", coalesce($"pl", $"l1")).as("label"))
+      // localCheckpoint (not cache): TRUNCATES the logical plan each
+      // round. With cache alone the round-N plan still nests all prior
+      // rounds, and planning+codegen grow with the iteration count
+      // (measured 5.5 s -> 42 s from round 0 to round 1); checkpointed,
+      // every round replans the same constant-size tree.
+      val mat = next.localCheckpoint(true)
+      val changed = mat.filter($"old" =!= $"label").count()
+      labels = mat.select($"v", $"label")
+      converged = changed == 0
+      rounds += 1
+    }
+    labels
+      .groupBy($"label".as("cluster_keeper"))
+      .agg(count(lit(1)).as("cluster_size"), sum($"v").as("member_id_sum"))
+      .orderBy($"cluster_keeper")
+  }
 
   /** Winnowing document fingerprints (the MOSS scheme, Schleimer et al.
     * SIGMOD'03): hash every 5-gram, slide a window of 8 hashes, keep each
@@ -328,5 +383,22 @@ object Round3 {
         |  COUNT(*) AS total_fps,
         |  CAST(COUNT(DISTINCT wm) AS BIGINT) AS distinct_fps
         |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q79_dup_clusters" ->
+      s"""WITH RECURSIVE q41 AS (
+         |${Dedup.oracle("q41_minhash_lsh")}
+         |), edges AS (
+         |  SELECT doc_a, doc_b FROM q41
+         |  UNION
+         |  SELECT doc_b AS doc_a, doc_a AS doc_b FROM q41
+         |), reach(v, label) AS (
+         |  SELECT doc_a AS v, doc_a AS label FROM edges
+         |  UNION
+         |  SELECT e.doc_a AS v, r.label FROM edges e JOIN reach r ON e.doc_b = r.v
+         |), comp AS (
+         |  SELECT v, MIN(label) AS label FROM reach GROUP BY v
+         |)
+         |SELECT label AS cluster_keeper, COUNT(*) AS cluster_size,
+         |  CAST(SUM(v) AS BIGINT) AS member_id_sum
+         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
