@@ -185,7 +185,31 @@ object Round3 {
     "q76_tfidf" -> q76Tfidf,
     "q77_winnowing" -> q77Winnowing,
     "q79_dup_clusters" -> q79DupClusters,
+    "q80_hash_split" -> q80HashSplit,
   )
+
+  /** Deterministic train/val/test corpus splits by CONTENT hash — the
+    * scale-correct way to partition a training corpus: stable under
+    * re-runs, re-sharding, and corpus growth (a doc's split never depends
+    * on which machine read it or what else is in the corpus), unlike
+    * randomSplit. md5-derived bucket in [0,10): 8/1/1 split. Exact-dup
+    * texts land in the SAME split (hash of text, not id), preventing
+    * train/test leakage from duplicates. */
+  lazy val q80HashSplit: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        conv(substring(md5($"text"), 1, 8), 16, 10).cast("long") % 10)
+      .withColumn("split",
+        when($"bucket" < 8, "train").when($"bucket" < 9, "val")
+          .otherwise("test"))
+      .groupBy($"split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        countDistinct($"lang").as("n_langs"))
+      .orderBy($"split")
+  }
 
   /** Near-dup CLUSTER resolution — the step after pairwise detection in a
     * real dedup pipeline: q41's minhash pairs are treated as edges and
@@ -400,5 +424,16 @@ object Round3 {
          |SELECT label AS cluster_keeper, COUNT(*) AS cluster_size,
          |  CAST(SUM(v) AS BIGINT) AS member_id_sum
          |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q80_hash_split" ->
+      """SELECT CASE WHEN bucket < 8 THEN 'train'
+        |  WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM (SELECT n_chars, lang,
+        |        CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10
+        |          AS bucket
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

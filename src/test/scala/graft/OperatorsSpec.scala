@@ -255,6 +255,40 @@ class OperatorsSpec extends SparkSpec {
     assert(bits(m) == bits(run())) // seed=1 end-to-end determinism
   }
 
+  test("label propagation resolves a chain and a clique into single clusters") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4: exercises pointer doubling) + clique
+    // {10,11,12} + isolated pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val edges = pairs.unionByName(
+      pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+    var labels = edges.select($"doc_a".as("v")).distinct()
+      .withColumn("label", $"v").cache()
+    var converged = false; var rounds = 0
+    while (!converged && rounds < 12) {
+      val nmin = edges.join(labels, edges("doc_b") === labels("v"))
+        .groupBy(edges("doc_a").as("nv")).agg(min($"label").as("nmin"))
+      val step1 = labels.select($"v", $"label".as("old"))
+        .join(nmin, $"v" === $"nv", "left")
+        .select($"v", $"old", least($"old", coalesce($"nmin", $"old")).as("l1"))
+      val next = step1.as("a")
+        .join(step1.select($"v".as("pv"), $"l1".as("pl")).as("b"),
+          $"l1" === $"pv", "left")
+        .select($"v", $"old", least($"l1", coalesce($"pl", $"l1")).as("label"))
+      val mat = next.localCheckpoint(true)
+      converged = mat.filter($"old" =!= $"label").count() == 0
+      labels = mat.select($"v", $"label")
+      rounds += 1
+    }
+    val comp = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L).forall(comp(_) == 20L))
+    assert(rounds <= 4) // log-diameter convergence, not diameter
+  }
+
   test("fused CosineSimLong is bit-identical to the composed three-dot form") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
