@@ -142,3 +142,33 @@ object VectorExprs {
     GraftBridge.column(CosineSimLong(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 }
+
+/** Optimizer rule: rewrite the hand-composed cosine pattern
+  * `dot(a,b)/ (sqrt(dot(a,a)) * sqrt(dot(b,b)))` (all via
+  * [[DotProductLong]], cast to double) into the fused single-loop
+  * [[CosineSimLong]]. A user who writes the natural three-dot form gets
+  * the fused loop automatically — the extend-Catalyst counterpart of
+  * "let Catalyst optimize". Registered in [[graft.plans.GraftExtensions]]
+  * (config-time) or via GraftBridge.addOptimization (live session).
+  * Bit-parity of the rewrite is asserted by OperatorsSpec. */
+object CosineFusionRule
+  extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Multiply, Sqrt}
+  import org.apache.spark.sql.types.DoubleType
+
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case Divide(
+            Cast(DotProductLong(a, b), DoubleType, _, _),
+            Multiply(
+              Sqrt(Cast(DotProductLong(a2, a3), DoubleType, _, _)),
+              Sqrt(Cast(DotProductLong(b2, b3), DoubleType, _, _)), _),
+            _)
+          if a2.semanticEquals(a) && a3.semanticEquals(a) &&
+            b2.semanticEquals(b) && b3.semanticEquals(b) =>
+        CosineSimLong(a, b)
+    }
+}

@@ -194,12 +194,19 @@ case class AsOfJoinExec(
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.functions.CosineFusionRule)
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("dot_long"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.DotProductLong].getName, "dot_long"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.DotProductLong(children.head, children(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_long"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.CosineSimLong].getName, "cosine_long"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CosineSimLong(children.head, children(1))))
   }
 }
 

@@ -31,6 +31,16 @@ object GraftBridge {
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Runtime registration of an extra optimizer rule on a live session
+    * (the config-time path is SparkSessionExtensions.injectOptimizerRule). */
+  def addOptimization(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(r))
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ r
+  }
+
   /** Register a custom Expression as a SQL function on a live session
     * (the config-time path is SparkSessionExtensions.injectFunction). */
   def registerFunction(spark: SparkSession, name: String,

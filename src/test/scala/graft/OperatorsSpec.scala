@@ -311,6 +311,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("CosineFusionRule rewrites the composed three-dot form to cosine_long") {
+    import spark.implicits._
+    org.apache.spark.sql.GraftBridge.addOptimization(spark,
+      graft.functions.CosineFusionRule)
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id",
+        transform($"embedding", x => floor(x.cast("double") * 1000).cast("long")).as("e"))
+      .limit(20)
+    def d(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorExprs.dotLong(a, b)
+    val q = emb.as("x").join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id"),
+        (d(col("x.e"), col("y.e")).cast("double") /
+          (sqrt(d(col("x.e"), col("x.e")).cast("double")) *
+            sqrt(d(col("y.e"), col("y.e")).cast("double")))).as("c"))
+    // the optimizer replaced the composed pattern with the fused expression
+    assert(q.queryExecution.optimizedPlan.toString.contains("cosine_long"))
+    assert(!q.queryExecution.optimizedPlan.toString.contains("dot_long"))
+    // and values are the fused values (bit-identical per the spec above)
+    val viaRule = q.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      java.lang.Double.doubleToRawLongBits(r.getDouble(2))).toMap
+    val direct = emb.as("x").join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id"),
+        graft.functions.VectorExprs.cosineLong(col("x.e"), col("y.e")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2))).toMap
+    assert(viaRule == direct)
+  }
+
   test("custom DotProductLong codegen matches the HOF fold exactly") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
