@@ -83,6 +83,19 @@ object StreamingOps {
       }
   }
 
+  /** Native session windows under a watermark: the streaming face of
+    * batch q68 — sessions close when the 30-min gap passes the watermark,
+    * so state is bounded and emission is append-mode (final sessions
+    * only). Contrast [[sessionize]], which implements the same semantics
+    * by hand with flatMapGroupsWithState. */
+  def sessionWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("n_events"), col("total_value"))
+
   /** foreachBatch sink: per micro-batch, run an arbitrary BATCH write —
     * the escape hatch for sinks with no streaming connector (JDBC,
     * upserts, multi-table fan-out). The batch is a plain DataFrame, so

@@ -49,6 +49,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window closes sessions once the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    // user 10: two events 5 min apart (one session), then nothing until a
+    // much later event that BOTH opens a new session and advances the
+    // watermark far enough to finalize the first one.
+    mem.addData(
+      Event(1, ts(60), 10, "click", 1.0),
+      Event(2, ts(65), 10, "click", 2.0))
+    val q = StreamingOps.sessionWindowCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sw")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sw").count() == 0) // session still open
+      mem.addData(Event(3, ts(600), 10, "view", 4.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(1200), 11, "view", 8.0)) // push watermark again
+      q.processAllAvailable()
+      val rows = spark.table("sw")
+        .selectExpr("user_id", "n_events", "total_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // first session (2 events) finalized; the ts(600) session closed by
+      // the ts(1200) watermark advance
+      assert(rows.contains((10L, 2L, 3.0)))
+      assert(rows.contains((10L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("foreachBatch writes per-batch aggregates through the batch API") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
