@@ -186,7 +186,26 @@ object Round3 {
     "q77_winnowing" -> q77Winnowing,
     "q79_dup_clusters" -> q79DupClusters,
     "q80_hash_split" -> q80HashSplit,
+    "q81_topk_udaf" -> q81TopkUdaf,
   )
+
+  /** Per-group top-k through the custom typed [[graft.functions
+    * .TopKByValue]] Aggregator registered as a udaf: the bounded-heap
+    * formulation shuffles k rows per group (map-side combined) where the
+    * window formulation sorts whole groups. Result exploded back to rows
+    * for the oracle (a ROW_NUMBER window — same semantics, different
+    * physical shape). */
+  lazy val q81TopkUdaf: Q = (spark, dir) => {
+    import spark.implicits._
+    val top3 = udaf(new graft.functions.TopKByValue(3))
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(top3($"o_totalprice", $"o_orderkey").as("top"))
+      .select($"o_orderpriority", posexplode($"top").as(Seq("pos", "s")))
+      .select($"o_orderpriority", ($"pos" + 1).as("rnk"),
+        $"s._2".as("o_orderkey"), $"s._1".as("price"))
+      .orderBy($"o_orderpriority", $"rnk")
+  }
 
   /** Deterministic train/val/test corpus splits by CONTENT hash — the
     * scale-correct way to partition a training corpus: stable under
@@ -435,5 +454,13 @@ object Round3 {
         |          AS bucket
         |      FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q81_topk_udaf" ->
+      """SELECT o_orderpriority, CAST(rnk AS INT) AS rnk, o_orderkey,
+        |  price
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice AS price,
+        |        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
   )
 }
