@@ -77,10 +77,16 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Keep the JSON line SHORT: the driver captures a bounded tail of this
+    // process's output, and round 3's full-precision doubles (9+ digits x
+    // 81 queries ~ 3.5 KB) overflowed it — the head of the line was cut and
+    // the driver recorded "parsed": null. 2 decimals (10 ms) is more
+    // resolution than the run-to-run noise anyway.
+    def f3(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -46,24 +46,41 @@ object Round3 {
     * column. */
   val q73BinaryFiles: Q = (spark, dir) => {
     import spark.implicits._
+    // Fixture: 20 tiny files, driver-side (this is test-input creation,
+    // not query work — a real deployment reads an existing media
+    // directory). The cache dir is keyed by a fingerprint of the actual
+    // payloads, so a regenerated documents table (or two datasets sharing
+    // a basename) can never silently reuse a stale fixture; files are
+    // written to a temp dir and renamed into place atomically, so
+    // concurrent Bench/Verify JVMs race harmlessly (same content → same
+    // key; loser's rename fails against an identical ready dir).
+    val docs = Tables.documents(spark, dir)
+      .filter($"doc_id" < 20).select($"doc_id", $"text")
+      .collect()
+    val md = MessageDigest.getInstance("MD5")
+    val payloads = docs.map { r =>
+      md.reset()
+      r.getLong(0) -> md.digest(r.getString(1).getBytes("UTF-8"))
+    }
+    md.reset()
+    payloads.foreach { case (id, bytes) =>
+      md.update(id.toString.getBytes("UTF-8")); md.update(bytes)
+    }
+    val tag = md.digest().take(8).map(b => f"$b%02x").mkString
     val out = new File(sys.props("java.io.tmpdir"),
-      s"graft_binfiles_${new File(dir).getName}").getAbsolutePath
-    // Fixture: write-once per sf dir; 20 tiny files, driver-side (this is
-    // test-input creation, not query work — a real deployment reads an
-    // existing media directory).
-    val marker = Paths.get(out, "_ready")
-    if (!Files.exists(marker)) {
-      Files.createDirectories(Paths.get(out))
-      val docs = Tables.documents(spark, dir)
-        .filter($"doc_id" < 20).select($"doc_id", $"text")
-        .collect()
-      val md = MessageDigest.getInstance("MD5")
-      docs.foreach { r =>
-        md.reset()
-        Files.write(Paths.get(out, f"doc_${r.getLong(0)}%03d.bin"),
-          md.digest(r.getString(1).getBytes("UTF-8")))
+      s"graft_binfiles_$tag").getAbsolutePath
+    if (!Files.isDirectory(Paths.get(out))) {
+      val tmp = Files.createTempDirectory(
+        Paths.get(sys.props("java.io.tmpdir")), s"graft_binfiles_$tag.")
+      payloads.foreach { case (id, bytes) =>
+        Files.write(tmp.resolve(f"doc_$id%03d.bin"), bytes)
       }
-      Files.write(marker, Array.emptyByteArray)
+      try Files.move(tmp, Paths.get(out),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException
+          if Files.isDirectory(Paths.get(out)) => // lost a benign race
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
     }
     val media = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.bin")
@@ -164,16 +181,19 @@ object Round3 {
     val scored = tf.join(broadcast(df), Seq("term"))
       .withColumn("tf_idf",
         $"tf" * log(lit(nDocs).cast("double") / $"df".cast("double")))
+    // ln() differs from DuckDB's in the last ulp on some inputs, so BOTH
+    // the emitted score AND the ranking key are floor-quantized to
+    // millionths (playbook rule): ranking on the raw double could flip
+    // neighbors whose scores differ by under the cross-engine drift, so
+    // the ordering key itself must be the bit-stable integer, with term
+    // as the within-tie tiebreaker.
     scored.filter($"doc_id" < 20)
+      .withColumn("tfidf_q", floor($"tf_idf" * 1e6).cast("long"))
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
-          .orderBy($"tf_idf".desc, $"term")))
+          .orderBy($"tfidf_q".desc, $"term")))
       .filter($"rnk" <= 3)
-      // ln() differs from DuckDB's in the last ulp on some inputs, so the
-      // emitted score is floor-quantized to millionths (playbook rule);
-      // the ranking itself is stable because (score, term) is unique.
-      .select($"doc_id", $"rnk", $"term", $"tf", $"df",
-        floor($"tf_idf" * 1e6).cast("long").as("tfidf_q"))
+      .select($"doc_id", $"rnk", $"term", $"tf", $"df", $"tfidf_q")
       .orderBy($"doc_id", $"rnk")
   }
 
@@ -278,6 +298,12 @@ object Round3 {
       converged = changed == 0
       rounds += 1
     }
+    // Fail LOUDLY if the cap was hit before convergence: an unconverged
+    // labeling silently emits wrong components. With pointer doubling the
+    // cap covers diameter ~2^12; a graph that still isn't done needs a
+    // bigger cap, not a wrong answer.
+    if (!converged) throw new IllegalStateException(
+      s"q79 label propagation did not converge within $rounds rounds")
     labels
       .groupBy($"label".as("cluster_keeper"))
       .agg(count(lit(1)).as("cluster_size"), sum($"v").as("member_id_sum"))
@@ -397,16 +423,17 @@ object Round3 {
         |), n AS (SELECT COUNT(*) AS n FROM documents),
         |ranked AS (
         |  SELECT doc_id, term, tf, df,
-        |    tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS tf_idf,
+        |    CAST(floor(tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS tfidf_q,
         |    ROW_NUMBER() OVER (PARTITION BY doc_id
-        |      ORDER BY tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) DESC,
+        |      ORDER BY CAST(floor(tf * ln(CAST(n AS DOUBLE)
+        |          / CAST(df AS DOUBLE)) * 1e6) AS BIGINT) DESC,
         |        term) AS rnk
         |  FROM tf JOIN df USING (term), n
         |  WHERE doc_id < 20
         |)
         |SELECT doc_id, CAST(rnk AS INT) AS rnk, term,
-        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
-        |  CAST(floor(tf_idf * 1e6) AS BIGINT) AS tfidf_q
+        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf_q
         |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q77_winnowing" ->
       """WITH grams AS (

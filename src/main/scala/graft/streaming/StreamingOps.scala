@@ -98,10 +98,11 @@ object StreamingOps {
 
   /** foreachBatch sink: per micro-batch, run an arbitrary BATCH write —
     * the escape hatch for sinks with no streaming connector (JDBC,
-    * upserts, multi-table fan-out). The batch is a plain DataFrame, so
-    * the full batch API (here: a per-batch aggregation + parquet append,
-    * partitioned by batch id for exactly-once-style idempotent re-runs)
-    * applies. */
+    * upserts, multi-table fan-out). foreachBatch is at-least-once: after
+    * a failure the SAME batchId can be re-invoked, so a plain append
+    * would duplicate the replayed batch's rows. Idempotence comes from
+    * partitioning by batch_id + DYNAMIC partition overwrite: a replayed
+    * batchId replaces exactly its own partition and touches no other. */
   def perBatchTypeTotals(events: DataFrame, outDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.outputMode(OutputMode.Append())
@@ -109,7 +110,9 @@ object StreamingOps {
         batch.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").partitionBy("batch_id").parquet(outDir)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
       }
 
   /** Bounded drain of a stream into parquet files with
