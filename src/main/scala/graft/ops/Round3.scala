@@ -173,10 +173,16 @@ object Round3 {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.count() // corpus-size scalar (driver splice, q74 shape)
-    val terms = docs
+    // fanoutReady: a single-file scan is ONE partition, and without the
+    // rebalance the whole term explosion runs in one task (playbook item
+    // 6 — this was 4.7 s of this query's 4.7 s at local[32]). tf is
+    // cached because BOTH the df aggregation and the score join consume
+    // it; uncached it would recompute the explode+aggregate twice.
+    val terms = Dedup.fanoutReady(docs)
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .filter(length($"term") > 0)
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .cache()
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), Seq("term"))
       .withColumn("tf_idf",

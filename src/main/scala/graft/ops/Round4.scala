@@ -1,0 +1,251 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import OpsUtil._
+
+/** Round-4 coverage: the remaining large-scale training-data-pipeline
+  * operations a 100 TB corpus job needs around the dedup/ANN core —
+  * RAG-style document chunking, funnel/sequence analytics over the event
+  * stream, bloom-filter semi-join reduction (the runtime-filter pattern),
+  * deterministic stratified sampling, embedding mean-pooling (the
+  * centroid/k-means-E-step shape), and a partitioned sink + partition-
+  * pruned scan round trip.
+  *
+  * Everything here follows the repo's oracle-parity rules (OpsUtil /
+  * memory playbook): integer or decimal-exact aggregates only, md5-derived
+  * hashes both engines can reproduce, floor-quantization for floats.
+  */
+object Round4 {
+
+  /** RAG chunking: split every document into overlapping character chunks
+    * (size 200, stride 150) with explode(sequence(...)) — codegen'd
+    * fan-out, no HOF lambdas (playbook item 7) — then chunk-level stats
+    * per source including a chunk-dedup ratio (distinct md5s / chunks).
+    * Scan-parallel: the only shuffle is the final tiny per-source
+    * aggregation, so the shape holds at any corpus size. */
+  val q82Chunking: Q = (spark, dir) => {
+    import spark.implicits._
+    val size = 200; val stride = 150
+    val docs = Dedup.fanoutReady(Tables.documents(spark, dir))
+    docs
+      .select($"source", $"text",
+        explode(sequence(lit(0),
+          floor(($"n_chars" - 1) / stride).cast("int"))).as("i"))
+      .select($"source",
+        $"text".substr(($"i" * stride + 1).cast("int"), lit(size)).as("chunk"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(length($"chunk")).cast("long").as("total_chunk_chars"),
+        countDistinct(md5($"chunk")).as("distinct_chunks"))
+      .orderBy($"source")
+  }
+
+  /** Event funnel (view → click → purchase): per user, the first view,
+    * the first click at-or-after it, the first purchase at-or-after that.
+    * Three aggregations joined on user_id — one shuffle key throughout,
+    * so on a cluster the per-stage exchanges reuse the same hash
+    * partitioning. Timestamps floored to epoch seconds (events.ts is
+    * ns-precision; playbook rule). */
+  val q83Funnel: Q = (spark, dir) => {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"user_id", $"event_type",
+      unix_timestamp($"ts".cast("timestamp")).as("sec"))
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"sec").as("v_sec"))
+    val c = e.filter($"event_type" === "click")
+      .join(v, Seq("user_id"))
+      .filter($"sec" >= $"v_sec")
+      .groupBy($"user_id", $"v_sec").agg(min($"sec").as("c_sec"))
+    val p = e.filter($"event_type" === "purchase")
+      .join(c.select($"user_id", $"c_sec"), Seq("user_id"))
+      .filter($"sec" >= $"c_sec")
+      .groupBy($"user_id").agg(min($"sec").as("p_sec"))
+    v.join(c.select($"user_id", $"c_sec"), Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_view"),
+        count($"c_sec").as("n_click"),
+        count($"p_sec").as("n_purchase"),
+        sum(when($"c_sec".isNotNull, $"c_sec" - $"v_sec")).cast("long")
+          .as("view_to_click_secs"),
+        sum(when($"p_sec".isNotNull, $"p_sec" - $"c_sec")).cast("long")
+          .as("click_to_purchase_secs"))
+  }
+
+  /** Semi-join reduction through a bloom filter — the runtime-filter
+    * pattern Spark's own InjectRuntimeFilter applies with
+    * BloomFilterAggregate/BloomFilterMightContain: build a compact filter
+    * on the dimension's keys, pre-filter the fact table BEFORE its
+    * shuffle (no false negatives, so nothing is lost), then let the exact
+    * semi-join remove the false positives. At cluster scale the bloom
+    * probe drops non-matching fact rows at the scan, so the join shuffles
+    * only ~selectivity × |fact| rows. Result is identical to the plain
+    * semi-join, which is exactly what the oracle checks. */
+  val q84BloomSemijoin: Q = (spark, dir) => {
+    import spark.implicits._
+    val dim = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING" && $"c_nationkey" < 10)
+      .select($"c_custkey")
+    // ~300 keys/sf0.1: 64 KiB of bits at 1% fpp, broadcast inside the udf
+    // closure the same way InjectRuntimeFilter ships its bloom subquery.
+    val bf = dim.stat.bloomFilter("c_custkey", 100000, 0.01)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bf.mightContain(k.longValue))
+    Tables.orders(spark, dir)
+      .filter(mightContain($"o_custkey"))
+      .join(broadcast(dim), $"o_custkey" === $"c_custkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Deterministic stratified sampling: a ~20 % per-language sample keyed
+    * by md5(doc_id:text) — the scale-correct replacement for
+    * sampleBy(seed), whose membership depends on partitioning and RNG
+    * stream. A doc's membership is a pure function of its content, so the
+    * sample is stable under re-sharding, re-runs, and corpus growth.
+    * Single-pass conditional aggregation — no join, one shuffle. */
+  val q85StratifiedSample: Q = (spark, dir) => {
+    import spark.implicits._
+    val in = conv(substring(md5(concat_ws(":", $"doc_id", $"text")), 1, 8),
+      16, 10).cast("long") % 5 === 0
+    Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("total_docs"),
+        count(when(in, 1)).as("sample_docs"),
+        sum(when(in, $"n_chars")).cast("long").as("sample_chars"))
+      .orderBy($"lang")
+  }
+
+  /** Embedding mean-pooling per label — the centroid build / k-means
+    * E-step shape: posexplode to (label, dim) pairs, quantize each
+    * component (floor ×1000, playbook rule), aggregate sum+count per
+    * (label, dim). The explode is codegen'd and the aggregation is
+    * map-side combined, so a billion-vector corpus reduces to
+    * |labels|·|dims| rows in one shuffle. Emitting sum+count (not the
+    * mean) keeps every value integer-exact; the caller divides. */
+  val q86EmbeddingPool: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .select($"label", $"pos",
+        floor($"x".cast("double") * 1000).cast("long").as("q"))
+      .groupBy($"label", $"pos")
+      .agg(count(lit(1)).as("n_vecs"), sum($"q").as("sum_q"))
+      .orderBy($"label", $"pos")
+  }
+
+  /** Partitioned sink + partition-pruned scan, round-tripped: write the
+    * corpus partitioned by lang (the hive-style layout a 100 TB corpus
+    * store uses so per-language jobs read only their directories), then
+    * read it back with a lang filter — Spark resolves that filter at the
+    * FILE LISTING level (PartitionFilters in the scan node), never
+    * opening the other partitions' files. The scratch dir is keyed by a
+    * content fingerprint (q73 pattern) and moved into place atomically. */
+  val q87PartitionedWrite: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val fp = docs.agg(
+      count(lit(1)), sum($"n_chars"), sum(crc32($"text"))).head()
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${fp.getLong(0)}:${fp.getLong(1)}:${fp.getLong(2)}"
+        .getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    val out = Paths.get(sys.props("java.io.tmpdir"), s"graft_langpart_$tag")
+    if (!Files.isDirectory(out)) {
+      val tmp = Files.createTempDirectory(
+        Paths.get(sys.props("java.io.tmpdir")), s"graft_langpart_$tag.")
+      docs.write.mode("overwrite").partitionBy("lang")
+        .parquet(tmp.resolve("data").toString)
+      try Files.move(tmp, out, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException
+          if Files.isDirectory(out) => // lost a benign race to a twin
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+    }
+    spark.read.parquet(out.resolve("data").toString)
+      .filter($"lang" === "en") // partition-pruned: only lang=en/ is listed
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"source")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q82_chunking" -> q82Chunking,
+    "q83_funnel" -> q83Funnel,
+    "q84_bloom_semijoin" -> q84BloomSemijoin,
+    "q85_stratified_sample" -> q85StratifiedSample,
+    "q86_embedding_pool" -> q86EmbeddingPool,
+    "q87_partitioned_write" -> q87PartitionedWrite,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q82_chunking" ->
+      """WITH chunks AS (
+        |  SELECT source, substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk
+        |  FROM documents,
+        |    LATERAL unnest(range(0, ((n_chars - 1) // 150) + 1)) t(i)
+        |)
+        |SELECT source, COUNT(*) AS n_chunks,
+        |  CAST(SUM(length(chunk)) AS BIGINT) AS total_chunk_chars,
+        |  CAST(COUNT(DISTINCT md5(chunk)) AS BIGINT) AS distinct_chunks
+        |FROM chunks GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q83_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), v AS (
+        |  SELECT user_id, MIN(sec) AS v_sec FROM e
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, MIN(e.sec) AS c_sec
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.sec >= v.v_sec GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, MIN(e.sec) AS p_sec
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.sec >= c.c_sec GROUP BY 1
+        |)
+        |SELECT COUNT(*) AS n_view,
+        |  COUNT(c_sec) AS n_click,
+        |  COUNT(p_sec) AS n_purchase,
+        |  CAST(SUM(c_sec - v_sec) AS BIGINT) AS view_to_click_secs,
+        |  CAST(SUM(p_sec - c_sec) AS BIGINT) AS click_to_purchase_secs
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
+        .stripMargin,
+    "q84_bloom_semijoin" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders
+         |WHERE o_custkey IN (
+         |  SELECT c_custkey FROM customer
+         |  WHERE c_mktsegment = 'BUILDING' AND c_nationkey < 10)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q85_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS total_docs,
+        |  CAST(COUNT(CASE WHEN sel THEN 1 END) AS BIGINT) AS sample_docs,
+        |  CAST(SUM(CASE WHEN sel THEN n_chars END) AS BIGINT) AS sample_chars
+        |FROM (
+        |  SELECT lang, n_chars,
+        |    CAST(('0x' || substr(md5(doc_id || ':' || text), 1, 8)) AS BIGINT)
+        |      % 5 = 0 AS sel
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q86_embedding_pool" ->
+      """SELECT label, CAST(i AS INT) AS pos,
+        |  COUNT(*) AS n_vecs,
+        |  CAST(SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000)
+        |    AS BIGINT)) AS BIGINT) AS sum_q
+        |FROM embeddings, range(0, 64) t(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q87_partitioned_write" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral specs for the round-4 pipeline operators (ops.Round4):
+  * chunk coverage, funnel ordering, bloom-prefilter exactness, sample
+  * determinism, pooling reconstruction, partition-pruned round trip. */
+class Round4Spec extends SparkSpec {
+
+  test("q82 chunking: chunks tile every document with stride-150 overlap") {
+    import spark.implicits._
+    // Chunk count must be ceil-like: one chunk per stride start < n_chars.
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars").collect()
+    val expected = docs.map(r => 1 + (r.getLong(1) - 1) / 150).sum
+    val got = ops.Round4.q82Chunking(spark, sf)
+      .agg(sum($"n_chunks")).head().getLong(0)
+    assert(got == expected)
+  }
+
+  test("q83 funnel stages are monotonically non-increasing") {
+    val r = ops.Round4.q83Funnel(spark, sf).head()
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p && p >= 0)
+  }
+
+  test("q84 bloom prefilter returns exactly the plain semi-join result") {
+    import spark.implicits._
+    val plain = graft.Tables.orders(spark, sf)
+      .join(
+        graft.Tables.customer(spark, sf)
+          .filter($"c_mktsegment" === "BUILDING" && $"c_nationkey" < 10)
+          .select($"c_custkey"),
+        $"o_custkey" === $"c_custkey", "left_semi")
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+      .collect().toSeq
+    val bloom = ops.Round4.q84BloomSemijoin(spark, sf)
+      .select($"o_orderpriority", $"n_orders")
+      .collect().toSeq
+    assert(bloom == plain)
+  }
+
+  test("q85 stratified sample membership is content-deterministic") {
+    val a = ops.Round4.q85StratifiedSample(spark, sf).collect().toSeq
+    val b = ops.Round4.q85StratifiedSample(spark, sf).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // Sample must be a subset of the stratum.
+    a.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("q86 pooling: per-(label,pos) vector counts reconstruct the corpus") {
+    import spark.implicits._
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val pooled = ops.Round4.q86EmbeddingPool(spark, sf)
+    // every dimension slot sees every vector of its label exactly once
+    assert(pooled.agg(sum($"n_vecs")).head().getLong(0) == n * 64)
+    assert(pooled.count() == pooled.select($"label", $"pos").distinct().count())
+  }
+
+  test("q87 partitioned round trip equals a direct filter of the source") {
+    import spark.implicits._
+    val direct = graft.Tables.documents(spark, sf)
+      .filter($"lang" === "en")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"source").collect().toSeq
+    val via = ops.Round4.q87PartitionedWrite(spark, sf).collect().toSeq
+    assert(via == direct)
+  }
+}
