@@ -173,7 +173,29 @@ object Round4 {
       .orderBy($"source")
   }
 
+  /** The custom DataSource V2 connector end-to-end: format(<provider>),
+    * a doc_id range predicate that the ScanBuilder clamps BEFORE
+    * partition planning (out-of-range input partitions are never
+    * created), and a projection that exercises column pruning (title is
+    * never computed). Every column is a deterministic function of
+    * doc_id, so the oracle regenerates the table from range(lo, hi). */
+  val q88CustomSource: Q = (spark, _) => {
+    import spark.implicits._
+    spark.read.format(classOf[graft.sources.GraftDocsSource].getName)
+      .option("rows", "200000").option("partitions", "32")
+      .load()
+      .filter($"doc_id" >= 2500 && $"doc_id" < 150000)
+      .groupBy(($"n_words" % 10).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"fp" % 1000).as("fp_mod_sum"),
+        min($"doc_id").as("min_id"),
+        max($"doc_id").as("max_id"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q88_custom_source" -> q88CustomSource,
     "q82_chunking" -> q82Chunking,
     "q83_funnel" -> q83Funnel,
     "q84_bloom_semijoin" -> q84BloomSemijoin,
@@ -183,6 +205,14 @@ object Round4 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q88_custom_source" ->
+      """SELECT CAST((i % 91 + 9) % 10 AS INT) AS bucket,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 1000) AS BIGINT) AS fp_mod_sum,
+        |  MIN(i) AS min_id, MAX(i) AS max_id
+        |FROM range(2500, 150000) t(i)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q82_chunking" ->
       """WITH chunks AS (
         |  SELECT source, substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk

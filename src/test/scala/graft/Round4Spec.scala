@@ -58,6 +58,43 @@ class Round4Spec extends SparkSpec {
     assert(pooled.count() == pooled.select($"label", $"pos").distinct().count())
   }
 
+  test("DSv2 source: filter pushdown clamps the partition-planned range") {
+    import spark.implicits._
+    val df = spark.read
+      .format(classOf[graft.sources.GraftDocsSource].getName)
+      .option("rows", "1000").option("partitions", "10").load()
+      .filter($"doc_id" < 100)
+    // the ScanBuilder clamps [0,1000) to [0,100) BEFORE planInputPartitions
+    assert(df.queryExecution.executedPlan.toString.contains("range=[0,100)"))
+    assert(df.count() == 100)
+  }
+
+  test("DSv2 source: generators match the reader row-for-row") {
+    import spark.implicits._
+    val rows = spark.read
+      .format(classOf[graft.sources.GraftDocsSource].getName)
+      .option("rows", "50").option("partitions", "3").load()
+      .orderBy($"doc_id").collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == graft.sources.GraftDocsSource.title(id))
+      assert(r.getLong(2) == graft.sources.GraftDocsSource.fp(id))
+      assert(r.getInt(3) == graft.sources.GraftDocsSource.nWords(id))
+    }
+  }
+
+  test("DSv2 source: column pruning reaches the reader schema") {
+    import spark.implicits._
+    val df = spark.read
+      .format(classOf[graft.sources.GraftDocsSource].getName)
+      .option("rows", "100").option("partitions", "2").load()
+      .select($"n_words")
+    assert(df.queryExecution.executedPlan.toString.contains("cols=n_words"))
+    assert(df.agg(sum($"n_words")).head().getLong(0) ==
+      (0L until 100L).map(i => (i % 91 + 9)).sum)
+  }
+
   test("q87 partitioned round trip equals a direct filter of the source") {
     import spark.implicits._
     val direct = graft.Tables.documents(spark, sf)
