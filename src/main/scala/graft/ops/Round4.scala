@@ -194,8 +194,78 @@ object Round4 {
       .orderBy($"bucket")
   }
 
+  /** PII scrubbing — the redaction pass every training-data pipeline
+    * runs before release. The corpus has no natural PII, so emails and
+    * phone-shaped tokens are injected deterministically (a function of
+    * doc_id, reproducible in the oracle), then detected with
+    * regexp_extract_all and removed with regexp_replace. Patterns stay
+    * ASCII-only with simple character classes so Java regex and RE2
+    * agree (the q55 lesson). Scan-parallel scalar work; one tiny
+    * per-source aggregation. */
+  val q89PiiRedaction: Q = (spark, dir) => {
+    import spark.implicits._
+    val emailPat = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val phonePat = "555-[0-9]{4}"
+    val withPii = Tables.documents(spark, dir).withColumn("t",
+      concat(
+        when($"doc_id" % 3 === 0,
+          concat(lit("u"), $"doc_id", lit("@ex"), $"doc_id" % 7,
+            lit(".com "))).otherwise(lit("")),
+        $"text",
+        when($"doc_id" % 5 === 0,
+          concat(lit(" 555-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+    withPii
+      .select($"source",
+        size(regexp_extract_all($"t", lit(emailPat), lit(0))).as("ne"),
+        size(regexp_extract_all($"t", lit(phonePat), lit(0))).as("np"),
+        length(regexp_replace(regexp_replace($"t", emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>")).as("rl"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"ne").cast("long").as("n_emails"),
+        sum($"np").cast("long").as("n_phones"),
+        sum($"rl").cast("long").as("redacted_chars"))
+      .orderBy($"source")
+  }
+
+  /** CDC merge — what a lakehouse MERGE INTO compiles to: base snapshot
+    * ∪ changelog (upserts with a higher version, deletes as tombstones),
+    * per-key latest-version wins, tombstones drop out. One shuffle on
+    * the key; at 100 TB this is the standard incremental-maintenance
+    * pass (and the batch face of the streaming upsert). The changelog is
+    * derived deterministically from the corpus so the oracle rebuilds
+    * the identical merge. */
+  val q90CdcMerge: Q = (spark, dir) => {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars",
+        lit(0L).as("version"), lit(false).as("deleted"))
+    val upserts = base.filter($"doc_id" % 11 === 0)
+      .select($"doc_id", $"lang", ($"n_chars" + 3).as("n_chars"),
+        lit(1L).as("version"), lit(false).as("deleted"))
+    val deletes = base.filter($"doc_id" % 13 === 0)
+      .select($"doc_id", $"lang", lit(0L).as("n_chars"),
+        lit(2L).as("version"), lit(true).as("deleted"))
+    base.unionByName(upserts).unionByName(deletes)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+          .orderBy($"version".desc)))
+      .filter($"rnk" === 1 && !$"deleted")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_live"),
+        count(when($"version" === 1, 1)).as("n_updated"),
+        sum($"n_chars").as("total_chars"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q88_custom_source" -> q88CustomSource,
+    "q89_pii_redaction" -> q89PiiRedaction,
+    "q90_cdc_merge" -> q90CdcMerge,
     "q82_chunking" -> q82Chunking,
     "q83_funnel" -> q83Funnel,
     "q84_bloom_semijoin" -> q84BloomSemijoin,
@@ -212,6 +282,50 @@ object Round4 {
         |    AS BIGINT) % 1000) AS BIGINT) AS fp_mod_sum,
         |  MIN(i) AS min_id, MAX(i) AS max_id
         |FROM range(2500, 150000) t(i)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q89_pii_redaction" ->
+      """WITH pii AS (
+        |  SELECT source,
+        |    (CASE WHEN doc_id % 3 = 0
+        |       THEN 'u' || doc_id || '@ex' || (doc_id % 7) || '.com '
+        |       ELSE '' END)
+        |    || text
+        |    || (CASE WHEN doc_id % 5 = 0
+        |        THEN ' 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |        ELSE '' END) AS t
+        |  FROM documents
+        |)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(SUM(len(regexp_extract_all(t, '555-[0-9]{4}')))
+        |    AS BIGINT) AS n_phones,
+        |  CAST(SUM(length(regexp_replace(
+        |    regexp_replace(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g'))) AS BIGINT) AS redacted_chars
+        |FROM pii GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q90_cdc_merge" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, n_chars, 0 AS version, FALSE AS deleted
+        |  FROM documents
+        |), ups AS (
+        |  SELECT doc_id, lang, n_chars + 3 AS n_chars, 1 AS version,
+        |    FALSE AS deleted
+        |  FROM documents WHERE doc_id % 11 = 0
+        |), dels AS (
+        |  SELECT doc_id, lang, 0 AS n_chars, 2 AS version, TRUE AS deleted
+        |  FROM documents WHERE doc_id % 13 = 0
+        |), merged AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY version DESC) AS rnk
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM ups
+        |        UNION ALL SELECT * FROM dels)
+        |)
+        |SELECT lang, COUNT(*) AS n_live,
+        |  CAST(COUNT(CASE WHEN version = 1 THEN 1 END) AS BIGINT)
+        |    AS n_updated,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM merged WHERE rnk = 1 AND NOT deleted
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q82_chunking" ->
       """WITH chunks AS (
