@@ -1,13 +1,19 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Throwaway micro-probe: per-round cost of the q79 label-propagation loop. */
+/** Dev-only steady-state prober: run the named queries N times each in
+  * one JVM (same configs as Bench) and print per-run times — separates
+  * plan cost from JIT warmup and host noise before any optimization
+  * decision. Usage:
+  *   runMain graft.DebugShuffle q43_ngram_jaccard q79_dup_clusters
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_REPS (default 3).
+  */
 object DebugShuffle {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,44 +23,20 @@ object DebugShuffle {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-
-    def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[x] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-
-    val pairs = ops.Dedup.q41MinhashLsh(spark, sfDir)
-      .select($"doc_a", $"doc_b").cache()
-    t("pairs materialize")(println("pairs=" + pairs.count()))
-    val edges = pairs
-      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .cache()
-    t("edges")(println("edges=" + edges.count()))
-
-    var labels = edges.select($"doc_a".as("v")).distinct()
-      .withColumn("label", $"v").cache()
-    t("labels0")(labels.count())
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 12) {
-      val nmin = edges.join(labels, edges("doc_b") === labels("v"))
-        .groupBy(edges("doc_a").as("nv")).agg(min($"label").as("nmin"))
-      val step1 = labels.select($"v", $"label".as("old"))
-        .join(nmin, $"v" === $"nv", "left")
-        .select($"v", $"old",
-          least($"old", coalesce($"nmin", $"old")).as("l1"))
-      val next = step1.as("a")
-        .join(step1.select($"v".as("pv"), $"l1".as("pl")).as("b"),
-          $"l1" === $"pv", "left")
-        .select($"v", $"old",
-          least($"l1", coalesce($"pl", $"l1")).as("label"))
-      val mat = t(s"round $rounds ckpt")(next.localCheckpoint(true))
-      val changed = t(s"round $rounds count")(mat.filter($"old" =!= $"label").count())
-      println(s"  changed=$changed")
-      labels = mat.select($"v", $"label")
-      converged = changed == 0
-      rounds += 1
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q43_ngram_jaccard", "q41_minhash_lsh", "q79_dup_clusters",
+        "q60_ml_metrics", "q02_top_nation")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      println(f"[probe] $name: ${times.map(t => f"$t%.2f").mkString(" ")} " +
+        f"(min ${times.min}%.2f)")
     }
     spark.stop()
   }

@@ -262,10 +262,47 @@ object Round4 {
       .orderBy($"lang")
   }
 
+  /** Fixed-iteration PageRank (power iteration, 3 rounds) over a
+    * deterministic 2-out-regular link graph on the corpus ids — the
+    * second iterative-graph operator beside q79's label propagation.
+    * All arithmetic is INTEGER micro-units (ranks start at 1e6;
+    * contribution = r div outdeg; damping = 150000 + 85·Σ div 100), so
+    * both engines compute bit-identical ranks — truncating div equals
+    * floor div on non-negative values in Spark and DuckDB. Per round:
+    * one join + one aggregate on the dst key, state localCheckpoint'ed
+    * so the plan stays constant-size (the q79 lesson); a billion-edge
+    * graph partitions identically. Fixed rounds (not to-convergence)
+    * keep the oracle expressible as chained CTEs; a production run
+    * would loop until the max delta drops below epsilon. */
+  val q91Pagerank: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id").cache()
+    val n = docs.count()
+    val edges = docs.select($"doc_id".as("src"), explode(array(
+        ($"doc_id" * 2 + 1) % n, ($"doc_id" * 3 + 2) % n)).as("dst"))
+      .cache()
+    var ranks = docs.select($"doc_id".as("v"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges.join(ranks, $"src" === $"v")
+        .select($"dst", expr("r div 2").as("c")) // outdeg is 2 by construction
+        .groupBy($"dst").agg(sum($"c").as("s"))
+      ranks = docs.select($"doc_id".as("v"))
+        .join(contrib, $"v" === $"dst", "left")
+        .select($"v",
+          (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks
+      .orderBy($"r".desc, $"v")
+      .limit(10)
+      .select($"v".as("doc_id"), $"r".as("rank_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q88_custom_source" -> q88CustomSource,
     "q89_pii_redaction" -> q89PiiRedaction,
     "q90_cdc_merge" -> q90CdcMerge,
+    "q91_pagerank" -> q91Pagerank,
     "q82_chunking" -> q82Chunking,
     "q83_funnel" -> q83Funnel,
     "q84_bloom_semijoin" -> q84BloomSemijoin,
@@ -327,6 +364,33 @@ object Round4 {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM merged WHERE rnk = 1 AND NOT deleted
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q91_pagerank" -> {
+      // one power-iteration round as a CTE body (integer arithmetic:
+      // // on non-negative values == Spark's div)
+      def round(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT d.doc_id AS v,
+           |    150000 + (85 * COALESCE(SUM(p.r // 2), 0)) // 100 AS r
+           |  FROM documents d
+           |  LEFT JOIN edges e ON e.dst = d.doc_id
+           |  LEFT JOIN $prev p ON p.v = e.src
+           |  GROUP BY 1
+           |)"""
+      s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+         |edges AS (
+         |  SELECT doc_id AS src, (doc_id * 2 + 1) % n AS dst
+         |  FROM documents, n
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 3 + 2) % n FROM documents, n
+         |),
+         |r0 AS (SELECT doc_id AS v, CAST(1000000 AS BIGINT) AS r
+         |       FROM documents),
+         |${round("r0", "r1")},
+         |${round("r1", "r2")},
+         |${round("r2", "r3")}
+         |SELECT v AS doc_id, CAST(r AS BIGINT) AS rank_micro
+         |FROM r3 ORDER BY r DESC, v LIMIT 10""".stripMargin
+    },
     "q82_chunking" ->
       """WITH chunks AS (
         |  SELECT source, substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk

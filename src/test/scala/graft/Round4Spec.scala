@@ -95,6 +95,25 @@ class Round4Spec extends SparkSpec {
       (0L until 100L).map(i => (i % 91 + 9)).sum)
   }
 
+  test("q91 integer pagerank matches a driver-side brute force") {
+    val n = graft.Tables.documents(spark, sf).count().toInt
+    var r = Array.fill(n)(1000000L)
+    for (_ <- 1 to 3) {
+      val in = Array.fill(n)(0L)
+      for (i <- 0 until n) {
+        in((i * 2 + 1) % n) += r(i) / 2
+        in((i * 3 + 2) % n) += r(i) / 2
+      }
+      r = in.map(s => 150000L + (85L * s) / 100L)
+    }
+    val expected = r.zipWithIndex
+      .sortBy { case (rank, v) => (-rank, v) }.take(10)
+      .map { case (rank, v) => (v.toLong, rank) }.toSeq
+    val got = ops.Round4.q91Pagerank(spark, sf).collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
   test("q87 partitioned round trip equals a direct filter of the source") {
     import spark.implicits._
     val direct = graft.Tables.documents(spark, sf)
