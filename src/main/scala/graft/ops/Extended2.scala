@@ -198,9 +198,14 @@ object Extended2 {
     * counterpart of the hand-rolled lag/cumsum sessionizer (q18) and the
     * streaming flatMapGroupsWithState sessionizer. Timestamps are floored
     * to whole seconds first: the raw column carries sub-second noise and
-    * session semantics must match the oracle bit-for-bit. Spark merges an
-    * event into a session while t < last + gap, so the oracle splits on
-    * gap >= 1800 (note: strictly-greater in q18's 30-min variant). */
+    * session semantics must match the oracle bit-for-bit. Spark's session
+    * merge is INCLUSIVE at the boundary — [t, t+gap) and [t+gap, ...)
+    * are adjacent and MERGE (an event exactly `gap` after the previous
+    * one extends the session) — so the oracle splits only on
+    * gap > 1800. Caught at sf0.1: one user pair sits exactly 1800 s
+    * apart after flooring, and a >=-split oracle emitted one extra
+    * session; sf0.01 has no boundary pair, so the driver's gate alone
+    * never exercises this edge. */
   val q68SessionWindow: Q = (spark, dir) => {
     import spark.implicits._
     val e = Tables.events(spark, dir)
@@ -390,7 +395,7 @@ object Extended2 {
          |  SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prev
          |  FROM e
          |), m AS (
-         |  SELECT *, CASE WHEN prev IS NULL OR sec - prev >= 1800
+         |  SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800
          |    THEN 1 ELSE 0 END AS brk
          |  FROM o
          |), s AS (
