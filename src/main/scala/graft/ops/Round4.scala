@@ -298,11 +298,35 @@ object Round4 {
       .select($"v".as("doc_id"), $"r".as("rank_micro"))
   }
 
+  /** Approximate-quantile sketch beside q45's exact-rank percentiles —
+    * the q64 (HLL) pattern: each engine computes its OWN approx estimate
+    * and checks it against its own exact quantile (estimates differ
+    * between sketch implementations; the bound check is the comparable
+    * output). Exact interpolated quantiles over integer cents are
+    * .0/.5-exact doubles, so the exact column itself still hash-matches.
+    * At 100 TB the sketch is one pass + constant memory per group where
+    * the exact quantile needs a per-group sort. */
+  val q92ApproxQuantile: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        percentile($"cents", lit(0.5)).as("exact_med_cents"),
+        percentile_approx($"cents", lit(0.5), lit(10000)).as("apx"))
+      .select($"o_orderpriority", $"exact_med_cents",
+        (abs($"apx" - $"exact_med_cents") / $"exact_med_cents" <= 0.01)
+          .as("approx_ok"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
     "q88_custom_source" -> q88CustomSource,
     "q89_pii_redaction" -> q89PiiRedaction,
     "q90_cdc_merge" -> q90CdcMerge,
     "q91_pagerank" -> q91Pagerank,
+    "q92_approx_quantile" -> q92ApproxQuantile,
     "q82_chunking" -> q82Chunking,
     "q83_funnel" -> q83Funnel,
     "q84_bloom_semijoin" -> q84BloomSemijoin,
@@ -391,6 +415,15 @@ object Round4 {
          |SELECT v AS doc_id, CAST(r AS BIGINT) AS rank_micro
          |FROM r3 ORDER BY r DESC, v LIMIT 10""".stripMargin
     },
+    "q92_approx_quantile" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(cents, 0.5) AS exact_med_cents,
+        |  abs(approx_quantile(cents, 0.5) - quantile_cont(cents, 0.5))
+        |    / quantile_cont(cents, 0.5) <= 0.01 AS approx_ok
+        |FROM (SELECT o_orderpriority,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q82_chunking" ->
       """WITH chunks AS (
         |  SELECT source, substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk
