@@ -38,6 +38,17 @@ object StreamingOps {
       .withWatermark("ts", "30 minutes")
       .dropDuplicates("event_id")
 
+  /** Streaming CONTENT dedup: drop re-ingested rows whose payload text
+    * (not id) was already seen inside the watermark — the streaming face
+    * of q40's exact corpus dedup. Keyed on md5(text), so replays and
+    * re-crawls of identical text dedup even under fresh ids; state holds
+    * one 32-char key per distinct text younger than the watermark. */
+  def dedupByContent(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_key", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("content_key")
+
   /** Stream-static enrichment join: each micro-batch joins against a
     * broadcast dimension table (the streaming face of the q05/q08 dim
     * joins). No stream-side state, no watermark needed — the static side

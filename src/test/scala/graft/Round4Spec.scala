@@ -41,6 +41,15 @@ class Round4Spec extends SparkSpec {
     assert(bloom == plain)
   }
 
+  test("q84 plan: bloom probe filters the fact scan below the semi-join") {
+    val plan = ops.Round4.q84BloomSemijoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"))
+    // the bloom mightContain UDF must sit in a Filter on the orders side,
+    // not above the join (scan-side row reduction is the whole point)
+    assert(plan.contains("UDF(o_custkey"))
+  }
+
   test("q85 stratified sample membership is content-deterministic") {
     val a = ops.Round4.q85StratifiedSample(spark, sf).collect().toSeq
     val b = ops.Round4.q85StratifiedSample(spark, sf).collect().toSeq

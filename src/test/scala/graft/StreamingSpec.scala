@@ -6,11 +6,32 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.Event
 
+/** Row shape for the streaming content-dedup spec. */
+case class TextDoc(doc_id: Long, ts: Timestamp, text: String)
+
 /** Structured Streaming specs via MemoryStream → memory sink (SURVEY.md
   * §2.14 seams: watermark + windowed agg; stateful sessionization). */
 class StreamingSpec extends SparkSpec {
 
   private def ts(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  test("streaming content dedup drops re-crawled identical text under new ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[TextDoc]
+    mem.addData(
+      TextDoc(1, ts(61), "alpha beta"),
+      TextDoc(2, ts(62), "alpha beta"), // same text re-ingested, fresh id
+      TextDoc(3, ts(63), "gamma"))
+    val q = StreamingOps.dedupByContent(mem.toDF())
+      .writeStream.format("memory").queryName("cdd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdd").select("doc_id").as[Long].collect().toSet
+        == Set(1L, 3L))
+    } finally q.stop()
+  }
 
   test("windowed counts aggregate 10-minute buckets under a watermark") {
     implicit val sqlCtx = spark.sqlContext
