@@ -77,16 +77,23 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    // Keep the JSON line SHORT: the driver captures a bounded tail of this
-    // process's output, and round 3's full-precision doubles (9+ digits x
-    // 81 queries ~ 3.5 KB) overflowed it — the head of the line was cut and
-    // the driver recorded "parsed": null. 2 decimals (10 ms) is more
-    // resolution than the run-to-run noise anyway.
+    // Keep the JSON line SHORT: the driver captures a bounded tail (~2.9 KB)
+    // of this process's output. Round 3's full-precision doubles overflowed
+    // it; round 4's 2-decimal line with full query names (~2.8 KB) STILL got
+    // its head cut — losing the "metric":"total" field that led the line.
+    // Two fixes, both applied: (1) per-query keys are the short qNN prefix
+    // (the full names live in Verify/CORRECTNESS output), which brings the
+    // whole line to ~1.3 KB so it survives the tail intact; (2) the
+    // total/sf fields go LAST so even a truncated capture keeps them.
     def f3(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    def shortKey(name: String): String = {
+      val i = name.indexOf('_')
+      if (i > 0) name.substring(0, i) else name
+    }
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"metric":"total","unit":"sec","sf":"$sfDir","value":${f3(total)}}""")
     spark.stop()
   }
 }

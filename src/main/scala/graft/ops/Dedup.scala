@@ -93,9 +93,15 @@ object Dedup {
     // shingle→signature aggregation once per side (no exchange reuse under
     // AQE here), doubling the most expensive stage for a 4-rows-per-doc
     // intermediate.
+    // Band identity is query-internal (only doc pairs escape this join), so
+    // the band key is an 8-byte xxhash64 of (band#, h_lo, h_hi) rather than
+    // the oracle's 32-char md5 hex — the self-join shuffles, compares and
+    // sorts longs instead of strings (the q43 lesson applied; a 64-bit
+    // collision across ~4·|docs| band rows is negligible and would only
+    // ADD a candidate pair, which exact Jaccard verification then rejects).
     val bands = sig.select($"doc_id", explode(array(
       (0 until 4).map(b =>
-        md5(concat_ws("_", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*
+        xxhash64(lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*
     )).as("band"))
       .cache()
     val cand = bands.as("ba").join(bands.as("bb"),

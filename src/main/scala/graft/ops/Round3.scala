@@ -267,21 +267,31 @@ object Round3 {
     * components with a recursive transitive-closure CTE. */
   lazy val q79DupClusters: Q = (spark, dir) => {
     import spark.implicits._
+    // Materialize the q41 pair table ONCE as a checkpointed leaf: the
+    // propagation loop then replans against a constant-size LogicalRDD
+    // instead of carrying the whole minhash pipeline (shingles, bands,
+    // verification joins) in every round's lineage, and q41's internal
+    // caches stop being referenced the moment this action completes.
     val pairs = Dedup.q41MinhashLsh(spark, dir)
-      .select($"doc_a", $"doc_b").cache()
+      .select($"doc_a", $"doc_b").localCheckpoint(true)
     val edges = pairs
       .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .cache()
+      .localCheckpoint(true)
     var labels = edges.select($"doc_a".as("v")).distinct()
       .withColumn("label", $"v")
-      .cache()
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
+    val changedAcc = spark.sparkContext.longAccumulator("q79_changed")
     // Per round: neighbor-min PLUS pointer doubling (take the label of
     // your label), which contracts chains geometrically — convergence in
-    // O(log diameter) rounds instead of O(diameter). One Spark action per
-    // round: the changed-count materializes the round's cache.
+    // O(log diameter) rounds instead of O(diameter). Exactly ONE Spark
+    // action per round: the convergence check rides a long accumulator
+    // inside the checkpoint job itself (a task retry could only
+    // OVER-count, which costs one extra round, never a wrong answer —
+    // changed can't falsely read 0).
     while (!converged && rounds < 12) {
+      changedAcc.reset()
       val nmin = edges.join(labels, edges("doc_b") === labels("v"))
         .groupBy(edges("doc_a").as("nv")).agg(min($"label").as("nmin"))
       val step1 = labels.select($"v", $"label".as("old"))
@@ -297,11 +307,17 @@ object Round3 {
       // round. With cache alone the round-N plan still nests all prior
       // rounds, and planning+codegen grow with the iteration count
       // (measured 5.5 s -> 42 s from round 0 to round 1); checkpointed,
-      // every round replans the same constant-size tree.
-      val mat = next.localCheckpoint(true)
-      val changed = mat.filter($"old" =!= $"label").count()
-      labels = mat.select($"v", $"label")
-      converged = changed == 0
+      // every round replans the same constant-size tree. The label table
+      // is |affected docs|-sized (far below the corpus), so the typed map
+      // that feeds the accumulator is off the hot path by construction.
+      labels = next.as[(Long, Long, Long)]
+        .map { case (v, old, label) =>
+          if (old != label) changedAcc.add(1L)
+          (v, label)
+        }
+        .toDF("v", "label")
+        .localCheckpoint(true)
+      converged = changedAcc.value == 0L
       rounds += 1
     }
     // Fail LOUDLY if the cap was hit before convergence: an unconverged

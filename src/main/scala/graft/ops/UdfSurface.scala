@@ -37,8 +37,10 @@ object UdfSurface {
     s"CAST(('0x' || substr($p, $pos, 2)) AS INT)"
 
   /** BGRA pixel (8 hex chars) → color name; mirrors toColorName
-    * (`:667-701`): byte order B,G,R,A; alpha<128 ⇒ "None". */
-  private def colorName(p: Column): Column = {
+    * (`:667-701`): byte order B,G,R,A; alpha<128 ⇒ "None".
+    * private[ops]: Round5's q93 runs the same pipeline over REAL
+    * `format("image")` bytes instead of synthesized hex. */
+  private[ops] def colorName(p: Column): Column = {
     val b = quant(hexByte(p, 1))
     val g = quant(hexByte(p, 3))
     val r = quant(hexByte(p, 5))
@@ -55,7 +57,7 @@ object UdfSurface {
         .otherwise(concat_ws("-", lit("Gray"), r, g, b)))
   }
 
-  private def colorNameSql(p: String): String = {
+  private[ops] def colorNameSql(p: String): String = {
     val b = quantSql(hexByteSql(p, 1))
     val g = quantSql(hexByteSql(p, 3))
     val r = quantSql(hexByteSql(p, 5))

@@ -1,10 +1,13 @@
 package graft.sources
 
 import java.util
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -37,7 +40,8 @@ class GraftDocsSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new GraftDocsTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "8").toInt)
+      properties.getOrDefault("partitions", "8").toInt,
+      Option(properties.get("path")))
 }
 
 object GraftDocsSource {
@@ -60,13 +64,34 @@ object GraftDocsSource {
   def title(id: Long): String = s"doc-$id"
 }
 
-class GraftDocsTable(rows: Long, parts: Int) extends Table with SupportsRead {
-  override def name(): String = s"graft_docs(rows=$rows)"
+/** Two personalities behind one provider, selected by the `path` option:
+  *  - no path: the generative read-only table (q88) — every column a
+  *    function of doc_id.
+  *  - path set: a FILE-BACKED table over `part-*.tsv` in that directory,
+  *    readable AND writable — the full connector lifecycle
+  *    (`WriteBuilder` → `BatchWrite` → `DataWriter` with staged files,
+  *    idempotent task commit, and a driver-side finalize) that a real
+  *    storage system plugs in through, plus the read path back over the
+  *    committed files (q94 round-trips through both).
+  */
+class GraftDocsTable(rows: Long, parts: Int, path: Option[String])
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String =
+    path.map(p => s"graft_docs(path=$p)").getOrElse(s"graft_docs(rows=$rows)")
   override def schema(): StructType = GraftDocsSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftDocsScanBuilder(rows, parts)
+    path match {
+      case Some(p) => new GraftFilesScanBuilder(p)
+      case None    => new GraftDocsScanBuilder(rows, parts)
+    }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val p = path.getOrElse(throw new IllegalArgumentException(
+      "graft_docs: writes need the 'path' option (the generative table is read-only)"))
+    new GraftDocsWriteBuilder(p, info)
+  }
 }
 
 class GraftDocsScanBuilder(rows: Long, parts: Int) extends ScanBuilder
@@ -147,4 +172,172 @@ class GraftDocsReaderFactory(cols: Array[String])
       override def close(): Unit = ()
     }
   }
+}
+
+// ---------------------------------------------------------------------------
+// Path-backed read: scan the committed part-*.tsv files, one independent
+// reader per file (executor-parallel like any file scan). Column pruning
+// applies — unreferenced fields of each parsed line are never materialized
+// into row values. Row-level filters are left to Spark post-scan (a file
+// format would add min/max pruning here; out of scope for the TSV demo).
+// ---------------------------------------------------------------------------
+
+class GraftFilesScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = GraftDocsSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GraftFilesScan(path, required)
+}
+
+class GraftFilesScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftDocsFiles path=$path cols=${required.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(path)
+    if (!Files.isDirectory(dir)) return Array.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.toArray
+      .filter(f => f.getFileName.toString.matches("part-\\d+\\.tsv"))
+      .sortBy(_.getFileName.toString)
+      .map(f => GraftFilePartition(f.toString): InputPartition)
+    finally s.close()
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftFilesReaderFactory(required.fieldNames)
+}
+
+case class GraftFilePartition(file: String) extends InputPartition
+
+class GraftFilesReaderFactory(cols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val file = p.asInstanceOf[GraftFilePartition].file
+    new PartitionReader[InternalRow] {
+      private val lines =
+        Files.readAllLines(Paths.get(file), StandardCharsets.UTF_8).iterator()
+      private var cur: Array[String] = _
+      override def next(): Boolean = {
+        if (!lines.hasNext) return false
+        cur = lines.next().split("\t", -1)
+        true
+      }
+      override def get(): InternalRow =
+        // canonical TSV order: doc_id, title, fp, n_words (the writer's
+        // order, independent of the query's write-projection order)
+        InternalRow.fromSeq(cols.toSeq.map {
+          case "doc_id" => cur(0).toLong
+          case "title" => UTF8String.fromString(cur(1))
+          case "fp" => cur(2).toLong
+          case "n_words" => cur(3).toInt
+        })
+      override def close(): Unit = ()
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Write path: WriteBuilder -> BatchWrite -> DataWriter with the classic
+// staged-file commit protocol —
+//   task attempt  : writes to _staging/<queryId>/part-<pid>.tsv.attempt-<tid>
+//   task commit   : atomic rename to _staging/<queryId>/part-<pid>.tsv
+//                   (REPLACE_EXISTING — a retried or speculative attempt of
+//                   the same partition collapses onto one file, and partition
+//                   content is deterministic, so task commit is idempotent)
+//   driver commit : clears old part files when truncating, then atomically
+//                   moves every staged file into the table root and stamps
+//                   _SUCCESS; a failed job leaves the root untouched
+//   abort         : deletes the staging directory only
+// This is FileOutputCommitter-style v1 semantics on a plain directory — the
+// shape a 100 TB sink needs (commit work proportional to #files, no data
+// rewrite, safe re-runs), minus only a catalog transaction log.
+// ---------------------------------------------------------------------------
+
+class GraftDocsWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftDocsBatchWrite(path, info.queryId(), info.schema(), doTruncate)
+  }
+}
+
+class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType,
+    truncate: Boolean) extends BatchWrite {
+  private def root = Paths.get(path)
+  private def staging = root.resolve("_staging").resolve(queryId)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(staging)
+    // field positions of the canonical TSV columns within the incoming
+    // write schema (Spark has already validated it against the table)
+    val idx = Array("doc_id", "title", "fp", "n_words")
+      .map(writeSchema.fieldIndex)
+    new GraftDocsWriterFactory(staging.toString, idx)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    Files.createDirectories(root)
+    if (truncate) {
+      val s = Files.list(root)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.matches("part-\\d+\\.tsv") ||
+              f.getFileName.toString == "_SUCCESS") Files.deleteIfExists(f)
+        }
+      } finally s.close()
+    }
+    messages.foreach { case GraftDocsCommitMessage(name) =>
+      Files.move(staging.resolve(name), root.resolve(name),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    Files.write(root.resolve("_SUCCESS"), Array.empty[Byte])
+    cleanupStaging()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanupStaging()
+
+  private def cleanupStaging(): Unit = {
+    try org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+    catch { case _: java.io.IOException => () }
+    // remove _staging itself when this was the last writer
+    try Files.deleteIfExists(root.resolve("_staging")) catch {
+      case _: java.nio.file.DirectoryNotEmptyException => ()
+    }
+  }
+}
+
+case class GraftDocsCommitMessage(fileName: String) extends WriterCommitMessage
+
+class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val finalName = f"part-$partitionId%05d.tsv"
+      private val attempt =
+        Paths.get(stagingDir).resolve(s"$finalName.attempt-$taskId")
+      private val out = Files.newBufferedWriter(attempt, StandardCharsets.UTF_8)
+      override def write(row: InternalRow): Unit = {
+        out.write(row.getLong(idx(0)).toString); out.write('\t')
+        out.write(row.getUTF8String(idx(1)).toString); out.write('\t')
+        out.write(row.getLong(idx(2)).toString); out.write('\t')
+        out.write(row.getInt(idx(3)).toString); out.write('\n')
+      }
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        Files.move(attempt, Paths.get(stagingDir).resolve(finalName),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        GraftDocsCommitMessage(finalName)
+      }
+      override def abort(): Unit = { out.close(); Files.deleteIfExists(attempt) }
+      override def close(): Unit = ()
+    }
 }
