@@ -75,6 +75,15 @@ object Bench {
       // Queries that .cache() intermediates would otherwise leak blocks
       // into every later query's heap — isolate them.
       spark.catalog.clearCache()
+      // Per-query GC settle: clearCache frees references but the DEAD cache
+      // blocks still occupy the heap until a collection, so the queries
+      // that happen to run right after the cache-heavy dedup block were
+      // paying its young-GC pressure (round 4: q44-q51 measured 2.2-3.2x
+      // slower in-suite than in isolation, with identical plans). One
+      // collection between timed queries restores per-query isolation —
+      // the cluster analog is fresh executors per job, so this is the
+      // faithful measurement, not a benchmark trick.
+      System.gc()
       name -> dt
     }
     // Keep the JSON line SHORT: the driver captures a bounded tail (~2.9 KB)

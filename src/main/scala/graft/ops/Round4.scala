@@ -300,12 +300,17 @@ object Round4 {
 
   /** Approximate-quantile sketch beside q45's exact-rank percentiles —
     * the q64 (HLL) pattern: each engine computes its OWN approx estimate
-    * and checks it against its own exact quantile (estimates differ
+    * and checks it against its own exact quantiles (estimates differ
     * between sketch implementations; the bound check is the comparable
-    * output). Exact interpolated quantiles over integer cents are
-    * .0/.5-exact doubles, so the exact column itself still hash-matches.
-    * At 100 TB the sketch is one pass + constant memory per group where
-    * the exact quantile needs a per-group sort. */
+    * output). The bound is a RANK-error bound — the sketch's median must
+    * land between the exact 45th and 55th percentiles — because rank
+    * error is what quantile sketches actually guarantee; a relative
+    * VALUE bound (round 4's 1%) breaks at small scale, where the data
+    * points adjacent to the median can sit several percent apart (caught
+    * by the sf0.001 sweep, round 5). Exact interpolated quantiles over
+    * integer cents are exact doubles, so the exact column still
+    * hash-matches. At 100 TB the sketch is one pass + constant memory
+    * per group where the exact quantile needs a per-group sort. */
   val q92ApproxQuantile: Q = (spark, dir) => {
     import spark.implicits._
     Tables.orders(spark, dir)
@@ -314,10 +319,11 @@ object Round4 {
       .groupBy($"o_orderpriority")
       .agg(
         percentile($"cents", lit(0.5)).as("exact_med_cents"),
+        percentile($"cents", lit(0.45)).as("p45"),
+        percentile($"cents", lit(0.55)).as("p55"),
         percentile_approx($"cents", lit(0.5), lit(10000)).as("apx"))
       .select($"o_orderpriority", $"exact_med_cents",
-        (abs($"apx" - $"exact_med_cents") / $"exact_med_cents" <= 0.01)
-          .as("approx_ok"))
+        ($"apx" >= $"p45" && $"apx" <= $"p55").as("approx_ok"))
       .orderBy($"o_orderpriority")
   }
 
@@ -418,8 +424,9 @@ object Round4 {
     "q92_approx_quantile" ->
       """SELECT o_orderpriority,
         |  quantile_cont(cents, 0.5) AS exact_med_cents,
-        |  abs(approx_quantile(cents, 0.5) - quantile_cont(cents, 0.5))
-        |    / quantile_cont(cents, 0.5) <= 0.01 AS approx_ok
+        |  approx_quantile(cents, 0.5)
+        |    BETWEEN quantile_cont(cents, 0.45) AND quantile_cont(cents, 0.55)
+        |    AS approx_ok
         |FROM (SELECT o_orderpriority,
         |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |      FROM orders)

@@ -124,9 +124,70 @@ object Round5 {
       .orderBy($"bucket")
   }
 
+  /** Spark 4's VariantType end-to-end: `parse_json` shreds the events
+    * table's JSON props into the binary variant encoding once at the scan,
+    * then `variant_get` extracts typed fields with no further parsing —
+    * the modern replacement for per-access `get_json_object` string
+    * re-parsing (which q22/q60 cover). At corpus scale the parse happens
+    * exactly once per row and the extraction is a cheap binary probe. */
+  val q95Variant: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", parse_json($"props").as("v"))
+      .select($"event_type", variant_get($"v", "$.k", "int").as("k"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"k").cast("long").as("k_sum"),
+        count(when($"k" >= 50, 1)).as("k_high"))
+      .orderBy($"event_type")
+  }
+
+  /** Correlated LATERAL subquery — top-2 nations per region computed by a
+    * per-row dependent subquery that Catalyst decorrelates into a
+    * rank-filtered join (DecorrelateInnerQuery), rather than executing
+    * per outer row. The same SQL runs verbatim on DuckDB. */
+  val q96Lateral: Q = (spark, dir) => {
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_lat")
+    Tables.region(spark, dir).createOrReplaceTempView("region_lat")
+    spark.sql(
+      """SELECT r.r_name, t.n_name
+        |FROM region_lat r,
+        |  LATERAL (SELECT n_name FROM nation_lat n
+        |           WHERE n.n_regionkey = r.r_regionkey
+        |           ORDER BY n_name LIMIT 2) t
+        |ORDER BY r_name, n_name""".stripMargin)
+  }
+
+  /** Time-range rolling analytics: per-priority daily revenue with a
+    * 7-day RANGE frame (`rangeBetween(-6, 0)` over the integer day key —
+    * value-based, so calendar gaps are handled correctly, unlike a ROWS
+    * frame). All revenue stays in integer cents, so the window sums are
+    * exact and order-independent; output bounded to the first 60 days of
+    * 1995 (the frame still sees the preceding days). */
+  val q97RollingWindow: Q = (spark, dir) => {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .select($"o_orderpriority".as("pri"),
+        datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date"))
+          .as("day"),
+        round($"o_totalprice" * 100).cast("long").as("c"))
+      .groupBy($"pri", $"day").agg(sum($"c").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pri").orderBy($"day").rangeBetween(-6, 0)
+    daily
+      .withColumn("rolling_cents", sum($"cents").over(w))
+      .filter($"day" >= 0 && $"day" < 60)
+      .select($"pri", $"day", $"cents", $"rolling_cents")
+      .orderBy($"pri", $"day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q93_image_source" -> q93ImageSource,
     "q94_dsv2_write" -> q94Dsv2Write,
+    "q95_variant" -> q95Variant,
+    "q96_lateral" -> q96Lateral,
+    "q97_rolling_window" -> q97RollingWindow,
   )
 
   val oracle: Map[String, String] = Map(
@@ -155,5 +216,34 @@ object Round5 {
         |  MIN(i) AS min_id, MAX(i) AS max_id
         |FROM range(0, 5000) t(i) WHERE i % 3 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q95_variant" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS k_sum,
+        |  CAST(COUNT(CASE WHEN CAST(props->>'k' AS INT) >= 50 THEN 1 END)
+        |    AS BIGINT) AS k_high
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q96_lateral" ->
+      """SELECT r.r_name, t.n_name
+        |FROM region r,
+        |  LATERAL (SELECT n_name FROM nation n
+        |           WHERE n.n_regionkey = r.r_regionkey
+        |           ORDER BY n_name LIMIT 2) t
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q97_rolling_window" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INT)
+        |      AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT pri, day, cents,
+        |  CAST(SUM(cents) OVER (PARTITION BY pri ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS rolling_cents
+        |FROM daily
+        |QUALIFY day >= 0 AND day < 60
+        |ORDER BY pri, day""".stripMargin,
   )
 }
