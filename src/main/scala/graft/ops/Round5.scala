@@ -182,12 +182,83 @@ object Round5 {
       .orderBy($"pri", $"day")
   }
 
+  /** Full k-means Lloyd iterations (k=4, 2 rounds) over the embedding
+    * corpus — the complete clustering loop beside q86's E-step shape.
+    * Spark-first structure, mirroring MLlib's own KMeans:
+    *  - centroids live on the DRIVER between rounds (k×64 longs — tiny)
+    *    and enter each assignment pass as LITERAL arrays, so the
+    *    per-vector distance math is all codegen'd `dot_long` against
+    *    constants: dist²(x,cⱼ) = x·x − 2·x·cⱼ + cⱼ·cⱼ, with x·x shared
+    *    across the k candidates and cⱼ·cⱼ folded to a constant.
+    *  - assignment is argmin via a least()/when chain (ties → lowest j);
+    *    no |vectors|×k join materializes.
+    *  - the update step posexplodes assigned vectors to (cluster, dim)
+    *    partial sums (map-side combined — the q86 shape) and the new
+    *    centroid dim is `sum div count` (truncating integer division,
+    *    identical in DuckDB), keeping every round bit-exact cross-engine.
+    * Initial centroids are vectors 0..3. The oracle replays both rounds
+    * as chained CTEs. Output: per-cluster size, member checksum, and a
+    * centroid-coordinate checksum. */
+  val q98Kmeans: Q = (spark, dir) => {
+    import spark.implicits._
+    // +1000 offset keeps every quantized coordinate NON-NEGATIVE:
+    // distances are translation-invariant, and the centroid update's
+    // integer division then never sees a negative numerator — Spark's
+    // `div` truncates while DuckDB's `//` floors, and they only agree on
+    // non-negatives (the q91 rule, extended to signed data).
+    def quant(e: org.apache.spark.sql.Column) =
+      transform(e, x => floor(x.cast("double") * 1000).cast("long") + 1000L)
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", quant($"embedding").as("e"))
+      .withColumn("xx", graft.functions.VectorExprs.dotLong($"e", $"e"))
+      .cache()
+    // init: the quantized coordinates of vec_id 0..3, in id order
+    var centroids: Seq[Array[Long]] = vecs.filter($"vec_id" < 4)
+      .orderBy($"vec_id").select($"e").as[Array[Long]].collect().toSeq
+    def assigned = {
+      val dists = centroids.zipWithIndex.map { case (c, j) =>
+        val cc = c.map(v => v * v).sum
+        (graft.functions.VectorExprs.dotLong($"e", typedLit(c.toSeq)) * -2L +
+          $"xx" + lit(cc)).as(s"d$j")
+      }
+      val withD = vecs.select(($"vec_id" +: $"e" +: dists): _*)
+      val minD = least((0 until centroids.size).map(j => col(s"d$j")): _*)
+      // argmin with ties broken toward the LOWEST cluster id: scan the
+      // candidates in reverse so earlier clusters overwrite later ones
+      val cluster = (centroids.size - 1 to 0 by -1)
+        .foldLeft(lit(-1)) { (acc, j) =>
+          when(col(s"d$j") === minD, lit(j)).otherwise(acc)
+        }
+      withD.select($"vec_id", $"e", cluster.as("cluster"))
+    }
+    for (_ <- 1 to 2) {
+      val sums = assigned
+        .select($"cluster", posexplode($"e").as(Seq("dim", "x")))
+        .groupBy($"cluster", $"dim")
+        .agg(sum($"x").as("s"), count(lit(1)).as("n"))
+        .select($"cluster", $"dim", expr("s div n").as("c"))
+        .collect()
+      val k = centroids.size
+      val next = Array.fill(k)(new Array[Long](centroids.head.length))
+      sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      centroids = next.toSeq
+    }
+    assigned
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_vecs"), sum($"vec_id").as("member_id_sum"))
+      .withColumn("centroid_sum", typedLit(centroids.map(_.sum))
+        .getItem($"cluster"))
+      .select($"cluster", $"n_vecs", $"member_id_sum", $"centroid_sum")
+      .orderBy($"cluster")
+  }
+
   val queries: Map[String, Q] = Map(
     "q93_image_source" -> q93ImageSource,
     "q94_dsv2_write" -> q94Dsv2Write,
     "q95_variant" -> q95Variant,
     "q96_lateral" -> q96Lateral,
     "q97_rolling_window" -> q97RollingWindow,
+    "q98_kmeans" -> q98Kmeans,
   )
 
   val oracle: Map[String, String] = Map(
@@ -229,6 +300,53 @@ object Round5 {
         |           WHERE n.n_regionkey = r.r_regionkey
         |           ORDER BY n_name LIMIT 2) t
         |ORDER BY r_name, n_name""".stripMargin,
+    "q98_kmeans" -> {
+      // one Lloyd round as CTE text: assignment against centroid set
+      // <cin> (list form), then the updated centroid set <cout>
+      def assign(cin: String, out: String) =
+        s"""d_$out AS (
+           |  SELECT v.vec_id, v.e, c.j,
+           |    list_reduce(list_transform(range(1, 65),
+           |      i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i])),
+           |      (a, b) -> a + b) AS dist
+           |  FROM v, $cin c
+           |), $out AS (
+           |  SELECT vec_id, e, j AS cluster
+           |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |          ORDER BY dist, j) AS rn FROM d_$out)
+           |  WHERE rn = 1
+           |)"""
+      def update(ain: String, cout: String) =
+        s"""u_$cout AS (
+           |  SELECT cluster AS j, i AS dim, SUM(e[i + 1]) // COUNT(*) AS c
+           |  FROM $ain, range(0, 64) t(i)
+           |  GROUP BY 1, 2
+           |), $cout AS (
+           |  SELECT j, list(c ORDER BY dim) AS c FROM u_$cout GROUP BY j
+           |)"""
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)
+         |      AS e
+         |  FROM embeddings
+         |), c0 AS (
+         |  SELECT vec_id AS j, e AS c FROM v WHERE vec_id < 4
+         |),
+         |${assign("c0", "a1")},
+         |${update("a1", "c1")},
+         |${assign("c1", "a2")},
+         |${update("a2", "c2")},
+         |${assign("c2", "a3")}
+         |SELECT CAST(a3.cluster AS INT) AS cluster, COUNT(*) AS n_vecs,
+         |  CAST(SUM(a3.vec_id) AS BIGINT) AS member_id_sum,
+         |  ANY_VALUE(cs.s) AS centroid_sum
+         |FROM a3
+         |JOIN (SELECT j, CAST(list_reduce(c, (a, b) -> a + b) AS BIGINT) AS s
+         |      FROM c2) cs
+         |  ON cs.j = a3.cluster
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q97_rolling_window" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS pri,
