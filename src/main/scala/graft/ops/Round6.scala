@@ -199,12 +199,111 @@ object Round6 {
       .orderBy($"file_id")
   }
 
+  /** Sequence packing — the pretraining batch-prep stage that concatenates
+    * the tokenized corpus into fixed-capacity context windows (C = 512
+    * tokens) and cuts a bin boundary every C tokens; a document belongs to
+    * the bin where it STARTS. The core primitive is a global prefix sum
+    * of token counts in corpus order, computed the scale-correct way:
+    * a two-level scan (per-block partial sums → tiny cumulative offset
+    * table → block-local window), NOT one global unpartitioned window.
+    * The within-block window is partitioned by block (parallel), and the
+    * cross-block cumsum runs over |corpus|/100 rows — at 100 TB you add
+    * another level, the shape is the textbook distributed scan. Output is
+    * the bin-occupancy histogram (docs-per-bin → bin count + token mass),
+    * which is what a packing stage reports (padding waste / fill rate).
+    *
+    * The oracle computes the SAME prefix sum with DuckDB's global window —
+    * two different evaluation strategies, bit-identical integer result. */
+  val q104Packing: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("t"),
+        expr("doc_id div 100").as("blk"))
+    val blockSums = docs.groupBy($"blk").agg(sum($"t").as("bt"))
+    // cross-block running offset: |corpus|/100 rows — the only narrow
+    // window; its input is already aggregated so the single partition
+    // holds block subtotals, never documents
+    val wBlk = Window.orderBy($"blk").rowsBetween(Window.unboundedPreceding, -1)
+    val blockOff = blockSums
+      .withColumn("boff", coalesce(sum($"bt").over(wBlk), lit(0L)))
+      .select($"blk", $"boff")
+    val wDoc = Window.partitionBy($"blk").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .join(broadcast(blockOff), Seq("blk"))
+      .withColumn("off", $"boff" + coalesce(sum($"t").over(wDoc), lit(0L)))
+      .withColumn("bin", expr("off div 512"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("docs_in_bin"), sum($"t").as("bin_tokens"))
+      .groupBy($"docs_in_bin")
+      .agg(count(lit(1)).as("n_bins"), sum($"bin_tokens").as("tokens"))
+      .orderBy($"docs_in_bin")
+  }
+
+  /** Cross-document duplicated-passage detection: document pairs sharing
+    * ≥ 3 winnowing fingerprints (the q77 MOSS selection — any shared
+    * passage of ≥ 12 chars is guaranteed to share a fingerprint), found by
+    * a bucket join on the fingerprint value, never an all-pairs scan.
+    * Fingerprints appearing in > 10 documents are dropped first (the q43
+    * stop-gram rule): boilerplate fragments would otherwise explode the
+    * join quadratically in THEIR posting size while contributing no
+    * passage-level signal. The pair aggregation shuffles once on
+    * (doc_a, doc_b). */
+  val q105SharedPassages: Q = (spark, dir) => {
+    import spark.implicits._
+    // k=20-char grams (≈3-4 words), NOT q77's k=5: in a small-vocabulary
+    // corpus every 5-char fragment appears in thousands of documents, so
+    // at sf0.1 ALL fingerprints blew past the df cap and the result went
+    // empty — passage detection needs grams long enough to be
+    // passage-specific. Guaranteed-detected match length is w+k-1 = 27.
+    val k = 20; val w = 8
+    // q40's injected-duplicate corpus (every 7th doc re-appears shifted):
+    // the copies guarantee detectable shared passages, and any NATURAL
+    // near-dups surface through the same bucket join
+    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = base.unionByName(
+      base.filter($"doc_id" % 7 === 0)
+        .withColumn("doc_id", $"doc_id" + 1000000L))
+    val grams = Dedup.fanoutReady(corpus)
+      .filter(length($"text") >= k + w - 1) // at least one full window
+      .select($"doc_id", explode(sequence(lit(0), length($"text") - k)).as("pos"),
+        $"text")
+      .select($"doc_id", $"pos",
+        conv(substring(md5($"text".substr($"pos" + 1, lit(k))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val win = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(-(w - 1), 0)
+    val fps = grams
+      .withColumn("wm", min($"h").over(win))
+      .filter($"pos" >= w - 1)
+      .select($"doc_id", $"wm")
+      .distinct()
+      .cache()
+    // the df filter is corpus-derived, so it is NOT broadcast-hinted (at
+    // 100 TB it is itself large); it shuffles on wm — the same key the
+    // pair self-join uses, so the exchange is reused, and AQE may still
+    // choose broadcast when the rare set turns out small
+    val rare = fps.groupBy($"wm").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 10 && $"df" >= 2)
+    val r = fps.select($"doc_id".as("doc_b"), $"wm")
+    fps.join(rare, Seq("wm"))
+      .join(r, Seq("wm"))
+      .filter($"doc_id" < $"doc_b")
+      .groupBy($"doc_id".as("doc_a"), $"doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 3)
+      .orderBy($"n_shared".desc, $"doc_a", $"doc_b")
+      .limit(25)
+  }
+
   val queries: Map[String, Q] = Map(
     "q99_contamination" -> q99Contamination,
     "q100_unigram_surprise" -> q100UnigramSurprise,
     "q101_repetition" -> q101Repetition,
     "q102_mix_weights" -> q102MixWeights,
     "q103_zorder" -> q103Zorder,
+    "q104_packing" -> q104Packing,
+    "q105_shared_passages" -> q105SharedPassages,
   )
 
   val oracle: Map[String, String] = Map(
@@ -280,6 +379,52 @@ object Round6 {
         |    AS BIGINT) AS sampled_chars
         |FROM documents d JOIN rates r USING (lang)
         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+    // The oracle computes the prefix sum with ONE global window — a
+    // different evaluation strategy than the Spark side's two-level
+    // distributed scan; the integer results must agree bit-for-bit.
+    "q104_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, t,
+        |    COALESCE(SUM(t) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM d
+        |), b AS (
+        |  SELECT off // 512 AS bin, COUNT(*) AS docs_in_bin,
+        |    CAST(SUM(t) AS BIGINT) AS bin_tokens
+        |  FROM o GROUP BY 1
+        |)
+        |SELECT docs_in_bin, COUNT(*) AS n_bins,
+        |  CAST(SUM(bin_tokens) AS BIGINT) AS tokens
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q105_shared_passages" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0
+        |), grams AS (
+        |  SELECT doc_id, i AS pos,
+        |    CAST(('0x' || substr(md5(substr(text, i + 1, 20)), 1, 8)) AS BIGINT)
+        |      AS h
+        |  FROM corpus, LATERAL unnest(range(0, length(text) - 19)) t(i)
+        |  WHERE length(text) >= 27
+        |), sel AS (
+        |  SELECT DISTINCT doc_id,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wm
+        |  FROM grams
+        |  QUALIFY pos >= 7
+        |), rare AS (
+        |  SELECT wm FROM sel GROUP BY wm HAVING COUNT(*) BETWEEN 2 AND 10
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |FROM sel a JOIN rare USING (wm) JOIN sel b USING (wm)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 25""".stripMargin,
     "q103_zorder" -> {
       val morton = (0 until 5).map(i =>
         s"(((hx // ${1 << i}) % 2) * ${1 << (2 * i + 1)}" +

@@ -70,6 +70,70 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("q104: packing conserves every token and every document") {
+    import spark.implicits._
+    val hist = ops.Round6.q104Packing(spark, sf).collect()
+    assert(hist.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+    val expectTokens = docs.select(sum(size(split($"text", " ")))).head().getLong(0)
+    val expectDocs = docs.count()
+    // the histogram re-aggregates bins, so token/doc mass must be conserved
+    assert(hist.map(_.getLong(2)).sum == expectTokens)
+    assert(hist.map(r => r.getLong(0) * r.getLong(1)).sum == expectDocs)
+  }
+
+  test("q105: shared-passage pairs include the injected duplicates") {
+    val rows = ops.Round6.q105SharedPassages(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) >= 3))
+    // the q40-style injected copies (doc_id + 1000000) must be caught by
+    // the fingerprint bucket join — they share every passage
+    assert(rows.exists(r => r.getLong(1) - r.getLong(0) == 1000000L),
+      "no injected duplicate pair surfaced")
+  }
+
+  /** Temporarily set session confs, restoring previous values. */
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits the skewed partition of a sort-merge join (engine-native skew handling)") {
+    import spark.implicits._
+    // q39 demonstrates MANUAL salting; this proves the engine-native form:
+    // OptimizeSkewedJoin detects the hot key 0 (90% of the left side) and
+    // splits its partition into advisory-sized chunks at runtime.
+    withConf(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the shuffle join
+    ) {
+      // payload must SURVIVE the join (referenced by the aggregate) or
+      // column pruning leaves 8-byte rows and nothing looks skewed; md5
+      // keeps the shuffle bytes incompressible so size estimates hold
+      val left = spark.range(0, 50000).select(
+        when($"id" % 2 === 0, lit(0L)).otherwise(pmod($"id", lit(100))).as("k"),
+        md5($"id".cast("string")).as("pad"))
+      val right = spark.range(0, 100).select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum($"v").as("vsum"),
+          sum(length($"pad")).as("padlen"))
+      val Array(row) = joined.collect()
+      assert(joined.queryExecution.executedPlan.toString.contains("skew=true"),
+        "expected OptimizeSkewedJoin to mark the sort-merge join")
+      // and the split must not change the answer: every left row matches
+      // exactly one right key
+      assert(row.getLong(0) == 50000L)
+    }
+  }
+
   test("q103: Z-order blocks are tight in BOTH dimensions and skipping skips") {
     val rows = ops.Round6.q103Zorder(spark, sf).collect()
     assert(rows.nonEmpty)
