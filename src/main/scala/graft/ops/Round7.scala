@@ -1,0 +1,459 @@
+package graft.ops
+
+import java.io.File
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import OpsUtil._
+
+/** Round-7 additions — the data-SELECTION stages of a training pipeline
+  * (what to keep, not just what to dedup): SemDeDup semantic pruning,
+  * the full Gopher quality-rule battery, DSIR importance weighting,
+  * SCD2 dimension builds, mergeable bottom-k sampling sketches, vocab
+  * coverage / OOV analysis, and the plain-text file source. Every query
+  * follows the established cross-engine rules (PLANS.md): integer ppm
+  * arithmetic, floor-quantized transcendentals, md5-derived hashes,
+  * unique tiebreaks under every limit.
+  */
+object Round7 {
+
+  /** float[] → exact integer vector (thousandths) — the Similarity rule. */
+  private def quantize(e: Column): Column =
+    transform(e, x => floor(x.cast("double") * 1000).cast("long"))
+
+  private val quantizeSql =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform($a, (x, i) -> x * $b[i]), (p, q) -> p + q)"
+
+  private def cosineSql(a: String, b: String): String =
+    s"""CAST(${dotSql(a, b)} AS DOUBLE)
+       |    / (sqrt(CAST(${dotSql(a, a)} AS DOUBLE))
+       |       * sqrt(CAST(${dotSql(b, b)} AS DOUBLE)))""".stripMargin
+
+  /** (doc_id, lang, tok) fan-out shared by the text-selection queries —
+    * the q100 shape (pre-explode rebalance, codegen'd split, no HOFs). */
+  private def toks(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    Dedup.fanoutReady(df)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+  }
+
+  private val toksSql =
+    """SELECT doc_id, lang, t.tok
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |    UNNEST(w) AS t(tok)
+      |  WHERE t.tok <> ''""".stripMargin
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication = k-means-style
+    * clustering of the embedding space, then near-identical pruning ONLY
+    * inside each cluster — the trick that makes embedding dedup feasible at
+    * corpus scale (no cross-cluster pairs are ever formed, and each
+    * cluster's pair join is tiny).
+    *
+    * Cluster step: per-label integer centroids (the q51 IVF cells, but
+    * every vector is RE-assigned to its nearest centroid — label is only
+    * the centroid seed). Integer-exactness: vectors carry the q98 +1000
+    * offset so the centroid's `(sum*1000) div n` never divides a negative
+    * (Spark `div` truncates, DuckDB `//` floors; they agree on
+    * non-negatives), and assignment cosine runs the codegen'd
+    * [[graft.functions.CosineSimLong]] over the offset integer vectors —
+    * cosine is scale-invariant, so the milli-scaled centroid needs no
+    * normalization. Prune step: within a cluster, a vector is dropped iff
+    * a SMALLER-id vector sits at offset-cosine ≥ 0.995 (the q44 rule on
+    * the same offset space — the +1000 translation compresses angles, so
+    * the near-dup bar sits much closer to 1 than q44's raw-space 0.3).
+    *
+    * Scale shape: centroids are k rows → broadcast; assignment is one
+    * scan (k codegen'd cosines per row, argmax via a vec_id-partitioned
+    * rank); the pair join shuffles once on cluster. */
+  val q106SemDedup: Q = (spark, dir) => {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        transform(quantize($"embedding"), x => x + 1000L).as("e"))
+      .cache()
+    val cent = emb.select($"label", posexplode($"e").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(expr("(sum(v) * 1000) div count(1)").as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        s => s.getField("c")).as("ce"))
+      .select($"label".as("cluster"), $"ce")
+    val wAsg = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cluster")
+    val assigned = emb.crossJoin(broadcast(cent))
+      .withColumn("ccos", graft.functions.VectorExprs.cosineLong($"e", $"ce"))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"cluster", $"e")
+      .cache()
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster")
+          && col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.functions.VectorExprs
+        .cosineLong(col("a.e"), col("b.e")) >= 0.995)
+      .select(col("a.cluster").as("cluster"), col("b.vec_id").as("vid"))
+      .distinct()
+      .groupBy($"cluster").agg(count(lit(1)).as("n_dropped"))
+    assigned.groupBy($"cluster").agg(count(lit(1)).as("n_vecs"))
+      .join(dropped, Seq("cluster"), "left")
+      .withColumn("n_dropped", coalesce($"n_dropped", lit(0L)))
+      .withColumn("n_kept", $"n_vecs" - $"n_dropped")
+      .orderBy($"cluster")
+  }
+
+  /** The full Gopher quality-rule battery (Rae et al. 2021, Table A1) —
+    * the rule-based document filter every curation pipeline runs before
+    * model-based scoring: word-count bounds, mean-word-length band,
+    * stopword evidence, duplicate-word fraction, and top-word dominance.
+    * (Symbol/bullet/ellipsis rules degenerate on this corpus — no
+    * punctuation exists to count — so the battery keeps the five rules
+    * the data can actually exercise; thresholds sit inside the observed
+    * per-doc distribution so each rule genuinely discriminates.)
+    *
+    * One fan-out → (doc,tok) count → per-doc re-agg (the q101 shape: two
+    * map-side-combined aggregations, no joins), then a lang-level rollup
+    * of pass/fail counts per rule. Everything integer (ppm / milli). */
+  val q107GopherRules: Q = (spark, dir) => {
+    import spark.implicits._
+    val per = toks(Tables.documents(spark, dir))
+      .groupBy($"doc_id", $"lang", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"lang")
+      .agg(
+        sum($"c").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max($"c").as("top_c"),
+        sum($"c" * length($"tok")).as("sum_wl"),
+        sum(when($"tok".isin("the", "a"), $"c").otherwise(lit(0L)))
+          .as("n_stop"))
+      .withColumn("mean_wl_mil", expr("sum_wl * 1000 div n_words"))
+      .withColumn("dup_ppm",
+        expr("(n_words - n_distinct) * 1000000 div n_words"))
+      .withColumn("top_ppm", expr("top_c * 1000000 div n_words"))
+      .withColumn("r_len", $"n_words" >= 30 && $"n_words" <= 2000)
+      .withColumn("r_wl", $"mean_wl_mil" >= 4000 && $"mean_wl_mil" <= 5000)
+      .withColumn("r_stop", $"n_stop" >= 2)
+      .withColumn("r_dup", $"dup_ppm" <= 600000)
+      .withColumn("r_top", $"top_ppm" <= 120000)
+    per.groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when($"r_len" && $"r_wl" && $"r_stop" && $"r_dup" && $"r_top",
+          1)).as("n_pass"),
+        count(when(!$"r_len", 1)).as("fail_len"),
+        count(when(!$"r_wl", 1)).as("fail_wl"),
+        count(when(!$"r_stop", 1)).as("fail_stop"),
+        count(when(!$"r_dup", 1)).as("fail_dup"),
+        count(when(!$"r_top", 1)).as("fail_top"))
+      .orderBy($"lang")
+  }
+
+  /** DSIR importance weighting (Xie et al. 2023): score every document in
+    * the raw pool by how much more likely its tokens are under a TARGET
+    * domain LM than under the raw-pool LM — the data-selection stage that
+    * picks pretraining data matching a desired distribution. Target here:
+    * the `en` slice; both models are add-1-smoothed unigram LMs, so the
+    * whole scorer is exactly recomputable in SQL.
+    *
+    * w(doc) = Σ_tok floor((ln p_t(tok) − ln p_r(tok))·1e6): each token's
+    * log-ratio is floor-quantized BEFORE the per-doc sum (the q100 rule —
+    * integer sums are order-independent; the ln-ulp boundary risk is the
+    * accepted q76 class, documented in PLANS.md). Scale shape: both LMs
+    * are vocab-sized aggregates of one cached token fan-out; the scorer
+    * is a broadcast join; corpus totals enter as driver literals (the
+    * q100 corpus-scalar shape). Output: the 20 most-target-like docs
+    * OUTSIDE the target slice (the docs DSIR would promote). */
+  val q108DsirWeights: Q = (spark, dir) => {
+    import spark.implicits._
+    val t = toks(Tables.documents(spark, dir)).cache()
+    val raw = t.groupBy($"tok").agg(count(lit(1)).as("cnt_r"))
+    val tgt = t.filter($"lang" === "en")
+      .groupBy($"tok").agg(count(lit(1)).as("cnt_t"))
+    val model = raw.join(tgt, Seq("tok"), "left")
+      .withColumn("cnt_t", coalesce($"cnt_t", lit(0L)))
+      .cache()
+    val Seq(nR, nT, v) = {
+      val r = model.agg(sum($"cnt_r"), sum($"cnt_t"), count(lit(1))).head()
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val scored = model.withColumn("lw_q",
+      floor((log($"cnt_t".cast("double") + 1) - log(lit((nT + v).toDouble))
+        - log($"cnt_r".cast("double") + 1) + log(lit((nR + v).toDouble)))
+        * 1e6).cast("long"))
+    t.filter($"lang" =!= "en")
+      .join(broadcast(scored.select($"tok", $"lw_q")), Seq("tok"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_toks"), sum($"lw_q").as("w_q"))
+      .orderBy($"w_q".desc, $"doc_id")
+      .limit(20)
+      .select($"doc_id", $"lang", $"n_toks", $"w_q")
+  }
+
+  /** SCD Type-2 dimension build — the warehouse-side face of CDC (q90
+    * compacts to latest-wins; SCD2 keeps the full validity history):
+    * per-customer order-status snapshots collapse into change rows, each
+    * carrying [valid_from, valid_to) and an is_current flag. The classic
+    * two-window recipe: lag() detects value changes, lead() closes each
+    * interval — both windows partition on the dimension key, so the build
+    * is one shuffle on custkey no matter how deep the history.
+    *
+    * Same-day duplicate snapshots resolve to the highest orderkey (the
+    * CDC latest-version-wins rule); dates are exact cross-engine (q72). */
+  val q109Scd2: Q = (spark, dir) => {
+    import spark.implicits._
+    val snap = Tables.orders(spark, dir)
+      .filter($"o_custkey" < 30)
+      .select($"o_custkey".as("custkey"), to_date($"o_orderdate").as("d"),
+        $"o_orderstatus".as("status"), $"o_orderkey")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"custkey", $"d").orderBy($"o_orderkey".desc)))
+      .filter($"rn" === 1)
+    val changes = snap
+      .withColumn("prev",
+        lag($"status", 1).over(Window.partitionBy($"custkey").orderBy($"d")))
+      .filter($"prev".isNull || $"prev" =!= $"status")
+      .select($"custkey", $"status", $"d".as("valid_from"))
+    changes
+      .withColumn("valid_to", lead($"valid_from", 1).over(
+        Window.partitionBy($"custkey").orderBy($"valid_from")))
+      .withColumn("is_current", $"valid_to".isNull)
+      .orderBy($"custkey", $"valid_from")
+  }
+
+  /** Bottom-k sampling sketch: per language, the k = 5 documents with the
+    * smallest content-hash — a MERGEABLE uniform sample (union two
+    * sketches, re-take the k smallest: still exactly the bottom-k of the
+    * union), the property that lets a 1000-executor scan build a uniform
+    * corpus sample with one tiny shuffle of k rows per partition per
+    * group. Membership is a pure function of content (the q85 rule):
+    * re-sharding, re-runs, and retries all pick the same sample.
+    * Hash = first 15 hex chars of md5(doc_id:text) as an exact long. */
+  val q110BottomkSample: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"lang", $"doc_id",
+        conv(substring(md5(concat_ws(":", $"doc_id", $"text")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"lang").orderBy($"h", $"doc_id")))
+      .filter($"rank" <= 5)
+      .select($"lang", $"rank", $"doc_id", $"h")
+      .orderBy($"lang", $"rank")
+  }
+
+  /** Vocabulary coverage / OOV-rate analysis — the tokenizer-design stage:
+    * build the top-16 token vocabulary (by corpus frequency, token-asc
+    * tiebreak so the cut is deterministic), then measure per-language how
+    * much of the token stream falls outside it. The vocab is a broadcast
+    * of 16 rows; the corpus is scanned once; the OOV ratio is integer ppm
+    * of exact counts. Output also carries the distinct OOV-type count per
+    * language (how many new merges a tokenizer would need per language). */
+  val q111VocabOov: Q = (spark, dir) => {
+    import spark.implicits._
+    val t = toks(Tables.documents(spark, dir)).cache()
+    val vocab = t.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"cnt".desc, $"tok")))
+      .filter($"rk" <= 16)
+      .select($"tok", lit(1).as("iv"))
+    t.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        count(when($"iv".isNull, 1)).as("n_oov"),
+        countDistinct(when($"iv".isNull, $"tok")).as("oov_types"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_toks"))
+      .orderBy($"lang")
+  }
+
+  /** Plain-text file source/sink round trip (`format("text")` — the last
+    * built-in file format §2's source family hadn't exercised: parquet,
+    * csv, json, orc, binaryFile, image are q-covered already). One doc per
+    * line as `doc_id\ttext`, written by Spark's own text writer and read
+    * back with spark.read.text; the parse is codegen'd substring_index /
+    * length arithmetic, and the aggregate proves the round trip lossless
+    * against the parquet-side oracle. Deterministic: the scratch dir is
+    * keyed by the sf dir and rewritten (mode overwrite) each run. */
+  val q112TextSource: Q = (spark, dir) => {
+    import spark.implicits._
+    val scratch = new File(sys.props("java.io.tmpdir"),
+      "graft_textsrc_" + dir.replaceAll("[^a-zA-Z0-9.]", "_")).getAbsolutePath
+    Tables.documents(spark, dir)
+      .select(concat_ws("\t", $"doc_id", $"text").as("value"))
+      .coalesce(4)
+      .write.mode("overwrite").text(scratch)
+    spark.read.text(scratch)
+      .select(substring_index($"value", "\t", 1).cast("long").as("doc_id"),
+        (length($"value") - length(substring_index($"value", "\t", 1)) - 1)
+          .as("n_chars"))
+      .groupBy(expr("doc_id % 5").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("text_chars"),
+        sum($"doc_id").as("id_sum"))
+      .orderBy($"bucket")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q106_semdedup" -> q106SemDedup,
+    "q107_gopher_rules" -> q107GopherRules,
+    "q108_dsir_weights" -> q108DsirWeights,
+    "q109_scd2" -> q109Scd2,
+    "q110_bottomk_sample" -> q110BottomkSample,
+    "q111_vocab_oov" -> q111VocabOov,
+    "q112_text_source" -> q112TextSource,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q106_semdedup" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label,
+         |    list_transform($quantizeSql, x -> x + 1000) AS e
+         |  FROM embeddings
+         |), comps AS (
+         |  SELECT label, i AS pos, e[i] AS val
+         |  FROM v, (SELECT unnest(range(1, 65)) AS i)
+         |), cent AS (
+         |  SELECT label AS cluster, list(c ORDER BY pos) AS ce
+         |  FROM (SELECT label, pos, (SUM(val) * 1000) // COUNT(*) AS c
+         |        FROM comps GROUP BY 1, 2)
+         |  GROUP BY 1
+         |), scoredasg AS (
+         |  SELECT v.vec_id, c.cluster, v.e,
+         |    ${cosineSql("v.e", "c.ce")} AS ccos
+         |  FROM v, cent c
+         |), asg AS (
+         |  SELECT vec_id, cluster, e FROM scoredasg
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cluster) = 1
+         |), dropped AS (
+         |  SELECT cluster, COUNT(*) AS n_dropped FROM (
+         |    SELECT DISTINCT a.cluster, b.vec_id
+         |    FROM asg a JOIN asg b
+         |      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |    WHERE ${cosineSql("a.e", "b.e")} >= 0.995)
+         |  GROUP BY 1
+         |)
+         |SELECT s.cluster, s.n_vecs,
+         |  COALESCE(d.n_dropped, 0) AS n_dropped,
+         |  s.n_vecs - COALESCE(d.n_dropped, 0) AS n_kept
+         |FROM (SELECT cluster, COUNT(*) AS n_vecs FROM asg GROUP BY 1) s
+         |LEFT JOIN dropped d USING (cluster)
+         |ORDER BY cluster""".stripMargin,
+    "q107_gopher_rules" ->
+      s"""WITH tok AS (
+         |$toksSql
+         |), cnt AS (
+         |  SELECT doc_id, lang, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2, 3
+         |), per AS (
+         |  SELECT doc_id, lang,
+         |    SUM(c) AS n_words, COUNT(*) AS n_distinct, MAX(c) AS top_c,
+         |    SUM(c * length(tok)) AS sum_wl,
+         |    SUM(CASE WHEN tok IN ('the', 'a') THEN c ELSE 0 END) AS n_stop
+         |  FROM cnt GROUP BY 1, 2
+         |), flags AS (
+         |  SELECT lang,
+         |    (n_words >= 30 AND n_words <= 2000) AS r_len,
+         |    (sum_wl * 1000 // n_words >= 4000
+         |      AND sum_wl * 1000 // n_words <= 5000) AS r_wl,
+         |    (n_stop >= 2) AS r_stop,
+         |    ((n_words - n_distinct) * 1000000 // n_words <= 600000) AS r_dup,
+         |    (top_c * 1000000 // n_words <= 120000) AS r_top
+         |  FROM per
+         |)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  COUNT(CASE WHEN r_len AND r_wl AND r_stop AND r_dup AND r_top
+         |    THEN 1 END) AS n_pass,
+         |  COUNT(CASE WHEN NOT r_len THEN 1 END) AS fail_len,
+         |  COUNT(CASE WHEN NOT r_wl THEN 1 END) AS fail_wl,
+         |  COUNT(CASE WHEN NOT r_stop THEN 1 END) AS fail_stop,
+         |  COUNT(CASE WHEN NOT r_dup THEN 1 END) AS fail_dup,
+         |  COUNT(CASE WHEN NOT r_top THEN 1 END) AS fail_top
+         |FROM flags GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q108_dsir_weights" ->
+      s"""WITH tok AS (
+         |$toksSql
+         |), raw AS (
+         |  SELECT tok, COUNT(*) AS cnt_r FROM tok GROUP BY 1
+         |), tgt AS (
+         |  SELECT tok, COUNT(*) AS cnt_t FROM tok WHERE lang = 'en' GROUP BY 1
+         |), model AS (
+         |  SELECT r.tok, r.cnt_r, COALESCE(t.cnt_t, 0) AS cnt_t
+         |  FROM raw r LEFT JOIN tgt t USING (tok)
+         |), tot AS (
+         |  SELECT CAST(SUM(cnt_r) AS DOUBLE) AS n_r,
+         |    CAST(SUM(cnt_t) AS DOUBLE) AS n_t,
+         |    CAST(COUNT(*) AS DOUBLE) AS v
+         |  FROM model
+         |), scored AS (
+         |  SELECT tok,
+         |    CAST(floor((ln(CAST(cnt_t AS DOUBLE) + 1) - ln(n_t + v)
+         |      - ln(CAST(cnt_r AS DOUBLE) + 1) + ln(n_r + v)) * 1000000)
+         |      AS BIGINT) AS lw_q
+         |  FROM model, tot
+         |)
+         |SELECT t.doc_id, t.lang, COUNT(*) AS n_toks,
+         |  CAST(SUM(s.lw_q) AS BIGINT) AS w_q
+         |FROM tok t JOIN scored s USING (tok)
+         |WHERE t.lang <> 'en'
+         |GROUP BY 1, 2
+         |ORDER BY w_q DESC, doc_id LIMIT 20""".stripMargin,
+    "q109_scd2" ->
+      """WITH snap AS (
+        |  SELECT custkey, d, status FROM (
+        |    SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS d,
+        |      o_orderstatus AS status,
+        |      row_number() OVER (PARTITION BY o_custkey,
+        |        CAST(o_orderdate AS DATE) ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders WHERE o_custkey < 30)
+        |  WHERE rn = 1
+        |), changes AS (
+        |  SELECT custkey, status, d AS valid_from FROM (
+        |    SELECT *, lag(status) OVER (PARTITION BY custkey ORDER BY d)
+        |      AS prev
+        |    FROM snap)
+        |  WHERE prev IS NULL OR prev <> status
+        |)
+        |SELECT custkey, status, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from)
+        |    AS valid_to,
+        |  (lead(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from)
+        |    IS NULL) AS is_current
+        |FROM changes ORDER BY custkey, valid_from""".stripMargin,
+    "q110_bottomk_sample" ->
+      """SELECT lang, rank, doc_id, h FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(('0x' || substr(md5(doc_id || ':' || text), 1, 15))
+        |      AS BIGINT) AS h,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(('0x' || substr(md5(doc_id || ':' || text), 1, 15))
+        |        AS BIGINT), doc_id) AS rank
+        |  FROM documents)
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "q111_vocab_oov" ->
+      s"""WITH tok AS (
+         |$toksSql
+         |), vocab AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, row_number() OVER
+         |      (ORDER BY COUNT(*) DESC, tok) AS rk
+         |    FROM tok GROUP BY tok)
+         |  WHERE rk <= 16
+         |)
+         |SELECT lang, COUNT(*) AS n_toks,
+         |  COUNT(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov,
+         |  COUNT(DISTINCT CASE WHEN v.tok IS NULL THEN t.tok END)
+         |    AS oov_types,
+         |  CAST(COUNT(CASE WHEN v.tok IS NULL THEN 1 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS oov_ppm
+         |FROM tok t LEFT JOIN vocab v USING (tok)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q112_text_source" ->
+      """SELECT doc_id % 5 AS bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS text_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -119,7 +119,7 @@ class Round6Spec extends SparkSpec {
       // column pruning leaves 8-byte rows and nothing looks skewed; md5
       // keeps the shuffle bytes incompressible so size estimates hold
       val left = spark.range(0, 50000).select(
-        when($"id" % 2 === 0, lit(0L)).otherwise(pmod($"id", lit(100))).as("k"),
+        when($"id" % 10 < 9, lit(0L)).otherwise(pmod($"id", lit(100))).as("k"),
         md5($"id".cast("string")).as("pad"))
       val right = spark.range(0, 100).select($"id".as("k"), ($"id" * 2).as("v"))
       val joined = left.join(right, "k")
