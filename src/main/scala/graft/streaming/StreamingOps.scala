@@ -1,9 +1,10 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators (SURVEY.md §2.14: the reference has no
   * streaming — these are the engine's forward-looking seams, expressed so
@@ -92,6 +93,48 @@ object StreamingOps {
           state.update(next)
           next
       }
+  }
+
+  final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** [[StatefulProcessor]] for [[runningTotalsTws]]: one typed
+    * [[ValueState]] cell per user, fetched from the state-store handle at
+    * init. TTLConfig.NONE keeps state forever (this demo key space is
+    * tiny); a production ingest keyed on unbounded ids would pass
+    * `TTLConfig(Duration.ofHours(n))` and let the store expire idle keys
+    * — the state-bounding story the old GroupState API never had. */
+  private[streaming] class RunningTotalProcessor
+      extends StatefulProcessor[Long, Event, UserTotal] {
+    @transient private var totals: ValueState[UserTotal] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotal](
+        "totals", Encoders.product[UserTotal], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserTotal] = {
+      val prev =
+        if (totals.exists()) totals.get() else UserTotal(key, 0L, 0.0)
+      val next = rows.foldLeft(prev)((s, e) =>
+        UserTotal(key, s.n_events + 1, s.total_value + e.value))
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Per-user running totals via `transformWithState` — Spark 4's
+    * arbitrary-state operator (the successor to map/flatMapGroupsWithState):
+    * named typed state cells (Value/List/MapState) resolved from a handle,
+    * per-cell TTL, and timers, all backed by the RocksDB state store
+    * (required by the operator; set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * RocksDBStateStoreProvider). Semantically this mirrors
+    * [[runningUserStats]], which is kept as the legacy-API face of the
+    * same aggregation. */
+  def runningTotalsTws(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Native session windows under a watermark: the streaming face of

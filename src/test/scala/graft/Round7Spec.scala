@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 specs: invariants of the data-selection operators that the
+  * DuckDB hash check can't express — partition/exhaustiveness laws
+  * (SemDeDup, SCD2), the bottom-k mergeability property, and round-trip
+  * conservation for the text source.
+  */
+class Round7Spec extends SparkSpec {
+
+  test("q106: every vector lands in exactly one cluster; drops never exceed the cluster") {
+    import spark.implicits._
+    val rows = ops.Round7.q106SemDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dropped, kept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(kept + dropped == n, "kept + dropped must partition the cluster")
+      assert(dropped >= 0 && kept >= 1,
+        "the smallest-id member of a cluster can never be dropped")
+    }
+    val total = rows.map(_.getLong(1)).sum
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(total == nVecs,
+      s"assignment must be exhaustive and unique: $total != $nVecs")
+  }
+
+  test("q107: rule battery is a partition — every fail count is bounded by n_docs") {
+    import spark.implicits._
+    val rows = ops.Round7.q107GopherRules(spark, sf).collect()
+    val langs = rows.map(_.getString(0)).toSeq
+    assert(langs == langs.sorted && langs.distinct == langs)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val pass = r.getLong(2)
+      val fails = (3 to 7).map(r.getLong)
+      assert(pass <= n && fails.forall(f => f >= 0 && f <= n))
+      // a doc passes iff it fails zero rules, so n - pass <= sum of fails
+      assert(n - pass <= fails.sum, "every failing doc fails >= 1 rule")
+    }
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.documents(spark, sf).count())
+  }
+
+  test("q109: SCD2 intervals chain per key with exactly one open row") {
+    import spark.implicits._
+    val rows = ops.Round7.q109Scd2(spark, sf)
+      .select($"custkey", $"valid_from".cast("string"),
+        $"valid_to".cast("string"), $"is_current")
+      .as[(Long, String, String, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (ck, hist) =>
+      val open = hist.filter(_._4)
+      assert(open.length == 1, s"custkey $ck must have exactly one current row")
+      assert(open.head._3 == null, "the current row must be open-ended")
+      // closed rows chain: each valid_to equals the next row's valid_from
+      val sorted = hist.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 == b._2,
+          s"custkey $ck: interval gap between ${a._3} and ${b._2}")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q110: bottom-k sketches merge — union of halves re-takes to the global sample") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hashed = Tables.documents(spark, sf)
+      .select($"lang", $"doc_id",
+        conv(substring(md5(concat_ws(":", $"doc_id", $"text")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .cache()
+    def bottomK(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"lang").orderBy($"h", $"doc_id")))
+      .filter($"rank" <= 5).drop("rank")
+    // shard the corpus arbitrarily, sketch each shard, merge, re-sketch
+    val merged = bottomK(
+      bottomK(hashed.filter($"doc_id" % 2 === 0))
+        .unionByName(bottomK(hashed.filter($"doc_id" % 2 =!= 0))))
+      .select($"lang", $"doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val global = bottomK(hashed)
+      .select($"lang", $"doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(merged == global,
+      "bottom-k of merged shard sketches must equal the global bottom-k")
+    hashed.unpersist()
+  }
+
+  test("q112: text round trip conserves every document and character") {
+    import spark.implicits._
+    val buckets = ops.Round7.q112TextSource(spark, sf).collect()
+    val expect = Tables.documents(spark, sf)
+      .groupBy(expr("doc_id % 5").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(length($"text")).as("text_chars"),
+        sum($"doc_id").as("id_sum"))
+      .orderBy($"bucket").collect()
+    assert(buckets.map(_.toSeq).toSeq == expect.map(_.toSeq).toSeq,
+      "read-back aggregate must equal the parquet-side aggregate")
+  }
+}

@@ -229,4 +229,39 @@ class StreamingSpec extends SparkSpec {
         s.user_id == 20 && s.n_events == 2 && s.start_sec == 0 && s.end_sec == 600))
     } finally q.stop()
   }
+
+  test("transformWithState keeps typed ValueState across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store provider — the
+    // store that makes its named-state/TTL/timer surface durable at scale
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      mem.addData(
+        Event(1, ts(61), 10, "click", 1.5),
+        Event(2, ts(62), 10, "click", 2.0),
+        Event(3, ts(63), 11, "view", 4.0))
+      val q = StreamingOps.runningTotalsTws(mem.toDS())
+        .writeStream.format("memory").queryName("tws")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        q.processAllAvailable()
+        mem.addData(Event(4, ts(64), 10, "click", 0.5)) // second batch
+        q.processAllAvailable()
+        val latest = spark.table("tws").as[StreamingOps.UserTotal].collect()
+          .groupBy(_.user_id).map { case (_, rs) => rs.maxBy(_.n_events) }
+        // user 10's ValueState must have carried (2, 3.5) into batch 2
+        assert(latest.toSet == Set(
+          StreamingOps.UserTotal(10, 3, 4.0),
+          StreamingOps.UserTotal(11, 1, 4.0)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
