@@ -296,6 +296,97 @@ object Round7 {
       .orderBy($"bucket")
   }
 
+  /** BPE tokenizer TRAINING — the stage that produces the merge table the
+    * q37 BPE-ish tokenizer only consumes: three greedy merge rounds over
+    * the corpus, each round (1) counting adjacent token pairs weighted by
+    * word frequency, (2) picking the most frequent pair (count-desc,
+    * pair-asc tiebreak), (3) applying the merge greedy-left-to-right
+    * inside every word. Emits the learned merge table (round, pair, cnt).
+    *
+    * Distributed shapes: pair counting is a map-side-combined aggregate
+    * over the DISTINCT-WORD table (corpus-sized text never re-tokenizes —
+    * the word table is vocab-sized ≪ corpus, the standard BPE-trainer
+    * trick); the winning pair is a driver scalar entering round n+1's
+    * plan as a literal (the q98 centroid pattern); the greedy merge is
+    * pure window algebra partitioned by word — candidate runs via
+    * gaps-and-islands (pos − row_number), odd-rank selection inside each
+    * run (consecutive candidates overlap, so odd ranks ARE the greedy
+    * choice), lag(sel) consumes the right token. Per-round
+    * localCheckpoint keeps the lineage flat as rounds accumulate.
+    * The oracle replays all three rounds as chained CTEs (q91/q98
+    * precedent) — two evaluation strategies, identical merge table. */
+  val q113BpeTrain: Q = (spark, dir) => {
+    import spark.implicits._
+    val words = toks(Tables.documents(spark, dir))
+      .groupBy($"tok").agg(count(lit(1)).as("wc"))
+      .select($"tok".as("word"), $"wc")
+    var cur = words
+      .withColumn("tokstr", concat_ws(" ",
+        transform(sequence(lit(1), length($"word")),
+          i => $"word".substr(i, lit(1)))))
+      .localCheckpoint()
+    val merges = (1 to 3).map { round =>
+      val staged = cur
+        .select($"word", $"wc", split($"tokstr", " ").as("t"))
+        .select($"word", $"wc", $"t", posexplode($"t").as(Seq("p", "tok")))
+        .withColumn("pair", when($"p" < size($"t") - 1,
+          concat($"tok", lit(" "), element_at($"t", $"p" + 2))))
+      val best = staged.filter($"pair".isNotNull)
+        .groupBy($"pair").agg(sum($"wc").as("cnt"))
+        .orderBy($"cnt".desc, $"pair").limit(1).head()
+      val (bestPair, bestCnt) = (best.getString(0), best.getLong(1))
+      val wCand = Window.partitionBy($"word", $"cand").orderBy($"p")
+      val wRun = Window.partitionBy($"word", $"run").orderBy($"p")
+      val wWord = Window.partitionBy($"word").orderBy($"p")
+      cur = staged
+        .withColumn("cand", coalesce($"pair" === lit(bestPair), lit(false)))
+        .withColumn("run",
+          when($"cand", $"p" - row_number().over(wCand)))
+        .withColumn("sel", coalesce(
+          $"cand" && (row_number().over(wRun) % 2 === 1), lit(false)))
+        .withColumn("lag_sel", coalesce(lag($"sel", 1).over(wWord), lit(false)))
+        .withColumn("newtok",
+          when($"sel", concat($"tok", element_at($"t", $"p" + 2)))
+            .when($"lag_sel", lit(null)).otherwise($"tok"))
+        .filter($"newtok".isNotNull)
+        .groupBy($"word", $"wc")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct($"p", $"newtok"))),
+          s => s.getField("newtok")), " ").as("tokstr"))
+        .localCheckpoint()
+      (round, bestPair, bestCnt)
+    }
+    merges.toDF("round", "pair", "cnt")
+  }
+
+  /** Small-file compaction — the table-maintenance job every lakehouse
+    * runs: a fragmented write (40 tiny part files here — the "too many
+    * small files" state that kills scan throughput and NameNode/listing
+    * at 100 TB) is compacted by one round-robin repartition(4) rewrite
+    * into 4 right-sized files — round-robin, not hash-by-key: every
+    * output partition is guaranteed non-empty (a key-hashed rewrite can
+    * land two key values in one bucket and write fewer files than asked,
+    * which is how this spec first failed), and the explicit count is
+    * respected by AQE. The verified aggregate runs over the compacted
+    * read-back, proving the rewrite lossless, and `Round7Spec` asserts
+    * the 40 → 4 part-file collapse itself. */
+  val q114Compaction: Q = (spark, dir) => {
+    import spark.implicits._
+    val base = new File(sys.props("java.io.tmpdir"),
+      "graft_compact_" + dir.replaceAll("[^a-zA-Z0-9.]", "_")).getAbsolutePath
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars")
+    docs.repartition(40).write.mode("overwrite").parquet(s"$base/frag")
+    spark.read.parquet(s"$base/frag")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$base/compact")
+    spark.read.parquet(s"$base/compact")
+      .groupBy(pmod($"doc_id", lit(4)).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"),
+        sum($"doc_id").as("id_sum"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "q106_semdedup" -> q106SemDedup,
     "q107_gopher_rules" -> q107GopherRules,
@@ -304,7 +395,49 @@ object Round7 {
     "q110_bottomk_sample" -> q110BottomkSample,
     "q111_vocab_oov" -> q111VocabOov,
     "q112_text_source" -> q112TextSource,
+    "q113_bpe_train" -> q113BpeTrain,
+    "q114_compaction" -> q114Compaction,
   )
+
+  /** One DuckDB BPE round (see [[q113BpeTrain]]): w{n-1} → t/p/b/c/r/s/m/w{n}.
+    * Mirrors the Spark window algebra exactly — gaps-and-islands runs,
+    * odd-rank greedy selection, lag-consumed right tokens. */
+  private def bpeRoundSql(n: Int): String =
+    s"""t$n AS (
+       |  SELECT w.word, w.wc, u.i AS pos, w.toks[u.i] AS tok,
+       |    CASE WHEN u.i < len(w.toks)
+       |      THEN w.toks[u.i] || ' ' || w.toks[u.i + 1] END AS pair
+       |  FROM (SELECT word, wc, string_split(tokstr, ' ') AS toks
+       |        FROM w${n - 1}) w,
+       |    UNNEST(range(1, len(w.toks) + 1)) u(i)
+       |), p$n AS (
+       |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM t$n
+       |  WHERE pair IS NOT NULL GROUP BY 1
+       |), b$n AS (
+       |  SELECT pair, cnt FROM p$n ORDER BY cnt DESC, pair LIMIT 1
+       |), c$n AS (
+       |  SELECT t.*, (t.pair = (SELECT pair FROM b$n)) AS cand FROM t$n t
+       |), r$n AS (
+       |  SELECT *, CASE WHEN cand THEN pos - row_number()
+       |    OVER (PARTITION BY word, cand ORDER BY pos) END AS run
+       |  FROM c$n
+       |), s$n AS (
+       |  SELECT *, COALESCE(cand AND (row_number()
+       |    OVER (PARTITION BY word, run ORDER BY pos) % 2 = 1), false) AS sel
+       |  FROM r$n
+       |), m$n AS (
+       |  SELECT word, wc, pos,
+       |    CASE WHEN sel THEN tok || next_tok
+       |         WHEN lag_sel THEN NULL ELSE tok END AS newtok
+       |  FROM (SELECT *,
+       |          lead(tok) OVER (PARTITION BY word ORDER BY pos) AS next_tok,
+       |          COALESCE(lag(sel) OVER (PARTITION BY word ORDER BY pos),
+       |            false) AS lag_sel
+       |        FROM s$n)
+       |), w$n AS (
+       |  SELECT word, wc, string_agg(newtok, ' ' ORDER BY pos) AS tokstr
+       |  FROM m$n WHERE newtok IS NOT NULL GROUP BY 1, 2
+       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q106_semdedup" ->
@@ -453,6 +586,30 @@ object Round7 {
     "q112_text_source" ->
       """SELECT doc_id % 5 AS bucket, COUNT(*) AS n_docs,
         |  CAST(SUM(length(text)) AS BIGINT) AS text_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q113_bpe_train" ->
+      s"""WITH tok AS (
+         |  SELECT t.tok
+         |  FROM (SELECT string_split(text, ' ') AS w FROM documents),
+         |    UNNEST(w) AS t(tok)
+         |  WHERE t.tok <> ''
+         |), words AS (
+         |  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS wc
+         |  FROM tok GROUP BY 1
+         |), w0 AS (
+         |  SELECT word, wc,
+         |    string_agg(substr(word, u.i, 1), ' ' ORDER BY u.i) AS tokstr
+         |  FROM words, UNNEST(range(1, length(word) + 1)) u(i)
+         |  GROUP BY 1, 2
+         |), ${(1 to 3).map(bpeRoundSql).mkString(", ")}
+         |SELECT 1 AS round, pair, cnt FROM b1
+         |UNION ALL SELECT 2, pair, cnt FROM b2
+         |UNION ALL SELECT 3, pair, cnt FROM b3
+         |ORDER BY round""".stripMargin,
+    "q114_compaction" ->
+      """SELECT doc_id % 4 AS bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
   )

@@ -87,6 +87,37 @@ class Round7Spec extends SparkSpec {
     hashed.unpersist()
   }
 
+  test("q113: merge table is deterministic and merges are distinct pairs") {
+    val a = ops.Round7.q113BpeTrain(spark, sf).collect().toSeq
+    val b = ops.Round7.q113BpeTrain(spark, sf).collect().toSeq
+    assert(a == b, "BPE training must be run-deterministic")
+    assert(a.length == 3)
+    val pairs = a.map(_.getString(1))
+    assert(pairs.distinct == pairs, "a pair can win at most one round")
+    pairs.foreach(p => assert(p.split(" ").length == 2,
+      s"merge '$p' must be a space-separated token pair"))
+    assert(a.forall(_.getLong(2) > 0))
+  }
+
+  test("q114: compaction collapses 40 part files into 4, losslessly") {
+    import spark.implicits._
+    val result = ops.Round7.q114Compaction(spark, sf).collect()
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_compact_" + sf.replaceAll("[^a-zA-Z0-9.]", "_"))
+    def partFiles(d: String): Int =
+      Option(new java.io.File(base, d).listFiles())
+        .map(_.count(_.getName.startsWith("part-"))).getOrElse(0)
+    assert(partFiles("frag") == 40, "the fragmented state must be real")
+    assert(partFiles("compact") == 4,
+      "explicit repartition(4) must pin the output file count")
+    val expect = Tables.documents(spark, sf)
+      .groupBy(pmod($"doc_id", lit(4)).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"),
+        sum($"doc_id").as("id_sum"))
+      .orderBy($"bucket").collect()
+    assert(result.map(_.toSeq).toSeq == expect.map(_.toSeq).toSeq)
+  }
+
   test("q112: text round trip conserves every document and character") {
     import spark.implicits._
     val buckets = ops.Round7.q112TextSource(spark, sf).collect()
