@@ -54,13 +54,20 @@ object Relational {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     // Same pre-join partial aggregation as q01: one row per order before
-    // the fact-fact join.
+    // the fact-fact join. Then collapse AGAIN to one row per customer
+    // BEFORE any dimension join — decimal sums re-associate exactly, so
+    // re-grouping is semantics-free, and it shrinks the stream entering
+    // the dimension chain from |orders| to |customers|, small enough
+    // that customer⋈nation joins it by broadcast with no further
+    // shuffle (measured 2.0 s → see PLANS.md).
     val perOrder = l.groupBy($"l_orderkey").agg(sum(revenueExpr).as("rev"))
-    perOrder.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(c, $"o_custkey" === $"c_custkey")
-      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+    val perCust = perOrder.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey").agg(sum($"rev").as("crev"))
+    val custNation = c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+    perCust.join(broadcast(custNation), $"o_custkey" === $"c_custkey")
       .groupBy($"n_name")
-      .agg(sum($"rev").cast("double").as("revenue"))
+      .agg(sum($"crev").cast("double").as("revenue"))
       .orderBy($"revenue".desc, $"n_name")
       .limit(1)
   }
