@@ -387,6 +387,136 @@ object Round7 {
       .orderBy($"bucket")
   }
 
+  /** Schema evolution across ingest batches — the ingestion reality every
+    * long-lived lakehouse table faces: batch 1 wrote (doc_id, n_chars),
+    * batch 2 added a `lang` column. `mergeSchema=true` unions the footer
+    * schemas at read time (exactly what Spark's parquet source does when
+    * a table accretes columns), and rows from the pre-evolution batch
+    * surface the new column as NULL — the aggregate proves which batch
+    * carries the column without touching row data. The batches live as
+    * `batch=N` partition dirs, so the batch id itself is a discovered
+    * partition column (the q87 pruning shape). */
+  val q115SchemaEvolution: Q = (spark, dir) => {
+    import spark.implicits._
+    val base = new File(sys.props("java.io.tmpdir"),
+      "graft_schemaevo_" + dir.replaceAll("[^a-zA-Z0-9.]", "_")).getAbsolutePath
+    val docs = Tables.documents(spark, dir)
+    docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"n_chars")
+      .write.mode("overwrite").parquet(s"$base/batch=1")
+    docs.filter($"doc_id" % 2 =!= 0).select($"doc_id", $"n_chars", $"lang")
+      .write.mode("overwrite").parquet(s"$base/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(base)
+      .groupBy($"batch")
+      .agg(count(lit(1)).as("n_docs"), count($"lang").as("n_lang"),
+        sum($"n_chars").as("chars"))
+      .orderBy($"batch")
+  }
+
+  /** Triangle counting — the third classic distributed-graph primitive
+    * beside q91's PageRank and q79's connected components: on the
+    * normalized undirected edge set (a < b after least/greatest, self
+    * loops dropped, distinct), a triangle {a<b<c} is counted exactly once
+    * by the two-hop join e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c). Both joins key on
+    * edge endpoints, so the shuffles are degree-bounded — the standard
+    * scale guard is pre-filtering high-degree hubs or ordering by degree;
+    * this graph (the q91 deterministic 2-out-regular construction) has
+    * max degree 4, so the plain join IS the bounded plan. */
+  val q116Triangles: Q = (spark, dir) => {
+    import spark.implicits._
+    val n = 200
+    val raw = spark.range(n).select($"id".as("src"),
+        explode(array(($"id" * 2 + 1) % n, ($"id" * 3 + 2) % n)).as("dst"))
+    val edges = raw
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct().cache()
+    val e2 = edges.select($"a".as("b2"), $"b".as("c"))
+    val e3 = edges.select($"a".as("a3"), $"b".as("c3"))
+    val triangles = edges
+      .join(e2, $"b" === $"b2")
+      .join(e3, $"a" === $"a3" && $"c" === $"c3")
+      .count()
+    edges.agg(
+        count(lit(1)).as("n_edges"),
+        countDistinct($"a").as("n_src_nodes"))
+      .withColumn("n_triangles", lit(triangles))
+      .select($"n_edges", $"n_src_nodes", $"n_triangles")
+  }
+
+  /** Bigram-LM quality scoring — q100's unigram "surprise" upgraded to
+    * conditional probabilities: each document scores the mean
+    * −ln p(w₂|w₁) under an add-1-smoothed bigram model fit on the corpus
+    * (p = (c₁₂+1)/(c₁+V), V = unigram vocab size). Repetitive texts score
+    * LOW (their bigrams are predictable), disfluent ones HIGH — the
+    * signal CCNet's KenLM filter actually uses, reduced to a form both
+    * engines recompute exactly. Both count tables are vocab-sized
+    * aggregates of one cached bigram fan-out, joined back by broadcast;
+    * per-bigram surprise is floor-quantized before the per-doc sum
+    * (the q100 rule; ln-ulp boundary risk documented in PLANS.md). */
+  val q117BigramLm: Q = (spark, dir) => {
+    import spark.implicits._
+    val grams = Dedup.fanoutReady(Tables.documents(spark, dir))
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id",
+        explode(sequence(lit(0), size($"w") - 2)).as("i"), $"w")
+      .select($"doc_id", element_at($"w", $"i" + 1).as("w1"),
+        element_at($"w", $"i" + 2).as("w2"))
+      .cache()
+    val uni = grams.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    // smoothing vocabulary = distinct bigram-prefix tokens (driver
+    // scalar, the q100 corpus-scalar shape)
+    val v = grams.select($"w1").distinct().count()
+    val bi = grams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      .join(uni, Seq("w1"))
+      .withColumn("sq",
+        floor(-log(($"c12".cast("double") + 1) / ($"c1".cast("double") + v))
+          * 1e6).cast("long"))
+    grams
+      .join(broadcast(bi.select($"w1", $"w2", $"sq")), Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"sq").as("sq_sum"))
+      .withColumn("surprise_q", expr("sq_sum div n_bigrams"))
+      .orderBy($"surprise_q".desc, $"doc_id")
+      .limit(20)
+      .select($"doc_id", $"n_bigrams", $"surprise_q")
+  }
+
+  /** Malformed-record handling at the CSV source — ingest robustness: a
+    * fixture where every 10th line carries an unparseable numeric field
+    * is read twice, PERMISSIVE (corrupt rows survive with the raw line
+    * captured in the corrupt-record column and the bad field NULL) and
+    * DROPMALFORMED (corrupt rows vanish). The aggregate pins all three
+    * contracts at once: total row count, corrupt count, and that the
+    * good-row character sum is identical under both modes. */
+  val q118CorruptCsv: Q = (spark, dir) => {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val scratch = new File(sys.props("java.io.tmpdir"),
+      "graft_corruptcsv_" + dir.replaceAll("[^a-zA-Z0-9.]", "_")).getAbsolutePath
+    Tables.documents(spark, dir)
+      .select(concat_ws(",", $"doc_id",
+        when($"doc_id" % 10 === 0, lit("notanumber"))
+          .otherwise($"n_chars".cast("string"))).as("value"))
+      .coalesce(4)
+      .write.mode("overwrite").text(scratch)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("nc", LongType),
+      StructField("_corrupt", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(scratch)
+      .agg(count(lit(1)).as("n_rows"),
+        count($"_corrupt").as("n_corrupt"),
+        sum($"nc").as("good_chars"))
+    val dropped = spark.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED")
+      .csv(scratch)
+      .agg(count(lit(1)).as("n_kept"), sum($"nc").as("kept_chars"))
+    permissive.crossJoin(dropped)
+  }
+
   val queries: Map[String, Q] = Map(
     "q106_semdedup" -> q106SemDedup,
     "q107_gopher_rules" -> q107GopherRules,
@@ -397,6 +527,10 @@ object Round7 {
     "q112_text_source" -> q112TextSource,
     "q113_bpe_train" -> q113BpeTrain,
     "q114_compaction" -> q114Compaction,
+    "q115_schema_evolution" -> q115SchemaEvolution,
+    "q116_triangles" -> q116Triangles,
+    "q117_bigram_lm" -> q117BigramLm,
+    "q118_corrupt_csv" -> q118CorruptCsv,
   )
 
   /** One DuckDB BPE round (see [[q113BpeTrain]]): w{n-1} → t/p/b/c/r/s/m/w{n}.
@@ -612,5 +746,61 @@ object Round7 {
         |  CAST(SUM(n_chars) AS BIGINT) AS chars,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q115_schema_evolution" ->
+      """SELECT CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT)
+        |    AS batch,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_lang,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q116_triangles" ->
+      """WITH raw AS (
+        |  SELECT i AS src, (i * 2 + 1) % 200 AS dst FROM range(0, 200) t(i)
+        |  UNION ALL
+        |  SELECT i, (i * 3 + 2) % 200 FROM range(0, 200) t(i)
+        |), e AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src <> dst
+        |)
+        |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+        |  (SELECT COUNT(DISTINCT a) FROM e) AS n_src_nodes,
+        |  (SELECT COUNT(*) FROM e e1
+        |    JOIN e e2 ON e1.b = e2.a
+        |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin,
+    "q117_bigram_lm" ->
+      """WITH g AS (
+        |  SELECT doc_id, w[u.i + 1] AS w1, w[u.i + 2] AS w2
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |    UNNEST(range(0, len(w) - 1)) u(i)
+        |  WHERE len(w) >= 2
+        |), uni AS (
+        |  SELECT w1, COUNT(*) AS c1 FROM g GROUP BY 1
+        |), vv AS (
+        |  SELECT CAST(COUNT(DISTINCT w1) AS DOUBLE) AS v FROM g
+        |), bic AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM g GROUP BY 1, 2
+        |), bi AS (
+        |  SELECT b.w1, b.w2,
+        |    CAST(floor(-ln((CAST(b.c12 AS DOUBLE) + 1)
+        |      / (CAST(u.c1 AS DOUBLE) + vv.v)) * 1000000) AS BIGINT) AS sq
+        |  FROM bic b JOIN uni u USING (w1), vv
+        |)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(sq) // COUNT(*) AS BIGINT) AS surprise_q
+        |FROM g JOIN bi USING (w1, w2)
+        |GROUP BY 1
+        |ORDER BY surprise_q DESC, doc_id LIMIT 20""".stripMargin,
+    "q118_corrupt_csv" ->
+      """WITH g AS (
+        |  SELECT doc_id, n_chars, (doc_id % 10 = 0) AS bad FROM documents
+        |)
+        |SELECT COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN bad THEN 1 END) AS n_corrupt,
+        |  CAST(SUM(CASE WHEN NOT bad THEN n_chars END) AS BIGINT)
+        |    AS good_chars,
+        |  COUNT(CASE WHEN NOT bad THEN 1 END) AS n_kept,
+        |  CAST(SUM(CASE WHEN NOT bad THEN n_chars END) AS BIGINT)
+        |    AS kept_chars
+        |FROM g""".stripMargin,
   )
 }

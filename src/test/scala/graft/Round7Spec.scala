@@ -118,6 +118,57 @@ class Round7Spec extends SparkSpec {
     assert(result.map(_.toSeq).toSeq == expect.map(_.toSeq).toSeq)
   }
 
+  test("q115: pre-evolution batch surfaces the new column as all-NULL") {
+    val rows = ops.Round7.q115SchemaEvolution(spark, sf).collect()
+    assert(rows.length == 2)
+    val byBatch = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byBatch(1).getLong(2) == 0,
+      "batch 1 predates the lang column — merged reads must NULL-fill it")
+    assert(byBatch(2).getLong(2) == byBatch(2).getLong(1),
+      "every batch-2 row carries the evolved column")
+  }
+
+  test("q116: join-counted triangles match a brute-force enumeration") {
+    import spark.implicits._
+    val row = ops.Round7.q116Triangles(spark, sf).collect().head
+    // re-derive the edge set driver-side and enumerate all 3-subsets
+    val n = 200
+    val edges = (0 until n).flatMap(i =>
+      Seq((i, (i * 2 + 1) % n), (i, (i * 3 + 2) % n)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val brute = (for {
+      (a, i) <- nodes.zipWithIndex
+      b <- nodes.drop(i + 1) if edges((a, b))
+      c <- nodes.dropWhile(_ <= b) if edges((b, c)) && edges((a, c))
+    } yield 1).size
+    assert(row.getLong(0) == edges.size.toLong)
+    assert(row.getLong(2) == brute.toLong,
+      s"join count ${row.getLong(2)} != brute force $brute")
+  }
+
+  test("q117: bigram surprise is deterministic and positively scored") {
+    val a = ops.Round7.q117BigramLm(spark, sf).collect().toSeq
+    spark.catalog.clearCache()
+    val b = ops.Round7.q117BigramLm(spark, sf).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty && a.forall(_.getLong(2) > 0))
+    val key = a.map(r => (-r.getLong(2), r.getLong(0)))
+    assert(key == key.sorted, "ranking must be surprise-desc, id-tiebroken")
+  }
+
+  test("q118: PERMISSIVE totals reconcile with DROPMALFORMED") {
+    val r = ops.Round7.q118CorruptCsv(spark, sf).collect().head
+    val (nRows, nCorrupt, goodChars, nKept, keptChars) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nCorrupt > 0, "the fixture must actually contain corrupt rows")
+    assert(nRows == nKept + nCorrupt,
+      "PERMISSIVE keeps what DROPMALFORMED drops")
+    assert(goodChars == keptChars,
+      "good-row payload must be identical under both modes")
+  }
+
   test("q112: text round trip conserves every document and character") {
     import spark.implicits._
     val buckets = ops.Round7.q112TextSource(spark, sf).collect()
