@@ -517,6 +517,23 @@ object Round7 {
     permissive.crossJoin(dropped)
   }
 
+  /** DSv2 AGGREGATE pushdown — the third pushdown contract of the custom
+    * connector (q88 pushed filters, q94 added the write path): COUNT /
+    * MIN / MAX over `doc_id` are recognized by the source's
+    * `SupportsPushDownAggregates` and answered in closed form from the
+    * filter-clamped range — the "scan" emits ONE pre-aggregated row and
+    * never enumerates a document. `Round7Spec` proves it by running the
+    * same aggregate over a 2-TRILLION-row table instantly; here the
+    * range is small so the DuckDB oracle can enumerate it honestly. */
+  val q119Dsv2AggPushdown: Q = (spark, dir) => {
+    import spark.implicits._
+    spark.read.format("graft.sources.GraftDocsSource")
+      .option("rows", "50000").option("partitions", "8").load()
+      .filter($"doc_id" >= 1000 && $"doc_id" < 42000)
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_id"),
+        max($"doc_id").as("max_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q106_semdedup" -> q106SemDedup,
     "q107_gopher_rules" -> q107GopherRules,
@@ -531,6 +548,7 @@ object Round7 {
     "q116_triangles" -> q116Triangles,
     "q117_bigram_lm" -> q117BigramLm,
     "q118_corrupt_csv" -> q118CorruptCsv,
+    "q119_dsv2_agg_pushdown" -> q119Dsv2AggPushdown,
   )
 
   /** One DuckDB BPE round (see [[q113BpeTrain]]): w{n-1} → t/p/b/c/r/s/m/w{n}.
@@ -802,5 +820,8 @@ object Round7 {
         |  CAST(SUM(CASE WHEN NOT bad THEN n_chars END) AS BIGINT)
         |    AS kept_chars
         |FROM g""".stripMargin,
+    "q119_dsv2_agg_pushdown" ->
+      """SELECT COUNT(*) AS n_docs, MIN(i) AS min_id, MAX(i) AS max_id
+        |FROM range(1000, 42000) t(i)""".stripMargin,
   )
 }

@@ -5,7 +5,8 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
@@ -95,11 +96,48 @@ class GraftDocsTable(rows: Long, parts: Int, path: Option[String])
 }
 
 class GraftDocsScanBuilder(rows: Long, parts: Int) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = GraftDocsSource.schema
   private var lo = 0L
   private var hi = rows
   private var accepted = Array.empty[Filter]
+  private var pushedAggs: Seq[String] = Nil
+
+  // ----- aggregate pushdown (COMPLETE): COUNT/MIN/MAX over doc_id are
+  // closed-form on the clamped [lo, hi) range — count = hi−lo, min = lo,
+  // max = hi−1 — so the "scan" emits ONE pre-aggregated row and never
+  // enumerates a single document. This is what makes a count() over a
+  // trillion-row virtual table O(1); Spark calls pushAggregation only
+  // AFTER every filter was pushed, so the range is final here.
+  private def isDocId(e: V2Expression): Boolean = e match {
+    case r: NamedReference => r.fieldNames.sameElements(Array("doc_id"))
+    case _ => false
+  }
+  private def recognize(a: Aggregation): Option[Seq[String]] =
+    if (a.groupByExpressions.nonEmpty) None
+    else {
+      val rec: Seq[Option[String]] = a.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some("count")
+        // non-distinct COUNT(doc_id) ≡ COUNT(*): doc_id is never null
+        case c: Count if !c.isDistinct && isDocId(c.column) => Some("count")
+        case m: Min if isDocId(m.column) => Some("min")
+        case m: Max if isDocId(m.column) => Some("max")
+        case _ => None
+      }
+      if (rec.forall(_.isDefined)) Some(rec.flatten) else None
+    }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    // decline the empty range: MIN/MAX of zero rows is NULL, which the
+    // ordinary (unpushed) aggregate handles; completeness only where the
+    // closed form is total
+    recognize(agg).isDefined && math.min(hi, rows) > math.max(lo, 0L)
+  override def pushAggregation(agg: Aggregation): Boolean =
+    recognize(agg) match {
+      case Some(kinds) if math.min(hi, rows) > math.max(lo, 0L) =>
+        pushedAggs = kinds; true
+      case _ => false
+    }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark passes the subset of our schema it actually references (it
@@ -127,7 +165,43 @@ class GraftDocsScanBuilder(rows: Long, parts: Int) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan =
-    new GraftDocsScan(math.max(lo, 0L), math.min(hi, rows), parts, required)
+    if (pushedAggs.nonEmpty)
+      new GraftDocsAggScan(math.max(lo, 0L), math.min(hi, rows), pushedAggs)
+    else
+      new GraftDocsScan(math.max(lo, 0L), math.min(hi, rows), parts, required)
+}
+
+/** Result scan of a COMPLETELY pushed aggregation: one partition, one row,
+  * each output column the closed-form value of its pushed AggregateFunc.
+  * Spark maps the columns to the query's aggregate expressions
+  * positionally, so the schema carries synthetic names. */
+class GraftDocsAggScan(lo: Long, hi: Long, aggs: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(aggs.zipWithIndex.map { case (k, i) =>
+      StructField(s"pushed_${k}_$i", LongType, nullable = false) })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftDocs COMPLETE-agg-pushdown range=[$lo,$hi) aggs=${aggs.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftDocsPartition(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftDocsAggReaderFactory(lo, hi, aggs)
+}
+
+class GraftDocsAggReaderFactory(lo: Long, hi: Long, aggs: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val first = !emitted; emitted = true; first }
+      override def get(): InternalRow = InternalRow.fromSeq(aggs.map {
+        case "count" => hi - lo
+        case "min"   => lo
+        case "max"   => hi - 1
+      })
+      override def close(): Unit = ()
+    }
 }
 
 class GraftDocsScan(lo: Long, hi: Long, parts: Int, required: StructType)

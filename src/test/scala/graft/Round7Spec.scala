@@ -169,6 +169,25 @@ class Round7Spec extends SparkSpec {
       "good-row payload must be identical under both modes")
   }
 
+  test("q119: pushed COUNT/MIN/MAX answers a 2-trillion-row table instantly") {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val df = spark.read.format("graft.sources.GraftDocsSource")
+      .option("rows", "2000000000000").load()
+      .filter($"doc_id" >= 500000000000L && $"doc_id" < 1500000000000L)
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("lo"),
+        max($"doc_id").as("hi"))
+    val row = df.collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(row.getLong(0) == 1000000000000L)
+    assert(row.getLong(1) == 500000000000L && row.getLong(2) == 1499999999999L)
+    // enumeration at even 100M rows/s would need hours; closed form is
+    // instant (generous bound for a loaded CI host)
+    assert(secs < 30, s"took $secs s — aggregate was not answered closed-form")
+    assert(df.queryExecution.executedPlan.toString.contains("COMPLETE-agg-pushdown"),
+      "plan must show the source-side aggregate scan")
+  }
+
   test("q112: text round trip conserves every document and character") {
     import spark.implicits._
     val buckets = ops.Round7.q112TextSource(spark, sf).collect()
