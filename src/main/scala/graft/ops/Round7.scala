@@ -534,6 +534,32 @@ object Round7 {
         max($"doc_id").as("max_id"))
   }
 
+  /** Blocked entity resolution (record linkage) — the classic two-phase
+    * recipe: a cheap BLOCKING key (here the head noun of the part name)
+    * bounds the candidate pairs, then the expensive similarity
+    * (levenshtein ≤ 2, exact integer DP on both engines — the q71
+    * precedent) runs only within blocks. "cold anvil" ↔ "old anvil"
+    * match inside the `anvil` block; no cross-noun pair is ever formed,
+    * which is what keeps linkage off the O(n²) cliff at catalog scale.
+    * Resolution works on the DISTINCT-name table with per-name support
+    * counts — corpus rows are aggregated once, never pair-joined. */
+  val q120EntityResolution: Q = (spark, dir) => {
+    import spark.implicits._
+    val names = Tables.part(spark, dir)
+      .groupBy($"p_name").agg(count(lit(1)).as("n_parts"))
+      .withColumn("noun", substring_index($"p_name", " ", -1))
+      .cache()
+    val b = names.select($"noun", $"p_name".as("name_b"),
+      $"n_parts".as("n_parts_b"))
+    names.select($"noun", $"p_name".as("name_a"), $"n_parts".as("n_parts_a"))
+      .join(b, Seq("noun"))
+      .filter($"name_a" < $"name_b")
+      .withColumn("dist", levenshtein($"name_a", $"name_b"))
+      .filter($"dist" <= 2)
+      .select($"name_a", $"name_b", $"dist", $"n_parts_a", $"n_parts_b")
+      .orderBy($"name_a", $"name_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q106_semdedup" -> q106SemDedup,
     "q107_gopher_rules" -> q107GopherRules,
@@ -549,6 +575,7 @@ object Round7 {
     "q117_bigram_lm" -> q117BigramLm,
     "q118_corrupt_csv" -> q118CorruptCsv,
     "q119_dsv2_agg_pushdown" -> q119Dsv2AggPushdown,
+    "q120_entity_resolution" -> q120EntityResolution,
   )
 
   /** One DuckDB BPE round (see [[q113BpeTrain]]): w{n-1} → t/p/b/c/r/s/m/w{n}.
@@ -823,5 +850,18 @@ object Round7 {
     "q119_dsv2_agg_pushdown" ->
       """SELECT COUNT(*) AS n_docs, MIN(i) AS min_id, MAX(i) AS max_id
         |FROM range(1000, 42000) t(i)""".stripMargin,
+    "q120_entity_resolution" ->
+      """WITH names AS (
+        |  SELECT p_name, COUNT(*) AS n_parts,
+        |    split_part(p_name, ' ', 2) AS noun
+        |  FROM part GROUP BY 1
+        |)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+        |  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        |FROM names a JOIN names b
+        |  ON a.noun = b.noun AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
   )
 }
