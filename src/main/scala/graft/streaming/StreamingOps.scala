@@ -3,8 +3,9 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators (SURVEY.md §2.14: the reference has no
   * streaming — these are the engine's forward-looking seams, expressed so
@@ -135,6 +136,64 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotalProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class TwsSession(user_id: Long, n_events: Long,
+    start_sec: Long, end_sec: Long)
+
+  /** [[StatefulProcessor]] for [[timerSessions]]: buffered event seconds
+    * in a [[ListState]], one EVENT-TIME timer re-armed at
+    * (latest event + gap). When the watermark passes the timer,
+    * [[handleExpiredTimer]] fires: the buffered events split on the gap,
+    * every closed session is emitted, and state clears — the session
+    * flush that the arrival-driven [[StreamingOps.sessionize]] could
+    * never do for the FINAL session of an idle user (it waits for a
+    * later event to prove the gap; the timer proves it by time alone).
+    * That is the capability timers add over the old GroupState API's
+    * processing-time timeouts: event-time-correct, replayable flushes. */
+  private[streaming] class TimerSessionProcessor(gapSec: Long)
+      extends StatefulProcessor[Long, Event, TwsSession] {
+    @transient private var buf: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[Long]("evs", Encoders.scalaLong,
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TwsSession] = {
+      rows.foreach(e => buf.appendValue(e.ts.getTime / 1000))
+      // one armed timer per key: re-arm at latest-event + gap
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      val latest = buf.get().max
+      getHandle.registerTimer((latest + gapSec) * 1000)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TwsSession] = {
+      val secs = buf.get().toArray.sorted
+      buf.clear()
+      if (secs.isEmpty) return Iterator.empty
+      val sessions = secs.foldLeft(List.empty[List[Long]]) {
+        case ((cur @ (last :: _)) :: rest, t) if t - last <= gapSec =>
+          (t :: cur) :: rest
+        case (acc, t) => List(t) :: acc
+      }.map(_.reverse).reverse
+      sessions.iterator.map(s =>
+        TwsSession(key, s.size.toLong, s.head, s.last))
+    }
+  }
+
+  /** Timer-driven sessionization via `transformWithState` in EventTime
+    * mode: sessions close when the WATERMARK passes last-event + gap —
+    * no later event needed. Input must carry a watermark (the engine
+    * feeds it to the timer machinery); state is bounded because every
+    * armed timer eventually fires and clears its key. */
+  def timerSessions(events: Dataset[Event], gapSec: Long): Dataset[TwsSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapSec),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Native session windows under a watermark: the streaming face of

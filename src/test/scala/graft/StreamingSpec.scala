@@ -264,4 +264,40 @@ class StreamingSpec extends SparkSpec {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("transformWithState event-time timer flushes the final idle session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      // user 10: two events one minute apart, then silence — the
+      // arrival-driven sessionizer would hold this open forever
+      mem.addData(
+        Event(1, ts(61), 10, "click", 1.0),
+        Event(2, ts(62), 10, "click", 1.0))
+      val q = StreamingOps.timerSessions(mem.toDS(), gapSec = 1800)
+        .writeStream.format("memory").queryName("twt")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("twt").isEmpty,
+          "session must stay open while the watermark is behind the timer")
+        // unrelated user far in the future advances the watermark past
+        // minute 62 + 30min gap; user 10's timer fires on the next batch
+        mem.addData(Event(3, ts(200), 99, "view", 1.0))
+        q.processAllAvailable()
+        val closed = spark.table("twt").as[StreamingOps.TwsSession].collect()
+        assert(closed.toSet.contains(
+          StreamingOps.TwsSession(10, 2, 61 * 60, 62 * 60)),
+          s"expected user 10's idle session flushed, got ${closed.toSeq}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
