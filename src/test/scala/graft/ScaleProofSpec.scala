@@ -1,0 +1,70 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Measured scale evidence — the claims PLANS.md makes about shuffle
+  * volume, verified with the engine's own task metrics instead of plan
+  * inspection: registers a listener, runs the operator at two corpus
+  * sizes, and asserts the SHUFFLE barely moves while the input grows 10×.
+  * Plan shape says "map-side combined"; this proves the combine actually
+  * collapses the stream before the exchange.
+  */
+class ScaleProofSpec extends SparkSpec {
+
+  /** Total shuffle-write records across all tasks of `action`. Listener
+    * delivery is async, so poll the counter until it is stable. */
+  private def shuffleRecords(action: => Unit): Long = {
+    val recs = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      action
+      var prev = -1L
+      var tries = 0
+      while (recs.get() != prev && tries < 50) {
+        prev = recs.get(); Thread.sleep(200); tries += 1
+      }
+      recs.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("q86 pooling: shuffle volume stays flat while the corpus grows 10x") {
+    // q86's contract: posexplode fans out |corpus|·64 rows, but map-side
+    // partial aggregation collapses them to ≤ maptasks·|labels|·64 rows
+    // BEFORE the exchange — shuffle volume follows the GROUP count, not
+    // the corpus. Measure it at sf0.001 and sf0.01 (10× the vectors).
+    val small = shuffleRecords(
+      ops.Round4.q86EmbeddingPool(spark, "/root/testdata/sf0.001").count())
+    spark.catalog.clearCache()
+    val big = shuffleRecords(
+      ops.Round4.q86EmbeddingPool(spark, "/root/testdata/sf0.01").count())
+    spark.catalog.clearCache()
+    assert(small > 0, "the aggregation must actually shuffle something")
+    assert(big <= small * 3,
+      s"shuffle records grew $small -> $big across a 10x corpus — " +
+        "map-side combine is not collapsing the fan-out")
+  }
+
+  test("q99 contamination: the corpus side ships no rows for the probe join") {
+    // q99's contract: the benchmark grams broadcast, so the only shuffle
+    // is the per-doc gram dedup — corpus rows are NEVER exchanged for the
+    // join itself. An exchange-based probe would shuffle ~n_grams rows
+    // (hundreds of thousands at sf0.01); the dedup shuffle is bounded by
+    // distinct (doc, gram) pairs, which we bound loosely here against the
+    // catastrophic all-to-all that a non-broadcast plan would produce.
+    val grams = shuffleRecords(
+      ops.Round6.q99Contamination(spark, "/root/testdata/sf0.001").count())
+    spark.catalog.clearCache()
+    assert(grams > 0)
+    val corpusGramRows = 25000 // ~50 docs × ~500 5-gram positions, sf0.001
+    assert(grams < corpusGramRows * 4,
+      s"$grams shuffle records — a broadcast probe should stay near the " +
+        "dedup volume, far below repeated corpus-wide exchanges")
+  }
+}
