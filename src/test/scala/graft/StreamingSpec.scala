@@ -265,6 +265,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState restarts from its checkpoint with state intact") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt")
+      .toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_tws_out")
+      .toString
+    try {
+      val mem = MemoryStream[Event]
+      // memory sink refuses checkpoint recovery, so the restartable face
+      // is foreachBatch → parquet (the q-pattern production sink)
+      def start() = StreamingOps.runningTotalsTws(mem.toDS())
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StreamingOps.UserTotal],
+              id: Long) =>
+            batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+      mem.addData(Event(1, ts(61), 10, "click", 1.0))
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      // JVM-internal "crash": a NEW query object resumes from the same
+      // checkpoint; the RocksDB ValueState must still hold (1, 1.0)
+      mem.addData(Event(2, ts(62), 10, "click", 2.0))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val latest = spark.read.parquet(outDir)
+        .as[StreamingOps.UserTotal].collect().maxBy(_.n_events)
+      assert(latest == StreamingOps.UserTotal(10, 2, 3.0),
+        s"state did not survive the restart: $latest")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState event-time timer flushes the final idle session") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
