@@ -4,8 +4,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators (SURVEY.md §2.14: the reference has no
   * streaming — these are the engine's forward-looking seams, expressed so
@@ -135,6 +135,45 @@ object StreamingOps {
     events
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** [[StatefulProcessor]] for [[typeCountsTws]]: a [[MapState]] keyed by
+    * event type — the third typed state cell beside [[ValueState]]
+    * (runningTotalsTws) and [[ListState]] (timerSessions). The point of
+    * MapState over a ValueState[Map[...]]: per-ENTRY store access — one
+    * updated counter touches one RocksDB key, not a full-map
+    * deserialize/rewrite, which is what keeps wide per-user state (many
+    * types, many features) updatable at high event rates. */
+  private[streaming] class TypeCountProcessor
+      extends StatefulProcessor[Long, Event, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.Set.empty[String]
+      rows.foreach { e =>
+        val c = if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, c + 1)
+        touched += e.event_type
+      }
+      // emit only the entries this batch changed (Update-mode contract)
+      touched.iterator.map(t => TypeCount(key, t, counts.getValue(t)))
+    }
+  }
+
+  /** Per-user per-event-type running counters via MapState — wide keyed
+    * state with per-entry access. */
+  def typeCountsTws(events: Dataset[Event]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
         TimeMode.None(), OutputMode.Update())
   }
 

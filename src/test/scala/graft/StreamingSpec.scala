@@ -265,6 +265,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState keeps per-entry counters across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      mem.addData(
+        Event(1, ts(61), 10, "click", 1.0),
+        Event(2, ts(62), 10, "view", 1.0),
+        Event(3, ts(63), 10, "click", 1.0))
+      val q = StreamingOps.typeCountsTws(mem.toDS())
+        .writeStream.format("memory").queryName("twm")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        q.processAllAvailable()
+        mem.addData(Event(4, ts(64), 10, "click", 1.0)) // batch 2: only click
+        q.processAllAvailable()
+        val latest = spark.table("twm").as[StreamingOps.TypeCount].collect()
+          .groupBy(_.event_type).map { case (_, rs) => rs.maxBy(_.n) }.toSet
+        // click's MapState entry carried 2 into batch 2; view untouched
+        assert(latest == Set(
+          StreamingOps.TypeCount(10, "click", 3),
+          StreamingOps.TypeCount(10, "view", 1)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState restarts from its checkpoint with state intact") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
