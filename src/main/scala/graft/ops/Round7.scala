@@ -560,6 +560,92 @@ object Round7 {
       .orderBy($"name_a", $"name_b")
   }
 
+  /** The capstone: an END-TO-END curation pipeline in one dataflow —
+    * exact dedup → Gopher-rule filter → LM-surprise percentile cut →
+    * benchmark decontamination — emitting the per-language funnel
+    * (n_raw → n_dedup → n_rules → n_lm → n_final + surviving chars)
+    * that a curation run reports. Each stage is the already-verified
+    * operator's shape (q40, q107, q100, q99) composed into one lineage;
+    * the oracle replays the whole pipeline as chained CTEs, so the
+    * composition itself is hash-checked, not just the pieces.
+    *
+    * Scale notes per stage: dedup is one shuffle on the content key;
+    * the rule filter is the q101 two-aggregation shape; the LM model is
+    * a broadcast of a vocab-sized aggregate with the corpus total as a
+    * driver literal; the percentile cut ranks only RULE-SURVIVING docs
+    * (≪ corpus — at extreme scale the q104 two-level scan replaces the
+    * global window); decontamination broadcasts the benchmark grams so
+    * the corpus side never shuffles for the probe. */
+  val q121CurationPipeline: Q = (spark, dir) => {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"text", $"n_chars")
+    // injected duplicates (the q40/q105 corpus) so the dedup stage has
+    // real work; benchmark slice = doc_id % 97 (the q99 convention)
+    val corpus = base.unionByName(
+      base.filter($"doc_id" % 7 === 0)
+        .withColumn("doc_id", $"doc_id" + 1000000L)).cache()
+    val dedup = corpus
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"text").orderBy($"doc_id")))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang", $"text", $"n_chars")
+      .cache()
+    val tok = Dedup.fanoutReady(dedup)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+      .cache()
+    val rules = tok.groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_words"),
+        count(when($"tok".isin("the", "a"), 1)).as("n_stop"))
+      .filter($"n_words" >= 30 && $"n_words" <= 2000 && $"n_stop" >= 2)
+      .select($"doc_id", $"lang")
+      .cache()
+    val rtok = tok.join(rules.select($"doc_id"), Seq("doc_id")).cache()
+    val vocab = rtok.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum($"cnt")).head().getLong(0)
+    val surprise = rtok
+      .join(broadcast(vocab), Seq("tok"))
+      .withColumn("tq",
+        floor(-log($"cnt".cast("double") / lit(total.toDouble)) * 1e6)
+          .cast("long"))
+      .groupBy($"doc_id", $"lang")
+      .agg(expr("sum(tq) div count(1)").as("sq"))
+    val nKept = rules.count()
+    val lmkept = surprise
+      .withColumn("rk", row_number().over(Window.orderBy($"sq", $"doc_id")))
+      .filter($"rk" <= lit(nKept * 95 / 100))
+      .select($"doc_id", $"lang")
+      .cache()
+    def grams5(df: DataFrame, idCol: String) = df
+      .select(col(idCol), split($"text", " ").as("w"))
+      .filter(size($"w") >= 5)
+      .select(col(idCol), $"w",
+        explode(sequence(lit(1), size($"w") - 4)).as("i"))
+      .select(col(idCol), concat_ws(" ", slice($"w", $"i", lit(5))).as("gram"))
+    val bgram = grams5(corpus.filter($"doc_id" % 97 === 0), "doc_id")
+      .select($"gram").distinct()
+    val contam = grams5(
+        lmkept.filter($"doc_id" % 97 =!= 0)
+          .join(dedup.select($"doc_id", $"text"), Seq("doc_id")), "doc_id")
+      .join(broadcast(bgram), Seq("gram"))
+      .select($"doc_id").distinct()
+    val fin = lmkept.filter($"doc_id" % 97 =!= 0)
+      .join(contam, Seq("doc_id"), "left_anti")
+      .join(dedup.select($"doc_id", $"n_chars"), Seq("doc_id"))
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy($"lang").agg(count(lit(1)).as(name))
+    corpus.select($"lang").distinct()
+      .join(cnt(corpus, "n_raw"), Seq("lang"), "left")
+      .join(cnt(dedup, "n_dedup"), Seq("lang"), "left")
+      .join(cnt(rules, "n_rules"), Seq("lang"), "left")
+      .join(cnt(lmkept, "n_lm"), Seq("lang"), "left")
+      .join(fin.groupBy($"lang").agg(count(lit(1)).as("n_final"),
+        sum($"n_chars").as("final_chars")), Seq("lang"), "left")
+      .na.fill(0L, Seq("n_raw", "n_dedup", "n_rules", "n_lm", "n_final"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q106_semdedup" -> q106SemDedup,
     "q107_gopher_rules" -> q107GopherRules,
@@ -576,6 +662,7 @@ object Round7 {
     "q118_corrupt_csv" -> q118CorruptCsv,
     "q119_dsv2_agg_pushdown" -> q119Dsv2AggPushdown,
     "q120_entity_resolution" -> q120EntityResolution,
+    "q121_curation_pipeline" -> q121CurationPipeline,
   )
 
   /** One DuckDB BPE round (see [[q113BpeTrain]]): w{n-1} → t/p/b/c/r/s/m/w{n}.
@@ -850,6 +937,81 @@ object Round7 {
     "q119_dsv2_agg_pushdown" ->
       """SELECT COUNT(*) AS n_docs, MIN(i) AS min_id, MAX(i) AS max_id
         |FROM range(1000, 42000) t(i)""".stripMargin,
+    "q121_curation_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, text, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, text, n_chars FROM documents
+        |  WHERE doc_id % 7 = 0
+        |), dedup AS (
+        |  SELECT doc_id, lang, text, n_chars FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id)
+        |      AS rn
+        |    FROM corpus)
+        |  WHERE rn = 1
+        |), tok AS (
+        |  SELECT d.doc_id, d.lang, t.tok
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |        FROM dedup) d,
+        |    UNNEST(w) AS t(tok)
+        |  WHERE t.tok <> ''
+        |), per AS (
+        |  SELECT doc_id, lang, COUNT(*) AS n_words,
+        |    COUNT(CASE WHEN tok IN ('the', 'a') THEN 1 END) AS n_stop
+        |  FROM tok GROUP BY 1, 2
+        |), rules AS (
+        |  SELECT doc_id, lang FROM per
+        |  WHERE n_words >= 30 AND n_words <= 2000 AND n_stop >= 2
+        |), rtok AS (
+        |  SELECT t.doc_id, t.lang, t.tok FROM tok t JOIN rules r USING (doc_id)
+        |), vocab AS (
+        |  SELECT tok, COUNT(*) AS cnt FROM rtok GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab
+        |), surprise AS (
+        |  SELECT t.doc_id, t.lang,
+        |    CAST(SUM(CAST(floor(-ln(CAST(v.cnt AS DOUBLE) / tot.total)
+        |      * 1000000) AS BIGINT)) // COUNT(*) AS BIGINT) AS sq
+        |  FROM rtok t JOIN vocab v USING (tok), tot
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (ORDER BY sq, doc_id) AS rk,
+        |    COUNT(*) OVER () AS n
+        |  FROM surprise
+        |), lmkept AS (
+        |  SELECT doc_id, lang FROM ranked WHERE rk <= n * 95 // 100
+        |), bgram AS (
+        |  SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS gram
+        |  FROM (SELECT string_split(text, ' ') AS w FROM corpus
+        |        WHERE doc_id % 97 = 0),
+        |    UNNEST(range(1, len(w) - 3)) AS u(i)
+        |  WHERE len(w) >= 5
+        |), cgram AS (
+        |  SELECT k.doc_id, array_to_string(d.w[u.i:u.i+4], ' ') AS gram
+        |  FROM lmkept k
+        |  JOIN (SELECT doc_id, string_split(text, ' ') AS w FROM dedup) d
+        |    USING (doc_id),
+        |    UNNEST(range(1, len(d.w) - 3)) AS u(i)
+        |  WHERE len(d.w) >= 5 AND k.doc_id % 97 <> 0
+        |), contam AS (
+        |  SELECT DISTINCT c.doc_id FROM cgram c JOIN bgram b USING (gram)
+        |), final AS (
+        |  SELECT k.doc_id, k.lang FROM lmkept k
+        |  LEFT JOIN contam c USING (doc_id)
+        |  WHERE c.doc_id IS NULL AND k.doc_id % 97 <> 0
+        |)
+        |SELECT l.lang,
+        |  (SELECT COUNT(*) FROM corpus d WHERE d.lang = l.lang) AS n_raw,
+        |  (SELECT COUNT(*) FROM dedup d WHERE d.lang = l.lang) AS n_dedup,
+        |  (SELECT COUNT(*) FROM rules r WHERE r.lang = l.lang) AS n_rules,
+        |  (SELECT COUNT(*) FROM lmkept k WHERE k.lang = l.lang) AS n_lm,
+        |  (SELECT COUNT(*) FROM final f WHERE f.lang = l.lang) AS n_final,
+        |  CAST((SELECT SUM(d.n_chars) FROM final f
+        |    JOIN dedup d USING (doc_id)
+        |    WHERE f.lang = l.lang) AS BIGINT) AS final_chars
+        |FROM (SELECT DISTINCT lang FROM corpus) l
+        |ORDER BY lang""".stripMargin,
     "q120_entity_resolution" ->
       """WITH names AS (
         |  SELECT p_name, COUNT(*) AS n_parts,
