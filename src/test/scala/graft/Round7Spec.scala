@@ -188,6 +188,18 @@ class Round7Spec extends SparkSpec {
       "plan must show the source-side aggregate scan")
   }
 
+  test("q121: the curation funnel is monotone non-increasing per language") {
+    val rows = ops.Round7.q121CurationPipeline(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val stages = (1 to 5).map(r.getLong) // n_raw..n_final
+      assert(stages.zip(stages.tail).forall { case (a, b) => a >= b },
+        s"${r.getString(0)}: funnel must only shrink, got $stages")
+      assert(stages.head > stages(1),
+        "the injected duplicates must make the dedup stage do real work")
+    }
+  }
+
   test("q112: text round trip conserves every document and character") {
     import spark.implicits._
     val buckets = ops.Round7.q112TextSource(spark, sf).collect()
