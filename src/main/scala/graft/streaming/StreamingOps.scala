@@ -51,6 +51,19 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("content_key")
 
+  /** Streaming dedup via `dropDuplicatesWithinWatermark` — the newer API
+    * that [[dedupStream]]'s plain dropDuplicates should usually be: plain
+    * dropDuplicates keys state eviction on the DUPLICATE ROWS' OWN event
+    * times (replays with perturbed timestamps can evade or pin state),
+    * while WithinWatermark guarantees any duplicate arriving within the
+    * watermark delay of the FIRST-SEEN row is dropped, and state for a
+    * key is evicted one delay after first sight — bounded state with
+    * replay-robust semantics even when duplicate timestamps differ. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-static enrichment join: each micro-batch joins against a
     * broadcast dimension table (the streaming face of the q05/q08 dim
     * joins). No stream-side state, no watermark needed — the static side

@@ -265,6 +265,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dropDuplicatesWithinWatermark drops replays whose timestamps drifted") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    // the replay of event 1 arrives with a DIFFERENT timestamp — plain
+    // dropDuplicates would also drop it here, but its state eviction
+    // would key on the replayed time; WithinWatermark pins the guarantee
+    // to first-sight + delay
+    mem.addData(
+      Event(1, ts(61), 10, "click", 1.0),
+      Event(1, ts(63), 10, "click", 1.0), // replayed, drifted +2min
+      Event(2, ts(62), 11, "view", 2.0))
+    val q = StreamingOps.dedupWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("ddw")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("ddw").select("event_id").as[Long].collect()
+      assert(ids.sorted.toSeq == Seq(1L, 2L),
+        s"each event id must survive exactly once, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("transformWithState MapState keeps per-entry counters across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
