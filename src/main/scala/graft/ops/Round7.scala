@@ -646,6 +646,39 @@ object Round7 {
       .orderBy($"lang")
   }
 
+  /** Winsorized (outlier-clipped) robust aggregation — the metrics-stage
+    * counterpart of the q107 row FILTERS: instead of dropping outliers,
+    * clip every value into the group's exact [P05, P95] band and
+    * aggregate the clipped stream, so one anomalous record can no longer
+    * swing a group mean. Percentiles are EXACT integer order statistics
+    * (the q45 rank pattern: row_number over (cents, orderkey) with a
+    * deterministic rank formula), so every emitted number is bit-stable;
+    * at 100 TB the per-group sort gives way to the q92 sketch with rank
+    * error bounds — this is the exact form the sketch approximates. */
+  val q122Winsorize: Q = (spark, dir) => {
+    import spark.implicits._
+    val v = Tables.orders(spark, dir)
+      .select($"o_orderpriority".as("prio"), $"o_orderkey",
+        (money($"o_totalprice") * 100).cast("long").as("cents"))
+    val r = v
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"prio").orderBy($"cents", $"o_orderkey")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"prio")))
+    val cuts = r.groupBy($"prio").agg(
+      max(when($"rk" === greatest(lit(1L), expr("n * 5 div 100")), $"cents"))
+        .as("p05"),
+      max(when($"rk" === greatest(lit(1L), expr("n * 95 div 100")), $"cents"))
+        .as("p95"))
+    v.join(broadcast(cuts), Seq("prio"))
+      .groupBy($"prio", $"p05", $"p95")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(least(greatest($"cents", $"p05"), $"p95")).as("winsorized_cents"),
+        sum($"cents").as("raw_cents"))
+      .select($"prio", $"n_orders", $"p05".as("p05_cents"),
+        $"p95".as("p95_cents"), $"winsorized_cents", $"raw_cents")
+      .orderBy($"prio")
+  }
+
   val queries: Map[String, Q] = Map(
     "q106_semdedup" -> q106SemDedup,
     "q107_gopher_rules" -> q107GopherRules,
@@ -663,6 +696,7 @@ object Round7 {
     "q119_dsv2_agg_pushdown" -> q119Dsv2AggPushdown,
     "q120_entity_resolution" -> q120EntityResolution,
     "q121_curation_pipeline" -> q121CurationPipeline,
+    "q122_winsorize" -> q122Winsorize,
   )
 
   /** One DuckDB BPE round (see [[q113BpeTrain]]): w{n-1} → t/p/b/c/r/s/m/w{n}.
@@ -1012,6 +1046,34 @@ object Round7 {
         |    WHERE f.lang = l.lang) AS BIGINT) AS final_chars
         |FROM (SELECT DISTINCT lang FROM corpus) l
         |ORDER BY lang""".stripMargin,
+    "q122_winsorize" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS prio, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY prio ORDER BY cents, o_orderkey)
+        |      AS rk,
+        |    COUNT(*) OVER (PARTITION BY prio) AS n
+        |  FROM v
+        |), cuts AS (
+        |  SELECT prio,
+        |    MAX(CASE WHEN rk = greatest(1, n * 5 // 100) THEN cents END)
+        |      AS p05,
+        |    MAX(CASE WHEN rk = greatest(1, n * 95 // 100) THEN cents END)
+        |      AS p95
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT v.prio, COUNT(*) AS n_orders,
+        |  CAST(c.p05 AS BIGINT) AS p05_cents,
+        |  CAST(c.p95 AS BIGINT) AS p95_cents,
+        |  CAST(SUM(least(greatest(v.cents, c.p05), c.p95)) AS BIGINT)
+        |    AS winsorized_cents,
+        |  CAST(SUM(v.cents) AS BIGINT) AS raw_cents
+        |FROM v JOIN cuts c USING (prio)
+        |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin,
     "q120_entity_resolution" ->
       """WITH names AS (
         |  SELECT p_name, COUNT(*) AS n_parts,
