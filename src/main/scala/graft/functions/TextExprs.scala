@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The DISTINCT character-n-gram keys of a string, as one array of longs —
+  * the gram fan-out primitive of the n-gram Jaccard dedup (q43), moved
+  * from "explode every position, then DISTINCT corpus-wide" into a single
+  * per-document evaluation.
+  *
+  * Why an Expression beats the composed form twice over:
+  *  - the per-document dedup happens in a local hash set DURING the scan,
+  *    so the corpus-wide `.distinct()` exchange (the largest shuffle of
+  *    the composed q43 plan — one row per character position) disappears:
+  *    the explode emits only each document's distinct grams;
+  *  - the key is the n gram BYTES packed big-endian into the long
+  *    (n ≤ 8), which is INJECTIVE — unlike xxhash64(substr), two distinct
+  *    grams can never merge, so the downstream Jaccard is exact by
+  *    construction rather than exact-with-negligible-collision-probability.
+  *
+  * One eval per document with a tight hand-written loop (CodegenFallback —
+  * the interpreted boundary is crossed once per row, not once per gram,
+  * which is the HOF-lambda pitfall this codebase avoids everywhere).
+  * Output order is first-occurrence (LinkedHashSet), deterministic for
+  * identical text regardless of partitioning.
+  */
+case class DistinctGramKeys(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1 && n <= 8, "gram length must fit a packed long (1..8 bytes)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "distinct_gram_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val m = bytes.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long](m * 2)
+    var i = 0
+    while (i < m) {
+      var k = 0L
+      var j = 0
+      while (j < n) { k = (k << 8) | (bytes(i + j) & 0xffL); j += 1 }
+      seen.add(k)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+    newChild: Expression): DistinctGramKeys = copy(child = newChild)
+}
+
+object TextExprs {
+  /** Column API for [[DistinctGramKeys]]. */
+  def distinctGramKeys(s: Column, n: Int): Column =
+    GraftBridge.column(DistinctGramKeys(GraftBridge.expression(s), n))
+}

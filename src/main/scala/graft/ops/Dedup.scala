@@ -190,20 +190,19 @@ object Dedup {
     * scales: df is a per-block aggregate, never a cross product. */
   val q43NgramJaccard: Q = (spark, dir) => {
     import spark.implicits._
+    // gram identity only matters within this query (the output is doc
+    // pairs), so grams travel as 8-byte longs: the custom
+    // DistinctGramKeys expression packs each 4-gram's bytes into the key
+    // (INJECTIVE — no hash collisions at all) and dedups per document in
+    // one eval, so the old corpus-wide `.distinct()` exchange — one row
+    // per character position, the plan's largest shuffle — never happens:
+    // the explode emits each document's distinct grams directly.
     val grams = fanoutReady(Tables.documents(spark, dir))
       .select($"doc_id", $"source",
-        $"text", explode(sequence(lit(0), length($"text") - 4)).as("i"))
-      // gram identity only matters within this query (the output is doc
-      // pairs), so shuffle 8-byte xxhash64 keys instead of strings —
-      // cheaper to hash, compare, and sort at every exchange. A 64-bit
-      // collision among ~10^6 distinct grams is ~1e-8-improbable. Built
-      // from the exploded position with plain codegen'd substr/hash (not
-      // a transform() lambda, which would run interpreted per gram).
-      .select($"doc_id", $"source",
-        xxhash64($"text".substr($"i" + 1, lit(4))).as("g"))
-      .distinct()
+        explode(graft.functions.TextExprs.distinctGramKeys($"text", 4))
+          .as("g"))
       .cache() // consumed twice (df aggregate + the rare join input):
-               // without the cache the full explode+distinct runs twice
+               // without the cache the full gram fan-out runs twice
     val df = grams.groupBy($"source", $"g").agg(count(lit(1)).as("c"))
     val rare = grams.join(df.filter($"c" <= 25), Seq("source", "g"))
       .select($"doc_id", $"source", $"g")
