@@ -341,6 +341,133 @@ object Round8 {
       .orderBy($"bucket")
   }
 
+  // ---------------------------------------------------------------------
+  // q131: k-center coreset selection (greedy farthest-point)
+  // ---------------------------------------------------------------------
+
+  /** k-center coreset selection — greedy farthest-point traversal
+    * (Gonzalez 1985), the diversity-maximizing data-selection stage: pick
+    * the point farthest from everything already picked, k times. The
+    * 2-approximation of the optimal k-center cover is the classic way to
+    * choose a maximally-diverse training subset (the opposite pole of
+    * SemDeDup's redundancy pruning, q106).
+    *
+    * Iterative driver-coordinated loop (the q98 k-means / q113 BPE
+    * pattern): each round ONE scan computes every vector's min squared-L2
+    * distance to the chosen set — the new center enters as a LITERAL, so
+    * the distance `n2 + n2_c − 2·dot(e, c)` is codegen'd against
+    * constants via the fused integer dot — and one TakeOrderedAndProject
+    * collects the argmax (dist desc, vec_id tiebreak). k=5 rounds = 5
+    * scans of the cached quantized table; at 100 TB each scan is
+    * embarrassingly parallel and the only driver traffic is one row per
+    * round. All-integer: exact squared L2 on thousandth-quantized
+    * vectors, so the argmax and the oracle's replay agree bit-for-bit. */
+  val q131KcenterCoreset: Q = (spark, dir) => {
+    import spark.implicits._
+    val dot = graft.functions.VectorExprs.dotLong _
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", quantize($"embedding").as("e"))
+      .withColumn("n2", dot($"e", $"e"))
+      .cache()
+    val seed = emb.orderBy($"vec_id").limit(1)
+      .select($"vec_id", $"e", $"n2").head()
+    var picked = List((1, seed.getLong(0), 0L))
+    var minDist: Column = {
+      val ce = array(seed.getSeq[Long](1).map(lit): _*)
+      $"n2" + lit(seed.getLong(2)) - lit(2L) * dot($"e", ce)
+    }
+    var rounds = 2
+    while (rounds <= 5) {
+      val far = emb.withColumn("md", minDist)
+        .orderBy($"md".desc, $"vec_id")
+        .limit(1)
+        .select($"vec_id", $"e", $"n2", $"md").head()
+      picked ::= ((rounds, far.getLong(0), far.getLong(3)))
+      val ce = array(far.getSeq[Long](1).map(lit): _*)
+      minDist = least(minDist,
+        $"n2" + lit(far.getLong(2)) - lit(2L) * dot($"e", ce))
+      rounds += 1
+    }
+    emb.unpersist()
+    picked.reverse.toDF("round", "vec_id", "dist_q")
+      .orderBy($"round")
+  }
+
+  /** One oracle round of [[q131KcenterCoreset]]'s greedy loop: d{n-1} →
+    * pick c{n} (farthest, id tiebreak) → d{n} (min-dist refresh). */
+  private def kcenterRoundSql(n: Int): String = {
+    def sq(a: String, b: String) =
+      s"list_reduce(list_transform($a, (x, i) -> (x - $b[i]) * (x - $b[i])), (p, q) -> p + q)"
+    s"""c$n AS (
+       |  SELECT vec_id, q, md FROM d${n - 1} ORDER BY md DESC, vec_id LIMIT 1
+       |), d$n AS (
+       |  SELECT d.vec_id, d.q, LEAST(d.md, ${sq("d.q", "c.q")}) AS md
+       |  FROM d${n - 1} d, c$n c
+       |)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q132: equi-depth histogram
+  // ---------------------------------------------------------------------
+
+  /** Equi-DEPTH histogram (q130's sibling): per priority, exact octile
+    * bins by rank — every bin holds n/8 ± 1 orders and the bin EDGES
+    * move with the data, which is what an optimizer's histogram and a
+    * drift monitor actually want. Rank formula `(r−1)·8 div n` is exact
+    * integer arithmetic (the q122 order-statistics class); the window
+    * partitions on the group key, so the sort never globalizes. At
+    * extreme group sizes the exact rank gives way to the q92 rank-error
+    * sketch — this is the exact form the sketch approximates. */
+  val q132EquidepthHist: Q = (spark, dir) => {
+    import spark.implicits._
+    val v = Tables.orders(spark, dir)
+      .select($"o_orderpriority".as("prio"),
+        cents("o_totalprice").as("c"), $"o_orderkey")
+    v.withColumn("r", row_number().over(
+        Window.partitionBy($"prio").orderBy($"c", $"o_orderkey")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"prio")))
+      .withColumn("bin", expr("(r - 1) * 8 div n"))
+      .groupBy($"prio", $"bin")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"c").as("lo_cents"), max($"c").as("hi_cents"))
+      .orderBy($"prio", $"bin")
+  }
+
+  // ---------------------------------------------------------------------
+  // q133: last-touch attribution
+  // ---------------------------------------------------------------------
+
+  /** Last-touch revenue attribution (q83's funnel asks "did they
+    * convert"; this asks "what gets the credit"): every purchase is
+    * attributed to the user's most recent PRECEDING non-purchase event —
+    * `last(..., ignoreNulls)` over a trailing row frame, the standard
+    * carry-forward idiom — and revenue rolls up per touch type with ppm
+    * shares. First-session purchases with no preceding touch land in
+    * 'none' (kept visible, not dropped — attribution that silently drops
+    * orphans overstates every channel). One shuffle on user_id for the
+    * window; the rollup is |event_types|-sized; the share total is a
+    * 1-row broadcast. Money exact in integer cents. */
+  val q133Attribution: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attributed = Tables.events(spark, dir)
+      .withColumn("touch",
+        last(when($"event_type" =!= "purchase", $"event_type"),
+          ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select(coalesce($"touch", lit("none")).as("touch_type"),
+        cents("value").as("vc"))
+    val rolled = attributed.groupBy($"touch_type")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"vc").as("revenue_cents"))
+    rolled
+      .crossJoin(broadcast(rolled.agg(sum($"n_purchases").as("total"))))
+      .withColumn("share_ppm", expr("n_purchases * 1000000 div total"))
+      .select($"touch_type", $"n_purchases", $"revenue_cents", $"share_ppm")
+      .orderBy($"touch_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q123_passage_dedup" -> q123PassageDedup,
     "q124_priority_sample" -> q124PrioritySample,
@@ -350,6 +477,9 @@ object Round8 {
     "q128_k_anonymity" -> q128KAnonymity,
     "q129_event_transitions" -> q129EventTransitions,
     "q130_histogram" -> q130Histogram,
+    "q131_kcenter_coreset" -> q131KcenterCoreset,
+    "q132_equidepth_hist" -> q132EquidepthHist,
+    "q133_attribution" -> q133Attribution,
   )
 
   val oracle: Map[String, String] = Map(
@@ -470,6 +600,56 @@ object Round8 {
         |SELECT src_type, dst_type, n,
         |  CAST(n * 1000000 // (SELECT SUM(n) FROM m) AS BIGINT) AS ppm
         |FROM m ORDER BY n DESC, src_type, dst_type LIMIT 15""".stripMargin,
+    "q131_kcenter_coreset" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, $quantizeSql AS q FROM embeddings
+         |), c1 AS (
+         |  SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 1
+         |), d1 AS (
+         |  SELECT e.vec_id, e.q,
+         |    list_reduce(list_transform(e.q,
+         |      (x, i) -> (x - c.q[i]) * (x - c.q[i])), (p, q) -> p + q)
+         |      AS md
+         |  FROM e, c1 c
+         |), ${(2 to 5).map(kcenterRoundSql).mkString(", ")}
+         |SELECT CAST(1 AS INT) AS round, vec_id,
+         |  CAST(0 AS BIGINT) AS dist_q FROM c1
+         |${(2 to 5).map(n =>
+            s"UNION ALL SELECT CAST($n AS INT), vec_id, CAST(md AS BIGINT) FROM c$n")
+            .mkString("\n")}
+         |ORDER BY round""".stripMargin,
+    "q132_equidepth_hist" ->
+      """SELECT prio, bin, COUNT(*) AS n_orders,
+        |  CAST(MIN(c) AS BIGINT) AS lo_cents,
+        |  CAST(MAX(c) AS BIGINT) AS hi_cents
+        |FROM (
+        |  SELECT prio, c,
+        |    (row_number() OVER (PARTITION BY prio ORDER BY c, o_orderkey)
+        |      - 1) * 8 // COUNT(*) OVER (PARTITION BY prio) AS bin
+        |  FROM (SELECT o_orderpriority AS prio, o_orderkey,
+        |          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |            AS c
+        |        FROM orders))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q133_attribution" ->
+      """WITH att AS (
+        |  SELECT COALESCE(last_value(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'none')
+        |      AS touch_type,
+        |    event_type,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+        |  FROM events
+        |), rolled AS (
+        |  SELECT touch_type, COUNT(*) AS n_purchases,
+        |    CAST(SUM(vc) AS BIGINT) AS revenue_cents
+        |  FROM att WHERE event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT touch_type, n_purchases, revenue_cents,
+        |  CAST(n_purchases * 1000000 // (SELECT SUM(n_purchases) FROM rolled)
+        |    AS BIGINT) AS share_ppm
+        |FROM rolled ORDER BY touch_type""".stripMargin,
     "q130_histogram" ->
       """SELECT bucket, COUNT(*) AS n_orders,
         |  CAST(SUM(c) AS BIGINT) AS sum_cents,

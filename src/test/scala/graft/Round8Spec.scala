@@ -141,6 +141,58 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("q131: greedy k-center picks distinct points with non-increasing pick distances") {
+    val rows = ops.Round8.q131KcenterCoreset(spark, sf).collect()
+    assert(rows.length == 5)
+    val ids = rows.map(_.getLong(1))
+    assert(ids.distinct.length == 5, "centers must be distinct points")
+    // Greedy farthest-point law: each pick's distance-to-chosen-set is
+    // the current max of a min-distance field that only shrinks as the
+    // set grows, so the picked distances are non-increasing from round 2.
+    val dists = rows.sortBy(_.getInt(0)).map(_.getLong(2)).drop(1)
+    assert(dists.zip(dists.tail).forall { case (a, b) => a >= b },
+      s"pick distances must be non-increasing: ${dists.toSeq}")
+    assert(dists.forall(_ > 0), "no picked point can coincide with the set")
+  }
+
+  test("q132: equi-depth bins partition each group with balanced depths and ordered edges") {
+    import spark.implicits._
+    val rows = ops.Round8.q132EquidepthHist(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = rows.map(_._3).sum
+    assert(total == Tables.orders(spark, sf).count(), "bins must partition the table")
+    rows.groupBy(_._1).foreach { case (prio, bs) =>
+      val sorted = bs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq,
+        s"$prio: bins must be contiguous from 0")
+      val n = sorted.map(_._3).sum
+      sorted.foreach { case (_, _, cnt, _, _) =>
+        assert(math.abs(cnt - n / 8) <= 1 + n % 8,
+          s"$prio: equi-depth bins stay within one of n/8")
+      }
+      val edges = sorted.map(b => (b._4, b._5))
+      edges.foreach { case (lo, hi) => assert(lo <= hi) }
+      edges.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) =>
+          assert(hi1 <= lo2, s"$prio: bin edges must be ordered")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q133: attribution conserves purchases and credits only real touch types") {
+    import spark.implicits._
+    val rows = ops.Round8.q133Attribution(spark, sf).collect()
+    val attributed = rows.map(_.getLong(1)).sum
+    val purchases = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase").count()
+    assert(attributed == purchases,
+      "every purchase is attributed exactly once (orphans land in 'none')")
+    val types = rows.map(_.getString(0)).toSet
+    assert(!types.contains("purchase"),
+      "a purchase can never be its own touch")
+  }
+
   test("q129: transition count conserves events minus journeys") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
