@@ -220,13 +220,17 @@ object Round8 {
     * per-label graph profile.
     *
     * Scale shape: pre-computed squared norms (one pass) feed the blocked
-    * pair join; the top-k rank partitions on src vec_id — the densest key
-    * there is — and the mutuality check is a self-join of the already
-    * k-bounded edge list (≤ 3n rows). Quantized-integer cosine per the
-    * Similarity rules, ties broken on dst id. */
+    * pair join; the top-k runs through the bounded-heap [[graft.functions
+    * .TopKByValue]] aggregator (the q81 form) instead of a rank window —
+    * partial aggregation combines map-side, so the exchange after the
+    * pair join carries ≤3 rows per src instead of every scored pair
+    * (same (cos DESC, dst ASC) order law, A/B'd hash-identical); the
+    * mutuality check is a self-join of the already k-bounded edge list
+    * (≤ 3n rows). Quantized-integer cosine per the Similarity rules. */
   val q127KnnGraph: Q = (spark, dir) => {
     import spark.implicits._
     val dot = graft.functions.VectorExprs.dotLong _
+    val top3 = udaf(new graft.functions.TopKByValue(3))
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"label", quantize($"embedding").as("e"))
       .withColumn("n2", dot($"e", $"e"))
@@ -239,10 +243,10 @@ object Round8 {
         (dot(col("a.e"), col("b.e")).cast("double") /
           (sqrt(col("a.n2").cast("double"))
             * sqrt(col("b.n2").cast("double")))).as("cos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"src").orderBy($"cos".desc, $"dst")))
-      .filter($"rn" <= 3)
-      .select($"label", $"src", $"dst")
+      .groupBy($"label", $"src")
+      .agg(top3($"cos", $"dst").as("top"))
+      .select($"label", $"src", explode($"top").as("s"))
+      .select($"label", $"src", $"s._2".as("dst"))
       .cache()
     val mutual = edges.as("x").join(edges.as("y"),
         col("x.src") === col("y.dst") && col("x.dst") === col("y.src")

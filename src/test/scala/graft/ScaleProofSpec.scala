@@ -51,6 +51,22 @@ class ScaleProofSpec extends SparkSpec {
         "map-side combine is not collapsing the fan-out")
   }
 
+  test("q127 kNN: the bounded-heap top-k collapses the pair fan-out before its exchange") {
+    // q127's contract: the TopKByValue aggregate combines map-side, so
+    // the exchange after the label-blocked pair join carries ~3 rows per
+    // src vector instead of every scored pair. At sf0.001 the pair join
+    // scores ~|block|² ≈ 25k pairs; the post-join shuffle must stay near
+    // |vecs| (500) + the small rollup aggregates — far below pair volume.
+    val recs = shuffleRecords(
+      ops.Round8.q127KnnGraph(spark, "/root/testdata/sf0.001").count())
+    spark.catalog.clearCache()
+    assert(recs > 0, "the top-k aggregation must actually shuffle")
+    val pairRows = 25000 // ~500 vecs in ~10 label blocks of ~50: 50²·10
+    assert(recs < pairRows / 2,
+      s"$recs shuffle records — a rank-window plan would exchange every " +
+        "scored pair; the bounded heap must collapse them first")
+  }
+
   test("q99 contamination: the corpus side ships no rows for the probe join") {
     // q99's contract: the benchmark grams broadcast, so the only shuffle
     // is the per-doc gram dedup — corpus rows are NEVER exchanged for the
