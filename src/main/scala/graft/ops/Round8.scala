@@ -472,6 +472,78 @@ object Round8 {
       .orderBy($"touch_type")
   }
 
+  // ---------------------------------------------------------------------
+  // q134: cohort retention matrix
+  // ---------------------------------------------------------------------
+
+  /** Cohort retention — the product-analytics staple beside q83's funnel
+    * and q129's transitions: users are cohorted by the WEEK of their
+    * first event, then each cohort's share of users still active 0–3
+    * weeks later forms the retention matrix. Week indexing is integer
+    * day arithmetic from a fixed epoch (non-negative, so `div` == `//`).
+    *
+    * Scale shape: one user-keyed shuffle for the first-event aggregate,
+    * one join back to events (AQE broadcasts the |users|-sized cohort
+    * table here; at web scale it re-shuffles on the same user key the
+    * events already grouped by), one distinct-user count per
+    * (cohort, offset) cell, and a |cohorts|-sized broadcast for the
+    * denominators. The matrix itself is |weeks|·4 rows. */
+  val q134CohortRetention: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id",
+        expr("datediff(to_date(ts), date'2024-01-01')").as("d"))
+    val cohorts = ev.groupBy($"user_id").agg(min($"d").as("cohort_day"))
+    val cells = ev.join(cohorts, Seq("user_id"))
+      .withColumn("offset", $"d" - $"cohort_day")
+      .filter($"offset" >= 0 && $"offset" <= 6)
+      .groupBy($"cohort_day", $"offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+    val base = cohorts.groupBy($"cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(broadcast(base), Seq("cohort_day"))
+      .withColumn("retention_ppm", expr("n_active * 1000000 div cohort_size"))
+      .select($"cohort_day", $"offset", $"n_active", $"retention_ppm")
+      .orderBy($"cohort_day", $"offset")
+  }
+
+  // ---------------------------------------------------------------------
+  // q135: int8 embedding quantization audit
+  // ---------------------------------------------------------------------
+
+  /** Int8 embedding quantization audit — the compression stage a 100 TB
+    * vector corpus runs before serving (4× smaller, cache-resident):
+    * per-dimension min/max over the corpus give the scale, every
+    * component maps to [0,255] and back, and the audit reports the
+    * per-label reconstruction error profile that decides whether int8 is
+    * safe for the downstream ANN. All arithmetic is EXACT integer on the
+    * thousandth-quantized components (scale and reconstruction use
+    * integer `div` on non-negative ranges), so the error profile is
+    * bit-identical cross-engine — no float rounding anywhere.
+    *
+    * Scale shape: one posexplode feeding a map-side-combined 64-row
+    * min/max aggregate, broadcast back over a second scan; the error
+    * rollup is |labels|-sized. The corpus fan-out is never shuffled. */
+  val q135QuantizationAudit: Q = (spark, dir) => {
+    import spark.implicits._
+    val comps = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", posexplode(quantize($"embedding"))
+        .as(Seq("pos", "v")))
+      .cache()
+    val scales = comps.groupBy($"pos")
+      .agg(min($"v").as("mn"), max($"v").as("mx"))
+    comps.join(broadcast(scales), Seq("pos"))
+      .withColumn("q8", expr("((v - mn) * 255) div greatest(mx - mn, 1)"))
+      .withColumn("r", expr("mn + (q8 * (mx - mn)) div 255"))
+      .withColumn("err", abs($"v" - $"r"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_comps"),
+        max($"err").as("max_err_milli"),
+        sum($"err").as("sum_err_milli"))
+      .withColumn("mean_err_micro", expr("sum_err_milli * 1000 div n_comps"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, Q] = Map(
     "q123_passage_dedup" -> q123PassageDedup,
     "q124_priority_sample" -> q124PrioritySample,
@@ -484,6 +556,8 @@ object Round8 {
     "q131_kcenter_coreset" -> q131KcenterCoreset,
     "q132_equidepth_hist" -> q132EquidepthHist,
     "q133_attribution" -> q133Attribution,
+    "q134_cohort_retention" -> q134CohortRetention,
+    "q135_quantization_audit" -> q135QuantizationAudit,
   )
 
   val oracle: Map[String, String] = Map(
@@ -604,6 +678,46 @@ object Round8 {
         |SELECT src_type, dst_type, n,
         |  CAST(n * 1000000 // (SELECT SUM(n) FROM m) AS BIGINT) AS ppm
         |FROM m ORDER BY n DESC, src_type, dst_type LIMIT 15""".stripMargin,
+    "q134_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS INT) AS d
+        |  FROM events
+        |), cohorts AS (
+        |  SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY 1
+        |), cells AS (
+        |  SELECT c.cohort_day, e.d - c.cohort_day AS "offset",
+        |    COUNT(DISTINCT e.user_id) AS n_active
+        |  FROM ev e JOIN cohorts c USING (user_id)
+        |  WHERE e.d - c.cohort_day BETWEEN 0 AND 6
+        |  GROUP BY 1, 2
+        |), base AS (
+        |  SELECT cohort_day, COUNT(*) AS cohort_size
+        |  FROM cohorts GROUP BY 1
+        |)
+        |SELECT ce.cohort_day, ce."offset", ce.n_active,
+        |  CAST(ce.n_active * 1000000 // b.cohort_size AS BIGINT)
+        |    AS retention_ppm
+        |FROM cells ce JOIN base b USING (cohort_day)
+        |ORDER BY 1, 2""".stripMargin,
+    "q135_quantization_audit" ->
+      s"""WITH comps AS (
+         |  SELECT label, q[u.i] AS v, u.i AS pos
+         |  FROM (SELECT label, $quantizeSql AS q FROM embeddings),
+         |    UNNEST(range(1, len(q) + 1)) u(i)
+         |), scales AS (
+         |  SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM comps GROUP BY 1
+         |), e AS (
+         |  SELECT c.label,
+         |    abs(c.v - (s.mn + (((c.v - s.mn) * 255) // greatest(s.mx - s.mn, 1))
+         |      * (s.mx - s.mn) // 255)) AS err
+         |  FROM comps c JOIN scales s USING (pos)
+         |)
+         |SELECT label, COUNT(*) AS n_comps,
+         |  CAST(MAX(err) AS BIGINT) AS max_err_milli,
+         |  CAST(SUM(err) AS BIGINT) AS sum_err_milli,
+         |  CAST(SUM(err) * 1000 // COUNT(*) AS BIGINT) AS mean_err_micro
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "q131_kcenter_coreset" ->
       s"""WITH e AS (
          |  SELECT vec_id, $quantizeSql AS q FROM embeddings

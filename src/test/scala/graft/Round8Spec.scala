@@ -193,6 +193,39 @@ class Round8Spec extends SparkSpec {
       "a purchase can never be its own touch")
   }
 
+  test("q134: day-0 retention is exactly 100% and no cell exceeds its cohort") {
+    import spark.implicits._
+    val rows = ops.Round8.q134CohortRetention(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val day0 = rows.filter(_._2 == 0)
+    assert(day0.nonEmpty && day0.forall(_._4 == 1000000L),
+      "every user is active on their own first day by definition")
+    rows.groupBy(_._1).foreach { case (_, cells) =>
+      val base = cells.find(_._2 == 0).get._3
+      assert(cells.forall(_._3 <= base), "no offset can beat the cohort size")
+    }
+  }
+
+  test("q135: int8 reconstruction error is bounded by the per-dim step size") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .select(posexplode(transform($"embedding",
+        x => floor(x.cast("double") * 1000).cast("long"))).as(Seq("pos", "v")))
+    val maxRange = emb.groupBy($"pos")
+      .agg((max($"v") - min($"v")).as("r"))
+      .agg(max($"r")).head().getLong(0)
+    val rows = ops.Round8.q135QuantizationAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val step = maxRange / 255 + 1
+    rows.foreach { r =>
+      assert(r.getLong(2) <= step,
+        s"max reconstruction error ${r.getLong(2)} exceeds the " +
+          s"floor-quantization step bound $step")
+      assert(r.getLong(3) >= 0 && r.getLong(4) >= 0)
+    }
+  }
+
   test("q129: transition count conserves events minus journeys") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
