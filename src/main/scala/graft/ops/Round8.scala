@@ -544,6 +544,44 @@ object Round8 {
       .orderBy($"label")
   }
 
+  // ---------------------------------------------------------------------
+  // q136: storage-partitioned join (DSv2 layout-aware, shuffle-free)
+  // ---------------------------------------------------------------------
+
+  /** Storage-partitioned join — the connector DECLARES its bucket layout
+    * (`SupportsReportPartitioning` + `HasPartitionKey`, see
+    * [[graft.sources.GraftDocsBucketedScan]]) and the engine joins
+    * bucket-to-bucket with NO exchange on either side: the DSv2
+    * successor of q29's CLUSTERED BY tables and the Iceberg/Delta
+    * layout-aware join. Both sides here carry DIFFERENT pushed doc_id
+    * clamps (the overlap is the join result), proving pushdown composes
+    * with the declared layout. The only shuffle in the whole plan is the
+    * final 5-group rollup — `Round8Spec` asserts exactly that with
+    * broadcast disabled, plus result equality against the shuffle-join
+    * plan with v2 bucketing off. At 100 TB this keeps a fact⋈fact join
+    * entirely off the wire. */
+  val q136StoragePartitionedJoin: Q = (spark, dir) => {
+    import spark.implicits._
+    // session-level switches for DSv2 layout-aware planning; harmless to
+    // leave on (only scans that REPORT partitioning are affected). The
+    // catalog route matters: the bucket transform resolves to a catalyst
+    // expression only through the table catalog's OWN FunctionCatalog
+    // (GraftCatalog.scala) — a bare TableProvider read silently degrades
+    // to UnknownPartitioning (measured while building this).
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    val a = spark.table("graft_cat.docs").select($"doc_id", $"n_words")
+      .filter($"doc_id" < 15000)
+    val b = spark.table("graft_cat.docs").select($"doc_id", $"fp")
+      .filter($"doc_id" >= 5000)
+    a.join(b, Seq("doc_id"))
+      .groupBy(($"doc_id" % 5).cast("int").as("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("words_sum"),
+        sum($"fp" % 1000).as("fp_mod_sum"))
+      .orderBy($"g")
+  }
+
   val queries: Map[String, Q] = Map(
     "q123_passage_dedup" -> q123PassageDedup,
     "q124_priority_sample" -> q124PrioritySample,
@@ -558,6 +596,7 @@ object Round8 {
     "q133_attribution" -> q133Attribution,
     "q134_cohort_retention" -> q134CohortRetention,
     "q135_quantization_audit" -> q135QuantizationAudit,
+    "q136_spj" -> q136StoragePartitionedJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -678,6 +717,13 @@ object Round8 {
         |SELECT src_type, dst_type, n,
         |  CAST(n * 1000000 // (SELECT SUM(n) FROM m) AS BIGINT) AS ppm
         |FROM m ORDER BY n DESC, src_type, dst_type LIMIT 15""".stripMargin,
+    "q136_spj" ->
+      """SELECT CAST(i % 5 AS INT) AS g, COUNT(*) AS n_docs,
+        |  CAST(SUM(i % 91 + 9) AS BIGINT) AS words_sum,
+        |  CAST(SUM(CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 1000) AS BIGINT) AS fp_mod_sum
+        |FROM range(5000, 15000) t(i)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q134_cohort_retention" ->
       """WITH ev AS (
         |  SELECT user_id,

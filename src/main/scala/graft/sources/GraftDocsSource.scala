@@ -42,7 +42,8 @@ class GraftDocsSource extends TableProvider {
     new GraftDocsTable(
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("partitions", "8").toInt,
-      Option(properties.get("path")))
+      Option(properties.get("path")),
+      properties.getOrDefault("buckets", "0").toInt)
 }
 
 object GraftDocsSource {
@@ -75,7 +76,8 @@ object GraftDocsSource {
   *    storage system plugs in through, plus the read path back over the
   *    committed files (q94 round-trips through both).
   */
-class GraftDocsTable(rows: Long, parts: Int, path: Option[String])
+class GraftDocsTable(rows: Long, parts: Int, path: Option[String],
+    buckets: Int = 0)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     path.map(p => s"graft_docs(path=$p)").getOrElse(s"graft_docs(rows=$rows)")
@@ -86,7 +88,7 @@ class GraftDocsTable(rows: Long, parts: Int, path: Option[String])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     path match {
       case Some(p) => new GraftFilesScanBuilder(p)
-      case None    => new GraftDocsScanBuilder(rows, parts)
+      case None    => new GraftDocsScanBuilder(rows, parts, buckets)
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val p = path.getOrElse(throw new IllegalArgumentException(
@@ -95,7 +97,8 @@ class GraftDocsTable(rows: Long, parts: Int, path: Option[String])
   }
 }
 
-class GraftDocsScanBuilder(rows: Long, parts: Int) extends ScanBuilder
+class GraftDocsScanBuilder(rows: Long, parts: Int, buckets: Int = 0)
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   private var required: StructType = GraftDocsSource.schema
@@ -167,8 +170,79 @@ class GraftDocsScanBuilder(rows: Long, parts: Int) extends ScanBuilder
   override def build(): Scan =
     if (pushedAggs.nonEmpty)
       new GraftDocsAggScan(math.max(lo, 0L), math.min(hi, rows), pushedAggs)
+    else if (buckets > 0)
+      new GraftDocsBucketedScan(
+        math.max(lo, 0L), math.min(hi, rows), buckets, required)
     else
       new GraftDocsScan(math.max(lo, 0L), math.min(hi, rows), parts, required)
+}
+
+/** Bucketed personality: the storage system DECLARES its layout to the
+  * engine via `SupportsReportPartitioning` — partitions are the classes of
+  * doc_id mod `buckets`, reported as a `KeyGroupedPartitioning` over
+  * `bucket(buckets, doc_id)` with each input split carrying its bucket
+  * value (`HasPartitionKey`). With `spark.sql.sources.v2.bucketing
+  * .enabled`, two such scans joined on doc_id plan a STORAGE-PARTITIONED
+  * JOIN: bucket i joins bucket i with NO exchange on either side — the
+  * DSv2 successor of q29's CLUSTERED BY tables and the Iceberg/Delta
+  * layout-aware join that keeps a 100 TB fact⋈fact off the wire entirely.
+  * The filter-clamped [lo, hi) range still applies inside every bucket
+  * (pushdown composes with the layout; both sides may clamp differently
+  * and the bucket-to-bucket match stays correct because membership is a
+  * pure function of doc_id). */
+class GraftDocsBucketedScan(lo: Long, hi: Long, buckets: Int,
+    required: StructType)
+    extends Scan with Batch with SupportsReportPartitioning {
+  import org.apache.spark.sql.connector.expressions.Expressions
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftDocs bucketed range=[$lo,$hi) buckets=$buckets " +
+      s"cols=${required.fieldNames.mkString(",")}"
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.bucket(buckets, "doc_id")), buckets)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    // every bucket is planned even if its clamped range is empty, so the
+    // two sides of a storage-partitioned join always see aligned
+    // partition-value sets
+    (0 until buckets)
+      .map(b => GraftBucketPartition(lo, hi, b, buckets): InputPartition)
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftBucketReaderFactory(required.fieldNames)
+}
+
+case class GraftBucketPartition(lo: Long, hi: Long, bucket: Int, buckets: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
+class GraftBucketReaderFactory(cols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val bp = p.asInstanceOf[GraftBucketPartition]
+    new PartitionReader[InternalRow] {
+      // first id ≥ lo with id ≡ bucket (mod buckets), then stride by
+      // buckets — the reader enumerates exactly its residue class
+      private val first =
+        bp.lo + ((bp.bucket - bp.lo % bp.buckets + bp.buckets) % bp.buckets)
+      private var i = first - bp.buckets
+      override def next(): Boolean = { i += bp.buckets; i < bp.hi }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(cols.toSeq.map {
+          case "doc_id" => i
+          case "title" => UTF8String.fromString(GraftDocsSource.title(i))
+          case "fp" => GraftDocsSource.fp(i)
+          case "n_words" => GraftDocsSource.nWords(i)
+        })
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Result scan of a COMPLETELY pushed aggregation: one partition, one row,

@@ -226,6 +226,51 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("q136: the declared bucket layout eliminates both join-side exchanges") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    def joinSubtree(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[org.apache.spark.sql.execution.SparkPlan] = p.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    try {
+      // force a non-broadcast join so a missing SPJ would HAVE to
+      // shuffle, and turn AQE off so the static plan is inspectable
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = ops.Round8.q136StoragePartitionedJoin(spark, sf)
+      val rows = df.collect()
+      assert(rows.length == 5)
+      val plan = df.queryExecution.executedPlan
+      val join = joinSubtree(plan).getOrElse(
+        fail(s"no sort-merge/shuffled-hash join found in:\n$plan"))
+      val below = join.collect { case s: ShuffleExchangeExec => s }
+      assert(below.isEmpty,
+        s"storage-partitioned join must read both sides WITHOUT an " +
+          s"exchange; found ${below.size} in:\n$join")
+      // control: with v2 bucketing off, the same query MUST shuffle both
+      // sides — proving the elimination came from the declared layout
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val off = ops.Round8.q136StoragePartitionedJoin(spark, sf)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val offRows = off.collect()
+      val offJoin = joinSubtree(off.queryExecution.executedPlan).get
+      assert(offJoin.collect { case s: ShuffleExchangeExec => s }.size == 2,
+        "without the layout declaration both join inputs must exchange")
+      assert(offRows.map(_.toString).sorted.sameElements(
+        rows.map(_.toString).sorted),
+        "bucketed and shuffle plans must agree")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q129: transition count conserves events minus journeys") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
