@@ -20,6 +20,9 @@ object StreamingOps {
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+  final case class ShardTok(shard: Long, tok: String)
+  final case class HhCand(shard: Long, tok: String, cnt: Long, gen: Long)
+
   final case class SessionUpdate(user_id: Long, n_events: Long,
     start_sec: Long, end_sec: Long, closed: Boolean)
 
@@ -323,5 +326,67 @@ object StreamingOps {
           closed.iterator.map(s =>
             SessionUpdate(userId, s.size.toLong, s.head, s.last, closed = true))
       }
+  }
+
+  /** [[StatefulProcessor]] for [[streamingHeavyHitters]]: a Misra–Gries
+    * sketch per shard held in a [[MapState]] BOUNDED at k entries — the
+    * streaming face of q125's batch two-phase heavy hitters. Each batch
+    * loads the ≤k carried counters, folds the batch's tokens through the
+    * MG update (insert below k, decrement-all when full), writes the
+    * surviving counters back, and emits the current candidate set tagged
+    * with a state generation so a consumer (and the spec) can identify
+    * the LATEST sketch among Update-mode emissions. Sequential MG over
+    * batches IS MG over the concatenated stream, so the standard
+    * guarantee holds at every point in time: any token whose shard
+    * frequency-so-far exceeds 1/(k+1) of the shard's stream is in the
+    * sketch. State never exceeds k counters + one generation cell per
+    * shard — the property that lets this run forever on an unbounded
+    * vocabulary where a naive per-token count grows without limit. */
+  private[streaming] class HeavyHitterProcessor(k: Int)
+      extends StatefulProcessor[Long, ShardTok, HhCand] {
+    @transient private var counters: MapState[String, Long] = _
+    @transient private var gen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counters = getHandle.getMapState[String, Long]("mg",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      gen = getHandle.getValueState[Long]("gen", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[ShardTok],
+        timerValues: TimerValues): Iterator[HhCand] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      counters.iterator().foreach { case (t, c) => m.update(t, c) }
+      rows.foreach { r =>
+        m.get(r.tok) match {
+          case Some(c) => m.update(r.tok, c + 1)
+          case None if m.size < k => m.update(r.tok, 1L)
+          case None =>
+            val dead = List.newBuilder[String]
+            m.mapValuesInPlace((_, c) => c - 1)
+            m.foreach { case (t, c) => if (c == 0) dead += t }
+            dead.result().foreach(m.remove)
+        }
+      }
+      counters.clear()
+      m.foreach { case (t, c) => counters.updateValue(t, c) }
+      val g = (if (gen.exists()) gen.get() else 0L) + 1
+      gen.update(g)
+      m.iterator.map { case (t, c) => HhCand(key, t, c, g) }
+    }
+  }
+
+  /** Streaming heavy hitters over a token stream: shard by a stable
+    * content hash (re-shardable — membership is a pure token function),
+    * then per-shard bounded Misra–Gries state via transformWithState.
+    * Downstream, the candidate union feeds the exact-recount phase
+    * exactly as in batch q125. */
+  def streamingHeavyHitters(toks: Dataset[String], shards: Int = 4,
+      k: Int = 8): Dataset[HhCand] = {
+    import toks.sparkSession.implicits._
+    toks
+      .map(t => ShardTok(math.floorMod(t.hashCode.toLong, shards.toLong), t))
+      .groupByKey(_.shard)
+      .transformWithState(new HeavyHitterProcessor(k),
+        TimeMode.None(), OutputMode.Update())
   }
 }

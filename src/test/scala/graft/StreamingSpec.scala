@@ -288,6 +288,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Misra-Gries: bounded MapState sketch keeps every heavy hitter across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[String]
+      // batch 1: a dominant token + tail noise; batch 2 shifts the mix —
+      // the sketch must carry "alpha"/"beta" across the batch boundary
+      val b1 = Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
+        (1 to 30).map(i => s"tail$i")
+      val b2 = Seq.fill(30)("alpha") ++ Seq.fill(20)("gamma") ++
+        (31 to 55).map(i => s"tail$i")
+      val k = 8
+      mem.addData(b1: _*)
+      val q = StreamingOps.streamingHeavyHitters(mem.toDS(), shards = 4, k = k)
+        .writeStream.format("memory").queryName("shh")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        q.processAllAvailable()
+        mem.addData(b2: _*)
+        q.processAllAvailable()
+        val all = spark.table("shh").as[StreamingOps.HhCand].collect()
+        // the LATEST sketch per shard is the highest generation emitted
+        val latest = all.groupBy(_.shard).toSeq.flatMap { case (_, rs) =>
+          val g = rs.map(_.gen).max
+          rs.filter(_.gen == g).toSeq
+        }
+        latest.groupBy(_.shard).foreach { case (s, cands) =>
+          assert(cands.size <= k, s"shard $s sketch exceeded k: ${cands.size}")
+        }
+        // MG guarantee per shard over the FULL stream so far: any token
+        // with shard frequency > N_shard/(k+1) must be in the sketch
+        val stream = b1 ++ b2
+        val byShard = stream.groupBy(t => math.floorMod(t.hashCode.toLong, 4L))
+        byShard.foreach { case (s, toks) =>
+          val counts = toks.groupBy(identity).view.mapValues(_.size)
+          val hh = counts.filter(_._2 * (k + 1) > toks.size).keySet
+          val sketch = latest.filter(_.shard == s).map(_.tok).toSet
+          assert(hh.subsetOf(sketch),
+            s"shard $s lost heavy hitters ${hh -- sketch} (sketch: $sketch)")
+        }
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState MapState keeps per-entry counters across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
