@@ -582,6 +582,130 @@ object Round8 {
       .orderBy($"g")
   }
 
+  // ---------------------------------------------------------------------
+  // q137: SCD2 as-of snapshot (point-in-time dimension read)
+  // ---------------------------------------------------------------------
+
+  /** Point-in-time dimension snapshot — the query an SCD2 build (q109)
+    * exists to answer: "what did the dimension look like on date D?".
+    * Rebuilds the q109 interval table and keeps the one row per key whose
+    * [valid_from, valid_to) interval covers D — the read side of
+    * bitemporal modeling, one predicate over the interval columns (at
+    * warehouse scale: a partition-pruned scan of the stored SCD2 table;
+    * the intervals partition each key's timeline, so the filter yields
+    * EXACTLY one row per key alive at D — spec-asserted). */
+  val q137Scd2Snapshot: Q = (spark, dir) => {
+    import spark.implicits._
+    val asOf = lit("1998-06-15").cast("date")
+    Round7.q109Scd2(spark, dir)
+      .filter($"valid_from" <= asOf &&
+        ($"valid_to".isNull || $"valid_to" > asOf))
+      .select($"custkey", $"status", $"valid_from", $"valid_to")
+      .orderBy($"custkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // q138: k-core decomposition
+  // ---------------------------------------------------------------------
+
+  /** 3-core decomposition — the fourth graph primitive beside PageRank
+    * (q91), connected components (q79) and triangles (q116): repeatedly
+    * strip vertices of degree < 3 until the remainder is stable; the
+    * surviving subgraph (every vertex ≥3 neighbors INSIDE it) is the
+    * standard community-detection / graph-summarization core. Same
+    * deterministic 2-out-regular graph as q116.
+    *
+    * Iterative driver loop (the q79/q91 shape): each round one
+    * degree aggregation and one broadcast anti-join against the (small)
+    * dropped-vertex set; per-round `localCheckpoint` keeps lineage
+    * constant; convergence is REQUIRED within the round bound — the loop
+    * throws rather than returning a non-fixpoint (the q79 lesson: an
+    * unconverged answer that looks plausible is worse than a loud
+    * failure). The oracle replays enough fixed rounds that its final set
+    * equals the fixpoint. */
+  val q138Kcore: Q = (spark, dir) => {
+    import spark.implicits._
+    val n = 200
+    var edges = spark.range(n).select($"id".as("src"),
+        explode(array(($"id" * 2 + 1) % n, ($"id" * 3 + 2) % n)).as("dst"))
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct()
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 8) {
+      val deg = edges.select(explode(array($"a", $"b")).as("v"))
+        .groupBy($"v").agg(count(lit(1)).as("d"))
+      val bad = deg.filter($"d" < 3).select($"v")
+      if (bad.isEmpty) converged = true
+      else {
+        edges = edges
+          .join(broadcast(bad.select($"v".as("a"))), Seq("a"), "left_anti")
+          .join(broadcast(bad.select($"v".as("b"))), Seq("b"), "left_anti")
+          .select($"a", $"b")
+          .localCheckpoint()
+        rounds += 1
+      }
+    }
+    if (!converged)
+      throw new IllegalStateException(s"3-core did not stabilize in $rounds rounds")
+    val deg = edges.select(explode(array($"a", $"b")).as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("d"))
+    deg.agg(
+        count(lit(1)).as("n_vertices"),
+        min($"d").as("min_degree"),
+        max($"d").as("max_degree"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .select($"n_vertices", $"n_edges", $"min_degree", $"max_degree")
+  }
+
+  /** One oracle round of [[q138Kcore]]'s peeling loop: e{n-1} → degree →
+    * drop <3 vertices → e{n}. Enough chained rounds reach the fixpoint,
+    * after which further rounds are no-ops. */
+  private def kcoreRoundSql(n: Int): String =
+    s"""d$n AS (
+       |  SELECT v, COUNT(*) AS d FROM (
+       |    SELECT a AS v FROM e${n - 1}
+       |    UNION ALL SELECT b FROM e${n - 1}) GROUP BY 1
+       |), bad$n AS (
+       |  SELECT v FROM d$n WHERE d < 3
+       |), e$n AS (
+       |  SELECT a, b FROM e${n - 1}
+       |  WHERE a NOT IN (SELECT v FROM bad$n)
+       |    AND b NOT IN (SELECT v FROM bad$n)
+       |)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q139: HLL sketch mergeability
+  // ---------------------------------------------------------------------
+
+  /** HyperLogLog sketch MERGEABILITY (Datasketches `hll_sketch_agg` /
+    * `hll_union_agg`, Spark 3.5+): per-shard sketches unioned give the
+    * BIT-IDENTICAL estimate of sketching the whole stream at once,
+    * because HLL's register-max merge is associative/commutative — the
+    * property that lets 1000 executors each sketch their shard and ship
+    * 1 KB upward instead of re-shuffling raw keys. Verified the q64/q92
+    * own-engine way: the emitted booleans assert merged == direct
+    * exactly and |estimate − exact| within 5% rank error; the oracle
+    * pins the exact count and expects both flags TRUE (a sketch
+    * regression flips a flag and fails the hash). */
+  val q139HllMerge: Q = (spark, dir) => {
+    import spark.implicits._
+    val keys = Tables.lineitem(spark, dir).select($"l_orderkey").cache()
+    val direct = keys
+      .agg(hll_sketch_estimate(hll_sketch_agg($"l_orderkey")).as("est"))
+    val merged = keys
+      .groupBy(pmod($"l_orderkey", lit(16)).as("shard"))
+      .agg(hll_sketch_agg($"l_orderkey").as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+    val exact = keys.agg(countDistinct($"l_orderkey").as("exact"))
+    direct.crossJoin(merged.withColumnRenamed("est", "est_m"))
+      .crossJoin(exact)
+      .select($"exact".as("exact_distinct"),
+        ($"est" === $"est_m").as("merge_lossless"),
+        (abs($"est" - $"exact") * 100 <= $"exact" * 5).as("within_5pct"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q123_passage_dedup" -> q123PassageDedup,
     "q124_priority_sample" -> q124PrioritySample,
@@ -597,6 +721,9 @@ object Round8 {
     "q134_cohort_retention" -> q134CohortRetention,
     "q135_quantization_audit" -> q135QuantizationAudit,
     "q136_spj" -> q136StoragePartitionedJoin,
+    "q137_scd2_snapshot" -> q137Scd2Snapshot,
+    "q138_kcore" -> q138Kcore,
+    "q139_hll_merge" -> q139HllMerge,
   )
 
   val oracle: Map[String, String] = Map(
@@ -717,6 +844,33 @@ object Round8 {
         |SELECT src_type, dst_type, n,
         |  CAST(n * 1000000 // (SELECT SUM(n) FROM m) AS BIGINT) AS ppm
         |FROM m ORDER BY n DESC, src_type, dst_type LIMIT 15""".stripMargin,
+    "q137_scd2_snapshot" ->
+      s"""WITH scd AS (
+         |${Round7.oracle("q109_scd2")}
+         |)
+         |SELECT custkey, status, valid_from, valid_to FROM scd
+         |WHERE valid_from <= DATE '1998-06-15'
+         |  AND (valid_to IS NULL OR valid_to > DATE '1998-06-15')
+         |ORDER BY custkey""".stripMargin,
+    "q138_kcore" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT least(i, d) AS a, greatest(i, d) AS b
+         |  FROM (SELECT i, UNNEST([(i*2 + 1) % 200, (i*3 + 2) % 200]) AS d
+         |        FROM range(0, 200) t(i))
+         |  WHERE i <> d
+         |), ${(1 to 8).map(kcoreRoundSql).mkString(", ")},
+         |dfin AS (
+         |  SELECT v, COUNT(*) AS d FROM (
+         |    SELECT a AS v FROM e8 UNION ALL SELECT b FROM e8) GROUP BY 1
+         |)
+         |SELECT (SELECT COUNT(*) FROM dfin) AS n_vertices,
+         |  (SELECT COUNT(*) FROM e8) AS n_edges,
+         |  (SELECT CAST(MIN(d) AS BIGINT) FROM dfin) AS min_degree,
+         |  (SELECT CAST(MAX(d) AS BIGINT) FROM dfin) AS max_degree""".stripMargin,
+    "q139_hll_merge" ->
+      """SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct,
+        |  TRUE AS merge_lossless, TRUE AS within_5pct
+        |FROM lineitem""".stripMargin,
     "q136_spj" ->
       """SELECT CAST(i % 5 AS INT) AS g, COUNT(*) AS n_docs,
         |  CAST(SUM(i % 91 + 9) AS BIGINT) AS words_sum,
