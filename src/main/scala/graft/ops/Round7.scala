@@ -572,10 +572,13 @@ object Round7 {
     * Scale notes per stage: dedup is one shuffle on the content key;
     * the rule filter is the q101 two-aggregation shape; the LM model is
     * a broadcast of a vocab-sized aggregate with the corpus total as a
-    * driver literal; the percentile cut ranks only RULE-SURVIVING docs
-    * (≪ corpus — at extreme scale the q104 two-level scan replaces the
-    * global window); decontamination broadcasts the benchmark grams so
-    * the corpus side never shuffles for the probe. */
+    * driver literal; the percentile cut is the q104 two-level rank —
+    * survivors block by a RANGE of the sort key, rank inside each block
+    * (key-partitioned window), and add the block's cumulative offset
+    * (computed from the ≤257-row block-count aggregate, fetched to the
+    * driver like q131's one-row-per-round loops), so NO unpartitioned
+    * window ever sees document rows; decontamination broadcasts the
+    * benchmark grams so the corpus side never shuffles for the probe. */
   val q121CurationPipeline: Q = (spark, dir) => {
     import spark.implicits._
     val base = Tables.documents(spark, dir)
@@ -611,10 +614,29 @@ object Round7 {
           .cast("long"))
       .groupBy($"doc_id", $"lang")
       .agg(expr("sum(tq) div count(1)").as("sq"))
+      .cache()
     val nKept = rules.count()
-    val lmkept = surprise
-      .withColumn("rk", row_number().over(Window.orderBy($"sq", $"doc_id")))
-      .filter($"rk" <= lit(nKept * 95 / 100))
+    // Two-level distributed rank (the q104 shape): block survivors by a
+    // RANGE of the sort key so block order == sort order and ties (same
+    // sq) stay within one block, rank per-block under a key-partitioned
+    // window, then add each block's cumulative predecessor count. The
+    // block-count table is ≤257 rows by construction, so the offsets are
+    // computed on the driver — no unpartitioned window anywhere, at any
+    // scale.
+    val sqStats = surprise.agg(min($"sq").as("lo"), max($"sq").as("hi")).head()
+    val (sqLo, sqHi) = (sqStats.getLong(0), sqStats.getLong(1))
+    val blkWidth = math.max(1L, (sqHi - sqLo) / 256L + 1L)
+    val blocked = surprise
+      .withColumn("blk", (($"sq" - sqLo) / blkWidth).cast("long"))
+    val blkCounts = blocked.groupBy($"blk").agg(count(lit(1)).as("bc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val blkOffsets = blkCounts.map(_._1)
+      .zip(blkCounts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val lmkept = blocked
+      .join(broadcast(blkOffsets.toDF("blk", "boff")), Seq("blk"))
+      .withColumn("rk_in", row_number().over(
+        Window.partitionBy($"blk").orderBy($"sq", $"doc_id")))
+      .filter($"boff" + $"rk_in" <= lit(nKept * 95 / 100))
       .select($"doc_id", $"lang")
       .cache()
     def grams5(df: DataFrame, idCol: String) = df

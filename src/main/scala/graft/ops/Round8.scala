@@ -477,9 +477,9 @@ object Round8 {
   // ---------------------------------------------------------------------
 
   /** Cohort retention — the product-analytics staple beside q83's funnel
-    * and q129's transitions: users are cohorted by the WEEK of their
-    * first event, then each cohort's share of users still active 0–3
-    * weeks later forms the retention matrix. Week indexing is integer
+    * and q129's transitions: users are cohorted by the DAY of their
+    * first event, then each cohort's share of users still active 0–6
+    * days later forms the retention matrix. Day indexing is integer
     * day arithmetic from a fixed epoch (non-negative, so `div` == `//`).
     *
     * Scale shape: one user-keyed shuffle for the first-event aggregate,
@@ -487,7 +487,7 @@ object Round8 {
     * table here; at web scale it re-shuffles on the same user key the
     * events already grouped by), one distinct-user count per
     * (cohort, offset) cell, and a |cohorts|-sized broadcast for the
-    * denominators. The matrix itself is |weeks|·4 rows. */
+    * denominators. The matrix itself is |cohort days|·7 rows. */
   val q134CohortRetention: Q = (spark, dir) => {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
@@ -560,16 +560,16 @@ object Round8 {
     * broadcast disabled, plus result equality against the shuffle-join
     * plan with v2 bucketing off. At 100 TB this keeps a fact⋈fact join
     * entirely off the wire. */
-  val q136StoragePartitionedJoin: Q = (spark, dir) => {
+  /** The lazy SPJ plan, assuming the two session switches below are
+    * already set. The catalog route matters: the bucket transform
+    * resolves to a catalyst expression only through the table catalog's
+    * OWN FunctionCatalog (GraftCatalog.scala) — a bare TableProvider
+    * read silently degrades to UnknownPartitioning (measured while
+    * building this). `Round8Spec` calls this directly to inspect the
+    * executed plan. */
+  private[graft] def q136Plan(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
     import spark.implicits._
-    // session-level switches for DSv2 layout-aware planning; harmless to
-    // leave on (only scans that REPORT partitioning are affected). The
-    // catalog route matters: the bucket transform resolves to a catalyst
-    // expression only through the table catalog's OWN FunctionCatalog
-    // (GraftCatalog.scala) — a bare TableProvider read silently degrades
-    // to UnknownPartitioning (measured while building this).
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
     val a = spark.table("graft_cat.docs").select($"doc_id", $"n_words")
       .filter($"doc_id" < 15000)
     val b = spark.table("graft_cat.docs").select($"doc_id", $"fp")
@@ -580,6 +580,32 @@ object Round8 {
         sum($"n_words").as("words_sum"),
         sum($"fp" % 1000).as("fp_mod_sum"))
       .orderBy($"g")
+  }
+
+  private val q136Confs = Seq(
+    "spark.sql.sources.v2.bucketing.enabled" -> "true",
+    "spark.sql.catalog.graft_cat" -> "graft.sources.GraftCatalog")
+
+  val q136StoragePartitionedJoin: Q = (spark, dir) => {
+    // The SPJ needs two session switches at PLANNING time, so the query
+    // executes eagerly inside a save/restore bracket instead of leaking
+    // altered session state into every later query of a shared bench/
+    // verify session (the r7 advice). The result is 5 rollup rows, so
+    // collect-and-rewrap costs nothing; the plan-shape assertions live in
+    // Round8Spec against [[q136Plan]].
+    val prev = q136Confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    q136Confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = q136Plan(spark, dir)
+      val rows = df.collect().toSeq
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        df.schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -647,6 +673,15 @@ object Round8 {
         rounds += 1
       }
     }
+    // The loop bound is on PEELS, not on observations: if the fixpoint
+    // lands exactly on the final allowed peel, the loop exits without
+    // having re-observed emptiness — check once more before declaring
+    // non-convergence.
+    if (!converged) {
+      val deg = edges.select(explode(array($"a", $"b")).as("v"))
+        .groupBy($"v").agg(count(lit(1)).as("d"))
+      converged = deg.filter($"d" < 3).isEmpty
+    }
     if (!converged)
       throw new IllegalStateException(s"3-core did not stabilize in $rounds rounds")
     val deg = edges.select(explode(array($"a", $"b")).as("v"))
@@ -661,15 +696,23 @@ object Round8 {
 
   /** One oracle round of [[q138Kcore]]'s peeling loop: e{n-1} → degree →
     * drop <3 vertices → e{n}. Enough chained rounds reach the fixpoint,
-    * after which further rounds are no-ops. */
+    * after which further rounds are no-ops.
+    *
+    * Every CTE is `AS MATERIALIZED`: each round references the previous
+    * round's edge set three times (the degree scan plus two `NOT IN`
+    * probes), and DuckDB inlines non-materialized CTEs — eight chained
+    * rounds then grow the expression tree exponentially (the r7
+    * post-mortem: the un-materialized form ran >10 min at 17 GB RSS and
+    * zeroed the whole round's correctness gate; materialized it runs in
+    * ~1 s and matches Spark exactly). */
   private def kcoreRoundSql(n: Int): String =
-    s"""d$n AS (
+    s"""d$n AS MATERIALIZED (
        |  SELECT v, COUNT(*) AS d FROM (
        |    SELECT a AS v FROM e${n - 1}
        |    UNION ALL SELECT b FROM e${n - 1}) GROUP BY 1
-       |), bad$n AS (
+       |), bad$n AS MATERIALIZED (
        |  SELECT v FROM d$n WHERE d < 3
-       |), e$n AS (
+       |), e$n AS MATERIALIZED (
        |  SELECT a, b FROM e${n - 1}
        |  WHERE a NOT IN (SELECT v FROM bad$n)
        |    AND b NOT IN (SELECT v FROM bad$n)
@@ -680,18 +723,24 @@ object Round8 {
   // ---------------------------------------------------------------------
 
   /** HyperLogLog sketch MERGEABILITY (Datasketches `hll_sketch_agg` /
-    * `hll_union_agg`, Spark 3.5+): per-shard sketches unioned give the
-    * BIT-IDENTICAL estimate of sketching the whole stream at once,
-    * because HLL's register-max merge is associative/commutative — the
+    * `hll_union_agg`, Spark 3.5+): per-shard sketches unioned estimate
+    * the same cardinality as sketching the whole stream at once — the
     * property that lets 1000 executors each sketch their shard and ship
-    * 1 KB upward instead of re-shuffling raw keys. Verified the q64/q92
-    * own-engine way: the emitted booleans assert merged == direct
-    * exactly and |estimate − exact| within 5% rank error; the oracle
-    * pins the exact count and expects both flags TRUE (a sketch
-    * regression flips a flag and fails the hash). */
+    * 1 KB upward instead of re-shuffling raw keys. The merge is NOT
+    * bit-identical in general (the r7 defect: a direct sketch over 14.7k
+    * keys runs in dense HLL mode while 16 shard sketches stay sparse, and
+    * the two paths legitimately round differently), so the invariant
+    * asserted — the q64/q92 own-engine pattern — is that BOTH the direct
+    * and the shard-merged estimate land within 5% rank error of the exact
+    * distinct count; the oracle pins the exact count and expects both
+    * flags TRUE (a sketch regression flips a flag and fails the hash).
+    *
+    * No cache: each leg re-reads the single pruned `l_orderkey` column
+    * from parquet, which is what you'd do at 100 TB too (caching the raw
+    * key column is exactly what sketching exists to avoid). */
   val q139HllMerge: Q = (spark, dir) => {
     import spark.implicits._
-    val keys = Tables.lineitem(spark, dir).select($"l_orderkey").cache()
+    val keys = Tables.lineitem(spark, dir).select($"l_orderkey")
     val direct = keys
       .agg(hll_sketch_estimate(hll_sketch_agg($"l_orderkey")).as("est"))
     val merged = keys
@@ -702,8 +751,8 @@ object Round8 {
     direct.crossJoin(merged.withColumnRenamed("est", "est_m"))
       .crossJoin(exact)
       .select($"exact".as("exact_distinct"),
-        ($"est" === $"est_m").as("merge_lossless"),
-        (abs($"est" - $"exact") * 100 <= $"exact" * 5).as("within_5pct"))
+        (abs($"est" - $"exact") * 100 <= $"exact" * 5).as("direct_within_5pct"),
+        (abs($"est_m" - $"exact") * 100 <= $"exact" * 5).as("merged_within_5pct"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -853,13 +902,13 @@ object Round8 {
          |  AND (valid_to IS NULL OR valid_to > DATE '1998-06-15')
          |ORDER BY custkey""".stripMargin,
     "q138_kcore" ->
-      s"""WITH e0 AS (
+      s"""WITH e0 AS MATERIALIZED (
          |  SELECT DISTINCT least(i, d) AS a, greatest(i, d) AS b
          |  FROM (SELECT i, UNNEST([(i*2 + 1) % 200, (i*3 + 2) % 200]) AS d
          |        FROM range(0, 200) t(i))
          |  WHERE i <> d
          |), ${(1 to 8).map(kcoreRoundSql).mkString(", ")},
-         |dfin AS (
+         |dfin AS MATERIALIZED (
          |  SELECT v, COUNT(*) AS d FROM (
          |    SELECT a AS v FROM e8 UNION ALL SELECT b FROM e8) GROUP BY 1
          |)
@@ -869,7 +918,7 @@ object Round8 {
          |  (SELECT CAST(MAX(d) AS BIGINT) FROM dfin) AS max_degree""".stripMargin,
     "q139_hll_merge" ->
       """SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct,
-        |  TRUE AS merge_lossless, TRUE AS within_5pct
+        |  TRUE AS direct_within_5pct, TRUE AS merged_within_5pct
         |FROM lineitem""".stripMargin,
     "q136_spj" ->
       """SELECT CAST(i % 5 AS INT) AS g, COUNT(*) AS n_docs,

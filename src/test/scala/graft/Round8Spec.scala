@@ -64,7 +64,10 @@ class Round8Spec extends SparkSpec {
     val total = rows.map(_.getLong(1)).sum
     rows.foreach { r =>
       assert(r.getLong(1) * 30 > 0, "counts are positive")
-      assert(r.getLong(2) > 1000000L / 30, "every survivor clears the ppm bar")
+      // cnt*30 > total implies floor(cnt*1e6/total) >= 33333 but NOT
+      // strictly > (equality at cnt*30 = total+1 for large totals), so
+      // the bound is >= — the r7 advice's latent-flake fix.
+      assert(r.getLong(2) >= 33333L, "every survivor clears the ppm bar")
     }
     // counts are strictly descending-or-tied with tok tiebreak already
     // oracle-checked; here assert the threshold semantics are exact
@@ -231,6 +234,7 @@ class Round8Spec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.catalog.graft_cat",
       "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
     val prev = keys.map(k => k -> spark.conf.getOption(k))
     def joinSubtree(p: org.apache.spark.sql.execution.SparkPlan)
@@ -240,10 +244,15 @@ class Round8Spec extends SparkSpec {
     }
     try {
       // force a non-broadcast join so a missing SPJ would HAVE to
-      // shuffle, and turn AQE off so the static plan is inspectable
+      // shuffle, and turn AQE off so the static plan is inspectable.
+      // q136Plan is the lazy plan (the public query wraps it in an eager
+      // conf save/restore bracket), so the spec sets the two SPJ
+      // switches itself and inspects the executed plan directly.
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val df = ops.Round8.q136StoragePartitionedJoin(spark, sf)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val df = ops.Round8.q136Plan(spark, sf)
       val rows = df.collect()
       assert(rows.length == 5)
       val plan = df.queryExecution.executedPlan
@@ -256,8 +265,7 @@ class Round8Spec extends SparkSpec {
       // control: with v2 bucketing off, the same query MUST shuffle both
       // sides — proving the elimination came from the declared layout
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-      val off = ops.Round8.q136StoragePartitionedJoin(spark, sf)
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val off = ops.Round8.q136Plan(spark, sf)
       val offRows = off.collect()
       val offJoin = joinSubtree(off.queryExecution.executedPlan).get
       assert(offJoin.collect { case s: ShuffleExchangeExec => s }.size == 2,
@@ -281,5 +289,90 @@ class Round8Spec extends SparkSpec {
       .filter($"nxt".isNotNull).count()
     assert(nTrans == nEvents - nUsers,
       "each user contributes exactly (events - 1) transitions")
+  }
+
+  test("q137: the SCD2 snapshot has EXACTLY one row per key alive at D, and its interval covers D") {
+    import spark.implicits._
+    val asOf = java.sql.Date.valueOf("1998-06-15")
+    val scd = ops.Round7.q109Scd2(spark, sf).cache()
+    val snap = ops.Round8.q137Scd2Snapshot(spark, sf).collect()
+    try {
+      // the SCD2 intervals partition each key's timeline, so a key is
+      // "alive at D" iff its timeline started on or before D
+      val alive = scd.groupBy($"custkey")
+        .agg(min($"valid_from").as("first_from"))
+        .filter($"first_from" <= lit(asOf))
+        .collect().map(_.getLong(0)).toSet
+      val snapKeys = snap.map(_.getLong(0))
+      assert(snapKeys.toSet == alive,
+        "snapshot keys must be exactly the keys whose timeline started by D")
+      assert(snapKeys.length == snapKeys.distinct.length,
+        "exactly ONE version row per key — intervals must not overlap at D")
+      snap.foreach { r =>
+        val from = r.getDate(2); val to = Option(r.getDate(3))
+        assert(!from.after(asOf) && to.forall(_.after(asOf)),
+          s"picked interval must cover D: [$from, $to)")
+      }
+    } finally scd.unpersist()
+  }
+
+  test("q138: the reported core is a fixpoint — an independent peel of it removes nothing") {
+    import spark.implicits._
+    // rebuild the same deterministic graph, peel with an INDEPENDENT
+    // generous-bound loop, and check (a) the fixpoint law (every
+    // surviving vertex keeps >= 3 neighbors inside the core) and (b)
+    // that q138's summary row describes exactly this fixpoint
+    val n = 200
+    var edges = spark.range(n).select($"id".as("src"),
+        explode(array(($"id" * 2 + 1) % n, ($"id" * 3 + 2) % n)).as("dst"))
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bad = deg.collect { case (v, d) if d < 3 => v }.toSet
+      changed = bad.nonEmpty
+      edges = edges.filter(e => !bad(e._1) && !bad(e._2))
+    }
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(deg.values.forall(_ >= 3), "fixpoint: every core vertex keeps degree >= 3")
+    val row = ops.Round8.q138Kcore(spark, sf).collect().head
+    assert(row.getLong(0) == deg.size.toLong, "n_vertices matches the fixpoint")
+    assert(row.getLong(1) == edges.size.toLong, "n_edges matches the fixpoint")
+    assert(row.getLong(2) == deg.values.min, "min_degree matches the fixpoint")
+    assert(row.getLong(3) == deg.values.max, "max_degree matches the fixpoint")
+  }
+
+  test("q139: HLL merge under ANY sharding stays within rank-error of exact") {
+    import spark.implicits._
+    val keys = Tables.lineitem(spark, sf).select($"l_orderkey")
+    val exact = keys.distinct().count()
+    // The r7 lesson, measured twice now: NO bit-level merge identity
+    // holds — not direct-vs-merged (dense vs sparse modes round
+    // differently) and not even merged-vs-merged across different
+    // shardings (measured here: 16-way 1471 vs 7-way 1474 on exact 1500 —
+    // the union gadget's mode-promotion points depend on shard sizes).
+    // The invariant a 1000-executor pipeline actually relies on is the
+    // ERROR BOUND: a union over any sharding estimates within the
+    // sketch's rank error of exact. That is what q139 emits and what
+    // this spec pins, for two unrelated shardings.
+    def unionEst(shards: org.apache.spark.sql.Column): Long = keys
+      .groupBy(shards.as("shard"))
+      .agg(hll_sketch_agg($"l_orderkey").as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+      .collect().head.getLong(0)
+    val by16 = unionEst(pmod($"l_orderkey", lit(16)))
+    val by7 = unionEst(pmod($"l_orderkey" * 31 + 5, lit(7)))
+    Seq("16-way" -> by16, "7-way" -> by7).foreach { case (how, est) =>
+      assert(math.abs(est - exact) * 100 <= exact * 5,
+        s"$how shard-merged estimate $est outside 5% of exact $exact")
+    }
+    val row = ops.Round8.q139HllMerge(spark, sf).collect().head
+    assert(row.getLong(0) == exact, "exact_distinct matches countDistinct")
+    assert(row.getBoolean(1) && row.getBoolean(2),
+      "both direct and merged estimates land within 5% of exact")
   }
 }

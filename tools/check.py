@@ -8,11 +8,19 @@ Reads <outDir>/oracle_sql.json (written by graft.Verify), registers the
 Spark result parquet, sorts columns by name and rows by all values, and
 compares cell-by-cell (exact; floats also get a 1e-9-relative fallback so
 we can tell 'wrong' from 'last-ulp').
+
+Each oracle runs under a wall-clock limit (CHECK_TIMEOUT_SEC, default 60)
+enforced via duckdb's interrupt() from a watchdog thread, and every result
+line is flushed as it is produced — so one pathological oracle degrades to
+a single "FAIL name: oracle timeout" line instead of starving the whole
+run (the r7 incident: q138's un-materialized CTE chain ran >10 min and
+zeroed the entire round's correctness output).
 """
-import sys, json, glob, math
+import sys, json, glob, math, os, threading
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+TIMEOUT = float(os.environ.get("CHECK_TIMEOUT_SEC", "60"))
 
 def norm(rows, cols):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -28,6 +36,23 @@ def close(a, b):
         return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
     return False
 
+def run_limited(con, sql):
+    """Execute sql; on timeout interrupt the connection and raise TimeoutError."""
+    timer = threading.Timer(TIMEOUT, con.interrupt)
+    timer.start()
+    try:
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+        return cols, rows
+    except duckdb.InterruptException:
+        raise TimeoutError(f"oracle timeout after {TIMEOUT:.0f}s")
+    finally:
+        timer.cancel()
+
+def out(line):
+    print(line, flush=True)
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -42,39 +67,39 @@ def main():
         sql = oracle[name]
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark result parquet"); n_bad += 1; continue
+            out(f"FAIL {name}: no spark result parquet"); n_bad += 1; continue
         try:
-            o = con.execute(sql)
-            ocols = [d[0] for d in o.description]
-            orows = o.fetchall()
+            ocols, orows = run_limited(con, sql)
+        except TimeoutError as e:
+            out(f"FAIL {name}: {e}"); n_bad += 1; continue
         except Exception as e:
-            print(f"FAIL {name}: oracle sql error: {e}"); n_bad += 1; continue
+            out(f"FAIL {name}: oracle sql error: {e}"); n_bad += 1; continue
         s = con.execute(f"SELECT * FROM read_parquet({files!r})")
         scols = [d[0] for d in s.description]
         srows = s.fetchall()
         oc, orr = norm(orows, ocols)
         sc, srr = norm(srows, scols)
         if oc != sc:
-            print(f"FAIL {name}: columns spark={sc} oracle={oc}"); n_bad += 1; continue
+            out(f"FAIL {name}: columns spark={sc} oracle={oc}"); n_bad += 1; continue
         if len(orr) != len(srr):
-            print(f"FAIL {name}: rows spark={len(srr)} oracle={len(orr)}"); n_bad += 1; continue
+            out(f"FAIL {name}: rows spark={len(srr)} oracle={len(orr)}"); n_bad += 1; continue
         exact = srr == orr
         ok = exact or all(
             all(close(a, b) for a, b in zip(sr, orr_)) for sr, orr_ in zip(srr, orr))
         if ok:
             tag = "OK  " if exact else "OK~ (float-tolerance only!)"
-            print(f"{tag} {name}: {len(srr)} rows"); n_ok += 1
+            out(f"{tag} {name}: {len(srr)} rows"); n_ok += 1
         else:
             n_bad += 1
-            print(f"FAIL {name}: value mismatch; first diffs:")
+            out(f"FAIL {name}: value mismatch; first diffs:")
             shown = 0
             for i, (sr, orr_) in enumerate(zip(srr, orr)):
                 if not all(close(a, b) for a, b in zip(sr, orr_)):
-                    print(f"  row {i}: spark={sr}\n         oracle={orr_}")
+                    out(f"  row {i}: spark={sr}\n         oracle={orr_}")
                     shown += 1
                     if shown >= 3:
                         break
-    print(f"== {n_ok} ok, {n_bad} bad ==")
+    out(f"== {n_ok} ok, {n_bad} bad ==")
     sys.exit(1 if n_bad else 0)
 
 if __name__ == "__main__":
