@@ -26,6 +26,21 @@ object StreamingOps {
   final case class SessionUpdate(user_id: Long, n_events: Long,
     start_sec: Long, end_sec: Long, closed: Boolean)
 
+  /** CSV file-stream ingestion face — the production counterpart of the
+    * MemoryStream test seam: files dropped into `srcDir` are discovered
+    * as an unbounded stream. The schema is DECLARED (a streaming source
+    * cannot infer), `maxFilesPerTrigger` bounds each micro-batch so a
+    * backlog of 10⁶ files drains in bounded-memory increments, and the
+    * checkpoint's file log guarantees each file is processed exactly
+    * once across restarts — the cron-resumable ingestion shape that
+    * pairs with [[drainToParquet]]'s Trigger.AvailableNow. */
+  def eventCsvStream(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String): DataFrame =
+    spark.readStream
+      .schema(Encoders.product[Event].schema)
+      .option("maxFilesPerTrigger", 4)
+      .csv(srcDir)
+
   /** Watermarked sliding-window counts per event type: the streaming analog
     * of the batch datetime rollup (q19). Late data beyond 30 min is
     * dropped; state is bounded by watermark × type cardinality. */

@@ -144,6 +144,41 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/data").count() == 3)
   }
 
+  test("csv file-stream drives stateful dedup and resumes exactly-once from its checkpoint") {
+    import spark.implicits._
+    // the REAL source face beside MemoryStream: csv files dropped in a
+    // scratch dir, declared schema, AvailableNow drain + checkpoint. Run
+    // 2 proves BOTH exactly-once file discovery (f1.csv is not
+    // reprocessed) and state restoration (a cross-run replay of event 2
+    // under a FRESH timestamp is dropped by the restored dedup state,
+    // not by file dedup).
+    val base = java.nio.file.Files.createTempDirectory("graft_fsrc")
+    val src = s"$base/src"
+    new java.io.File(src).mkdirs()
+    def drop(name: String, rows: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.mkString("\n").getBytes("UTF-8"))
+    drop("f1.csv",
+      "1,1970-01-01 01:01:00,10,click,1.0",
+      "2,1970-01-01 01:02:00,11,view,2.0",
+      "2,1970-01-01 01:02:00,11,view,2.0") // in-file duplicate id
+    def drain() = {
+      val q = StreamingOps.drainToParquet(
+        StreamingOps.dedupStream(StreamingOps.eventCsvStream(spark, src)),
+        s"$base/data", s"$base/ckpt")
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+      spark.read.parquet(s"$base/data")
+        .select($"event_id").as[Long].collect().sorted.toSeq
+    }
+    assert(drain() == Seq(1L, 2L), "in-file duplicate must dedup")
+    drop("f2.csv",
+      "2,1970-01-01 01:03:00,11,view,2.0", // replay, fresh ts, inside watermark
+      "3,1970-01-01 01:04:00,12,click,3.0")
+    assert(drain() == Seq(1L, 2L, 3L),
+      "restart must skip processed files AND drop the replay via restored state")
+  }
+
   test("stream-static join enriches each batch from a broadcast dimension") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
