@@ -142,8 +142,182 @@ object Round9 {
       .orderBy($"label")
   }
 
+  // ---------------------------------------------------------------------
+  // q141: incremental ingestion dedup (new batch vs historical corpus)
+  // ---------------------------------------------------------------------
+
+  /** Incremental-ingest dedup — the always-on pipeline's daily question:
+    * which documents of today's crawl batch are ALREADY in the corpus?
+    * History is kept as a digest table (16-byte md5 per document — in
+    * production a stored fingerprint table, rewritten never, appended
+    * daily); the new batch anti-joins it on the digest. Re-crawls under
+    * fresh doc_ids are caught because identity is CONTENT, not id (the
+    * q40 rule). Constructed corpus: history = doc_id % 3 != 0; batch =
+    * the % 3 == 0 docs (genuinely new) plus re-crawls of history docs
+    * (% 6 == 1) under +1M ids.
+    *
+    * Scale shape: the probe never touches text — both sides reduce to
+    * digests before the join; one digest-keyed exchange (or none: the
+    * history digest table broadcast-fits per-partition bloom prefilter,
+    * the q84 shape, when the batch ≪ history). */
+  val q141IncrementalDedup: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"text")
+    val history = docs.filter($"doc_id" % 3 =!= 0)
+    val batch = docs.filter($"doc_id" % 3 === 0)
+      .unionByName(history.filter($"doc_id" % 6 === 1)
+        .withColumn("doc_id", $"doc_id" + 1000000L))
+    val histDigests = history.select(md5($"text").as("d")).distinct()
+    val flagged = batch.select($"lang", md5($"text").as("d"))
+      .join(histDigests.withColumn("dup", lit(true)), Seq("d"), "left")
+      .withColumn("dup", coalesce($"dup", lit(false)))
+    flagged.groupBy($"lang")
+      .agg(count(lit(1)).as("n_new"),
+        count(when($"dup", 1)).as("n_dropped"),
+        count(when(!$"dup", 1)).as("n_ingested"))
+      .withColumn("ingest_ppm", expr("n_ingested * 1000000 div n_new"))
+      .orderBy($"lang")
+  }
+
+  // ---------------------------------------------------------------------
+  // q142: inverted index build (capped posting lists)
+  // ---------------------------------------------------------------------
+
+  /** Retrieval-side primitive: token → document frequency, collection
+    * frequency, and a CAPPED posting list (first 5 doc_ids). The posting
+    * cap runs through the bounded-heap [[graft.functions.TopKByValue]]
+    * aggregator (value = −doc_id, so the heap keeps the 5 SMALLEST ids)
+    * — partial aggregation combines map-side, so the token exchange
+    * carries ≤5 ids per token per map partition instead of every
+    * posting; at web scale that is the difference between shuffling the
+    * index and shuffling the corpus. Postings emitted as a joined string
+    * (the harness cannot hash arrays). */
+  val q142InvertedIndex: Q = (spark, dir) => {
+    import spark.implicits._
+    val low5 = udaf(new graft.functions.TopKByValue(5))
+    val tf = Dedup.fanoutReady(Tables.documents(spark, dir))
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+      .groupBy($"tok", $"doc_id").agg(count(lit(1)).as("tf"))
+    tf.groupBy($"tok")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"),
+        low5((-$"doc_id").cast("double"), $"doc_id").as("top"))
+      .withColumn("postings",
+        concat_ws(",", transform($"top", s => s.getField("_2"))))
+      .select($"tok", $"df", $"cf", $"postings")
+      .orderBy($"df".desc, $"tok")
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------------
+  // q143: quality-decile calibration table
+  // ---------------------------------------------------------------------
+
+  /** Decile calibration for a quality score — the sanity table every
+    * learned or heuristic quality filter gets checked against: rank the
+    * corpus by score, cut exact deciles, profile each. Score is the
+    * lexical-diversity ratio (distinct tokens per token, ppm — exact
+    * integers). The global rank is the q121/q104 two-level form: block
+    * by score range, rank per block under a key-partitioned window, add
+    * driver-computed block offsets (≤257 rows) — no unpartitioned
+    * window at any scale. Decile id = (rank−1)·10 div N. */
+  val q143DecileCalibration: Q = (spark, dir) => {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        filter(split($"text", " "), t => length(t) > 0).as("w"))
+      .select($"doc_id", $"n_chars",
+        expr("size(array_distinct(w)) * 1000000 div size(w)").as("score"))
+      .cache()
+    val n = scored.count()
+    val stats = scored.agg(min($"score"), max($"score")).head()
+    val (lo, hi) = (stats.getLong(0), stats.getLong(1))
+    val width = math.max(1L, (hi - lo) / 256L + 1L)
+    val blocked = scored.withColumn("blk", (($"score" - lo) / width).cast("long"))
+    val counts = blocked.groupBy($"blk").agg(count(lit(1)).as("bc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    blocked
+      .join(broadcast(offsets.toDF("blk", "boff")), Seq("blk"))
+      .withColumn("rk", $"boff" + row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"blk").orderBy($"score", $"doc_id")))
+      .withColumn("decile", expr(s"(rk - 1) * 10 div ${n}L"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"score").as("min_score"), max($"score").as("max_score"),
+        sum($"n_chars").as("sum_chars"))
+      .withColumn("mean_chars", expr("sum_chars div n_docs"))
+      .orderBy($"decile")
+  }
+
+  // ---------------------------------------------------------------------
+  // q144: duplicate-copy capping (keep first N copies)
+  // ---------------------------------------------------------------------
+
+  /** Frequency capping, the C4/RefinedWeb softening of exact dedup: keep
+    * at most 2 copies of identical text (first-wins by doc_id) instead
+    * of 1 — repeated boilerplate keeps SOME representation without
+    * swamping the mixture. Injected copies: % 7 == 0 docs twice, % 21
+    * == 0 docs three times, so the cap has real work. One text-keyed
+    * exchange for the copy window (digest-keyed at production scale —
+    * the q123 rule); per-language conservation rollup. */
+  val q144CopyCap: Q = (spark, dir) => {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"text")
+    val corpus = base
+      .unionByName(base.filter($"doc_id" % 7 === 0)
+        .withColumn("doc_id", $"doc_id" + 1000000L))
+      .unionByName(base.filter($"doc_id" % 21 === 0)
+        .withColumn("doc_id", $"doc_id" + 2000000L))
+    val ranked = corpus.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy($"text").orderBy($"doc_id")))
+    ranked.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"rn" <= 2, 1)).as("n_kept"),
+        count(when($"rn" > 2, 1)).as("n_dropped"),
+        countDistinct(when($"rn" === 3, $"text")).as("n_groups_over_cap"))
+      .orderBy($"lang")
+  }
+
+  // ---------------------------------------------------------------------
+  // q145: time-decayed engagement score
+  // ---------------------------------------------------------------------
+
+  /** Half-life-decayed per-user engagement — recency weighting as every
+    * feed/ranking pipeline computes it, in EXACT integer arithmetic so
+    * the hash matches cross-engine: weight = 2²⁰ div 2^min(age_days,20)
+    * (a pure bit shift — one-day half-life, weights 1048576, 524288, …,
+    * 1), score = Σ weights. The anchor date is the corpus max event
+    * date (one tiny aggregate broadcast into the scan — no driver
+    * splice needed). One user-keyed aggregate + TakeOrderedAndProject;
+    * no window, no join wider than the 1-row anchor. */
+  val q145TimeDecay: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"ts".cast("date").as("d"))
+    val anchor = ev.agg(max($"d").as("d0"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("age", datediff($"d0", $"d"))
+      .withColumn("w", expr(
+        "1048576 div shiftleft(cast(1 as bigint), least(age, 20))"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"w").as("score"))
+      .orderBy($"score".desc, $"user_id")
+      .limit(15)
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_knn_lsh_audit" -> q140KnnLshAudit,
+    "q141_incremental_dedup" -> q141IncrementalDedup,
+    "q142_inverted_index" -> q142InvertedIndex,
+    "q143_decile_calibration" -> q143DecileCalibration,
+    "q144_copy_cap" -> q144CopyCap,
+    "q145_time_decay" -> q145TimeDecay,
   )
 
   val oracle: Map[String, String] = Map(
@@ -224,5 +398,88 @@ object Round9 {
          |LEFT JOIN ne ON p.label = ne.label
          |LEFT JOIN hits h ON p.label = h.label
          |ORDER BY p.label""".stripMargin,
+    "q141_incremental_dedup" ->
+      """WITH history AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 <> 0
+        |), batch AS (
+        |  SELECT lang, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT lang, text FROM history WHERE doc_id % 6 = 1
+        |), hd AS (
+        |  SELECT DISTINCT md5(text) AS d FROM history
+        |), flagged AS (
+        |  SELECT b.lang, (h.d IS NOT NULL) AS dup
+        |  FROM batch b LEFT JOIN hd h ON md5(b.text) = h.d
+        |)
+        |SELECT lang, COUNT(*) AS n_new,
+        |  COUNT(CASE WHEN dup THEN 1 END) AS n_dropped,
+        |  COUNT(CASE WHEN NOT dup THEN 1 END) AS n_ingested,
+        |  CAST(COUNT(CASE WHEN NOT dup THEN 1 END) * 1000000 // COUNT(*)
+        |    AS BIGINT) AS ingest_ppm
+        |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q142_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT tok, doc_id, COUNT(*) AS tf
+        |  FROM tok WHERE length(tok) > 0 GROUP BY 1, 2
+        |)
+        |SELECT tok, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+        |  array_to_string(list_sort(list(doc_id))[1:5], ',') AS postings
+        |FROM tf GROUP BY 1
+        |ORDER BY df DESC, tok LIMIT 20""".stripMargin,
+    "q143_decile_calibration" ->
+      """WITH sc AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(list_distinct(w)) * 1000000 // len(w) AS BIGINT)
+        |      AS score
+        |  FROM (SELECT doc_id, n_chars,
+        |          list_filter(string_split(text, ' '),
+        |            x -> length(x) > 0) AS w
+        |        FROM documents)
+        |), rk AS (
+        |  SELECT *, row_number() OVER (ORDER BY score, doc_id) AS rk,
+        |    COUNT(*) OVER () AS n
+        |  FROM sc
+        |)
+        |SELECT (rk - 1) * 10 // n AS decile, COUNT(*) AS n_docs,
+        |  MIN(score) AS min_score, MAX(score) AS max_score,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q144_copy_cap" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, text FROM documents
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, lang, text FROM documents
+        |  WHERE doc_id % 21 = 0
+        |), r AS (
+        |  SELECT lang, text,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM corpus
+        |)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN rn <= 2 THEN 1 END) AS n_kept,
+        |  COUNT(CASE WHEN rn > 2 THEN 1 END) AS n_dropped,
+        |  COUNT(DISTINCT CASE WHEN rn = 3 THEN text END)
+        |    AS n_groups_over_cap
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q145_time_decay" ->
+      """WITH anchor AS (
+        |  SELECT MAX(CAST(ts AS DATE)) AS d0 FROM events
+        |), w AS (
+        |  SELECT user_id,
+        |    1048576 // (CAST(1 AS BIGINT) << LEAST(
+        |      date_diff('day', CAST(ts AS DATE), d0), 20)) AS w
+        |  FROM events, anchor
+        |)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(w) AS BIGINT) AS score
+        |FROM w GROUP BY 1
+        |ORDER BY score DESC, user_id LIMIT 15""".stripMargin,
   )
 }

@@ -115,4 +115,106 @@ class Round9Spec extends SparkSpec {
     assert(counted == cand.size.toLong,
       s"query candidate count $counted != independently derived ${cand.size}")
   }
+
+  test("q141: ingested docs are content-disjoint from history, and re-ingestion drops everything") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"text")
+    val history = docs.filter($"doc_id" % 3 =!= 0)
+    val batch = docs.filter($"doc_id" % 3 === 0)
+      .unionByName(history.filter($"doc_id" % 6 === 1)
+        .withColumn("doc_id", $"doc_id" + 1000000L))
+    val histD = history.select(md5($"text").as("d")).distinct()
+    val ingested = batch.join(histD,
+      md5(batch("text")) === histD("d"), "left_anti")
+    // disjointness: nothing ingested already existed
+    assert(ingested.join(histD, md5(ingested("text")) === histD("d"))
+      .count() == 0)
+    // the query's totals conserve the batch
+    val rows = ops.Round9.q141IncrementalDedup(spark, sf).collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+      "n_new = n_dropped + n_ingested per language"))
+    assert(rows.map(_.getLong(3)).sum == ingested.count())
+    // idempotence: run the SAME batch against history ∪ ingested → all dropped
+    val grown = history.select(md5($"text").as("d"))
+      .unionByName(ingested.select(md5($"text").as("d"))).distinct()
+    assert(batch.join(grown, md5(batch("text")) === grown("d"), "left_anti")
+      .count() == 0, "re-ingestion must drop the entire batch")
+  }
+
+  test("q142: postings are the 5 smallest doc_ids of each token and df/cf are consistent") {
+    import spark.implicits._
+    val rows = ops.Round9.q142InvertedIndex(spark, sf).collect()
+    assert(rows.length == 20)
+    val tf = Tables.documents(spark, sf)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+      .groupBy($"tok", $"doc_id").agg(count(lit(1)).as("tf"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val tok = r.getString(0)
+      val docs = tf(tok).map(_.getLong(1)).sorted
+      assert(r.getLong(1) == docs.length, s"$tok df")
+      assert(r.getLong(2) == tf(tok).map(_.getLong(2)).sum, s"$tok cf")
+      assert(r.getString(3) == docs.take(5).mkString(","),
+        s"$tok postings must be the 5 smallest doc_ids ascending")
+    }
+  }
+
+  test("q143: deciles partition the corpus with balanced sizes and non-overlapping score bands") {
+    import spark.implicits._
+    val rows = ops.Round9.q143DecileCalibration(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total, "deciles conserve the corpus")
+    assert(rows.map(_.getLong(1)).max - rows.map(_.getLong(1)).min <= 1,
+      "exact integer ranks give balanced deciles (+-1)")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(3) <= b.getLong(2),
+          "max_score of decile d <= min_score of decile d+1")
+      case _ =>
+    }
+  }
+
+  test("q144: no text keeps more than 2 copies and the rollup conserves the corpus") {
+    import spark.implicits._
+    val rows = ops.Round9.q144CopyCap(spark, sf).collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+      "n_docs = n_kept + n_dropped"))
+    // independently recount: kept copies per text never exceed 2, and
+    // every over-cap group dropped exactly (copies - 2)
+    val base = Tables.documents(spark, sf).select($"doc_id", $"lang", $"text")
+    val corpus = base
+      .unionByName(base.filter($"doc_id" % 7 === 0)
+        .withColumn("doc_id", $"doc_id" + 1000000L))
+      .unionByName(base.filter($"doc_id" % 21 === 0)
+        .withColumn("doc_id", $"doc_id" + 2000000L))
+    val perText = corpus.groupBy($"text").agg(count(lit(1)).as("c"))
+    val expectDropped = perText.filter($"c" > 2)
+      .agg(sum($"c" - 2)).collect().head.getLong(0)
+    assert(rows.map(_.getLong(3)).sum == expectDropped)
+    assert(rows.map(_.getLong(4)).sum ==
+      perText.filter($"c" > 2).count(),
+      "over-cap groups counted once each (no copy exceeds 3 in this corpus)")
+  }
+
+  test("q145: decayed weights are exact powers of two and anchor-day events dominate") {
+    import spark.implicits._
+    val rows = ops.Round9.q145TimeDecay(spark, sf).collect()
+    assert(rows.length == 15)
+    // independently recompute one user's score with plain Scala
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"ts".cast("date").as("d")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val d0 = ev.map(_._2).maxBy(_.toEpochDay)
+    def weight(d: java.time.LocalDate): Long = {
+      val age = math.min(d0.toEpochDay - d.toEpochDay, 20L)
+      1048576L / (1L << age)
+    }
+    val top = rows.head
+    val expect = ev.filter(_._1 == top.getLong(0)).map(e => weight(e._2)).sum
+    assert(top.getLong(2) == expect,
+      "query score must equal the independent integer recompute")
+    // scores are sums of powers of two below 2^20 per event
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1) * 1048576L))
+  }
 }
