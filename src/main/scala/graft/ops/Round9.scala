@@ -311,8 +311,97 @@ object Round9 {
       .limit(15)
   }
 
+  // ---------------------------------------------------------------------
+  // q146: near-time event dedup (debounce)
+  // ---------------------------------------------------------------------
+
+  /** Click debouncing — the batch face of the streaming
+    * `dropDuplicatesWithinWatermark`: an event is a duplicate if the
+    * PREVIOUS event of the same (user, type) lies within 5 seconds
+    * (double-click, retry storm, at-least-once replay). Timestamps
+    * floor to epoch seconds first (the fixture rule: sub-second noise
+    * must never reach cross-engine arithmetic). One (user,type)-keyed
+    * window — the lag runs inside each key's partition, nothing global.
+    * Emits the per-type duplication profile a pipeline alerts on. */
+  val q146ClickDedup: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_type").orderBy($"sec", $"event_id")
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        unix_timestamp($"ts").as("sec"))
+      .withColumn("prev", lag($"sec", 1).over(w))
+      .withColumn("dup", $"prev".isNotNull && $"sec" - $"prev" <= 5)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(when($"dup", 1)).as("n_dups"))
+      .withColumn("dup_ppm", expr("n_dups * 1000000 div n_events"))
+      .orderBy($"event_type")
+  }
+
+  // ---------------------------------------------------------------------
+  // q147: corpus manifest (order-independent integrity checksums)
+  // ---------------------------------------------------------------------
+
+  /** Release manifest — the artifact shipped WITH a corpus so a
+    * downstream consumer can verify integrity without re-reading
+    * anything twice: per (lang, source) document count, char volume,
+    * distinct-content count, and an ORDER-INDEPENDENT content checksum
+    * (sum of each text's 48-bit md5 prefix — addition commutes, so the
+    * checksum is stable under any partitioning/shard order, unlike a
+    * rolling hash; 48 bits keeps the sum far from BIGINT overflow at
+    * any realistic group size, and a production manifest would sum
+    * modulo a prime). Pure map-side-combined aggregation: one
+    * |lang×source|-sized shuffle, no joins, no windows. */
+  val q147CorpusManifest: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"lang", $"source", $"n_chars",
+        conv(substring(md5($"text"), 1, 12), 16, 10).cast("long").as("h"),
+        md5($"text").as("d"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        countDistinct($"d").as("n_distinct"),
+        sum($"h").as("checksum"))
+      .orderBy($"lang", $"source")
+  }
+
+  // ---------------------------------------------------------------------
+  // q148: per-source quota enforcement (mixture capping)
+  // ---------------------------------------------------------------------
+
+  /** Source balancing, the C4 rule "no single source may dominate the
+    * mixture": every source is capped at 3% of the corpus; over-quota
+    * sources keep their docs by CONTENT-HASH priority (smallest
+    * md5(text), doc_id tiebreak — the q80 determinism rule: survival
+    * depends on content, never on scan order, so re-runs and re-shards
+    * keep identical corpora). One source-keyed window for the priority
+    * rank; the corpus total rides in as a broadcast 1-row aggregate.
+    * Emits the per-source keep/drop profile. */
+  val q148SourceQuota: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", md5($"text").as("pri"))
+    val total = docs.agg(count(lit(1)).as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"pri", $"doc_id")
+    docs.crossJoin(broadcast(total))
+      .withColumn("cap", expr("total * 3 div 100"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"rn" <= $"cap", 1)).as("n_kept"),
+        count(when($"rn" > $"cap", 1)).as("n_dropped"))
+      .withColumn("kept_ppm", expr("n_kept * 1000000 div n_docs"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_knn_lsh_audit" -> q140KnnLshAudit,
+    "q146_click_dedup" -> q146ClickDedup,
+    "q147_corpus_manifest" -> q147CorpusManifest,
+    "q148_source_quota" -> q148SourceQuota,
     "q141_incremental_dedup" -> q141IncrementalDedup,
     "q142_inverted_index" -> q142InvertedIndex,
     "q143_decile_calibration" -> q143DecileCalibration,
@@ -467,6 +556,48 @@ object Round9 {
         |  COUNT(CASE WHEN rn > 2 THEN 1 END) AS n_dropped,
         |  COUNT(DISTINCT CASE WHEN rn = 3 THEN text END)
         |    AS n_groups_over_cap
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q146_click_dedup" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(date_part('epoch', CAST(ts AS TIMESTAMP)) AS BIGINT)
+        |      AS sec
+        |  FROM events
+        |), l AS (
+        |  SELECT event_type, sec,
+        |    lag(sec) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY sec, event_id) AS prev
+        |  FROM e
+        |)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(CASE WHEN prev IS NOT NULL AND sec - prev <= 5 THEN 1 END)
+        |    AS n_dups,
+        |  CAST(COUNT(CASE WHEN prev IS NOT NULL AND sec - prev <= 5
+        |    THEN 1 END) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q147_corpus_manifest" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  COUNT(DISTINCT md5(text)) AS n_distinct,
+        |  CAST(SUM(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT))
+        |    AS BIGINT) AS checksum
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q148_source_quota" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(text) AS pri,
+        |    COUNT(*) OVER () AS total
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, total * 3 // 100 AS cap,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY pri, doc_id) AS rn
+        |  FROM d
+        |)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN rn <= cap THEN 1 END) AS n_kept,
+        |  COUNT(CASE WHEN rn > cap THEN 1 END) AS n_dropped,
+        |  CAST(COUNT(CASE WHEN rn <= cap THEN 1 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS kept_ppm
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q145_time_decay" ->
       """WITH anchor AS (

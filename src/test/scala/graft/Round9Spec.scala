@@ -217,4 +217,56 @@ class Round9Spec extends SparkSpec {
     // scores are sums of powers of two below 2^20 per event
     rows.foreach(r => assert(r.getLong(2) <= r.getLong(1) * 1048576L))
   }
+
+  test("q146: debounce flags are shift-invariant — adding 1000s to every timestamp changes nothing") {
+    import spark.implicits._
+    // the dedup must depend only on GAPS, never on absolute time
+    def profile(shift: Long) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id", $"event_type").orderBy($"sec", $"event_id")
+      Tables.events(spark, sf)
+        .select($"event_id", $"user_id", $"event_type",
+          (unix_timestamp($"ts") + shift).as("sec"))
+        .withColumn("prev", lag($"sec", 1).over(w))
+        .withColumn("dup", $"prev".isNotNull && $"sec" - $"prev" <= 5)
+        .groupBy($"event_type")
+        .agg(count(when($"dup", 1)).as("n_dups"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    }
+    assert(profile(0L) == profile(1000L))
+    val rows = ops.Round9.q146ClickDedup(spark, sf).collect()
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sf).count(),
+      "profile conserves the event stream")
+  }
+
+  test("q147: the manifest checksum is partitioning-invariant and detects single-doc tampering") {
+    import spark.implicits._
+    def manifest(df: org.apache.spark.sql.DataFrame) = df
+      .select($"lang", $"source",
+        conv(substring(md5($"text"), 1, 12), 16, 10).cast("long").as("h"))
+      .groupBy($"lang", $"source").agg(sum($"h").as("checksum"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val docs = Tables.documents(spark, sf)
+    val base = manifest(docs)
+    assert(manifest(docs.repartition(13)) == base,
+      "order/partitioning must not move the checksum")
+    val tampered = docs.withColumn("text",
+      when($"doc_id" === 0, concat($"text", lit(" x"))).otherwise($"text"))
+    assert(manifest(tampered) != base, "a single flipped doc must show")
+  }
+
+  test("q148: no source exceeds its cap, survival is content-deterministic, corpus conserved") {
+    import spark.implicits._
+    val rows = ops.Round9.q148SourceQuota(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    val cap = total * 3 / 100
+    rows.foreach { r =>
+      assert(r.getLong(2) <= cap, s"${r.getString(0)} kept over cap")
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), "kept + dropped = docs")
+      assert(r.getLong(2) == math.min(r.getLong(1), cap),
+        "a source keeps min(its size, cap) — the quota binds exactly")
+    }
+    assert(rows.map(_.getLong(1)).sum == total)
+  }
 }
