@@ -67,6 +67,40 @@ class ScaleProofSpec extends SparkSpec {
         "scored pair; the bounded heap must collapse them first")
   }
 
+  test("q142 inverted index: posting caps collapse the token exchange below the posting volume") {
+    // q142's contract: TopKByValue(5) combines map-side, so the second
+    // (token-keyed) exchange carries ≤5 ids per token per map partition
+    // instead of every (token, doc) posting. With a ~31-token vocab and
+    // ~2.3k documents at sf0.001, uncapped postings would be ~n_docs·31
+    // rows (~70k at the tf grain); the whole query's shuffle must stay
+    // an order of magnitude under that.
+    val recs = shuffleRecords(
+      ops.Round9.q142InvertedIndex(spark, "/root/testdata/sf0.001").count())
+    spark.catalog.clearCache()
+    assert(recs > 0, "the index build must actually shuffle")
+    val postingRows = 70000
+    assert(recs < postingRows / 4,
+      s"$recs shuffle records — the bounded heap must cap postings " +
+        "before the token exchange, not after it")
+  }
+
+  test("q140 LSH audit: the candidate path exchanges band keys, not pairs") {
+    // q140's candidate-generation contract: each vector fans out 6 band
+    // keys (500 vecs → 3000 rows) and candidate ids dedup BEFORE vectors
+    // rejoin. The audit half recomputes the exact baseline (its pair join
+    // is local to label blocks — pairs form inside the join, they are
+    // never exchanged), so total shuffle stays near the fan-out + the
+    // ~4k candidate ids + rollups, far below the ~25k scored pairs a
+    // pair-exchanging plan would ship.
+    val recs = shuffleRecords(
+      ops.Round9.q140KnnLshAudit(spark, "/root/testdata/sf0.001").count())
+    spark.catalog.clearCache()
+    assert(recs > 0)
+    assert(recs < 25000,
+      s"$recs shuffle records — candidate generation must exchange band " +
+        "keys and ids, never materialized pairs")
+  }
+
   test("q99 contamination: the corpus side ships no rows for the probe join") {
     // q99's contract: the benchmark grams broadcast, so the only shuffle
     // is the per-doc gram dedup — corpus rows are NEVER exchanged for the
