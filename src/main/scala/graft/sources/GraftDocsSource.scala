@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -43,7 +44,8 @@ class GraftDocsSource extends TableProvider {
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("partitions", "8").toInt,
       Option(properties.get("path")),
-      properties.getOrDefault("buckets", "0").toInt)
+      properties.getOrDefault("buckets", "0").toInt,
+      properties.getOrDefault("streamBatchRows", "32").toLong)
 }
 
 object GraftDocsSource {
@@ -77,18 +79,24 @@ object GraftDocsSource {
   *    committed files (q94 round-trips through both).
   */
 class GraftDocsTable(rows: Long, parts: Int, path: Option[String],
-    buckets: Int = 0)
+    buckets: Int = 0, streamBatchRows: Long = 32L)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     path.map(p => s"graft_docs(path=$p)").getOrElse(s"graft_docs(rows=$rows)")
   override def schema(): StructType = GraftDocsSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+    if (path.isEmpty)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    else
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     path match {
       case Some(p) => new GraftFilesScanBuilder(p)
-      case None    => new GraftDocsScanBuilder(rows, parts, buckets)
+      case None    => new GraftDocsScanBuilder(rows, parts, buckets,
+        streamBatchRows)
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val p = path.getOrElse(throw new IllegalArgumentException(
@@ -97,7 +105,8 @@ class GraftDocsTable(rows: Long, parts: Int, path: Option[String],
   }
 }
 
-class GraftDocsScanBuilder(rows: Long, parts: Int, buckets: Int = 0)
+class GraftDocsScanBuilder(rows: Long, parts: Int, buckets: Int = 0,
+    streamBatchRows: Long = 32L)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
@@ -174,7 +183,8 @@ class GraftDocsScanBuilder(rows: Long, parts: Int, buckets: Int = 0)
       new GraftDocsBucketedScan(
         math.max(lo, 0L), math.min(hi, rows), buckets, required)
     else
-      new GraftDocsScan(math.max(lo, 0L), math.min(hi, rows), parts, required)
+      new GraftDocsScan(math.max(lo, 0L), math.min(hi, rows), parts, required,
+        streamBatchRows)
 }
 
 /** Bucketed personality: the storage system DECLARES its layout to the
@@ -278,7 +288,8 @@ class GraftDocsAggReaderFactory(lo: Long, hi: Long, aggs: Seq[String])
     }
 }
 
-class GraftDocsScan(lo: Long, hi: Long, parts: Int, required: StructType)
+class GraftDocsScan(lo: Long, hi: Long, parts: Int, required: StructType,
+    streamBatchRows: Long = 32L)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -297,9 +308,76 @@ class GraftDocsScan(lo: Long, hi: Long, parts: Int, required: StructType)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftDocsReaderFactory(required.fieldNames)
+
+  /** The STREAMING personality of the same scan: doc_id is the offset
+    * axis (an append-only table's natural high-water mark). Column
+    * pruning and the pushed doc_id clamps compose unchanged — the
+    * micro-batch readers are the SAME readers the batch scan plans,
+    * over [max(lo, start), min(hi, end)). */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftDocsMicroBatchStream(lo, hi, parts, streamBatchRows, required)
 }
 
 case class GraftDocsPartition(start: Long, end: Long) extends InputPartition
+
+/** Offset = "every doc_id below `v` has been emitted". */
+case class GraftDocsOffset(v: Long) extends Offset {
+  override def json: String = v.toString
+}
+
+/** Micro-batch stream over the generative table: offsets advance along
+  * doc_id in `streamBatchRows` admission-controlled increments (so a
+  * backlog drains as bounded micro-batches, not one giant batch), each
+  * batch splitting into the same contiguous-range readers as the batch
+  * scan. Implements [[SupportsTriggerAvailableNow]] so
+  * `Trigger.AvailableNow` pins the target at start and terminates —
+  * the cron-resumable drain — and restart re-enters at the committed
+  * offset from the checkpoint (spec-proven with a grown table). */
+class GraftDocsMicroBatchStream(lo: Long, hi: Long, parts: Int,
+    batchRows: Long, required: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def initialOffset(): Offset = GraftDocsOffset(lo)
+  override def deserializeOffset(json: String): Offset =
+    GraftDocsOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(hi)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is the API")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = math.max(start.asInstanceOf[GraftDocsOffset].v, lo)
+    val target = availableNowTarget.getOrElse(hi)
+    val step = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _              => target - s // ReadAllAvailable
+    }
+    GraftDocsOffset(math.min(s + math.max(step, 0L), target))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = math.max(start.asInstanceOf[GraftDocsOffset].v, lo)
+    val e = math.min(end.asInstanceOf[GraftDocsOffset].v, hi)
+    val n = math.max(e - s, 0L)
+    if (n == 0L) return Array.empty
+    val k = math.min(parts.toLong, n).toInt
+    (0 until k).map { i =>
+      GraftDocsPartition(s + i * n / k, s + (i + 1) * n / k)
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftDocsReaderFactory(required.fieldNames)
+}
 
 class GraftDocsReaderFactory(cols: Array[String])
     extends PartitionReaderFactory {

@@ -179,6 +179,60 @@ class StreamingSpec extends SparkSpec {
       "restart must skip processed files AND drop the replay via restored state")
   }
 
+  test("custom DSv2 source streams in admission-controlled micro-batches with pruning intact") {
+    import spark.implicits._
+    // the generative DSv2 connector's MicroBatchStream personality:
+    // doc_id is the offset axis, ReadLimit.maxRows(30) bounds each
+    // micro-batch, and the streaming scan goes through the SAME
+    // ScanBuilder — so column pruning composes (only the projected
+    // columns are ever computed)
+    val q = spark.readStream.format("graft.sources.GraftDocsSource")
+      .option("rows", "100").option("partitions", "4")
+      .option("streamBatchRows", "30")
+      .load()
+      .select($"doc_id", $"n_words")
+      .writeStream.format("memory").queryName("dsv2s")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("dsv2s").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      assert(rows.length == 100)
+      assert(rows.forall { case (id, nw) => nw == (id % 91 + 9).toInt })
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 4,
+        s"100 rows at maxRows=30 must take >=4 micro-batches, saw $batches")
+    } finally q.stop()
+  }
+
+  test("custom DSv2 stream resumes at the committed offset when the table grows") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dsv2s")
+    def drain(rows: Int): Long = {
+      val q = spark.readStream.format("graft.sources.GraftDocsSource")
+        .option("rows", rows.toString).option("partitions", "4")
+        .option("streamBatchRows", "40")
+        .load()
+        .select($"doc_id")
+        .writeStream.format("parquet")
+        .option("path", s"$base/data")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode(OutputMode.Append()).start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+      spark.read.parquet(s"$base/data").count()
+    }
+    assert(drain(60) == 60L)
+    // the table "grows" to 100 rows; the restart must re-enter at the
+    // checkpointed offset 60 and emit ONLY the 40 new ids
+    assert(drain(100) == 100L)
+    val ids = spark.read.parquet(s"$base/data")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 100L).toSeq,
+      "no id duplicated or skipped across the restart")
+  }
+
   test("stream-static join enriches each batch from a broadcast dimension") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
