@@ -468,11 +468,106 @@ object Round9 {
       .limit(10)
   }
 
+  // ---------------------------------------------------------------------
+  // q151: containment near-dup (asymmetric — catches wrapper documents)
+  // ---------------------------------------------------------------------
+
+  /** Containment detection — the near-dup face Jaccard MISSES: a short
+    * document quoted whole inside a longer wrapper scores low symmetric
+    * similarity (the union is big) but ~100% containment
+    * (|A∩B| / |A|). Corpus: originals plus % 11 == 0 docs wrapped in
+    * boilerplate under fresh ids, so true containment pairs exist by
+    * construction. Candidates form ONLY through shared mid-frequency
+    * 5-grams (document frequency 2–10, the q105 blocking rule — grams
+    * every doc shares are useless keys, singletons pair nothing), then
+    * the exact gram intersection runs per candidate pair. Emits both
+    * containment directions and the symmetric Jaccard, keeping pairs
+    * ≥ 80% contained in either direction.
+    *
+    * Scale shape: gram fan-out is linear and rebalanced; the blocking
+    * join is bounded by per-gram bucket occupancy (df ≤ 10 caps it at
+    * 45 pairs per gram); the intersection join touches only candidate
+    * pairs × their gram sets, never the corpus². */
+  val q151Containment: Q = (spark, dir) => {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = base.unionByName(
+      base.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(lit("intro preamble section "), $"text",
+            lit(" closing remarks appendix end")).as("text")))
+    val grams = Dedup.fanoutReady(corpus)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 5)
+      .select($"doc_id",
+        explode(expr(
+          "transform(sequence(0, size(w) - 5), " +
+            "i -> array_join(slice(w, i + 1, 5), ' '))")).as("gram"))
+      .distinct()
+      .cache()
+    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("g"))
+    val rare = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2 && $"df" <= 10)
+      .select($"gram")
+    val cand = grams.join(rare, Seq("gram")).as("x")
+      .join(grams.join(rare, Seq("gram")).as("y"),
+        col("x.gram") === col("y.gram")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val inter = cand
+      .join(grams.select($"doc_id".as("a"), $"gram"), Seq("a"))
+      .join(grams.select($"doc_id".as("b"), $"gram"), Seq("b", "gram"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select($"doc_id".as("a"), $"g".as("ga")), Seq("a"))
+      .join(sizes.select($"doc_id".as("b"), $"g".as("gb")), Seq("b"))
+      .withColumn("cont_a_ppm", expr("inter * 1000000 div ga"))
+      .withColumn("cont_b_ppm", expr("inter * 1000000 div gb"))
+      .withColumn("jaccard_ppm", expr("inter * 1000000 div (ga + gb - inter)"))
+      .filter($"cont_a_ppm" >= 800000 || $"cont_b_ppm" >= 800000)
+      .select($"a", $"b", $"inter", $"ga", $"gb",
+        $"cont_a_ppm", $"cont_b_ppm", $"jaccard_ppm")
+      .orderBy($"a", $"b")
+      .limit(25)
+  }
+
+  // ---------------------------------------------------------------------
+  // q152: event-rate spike detection
+  // ---------------------------------------------------------------------
+
+  /** Rate-spike monitor — the ops alarm over an event stream: per
+    * (event_type, day) volume against the type's mean daily volume, in
+    * exact integer ppm (ratio = cnt · n_days · 10⁶ div type_total). A
+    * day at 2× its type's mean is a spike. Two map-side-combined
+    * aggregates and a broadcast join of the |types|-sized totals — the
+    * corpus shuffles once on (type, day). */
+  val q152RateSpike: Q = (spark, dir) => {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select($"event_type", $"ts".cast("date").as("d"))
+      .groupBy($"event_type", $"d").agg(count(lit(1)).as("cnt"))
+    val typ = daily.groupBy($"event_type")
+      .agg(sum($"cnt").as("total"), count(lit(1)).as("n_days"))
+    daily.join(broadcast(typ), Seq("event_type"))
+      .withColumn("ratio_ppm", expr("cnt * n_days * 1000000 div total"))
+      .withColumn("spike", $"ratio_ppm" >= 2000000L)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        max($"cnt").as("max_daily"),
+        min($"cnt").as("min_daily"),
+        max($"ratio_ppm").as("max_ratio_ppm"),
+        count(when($"spike", 1)).as("n_spike_days"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_knn_lsh_audit" -> q140KnnLshAudit,
     "q146_click_dedup" -> q146ClickDedup,
     "q149_psi_drift" -> q149PsiDrift,
     "q150_skew_profile" -> q150SkewProfile,
+    "q151_containment" -> q151Containment,
+    "q152_rate_spike" -> q152RateSpike,
     "q147_corpus_manifest" -> q147CorpusManifest,
     "q148_source_quota" -> q148SourceQuota,
     "q141_incremental_dedup" -> q141IncrementalDedup,
@@ -630,6 +725,65 @@ object Round9 {
         |  COUNT(DISTINCT CASE WHEN rn = 3 THEN text END)
         |    AS n_groups_over_cap
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q151_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    'intro preamble section ' || text ||
+        |      ' closing remarks appendix end'
+        |  FROM documents WHERE doc_id % 11 = 0
+        |), g AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(w[(u.i + 1):(u.i + 5)], ' ') AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |    UNNEST(range(0, len(w) - 4)) u(i)
+        |  WHERE len(w) >= 5
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS gn FROM g GROUP BY 1
+        |), rare AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, COUNT(*) AS df FROM g GROUP BY 1)
+        |  WHERE df BETWEEN 2 AND 10
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM (SELECT * FROM g WHERE gram IN (SELECT gram FROM rare)) x
+        |  JOIN (SELECT * FROM g WHERE gram IN (SELECT gram FROM rare)) y
+        |    ON x.gram = y.gram AND x.doc_id < y.doc_id
+        |), inter AS (
+        |  SELECT c.a, c.b, COUNT(*) AS inter
+        |  FROM cand c
+        |  JOIN g ga ON ga.doc_id = c.a
+        |  JOIN g gb ON gb.doc_id = c.b AND gb.gram = ga.gram
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.a, i.b, i.inter, sa.gn AS ga, sb.gn AS gb,
+        |  i.inter * 1000000 // sa.gn AS cont_a_ppm,
+        |  i.inter * 1000000 // sb.gn AS cont_b_ppm,
+        |  i.inter * 1000000 // (sa.gn + sb.gn - i.inter) AS jaccard_ppm
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.a
+        |JOIN sizes sb ON sb.doc_id = i.b
+        |WHERE i.inter * 1000000 // sa.gn >= 800000
+        |  OR i.inter * 1000000 // sb.gn >= 800000
+        |ORDER BY i.a, i.b LIMIT 25""".stripMargin,
+    "q152_rate_spike" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), typ AS (
+        |  SELECT event_type, SUM(cnt) AS total, COUNT(*) AS n_days
+        |  FROM daily GROUP BY 1
+        |), j AS (
+        |  SELECT d.event_type, d.cnt, t.n_days,
+        |    d.cnt * t.n_days * 1000000 // t.total AS ratio_ppm
+        |  FROM daily d JOIN typ t USING (event_type)
+        |)
+        |SELECT event_type, CAST(MAX(n_days) AS BIGINT) AS n_days,
+        |  MAX(cnt) AS max_daily, MIN(cnt) AS min_daily,
+        |  CAST(MAX(ratio_ppm) AS BIGINT) AS max_ratio_ppm,
+        |  COUNT(CASE WHEN ratio_ppm >= 2000000 THEN 1 END) AS n_spike_days
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q149_psi_drift" ->
       """WITH sc AS (
         |  SELECT doc_id,

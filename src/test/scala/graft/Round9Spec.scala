@@ -312,4 +312,45 @@ class Round9Spec extends SparkSpec {
       assert(r.getLong(3) == r.getLong(1) * nKeys * 1000000L / total)
     }
   }
+
+  test("q151: every wrapper pair shows 100% containment of the original with sub-100% Jaccard") {
+    import spark.implicits._
+    val rows = ops.Round9.q151Containment(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val wrapperPairs = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(wrapperPairs.nonEmpty,
+      "the injected wrapper duplicates must surface as containment pairs")
+    wrapperPairs.foreach { r =>
+      assert(r.getLong(5) == 1000000L,
+        "a doc wrapped verbatim keeps EVERY 5-gram: containment is exactly 1.0")
+      assert(r.getLong(7) < 1000000L,
+        "the wrapper adds grams, so symmetric Jaccard stays below 1.0 — " +
+          "the asymmetry this operator exists to catch")
+      assert(r.getLong(7) < r.getLong(5),
+        "jaccard < containment on asymmetric pairs")
+    }
+    // interface sanity: intersection never exceeds either gram set
+    rows.foreach { r =>
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+    }
+  }
+
+  test("q152: the spike ratio is an exact integer identity over independently recounted days") {
+    import spark.implicits._
+    val rows = ops.Round9.q152RateSpike(spark, sf).collect()
+    val daily = Tables.events(spark, sf)
+      .select($"event_type", $"ts".cast("date").as("d"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val byType = daily.groupBy(_._1._1)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val counts = byType(t).values.toSeq
+      assert(r.getLong(1) == counts.length.toLong, s"$t n_days")
+      assert(r.getLong(2) == counts.max, s"$t max_daily")
+      assert(r.getLong(3) == counts.min, s"$t min_daily")
+      val expect = counts.max * counts.length * 1000000L / counts.sum
+      assert(r.getLong(4) == expect, s"$t max_ratio_ppm identity")
+    }
+  }
 }
