@@ -561,6 +561,65 @@ object Round9 {
       .orderBy($"event_type")
   }
 
+  // ---------------------------------------------------------------------
+  // q153: vocabulary coverage curve
+  // ---------------------------------------------------------------------
+
+  /** Vocab-sizing curve — the readout a tokenizer budget decision reads:
+    * rank the vocabulary by corpus frequency and report, at each rank,
+    * the CUMULATIVE share of all token occurrences covered (ppm). One
+    * token-keyed map-side-combined aggregate collapses the corpus to
+    * |vocab| rows; the cumulative window then runs over that vocab-sized
+    * relation only (the q104 rule: narrow windows may be global when
+    * their input is already aggregate-sized — here ≤ |vocab| rows,
+    * NEVER corpus rows). Top 20 ranks emitted. */
+  val q153VocabCoverage: Q = (spark, dir) => {
+    import spark.implicits._
+    val vocab = Dedup.fanoutReady(Tables.documents(spark, dir))
+      .select(explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum($"cnt").as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"cnt".desc, $"tok")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    vocab.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"cnt".desc, $"tok")))
+      .withColumn("cum", sum($"cnt").over(w))
+      .withColumn("coverage_ppm", expr("cum * 1000000 div total"))
+      .filter($"rank" <= 20)
+      .select($"rank", $"tok", $"cnt", $"cum", $"coverage_ppm")
+      .orderBy($"rank")
+  }
+
+  // ---------------------------------------------------------------------
+  // q154: session time-on-task
+  // ---------------------------------------------------------------------
+
+  /** Engagement time accounting — the product metric behind "minutes
+    * spent": per user, sum the inter-event gaps, counting a gap toward
+    * time-on-task only when it is ≤ 30 minutes (a longer silence is a
+    * session break, not engagement — the q18 session rule applied to
+    * TIME instead of to session ids). Epoch-second integers throughout;
+    * one user-keyed window and one aggregate. Top 15 most-engaged
+    * users. */
+  val q154TimeOnTask: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"sec", $"event_id")
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_timestamp($"ts").as("sec"))
+      .withColumn("gap", $"sec" - lag($"sec", 1).over(w))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"gap".isNotNull && $"gap" <= 1800, $"gap")
+          .otherwise(0L)).as("engaged_sec"),
+        count(when($"gap" > 1800, 1)).as("n_breaks"))
+      .orderBy($"engaged_sec".desc, $"user_id")
+      .limit(15)
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_knn_lsh_audit" -> q140KnnLshAudit,
     "q146_click_dedup" -> q146ClickDedup,
@@ -568,6 +627,8 @@ object Round9 {
     "q150_skew_profile" -> q150SkewProfile,
     "q151_containment" -> q151Containment,
     "q152_rate_spike" -> q152RateSpike,
+    "q153_vocab_coverage" -> q153VocabCoverage,
+    "q154_time_on_task" -> q154TimeOnTask,
     "q147_corpus_manifest" -> q147CorpusManifest,
     "q148_source_quota" -> q148SourceQuota,
     "q141_incremental_dedup" -> q141IncrementalDedup,
@@ -725,6 +786,39 @@ object Round9 {
         |  COUNT(DISTINCT CASE WHEN rn = 3 THEN text END)
         |    AS n_groups_over_cap
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q153_vocab_coverage" ->
+      """WITH v AS (
+        |  SELECT tok, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) > 0 GROUP BY 1
+        |), t AS (SELECT SUM(cnt) AS total FROM v),
+        |r AS (
+        |  SELECT tok, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+        |    SUM(cnt) OVER (ORDER BY cnt DESC, tok
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM v
+        |)
+        |SELECT rank, tok, cnt, CAST(cum AS BIGINT) AS cum,
+        |  CAST(cum * 1000000 // total AS BIGINT) AS coverage_ppm
+        |FROM r, t WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "q154_time_on_task" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id,
+        |    sec - lag(sec) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id) AS gap
+        |  FROM e
+        |)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(COALESCE(SUM(CASE WHEN gap IS NOT NULL AND gap <= 1800
+        |    THEN gap ELSE 0 END), 0) AS BIGINT) AS engaged_sec,
+        |  COUNT(CASE WHEN gap > 1800 THEN 1 END) AS n_breaks
+        |FROM g GROUP BY 1
+        |ORDER BY engaged_sec DESC, user_id LIMIT 15""".stripMargin,
     "q151_containment" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -828,8 +922,7 @@ object Round9 {
     "q146_click_dedup" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type,
-        |    CAST(date_part('epoch', CAST(ts AS TIMESTAMP)) AS BIGINT)
-        |      AS sec
+        |    CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec
         |  FROM events
         |), l AS (
         |  SELECT event_type, sec,

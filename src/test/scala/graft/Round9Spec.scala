@@ -353,4 +353,45 @@ class Round9Spec extends SparkSpec {
       assert(r.getLong(4) == expect, s"$t max_ratio_ppm identity")
     }
   }
+
+  test("q153: the coverage curve is monotone, consistent with re-derived top-k sums") {
+    import spark.implicits._
+    val rows = ops.Round9.q153VocabCoverage(spark, sf).collect()
+    assert(rows.length == 20)
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = vocab.map(_._2).sum
+    val ranked = vocab.sortBy { case (t, c) => (-c, t) }
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == i + 1)
+      assert(r.getString(1) == ranked(i)._1, s"rank ${i + 1} token")
+      val cum = ranked.take(i + 1).map(_._2).sum
+      assert(r.getLong(3) == cum, s"rank ${i + 1} cumulative")
+      assert(r.getLong(4) == cum * 1000000L / total)
+    }
+    val cov = rows.map(_.getLong(4))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b },
+      "coverage is non-decreasing in rank")
+  }
+
+  test("q154: engaged time matches an independent per-user recount and respects the gap cap") {
+    import spark.implicits._
+    val rows = ops.Round9.q154TimeOnTask(spark, sf).collect()
+    assert(rows.length == 15)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", unix_timestamp($"ts").as("sec"), $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val top = rows.head
+    val secs = ev.filter(_._1 == top.getLong(0))
+      .sortBy(e => (e._2, e._3)).map(_._2)
+    val gaps = secs.zip(secs.tail).map { case (a, b) => b - a }
+    assert(top.getLong(2) == gaps.filter(_ <= 1800).sum,
+      "top user's engaged seconds recomputed independently")
+    assert(top.getLong(3) == gaps.count(_ > 1800), "break count")
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1) * 1800L,
+      "every counted gap is capped at 1800s"))
+  }
 }
