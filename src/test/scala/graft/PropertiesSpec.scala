@@ -86,4 +86,59 @@ object OperatorProperties extends Properties("graft") {
         val bands = (0 until 4).map(b => ((x >> (4 * b)) & 15, (y >> (4 * b)) & 15))
         java.lang.Long.bitCount(x ^ y) <= 3 && bands.exists(p => p._1 == p._2)
     }
+
+  /** q145's decay core: exact halving per day until the 2^20 floor. */
+  private def decayWeight(age: Long): Long =
+    1048576L / (1L << math.min(age, 20L))
+
+  property("q145 decay: w(0)=2^20, halves per day, floors at 1, never 0") =
+    forAll(Gen.choose(0L, 500L)) { age =>
+      val w = decayWeight(age)
+      (decayWeight(0L) == 1048576L) &&
+        (age >= 20 || decayWeight(age + 1) * 2 == w) &&
+        w >= 1L && (age < 20 || w == 1L)
+    }
+
+  /** q151's set algebra on the same integer-ppm formulas the query and
+    * oracle share: jaccard never exceeds either containment direction,
+    * and a genuine subset is contained with ppm EXACTLY 1e6. */
+  private val gramSet: Gen[Set[Int]] =
+    Gen.nonEmptyListOf(Gen.choose(0, 60)).map(_.toSet)
+
+  property("q151 containment: jaccard <= both directions; subset => exactly 1e6") =
+    forAll(gramSet, gramSet) { (a, b) =>
+      val inter = (a & b).size.toLong
+      val (ga, gb) = (a.size.toLong, b.size.toLong)
+      val contA = inter * 1000000L / ga
+      val contB = inter * 1000000L / gb
+      val jac = inter * 1000000L / (ga + gb - inter)
+      val sub = a union b // a is a subset of (a ∪ b) by construction
+      val subCont = a.size.toLong * 1000000L / a.size
+      jac <= contA && jac <= contB &&
+        (a.subsetOf(sub) && subCont == 1000000L)
+    }
+
+  /** q140's banding recall floor: signatures EQUAL on every band always
+    * pair (hamming-0 never escapes), and a single flipped bit kills at
+    * most one of the six bands. */
+  property("q140 banding: equal sigs always candidate; one flip kills <=1 band") =
+    forAll(Gen.choose(0L, (1L << 24) - 1), Gen.choose(0, 23)) { (sig, bit) =>
+      def bands(s: Long) = (0 until 6).map(k => (s >> (k * 4)) & 15L)
+      val flipped = sig ^ (1L << bit)
+      val same = bands(sig).zip(bands(sig)).count(p => p._1 == p._2)
+      val after = bands(sig).zip(bands(flipped)).count(p => p._1 == p._2)
+      same == 6 && after >= 5
+    }
+
+  /** q147's checksum core: a sum of per-item hashes is invariant under
+    * permutation and any regrouping (associativity/commutativity) —
+    * the property that makes the manifest partitioning-independent. */
+  property("q147 checksum: permutation- and regrouping-invariant") =
+    forAll(Gen.listOf(Gen.choose(0L, 1L << 48)), Gen.choose(0, 64)) {
+      (xs, cut) =>
+        val shuffled = scala.util.Random.javaRandomToRandom(
+          new java.util.Random(42)).shuffle(xs)
+        val (l, r) = xs.splitAt(if (xs.isEmpty) 0 else cut % (xs.size + 1))
+        xs.sum == shuffled.sum && xs.sum == l.sum + r.sum
+    }
 }
