@@ -620,6 +620,46 @@ object Round9 {
       .limit(15)
   }
 
+  // ---------------------------------------------------------------------
+  // q155: Kolmogorov–Smirnov drift (exact integer CDFs)
+  // ---------------------------------------------------------------------
+
+  /** KS drift — q149's sibling with ZERO floating point: the maximum
+    * CDF gap between two batches, computed from exact integer ranks
+    * (|cumA·10⁶ div totA − cumB·10⁶ div totB| over distinct score
+    * values). Where PSI needs a binning choice and a logarithm, KS
+    * needs neither — the statistic is bit-stable by construction. The
+    * corpus collapses to |distinct scores| rows map-side before the
+    * (aggregate-sized, documented) cumulative window; the top-10
+    * divergence points are the emitted alarm, row 1 being the KS
+    * statistic itself. */
+  val q155KsDrift: Q = (spark, dir) => {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id",
+        filter(split($"text", " "), t => length(t) > 0).as("w"))
+      .select($"doc_id",
+        expr("size(array_distinct(w)) * 1000000 div size(w)").as("score"))
+      .withColumn("is_ref", $"doc_id" % 2 === 0)
+    val perScore = scored.groupBy($"score")
+      .agg(count(when($"is_ref", 1)).as("n_ref"),
+        count(when(!$"is_ref", 1)).as("n_cur"))
+    val tot = perScore.agg(sum($"n_ref").as("t_ref"), sum($"n_cur").as("t_cur"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"score")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perScore
+      .withColumn("cum_ref", sum($"n_ref").over(w))
+      .withColumn("cum_cur", sum($"n_cur").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("cdf_ref_ppm", expr("cum_ref * 1000000 div t_ref"))
+      .withColumn("cdf_cur_ppm", expr("cum_cur * 1000000 div t_cur"))
+      .withColumn("gap_ppm", abs($"cdf_ref_ppm" - $"cdf_cur_ppm"))
+      .select($"score", $"cum_ref", $"cum_cur",
+        $"cdf_ref_ppm", $"cdf_cur_ppm", $"gap_ppm")
+      .orderBy($"gap_ppm".desc, $"score")
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_knn_lsh_audit" -> q140KnnLshAudit,
     "q146_click_dedup" -> q146ClickDedup,
@@ -629,6 +669,7 @@ object Round9 {
     "q152_rate_spike" -> q152RateSpike,
     "q153_vocab_coverage" -> q153VocabCoverage,
     "q154_time_on_task" -> q154TimeOnTask,
+    "q155_ks_drift" -> q155KsDrift,
     "q147_corpus_manifest" -> q147CorpusManifest,
     "q148_source_quota" -> q148SourceQuota,
     "q141_incremental_dedup" -> q141IncrementalDedup,
@@ -786,6 +827,38 @@ object Round9 {
         |  COUNT(DISTINCT CASE WHEN rn = 3 THEN text END)
         |    AS n_groups_over_cap
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q155_ks_drift" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(w)) * 1000000 // len(w) AS BIGINT)
+        |      AS score,
+        |    doc_id % 2 = 0 AS is_ref
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '),
+        |            x -> length(x) > 0) AS w
+        |        FROM documents)
+        |), ps AS (
+        |  SELECT score,
+        |    COUNT(CASE WHEN is_ref THEN 1 END) AS n_ref,
+        |    COUNT(CASE WHEN NOT is_ref THEN 1 END) AS n_cur
+        |  FROM sc GROUP BY 1
+        |), t AS (
+        |  SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM ps
+        |), c AS (
+        |  SELECT score,
+        |    SUM(n_ref) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+        |      AS cum_ref,
+        |    SUM(n_cur) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+        |      AS cum_cur
+        |  FROM ps
+        |)
+        |SELECT score, CAST(cum_ref AS BIGINT) AS cum_ref,
+        |  CAST(cum_cur AS BIGINT) AS cum_cur,
+        |  CAST(cum_ref * 1000000 // t_ref AS BIGINT) AS cdf_ref_ppm,
+        |  CAST(cum_cur * 1000000 // t_cur AS BIGINT) AS cdf_cur_ppm,
+        |  CAST(abs(cum_ref * 1000000 // t_ref
+        |    - cum_cur * 1000000 // t_cur) AS BIGINT) AS gap_ppm
+        |FROM c, t ORDER BY gap_ppm DESC, score LIMIT 10""".stripMargin,
     "q153_vocab_coverage" ->
       """WITH v AS (
         |  SELECT tok, COUNT(*) AS cnt FROM (

@@ -394,4 +394,34 @@ class Round9Spec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) <= r.getLong(1) * 1800L,
       "every counted gap is capped at 1800s"))
   }
+
+  test("q155: the KS gap matches an exhaustive driver-side CDF scan and identical batches give 0") {
+    import spark.implicits._
+    val rows = ops.Round9.q155KsDrift(spark, sf).collect()
+    assert(rows.length == 10)
+    // exhaustive recount: CDF gap at EVERY distinct score, not just the
+    // returned 10 — the query's row 1 must be the global max
+    val scored = Tables.documents(spark, sf)
+      .select($"doc_id",
+        filter(split($"text", " "), t => length(t) > 0).as("w"))
+      .select($"doc_id",
+        expr("size(array_distinct(w)) * 1000000 div size(w)").as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ref = scored.filter(_._1 % 2 == 0).map(_._2).sorted
+    val cur = scored.filter(_._1 % 2 != 0).map(_._2).sorted
+    val allScores = (ref ++ cur).distinct.sorted
+    val maxGap = allScores.map { s =>
+      val ca = ref.count(_ <= s).toLong * 1000000L / ref.length
+      val cb = cur.count(_ <= s).toLong * 1000000L / cur.length
+      math.abs(ca - cb)
+    }.max
+    assert(rows.head.getLong(5) == maxGap,
+      "row 1 gap must be the exhaustive KS statistic")
+    // identical-batch law through the same arithmetic
+    val same = allScores.map { s =>
+      val c = ref.count(_ <= s).toLong * 1000000L / ref.length
+      math.abs(c - c)
+    }.max
+    assert(same == 0L)
+  }
 }
