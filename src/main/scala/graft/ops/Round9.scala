@@ -660,8 +660,51 @@ object Round9 {
       .limit(10)
   }
 
+  // ---------------------------------------------------------------------
+  // q156: count-min sketch audit
+  // ---------------------------------------------------------------------
+
+  /** Count-min sketch — the third mergeable sketch beside HLL (q64/q139)
+    * and Misra–Gries (q125): a d=4 × w=32 counter grid where every
+    * token increments one counter per hash row, and a frequency
+    * estimate is the MIN across rows. The grid is a 128-cell aggregate
+    * (pure map-side combine — cells add, so shards merge by addition:
+    * the mergeability that ships 1 KB per executor instead of a
+    * vocabulary shuffle). Hashes are md5-derived (the q124/q75 rule) so
+    * the oracle rebuilds the grid bit-for-bit. The audit emits, per
+    * top token, the exact count, the CMS estimate, and the
+    * overestimate in ppm — CMS NEVER underestimates (a deterministic
+    * guarantee, spec- and oracle-pinned), and the overestimate bounds
+    * the collision noise a width-32 grid admits on this vocabulary. */
+  val q156CmsAudit: Q = (spark, dir) => {
+    import spark.implicits._
+    def bucket(r: Column, tok: Column): Column =
+      pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), tok)),
+        1, 8), 16, 10).cast("long"), lit(32L))
+    val toks = Dedup.fanoutReady(Tables.documents(spark, dir))
+      .select(explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+      .cache()
+    val grid = toks
+      .select(explode(expr("sequence(0, 3)")).as("r"), $"tok")
+      .withColumn("b", bucket($"r", $"tok"))
+      .groupBy($"r", $"b").agg(count(lit(1)).as("cell"))
+    val exact = toks.groupBy($"tok").agg(count(lit(1)).as("exact"))
+    val probes = exact
+      .select($"tok", $"exact", explode(expr("sequence(0, 3)")).as("r"))
+      .withColumn("b", bucket($"r", $"tok"))
+      .join(broadcast(grid), Seq("r", "b"))
+      .groupBy($"tok", $"exact").agg(min($"cell").as("cms_est"))
+    probes
+      .withColumn("over_ppm", expr("(cms_est - exact) * 1000000 div exact"))
+      .select($"tok", $"exact", $"cms_est", $"over_ppm")
+      .orderBy($"exact".desc, $"tok")
+      .limit(15)
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_knn_lsh_audit" -> q140KnnLshAudit,
+    "q156_cms_audit" -> q156CmsAudit,
     "q146_click_dedup" -> q146ClickDedup,
     "q149_psi_drift" -> q149PsiDrift,
     "q150_skew_profile" -> q150SkewProfile,
@@ -827,6 +870,29 @@ object Round9 {
         |  COUNT(DISTINCT CASE WHEN rn = 3 THEN text END)
         |    AS n_groups_over_cap
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q156_cms_audit" ->
+      """WITH toks AS (
+        |  SELECT tok FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) > 0
+        |), grid AS (
+        |  SELECT r.r, CAST(('0x' || substr(md5(r.r || ':' || tok), 1, 8))
+        |    AS BIGINT) % 32 AS b, COUNT(*) AS cell
+        |  FROM toks, (SELECT unnest(range(0, 4)) AS r) r
+        |  GROUP BY 1, 2
+        |), exact AS (
+        |  SELECT tok, COUNT(*) AS exact FROM toks GROUP BY 1
+        |), est AS (
+        |  SELECT e.tok, e.exact, MIN(g.cell) AS cms_est
+        |  FROM exact e, (SELECT unnest(range(0, 4)) AS r) r
+        |  JOIN grid g ON g.r = r.r
+        |    AND g.b = CAST(('0x' || substr(md5(r.r || ':' || e.tok), 1, 8))
+        |      AS BIGINT) % 32
+        |  GROUP BY 1, 2
+        |)
+        |SELECT tok, exact, cms_est,
+        |  (cms_est - exact) * 1000000 // exact AS over_ppm
+        |FROM est ORDER BY exact DESC, tok LIMIT 15""".stripMargin,
     "q155_ks_drift" ->
       """WITH sc AS (
         |  SELECT doc_id,

@@ -424,4 +424,36 @@ class Round9Spec extends SparkSpec {
     }.max
     assert(same == 0L)
   }
+
+  test("q156: CMS never underestimates, and the grid merges by addition across shards") {
+    import spark.implicits._
+    val rows = ops.Round9.q156CmsAudit(spark, sf).collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"'${r.getString(0)}': CMS ${r.getLong(2)} < exact ${r.getLong(1)} — " +
+          "the count-min guarantee is deterministic, this can never happen")
+      assert(r.getLong(3) >= 0L, "over_ppm is the non-negative face of the same law")
+    }
+    // mergeability: the 128-cell grid built over the whole corpus equals
+    // the cell-wise SUM of per-shard grids (counters add) — the property
+    // that lets every executor ship 1KB upward
+    def bucket(r: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), tok)),
+        1, 8), 16, 10).cast("long"), lit(32L))
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+    def grid(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(expr("sequence(0, 3)")).as("r"), $"tok")
+      .withColumn("b", bucket($"r", $"tok"))
+      .groupBy($"r", $"b").agg(count(lit(1)).as("cell"))
+      .collect().map(x => ((x.getInt(0), x.getLong(1)), x.getLong(2))).toMap
+    val whole = grid(toks)
+    val shard0 = grid(toks.filter($"doc_id" % 2 === 0))
+    val shard1 = grid(toks.filter($"doc_id" % 2 =!= 0))
+    val merged = (shard0.keySet ++ shard1.keySet).map(k =>
+      k -> (shard0.getOrElse(k, 0L) + shard1.getOrElse(k, 0L))).toMap
+    assert(merged == whole, "cell-wise shard sum must equal the whole-corpus grid")
+  }
 }
