@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -67,8 +67,52 @@ case class DistinctGramKeys(child: Expression, n: Int)
     newChild: Expression): DistinctGramKeys = copy(child = newChild)
 }
 
+
+/** Unicode NFC normalization as a native Catalyst expression.
+  *
+  * Spark has no built-in normalizer, and the usual fallback — a Scala
+  * `udf()` — breaks whole-stage codegen around every operator that uses
+  * it. `java.text.Normalizer` is one static JDK call, so the generated
+  * code stays inside the codegen'd stage (same rationale as
+  * [[DistinctGramKeys]]: the built-ins genuinely can't express it, the
+  * custom expression keeps the pipeline fused). NFC is the canonical
+  * composition a text pipeline applies before hashing/dedup — the SAME
+  * visible string in composed and decomposed form must dedup together,
+  * which is exactly what q157 audits. DuckDB's `nfc_normalize` is the
+  * oracle twin. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($c.toString(),
+         |    java.text.Normalizer.Form.NFC));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NfcNormalize = copy(child = newChild)
+}
+
 object TextExprs {
   /** Column API for [[DistinctGramKeys]]. */
   def distinctGramKeys(s: Column, n: Int): Column =
     GraftBridge.column(DistinctGramKeys(GraftBridge.expression(s), n))
+
+  /** Column API for [[NfcNormalize]]. */
+  def nfcNormalize(c: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(c)))
 }

@@ -702,9 +702,43 @@ object Round9 {
       .limit(15)
   }
 
+  // ---------------------------------------------------------------------
+  // q157: Unicode NFC normalization audit
+  // ---------------------------------------------------------------------
+
+  /** Normalization hygiene — the pre-hash step every dedup pipeline
+    * needs: the SAME visible string in composed ('á') and decomposed
+    * ('a'+U+0301) form hashes differently, so denormalized text silently
+    * defeats content dedup. Corpus: docs with % 13 == 0 get their 'a's
+    * decomposed (deterministic injection, mirrored in the oracle via
+    * chr(769)); the audit counts, per lang, the denormalized docs and
+    * the codepoints NFC composition removes. NFC runs through the
+    * native codegen [[graft.functions.NfcNormalize]] expression (a
+    * `udf()` here would break whole-stage codegen around the scan); the
+    * whole audit is one map-side-combined aggregate. */
+  val q157NfcAudit: Q = (spark, dir) => {
+    import spark.implicits._
+    val nfc = graft.functions.TextExprs.nfcNormalize _
+    val corpus = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        when($"doc_id" % 13 === 0,
+          regexp_replace($"text", "a", "a\u0301")).otherwise($"text")
+          .as("text"))
+    corpus
+      .withColumn("norm", nfc($"text"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"norm" =!= $"text", 1)).as("n_denormalized"),
+        sum(length($"text")).as("chars_raw"),
+        sum(length($"norm")).as("chars_nfc"))
+      .withColumn("chars_removed", $"chars_raw" - $"chars_nfc")
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_knn_lsh_audit" -> q140KnnLshAudit,
     "q156_cms_audit" -> q156CmsAudit,
+    "q157_nfc_audit" -> q157NfcAudit,
     "q146_click_dedup" -> q146ClickDedup,
     "q149_psi_drift" -> q149PsiDrift,
     "q150_skew_profile" -> q150SkewProfile,
@@ -870,6 +904,23 @@ object Round9 {
         |  COUNT(DISTINCT CASE WHEN rn = 3 THEN text END)
         |    AS n_groups_over_cap
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q157_nfc_audit" ->
+      """WITH corpus AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN replace(text, 'a', 'a' || chr(769)) ELSE text END
+        |      AS text
+        |  FROM documents
+        |), n AS (
+        |  SELECT lang, text, nfc_normalize(text) AS norm FROM corpus
+        |)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN norm <> text THEN 1 END) AS n_denormalized,
+        |  CAST(SUM(length(text)) AS BIGINT) AS chars_raw,
+        |  CAST(SUM(length(norm)) AS BIGINT) AS chars_nfc,
+        |  CAST(SUM(length(text)) - SUM(length(norm)) AS BIGINT)
+        |    AS chars_removed
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "q156_cms_audit" ->
       """WITH toks AS (
         |  SELECT tok FROM (

@@ -456,4 +456,36 @@ class Round9Spec extends SparkSpec {
       k -> (shard0.getOrElse(k, 0L) + shard1.getOrElse(k, 0L))).toMap
     assert(merged == whole, "cell-wise shard sum must equal the whole-corpus grid")
   }
+
+  test("q157: NFC composes the injected decomposition exactly; normalization is idempotent") {
+    import spark.implicits._
+    val nfc = graft.functions.TextExprs.nfcNormalize _
+    // expression semantics, interpreted AND codegen paths: decomposed
+    // a+U+0301 composes to the single-codepoint a-acute; ASCII is a
+    // fixed point; NFC is idempotent
+    val probe = Seq("a\u0301", "plain ascii", "\u00e1").toDF("s")
+      .select($"s", nfc($"s").as("n"), nfc(nfc($"s")).as("nn"),
+        length($"s").as("ls"), length(nfc($"s")).as("ln"))
+      .collect()
+    val byIn = probe.map(r => r.getString(0) -> r).toMap
+    assert(byIn("a\u0301").getString(1) == "\u00e1", "composition applied")
+    assert(byIn("a\u0301").getInt(3) == 2 && byIn("a\u0301").getInt(4) == 1,
+      "two codepoints compose into one")
+    probe.foreach(r => assert(r.getString(1) == r.getString(2),
+      "NFC(NFC(x)) == NFC(x)"))
+    assert(byIn("plain ascii").getString(1) == "plain ascii")
+    // the audit: only %13 docs are denormalized, and chars_removed
+    // equals the injected combining marks exactly
+    val rows = ops.Round9.q157NfcAudit(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text").collect()
+    val expectDenorm = docs.count(r =>
+      r.getLong(0) % 13 == 0 && r.getString(2).contains("a"))
+    assert(rows.map(_.getLong(2)).sum == expectDenorm,
+      "denormalized docs = injected docs that actually contain an 'a'")
+    val expectRemoved = docs.filter(_.getLong(0) % 13 == 0)
+      .map(r => r.getString(2).count(_ == 'a').toLong).sum
+    assert(rows.map(_.getLong(5)).sum == expectRemoved,
+      "chars removed = combining marks injected = 'a' count in %13 docs")
+  }
 }
