@@ -207,6 +207,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.CosineSimLong].getName, "cosine_long"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.CosineSimLong(children.head, children(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.NfcNormalize(children.head)))
   }
 }
 

@@ -104,6 +104,14 @@ class OperatorsSpec extends SparkSpec {
     assert(d == 32L)
   }
 
+  test("nfc_normalize is SQL-callable after runtime registration") {
+    org.apache.spark.sql.GraftBridge.registerFunction(spark, "nfc_normalize",
+      exprs => graft.functions.NfcNormalize(exprs.head))
+    val n = spark.sql("SELECT nfc_normalize('áb') AS n")
+      .head().getString(0)
+    assert(n == "\u00e1b", "decomposed input composes through the SQL face")
+  }
+
   test("as-of strategy registers once on the live session (AsOf.join path)") {
     import spark.implicits._
     val l = Seq((1L, 1L)).toDF("key", "t")

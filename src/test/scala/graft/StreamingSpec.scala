@@ -179,6 +179,39 @@ class StreamingSpec extends SparkSpec {
       "restart must skip processed files AND drop the replay via restored state")
   }
 
+  test("stream-batch parity: the same windowedCounts dataflow agrees across both engines") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the module contract made concrete: every StreamingOps function is
+    // ONE dataflow that runs under either engine. Execute windowedCounts
+    // over identical rows as a plain batch DataFrame and as a stream
+    // (Complete mode = full state), and require identical aggregates.
+    val events = Seq(
+      Event(1, ts(61), 10, "click", 1.0),
+      Event(2, ts(64), 10, "click", 2.0),
+      Event(3, ts(72), 11, "view", 3.0),
+      Event(4, ts(75), 12, "view", 5.0))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getStruct(0).getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3))
+    val batch = StreamingOps.windowedCounts(events.toDF())
+      .selectExpr("window", "event_type", "n", "total_value")
+      .collect().map(key).toSet
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = StreamingOps.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("par")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("par")
+        .selectExpr("window", "event_type", "n", "total_value")
+        .collect().map(key).toSet
+      assert(streamed == batch,
+        "batch and streaming executions of the same plan must agree")
+    } finally q.stop()
+  }
+
   test("custom DSv2 source streams in admission-controlled micro-batches with pruning intact") {
     import spark.implicits._
     // the generative DSv2 connector's MicroBatchStream personality:
