@@ -735,10 +735,70 @@ object Round9 {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------------
+  // q158: product-quantization (PQ) codebook audit
+  // ---------------------------------------------------------------------
+
+  /** Product quantization — the compression standard behind
+    * billion-scale ANN (IVF-PQ): the 64-dim vector splits into 8
+    * subvectors of 8 dims, each subspace trains its own k=4 codebook
+    * (one integer-exact Lloyd round, the q98 arithmetic: +1000 offset
+    * keeps `div` == `//`, init = the subvectors of vec_id 0..3), and a
+    * vector encodes as 8 small codes — 64 dims become 8 bytes. Unlike
+    * q98's driver-looped centroids, the subspace index here is DATA:
+    * one fan-out row per (vector, subspace), codebooks live in a tiny
+    * (8×4)-row relation that BROADCASTS into both assignment passes,
+    * and the argmin is a keyed window (ties → lowest code, the q98
+    * rule). The audit emits, per subspace, the code-usage checksum, the
+    * codebook checksum, and the total squared reconstruction error —
+    * the number a PQ deployment watches. */
+  val q158PqAudit: Q = (spark, dir) => {
+    import spark.implicits._
+    def quant(e: Column) =
+      transform(e, x => floor(x.cast("double") * 1000).cast("long") + 1000L)
+    val subs = Tables.embeddings(spark, dir)
+      .select($"vec_id", quant($"embedding").as("e"))
+      .select($"vec_id", explode(expr("sequence(0, 7)")).as("m"), $"e")
+      .select($"vec_id", $"m", expr("slice(e, m * 8 + 1, 8)").as("sub"))
+      .cache()
+    val dist = expr(
+      "aggregate(zip_with(sub, c, (x, y) -> (x - y) * (x - y)), " +
+        "0L, (a, b) -> a + b)")
+    def assign(cb: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"vec_id", $"m").orderBy($"dist", $"j")
+      subs.join(broadcast(cb), Seq("m"))
+        .withColumn("dist", dist)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"m", $"sub", $"j".as("code"), $"dist")
+    }
+    val cb0 = subs.filter($"vec_id" < 4)
+      .select($"m", $"vec_id".cast("int").as("j"), $"sub".as("c"))
+    val cb1 = assign(cb0)
+      .select($"m", $"code".as("j"), posexplode($"sub").as(Seq("dim", "x")))
+      .groupBy($"m", $"j", $"dim")
+      .agg(expr("sum(x) div count(1)").as("cd"))
+      .groupBy($"m", $"j")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cd)))," +
+        " s -> s.cd)").as("c"))
+    assign(cb1)
+      .groupBy($"m")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum($"code").as("code_sum"),
+        sum($"dist").as("sse_sum"))
+      .join(cb1.select($"m", expr("aggregate(c, 0L, (a, b) -> a + b)")
+          .as("cs"))
+        .groupBy($"m").agg(sum($"cs").as("codebook_sum")), Seq("m"))
+      .select($"m", $"n_vecs", $"code_sum", $"codebook_sum", $"sse_sum")
+      .orderBy($"m")
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_knn_lsh_audit" -> q140KnnLshAudit,
     "q156_cms_audit" -> q156CmsAudit,
     "q157_nfc_audit" -> q157NfcAudit,
+    "q158_pq_audit" -> q158PqAudit,
     "q146_click_dedup" -> q146ClickDedup,
     "q149_psi_drift" -> q149PsiDrift,
     "q150_skew_profile" -> q150SkewProfile,
@@ -904,6 +964,58 @@ object Round9 {
         |  COUNT(DISTINCT CASE WHEN rn = 3 THEN text END)
         |    AS n_groups_over_cap
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q158_pq_audit" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)
+        |      AS e
+        |  FROM embeddings
+        |), subs AS MATERIALIZED (
+        |  SELECT vec_id, t.m, e[(t.m * 8 + 1):(t.m * 8 + 8)] AS sub
+        |  FROM v, UNNEST(range(0, 8)) t(m)
+        |), c0 AS MATERIALIZED (
+        |  SELECT m, CAST(vec_id AS INT) AS j, sub AS c
+        |  FROM subs WHERE vec_id < 4
+        |), d1 AS MATERIALIZED (
+        |  SELECT s.vec_id, s.m, s.sub, c.j,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (s.sub[i] - c.c[i]) * (s.sub[i] - c.c[i])),
+        |      (a, b) -> a + b) AS dist
+        |  FROM subs s JOIN c0 c ON s.m = c.m
+        |), a1 AS MATERIALIZED (
+        |  SELECT vec_id, m, sub, j AS code
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |          ORDER BY dist, j) AS rn FROM d1)
+        |  WHERE rn = 1
+        |), u1 AS MATERIALIZED (
+        |  SELECT m, code AS j, i AS dim,
+        |    SUM(sub[i + 1]) // COUNT(*) AS cd
+        |  FROM a1, range(0, 8) t(i)
+        |  GROUP BY 1, 2, 3
+        |), c1 AS MATERIALIZED (
+        |  SELECT m, j, list(cd ORDER BY dim) AS c FROM u1 GROUP BY 1, 2
+        |), d2 AS MATERIALIZED (
+        |  SELECT s.vec_id, s.m, c.j,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (s.sub[i] - c.c[i]) * (s.sub[i] - c.c[i])),
+        |      (a, b) -> a + b) AS dist
+        |  FROM subs s JOIN c1 c ON s.m = c.m
+        |), a2 AS MATERIALIZED (
+        |  SELECT vec_id, m, j AS code, dist
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |          ORDER BY dist, j) AS rn FROM d2)
+        |  WHERE rn = 1
+        |)
+        |SELECT a.m, COUNT(*) AS n_vecs,
+        |  CAST(SUM(a.code) AS BIGINT) AS code_sum,
+        |  ANY_VALUE(cb.s) AS codebook_sum,
+        |  CAST(SUM(a.dist) AS BIGINT) AS sse_sum
+        |FROM a2 a
+        |JOIN (SELECT m, CAST(SUM(list_reduce(c, (x, y) -> x + y))
+        |        AS BIGINT) AS s
+        |      FROM c1 GROUP BY 1) cb ON cb.m = a.m
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q157_nfc_audit" ->
       """WITH corpus AS (
         |  SELECT lang,

@@ -521,4 +521,38 @@ class Round9Spec extends SparkSpec {
       && lines.get(1).startsWith("2\t"),
       "exactly attempt 2's rows, in write order")
   }
+
+  test("q158: a trained PQ codebook reconstructs no worse than the untrained init") {
+    import spark.implicits._
+    val rows = ops.Round9.q158PqAudit(spark, sf).collect()
+    assert(rows.length == 8, "one audit row per subspace")
+    val nVecs = Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == nVecs, "every vector encodes in every subspace")
+      assert(r.getLong(2) <= nVecs * 3, "codes live in 0..3")
+      assert(r.getLong(4) >= 0L, "SSE is a sum of squares")
+    }
+    // the Lloyd-round law: total SSE under the TRAINED codebook must not
+    // exceed the SSE of assigning against the raw INIT codebook
+    // (vectors 0..3) — one E+M step never increases the objective
+    // (integer-division centroid rounding could in principle break the
+    // textbook proof, so this pins that it holds on this corpus).
+    def quant(c: org.apache.spark.sql.Column) = transform(c,
+      x => floor(x.cast("double") * 1000).cast("long") + 1000L)
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", quant($"embedding").as("e")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val init = vecs.filter(_._1 < 4).sortBy(_._1).map(_._2)
+    val initSse = vecs.map { case (_, e) =>
+      (0 until 8).map { m =>
+        init.map { c =>
+          (0 until 8).map { i =>
+            val d = e(m * 8 + i) - c(m * 8 + i); d * d
+          }.sum
+        }.min
+      }.sum
+    }.sum
+    assert(rows.map(_.getLong(4)).sum <= initSse,
+      "one Lloyd round must not increase the quantization objective")
+  }
 }
