@@ -873,12 +873,91 @@ object Round9 {
       .orderBy($"approx_dist", $"vec_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q160: exact similarity self-join via prefix filtering + LSH recall
+  // ---------------------------------------------------------------------
+
+  /** Exact all-pairs similarity join (AllPairs/PPJoin, Bayardo et al.) —
+    * the provably-complete alternative to LSH banding, doubling as
+    * q41's recall audit: every J ≥ 0.5 pair must share its
+    * rarest-common-shingle inside BOTH docs' prefixes of length
+    * ⌊n/2⌋+1 under a global rarity order (J ≥ 0.5 ⟹ |A∩B| ≥ |A|/2 and
+    * ≥ |B|/2; the minimal shared shingle then sits within the first
+    * ⌊n/2⌋+1 of each side — candidates from a PREFIX-PREFIX join are
+    * complete, no bucket scheme, no probability). Rare-first canonical
+    * order keeps the join fan-out tiny exactly where df is large.
+    * Exact-Jaccard verification uses the integer form (3·inter ≥
+    * na+nb−inter ⟺ J ≥ 0.5 — no floats), and each truth pair carries
+    * whether q41's minhash BANDING would have found it — the measured
+    * recall of the probabilistic path against the exact one. */
+  val q160ExactSimJoin: Q = (spark, dir) => {
+    import spark.implicits._
+    val toks = Dedup.fanoutReady(Tables.documents(spark, dir))
+      .select($"doc_id",
+        filter(split($"text", "\\s+"), t => length(t) > 0).as("t"))
+      .filter(size($"t") >= 3)
+    val sh = toks
+      .select($"doc_id", $"t",
+        explode(sequence(lit(0), size($"t") - 3)).as("i"))
+      .select($"doc_id",
+        concat_ws(" ", element_at($"t", $"i" + 1), element_at($"t", $"i" + 2),
+          element_at($"t", $"i" + 3)).as("s"))
+      .distinct()
+      .cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+    val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df", $"s")
+    val prefix = sh.join(df, Seq("s"))
+      .withColumn("rn", row_number().over(wDoc))
+      .join(sizes, Seq("doc_id"))
+      .filter($"rn" <= expr("nsh div 2 + 1"))
+      .select($"doc_id", $"s")
+    val cand = prefix.as("pa").join(prefix.as("pb"),
+        col("pa.s") === col("pb.s")
+          && col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+    val truth = cand
+      .join(sh.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        $"doc_b" === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"nsh".as("na")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"nsh".as("nb")), Seq("doc_b"))
+      .filter($"inter" * 3 >= $"na" + $"nb" - $"inter")
+      .withColumn("jaccard_ppm",
+        expr("inter * 1000000 div (na + nb - inter)"))
+    // q41's banding, reproduced on raw signature equality (band identity
+    // is internal — no hash function needs to match across engines)
+    val minCols = (0 until 8).map { j =>
+      val salted = md5(concat(lit(s"${j / 4}:"), $"s"))
+      min(conv(substring(salted, 1 + 8 * (j % 4), 8), 16, 10).cast("long"))
+        .as(s"h$j")
+    }
+    val sig = sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    val lshCand = (0 until 4).map { b =>
+      sig.as("xa").join(sig.as("xb"),
+          col(s"xa.h${2 * b}") === col(s"xb.h${2 * b}")
+            && col(s"xa.h${2 * b + 1}") === col(s"xb.h${2 * b + 1}")
+            && col("xa.doc_id") < col("xb.doc_id"))
+        .select(col("xa.doc_id").as("doc_a"), col("xb.doc_id").as("doc_b"))
+    }.reduce(_ unionByName _).distinct()
+      .withColumn("lsh_hit", lit(true))
+    truth.join(lshCand, Seq("doc_a", "doc_b"), "left")
+      .withColumn("lsh_hit", coalesce($"lsh_hit", lit(false)))
+      .select($"doc_a", $"doc_b", $"inter", $"jaccard_ppm", $"lsh_hit")
+      .orderBy($"doc_a", $"doc_b")
+      .limit(40)
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_knn_lsh_audit" -> q140KnnLshAudit,
     "q156_cms_audit" -> q156CmsAudit,
     "q157_nfc_audit" -> q157NfcAudit,
     "q158_pq_audit" -> q158PqAudit,
     "q159_pq_adc" -> q159PqAdc,
+    "q160_exact_simjoin" -> q160ExactSimJoin,
     "q146_click_dedup" -> q146ClickDedup,
     "q149_psi_drift" -> q149PsiDrift,
     "q150_skew_profile" -> q150SkewProfile,
@@ -945,7 +1024,69 @@ object Round9 {
       |  WHERE rn = 1
       |)""".stripMargin
 
+  private val q160MinhashMins = (0 until 8).map { j =>
+    val pos = 1 + 8 * (j % 4)
+    s"    min(CAST(('0x' || substr(md5('${j / 4}:' || s), $pos, 8)) AS BIGINT)) AS h$j"
+  }.mkString(",\n")
+
   val oracle: Map[String, String] = Map(
+    "q160_exact_simjoin" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'),
+         |      t -> length(t) > 0) AS t
+         |  FROM documents
+         |), sh AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(0, length(t) - 2),
+         |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+         |  FROM toks WHERE length(t) >= 3
+         |), sizes AS MATERIALIZED (
+         |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1
+         |), dfr AS MATERIALIZED (
+         |  SELECT s, COUNT(*) AS df FROM sh GROUP BY 1
+         |), pfx AS MATERIALIZED (
+         |  SELECT doc_id, s FROM (
+         |    SELECT h.doc_id, h.s,
+         |      row_number() OVER (PARTITION BY h.doc_id
+         |        ORDER BY d.df, h.s) AS rn,
+         |      z.nsh
+         |    FROM sh h JOIN dfr d ON h.s = d.s
+         |    JOIN sizes z ON h.doc_id = z.doc_id)
+         |  WHERE rn <= nsh // 2 + 1
+         |), cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pfx a JOIN pfx b
+         |    ON a.s = b.s AND a.doc_id < b.doc_id
+         |), truth AS MATERIALIZED (
+         |  SELECT i.doc_a, i.doc_b, i.inter,
+         |    i.inter * 1000000 // (za.nsh + zb.nsh - i.inter) AS jaccard_ppm
+         |  FROM (
+         |    SELECT doc_a, doc_b, COUNT(*) AS inter
+         |    FROM cand
+         |    JOIN sh sa ON doc_a = sa.doc_id
+         |    JOIN sh sb ON doc_b = sb.doc_id AND sa.s = sb.s
+         |    GROUP BY 1, 2) i
+         |  JOIN sizes za ON i.doc_a = za.doc_id
+         |  JOIN sizes zb ON i.doc_b = zb.doc_id
+         |  WHERE i.inter * 3 >= za.nsh + zb.nsh - i.inter
+         |), sig AS MATERIALIZED (
+         |  SELECT doc_id,
+         |$q160MinhashMins
+         |  FROM sh GROUP BY 1
+         |), lsh AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |    AND ((a.h0 = b.h0 AND a.h1 = b.h1)
+         |      OR (a.h2 = b.h2 AND a.h3 = b.h3)
+         |      OR (a.h4 = b.h4 AND a.h5 = b.h5)
+         |      OR (a.h6 = b.h6 AND a.h7 = b.h7))
+         |)
+         |SELECT t.doc_a, t.doc_b, t.inter, t.jaccard_ppm,
+         |  (l.doc_a IS NOT NULL) AS lsh_hit
+         |FROM truth t
+         |LEFT JOIN lsh l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+         |ORDER BY t.doc_a, t.doc_b LIMIT 40""".stripMargin,
     "q159_pq_adc" ->
       s"""WITH $pqCtes,
         |qsub AS MATERIALIZED (

@@ -579,4 +579,41 @@ class Round9Spec extends SparkSpec {
     assert(nHits >= 1,
       "PQ at 8x4 codes must recover at least part of the exact top-10")
   }
+
+  test("q160: prefix filtering loses nothing (brute-force subset) and agrees with q41 exactly") {
+    import spark.implicits._
+    val rows = ops.Round9.q160ExactSimJoin(spark, sf).collect()
+    // completeness against brute force, on a doc subset small enough to
+    // enumerate: every J>=0.5 pair within the subset must appear
+    val shingles = Tables.documents(spark, sf)
+      .filter($"doc_id" < 300)
+      .select($"doc_id",
+        filter(split($"text", "\\s+"), t => length(t) > 0).as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id", expr(
+        "array_distinct(transform(sequence(0, size(t) - 3), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))").as("sh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val brute = (for {
+      (a, sa) <- shingles; (b, sb) <- shingles if a < b
+      inter = (sa & sb).size
+      if inter * 3 >= sa.size + sb.size - inter
+    } yield (a, b)).toSet
+    val truthSubset = rows
+      .filter(r => r.getLong(0) < 300 && r.getLong(1) < 300)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.subsetOf(truthSubset),
+      s"prefix join must be COMPLETE; missing ${brute -- truthSubset}")
+    // cross-operator law: q41 (banding then exact-verify) must equal
+    // q160's truth rows flagged lsh_hit — two independent plans, one set
+    val q41pairs = ops.Dedup.q41MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hitPairs = rows.filter(_.getBoolean(4))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hitPairs == q41pairs,
+      "banding-found truth pairs must be exactly q41's verified output")
+    // honesty: any missed pair is visible as lsh_hit = false
+    rows.foreach(r => assert(r.getLong(3) >= 500000L,
+      "every emitted pair clears the J >= 0.5 bar in exact integer ppm"))
+  }
 }
