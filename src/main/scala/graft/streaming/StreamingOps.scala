@@ -404,4 +404,63 @@ object StreamingOps {
       .transformWithState(new HeavyHitterProcessor(k),
         TimeMode.None(), OutputMode.Update())
   }
+
+  final case class CmsCell(shard: Long, r: Int, b: Int, cell: Long, gen: Long)
+
+  /** [[StatefulProcessor]] for [[streamingCms]]: the q156 count-min grid
+    * (d=4 × w=32, md5-derived buckets identical to the batch operator)
+    * held per shard as 128 bounded [[MapState]] cells. Counters ADD, so
+    * folding each micro-batch into the carried grid IS the grid of the
+    * concatenated stream — the same cell-wise-addition mergeability the
+    * q156 spec proves for shards, applied over TIME. State per shard is
+    * fixed at 128 longs forever, on any vocabulary. Emissions carry a
+    * generation so consumers read the latest grid. */
+  private[streaming] class CmsProcessor
+      extends StatefulProcessor[Long, ShardTok, CmsCell] {
+    @transient private var cells: MapState[Int, Long] = _
+    @transient private var gen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cells = getHandle.getMapState[Int, Long]("cms",
+        Encoders.scalaInt, Encoders.scalaLong, TTLConfig.NONE)
+      gen = getHandle.getValueState[Long]("gen", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[ShardTok],
+        timerValues: TimerValues): Iterator[CmsCell] = {
+      val m = scala.collection.mutable.HashMap.empty[Int, Long]
+      cells.iterator().foreach { case (i, c) => m.update(i, c) }
+      rows.foreach { t =>
+        var r = 0
+        while (r < 4) {
+          val i = r * 32 + StreamingOps.cmsBucket(r, t.tok)
+          m.update(i, m.getOrElse(i, 0L) + 1L)
+          r += 1
+        }
+      }
+      m.foreach { case (i, c) => cells.updateValue(i, c) }
+      val g = (if (gen.exists()) gen.get() else 0L) + 1
+      gen.update(g)
+      m.iterator.map { case (i, c) => CmsCell(key, i / 32, i % 32, c, g) }
+    }
+  }
+
+  /** The q156 bucket function, shared verbatim with the streaming grid so
+    * batch and stream estimates agree cell-for-cell. */
+  def cmsBucket(r: Int, tok: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$r:$tok".getBytes("UTF-8"))
+      .take(4).map(x => f"$x%02x").mkString
+    (java.lang.Long.parseLong(hex, 16) % 32L).toInt
+  }
+
+  /** Streaming count-min: bounded 128-cell grids per shard, mergeable by
+    * addition across shards AND across micro-batches. */
+  def streamingCms(toks: Dataset[String], shards: Int = 2): Dataset[CmsCell] = {
+    import toks.sparkSession.implicits._
+    toks
+      .map(t => ShardTok(math.floorMod(t.hashCode.toLong, shards.toLong), t))
+      .groupByKey(_.shard)
+      .transformWithState(new CmsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -179,6 +179,59 @@ class StreamingSpec extends SparkSpec {
       "restart must skip processed files AND drop the replay via restored state")
   }
 
+  test("streaming CMS: the cross-batch grid equals the batch grid and never underestimates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val batch1 = Seq("a", "b", "a", "c", "a", "b")
+    val batch2 = Seq("a", "d", "b", "a")
+    val all = batch1 ++ batch2
+    val mem = MemoryStream[String]
+    mem.addData(batch1: _*)
+    val q = StreamingOps.streamingCms(mem.toDS(), shards = 2)
+      .writeStream.format("memory").queryName("cms")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // latest generation per shard, cells summed ACROSS shards = the
+      // grid of the whole stream (cell-wise addition mergeability over
+      // shards AND time)
+      val rows = spark.table("cms").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getLong(4)))
+      val latest = rows.groupBy(_._1).values.flatMap { shard =>
+        val g = shard.map(_._5).max
+        shard.filter(_._5 == g)
+      }
+      val streamGrid = latest.groupBy(c => (c._2, c._3))
+        .view.mapValues(_.map(_._4).sum).toMap
+      val batchGrid = all
+        .flatMap(t => (0 until 4).map(r =>
+          (r, StreamingOps.cmsBucket(r, t)) -> 1L))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(streamGrid == batchGrid,
+        "streamed grid must equal the batch grid of the concatenated stream")
+      // the CMS guarantee through the streamed grid
+      all.distinct.foreach { t =>
+        val est = (0 until 4)
+          .map(r => streamGrid.getOrElse((r, StreamingOps.cmsBucket(r, t)), 0L))
+          .min
+        assert(est >= all.count(_ == t).toLong, s"estimate($t) underestimates")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-batch parity: the same windowedCounts dataflow agrees across both engines") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
