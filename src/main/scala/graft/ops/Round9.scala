@@ -951,6 +951,111 @@ object Round9 {
       .limit(40)
   }
 
+  // ---------------------------------------------------------------------
+  // q161: IVF-PQ end-to-end (residual quantization + probed ADC search)
+  // ---------------------------------------------------------------------
+
+  /** The full Faiss-style IVF-PQ index, composed from pieces this engine
+    * already proves separately (q51 IVF probe, q158 PQ train, q159 ADC):
+    *  1. coarse quantizer: per-label integer centroids (labels ARE the
+    *     IVF cells here, as everywhere in the Similarity family);
+    *  2. RESIDUAL encoding: each vector subtracts its cell centroid
+    *     (+2000 re-offset keeps the Lloyd update's integer division on
+    *     non-negatives — the q98 rule extended to signed residuals),
+    *     then ONE shared 8×4 PQ codebook set trains on the residuals —
+    *     residual PQ is what makes a coarse cell's vectors look alike
+    *     enough for 8 bytes to describe them;
+    *  3. search: the query probes its 2 nearest cells (the q51 shape),
+    *     builds one 32-entry ADC table PER PROBED CELL (query residual
+    *     vs codebook), and scans ONLY those cells' codes. Emits top-10
+    *     by approximate distance with exact distances and exact-top-10
+    *     membership — recall stays a checked output. */
+  val q161IvfPq: Q = (spark, dir) => {
+    import spark.implicits._
+    def quant(e: Column) =
+      transform(e, x => floor(x.cast("double") * 1000).cast("long") + 1000L)
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", quant($"embedding").as("e"))
+      .cache()
+    // 1. coarse centroids: exact integer means per label (the q51 form)
+    val cents = vecs
+      .select($"label", posexplode($"e").as(Seq("dim", "x")))
+      .groupBy($"label", $"dim")
+      .agg(expr("sum(x) div count(1)").as("c"))
+      .groupBy($"label")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c)))," +
+        " s -> s.c)").as("ce"))
+    // 2. residuals, re-offset non-negative, split into 8 subspaces
+    val resid = vecs.join(broadcast(cents), Seq("label"))
+      .select($"vec_id", $"label",
+        expr("zip_with(e, ce, (x, c) -> x - c + 2000)").as("r"))
+      .cache()
+    val subs = resid
+      .select($"vec_id", $"label", explode(expr("sequence(0, 7)")).as("m"),
+        $"r")
+      .select($"vec_id", $"label", $"m",
+        expr("slice(r, m * 8 + 1, 8)").as("sub"))
+      .cache()
+    val dist = expr(
+      "aggregate(zip_with(sub, c, (x, y) -> (x - y) * (x - y)), " +
+        "0L, (a, b) -> a + b)")
+    def assign(cb: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"vec_id", $"m").orderBy($"dist", $"j")
+      subs.join(broadcast(cb), Seq("m"))
+        .withColumn("dist", dist)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"label", $"m", $"sub", $"j".as("code"))
+    }
+    val cb0 = subs.filter($"vec_id" < 4)
+      .select($"m", $"vec_id".cast("int").as("j"), $"sub".as("c"))
+    val cb1 = assign(cb0)
+      .select($"m", $"code".as("j"), posexplode($"sub").as(Seq("dim", "x")))
+      .groupBy($"m", $"j", $"dim")
+      .agg(expr("sum(x) div count(1)").as("cd"))
+      .groupBy($"m", $"j")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cd)))," +
+        " s -> s.cd)").as("c"))
+    val encoded = assign(cb1)
+    // 3. probe: the query's 2 nearest cells by centroid distance
+    val qvec = vecs.filter($"vec_id" === 0).select($"e".as("qe"))
+    val probes = cents.join(broadcast(qvec))
+      .select($"label", $"ce",
+        expr("aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (a, b) -> a + b)").as("cd"))
+      .orderBy($"cd", $"label").limit(2)
+      .select($"label", $"ce")
+    // per-cell query residual subvectors → per-cell ADC tables
+    val qres = probes.join(broadcast(qvec))
+      .select($"label",
+        expr("zip_with(qe, ce, (x, c) -> x - c + 2000)").as("qr"))
+      .select($"label", explode(expr("sequence(0, 7)")).as("m"), $"qr")
+      .select($"label", $"m", expr("slice(qr, m * 8 + 1, 8)").as("qs"))
+    val dtab = qres.join(broadcast(cb1), Seq("m"))
+      .select($"label", $"m", $"j".as("code"),
+        expr("aggregate(zip_with(qs, c, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (a, b) -> a + b)").as("dt"))
+    val approx = encoded.filter($"vec_id" =!= 0)
+      .join(broadcast(dtab), Seq("label", "m", "code"))
+      .groupBy($"vec_id").agg(sum($"dt").as("approx_dist"))
+    // exact distances for the audit (full corpus, so the in-exact-top10
+    // flag also exposes what probing 2 of 10 cells gives up)
+    val exact = vecs.filter($"vec_id" =!= 0)
+      .join(broadcast(qvec))
+      .select($"vec_id",
+        expr("aggregate(zip_with(e, qe, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (a, b) -> a + b)").as("exact_dist"))
+    val exactTop = exact.orderBy($"exact_dist", $"vec_id").limit(10)
+      .select($"vec_id".as("hit_id")).withColumn("hit", lit(true))
+    approx.join(exact, Seq("vec_id"))
+      .orderBy($"approx_dist", $"vec_id").limit(10)
+      .join(exactTop, $"vec_id" === $"hit_id", "left")
+      .withColumn("in_exact_top10", coalesce($"hit", lit(false)))
+      .select($"vec_id", $"approx_dist", $"exact_dist", $"in_exact_top10")
+      .orderBy($"approx_dist", $"vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_knn_lsh_audit" -> q140KnnLshAudit,
     "q156_cms_audit" -> q156CmsAudit,
@@ -958,6 +1063,7 @@ object Round9 {
     "q158_pq_audit" -> q158PqAudit,
     "q159_pq_adc" -> q159PqAdc,
     "q160_exact_simjoin" -> q160ExactSimJoin,
+    "q161_ivf_pq" -> q161IvfPq,
     "q146_click_dedup" -> q146ClickDedup,
     "q149_psi_drift" -> q149PsiDrift,
     "q150_skew_profile" -> q150SkewProfile,
@@ -1030,6 +1136,96 @@ object Round9 {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q161_ivf_pq" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)
+        |      AS e
+        |  FROM embeddings
+        |), cents AS MATERIALIZED (
+        |  SELECT label, list(c ORDER BY dim) AS ce FROM (
+        |    SELECT label, i AS dim, SUM(e[i + 1]) // COUNT(*) AS c
+        |    FROM v, range(0, 64) t(i) GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), resid AS MATERIALIZED (
+        |  SELECT v.vec_id, v.label,
+        |    list_transform(range(1, 65), i -> v.e[i] - c.ce[i] + 2000) AS r
+        |  FROM v JOIN cents c ON v.label = c.label
+        |), subs AS MATERIALIZED (
+        |  SELECT vec_id, label, t.m, r[(t.m * 8 + 1):(t.m * 8 + 8)] AS sub
+        |  FROM resid, UNNEST(range(0, 8)) t(m)
+        |), c0 AS MATERIALIZED (
+        |  SELECT m, CAST(vec_id AS INT) AS j, sub AS c
+        |  FROM subs WHERE vec_id < 4
+        |), d1 AS MATERIALIZED (
+        |  SELECT s.vec_id, s.label, s.m, s.sub, c.j,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (s.sub[i] - c.c[i]) * (s.sub[i] - c.c[i])),
+        |      (a, b) -> a + b) AS dist
+        |  FROM subs s JOIN c0 c ON s.m = c.m
+        |), a1 AS MATERIALIZED (
+        |  SELECT vec_id, m, sub, j AS code
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |          ORDER BY dist, j) AS rn FROM d1)
+        |  WHERE rn = 1
+        |), u1 AS MATERIALIZED (
+        |  SELECT m, code AS j, i AS dim,
+        |    SUM(sub[i + 1]) // COUNT(*) AS cd
+        |  FROM a1, range(0, 8) t(i)
+        |  GROUP BY 1, 2, 3
+        |), c1 AS MATERIALIZED (
+        |  SELECT m, j, list(cd ORDER BY dim) AS c FROM u1 GROUP BY 1, 2
+        |), d2 AS MATERIALIZED (
+        |  SELECT s.vec_id, s.label, s.m, c.j,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (s.sub[i] - c.c[i]) * (s.sub[i] - c.c[i])),
+        |      (a, b) -> a + b) AS dist
+        |  FROM subs s JOIN c1 c ON s.m = c.m
+        |), enc AS MATERIALIZED (
+        |  SELECT vec_id, label, m, j AS code
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |          ORDER BY dist, j) AS rn FROM d2)
+        |  WHERE rn = 1
+        |), qv AS MATERIALIZED (
+        |  SELECT e AS qe FROM v WHERE vec_id = 0
+        |), probes AS MATERIALIZED (
+        |  SELECT label, ce FROM (
+        |    SELECT c.label, c.ce,
+        |      list_reduce(list_transform(range(1, 65),
+        |        i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])),
+        |        (a, b) -> a + b) AS cd
+        |    FROM cents c, qv q)
+        |  ORDER BY cd, label LIMIT 2
+        |), qres AS MATERIALIZED (
+        |  SELECT p.label, t.m,
+        |    list_transform(range(t.m * 8 + 1, t.m * 8 + 9),
+        |      i -> q.qe[i] - p.ce[i] + 2000) AS qs
+        |  FROM probes p, qv q, UNNEST(range(0, 8)) t(m)
+        |), dtab AS MATERIALIZED (
+        |  SELECT r.label, r.m, c.j AS code,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (r.qs[i] - c.c[i]) * (r.qs[i] - c.c[i])),
+        |      (a, b) -> a + b) AS dt
+        |  FROM qres r JOIN c1 c ON r.m = c.m
+        |), approx AS MATERIALIZED (
+        |  SELECT e.vec_id, CAST(SUM(d.dt) AS BIGINT) AS approx_dist
+        |  FROM enc e JOIN dtab d
+        |    ON e.label = d.label AND e.m = d.m AND e.code = d.code
+        |  WHERE e.vec_id <> 0
+        |  GROUP BY 1
+        |), ex AS MATERIALIZED (
+        |  SELECT v.vec_id, CAST(list_reduce(list_transform(range(1, 65),
+        |    i -> (v.e[i] - q.qe[i]) * (v.e[i] - q.qe[i])),
+        |    (a, b) -> a + b) AS BIGINT) AS exact_dist
+        |  FROM v, qv q WHERE v.vec_id <> 0
+        |), extop AS MATERIALIZED (
+        |  SELECT vec_id FROM ex ORDER BY exact_dist, vec_id LIMIT 10
+        |)
+        |SELECT ap.vec_id, ap.approx_dist, ex.exact_dist,
+        |  (ap.vec_id IN (SELECT vec_id FROM extop)) AS in_exact_top10
+        |FROM approx ap JOIN ex ON ap.vec_id = ex.vec_id
+        |ORDER BY ap.approx_dist, ap.vec_id LIMIT 10""".stripMargin,
     "q160_exact_simjoin" ->
       s"""WITH toks AS MATERIALIZED (
          |  SELECT doc_id,

@@ -616,4 +616,39 @@ class Round9Spec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(3) >= 500000L,
       "every emitted pair clears the J >= 0.5 bar in exact integer ppm"))
   }
+
+  test("q161: every IVF-PQ result comes from a probed cell, ordered by table-lookup distance") {
+    import spark.implicits._
+    val rows = ops.Round9.q161IvfPq(spark, sf).collect()
+    assert(rows.length == 10)
+    val ad = rows.map(_.getLong(1))
+    assert(ad.zip(ad.tail).forall { case (a, b) => a <= b },
+      "results ordered by approximate distance")
+    // the IVF contract: candidates only from the query's 2 nearest cells
+    // — re-derive the probed cells from integer centroid distances
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1000).toLong + 1000L).toArray))
+    val byLabel = vecs.groupBy(_._2)
+    val cents = byLabel.view.mapValues { block =>
+      val n = block.length
+      (0 until 64).map(d => block.map(_._3(d)).sum / n).toArray
+    }.toMap
+    val q = vecs.find(_._1 == 0L).get._3
+    val probed = cents.toSeq.map { case (lab, c) =>
+      (lab, (0 until 64).map(i => { val d = q(i) - c(i); d * d }).sum)
+    }.sortBy { case (lab, d) => (d, lab) }.take(2).map(_._1).toSet
+    val labelOf = vecs.map(v => v._1 -> v._2).toMap
+    rows.foreach(r => assert(probed.contains(labelOf(r.getLong(0))),
+      s"vec ${r.getLong(0)} not from a probed cell"))
+    // recall is EMITTED, not assumed: on this isotropic corpus probing
+    // 2 of 10 cells legitimately misses most of the exact top-10 (the
+    // q140 measurement again) — the flags must simply be consistent
+    val exactTop = vecs.filter(_._1 != 0L).map { case (id, _, e) =>
+      (id, (0 until 64).map(i => { val d = e(i) - q(i); d * d }).sum)
+    }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    rows.foreach(r => assert(r.getBoolean(3) == exactTop.contains(r.getLong(0)),
+      "in_exact_top10 flags must match the independently computed truth"))
+  }
 }
