@@ -905,24 +905,26 @@ object Round9 {
       .distinct()
       .cache()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
-    val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"df", $"s")
-    val prefix = sh.join(df, Seq("s"))
-      .withColumn("rn", row_number().over(wDoc))
-      .join(sizes, Seq("doc_id"))
-      .filter($"rn" <= expr("nsh div 2 + 1"))
-      .select($"doc_id", $"s")
-    val cand = prefix.as("pa").join(prefix.as("pb"),
-        col("pa.s") === col("pb.s")
-          && col("pa.doc_id") < col("pb.doc_id"))
-      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
-      .distinct()
-    val truth = cand
-      .join(sh.as("sa"), $"doc_a" === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        $"doc_b" === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+    // Intersections come from ONE co-shingle self-join: every pair's
+    // shared-shingle count materializes directly from grouping the
+    // s-keyed join — complete because J >= 0.5 pairs must share a
+    // shingle. Fan-out is Σ_s df(s)², MEASURED 2.4M rows at sf0.1 on
+    // this corpus (df is capped at 25: a 31-token vocabulary makes
+    // shingles distinctive), vs ~40M intermediate rows for the
+    // AllPairs prefix-candidate + per-pair verify plan — the direct
+    // join won 11.3 s → ~2 s. On a heavy-tailed web corpus the
+    // trade inverts (one boilerplate shingle with df 10⁶ explodes
+    // Σdf²), and the prefix + length filters take over: J >= 0.5
+    // implies |A∩B| >= |A|/2 and >= |B|/2, so the minimal shared
+    // shingle under a global rarity order sits inside BOTH prefixes of
+    // length ⌊n/2⌋+1 and set sizes stay within 2× — prefix-prefix
+    // candidates are provably complete (the spec brute-forces the law
+    // either way).
+    val truth = sh.as("sa").join(sh.as("sb"),
+        col("sa.s") === col("sb.s")
+          && col("sa.doc_id") < col("sb.doc_id"))
+      .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
       .join(sizes.select($"doc_id".as("doc_a"), $"nsh".as("na")), Seq("doc_a"))
       .join(sizes.select($"doc_id".as("doc_b"), $"nsh".as("nb")), Seq("doc_b"))
       .filter($"inter" * 3 >= $"na" + $"nb" - $"inter")
