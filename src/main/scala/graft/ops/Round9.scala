@@ -1058,6 +1058,58 @@ object Round9 {
       .orderBy($"approx_dist", $"vec_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q162: token-budget sampling
+  // ---------------------------------------------------------------------
+
+  /** Fill a fixed TOKEN budget — the sampling question a training run
+    * actually asks ("give me 10% of the corpus tokens"), not a row
+    * count: documents order by content-hash priority (md5(text),
+    * doc_id — survival is content-deterministic under re-runs and
+    * re-shards, the q80/q148 rule), and the kept set is the maximal
+    * priority-prefix whose cumulative token count fits the budget
+    * (corpus_tokens div 10). The global cumulative sum is the
+    * q104/q121/q143 two-level form: block by the priority's first hex
+    * byte (256 range-blocks — hex order == priority order and ties
+    * cannot cross blocks), per-block running sums under keyed windows,
+    * driver-computed block offsets broadcast back. No unpartitioned
+    * window at any scale. Emits the per-language funnel of the kept
+    * set. */
+  val q162TokenBudget: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(filter(split($"text", " "), t => length(t) > 0)).cast("long")
+          .as("toks"),
+        md5($"text").as("p"))
+      .withColumn("blk", conv(substring($"p", 1, 2), 16, 10).cast("long"))
+      .cache()
+    val budget = docs.agg(sum($"toks")).head().getLong(0) / 10L
+    val blkCounts = docs.groupBy($"blk").agg(sum($"toks").as("bt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = blkCounts.map(_._1)
+      .zip(blkCounts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"blk").orderBy($"p", $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val kept = docs
+      .join(broadcast(offsets.toDF("blk", "boff")), Seq("blk"))
+      .withColumn("cum", $"boff" + sum($"toks").over(w))
+      .filter($"cum" <= lit(budget))
+    // totals lead, kept LEFT-joins: a language with zero kept docs must
+    // still report its (n_docs, 0, tokens_total, 0, 0) row
+    docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"),
+        sum($"toks").as("tokens_total"))
+      .join(kept.groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), sum($"toks").as("tokens_kept")),
+        Seq("lang"), "left")
+      .na.fill(0L, Seq("n_kept", "tokens_kept"))
+      .withColumn("kept_ppm", expr("tokens_kept * 1000000 div tokens_total"))
+      .select($"lang", $"n_docs", $"n_kept", $"tokens_total",
+        $"tokens_kept", $"kept_ppm")
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_knn_lsh_audit" -> q140KnnLshAudit,
     "q156_cms_audit" -> q156CmsAudit,
@@ -1066,6 +1118,7 @@ object Round9 {
     "q159_pq_adc" -> q159PqAdc,
     "q160_exact_simjoin" -> q160ExactSimJoin,
     "q161_ivf_pq" -> q161IvfPq,
+    "q162_token_budget" -> q162TokenBudget,
     "q146_click_dedup" -> q146ClickDedup,
     "q149_psi_drift" -> q149PsiDrift,
     "q150_skew_profile" -> q150SkewProfile,
@@ -1138,6 +1191,36 @@ object Round9 {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q162_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> length(x) > 0)) AS BIGINT) AS toks,
+        |    md5(text) AS p
+        |  FROM documents
+        |), b AS (
+        |  SELECT CAST(SUM(toks) AS BIGINT) // 10 AS budget FROM d
+        |), c AS (
+        |  SELECT doc_id, lang, toks,
+        |    SUM(toks) OVER (ORDER BY p, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d
+        |), kept AS (
+        |  SELECT lang, toks FROM c, b WHERE cum <= budget
+        |)
+        |SELECT t.lang, t.n_docs,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  t.tokens_total,
+        |  COALESCE(k.tokens_kept, 0) AS tokens_kept,
+        |  COALESCE(k.tokens_kept, 0) * 1000000 // t.tokens_total
+        |    AS kept_ppm
+        |FROM (SELECT lang, COUNT(*) AS n_docs,
+        |        CAST(SUM(toks) AS BIGINT) AS tokens_total
+        |      FROM d GROUP BY 1) t
+        |LEFT JOIN (SELECT lang, COUNT(*) AS n_kept,
+        |             CAST(SUM(toks) AS BIGINT) AS tokens_kept
+        |           FROM kept GROUP BY 1) k ON t.lang = k.lang
+        |ORDER BY t.lang""".stripMargin,
     "q161_ivf_pq" ->
       """WITH v AS MATERIALIZED (
         |  SELECT vec_id, label,

@@ -651,4 +651,39 @@ class Round9Spec extends SparkSpec {
     rows.foreach(r => assert(r.getBoolean(3) == exactTop.contains(r.getLong(0)),
       "in_exact_top10 flags must match the independently computed truth"))
   }
+
+  test("q162: the kept set is the maximal priority-prefix under the budget, re-shard-stable") {
+    import spark.implicits._
+    val rows = ops.Round9.q162TokenBudget(spark, sf).collect()
+    // independent recount: sort ALL docs by (md5(text), doc_id), walk the
+    // prefix until the budget, compare per-lang tallies
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text").collect()
+      .map { r =>
+        val toks = r.getString(2).split(" ").count(_.nonEmpty).toLong
+        val p = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getString(2).getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        (r.getLong(0), r.getString(1), toks, p)
+      }
+    val budget = docs.map(_._3).sum / 10L
+    var cum = 0L
+    val kept = docs.sortBy(d => (d._4, d._1)).takeWhile { d =>
+      cum += d._3; cum <= budget
+    }
+    val keptByLang = kept.groupBy(_._2)
+      .view.mapValues(k => (k.length.toLong, k.map(_._3).sum)).toMap
+    rows.foreach { r =>
+      val (nk, tk) = keptByLang.getOrElse(r.getString(0), (0L, 0L))
+      assert(r.getLong(2) == nk, s"${r.getString(0)} n_kept")
+      assert(r.getLong(4) == tk, s"${r.getString(0)} tokens_kept")
+    }
+    // budget law: total kept tokens fit, and adding the NEXT doc in
+    // priority order would overflow (maximality)
+    val totKept = rows.map(_.getLong(4)).sum
+    assert(totKept <= budget)
+    val next = docs.sortBy(d => (d._4, d._1)).drop(kept.length).headOption
+    next.foreach(d => assert(totKept + d._3 > budget,
+      "prefix must be MAXIMAL: the next priority doc cannot fit"))
+  }
 }
