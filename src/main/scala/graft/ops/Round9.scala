@@ -1110,6 +1110,51 @@ object Round9 {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------------
+  // q163: balanced-mixture materialization
+  // ---------------------------------------------------------------------
+
+  /** Materialize a BALANCED language mixture — the step after q102
+    * computes mixture weights and q162 proves budget sampling: the
+    * overall budget (corpus_tokens div 10) splits equally across
+    * languages, each language keeps its maximal content-hash-priority
+    * prefix under its own budget, and under-capacity languages simply
+    * under-fill (single-pass; production redistributes in a second
+    * round — documented, not hidden). Everything is per-language keyed:
+    * the cumulative sums run under (lang)-partitioned windows over
+    * priority order, so unlike q162's global prefix no cross-language
+    * coordination exists at all — the embarrassingly-parallel shape.
+    * Emits the per-language fill profile (budget, kept, fill ppm). */
+  val q163BalancedMixture: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(filter(split($"text", " "), t => length(t) > 0)).cast("long")
+          .as("toks"),
+        md5($"text").as("p"))
+      .cache()
+    val stats = docs.agg(sum($"toks").as("t"),
+      countDistinct($"lang").as("nl")).head()
+    val perLangBudget = stats.getLong(0) / 10L / stats.getLong(1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"p", $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val kept = docs
+      .withColumn("cum", sum($"toks").over(w))
+      .filter($"cum" <= lit(perLangBudget))
+    docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"),
+        sum($"toks").as("tokens_total"))
+      .join(kept.groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), sum($"toks").as("tokens_kept")),
+        Seq("lang"), "left")
+      .na.fill(0L, Seq("n_kept", "tokens_kept"))
+      .withColumn("budget", lit(perLangBudget))
+      .withColumn("fill_ppm", expr("tokens_kept * 1000000 div budget"))
+      .select($"lang", $"n_docs", $"n_kept", $"budget",
+        $"tokens_kept", $"fill_ppm")
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_knn_lsh_audit" -> q140KnnLshAudit,
     "q156_cms_audit" -> q156CmsAudit,
@@ -1119,6 +1164,7 @@ object Round9 {
     "q160_exact_simjoin" -> q160ExactSimJoin,
     "q161_ivf_pq" -> q161IvfPq,
     "q162_token_budget" -> q162TokenBudget,
+    "q163_balanced_mixture" -> q163BalancedMixture,
     "q146_click_dedup" -> q146ClickDedup,
     "q149_psi_drift" -> q149PsiDrift,
     "q150_skew_profile" -> q150SkewProfile,
@@ -1191,6 +1237,38 @@ object Round9 {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q163_balanced_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> length(x) > 0)) AS BIGINT) AS toks,
+        |    md5(text) AS p
+        |  FROM documents
+        |), b AS (
+        |  SELECT CAST(SUM(toks) AS BIGINT) // 10
+        |    // COUNT(DISTINCT lang) AS budget
+        |  FROM d
+        |), c AS (
+        |  SELECT lang, toks,
+        |    SUM(toks) OVER (PARTITION BY lang ORDER BY p, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d
+        |), kept AS (
+        |  SELECT lang, toks FROM c, b WHERE cum <= budget
+        |)
+        |SELECT t.lang, t.n_docs,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  (SELECT budget FROM b) AS budget,
+        |  COALESCE(k.tokens_kept, 0) AS tokens_kept,
+        |  COALESCE(k.tokens_kept, 0) * 1000000
+        |    // (SELECT budget FROM b) AS fill_ppm
+        |FROM (SELECT lang, COUNT(*) AS n_docs,
+        |        CAST(SUM(toks) AS BIGINT) AS tokens_total
+        |      FROM d GROUP BY 1) t
+        |LEFT JOIN (SELECT lang, COUNT(*) AS n_kept,
+        |             CAST(SUM(toks) AS BIGINT) AS tokens_kept
+        |           FROM kept GROUP BY 1) k ON t.lang = k.lang
+        |ORDER BY t.lang""".stripMargin,
     "q162_token_budget" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

@@ -686,4 +686,32 @@ class Round9Spec extends SparkSpec {
     next.foreach(d => assert(totKept + d._3 > budget,
       "prefix must be MAXIMAL: the next priority doc cannot fit"))
   }
+
+  test("q163: every language independently fills its own budget maximally, never over") {
+    import spark.implicits._
+    val rows = ops.Round9.q163BalancedMixture(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text").collect()
+      .map { r =>
+        val toks = r.getString(2).split(" ").count(_.nonEmpty).toLong
+        val p = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getString(2).getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        (r.getLong(0), r.getString(1), toks, p)
+      }
+    val budget = docs.map(_._3).sum / 10L / docs.map(_._2).distinct.length
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      assert(r.getLong(3) == budget)
+      assert(r.getLong(4) <= budget, s"$lang over budget")
+      // per-language maximality, independently recounted
+      val mine = docs.filter(_._2 == lang).sortBy(d => (d._4, d._1))
+      var cum = 0L
+      val kept = mine.takeWhile { d => cum += d._3; cum <= budget }
+      assert(r.getLong(2) == kept.length.toLong, s"$lang n_kept")
+      assert(r.getLong(4) == kept.map(_._3).sum, s"$lang tokens_kept")
+      mine.drop(kept.length).headOption.foreach(d =>
+        assert(kept.map(_._3).sum + d._3 > budget, s"$lang not maximal"))
+    }
+  }
 }
