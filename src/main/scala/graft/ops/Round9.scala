@@ -1155,6 +1155,48 @@ object Round9 {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------------
+  // q164: conversion-lag quartiles
+  // ---------------------------------------------------------------------
+
+  /** Time-to-convert — the product metric behind "how long from first
+    * view to first purchase": per user, the lag between the earliest
+    * view and the earliest LATER purchase (users purchasing before ever
+    * viewing, or never purchasing, drop out — stated, not silent).
+    * Quartiles are EXACT integer order statistics over epoch-second
+    * lags (the q45/q122 rank pattern: row_number with a user_id
+    * tiebreak, rank formula `greatest(1, n*q div 4)`), so every emitted
+    * number is bit-stable. One user-keyed aggregate for the two
+    * firsts, then quartiles over the |converted-users|-sized lag
+    * relation — a global-but-aggregate-sized window, the documented
+    * q104 narrow-window class. */
+  val q164ConversionLag: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_timestamp($"ts").as("sec"))
+    val firsts = ev.groupBy($"user_id")
+      .agg(min(when($"event_type" === "view", $"sec")).as("first_view"),
+        count(lit(1)).as("n_events"))
+    val firstBuyAfter = ev.filter($"event_type" === "purchase")
+      .join(firsts.select($"user_id", $"first_view"), Seq("user_id"))
+      .filter($"first_view".isNotNull && $"sec" >= $"first_view")
+      .groupBy($"user_id")
+      .agg(min($"sec").as("first_buy"), first($"first_view").as("fv"))
+      .select($"user_id", ($"first_buy" - $"fv").as("lag_sec"))
+    val n = firstBuyAfter.count()
+    val ranked = firstBuyAfter.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy($"lag_sec", $"user_id")))
+    val qs = Seq(1, 2, 3).map(q =>
+      max(when($"rk" === greatest(lit(1L), lit(n * q / 4)), $"lag_sec"))
+        .as(s"p${q * 25}_sec"))
+    ranked.agg(count(lit(1)).as("n_converted"),
+        min($"lag_sec").as("min_sec"),
+        qs.head, qs(1), qs(2),
+        max($"lag_sec").as("max_sec"))
+      .select($"n_converted", $"min_sec", $"p25_sec", $"p50_sec",
+        $"p75_sec", $"max_sec")
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_knn_lsh_audit" -> q140KnnLshAudit,
     "q156_cms_audit" -> q156CmsAudit,
@@ -1165,6 +1207,7 @@ object Round9 {
     "q161_ivf_pq" -> q161IvfPq,
     "q162_token_budget" -> q162TokenBudget,
     "q163_balanced_mixture" -> q163BalancedMixture,
+    "q164_conversion_lag" -> q164ConversionLag,
     "q146_click_dedup" -> q146ClickDedup,
     "q149_psi_drift" -> q149PsiDrift,
     "q150_skew_profile" -> q150SkewProfile,
@@ -1237,6 +1280,37 @@ object Round9 {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q164_conversion_lag" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), fv AS (
+        |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN sec END)
+        |    AS first_view
+        |  FROM e GROUP BY 1
+        |), lag_t AS (
+        |  SELECT e.user_id, MIN(e.sec) - ANY_VALUE(f.first_view) AS lag_sec
+        |  FROM e JOIN fv f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase' AND f.first_view IS NOT NULL
+        |    AND e.sec >= f.first_view
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT lag_sec,
+        |    row_number() OVER (ORDER BY lag_sec, user_id) AS rk,
+        |    COUNT(*) OVER () AS n
+        |  FROM lag_t
+        |)
+        |SELECT COUNT(*) AS n_converted,
+        |  MIN(lag_sec) AS min_sec,
+        |  MAX(CASE WHEN rk = GREATEST(1, n * 1 // 4) THEN lag_sec END)
+        |    AS p25_sec,
+        |  MAX(CASE WHEN rk = GREATEST(1, n * 2 // 4) THEN lag_sec END)
+        |    AS p50_sec,
+        |  MAX(CASE WHEN rk = GREATEST(1, n * 3 // 4) THEN lag_sec END)
+        |    AS p75_sec,
+        |  MAX(lag_sec) AS max_sec
+        |FROM r""".stripMargin,
     "q163_balanced_mixture" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

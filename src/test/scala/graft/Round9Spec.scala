@@ -714,4 +714,31 @@ class Round9Spec extends SparkSpec {
         assert(kept.map(_._3).sum + d._3 > budget, s"$lang not maximal"))
     }
   }
+
+  test("q164: quartiles are exact order statistics over an independently recomputed lag set") {
+    import spark.implicits._
+    val row = ops.Round9.q164ConversionLag(spark, sf).collect().head
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", unix_timestamp($"ts").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val lags = ev.groupBy(_._1).flatMap { case (_, es) =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val fv = views.min
+        val buys = es.filter(e => e._2 == "purchase" && e._3 >= fv).map(_._3)
+        if (buys.isEmpty) None else Some(buys.min - fv)
+      }
+    }.toSeq.sorted
+    val n = lags.length.toLong
+    assert(row.getLong(0) == n, "n_converted")
+    assert(row.getLong(1) == lags.min && row.getLong(5) == lags.max)
+    def q(k: Int): Long = lags((math.max(1L, n * k / 4) - 1).toInt)
+    assert(row.getLong(2) == q(1), "p25")
+    assert(row.getLong(3) == q(2), "p50")
+    assert(row.getLong(4) == q(3), "p75")
+    assert(row.getLong(1) <= row.getLong(2) && row.getLong(2) <= row.getLong(3)
+      && row.getLong(3) <= row.getLong(4) && row.getLong(4) <= row.getLong(5),
+      "quartiles are monotone")
+  }
 }
