@@ -1197,6 +1197,59 @@ object Round9 {
         $"p75_sec", $"max_sec")
   }
 
+  // ---------------------------------------------------------------------
+  // q165: per-source quality lift
+  // ---------------------------------------------------------------------
+
+  /** Source re-weighting input — which sources punch above the corpus
+    * quality mean: per source, mean lexical-diversity score (exact
+    * integer div) against the corpus mean, as a lift ratio in ppm.
+    * This is the table a mixture tuner (q102/q148/q163) reads to move
+    * weight toward lift > 1e6 sources. Two map-side-combined
+    * aggregates and a broadcast 1-row corpus mean — nothing wider than
+    * |sources| ever shuffles. */
+  val q165SourceLift: Q = (spark, dir) => {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .select($"source",
+        filter(split($"text", " "), t => length(t) > 0).as("w"))
+      .select($"source",
+        expr("size(array_distinct(w)) * 1000000 div size(w)").as("score"))
+    val per = scored.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"score").as("ssum"))
+      .withColumn("mean_score", expr("ssum div n_docs"))
+    val corpus = per.agg(sum($"ssum").as("ts"), sum($"n_docs").as("tn"))
+      .select(expr("ts div tn").as("corpus_mean"))
+    per.crossJoin(broadcast(corpus))
+      .withColumn("lift_ppm", expr("mean_score * 1000000 div corpus_mean"))
+      .select($"source", $"n_docs", $"mean_score", $"corpus_mean", $"lift_ppm")
+      .orderBy($"lift_ppm".desc, $"source")
+  }
+
+  // ---------------------------------------------------------------------
+  // q166: join-fanout audit
+  // ---------------------------------------------------------------------
+
+  /** Pre-join cardinality audit — the histogram read BEFORE joining two
+    * tables to predict fan-out and catch key pathologies: orders per
+    * customer, INCLUDING zero-order customers (the left join a naive
+    * group-by silently drops — absent keys are exactly what breaks
+    * referential assumptions downstream). Output is the distribution:
+    * for each orders-per-customer value, how many customers. One keyed
+    * aggregate + one broadcastable join + a histogram-sized regroup. */
+  val q166FanoutAudit: Q = (spark, dir) => {
+    import spark.implicits._
+    val counts = Tables.orders(spark, dir)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+    Tables.customer(spark, dir)
+      .select($"c_custkey")
+      .join(counts, $"c_custkey" === $"o_custkey", "left")
+      .withColumn("n_orders", coalesce($"n_orders", lit(0L)))
+      .groupBy($"n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"n_orders")
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_knn_lsh_audit" -> q140KnnLshAudit,
     "q156_cms_audit" -> q156CmsAudit,
@@ -1208,6 +1261,8 @@ object Round9 {
     "q162_token_budget" -> q162TokenBudget,
     "q163_balanced_mixture" -> q163BalancedMixture,
     "q164_conversion_lag" -> q164ConversionLag,
+    "q165_source_lift" -> q165SourceLift,
+    "q166_fanout_audit" -> q166FanoutAudit,
     "q146_click_dedup" -> q146ClickDedup,
     "q149_psi_drift" -> q149PsiDrift,
     "q150_skew_profile" -> q150SkewProfile,
@@ -1280,6 +1335,36 @@ object Round9 {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q165_source_lift" ->
+      """WITH sc AS (
+        |  SELECT source,
+        |    CAST(len(list_distinct(w)) * 1000000 // len(w) AS BIGINT)
+        |      AS score
+        |  FROM (SELECT source,
+        |          list_filter(string_split(text, ' '),
+        |            x -> length(x) > 0) AS w
+        |        FROM documents)
+        |), per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(score) AS BIGINT) AS ssum,
+        |    CAST(SUM(score) // COUNT(*) AS BIGINT) AS mean_score
+        |  FROM sc GROUP BY 1
+        |), c AS (
+        |  SELECT CAST(SUM(ssum) // SUM(n_docs) AS BIGINT) AS corpus_mean
+        |  FROM per
+        |)
+        |SELECT source, n_docs, mean_score, corpus_mean,
+        |  mean_score * 1000000 // corpus_mean AS lift_ppm
+        |FROM per, c
+        |ORDER BY lift_ppm DESC, source""".stripMargin,
+    "q166_fanout_audit" ->
+      """WITH counts AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1
+        |)
+        |SELECT COALESCE(n.n_orders, 0) AS n_orders,
+        |  COUNT(*) AS n_customers
+        |FROM customer c LEFT JOIN counts n ON c.c_custkey = n.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q164_conversion_lag" ->
       """WITH e AS (
         |  SELECT user_id, event_type,

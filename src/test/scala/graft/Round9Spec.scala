@@ -741,4 +741,43 @@ class Round9Spec extends SparkSpec {
       && row.getLong(3) <= row.getLong(4) && row.getLong(4) <= row.getLong(5),
       "quartiles are monotone")
   }
+
+  test("q165: lifts bracket 1e6 and doc counts conserve the corpus") {
+    import spark.implicits._
+    val rows = ops.Round9.q165SourceLift(spark, sf).collect()
+    assert(rows.length == 20, "one row per source")
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sf).count())
+    val lifts = rows.map(_.getLong(4))
+    assert(lifts.max >= 1000000L - 20 && lifts.min <= 1000000L + 20,
+      "per-source means must bracket the corpus mean (integer-div slack)")
+    // ordering law: descending lift with source tiebreak
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+    // the corpus mean column is one constant
+    assert(rows.map(_.getLong(3)).distinct.length == 1)
+  }
+
+  test("q166: the fanout histogram conserves customers AND orders, zero bucket included") {
+    import spark.implicits._
+    val rows = ops.Round9.q166FanoutAudit(spark, sf).collect()
+    val nCustomers = Tables.customer(spark, sf).count()
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nCustomers,
+      "every customer lands in exactly one bucket")
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == nOrders,
+      "sum(bucket * customers) re-derives the order count exactly")
+    // the LEFT join's purpose: customers absent from orders land in the
+    // zero bucket rather than vanishing — prove it by construction with
+    // a planted orphan (data-level zero-order customers don't exist at
+    // this SF)
+    val counts = Tables.orders(spark, sf)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+    val planted = Tables.customer(spark, sf).select($"c_custkey")
+      .unionByName(Seq(-1L).toDF("c_custkey"))
+      .join(counts, $"c_custkey" === $"o_custkey", "left")
+      .withColumn("n_orders", coalesce($"n_orders", lit(0L)))
+      .groupBy($"n_orders").agg(count(lit(1)).as("n_customers"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(planted.getOrElse(0L, 0L) == 1L,
+      "an orderless customer must surface in the zero bucket")
+  }
 }
