@@ -403,16 +403,19 @@ object Round9 {
 
   /** PSI drift detection — the monitoring gate between two corpus
     * batches: bin a quality score, compare each bin's population share,
-    * and emit the per-bin PSI contribution (the standard alarm metric:
-    * Σ (pA−pB)·ln(pA/pB), here per-bin so the alarming bin is visible).
-    * Shares quantize to ppm INTEGERS first and the PSI term is computed
-    * FROM those integers — one deterministic double product per row (the
-    * q100 floor-quantize rule), so the hash matches cross-engine. Bins
-    * are 10 equal-width cuts of the observed score range (production
-    * would freeze reference-decile edges; same plan shape). Empty-side
-    * bins emit NULL psi (the ε-substitution convention varies by shop —
-    * NULL is the honest answer). Two aggregates and a 10-row join: the
-    * corpus is scanned once per batch membership, never joined. */
+    * and emit the per-bin PSI *inputs* (the standard alarm metric is
+    * Σ (pA−pB)·ln(pA/pB); the hashed surface carries the exact-integer
+    * factors `diff_ppm = pA−pB` and `ratio_ppm = pA·10⁶ div pB`, and the
+    * transcendental stays OFF the hashed columns — the q155 precedent:
+    * a cross-engine libm `ln` under `floor()` is one ULP flip away from
+    * a hash flake at another SF, while the integer factors reconstruct
+    * the PSI term downstream to any precision). Shares quantize to ppm
+    * INTEGERS first (the q100 floor-quantize rule). Bins are 10
+    * equal-width cuts of the observed score range (production would
+    * freeze reference-decile edges; same plan shape). Empty-side bins
+    * emit honest NULLs (the ε-substitution convention varies by shop).
+    * Two aggregates and a 10-row join: the corpus is scanned once per
+    * batch membership, never joined. */
   val q149PsiDrift: Q = (spark, dir) => {
     import spark.implicits._
     val scored = Tables.documents(spark, dir)
@@ -425,21 +428,30 @@ object Round9 {
     val r = scored.agg(min($"score").as("lo"), max($"score").as("hi")).head()
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val width = math.max(1L, (hi - lo) / 10L + 1L)
-    val binned = scored
+    // The bin table is ≤ 10 rows — the blessed ≤256-row driver-literal
+    // pattern (q131, k-means): collect it, do the 10-row ppm arithmetic
+    // driver-side, and unpersist the corpus-sized cache before returning
+    // so the query is self-contained (no cached blocks survive it).
+    val binRows = scored
       .withColumn("bin", (($"score" - lo) / width).cast("long"))
       .groupBy($"bin")
       .agg(count(when($"batch" === "ref", 1)).as("n_ref"),
         count(when($"batch" === "cur", 1)).as("n_cur"))
-    val tot = binned.agg(sum($"n_ref").as("t_ref"), sum($"n_cur").as("t_cur"))
-    binned.crossJoin(broadcast(tot))
-      .withColumn("ref_ppm", expr("n_ref * 1000000 div t_ref"))
-      .withColumn("cur_ppm", expr("n_cur * 1000000 div t_cur"))
-      .withColumn("psi_micro", expr(
-        """CASE WHEN ref_ppm > 0 AND cur_ppm > 0
-          |THEN CAST(floor((ref_ppm - cur_ppm) *
-          |  ln(CAST(ref_ppm AS DOUBLE) / cur_ppm)) AS BIGINT)
-          |ELSE NULL END""".stripMargin))
-      .select($"bin", $"n_ref", $"n_cur", $"ref_ppm", $"cur_ppm", $"psi_micro")
+      .orderBy($"bin")
+      .collect()
+    scored.unpersist()
+    val tRef = binRows.map(_.getLong(1)).sum
+    val tCur = binRows.map(_.getLong(2)).sum
+    binRows.toSeq.map { b =>
+      val (bin, nRef, nCur) = (b.getLong(0), b.getLong(1), b.getLong(2))
+      val refPpm = nRef * 1000000L / tRef
+      val curPpm = nCur * 1000000L / tCur
+      val both = refPpm > 0 && curPpm > 0
+      (bin, nRef, nCur, refPpm, curPpm,
+        if (both) Some(refPpm - curPpm) else None,
+        if (both) Some(refPpm * 1000000L / curPpm) else None)
+    }.toDF("bin", "n_ref", "n_cur", "ref_ppm", "cur_ppm",
+      "diff_ppm", "ratio_ppm")
       .orderBy($"bin")
   }
 
@@ -569,28 +581,50 @@ object Round9 {
     * rank the vocabulary by corpus frequency and report, at each rank,
     * the CUMULATIVE share of all token occurrences covered (ppm). One
     * token-keyed map-side-combined aggregate collapses the corpus to
-    * |vocab| rows; the cumulative window then runs over that vocab-sized
-    * relation only (the q104 rule: narrow windows may be global when
-    * their input is already aggregate-sized — here ≤ |vocab| rows,
-    * NEVER corpus rows). Top 20 ranks emitted. */
+    * |vocab| rows; the cumulative rank+sum is then the q143/q162
+    * two-level form — web-scale vocabulary is 10⁸+ types, so even the
+    * aggregate-sized relation gets no unpartitioned window: block by
+    * the integer log₂ of the count (`length(bin(cnt))` — a pure
+    * function of the DESC sort key, ≤64 blocks, equal counts can never
+    * cross blocks), rank and running-sum per block under KEYED windows,
+    * add driver-computed block offsets (≤64 rows collected; the corpus
+    * total falls out of the same collect for free). Top 20 ranks
+    * emitted. */
   val q153VocabCoverage: Q = (spark, dir) => {
     import spark.implicits._
     val vocab = Dedup.fanoutReady(Tables.documents(spark, dir))
       .select(explode(split($"text", " ")).as("tok"))
       .filter(length($"tok") > 0)
       .groupBy($"tok").agg(count(lit(1)).as("cnt"))
-    val tot = vocab.agg(sum($"cnt").as("total"))
+      .withColumn("blk", length(bin($"cnt")).cast("long"))
+      .cache()
+    // per-block (n_types, n_tokens), walked in DESC block order — the
+    // global order is cnt DESC, and blk is monotone in cnt
+    val blkStats = vocab.groupBy($"blk")
+      .agg(count(lit(1)).as("bc"), sum($"cnt").as("bs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1)
+    val total = blkStats.map(_._3).sum
+    val offs = blkStats.map(_._1)
+      .zip(blkStats.map(_._2).scanLeft(0L)(_ + _)
+        .zip(blkStats.map(_._3).scanLeft(0L)(_ + _)))
+      .map { case (b, (ro, co)) => (b, ro, co) }.toSeq
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"cnt".desc, $"tok")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    vocab.crossJoin(broadcast(tot))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy($"cnt".desc, $"tok")))
-      .withColumn("cum", sum($"cnt").over(w))
-      .withColumn("coverage_ppm", expr("cum * 1000000 div total"))
+      .partitionBy($"blk").orderBy($"cnt".desc, $"tok")
+    val out = vocab
+      .join(broadcast(offs.toDF("blk", "roff", "coff")), Seq("blk"))
+      .withColumn("rank", $"roff" + row_number().over(w))
+      .withColumn("cum", $"coff" + sum($"cnt").over(
+        w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("coverage_ppm", expr(s"cum * 1000000 div ${total}L"))
       .filter($"rank" <= 20)
-      .select($"rank", $"tok", $"cnt", $"cum", $"coverage_ppm")
+      // rank was row_number()'s IntegerType before the two-level form;
+      // cast the ≤20 surviving ranks back so the hashed schema is stable
+      .select($"rank".cast("int").as("rank"), $"tok", $"cnt", $"cum",
+        $"coverage_ppm")
       .orderBy($"rank")
+    out
   }
 
   // ---------------------------------------------------------------------
@@ -1164,12 +1198,14 @@ object Round9 {
     * view and the earliest LATER purchase (users purchasing before ever
     * viewing, or never purchasing, drop out — stated, not silent).
     * Quartiles are EXACT integer order statistics over epoch-second
-    * lags (the q45/q122 rank pattern: row_number with a user_id
-    * tiebreak, rank formula `greatest(1, n*q div 4)`), so every emitted
-    * number is bit-stable. One user-keyed aggregate for the two
-    * firsts, then quartiles over the |converted-users|-sized lag
-    * relation — a global-but-aggregate-sized window, the documented
-    * q104 narrow-window class. */
+    * lags (rank formula `greatest(1, n*q div 4)`), so every emitted
+    * number is bit-stable. The global rank is the q143/q162 two-level
+    * form: block by the lag's high bits (blk = lag div 2¹⁶ — a pure
+    * function of the sort key, so ties cannot cross blocks), rank per
+    * block under a KEYED window, add driver-computed block offsets.
+    * `n` falls out of the collected block counts for free — no
+    * mid-pipeline `count()` action, no unpartitioned window that would
+    * funnel every converted user through one partition at 100×. */
   val q164ConversionLag: Q = (spark, dir) => {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
@@ -1177,15 +1213,24 @@ object Round9 {
     val firsts = ev.groupBy($"user_id")
       .agg(min(when($"event_type" === "view", $"sec")).as("first_view"),
         count(lit(1)).as("n_events"))
-    val firstBuyAfter = ev.filter($"event_type" === "purchase")
+    val lags = ev.filter($"event_type" === "purchase")
       .join(firsts.select($"user_id", $"first_view"), Seq("user_id"))
       .filter($"first_view".isNotNull && $"sec" >= $"first_view")
       .groupBy($"user_id")
       .agg(min($"sec").as("first_buy"), first($"first_view").as("fv"))
       .select($"user_id", ($"first_buy" - $"fv").as("lag_sec"))
-    val n = firstBuyAfter.count()
-    val ranked = firstBuyAfter.withColumn("rk", row_number().over(
-      org.apache.spark.sql.expressions.Window.orderBy($"lag_sec", $"user_id")))
+      .withColumn("blk", ($"lag_sec" / 65536L).cast("long"))
+      .cache()
+    val blkCounts = lags.groupBy($"blk").agg(count(lit(1)).as("bc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = blkCounts.map(_._2).sum
+    val offsets = blkCounts.map(_._1)
+      .zip(blkCounts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val ranked = lags
+      .join(broadcast(offsets.toDF("blk", "boff")), Seq("blk"))
+      .withColumn("rk", $"boff" + row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"blk").orderBy($"lag_sec", $"user_id")))
     val qs = Seq(1, 2, 3).map(q =>
       max(when($"rk" === greatest(lit(1L), lit(n * q / 4)), $"lag_sec"))
         .as(s"p${q * 25}_sec"))
@@ -1978,15 +2023,16 @@ object Round9 {
         |  SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM b
         |), p AS (
         |  SELECT bin, n_ref, n_cur,
-        |    n_ref * 1000000 // t_ref AS ref_ppm,
-        |    n_cur * 1000000 // t_cur AS cur_ppm
+        |    CAST(n_ref * 1000000 // t_ref AS BIGINT) AS ref_ppm,
+        |    CAST(n_cur * 1000000 // t_cur AS BIGINT) AS cur_ppm
         |  FROM b, t
         |)
         |SELECT bin, n_ref, n_cur, ref_ppm, cur_ppm,
         |  CASE WHEN ref_ppm > 0 AND cur_ppm > 0
-        |  THEN CAST(floor((ref_ppm - cur_ppm) *
-        |    ln(CAST(ref_ppm AS DOUBLE) / cur_ppm)) AS BIGINT)
-        |  ELSE NULL END AS psi_micro
+        |  THEN ref_ppm - cur_ppm ELSE NULL END AS diff_ppm,
+        |  CASE WHEN ref_ppm > 0 AND cur_ppm > 0
+        |  THEN CAST(ref_ppm * 1000000 // cur_ppm AS BIGINT)
+        |  ELSE NULL END AS ratio_ppm
         |FROM p ORDER BY bin""".stripMargin,
     "q150_skew_profile" ->
       """WITH k AS (
@@ -1995,8 +2041,8 @@ object Round9 {
         |  SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM k
         |)
         |SELECT user_id, cnt,
-        |  cnt * 1000000 // total AS share_ppm,
-        |  cnt * n_keys * 1000000 // total AS skew_x_ppm
+        |  CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST(cnt * n_keys * 1000000 // total AS BIGINT) AS skew_x_ppm
         |FROM k, t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
     "q146_click_dedup" ->
       """WITH e AS (

@@ -7,6 +7,18 @@ import org.apache.spark.sql.functions._
   */
 class Round9Spec extends SparkSpec {
 
+  /** Collect WindowExec nodes, descending through AQE wrapper nodes
+    * (AdaptiveSparkPlanExec / QueryStageExec hide their subtrees from
+    * the default TreeNode traversal). */
+  private def windowNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = p.collect {
+    case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      windowNodes(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      windowNodes(s.plan)
+  }.flatten
+
   /** Driver-side brute-force 3-NN per vector within label (tiny at spec
     * scale), used as ground truth by both tests. */
   private def exactEdges(vecs: Map[Long, (Int, Array[Double])])
@@ -270,29 +282,37 @@ class Round9Spec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == total)
   }
 
-  test("q149: PSI is zero for identical batches and flags an injected shift") {
+  test("q149: PSI factors are exact integer identities with the sign law") {
     import spark.implicits._
-    // identical-batch law, computed through the SAME binning arithmetic:
-    // when ref and cur are the same population, every bin share matches
-    // and PSI vanishes. The query's real batches then must show SOME
-    // bins populated on both sides with finite psi.
+    // The hashed surface carries the PSI term's integer FACTORS
+    // (diff_ppm = p−q, ratio_ppm = p·10⁶ div q) with the transcendental
+    // off the hash path (the q155 precedent). The (p−q)·ln(p/q) ≥ 0 law
+    // becomes the sign law: diff and (ratio − 10⁶) never disagree in
+    // sign, so the reconstructed PSI term is always ≥ 0.
     val rows = ops.Round9.q149PsiDrift(spark, sf).collect()
     assert(rows.nonEmpty)
     val totRef = rows.map(_.getLong(1)).sum
     val totCur = rows.map(_.getLong(2)).sum
     assert(totRef + totCur == Tables.documents(spark, sf).count(),
       "the two batches partition the corpus")
+    var bothSided = 0
     rows.foreach { r =>
-      if (!r.isNullAt(5)) {
-        val (refPpm, curPpm, psi) = (r.getLong(3), r.getLong(4), r.getLong(5))
-        assert(psi >= math.floor((refPpm - curPpm) *
-          math.log(refPpm.toDouble / curPpm)).toLong - 1 && psi >= -1 ||
-          psi >= Long.MinValue, "psi formula reproduced")
-        // PSI contributions are non-negative up to the floor's -1:
-        // (p-q)ln(p/q) >= 0 always
-        assert(psi >= -1, s"PSI term must be >= 0 up to floor: $psi")
-      }
+      val (refPpm, curPpm) = (r.getLong(3), r.getLong(4))
+      if (refPpm > 0 && curPpm > 0) {
+        bothSided += 1
+        assert(!r.isNullAt(5) && !r.isNullAt(6))
+        val (diff, ratio) = (r.getLong(5), r.getLong(6))
+        assert(diff == refPpm - curPpm, "diff identity")
+        assert(ratio == refPpm * 1000000L / curPpm, "ratio identity")
+        if (diff > 0) assert(ratio >= 1000000L, "sign law (p>q)")
+        if (diff < 0) assert(ratio < 1000000L, "sign law (p<q)")
+        // the reconstructed PSI term is >= 0 (floor can't flip it by
+        // more than one ulp of the integer ratio)
+        val psi = diff * math.log(ratio / 1e6)
+        assert(psi >= -1e-6, s"PSI term must be >= 0: $psi")
+      } else assert(r.isNullAt(5) && r.isNullAt(6), "one-sided bins are NULL")
     }
+    assert(bothSided > 0, "some bins populated on both sides")
   }
 
   test("q150: the skew profile's shares and ratios are exact integer identities") {
@@ -356,8 +376,13 @@ class Round9Spec extends SparkSpec {
 
   test("q153: the coverage curve is monotone, consistent with re-derived top-k sums") {
     import spark.implicits._
-    val rows = ops.Round9.q153VocabCoverage(spark, sf).collect()
+    val df = ops.Round9.q153VocabCoverage(spark, sf)
+    val rows = df.collect()
     assert(rows.length == 20)
+    // the two-level form's contract: every window in the plan is keyed
+    val wins = windowNodes(df.queryExecution.executedPlan)
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"q153 must not plan an unpartitioned window:\n${df.queryExecution.executedPlan}")
     val vocab = Tables.documents(spark, sf)
       .select(explode(split($"text", " ")).as("tok"))
       .filter(length($"tok") > 0)
@@ -717,7 +742,12 @@ class Round9Spec extends SparkSpec {
 
   test("q164: quartiles are exact order statistics over an independently recomputed lag set") {
     import spark.implicits._
-    val row = ops.Round9.q164ConversionLag(spark, sf).collect().head
+    val df = ops.Round9.q164ConversionLag(spark, sf)
+    val row = df.collect().head
+    // the two-level form's contract: every window in the plan is keyed
+    val wins = windowNodes(df.queryExecution.executedPlan)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"q164 must not plan an unpartitioned window:\n${df.queryExecution.executedPlan}")
     val ev = Tables.events(spark, sf)
       .select($"user_id", $"event_type", unix_timestamp($"ts").as("sec"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

@@ -37,8 +37,19 @@ def close(a, b):
     return False
 
 def run_limited(con, sql):
-    """Execute sql; on timeout interrupt the connection and raise TimeoutError."""
-    timer = threading.Timer(TIMEOUT, con.interrupt)
+    """Execute sql; on timeout interrupt the connection and raise TimeoutError.
+
+    The interrupt is guarded by a flag under a lock so a timer firing just
+    as the query completes cannot leave a stale interrupt pending for the
+    next execute on this connection (which would abort the whole checker —
+    the race the round-8 advice flagged)."""
+    lock = threading.Lock()
+    running = [True]
+    def fire():
+        with lock:
+            if running[0]:
+                con.interrupt()
+    timer = threading.Timer(TIMEOUT, fire)
     timer.start()
     try:
         cur = con.execute(sql)
@@ -48,7 +59,21 @@ def run_limited(con, sql):
     except duckdb.InterruptException:
         raise TimeoutError(f"oracle timeout after {TIMEOUT:.0f}s")
     finally:
+        with lock:
+            running[0] = False
         timer.cancel()
+
+def read_spark(con, files):
+    """Read the Spark result parquet; retry once if a stale watchdog
+    interrupt from the previous oracle lands on this execute."""
+    for attempt in range(2):
+        try:
+            s = con.execute(f"SELECT * FROM read_parquet({files!r})")
+            return [d[0] for d in s.description], s.fetchall()
+        except duckdb.InterruptException:
+            if attempt:
+                raise
+    raise RuntimeError("unreachable")
 
 def out(line):
     print(line, flush=True)
@@ -74,9 +99,7 @@ def main():
             out(f"FAIL {name}: {e}"); n_bad += 1; continue
         except Exception as e:
             out(f"FAIL {name}: oracle sql error: {e}"); n_bad += 1; continue
-        s = con.execute(f"SELECT * FROM read_parquet({files!r})")
-        scols = [d[0] for d in s.description]
-        srows = s.fetchall()
+        scols, srows = read_spark(con, files)
         oc, orr = norm(orows, ocols)
         sc, srr = norm(srows, scols)
         if oc != sc:
