@@ -111,7 +111,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"queries":$qs,"metric":"total","unit":"sec","sf":"$sfDir","value":${f3(total)}}""")
+    // "runs":2 marks the per-query metric as min-of-two (see timedOnce) so
+    // cross-round comparisons against pre-r8 single-run numbers are flagged.
+    println(s"""{"queries":$qs,"metric":"total","unit":"sec","runs":2,"sf":"$sfDir","value":${f3(total)}}""")
     spark.stop()
   }
 }

@@ -32,4 +32,17 @@ object OpsUtil {
 
   val revenueSql: String =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+
+  /** Materialize a SMALL (≤ a few hundred rows — profile/audit-sized)
+    * result on the driver and rebuild it as a local DataFrame with the
+    * identical schema. Lets a query unpersist its corpus-sized caches
+    * before returning, so no cached blocks survive the call (the q131
+    * self-containment rule); the caller must unpersist between collect
+    * and return. Values and schema are bit-identical to the distributed
+    * result, so oracle hashes are unchanged. */
+  def driverLiteral(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
 }

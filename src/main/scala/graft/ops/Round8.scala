@@ -165,13 +165,18 @@ object Round8 {
       .mapPartitions(it => misraGries(it, 64))
       .toDF("tok").distinct()
     val tot = toks.agg(count(lit(1)).as("total"))
-    toks.join(broadcast(cands), Seq("tok"))
-      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(tot))
-      .filter($"cnt" * 30 > $"total")
-      .withColumn("ppm", expr("cnt * 1000000 div total"))
-      .select($"tok", $"cnt", $"ppm")
-      .orderBy($"cnt".desc, $"tok")
+    // ≤29 tokens can exceed 1/30 of the corpus — materialize the tiny
+    // profile and unpersist the corpus-sized token cache (q131 rule)
+    val out = OpsUtil.driverLiteral(
+      toks.join(broadcast(cands), Seq("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter($"cnt" * 30 > $"total")
+        .withColumn("ppm", expr("cnt * 1000000 div total"))
+        .select($"tok", $"cnt", $"ppm")
+        .orderBy($"cnt".desc, $"tok"))
+    toks.unpersist()
+    out
   }
 
   // ---------------------------------------------------------------------
@@ -253,12 +258,18 @@ object Round8 {
           && col("x.src") < col("x.dst"))
       .groupBy(col("x.label").as("label"))
       .agg(count(lit(1)).as("n_mutual"))
-    emb.groupBy($"label").agg(count(lit(1)).as("n_vecs"))
-      .join(edges.groupBy($"label").agg(count(lit(1)).as("n_directed")),
-        Seq("label"))
-      .join(mutual, Seq("label"), "left")
-      .withColumn("n_mutual", coalesce($"n_mutual", lit(0L)))
-      .orderBy($"label")
+    // |labels|-row profile — materialize and unpersist both caches
+    // (q131 rule: no cached blocks survive the query)
+    val out = OpsUtil.driverLiteral(
+      emb.groupBy($"label").agg(count(lit(1)).as("n_vecs"))
+        .join(edges.groupBy($"label").agg(count(lit(1)).as("n_directed")),
+          Seq("label"))
+        .join(mutual, Seq("label"), "left")
+        .withColumn("n_mutual", coalesce($"n_mutual", lit(0L)))
+        .orderBy($"label"))
+    edges.unpersist()
+    emb.unpersist()
+    out
   }
 
   // ---------------------------------------------------------------------
@@ -532,16 +543,21 @@ object Round8 {
       .cache()
     val scales = comps.groupBy($"pos")
       .agg(min($"v").as("mn"), max($"v").as("mx"))
-    comps.join(broadcast(scales), Seq("pos"))
-      .withColumn("q8", expr("((v - mn) * 255) div greatest(mx - mn, 1)"))
-      .withColumn("r", expr("mn + (q8 * (mx - mn)) div 255"))
-      .withColumn("err", abs($"v" - $"r"))
-      .groupBy($"label")
-      .agg(count(lit(1)).as("n_comps"),
-        max($"err").as("max_err_milli"),
-        sum($"err").as("sum_err_milli"))
-      .withColumn("mean_err_micro", expr("sum_err_milli * 1000 div n_comps"))
-      .orderBy($"label")
+    // |labels|-row error profile — materialize and unpersist the
+    // corpus-fan-out cache (q131 rule)
+    val out = OpsUtil.driverLiteral(
+      comps.join(broadcast(scales), Seq("pos"))
+        .withColumn("q8", expr("((v - mn) * 255) div greatest(mx - mn, 1)"))
+        .withColumn("r", expr("mn + (q8 * (mx - mn)) div 255"))
+        .withColumn("err", abs($"v" - $"r"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_comps"),
+          max($"err").as("max_err_milli"),
+          sum($"err").as("sum_err_milli"))
+        .withColumn("mean_err_micro", expr("sum_err_milli * 1000 div n_comps"))
+        .orderBy($"label"))
+    comps.unpersist()
+    out
   }
 
   // ---------------------------------------------------------------------

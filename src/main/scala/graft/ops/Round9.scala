@@ -346,13 +346,16 @@ object Round9 {
   /** Release manifest — the artifact shipped WITH a corpus so a
     * downstream consumer can verify integrity without re-reading
     * anything twice: per (lang, source) document count, char volume,
-    * distinct-content count, and an ORDER-INDEPENDENT content checksum
-    * (sum of each text's 48-bit md5 prefix — addition commutes, so the
-    * checksum is stable under any partitioning/shard order, unlike a
-    * rolling hash; 48 bits keeps the sum far from BIGINT overflow at
-    * any realistic group size, and a production manifest would sum
-    * modulo a prime). Pure map-side-combined aggregation: one
-    * |lang×source|-sized shuffle, no joins, no windows. */
+    * distinct-content count, and an ORDER-INDEPENDENT content checksum:
+    * the sum of each text's 48-bit md5 prefix, taken modulo the
+    * Mersenne prime 2⁶¹−1 — addition commutes, so the checksum is
+    * stable under any partitioning/shard order, and the modulus makes
+    * the sum exact at ANY group size (a raw 48-bit-term sum would
+    * overflow int64 at ~2¹⁶ docs per group, where Spark wraps silently
+    * but DuckDB errors — the engines would diverge; the sum rides
+    * DECIMAL(38,0)/HUGEINT, exact to ~2⁷⁸ docs per group, then reduces
+    * mod p identically on both). Pure map-side-combined aggregation:
+    * one |lang×source|-sized shuffle, no joins, no windows. */
   val q147CorpusManifest: Q = (spark, dir) => {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -363,9 +366,15 @@ object Round9 {
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_chars").as("sum_chars"),
         countDistinct($"d").as("n_distinct"),
-        sum($"h").as("checksum"))
+        (sum($"h".cast("decimal(38,0)")) % lit(checksumPrime))
+          .cast("long").as("checksum"))
       .orderBy($"lang", $"source")
   }
+
+  /** Modulus for q147's order-independent checksum: 2⁶¹−1 (Mersenne
+    * prime) — big enough that collisions stay ~2⁻⁶¹, small enough that
+    * the reduced value is always a BIGINT on both engines. */
+  private[graft] val checksumPrime: Long = 2305843009213693951L
 
   // ---------------------------------------------------------------------
   // q148: per-source quota enforcement (mixture capping)
@@ -2066,7 +2075,7 @@ object Round9 {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  COUNT(DISTINCT md5(text)) AS n_distinct,
         |  CAST(SUM(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT))
-        |    AS BIGINT) AS checksum
+        |    % 2305843009213693951 AS BIGINT) AS checksum
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q148_source_quota" ->
       """WITH d AS (

@@ -112,33 +112,43 @@ object OperatorProperties extends Properties("graft") {
       val contA = inter * 1000000L / ga
       val contB = inter * 1000000L / gb
       val jac = inter * 1000000L / (ga + gb - inter)
-      val sub = a union b // a is a subset of (a ∪ b) by construction
-      val subCont = a.size.toLong * 1000000L / a.size
-      jac <= contA && jac <= contB &&
-        (a.subsetOf(sub) && subCont == 1000000L)
+      // run a ⊆ (a ∪ b) through the SAME intersection formula the query
+      // uses — the containment of a within its superset must come out
+      // exactly 1e6 via |a ∩ sub|, not by construction
+      val sub = a union b
+      val subCont = (a & sub).size.toLong * 1000000L / a.size
+      // and the superset's reverse containment is < 1e6 whenever b adds
+      // grams a lacks
+      val revCont = (a & sub).size.toLong * 1000000L / sub.size
+      jac <= contA && jac <= contB && subCont == 1000000L &&
+        (sub == a || revCont < 1000000L)
     }
 
-  /** q140's banding recall floor: signatures EQUAL on every band always
-    * pair (hamming-0 never escapes), and a single flipped bit kills at
-    * most one of the six bands. */
-  property("q140 banding: equal sigs always candidate; one flip kills <=1 band") =
+  /** q140's banding recall floor: a single flipped bit lands in exactly
+    * one 4-bit band, so EXACTLY five of the six bands still agree — the
+    * flipped signature remains a MinHash-band candidate. (The former
+    * "equal sigs agree on all bands" half compared a signature against
+    * itself — a tautology — and was dropped per the round-8 advice.) */
+  property("q140 banding: one flipped bit kills exactly one of six bands") =
     forAll(Gen.choose(0L, (1L << 24) - 1), Gen.choose(0, 23)) { (sig, bit) =>
       def bands(s: Long) = (0 until 6).map(k => (s >> (k * 4)) & 15L)
       val flipped = sig ^ (1L << bit)
-      val same = bands(sig).zip(bands(sig)).count(p => p._1 == p._2)
       val after = bands(sig).zip(bands(flipped)).count(p => p._1 == p._2)
-      same == 6 && after >= 5
+      after == 5
     }
 
-  /** q147's checksum core: a sum of per-item hashes is invariant under
-    * permutation and any regrouping (associativity/commutativity) —
-    * the property that makes the manifest partitioning-independent. */
-  property("q147 checksum: permutation- and regrouping-invariant") =
+  /** q147's checksum core: a mod-p sum of per-item hashes is invariant
+    * under permutation and any regrouping — including reducing each
+    * partial mod p before combining, which is exactly what partial
+    * aggregation does across shards. */
+  property("q147 checksum: permutation- and regrouping-invariant mod p") =
     forAll(Gen.listOf(Gen.choose(0L, 1L << 48)), Gen.choose(0, 64)) {
       (xs, cut) =>
+        val p = BigInt(graft.ops.Round9.checksumPrime)
+        def ck(ys: List[Long]): BigInt = ys.map(BigInt(_)).sum mod p
         val shuffled = scala.util.Random.javaRandomToRandom(
           new java.util.Random(42)).shuffle(xs)
         val (l, r) = xs.splitAt(if (xs.isEmpty) 0 else cut % (xs.size + 1))
-        xs.sum == shuffled.sum && xs.sum == l.sum + r.sum
+        ck(xs) == ck(shuffled) && ck(xs) == ((ck(l) + ck(r)) mod p)
     }
 }

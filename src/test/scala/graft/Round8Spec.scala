@@ -60,7 +60,10 @@ class Round8Spec extends SparkSpec {
 
   test("q125: the full query's output IS the exact heavy-hitter set (sketch adds no error)") {
     import spark.implicits._
+    spark.catalog.clearCache()
     val rows = ops.Round8.q125HeavyHitters(spark, sf).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q125 must unpersist its caches before returning (self-containment)")
     val total = rows.map(_.getLong(1)).sum
     rows.foreach { r =>
       assert(r.getLong(1) * 30 > 0, "counts are positive")
@@ -134,7 +137,10 @@ class Round8Spec extends SparkSpec {
 
   test("q127: out-degree is min(3, block-1) and mutual edges never exceed directed/2") {
     import spark.implicits._
+    spark.catalog.clearCache()
     val rows = ops.Round8.q127KnnGraph(spark, sf).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q127 must unpersist its caches before returning (self-containment)")
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (n, directed, mutual) = (r.getLong(1), r.getLong(2), r.getLong(3))
@@ -218,7 +224,10 @@ class Round8Spec extends SparkSpec {
     val maxRange = emb.groupBy($"pos")
       .agg((max($"v") - min($"v")).as("r"))
       .agg(max($"r")).head().getLong(0)
+    spark.catalog.clearCache()
     val rows = ops.Round8.q135QuantizationAudit(spark, sf).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q135 must unpersist its cache before returning (self-containment)")
     assert(rows.nonEmpty)
     val step = maxRange / 255 + 1
     rows.foreach { r =>

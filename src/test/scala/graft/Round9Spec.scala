@@ -257,7 +257,9 @@ class Round9Spec extends SparkSpec {
     def manifest(df: org.apache.spark.sql.DataFrame) = df
       .select($"lang", $"source",
         conv(substring(md5($"text"), 1, 12), 16, 10).cast("long").as("h"))
-      .groupBy($"lang", $"source").agg(sum($"h").as("checksum"))
+      .groupBy($"lang", $"source")
+      .agg((sum($"h".cast("decimal(38,0)")) % lit(ops.Round9.checksumPrime))
+        .cast("long").as("checksum"))
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     val docs = Tables.documents(spark, sf)
     val base = manifest(docs)
@@ -289,7 +291,10 @@ class Round9Spec extends SparkSpec {
     // off the hash path (the q155 precedent). The (p−q)·ln(p/q) ≥ 0 law
     // becomes the sign law: diff and (ratio − 10⁶) never disagree in
     // sign, so the reconstructed PSI term is always ≥ 0.
+    spark.catalog.clearCache()
     val rows = ops.Round9.q149PsiDrift(spark, sf).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q149 must unpersist its cache before returning (self-containment)")
     assert(rows.nonEmpty)
     val totRef = rows.map(_.getLong(1)).sum
     val totCur = rows.map(_.getLong(2)).sum
