@@ -135,6 +135,57 @@ class Round8Spec extends SparkSpec {
       "first-wins output must contain each passage exactly once")
   }
 
+  test("q127 gate: isotropic corpus stays exact; a clusterable block takes the LSH path with an identical profile") {
+    import spark.implicits._
+    // (1) the real corpus sits at the isotropic floor, so the gate keeps
+    // the exact all-pairs path (hash therefore unchanged vs the oracle)
+    val dot = graft.functions.VectorExprs.dotLong _
+    def sigsOf(df: org.apache.spark.sql.DataFrame) = {
+      val q = df.select($"vec_id", $"label",
+        transform($"embedding",
+          x => floor(x.cast("double") * 1000).cast("long")).as("e"))
+      val bits = (0 until 24).map { h =>
+        when(dot($"e", typedLit(ops.Round9.lshPlanes24(h))) >= 0, 1L << h)
+          .otherwise(0L)
+      }.reduce(_ + _)
+      q.select($"label", bits.as("sig"))
+    }
+    val realPpm = ops.Round8.lshBandAgreePpm(
+      sigsOf(Tables.embeddings(spark, sf)))
+    assert(realPpm < ops.Round8.lshGatePpm,
+      s"corpus band agreement $realPpm ppm must sit near the 62,500 " +
+        "isotropic floor; if this trips, the corpus became clusterable " +
+        "and q127's gate (correctly) switched paths — update the oracle")
+    // (2) a synthetic clusterable block: two tight clusters per label,
+    // each cluster one deterministic ±1 direction scaled per member so
+    // every member shares the cluster's exact LSH signature
+    def dirOf(c: Int): Array[Double] = Array.tabulate(64) { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val b = md.digest(s"clu:$c:$i".getBytes("UTF-8"))(0) & 1
+      if (b == 1) 1.0 else -1.0
+    }
+    val syn = (for {
+      lab <- 0 until 2; c <- 0 until 2; j <- 0 until 15
+    } yield {
+      val base = dirOf(lab * 2 + c)
+      val scale = 1.0 + 0.001 * j
+      ((lab * 2 + c) * 100L + j, lab,
+        base.map(x => (x * scale).toFloat).toSeq)
+    }).toDF("vec_id", "label", "embedding")
+    val synPpm = ops.Round8.lshBandAgreePpm(sigsOf(syn))
+    assert(synPpm >= ops.Round8.lshGatePpm,
+      s"synthetic clusters must trip the gate: $synPpm ppm")
+    // (3) on the clusterable block the prefiltered path must reproduce
+    // the exact path's profile row-for-row (true neighbors share a
+    // cluster, clusters share bands — nothing true escapes the buckets)
+    val viaGate = ops.Round8.knnGraphProfileFrom(syn).collect()
+    val viaExact = ops.Round8.knnGraphProfileFrom(syn,
+      forceLsh = Some(false)).collect()
+    assert(viaGate.map(_.toString).toSeq == viaExact.map(_.toString).toSeq,
+      "LSH-prefiltered profile must equal the exact profile on a clusterable block")
+    assert(viaGate.nonEmpty && viaGate.forall(_.getLong(2) > 0))
+  }
+
   test("q127: out-degree is min(3, block-1) and mutual edges never exceed directed/2") {
     import spark.implicits._
     spark.catalog.clearCache()
