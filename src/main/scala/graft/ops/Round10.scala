@@ -1,0 +1,267 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-10 operators: the curation-pipeline audits that sit between a
+  * raw corpus and a training run — n-gram eval decontamination (the
+  * GPT-3/PaLM 13-gram rule at 5-gram granularity), data-constrained
+  * epoch planning (proportional-with-repeat-cap mixture allocation), and
+  * the split-leakage audit that justifies content-hash splitting.
+  *
+  * Capability correspondence only — the reference
+  * (/root/reference/Assignment-python.py) has no engine code; these are
+  * the operations its pipeline would need at 100 TB, in idiomatic Spark
+  * relational shapes.
+  */
+object Round10 {
+  type Q = (org.apache.spark.sql.SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------
+  // q167: n-gram eval decontamination audit
+  // ---------------------------------------------------------------------
+
+  /** Eval-set decontamination — the audit every benchmark result depends
+    * on (the GPT-3 appendix-C / PaLM 13-gram rule, here at 5-gram
+    * granularity to fit the corpus's short documents): split the corpus
+    * by the q80 content-hash rule (buckets 0–7 train, 8–9 eval), build
+    * each document's DISTINCT sliding word-5-grams, and report for the
+    * 20 most-contaminated eval documents what fraction of their grams
+    * already appear anywhere in train (ppm). A hit means the "held-out"
+    * document's text is partially memorizable from training data — the
+    * q105 shared-passage phenomenon crossing the split boundary.
+    *
+    * Scale shape: in production the eval side is benchmark-sized (tiny)
+    * while train is the corpus, so the join is a broadcast/bloom probe
+    * (the q84/q99 shape); here both sides are relational and the join is
+    * gram-keyed with per-doc distinct collapsing map-side. The gram
+    * fan-out is linear (one gram per word position), rebalanced before
+    * exploding; nothing ever forms doc×doc pairs. */
+  val q167NgramDecontam: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Dedup.fanoutReady(Tables.documents(spark, dir))
+      .select($"doc_id",
+        (conv(substring(md5($"text"), 1, 8), 16, 10).cast("long") % 10)
+          .as("bucket"),
+        filter(split($"text", " "), t => length(t) > 0).as("w"))
+      .withColumn("split", when($"bucket" < 8, "train").otherwise("eval"))
+    val grams = docs.filter(size($"w") >= 5)
+      .select($"doc_id", $"split", explode(expr(
+        "transform(sequence(0, size(w) - 5), " +
+          "i -> array_join(slice(w, i + 1, 5), ' '))")).as("g"))
+      .distinct()
+    val trainGrams = grams.filter($"split" === "train")
+      .select($"g").distinct()
+    grams.filter($"split" === "eval")
+      .join(trainGrams.withColumn("hit", lit(true)), Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when($"hit", 1)).as("n_hit"))
+      .withColumn("contam_ppm", expr("n_hit * 1000000 div n_grams"))
+      .orderBy($"contam_ppm".desc, $"doc_id")
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------------
+  // q168: data-constrained epoch planning (repeat-capped mixture)
+  // ---------------------------------------------------------------------
+
+  /** Token-budget epoch planning under a repeat cap — the
+    * data-constrained-scaling question ("we want B training tokens but
+    * the corpus is smaller: how many epochs of each source?"): every
+    * source gets an equal target B div S, capped at R=4 epochs of its
+    * own tokens (repeating a small source forever degrades — the
+    * data-constrained-LM rule), and the leftover budget redistributes
+    * proportionally to the remaining headroom in ONE second round
+    * (documented; production iterates to fixpoint). B = 1.5× the corpus
+    * so the cap genuinely binds for small sources. All integer
+    * arithmetic, exact cross-engine.
+    *
+    * Scale shape: the corpus collapses map-side to |sources| rows; the
+    * plan arithmetic runs on that ≤-hundreds-row table collected to the
+    * driver (the q131/q149 driver-literal pattern — a mixture PLAN is a
+    * config artifact, not data). Nothing wider than |sources| ever
+    * shuffles. */
+  val q168EpochPlan: Q = (spark, dir) => {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .select($"source",
+        size(filter(split($"text", " "), t => length(t) > 0)).cast("long")
+          .as("toks"))
+      .groupBy($"source").agg(sum($"toks").as("tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    epochPlan(per)
+      .toDF("source", "tokens", "alloc_tokens", "epochs_ppm", "capped")
+      .orderBy($"source")
+  }
+
+  /** The pure plan arithmetic behind [[q168EpochPlan]], exposed so specs
+    * can prove the cap/redistribution laws on SKEWED inputs (this
+    * corpus's uniform sources never trip the cap — the law must hold
+    * before the data changes, the q127-gate principle). Returns
+    * (source, tokens, alloc, epochs_ppm, capped). */
+  private[graft] def epochPlan(per: Seq[(String, Long)])
+      : Seq[(String, Long, Long, Long, Boolean)] = {
+    val total = per.map(_._2).sum
+    val budget = total * 3L / 2L
+    val t0 = budget / per.length
+    val first = per.map { case (_, tok) => math.min(t0, 4L * tok) }
+    val leftover = budget - first.sum
+    val headroom = per.zip(first).map { case ((_, tok), f) => 4L * tok - f }
+    val sumHead = headroom.sum
+    per.indices.map { i =>
+      val (src, tok) = per(i)
+      val add = if (sumHead > 0) leftover * headroom(i) / sumHead else 0L
+      val alloc = first(i) + add
+      (src, tok, alloc, alloc * 1000000L / tok, 4L * tok <= t0)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // q169: split-leakage audit (content-hash vs id-hash splitting)
+  // ---------------------------------------------------------------------
+
+  /** Split-leakage audit — the measurement that justifies q80's
+    * content-hash split rule: duplicate TEXTS under different ids land
+    * in different splits when the split key is the id (naive random
+    * split → eval contamination), but provably never when the split key
+    * is the content digest (the split is a function of the text). The
+    * corpus injects re-crawls (% 7 == 0 docs under +1M ids — the q141
+    * construction) so duplicate content genuinely exists, then both
+    * policies are audited side by side: digests spanning more than one
+    * split, the documents they cover, and the leak rate. The by_content
+    * row MUST read zero — a nonzero value is a broken split function.
+    *
+    * Scale shape: one digest-keyed aggregate per policy (the corpus
+    * never pairs with itself — leakage is a GROUP property of the
+    * digest); output is two rows. */
+  val q169SplitLeakage: Q = (spark, dir) => {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = base.unionByName(
+      base.filter($"doc_id" % 7 === 0)
+        .withColumn("doc_id", $"doc_id" + 1000000L))
+    def bucket(c: Column): Column =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long") % 10
+    def splitOf(b: Column): Column =
+      when(b < 8, "train").when(b < 9, "val").otherwise("test")
+    val tagged = corpus.select(md5($"text").as("d"),
+      splitOf(bucket($"text")).as("content_split"),
+      splitOf(bucket($"doc_id".cast("string"))).as("id_split"))
+    val byPolicy = Seq(
+      ("by_content", "content_split"), ("by_id", "id_split")
+    ).map { case (pol, c) =>
+      tagged.select($"d", col(c).as("split"))
+        .groupBy($"d")
+        .agg(countDistinct($"split").as("ns"), count(lit(1)).as("nd"))
+        .agg(count(lit(1)).as("n_digests"),
+          count(when($"ns" > 1, 1)).as("n_leaked_digests"),
+          sum(when($"ns" > 1, $"nd").otherwise(0L)).as("n_docs_leaked"))
+        .withColumn("policy", lit(pol))
+    }.reduce(_ unionByName _)
+    byPolicy
+      .withColumn("leak_ppm",
+        expr("n_leaked_digests * 1000000 div n_digests"))
+      .select($"policy", $"n_digests", $"n_leaked_digests",
+        $"n_docs_leaked", $"leak_ppm")
+      .orderBy($"policy")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q167_ngram_decontam" -> q167NgramDecontam,
+    "q168_epoch_plan" -> q168EpochPlan,
+    "q169_split_leakage" -> q169SplitLeakage)
+
+  val oracle: Map[String, String] = Map(
+    "q167_ngram_decontam" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10
+        |      AS bucket,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN bucket < 8 THEN 'train' ELSE 'eval' END AS split,
+        |    array_to_string(w[(u.i + 1):(u.i + 5)], ' ') AS g
+        |  FROM base, UNNEST(range(0, len(w) - 4)) u(i)
+        |  WHERE len(w) >= 5
+        |), tg AS (
+        |  SELECT DISTINCT g FROM g WHERE split = 'train'
+        |), ev AS (
+        |  SELECT g.doc_id, (tg.g IS NOT NULL) AS hit
+        |  FROM g LEFT JOIN tg ON g.g = tg.g
+        |  WHERE g.split = 'eval'
+        |)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  COUNT(CASE WHEN hit THEN 1 END) AS n_hit,
+        |  CAST(COUNT(CASE WHEN hit THEN 1 END) * 1000000 // COUNT(*)
+        |    AS BIGINT) AS contam_ppm
+        |FROM ev GROUP BY 1
+        |ORDER BY contam_ppm DESC, doc_id LIMIT 20""".stripMargin,
+    "q168_epoch_plan" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(SUM(len(list_filter(string_split(text, ' '),
+        |      x -> length(x) > 0))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(tokens) AS BIGINT) * 3 // 2 AS budget,
+        |    COUNT(*) AS s
+        |  FROM per
+        |), p1 AS (
+        |  SELECT source, tokens,
+        |    CAST(budget // s AS BIGINT) AS t0,
+        |    CAST(budget AS BIGINT) AS b,
+        |    4 * tokens AS cap
+        |  FROM per, t
+        |), p2 AS (
+        |  SELECT *, LEAST(t0, cap) AS fst FROM p1
+        |), a AS (
+        |  SELECT CAST(SUM(fst) AS BIGINT) AS sfirst,
+        |    CAST(SUM(cap - fst) AS BIGINT) AS shead
+        |  FROM p2
+        |)
+        |SELECT source, tokens,
+        |  CAST(fst + CASE WHEN shead > 0
+        |    THEN (b - sfirst) * (cap - fst) // shead ELSE 0 END
+        |    AS BIGINT) AS alloc_tokens,
+        |  CAST((fst + CASE WHEN shead > 0
+        |    THEN (b - sfirst) * (cap - fst) // shead ELSE 0 END)
+        |    * 1000000 // tokens AS BIGINT) AS epochs_ppm,
+        |  (4 * tokens <= t0) AS capped
+        |FROM p2, a ORDER BY source""".stripMargin,
+    "q169_split_leakage" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+        |), s AS (
+        |  SELECT md5(text) AS d,
+        |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10 AS cb,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 10 AS ib
+        |  FROM corpus
+        |), pol AS (
+        |  SELECT 'by_content' AS policy, d,
+        |    CASE WHEN cb < 8 THEN 'train' WHEN cb < 9 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'by_id', d,
+        |    CASE WHEN ib < 8 THEN 'train' WHEN ib < 9 THEN 'val'
+        |      ELSE 'test' END
+        |  FROM s
+        |), per AS (
+        |  SELECT policy, d, COUNT(DISTINCT split) AS ns, COUNT(*) AS nd
+        |  FROM pol GROUP BY 1, 2
+        |)
+        |SELECT policy, COUNT(*) AS n_digests,
+        |  COUNT(CASE WHEN ns > 1 THEN 1 END) AS n_leaked_digests,
+        |  CAST(SUM(CASE WHEN ns > 1 THEN nd ELSE 0 END) AS BIGINT)
+        |    AS n_docs_leaked,
+        |  CAST(COUNT(CASE WHEN ns > 1 THEN 1 END) * 1000000 // COUNT(*)
+        |    AS BIGINT) AS leak_ppm
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 specs: independent recounts and law-pinning for the
+  * decontamination / epoch-planning / split-leakage audits (q167–q169).
+  */
+class Round10Spec extends SparkSpec {
+
+  test("q167: contamination ppm matches a driver-side gram recount for the top doc") {
+    import spark.implicits._
+    val rows = ops.Round10.q167NgramDecontam(spark, sf).collect()
+    assert(rows.length == 20)
+    // independent recount: rebuild splits and distinct 5-grams in plain
+    // Scala and reproduce the most-contaminated doc's numbers
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def bucket(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      if (w.length < 5) Set.empty
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val train = docs.filter(d => bucket(d._2) < 8)
+    val evalDocs = docs.filter(d => bucket(d._2) >= 8)
+    val trainGrams = train.iterator.flatMap(d => grams(d._2)).toSet
+    val top = rows.head
+    val mine = grams(evalDocs.find(_._1 == top.getLong(0)).get._2)
+    assert(mine.nonEmpty && top.getLong(1) == mine.size, "n_grams recount")
+    assert(top.getLong(2) == mine.count(trainGrams.contains), "n_hit recount")
+    assert(top.getLong(3) == top.getLong(2) * 1000000L / top.getLong(1))
+    // ordering law and ppm sanity
+    val ppm = rows.map(_.getLong(3))
+    assert(ppm.zip(ppm.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("q168: plan laws hold on the corpus AND the cap binds on a skewed synthetic mixture") {
+    import spark.implicits._
+    val rows = ops.Round10.q168EpochPlan(spark, sf).collect()
+    assert(rows.length == 20)
+    val budget = rows.map(_.getLong(1)).sum * 3L / 2L
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 4L * r.getLong(1), "never above the 4-epoch cap")
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1))
+    }
+    // the one-round redistribution can undershoot only by integer-div
+    // remainders: strictly less than one token per source
+    val alloc = rows.map(_.getLong(2)).sum
+    assert(alloc <= budget && budget - alloc < rows.length,
+      s"budget $budget vs allocated $alloc")
+    // skewed synthetic: one giant source, several tiny ones — the tiny
+    // sources MUST cap at 4 epochs and the giant absorbs the leftover
+    val skew = Seq(("big", 10000L), ("tiny1", 100L), ("tiny2", 150L),
+      ("tiny3", 120L))
+    val plan = ops.Round10.epochPlan(skew)
+    val b = skew.map(_._2).sum * 3L / 2L
+    val byName = plan.map(p => p._1 -> p).toMap
+    Seq("tiny1", "tiny2", "tiny3").foreach { s =>
+      assert(byName(s)._5, s"$s must be capped (4·tokens < equal share)")
+      assert(byName(s)._3 == 4L * byName(s)._2, s"$s allocates exactly 4 epochs")
+      assert(byName(s)._4 == 4000000L, s"$s epochs_ppm is exactly 4e6")
+    }
+    assert(!byName("big")._5 && byName("big")._3 > b / skew.length,
+      "the uncapped source absorbs redistributed budget above its equal share")
+    val allocS = plan.map(_._3).sum
+    assert(allocS <= b && b - allocS < skew.length)
+  }
+
+  test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
+    import spark.implicits._
+    val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
+    assert(rows.length == 2)
+    val byPolicy = rows.map(r => r.getString(0) -> r).toMap
+    val content = byPolicy("by_content")
+    val byId = byPolicy("by_id")
+    assert(content.getLong(2) == 0 && content.getLong(3) == 0
+      && content.getLong(4) == 0,
+      "content-hash split leakage must be exactly zero — split is a function of the digest")
+    assert(byId.getLong(2) > 0,
+      "id split must leak: injected re-crawls land in different splits")
+    assert(content.getLong(1) == byId.getLong(1),
+      "both policies audit the same digest universe")
+    // every leaked digest covers >= 2 docs by definition
+    assert(byId.getLong(3) >= 2 * byId.getLong(2))
+  }
+}
