@@ -300,8 +300,13 @@ object Round8 {
     }.reduce(_ + _)
     val sigs = emb.select($"vec_id", $"label", $"e", $"n2",
       sigBits.as("sig"))
+    // The gate reads a deterministic quarter-sample (vec_id % 4): it is
+    // a statistic with a 3× threshold margin, so the 24-dot signature
+    // pass need not touch every vector on the exact path. An empty or
+    // pair-free sample yields 0 ppm → the exact path, the safe default.
     val useLsh = forceLsh.getOrElse(
-      lshBandAgreePpm(sigs.select($"label", $"sig")) >= lshGatePpm)
+      lshBandAgreePpm(sigs.filter($"vec_id" % 4 === 0)
+        .select($"label", $"sig")) >= lshGatePpm)
     val scored =
       if (!useLsh)
         emb.as("a").join(emb.as("b"),

@@ -175,6 +175,12 @@ class Round8Spec extends SparkSpec {
     val synPpm = ops.Round8.lshBandAgreePpm(sigsOf(syn))
     assert(synPpm >= ops.Round8.lshGatePpm,
       s"synthetic clusters must trip the gate: $synPpm ppm")
+    // the production gate reads a vec_id % 4 sample — it must trip there
+    // too, or the auto path below would silently stay exact
+    val sampledPpm = ops.Round8.lshBandAgreePpm(
+      sigsOf(syn.filter($"vec_id" % 4 === 0)))
+    assert(sampledPpm >= ops.Round8.lshGatePpm,
+      s"quarter-sampled gate must also trip: $sampledPpm ppm")
     // (3) on the clusterable block the prefiltered path must reproduce
     // the exact path's profile row-for-row (true neighbors share a
     // cluster, clusters share bands — nothing true escapes the buckets)
