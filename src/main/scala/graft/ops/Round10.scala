@@ -168,10 +168,80 @@ object Round10 {
       .orderBy($"policy")
   }
 
+  // ---------------------------------------------------------------------
+  // q170: mergeable KMV quantile sketch (deterministic bottom-k)
+  // ---------------------------------------------------------------------
+
+  /** Exact decimal cents for a double money column — the q122 recipe. */
+  private def cents(c: String): Column =
+    expr(s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT)")
+
+  /** Distributed approximate quantiles the way engines actually ship
+    * them — a MERGEABLE bottom-k sketch, made fully DETERMINISTIC so
+    * both engines replay it bit-for-bit (the 4th sketch family beside
+    * HLL/CMS/Misra–Gries, and unlike q92's approx_quantile this one's
+    * estimate is hash-checkable, not tolerance-checked): hash every
+    * distinct order price (md5 of the cents integer), keep the 64
+    * smallest hashes — a uniform random-but-deterministic sample of the
+    * distinct-value set (the KMV/Theta-sketch construction). Each of 16
+    * shards keeps its own bottom-64; the merged sketch is the bottom-64
+    * of the union, and PROVABLY equals the direct global sketch (a
+    * globally-minimal hash is minimal in its own shard — the flag
+    * column carries the proof as data and the oracle recomputes it).
+    * Quartiles of the distinct-price distribution are then estimated
+    * from the 64-point sample and audited against exact two-level-rank
+    * order statistics, error in ppm.
+    *
+    * Scale shape: per-shard bottom-64 under keyed windows; the global
+    * bottom-64s are TakeOrderedAndProject (no full sort, no
+    * unpartitioned window); exact ranks use the q143/q162 block form;
+    * everything driver-side is ≤64 rows (the q131 literal rule). */
+  val q170KmvQuantiles: Q = (spark, dir) => {
+    import spark.implicits._
+    val vals = Tables.orders(spark, dir)
+      .select(cents("o_totalprice").as("v")).distinct()
+      .withColumn("h", md5($"v".cast("string")))
+      .withColumn("blk", ($"v" / 65536L).cast("long"))
+      .cache()
+    val direct = vals.orderBy($"h", $"v").limit(64)
+      .select($"v").collect().map(_.getLong(0))
+    val merged = vals
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod($"v", lit(16L))).orderBy($"h", $"v")))
+      .filter($"rn" <= 64)
+      .orderBy($"h", $"v").limit(64)
+      .select($"v").collect().map(_.getLong(0))
+    val blkCounts = vals.groupBy($"blk").agg(count(lit(1)).as("bc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = blkCounts.map(_._2).sum
+    val offsets = blkCounts.map(_._1)
+      .zip(blkCounts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val exactRanks = Seq(1, 2, 3).map(q => math.max(1L, n * q / 4))
+    val exact = vals
+      .join(broadcast(offsets.toDF("blk", "boff")), Seq("blk"))
+      .withColumn("r", $"boff" + row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"blk").orderBy($"v")))
+      .filter($"r".isin(exactRanks: _*))
+      .select($"r", $"v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vals.unpersist()
+    val eq = direct.toSet == merged.toSet
+    val mSorted = merged.sorted
+    Seq(1, 2, 3).map { q =>
+      val est = mSorted(math.max(1, math.min(mSorted.length, 16 * q)) - 1)
+      val ex = exact(math.max(1L, n * q / 4))
+      (q, est, ex, math.abs(est - ex) * 1000000L / ex, eq)
+    }.toDF("quartile", "est_cents", "exact_cents", "err_ppm", "merged_eq")
+      .orderBy($"quartile")
+  }
+
   val queries: Map[String, Q] = Map(
     "q167_ngram_decontam" -> q167NgramDecontam,
     "q168_epoch_plan" -> q168EpochPlan,
-    "q169_split_leakage" -> q169SplitLeakage)
+    "q169_split_leakage" -> q169SplitLeakage,
+    "q170_kmv_quantiles" -> q170KmvQuantiles)
 
   val oracle: Map[String, String] = Map(
     "q167_ngram_decontam" ->
@@ -263,5 +333,47 @@ object Round10 {
         |    AS n_docs_leaked,
         |  CAST(COUNT(CASE WHEN ns > 1 THEN 1 END) * 1000000 // COUNT(*)
         |    AS BIGINT) AS leak_ppm
-        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q170_kmv_quantiles" ->
+      """WITH vals AS (
+        |  SELECT DISTINCT
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |  FROM orders
+        |), hv AS (
+        |  SELECT v, md5(CAST(v AS VARCHAR)) AS h FROM vals
+        |), direct AS (
+        |  SELECT v FROM hv ORDER BY h, v LIMIT 64
+        |), st AS (
+        |  SELECT v, h,
+        |    row_number() OVER (PARTITION BY v % 16 ORDER BY h, v) AS rn
+        |  FROM hv
+        |), merged AS (
+        |  SELECT v FROM st WHERE rn <= 64 ORDER BY h, v LIMIT 64
+        |), ms AS (
+        |  SELECT v, row_number() OVER (ORDER BY v) AS rv FROM merged
+        |), ex AS (
+        |  SELECT v, row_number() OVER (ORDER BY v) AS r FROM vals
+        |), nn AS (
+        |  SELECT COUNT(*) AS n FROM vals
+        |), msn AS (
+        |  SELECT COUNT(*) AS m FROM merged
+        |), eqf AS (
+        |  SELECT ((SELECT COUNT(*) FROM
+        |      (SELECT v FROM direct EXCEPT SELECT v FROM merged)) = 0
+        |    AND (SELECT COUNT(*) FROM
+        |      (SELECT v FROM merged EXCEPT SELECT v FROM direct)) = 0)
+        |    AS eq
+        |), ranks AS (
+        |  SELECT q, GREATEST(1, LEAST((SELECT m FROM msn), 16 * q)) AS kr,
+        |    GREATEST(1, (SELECT n FROM nn) * q // 4) AS er
+        |  FROM (SELECT UNNEST(range(1, 4)) AS q)
+        |)
+        |SELECT CAST(r.q AS INT) AS quartile, ms.v AS est_cents,
+        |  ex.v AS exact_cents,
+        |  CAST(ABS(ms.v - ex.v) * 1000000 // ex.v AS BIGINT) AS err_ppm,
+        |  (SELECT eq FROM eqf) AS merged_eq
+        |FROM ranks r
+        |JOIN ms ON ms.rv = r.kr
+        |JOIN ex ON ex.r = r.er
+        |ORDER BY quartile""".stripMargin)
 }

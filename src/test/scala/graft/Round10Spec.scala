@@ -72,6 +72,38 @@ class Round10Spec extends SparkSpec {
     assert(allocS <= b && b - allocS < skew.length)
   }
 
+  test("q170: the KMV sketch merges losslessly and its estimates come from the true bottom-64") {
+    import spark.implicits._
+    val rows = ops.Round10.q170KmvQuantiles(spark, sf).collect()
+    assert(rows.length == 3)
+    // mergeability is carried as data and must hold exactly
+    rows.foreach(r => assert(r.getBoolean(4),
+      "shard-merged bottom-64 must equal the direct global bottom-64"))
+    // independent recount: rebuild the sketch driver-side
+    val vals = Tables.orders(spark, sf)
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("v")).distinct().collect().map(_.getLong(0))
+    def h(v: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(v.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    val sample = vals.sortBy(v => (h(v), v)).take(64).sorted
+    val exact = vals.sorted
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val q = i + 1
+      assert(r.getInt(0) == q)
+      assert(r.getLong(1) == sample(
+        math.max(1, math.min(sample.length, 16 * q)) - 1), s"q$q estimate")
+      val ex = exact((math.max(1L, exact.length.toLong * q / 4) - 1).toInt)
+      assert(r.getLong(2) == ex, s"q$q exact order statistic")
+      assert(r.getLong(3) == math.abs(r.getLong(1) - ex) * 1000000L / ex)
+    }
+    // estimates are monotone across quartiles (sample quantiles of a
+    // sorted sample)
+    assert(rows(0).getLong(1) <= rows(1).getLong(1)
+      && rows(1).getLong(1) <= rows(2).getLong(1))
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
