@@ -237,11 +237,68 @@ object Round10 {
       .orderBy($"quartile")
   }
 
+  // ---------------------------------------------------------------------
+  // q171: context-window packing audit (concat-and-chunk)
+  // ---------------------------------------------------------------------
+
+  /** Sequence-packing audit — what GPT-style pretraining actually does
+    * with a curated corpus: concatenate documents in a deterministic
+    * order and chunk the stream into fixed 512-token context windows.
+    * The audit reports the numbers a data-loader team watches: window
+    * count, tail waste, and how many documents straddle a window
+    * boundary (those get split across training examples — too many
+    * means the window size is mismatched to the document length
+    * distribution). Order is content-hash priority (md5(text), doc_id —
+    * the q80/q162 determinism rule, so re-runs and re-shards pack
+    * identically); each document's stream interval [start, end) comes
+    * from the q162 two-level cumulative sum (hex-byte range blocks,
+    * keyed windows, driver offsets — no unpartitioned window), and a
+    * document straddles iff start div 512 < (end−1) div 512. Zero-token
+    * documents are excluded (stated, not silent). */
+  val q171PackingAudit: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(filter(split($"text", " "), t => length(t) > 0)).cast("long")
+          .as("toks"),
+        md5($"text").as("p"))
+      .filter($"toks" > 0)
+      .withColumn("blk", conv(substring($"p", 1, 2), 16, 10).cast("long"))
+      .cache()
+    val blkCounts = docs.groupBy($"blk").agg(sum($"toks").as("bt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = blkCounts.map(_._2).sum
+    val nWindows = (total + 511L) / 512L
+    val offsets = blkCounts.map(_._1)
+      .zip(blkCounts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"blk").orderBy($"p", $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val out = OpsUtil.driverLiteral(docs
+      .join(broadcast(offsets.toDF("blk", "boff")), Seq("blk"))
+      .withColumn("end", $"boff" + sum($"toks").over(w))
+      .withColumn("start", $"end" - $"toks")
+      .withColumn("straddles", expr("(start div 512) < ((end - 1) div 512)"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"toks").as("total_tokens"),
+        count(when($"straddles", 1)).as("n_boundary_docs"))
+      .withColumn("n_windows", lit(nWindows))
+      .withColumn("fill_ppm",
+        expr(s"total_tokens * 1000000 div (${nWindows}L * 512)"))
+      .withColumn("boundary_ppm",
+        expr("n_boundary_docs * 1000000 div n_docs"))
+      .select($"n_docs", $"total_tokens", $"n_windows",
+        $"n_boundary_docs", $"fill_ppm", $"boundary_ppm"))
+    docs.unpersist()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "q167_ngram_decontam" -> q167NgramDecontam,
     "q168_epoch_plan" -> q168EpochPlan,
     "q169_split_leakage" -> q169SplitLeakage,
-    "q170_kmv_quantiles" -> q170KmvQuantiles)
+    "q170_kmv_quantiles" -> q170KmvQuantiles,
+    "q171_packing_audit" -> q171PackingAudit)
 
   val oracle: Map[String, String] = Map(
     "q167_ngram_decontam" ->
@@ -375,5 +432,34 @@ object Round10 {
         |FROM ranks r
         |JOIN ms ON ms.rv = r.kr
         |JOIN ex ON ex.r = r.er
-        |ORDER BY quartile""".stripMargin)
+        |ORDER BY quartile""".stripMargin,
+    "q171_packing_audit" ->
+      """WITH nz AS (
+        |  SELECT doc_id, p, toks FROM (
+        |    SELECT doc_id, md5(text) AS p,
+        |      len(list_filter(string_split(text, ' '),
+        |        x -> length(x) > 0)) AS toks
+        |    FROM documents)
+        |  WHERE toks > 0
+        |), c AS (
+        |  SELECT toks,
+        |    CAST(SUM(toks) OVER (ORDER BY p, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS e
+        |  FROM nz
+        |), agg AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(toks) AS BIGINT) AS total_tokens,
+        |    COUNT(CASE WHEN (e - toks) // 512 < (e - 1) // 512 THEN 1 END)
+        |      AS n_boundary_docs
+        |  FROM c
+        |)
+        |SELECT n_docs, total_tokens,
+        |  CAST((total_tokens + 511) // 512 AS BIGINT) AS n_windows,
+        |  n_boundary_docs,
+        |  CAST(total_tokens * 1000000 //
+        |    (((total_tokens + 511) // 512) * 512) AS BIGINT) AS fill_ppm,
+        |  CAST(n_boundary_docs * 1000000 // n_docs AS BIGINT)
+        |    AS boundary_ppm
+        |FROM agg""".stripMargin)
 }

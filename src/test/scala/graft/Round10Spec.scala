@@ -104,6 +104,39 @@ class Round10Spec extends SparkSpec {
       && rows(1).getLong(1) <= rows(2).getLong(1))
   }
 
+  test("q171: packing audit matches a driver-side replay of the concat-and-chunk stream") {
+    import spark.implicits._
+    val row = ops.Round10.q171PackingAudit(spark, sf).collect().head
+    // replay the deterministic packing driver-side
+    def h(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .map { case (id, t) =>
+        (h(t), id, t.split(" ").count(_.nonEmpty).toLong)
+      }
+      .filter(_._3 > 0)
+      .sortBy(d => (d._1, d._2))
+    val total = docs.map(_._3).sum
+    assert(row.getLong(0) == docs.length, "n_docs")
+    assert(row.getLong(1) == total, "total_tokens")
+    assert(row.getLong(2) == (total + 511L) / 512L, "n_windows")
+    var e = 0L
+    var straddlers = 0L
+    docs.foreach { d =>
+      val s = e; e += d._3
+      if (s / 512L < (e - 1L) / 512L) straddlers += 1
+    }
+    assert(row.getLong(3) == straddlers, "boundary docs replayed")
+    assert(row.getLong(4) == total * 1000000L / (row.getLong(2) * 512L))
+    assert(row.getLong(4) <= 1000000L && row.getLong(2) * 512L >= total,
+      "fill never exceeds capacity")
+    assert(row.getLong(5) == straddlers * 1000000L / docs.length)
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
