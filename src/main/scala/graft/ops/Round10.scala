@@ -293,12 +293,122 @@ object Round10 {
     out
   }
 
+  // ---------------------------------------------------------------------
+  // q172: boolean retrieval (posting-list intersection)
+  // ---------------------------------------------------------------------
+
+  /** Two-term AND retrieval — the serving face of q142's inverted
+    * index: intersect two terms' posting lists and rank the documents
+    * containing BOTH by combined term frequency (doc_id tiebreak). The
+    * query terms are picked deterministically as global frequency ranks
+    * 5 and 6 (a 6-row TakeOrderedAndProject + driver read — no
+    * unpartitioned window), so the query is reproducible and the oracle
+    * replays the same selection. Scale shape: postings come from one
+    * token-keyed map-side-combined aggregate; the intersection is a
+    * doc-keyed join of two SINGLE-term posting lists (each df-sized,
+    * tiny next to the corpus), never a corpus join. */
+  val q172BooleanRetrieval: Q = (spark, dir) => {
+    import spark.implicits._
+    val tf = Dedup.fanoutReady(Tables.documents(spark, dir))
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+      .groupBy($"tok", $"doc_id").agg(count(lit(1)).as("tf"))
+      .cache()
+    val top6 = tf.groupBy($"tok").agg(sum($"tf").as("cnt"))
+      .orderBy($"cnt".desc, $"tok").limit(6)
+      .select($"tok").collect().map(_.getString(0))
+    val (t1, t2) = (top6(4), top6(5))
+    val out = OpsUtil.driverLiteral(
+      tf.filter($"tok" === t1)
+        .select($"doc_id", $"tf".as("tf_a"))
+        .join(tf.filter($"tok" === t2)
+          .select($"doc_id", $"tf".as("tf_b")), Seq("doc_id"))
+        .withColumn("score", $"tf_a" + $"tf_b")
+        .orderBy($"score".desc, $"doc_id")
+        .limit(10))
+    tf.unpersist()
+    out
+  }
+
+  // ---------------------------------------------------------------------
+  // q173: split stratification balance
+  // ---------------------------------------------------------------------
+
+  /** Stratification audit for the q80 content-hash split: per (split,
+    * lang), the language's share WITHIN the split vs its share in the
+    * whole corpus, deviation in ppm. A content-hash split stratifies
+    * only in expectation — this is the table that says whether the val
+    * set under-represents a language badly enough to warrant the q85
+    * explicit stratified split instead. Two map-side aggregates and a
+    * broadcast |langs|-row join; output is |splits|×|langs|. */
+  val q173SplitBalance: Q = (spark, dir) => {
+    import spark.implicits._
+    val tagged = Tables.documents(spark, dir)
+      .select($"lang",
+        (conv(substring(md5($"text"), 1, 8), 16, 10).cast("long") % 10)
+          .as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 8, "train").when($"bucket" < 9, "val")
+          .otherwise("test"))
+    // |langs|-row collect: the corpus total falls out of the same pass
+    // (no separate count() job — the q164 lesson)
+    val corpusRows = tagged.groupBy($"lang")
+      .agg(count(lit(1)).as("lang_total"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val tot = corpusRows.map(_._2).sum
+    val corpus = corpusRows.toSeq.toDF("lang", "lang_total")
+    tagged.groupBy($"split", $"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("split_total", sum($"n_docs").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"split")))
+      .join(broadcast(corpus), Seq("lang"))
+      .withColumn("share_ppm", expr("n_docs * 1000000 div split_total"))
+      .withColumn("corpus_ppm", expr(s"lang_total * 1000000 div ${tot}L"))
+      .withColumn("dev_ppm", abs($"share_ppm" - $"corpus_ppm"))
+      .select($"split", $"lang", $"n_docs", $"share_ppm", $"corpus_ppm",
+        $"dev_ppm")
+      .orderBy($"split", $"lang")
+  }
+
+  // ---------------------------------------------------------------------
+  // q174: per-source n-gram novelty
+  // ---------------------------------------------------------------------
+
+  /** Marginal novelty per source — the mixture-tuning signal q165's
+    * quality lift does not capture: how much of a source's content is
+    * UNIQUE to it (its distinct 5-grams appearing in no other source)
+    * vs shared boilerplate. A source with low novelty duplicates what
+    * the mixture already has; cutting it loses little. One gram-keyed
+    * aggregate over (source, gram) distinct pairs — the gram's
+    * source-df and each source's gram inventory ride the same fan-out;
+    * nothing pairwise. */
+  val q174SourceNovelty: Q = (spark, dir) => {
+    import spark.implicits._
+    val grams = Dedup.fanoutReady(Tables.documents(spark, dir))
+      .select($"source",
+        filter(split($"text", " "), t => length(t) > 0).as("w"))
+      .filter(size($"w") >= 5)
+      .select($"source", explode(expr(
+        "transform(sequence(0, size(w) - 5), " +
+          "i -> array_join(slice(w, i + 1, 5), ' '))")).as("g"))
+      .distinct()
+    val srcDf = grams.groupBy($"g").agg(count(lit(1)).as("src_df"))
+    grams.join(srcDf, Seq("g"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when($"src_df" === 1, 1)).as("n_unique"))
+      .withColumn("unique_ppm", expr("n_unique * 1000000 div n_grams"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q167_ngram_decontam" -> q167NgramDecontam,
     "q168_epoch_plan" -> q168EpochPlan,
     "q169_split_leakage" -> q169SplitLeakage,
     "q170_kmv_quantiles" -> q170KmvQuantiles,
-    "q171_packing_audit" -> q171PackingAudit)
+    "q171_packing_audit" -> q171PackingAudit,
+    "q172_boolean_retrieval" -> q172BooleanRetrieval,
+    "q173_split_balance" -> q173SplitBalance,
+    "q174_source_novelty" -> q174SourceNovelty)
 
   val oracle: Map[String, String] = Map(
     "q167_ngram_decontam" ->
@@ -461,5 +571,75 @@ object Round10 {
         |    (((total_tokens + 511) // 512) * 512) AS BIGINT) AS fill_ppm,
         |  CAST(n_boundary_docs * 1000000 // n_docs AS BIGINT)
         |    AS boundary_ppm
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin,
+    "q172_boolean_retrieval" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents),
+        |    UNNEST(w) AS t(tok)
+        |  WHERE t.tok <> ''
+        |), tf AS (
+        |  SELECT tok, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        |), v AS (
+        |  SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY 1
+        |), q AS (
+        |  SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS r
+        |  FROM v
+        |)
+        |SELECT a.doc_id, a.tf AS tf_a, b.tf AS tf_b,
+        |  a.tf + b.tf AS score
+        |FROM tf a
+        |JOIN tf b ON a.doc_id = b.doc_id
+        |JOIN q qa ON a.tok = qa.tok AND qa.r = 5
+        |JOIN q qb ON b.tok = qb.tok AND qb.r = 6
+        |ORDER BY score DESC, a.doc_id LIMIT 10""".stripMargin,
+    "q173_split_balance" ->
+      """WITH tagged AS (
+        |  SELECT lang,
+        |    CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM (SELECT lang,
+        |          CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10
+        |            AS b
+        |        FROM documents)
+        |), cell AS (
+        |  SELECT split, lang, COUNT(*) AS n_docs FROM tagged GROUP BY 1, 2
+        |), st AS (
+        |  SELECT split, CAST(SUM(n_docs) AS BIGINT) AS split_total
+        |  FROM cell GROUP BY 1
+        |), lt AS (
+        |  SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_total
+        |  FROM cell GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(n_docs) AS BIGINT) AS tot FROM cell
+        |)
+        |SELECT c.split, c.lang, c.n_docs,
+        |  CAST(c.n_docs * 1000000 // s.split_total AS BIGINT) AS share_ppm,
+        |  CAST(l.lang_total * 1000000 // t.tot AS BIGINT) AS corpus_ppm,
+        |  CAST(ABS(c.n_docs * 1000000 // s.split_total
+        |    - l.lang_total * 1000000 // t.tot) AS BIGINT) AS dev_ppm
+        |FROM cell c
+        |JOIN st s ON c.split = s.split
+        |JOIN lt l ON c.lang = l.lang, t
+        |ORDER BY c.split, c.lang""".stripMargin,
+    "q174_source_novelty" ->
+      """WITH g AS (
+        |  SELECT DISTINCT source,
+        |    array_to_string(w[(u.i + 1):(u.i + 5)], ' ') AS g
+        |  FROM (SELECT source,
+        |          list_filter(string_split(text, ' '),
+        |            x -> length(x) > 0) AS w
+        |        FROM documents),
+        |    UNNEST(range(0, len(w) - 4)) u(i)
+        |  WHERE len(w) >= 5
+        |), df AS (
+        |  SELECT g, COUNT(*) AS src_df FROM g GROUP BY 1
+        |)
+        |SELECT g.source, COUNT(*) AS n_grams,
+        |  COUNT(CASE WHEN df.src_df = 1 THEN 1 END) AS n_unique,
+        |  CAST(COUNT(CASE WHEN df.src_df = 1 THEN 1 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS unique_ppm
+        |FROM g JOIN df ON g.g = df.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

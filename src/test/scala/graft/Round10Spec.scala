@@ -137,6 +137,71 @@ class Round10Spec extends SparkSpec {
     assert(row.getLong(5) == straddlers * 1000000L / docs.length)
   }
 
+  test("q172: retrieved docs contain BOTH query terms with exactly recounted frequencies") {
+    import spark.implicits._
+    val rows = ops.Round10.q172BooleanRetrieval(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // rebuild term selection + postings driver-side
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).map(tok => (tok, id))
+    }.groupBy(identity).map { case ((tok, id), xs) => (tok, id, xs.length.toLong) }
+    val byTok = tf.groupBy(_._1).map { case (tok, xs) => tok -> xs.map(_._3).sum }
+    val ranked = byTok.toSeq.sortBy { case (tok, cnt) => (-cnt, tok) }
+    val (t1, t2) = (ranked(4)._1, ranked(5)._1)
+    val p1 = tf.filter(_._1 == t1).map(x => x._2 -> x._3).toMap
+    val p2 = tf.filter(_._1 == t2).map(x => x._2 -> x._3).toMap
+    val expect = p1.keySet.intersect(p2.keySet).toSeq
+      .map(id => (id, p1(id), p2(id), p1(id) + p2(id)))
+      .sortBy { case (id, _, _, s) => (-s, id) }.take(10)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq == expect,
+      "posting intersection must match the driver-side replay exactly")
+  }
+
+  test("q173: split-balance cells conserve the corpus and shares are exact identities") {
+    import spark.implicits._
+    val rows = ops.Round10.q173SplitBalance(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total,
+      "every document lands in exactly one (split, lang) cell")
+    val bySplit = rows.groupBy(_.getString(0))
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    rows.foreach { r =>
+      val splitTotal = bySplit(r.getString(0)).map(_.getLong(2)).sum
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / splitTotal, "share")
+      assert(r.getLong(5) == math.abs(r.getLong(3) - r.getLong(4)), "dev")
+    }
+    // corpus shares are consistent across splits for the same lang
+    rows.groupBy(_.getString(1)).values.foreach(g =>
+      assert(g.map(_.getLong(4)).distinct.length == 1))
+  }
+
+  test("q174: novelty counts match a driver-side gram inventory and bound correctly") {
+    import spark.implicits._
+    val rows = ops.Round10.q174SourceNovelty(spark, sf).collect()
+    assert(rows.length == 20)
+    // driver-side replay of (source, gram) inventories
+    val docs = Tables.documents(spark, sf).select($"source", $"text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val inv = docs.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.flatMap { case (_, t) =>
+        val w = t.split(" ").filter(_.nonEmpty)
+        if (w.length < 5) Seq.empty else w.sliding(5).map(_.mkString(" ")).toSeq
+      }.toSet
+    }
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val mine = inv(s)
+      assert(r.getLong(1) == mine.size, s"$s n_grams")
+      val others = inv.filter(_._1 != s).values
+        .foldLeft(Set.empty[String])(_ union _)
+      assert(r.getLong(2) == mine.count(g => !others.contains(g)), s"$s n_unique")
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1))
+    }
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
