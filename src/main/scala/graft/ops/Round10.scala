@@ -400,6 +400,91 @@ object Round10 {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------------
+  // q175: corpus snapshot diff (manifest-level data versioning)
+  // ---------------------------------------------------------------------
+
+  /** Release-to-release corpus diff WITHOUT re-reading data twice — two
+    * q147-style manifests (per-cell doc counts + order-independent
+    * mod-prime checksums) are joined cell-by-cell and every (lang,
+    * source) cell is classified added / changed / unchanged. Version A
+    * simulates the previous release (doc_id % 3 != 0, and source
+    * 'src0' not yet onboarded); version B is today's corpus — so
+    * 'added' (the onboarded source) and 'changed' occur by
+    * construction, and 'unchanged' appears exactly for cells whose
+    * docs all carried doc_id % 3 != 0. This is the Iceberg/Delta
+    * snapshot-diff question answered at manifest granularity: the
+    * output says WHICH cells need reprocessing, and the checksum
+    * catches changed content even when the doc count is unchanged.
+    * Scale shape: two map-side-combined |lang×source| aggregates and
+    * one cell-keyed join of manifest-sized relations. */
+  val q175SnapshotDiff: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source",
+        conv(substring(md5($"text"), 1, 12), 16, 10).cast("long").as("h"))
+    def manifest(df: DataFrame): DataFrame = df
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n"),
+        (sum($"h".cast("decimal(38,0)")) % lit(Round9.checksumPrime))
+          .cast("long").as("ck"))
+    val a = manifest(docs.filter($"doc_id" % 3 =!= 0 && $"source" =!= "src0"))
+    val b = manifest(docs)
+    a.select($"lang", $"source", $"n".as("n_a"), $"ck".as("ck_a"))
+      .join(b.select($"lang", $"source", $"n".as("n_b"), $"ck".as("ck_b")),
+        Seq("lang", "source"), "full")
+      .withColumn("status",
+        when($"n_a".isNull, "added")
+          .when($"n_b".isNull, "removed")
+          .when($"ck_a" === $"ck_b" && $"n_a" === $"n_b", "unchanged")
+          .otherwise("changed"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(coalesce($"n_a", lit(0L))).as("docs_a"),
+        sum(coalesce($"n_b", lit(0L))).as("docs_b"))
+      .withColumn("delta_docs", $"docs_b" - $"docs_a")
+      .orderBy($"status")
+  }
+
+  // ---------------------------------------------------------------------
+  // q176: exact integer AUC (quality-score bias audit)
+  // ---------------------------------------------------------------------
+
+  /** Does the quality score favor one language? — the bias audit a
+    * curation filter must pass before it gates a multilingual corpus:
+    * exact AUC of the lexical-diversity score for 'en' documents vs
+    * the rest, computed as the Mann–Whitney statistic in PURE INTEGERS
+    * (AUC·2·n_pos·n_neg = 2·wins + ties; no ranks averaged, no
+    * floats): collapse the corpus map-side to |distinct scores| rows
+    * carrying (pos_at, neg_at), take the running negative count below
+    * each score (aggregate-sized cumulative — the documented q155
+    * class, bounded by the ppm domain), then one aggregate sums
+    * wins = Σ pos_at·neg_below and ties = Σ pos_at·neg_at. AUC 0.5
+    * (500000 ppm) = unbiased; the output also carries the win/tie
+    * factors so the verdict is re-derivable. */
+  val q176ScoreBiasAuc: Q = (spark, dir) => {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .select($"lang",
+        filter(split($"text", " "), t => length(t) > 0).as("w"))
+      .select($"lang",
+        expr("size(array_distinct(w)) * 1000000 div size(w)").as("score"))
+      .groupBy($"score")
+      .agg(count(when($"lang" === "en", 1)).as("pos_at"),
+        count(when($"lang" =!= "en", 1)).as("neg_at"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"score")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    scored
+      .withColumn("neg_below", coalesce(sum($"neg_at").over(w), lit(0L)))
+      .agg(sum($"pos_at").as("n_pos"), sum($"neg_at").as("n_neg"),
+        sum($"pos_at" * $"neg_below").as("wins"),
+        sum($"pos_at" * $"neg_at").as("ties"))
+      .withColumn("auc_ppm", expr(
+        "(2 * wins + ties) * 1000000 div (2 * n_pos * n_neg)"))
+      .select($"n_pos", $"n_neg", $"wins", $"ties", $"auc_ppm")
+  }
+
   val queries: Map[String, Q] = Map(
     "q167_ngram_decontam" -> q167NgramDecontam,
     "q168_epoch_plan" -> q168EpochPlan,
@@ -408,7 +493,9 @@ object Round10 {
     "q171_packing_audit" -> q171PackingAudit,
     "q172_boolean_retrieval" -> q172BooleanRetrieval,
     "q173_split_balance" -> q173SplitBalance,
-    "q174_source_novelty" -> q174SourceNovelty)
+    "q174_source_novelty" -> q174SourceNovelty,
+    "q175_snapshot_diff" -> q175SnapshotDiff,
+    "q176_score_bias_auc" -> q176ScoreBiasAuc)
 
   val oracle: Map[String, String] = Map(
     "q167_ngram_decontam" ->
@@ -641,5 +728,63 @@ object Round10 {
         |  CAST(COUNT(CASE WHEN df.src_df = 1 THEN 1 END) * 1000000
         |    // COUNT(*) AS BIGINT) AS unique_ppm
         |FROM g JOIN df ON g.g = df.g
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q175_snapshot_diff" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS h
+        |  FROM documents
+        |), a AS (
+        |  SELECT lang, source, COUNT(*) AS n,
+        |    CAST(SUM(h) % 2305843009213693951 AS BIGINT) AS ck
+        |  FROM d WHERE doc_id % 3 <> 0 AND source <> 'src0'
+        |  GROUP BY 1, 2
+        |), b AS (
+        |  SELECT lang, source, COUNT(*) AS n,
+        |    CAST(SUM(h) % 2305843009213693951 AS BIGINT) AS ck
+        |  FROM d GROUP BY 1, 2
+        |), j AS (
+        |  SELECT COALESCE(a.lang, b.lang) AS lang,
+        |    a.n AS n_a, a.ck AS ck_a, b.n AS n_b, b.ck AS ck_b,
+        |    CASE WHEN a.n IS NULL THEN 'added'
+        |      WHEN b.n IS NULL THEN 'removed'
+        |      WHEN a.ck = b.ck AND a.n = b.n THEN 'unchanged'
+        |      ELSE 'changed' END AS status
+        |  FROM a FULL JOIN b ON a.lang = b.lang AND a.source = b.source
+        |)
+        |SELECT status, COUNT(*) AS n_cells,
+        |  CAST(SUM(COALESCE(n_a, 0)) AS BIGINT) AS docs_a,
+        |  CAST(SUM(COALESCE(n_b, 0)) AS BIGINT) AS docs_b,
+        |  CAST(SUM(COALESCE(n_b, 0)) - SUM(COALESCE(n_a, 0)) AS BIGINT)
+        |    AS delta_docs
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q176_score_bias_auc" ->
+      """WITH sc AS (
+        |  SELECT lang,
+        |    CAST(len(list_distinct(w)) * 1000000 // len(w) AS BIGINT)
+        |      AS score
+        |  FROM (SELECT lang,
+        |          list_filter(string_split(text, ' '),
+        |            x -> length(x) > 0) AS w
+        |        FROM documents)
+        |), g AS (
+        |  SELECT score,
+        |    COUNT(CASE WHEN lang = 'en' THEN 1 END) AS pos_at,
+        |    COUNT(CASE WHEN lang <> 'en' THEN 1 END) AS neg_at
+        |  FROM sc GROUP BY 1
+        |), c AS (
+        |  SELECT pos_at, neg_at,
+        |    COALESCE(CAST(SUM(neg_at) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS neg_below
+        |  FROM g
+        |)
+        |SELECT CAST(SUM(pos_at) AS BIGINT) AS n_pos,
+        |  CAST(SUM(neg_at) AS BIGINT) AS n_neg,
+        |  CAST(SUM(pos_at * neg_below) AS BIGINT) AS wins,
+        |  CAST(SUM(pos_at * neg_at) AS BIGINT) AS ties,
+        |  CAST((2 * SUM(pos_at * neg_below) + SUM(pos_at * neg_at))
+        |    * 1000000 // (2 * SUM(pos_at) * SUM(neg_at)) AS BIGINT)
+        |    AS auc_ppm
+        |FROM c""".stripMargin)
 }

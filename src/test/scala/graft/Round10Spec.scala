@@ -202,6 +202,55 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q175: diff statuses are mutually exact — unchanged cells match checksums, changed cells differ") {
+    import spark.implicits._
+    val rows = ops.Round10.q175SnapshotDiff(spark, sf).collect()
+    val byStatus = rows.map(r => r.getString(0) -> r).toMap
+    assert(byStatus.contains("added") && byStatus.contains("changed"),
+      "onboarded source must show as added; %3 removal must show as changed")
+    assert(!byStatus.contains("removed"), "A is a subset of B — nothing is removed")
+    // conservation: docs_b across all statuses == corpus size
+    assert(rows.map(_.getLong(3)).sum == Tables.documents(spark, sf).count())
+    // every src0 cell is added (plus any cell whose docs ALL carry
+    // doc_id % 3 == 0 — possible at tiny scale)
+    val src0Cells = Tables.documents(spark, sf)
+      .filter($"source" === "src0").select($"lang").distinct().count()
+    assert(byStatus("added").getLong(1) >= src0Cells)
+    assert(byStatus("added").getLong(2) == 0, "added cells have no version-A docs")
+    byStatus.get("unchanged").foreach { r =>
+      assert(r.getLong(4) == 0, "unchanged cells carry zero doc delta")
+      assert(r.getLong(2) == r.getLong(3))
+    }
+    assert(byStatus("changed").getLong(4) > 0,
+      "changed cells gained their %3==0 docs back")
+  }
+
+  test("q176: exact AUC matches a brute-force pairwise count driver-side") {
+    import spark.implicits._
+    val row = ops.Round10.q176ScoreBiasAuc(spark, sf).collect().head
+    val scores = Tables.documents(spark, sf)
+      .select($"lang", $"text").collect()
+      .map { r =>
+        val w = r.getString(1).split(" ").filter(_.nonEmpty)
+        (r.getString(0) == "en", w.distinct.length.toLong * 1000000L / w.length)
+      }
+    val pos = scores.filter(_._1).map(_._2)
+    val neg = scores.filter(!_._1).map(_._2)
+    assert(row.getLong(0) == pos.length && row.getLong(1) == neg.length)
+    // brute-force Mann-Whitney: O(n_pos * n_neg) is fine at spec scale
+    var wins = 0L; var ties = 0L
+    pos.foreach(p => neg.foreach { n =>
+      if (p > n) wins += 1 else if (p == n) ties += 1
+    })
+    assert(row.getLong(2) == wins, "wins")
+    assert(row.getLong(3) == ties, "ties")
+    assert(row.getLong(4) ==
+      (2 * wins + ties) * 1000000L / (2L * pos.length * neg.length))
+    // an unbiased score sits near 500000; a catastrophic bias would not
+    assert(row.getLong(4) > 300000L && row.getLong(4) < 700000L,
+      s"diversity score should not be wildly language-biased: ${row.getLong(4)}")
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
