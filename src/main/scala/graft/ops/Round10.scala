@@ -485,6 +485,89 @@ object Round10 {
       .select($"n_pos", $"n_neg", $"wins", $"ties", $"auc_ppm")
   }
 
+  // ---------------------------------------------------------------------
+  // q177: embedding centroid drift (vector-space monitoring)
+  // ---------------------------------------------------------------------
+
+  /** Vector-space drift — the embedding-side sibling of q149's PSI and
+    * q155's KS (which watch a scalar score): between two ingestion
+    * batches (vec_id parity), compare each label block's CENTROID and
+    * report the exact integer squared-L2 displacement. An embedding
+    * model regression, a pipeline normalization bug, or genuine
+    * content drift all move centroids; per-label attribution says
+    * which block moved. All arithmetic is exact: thousandth-quantized
+    * components, integer-div centroids, integer squared differences.
+    * Scale shape: one posexplode into a (label, pos, batch)-keyed
+    * map-side-combined aggregate (64·|labels|·2 rows), then a
+    * |labels|-row rollup — the corpus fan-out is never shuffled
+    * wider than the aggregate. */
+  val q177CentroidDrift: Q = (spark, dir) => {
+    import spark.implicits._
+    val comps = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        posexplode(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+          .as(Seq("pos", "v")))
+      .withColumn("batch", when($"vec_id" % 2 === 0, "ref").otherwise("cur"))
+    // centroid sums go NEGATIVE: Spark `div` truncates toward zero but
+    // DuckDB `//` floors (the q128 lesson) — floor a double division
+    // instead, exact while |s| < 2^52 (|v| ≤ ~2e3, n ≤ corpus)
+    val perDim = comps.groupBy($"label", $"pos", $"batch")
+      .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+      .withColumn("c",
+        floor($"s".cast("double") / $"n".cast("double")).cast("long"))
+    perDim.groupBy($"label", $"pos")
+      .agg(max(when($"batch" === "ref", $"c")).as("cr"),
+        max(when($"batch" === "cur", $"c")).as("cc"),
+        max(when($"batch" === "ref", $"n")).as("nr"),
+        max(when($"batch" === "cur", $"n")).as("nc"))
+      .groupBy($"label")
+      .agg(max($"nr").as("n_ref"), max($"nc").as("n_cur"),
+        sum(($"cr" - $"cc") * ($"cr" - $"cc")).as("drift_l2sq"))
+      .orderBy($"label")
+  }
+
+  // ---------------------------------------------------------------------
+  // q178: per-source unigram divergence (L1 from the corpus mixture)
+  // ---------------------------------------------------------------------
+
+  /** How far each source's token distribution sits from the corpus
+    * mixture — the L1 (total-variation×2) divergence in exact ppm
+    * integers, the log-free sibling of q108's DSIR weighting: per
+    * token, |ppm_in_source − ppm_in_corpus|, summed over the UNION of
+    * vocabularies (tokens absent from the source contribute their full
+    * corpus mass). High-divergence sources are the distribution
+    * outliers a mixture tuner inspects first. One token-keyed
+    * aggregate carrying per-source counts as a map-side-combined
+    * pivot; the |vocab|-sized table joins nothing corpus-sized. */
+  val q178SourceDivergence: Q = (spark, dir) => {
+    import spark.implicits._
+    val toks = Dedup.fanoutReady(Tables.documents(spark, dir))
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+    val cell = toks.groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
+      .cache()
+    val srcTot = cell.groupBy($"source").agg(sum($"n").as("st"))
+    val tokTot = cell.groupBy($"tok").agg(sum($"n").as("tt"))
+    val corpusTot = srcTot.agg(sum($"st").as("ct"))
+    // union of (source, token): srcTot × vocab via the token table —
+    // every source scores EVERY token (absent → 0 mass on the source
+    // side); |sources|·|vocab| rows, aggregate-sized, never corpus rows
+    val out = srcTot.crossJoin(broadcast(tokTot))
+      .join(cell, Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(corpusTot))
+      .withColumn("d", abs(expr("n * 1000000 div st")
+        - expr("tt * 1000000 div ct")))
+      .groupBy($"source")
+      .agg(count(when($"n" > 0, 1)).as("n_tokens"),
+        sum($"d").as("l1_ppm"))
+      .orderBy($"source")
+    val res = OpsUtil.driverLiteral(out)
+    cell.unpersist()
+    res
+  }
+
   val queries: Map[String, Q] = Map(
     "q167_ngram_decontam" -> q167NgramDecontam,
     "q168_epoch_plan" -> q168EpochPlan,
@@ -495,7 +578,9 @@ object Round10 {
     "q173_split_balance" -> q173SplitBalance,
     "q174_source_novelty" -> q174SourceNovelty,
     "q175_snapshot_diff" -> q175SnapshotDiff,
-    "q176_score_bias_auc" -> q176ScoreBiasAuc)
+    "q176_score_bias_auc" -> q176ScoreBiasAuc,
+    "q177_centroid_drift" -> q177CentroidDrift,
+    "q178_source_divergence" -> q178SourceDivergence)
 
   val oracle: Map[String, String] = Map(
     "q167_ngram_decontam" ->
@@ -786,5 +871,56 @@ object Round10 {
         |  CAST((2 * SUM(pos_at * neg_below) + SUM(pos_at * neg_at))
         |    * 1000000 // (2 * SUM(pos_at) * SUM(neg_at)) AS BIGINT)
         |    AS auc_ppm
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+    "q177_centroid_drift" ->
+      """WITH comps AS (
+        |  SELECT label, u.i - 1 AS pos, e[u.i] AS v,
+        |    CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS batch
+        |  FROM (SELECT vec_id, label,
+        |          list_transform(embedding,
+        |            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+        |            AS e
+        |        FROM embeddings),
+        |    UNNEST(range(1, len(e) + 1)) u(i)
+        |), pd AS (
+        |  SELECT label, pos, batch,
+        |    CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c,
+        |    COUNT(*) AS n
+        |  FROM comps GROUP BY 1, 2, 3
+        |), dim AS (
+        |  SELECT label, pos,
+        |    MAX(CASE WHEN batch = 'ref' THEN c END) AS cr,
+        |    MAX(CASE WHEN batch = 'cur' THEN c END) AS cc,
+        |    MAX(CASE WHEN batch = 'ref' THEN n END) AS nr,
+        |    MAX(CASE WHEN batch = 'cur' THEN n END) AS nc
+        |  FROM pd GROUP BY 1, 2
+        |)
+        |SELECT label, MAX(nr) AS n_ref, MAX(nc) AS n_cur,
+        |  CAST(SUM((cr - cc) * (cr - cc)) AS BIGINT) AS drift_l2sq
+        |FROM dim GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q178_source_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, t.tok
+        |  FROM (SELECT source, string_split(text, ' ') AS w
+        |        FROM documents),
+        |    UNNEST(w) AS t(tok)
+        |  WHERE t.tok <> ''
+        |), cell AS (
+        |  SELECT source, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2
+        |), st AS (
+        |  SELECT source, CAST(SUM(n) AS BIGINT) AS st FROM cell GROUP BY 1
+        |), tt AS (
+        |  SELECT tok, CAST(SUM(n) AS BIGINT) AS tt FROM cell GROUP BY 1
+        |), ct AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS ct FROM cell
+        |), u AS (
+        |  SELECT s.source, t.tok, s.st, t.tt, COALESCE(c.n, 0) AS n
+        |  FROM st s CROSS JOIN tt t
+        |  LEFT JOIN cell c ON c.source = s.source AND c.tok = t.tok
+        |)
+        |SELECT u.source,
+        |  COUNT(CASE WHEN n > 0 THEN 1 END) AS n_tokens,
+        |  CAST(SUM(ABS(n * 1000000 // st
+        |    - tt * 1000000 // (SELECT ct FROM ct))) AS BIGINT) AS l1_ppm
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -251,6 +251,56 @@ class Round10Spec extends SparkSpec {
       s"diversity score should not be wildly language-biased: ${row.getLong(4)}")
   }
 
+  test("q177: centroid drift matches a driver-side recount and vanishes for identical batches") {
+    import spark.implicits._
+    val rows = ops.Round10.q177CentroidDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1000).toLong).toArray))
+    val lab0 = rows.head.getInt(0)
+    def centroid(vs: Seq[Array[Long]]): Array[Long] = {
+      val dims = vs.head.length
+      Array.tabulate(dims)(d =>
+        math.floor(vs.map(_(d)).sum.toDouble / vs.length).toLong)
+    }
+    val ref = vecs.filter(v => v._2 == lab0 && v._1 % 2 == 0).map(_._3).toSeq
+    val cur = vecs.filter(v => v._2 == lab0 && v._1 % 2 == 1).map(_._3).toSeq
+    val (cr, cc) = (centroid(ref), centroid(cur))
+    val drift = cr.zip(cc).map { case (a, b) => (a - b) * (a - b) }.sum
+    assert(rows.head.getLong(1) == ref.size && rows.head.getLong(2) == cur.size)
+    assert(rows.head.getLong(3) == drift, "drift recounted driver-side")
+    // law: identical batches drift zero — run the same arithmetic with
+    // ref==cur and confirm the formula's fixed point
+    assert(cr.zip(cr).map { case (a, b) => (a - b) * (a - b) }.sum == 0L)
+  }
+
+  test("q178: L1 divergence matches a driver-side distribution recount and bounds correctly") {
+    import spark.implicits._
+    val rows = ops.Round10.q178SourceDivergence(spark, sf).collect()
+    assert(rows.length == 20)
+    val toks = Tables.documents(spark, sf).select($"source", $"text")
+      .collect().flatMap { r =>
+        r.getString(1).split(" ").filter(_.nonEmpty).map(t => (r.getString(0), t))
+      }
+    val cell = toks.groupBy(identity).map { case ((s, t), xs) => (s, t, xs.length.toLong) }
+    val st = cell.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    val tt = cell.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._3).sum }
+    val ct = tt.values.sum
+    val s0 = rows.head.getString(0)
+    val mine = cell.filter(_._1 == s0).map(x => x._2 -> x._3).toMap
+    val l1 = tt.map { case (t, tot) =>
+      math.abs(mine.getOrElse(t, 0L) * 1000000L / st(s0)
+        - tot * 1000000L / ct)
+    }.sum
+    assert(rows.head.getLong(1) == mine.size, "n_tokens recount")
+    assert(rows.head.getLong(2) == l1, "L1 recount for the first source")
+    // L1 between two probability distributions is bounded by 2 (2e6 ppm,
+    // plus integer-floor slack per term)
+    rows.foreach(r => assert(r.getLong(2) <= 2000000L + tt.size))
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
