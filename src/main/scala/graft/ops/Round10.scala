@@ -568,6 +568,77 @@ object Round10 {
     res
   }
 
+  // ---------------------------------------------------------------------
+  // q179: referential-integrity audit (star-schema FK edges)
+  // ---------------------------------------------------------------------
+
+  /** The data-quality gate a warehouse load runs before anything else:
+    * every foreign-key edge of the star schema, child row count and
+    * orphan count (child keys with no parent). Each edge is ONE keyed
+    * left join with the orphan flag counted in the same pass (never a
+    * separate anti-join job); parent sides are primary keys, so the
+    * joins cannot fan out, and the dimension parents broadcast. The
+    * 5-row report is the q131 driver-literal shape. A nonzero
+    * orphan_ppm is a failed load, not a statistic. */
+  val q179FkIntegrity: Q = (spark, dir) => {
+    import spark.implicits._
+    def edge(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): (String, Long, Long) = {
+      val r = child.select(col(key).as("k"))
+        .join(parent.select(col(pkey).as("pk"), lit(true).as("present")),
+          $"k" === $"pk", "left")
+        .agg(count(lit(1)).as("n"),
+          count(when($"present".isNull, 1)).as("orphans"))
+        .head()
+      (name, r.getLong(0), r.getLong(1))
+    }
+    val rows = Seq(
+      edge("customer->nation", Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"),
+      edge("lineitem->orders", Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey"),
+      edge("nation->region", Tables.nation(spark, dir), "n_regionkey",
+        Tables.region(spark, dir), "r_regionkey"),
+      edge("orders->customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"),
+      edge("supplier->nation", Tables.supplier(spark, dir), "s_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"))
+    rows.map { case (e, n, o) => (e, n, o, o * 1000000L / n) }
+      .toDF("edge", "n_rows", "n_orphans", "orphan_ppm")
+      .orderBy($"edge")
+  }
+
+  // ---------------------------------------------------------------------
+  // q180: Benford first-digit audit
+  // ---------------------------------------------------------------------
+
+  /** First-significant-digit profile of order totals against Benford's
+    * law — the classic data-quality/fraud canary: per digit 1–9, the
+    * observed share vs the Benford expectation, deviation in ppm. The
+    * expected shares are HARDCODED integer constants (floor(log10(1 +
+    * 1/d)·10⁶)) on both engines — no runtime logarithm anywhere near
+    * the hashed surface (the q149 lesson, applied preemptively).
+    * TPC-H-style uniform prices deviate from Benford strongly — the
+    * audit reports that honestly; the operator is the readout, not a
+    * pass/fail. One map-side-combined 9-group aggregate. */
+  val q180Benford: Q = (spark, dir) => {
+    import spark.implicits._
+    val benford = Seq((1, 301029L), (2, 176091L), (3, 124938L),
+      (4, 96910L), (5, 79181L), (6, 66946L), (7, 57991L), (8, 51152L),
+      (9, 45757L)).toDF("digit", "benford_ppm")
+    val counts = Tables.orders(spark, dir)
+      .select(cents("o_totalprice").as("v"))
+      .withColumn("digit", substring($"v".cast("string"), 1, 1).cast("int"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum($"n").as("t"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("obs_ppm", expr("n * 1000000 div t"))
+      .join(broadcast(benford), Seq("digit"))
+      .withColumn("dev_ppm", abs($"obs_ppm" - $"benford_ppm"))
+      .select($"digit", $"n", $"obs_ppm", $"benford_ppm", $"dev_ppm")
+      .orderBy($"digit")
+  }
+
   val queries: Map[String, Q] = Map(
     "q167_ngram_decontam" -> q167NgramDecontam,
     "q168_epoch_plan" -> q168EpochPlan,
@@ -580,7 +651,9 @@ object Round10 {
     "q175_snapshot_diff" -> q175SnapshotDiff,
     "q176_score_bias_auc" -> q176ScoreBiasAuc,
     "q177_centroid_drift" -> q177CentroidDrift,
-    "q178_source_divergence" -> q178SourceDivergence)
+    "q178_source_divergence" -> q178SourceDivergence,
+    "q179_fk_integrity" -> q179FkIntegrity,
+    "q180_benford" -> q180Benford)
 
   val oracle: Map[String, String] = Map(
     "q167_ngram_decontam" ->
@@ -922,5 +995,57 @@ object Round10 {
         |  COUNT(CASE WHEN n > 0 THEN 1 END) AS n_tokens,
         |  CAST(SUM(ABS(n * 1000000 // st
         |    - tt * 1000000 // (SELECT ct FROM ct))) AS BIGINT) AS l1_ppm
-        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q179_fk_integrity" ->
+      """WITH e AS (
+        |  SELECT 'customer->nation' AS edge, COUNT(*) AS n_rows,
+        |    COUNT(CASE WHEN n.n_nationkey IS NULL THEN 1 END) AS n_orphans
+        |  FROM customer c LEFT JOIN nation n
+        |    ON c.c_nationkey = n.n_nationkey
+        |  UNION ALL
+        |  SELECT 'lineitem->orders', COUNT(*),
+        |    COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+        |  FROM lineitem l LEFT JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'nation->region', COUNT(*),
+        |    COUNT(CASE WHEN r.r_regionkey IS NULL THEN 1 END)
+        |  FROM nation n LEFT JOIN region r
+        |    ON n.n_regionkey = r.r_regionkey
+        |  UNION ALL
+        |  SELECT 'orders->customer', COUNT(*),
+        |    COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+        |  FROM orders o LEFT JOIN customer c
+        |    ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 'supplier->nation', COUNT(*),
+        |    COUNT(CASE WHEN n.n_nationkey IS NULL THEN 1 END)
+        |  FROM supplier s LEFT JOIN nation n
+        |    ON s.s_nationkey = n.n_nationkey
+        |)
+        |SELECT edge, n_rows, n_orphans,
+        |  CAST(n_orphans * 1000000 // n_rows AS BIGINT) AS orphan_ppm
+        |FROM e ORDER BY edge""".stripMargin,
+    "q180_benford" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT) AS v
+        |  FROM orders
+        |), d AS (
+        |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    COUNT(*) AS n
+        |  FROM v GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS t FROM d
+        |), b(digit, benford_ppm) AS (
+        |  VALUES (1, 301029), (2, 176091), (3, 124938), (4, 96910),
+        |    (5, 79181), (6, 66946), (7, 57991), (8, 51152), (9, 45757)
+        |)
+        |SELECT d.digit, d.n,
+        |  CAST(d.n * 1000000 // t.t AS BIGINT) AS obs_ppm,
+        |  CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+        |  CAST(ABS(d.n * 1000000 // t.t - b.benford_ppm) AS BIGINT)
+        |    AS dev_ppm
+        |FROM d JOIN b ON d.digit = b.digit, t
+        |ORDER BY d.digit""".stripMargin)
 }

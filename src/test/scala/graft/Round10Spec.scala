@@ -301,6 +301,55 @@ class Round10Spec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) <= 2000000L + tt.size))
   }
 
+  test("q179: every FK edge is clean on this corpus AND a planted orphan is caught") {
+    import spark.implicits._
+    val rows = ops.Round10.q179FkIntegrity(spark, sf).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getString(0)).toSeq == Seq("customer->nation",
+      "lineitem->orders", "nation->region", "orders->customer",
+      "supplier->nation"), "edges sorted and complete")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(2) == 0 && r.getLong(3) == 0,
+        s"${r.getString(0)} must be orphan-free on the generated corpus")
+    }
+    assert(rows.find(_.getString(0) == "lineitem->orders").get.getLong(1) ==
+      Tables.lineitem(spark, sf).count(), "child counts conserve")
+    // the detector itself: a child keyed to a non-existent parent is
+    // counted through the same one-pass left-join shape
+    val child = Seq(1L, 2L, 999L).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val probe = child
+      .join(parent.withColumn("present", lit(true)), $"k" === $"pk", "left")
+      .agg(count(lit(1)), count(when($"present".isNull, 1))).head()
+    assert(probe.getLong(0) == 3 && probe.getLong(1) == 1,
+      "the audit shape catches a planted orphan")
+  }
+
+  test("q180: first-digit profile matches a driver recount; Benford constants are the true floors") {
+    import spark.implicits._
+    val rows = ops.Round10.q180Benford(spark, sf).collect()
+    assert(rows.length <= 9 && rows.nonEmpty)
+    // the hardcoded constants ARE floor(log10(1+1/d)*1e6)
+    (1 to 9).foreach { d =>
+      val expect = math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong
+      rows.find(_.getInt(0) == d).foreach(r =>
+        assert(r.getLong(3) == expect, s"digit $d constant"))
+    }
+    // recount digits driver-side
+    val cents = Tables.orders(spark, sf)
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      .collect().map(_.getLong(0))
+    val byDigit = cents.groupBy(v => v.toString.head.asDigit)
+      .map { case (d, xs) => d -> xs.length.toLong }
+    assert(rows.map(_.getLong(1)).sum == cents.length)
+    rows.foreach { r =>
+      assert(r.getLong(1) == byDigit(r.getInt(0)), s"digit ${r.getInt(0)} count")
+      assert(r.getLong(2) == r.getLong(1) * 1000000L / cents.length)
+      assert(r.getLong(4) == math.abs(r.getLong(2) - r.getLong(3)))
+    }
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
