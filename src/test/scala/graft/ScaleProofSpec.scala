@@ -117,4 +117,55 @@ class ScaleProofSpec extends SparkSpec {
       s"$grams shuffle records — a broadcast probe should stay near the " +
         "dedup volume, far below repeated corpus-wide exchanges")
   }
+
+  test("q177 centroid drift: shuffle follows the fixed group count, not the corpus") {
+    // q177's contract: the posexplode fans out |corpus|·64 component
+    // rows, but the (label, pos, batch) aggregate combines map-side —
+    // the exchange carries ≤ maptasks·|labels|·64·2 rows at ANY corpus
+    // size. 10× the vectors must leave the shuffle nearly flat.
+    val small = shuffleRecords(
+      ops.Round10.q177CentroidDrift(spark, "/root/testdata/sf0.001").count())
+    spark.catalog.clearCache()
+    val big = shuffleRecords(
+      ops.Round10.q177CentroidDrift(spark, "/root/testdata/sf0.01").count())
+    spark.catalog.clearCache()
+    assert(small > 0)
+    assert(big <= small * 3,
+      s"shuffle records grew $small -> $big across a 10x corpus — the " +
+        "per-dimension combine is not collapsing the component fan-out")
+  }
+
+  test("q178 divergence: shuffle follows vocabulary-sized aggregates, not corpus tokens") {
+    // q178's contract: the (source, token) cell aggregate combines
+    // map-side, so the exchange follows |sources|·|vocab| (saturating)
+    // while corpus tokens grow 10× — the shuffle must grow far slower
+    // than the token stream.
+    val small = shuffleRecords(
+      ops.Round10.q178SourceDivergence(spark, "/root/testdata/sf0.001").count())
+    spark.catalog.clearCache()
+    val big = shuffleRecords(
+      ops.Round10.q178SourceDivergence(spark, "/root/testdata/sf0.01").count())
+    spark.catalog.clearCache()
+    assert(small > 0)
+    assert(big <= small * 4,
+      s"shuffle records grew $small -> $big across a 10x corpus — the " +
+        "cell aggregate is not combining map-side")
+  }
+
+  test("q167 decontam: shuffle is linear in the gram stream, never pairwise") {
+    // q167's contract: the gram join is keyed — each (doc, gram) row is
+    // exchanged a bounded number of times (dedup + join + rollup), so a
+    // 10× corpus moves the shuffle ~10×, NOT quadratically (a pairwise
+    // doc×doc plan would square it).
+    val small = shuffleRecords(
+      ops.Round10.q167NgramDecontam(spark, "/root/testdata/sf0.001").count())
+    spark.catalog.clearCache()
+    val big = shuffleRecords(
+      ops.Round10.q167NgramDecontam(spark, "/root/testdata/sf0.01").count())
+    spark.catalog.clearCache()
+    assert(small > 0)
+    assert(big <= small * 15,
+      s"shuffle records grew $small -> $big across a 10x corpus — " +
+        "growth must stay linear in the gram stream")
+  }
 }
