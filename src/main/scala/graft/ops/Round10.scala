@@ -639,6 +639,87 @@ object Round10 {
       .orderBy($"digit")
   }
 
+  // ---------------------------------------------------------------------
+  // q181: marginal-novelty growth curve (does more data still add content?)
+  // ---------------------------------------------------------------------
+
+  /** The data-scaling readout behind "is crawling more worth it": slice
+    * the corpus into 10 ingestion tranches (doc_id order — the crawl's
+    * arrival proxy) and report, per tranche, how many of its distinct
+    * 5-grams are NEW (first seen in that tranche) vs already covered.
+    * A healthy growing corpus keeps new_ppm high; a saturating crawl
+    * decays toward boilerplate. First-seen assignment is ONE gram-keyed
+    * `min(slice)` aggregate — no cumulative scan, no tranche-by-tranche
+    * iteration; the per-tranche inventory rides the same fan-out. */
+  val q181NoveltyCurve: Q = (spark, dir) => {
+    import spark.implicits._
+    val maxId = Tables.documents(spark, dir)
+      .agg(max($"doc_id")).head().getLong(0)
+    val grams = Dedup.fanoutReady(Tables.documents(spark, dir))
+      .select(expr(s"least(9L, doc_id * 10 div ${maxId + 1}L)").as("slice"),
+        filter(split($"text", " "), t => length(t) > 0).as("w"))
+      .filter(size($"w") >= 5)
+      .select($"slice", explode(expr(
+        "transform(sequence(0, size(w) - 5), " +
+          "i -> array_join(slice(w, i + 1, 5), ' '))")).as("g"))
+      .distinct()
+      .cache()
+    val firstSeen = grams.groupBy($"g").agg(min($"slice").as("fs"))
+    val out = OpsUtil.driverLiteral(grams
+      .join(firstSeen, Seq("g"))
+      .groupBy($"slice")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when($"fs" === $"slice", 1)).as("n_new"))
+      .withColumn("new_ppm", expr("n_new * 1000000 div n_grams"))
+      .orderBy($"slice"))
+    grams.unpersist()
+    out
+  }
+
+  // ---------------------------------------------------------------------
+  // q182: quality-filter cascade audit
+  // ---------------------------------------------------------------------
+
+  /** Filter-cascade planning table — the readout that orders a chain of
+    * quality filters by selectivity and says whether they are
+    * independent (if they are, the cheapest-most-selective-first
+    * ordering is optimal; if strongly correlated, dedupe the rules):
+    * three exact-integer document filters (length ≥ 200 chars, lexical
+    * diversity ≥ 0.3, mean word length in [3,12]), each with its pass
+    * rate, plus the JOINT row carrying the observed joint rate AND the
+    * independence prediction (the product of the three rates, floored
+    * stepwise — the formula both engines replay exactly). One
+    * map-side-combined aggregate over the corpus; the 4-row report is
+    * driver-literal. */
+  val q182FilterCascade: Q = (spark, dir) => {
+    import spark.implicits._
+    val flags = Tables.documents(spark, dir)
+      .select($"n_chars",
+        filter(split($"text", " "), t => length(t) > 0).as("w"))
+      .select(
+        ($"n_chars" >= 200).as("f_len"),
+        (expr("size(array_distinct(w)) * 1000000 div size(w)") >= 300000L)
+          .as("f_div"),
+        expr("aggregate(w, 0L, (a, x) -> a + length(x)) div size(w)")
+          .between(3L, 12L).as("f_word"))
+    val r = flags.agg(count(lit(1)).as("n"),
+      count(when($"f_len", 1)).as("p1"),
+      count(when($"f_div", 1)).as("p2"),
+      count(when($"f_word", 1)).as("p3"),
+      count(when($"f_len" && $"f_div" && $"f_word", 1)).as("pj")).head()
+    val (n, p1, p2, p3, pj) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    def ppm(k: Long): Long = k * 1000000L / n
+    val indep = ppm(p1) * ppm(p2) / 1000000L * ppm(p3) / 1000000L
+    Seq(
+      ("1_len_ge_200", p1, ppm(p1), Option.empty[Long]),
+      ("2_diversity_ge_0.3", p2, ppm(p2), Option.empty[Long]),
+      ("3_word_len_3_12", p3, ppm(p3), Option.empty[Long]),
+      ("4_joint", pj, ppm(pj), Some(indep)))
+      .toDF("filter", "n_pass", "pass_ppm", "indep_ppm")
+      .orderBy($"filter")
+  }
+
   val queries: Map[String, Q] = Map(
     "q167_ngram_decontam" -> q167NgramDecontam,
     "q168_epoch_plan" -> q168EpochPlan,
@@ -653,7 +734,9 @@ object Round10 {
     "q177_centroid_drift" -> q177CentroidDrift,
     "q178_source_divergence" -> q178SourceDivergence,
     "q179_fk_integrity" -> q179FkIntegrity,
-    "q180_benford" -> q180Benford)
+    "q180_benford" -> q180Benford,
+    "q181_novelty_curve" -> q181NoveltyCurve,
+    "q182_filter_cascade" -> q182FilterCascade)
 
   val oracle: Map[String, String] = Map(
     "q167_ngram_decontam" ->
@@ -1047,5 +1130,62 @@ object Round10 {
         |  CAST(ABS(d.n * 1000000 // t.t - b.benford_ppm) AS BIGINT)
         |    AS dev_ppm
         |FROM d JOIN b ON d.digit = b.digit, t
-        |ORDER BY d.digit""".stripMargin)
+        |ORDER BY d.digit""".stripMargin,
+    "q181_novelty_curve" ->
+      """WITH m AS (
+        |  SELECT MAX(doc_id) AS mx FROM documents
+        |), g AS (
+        |  SELECT DISTINCT
+        |    LEAST(9, doc_id * 10 // (SELECT mx + 1 FROM m)) AS slice,
+        |    array_to_string(w[(u.i + 1):(u.i + 5)], ' ') AS g
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '),
+        |            x -> length(x) > 0) AS w
+        |        FROM documents),
+        |    UNNEST(range(0, len(w) - 4)) u(i)
+        |  WHERE len(w) >= 5
+        |), fs AS (
+        |  SELECT g, MIN(slice) AS fs FROM g GROUP BY 1
+        |)
+        |SELECT CAST(g.slice AS BIGINT) AS slice, COUNT(*) AS n_grams,
+        |  COUNT(CASE WHEN fs.fs = g.slice THEN 1 END) AS n_new,
+        |  CAST(COUNT(CASE WHEN fs.fs = g.slice THEN 1 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS new_ppm
+        |FROM g JOIN fs ON g.g = fs.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q182_filter_cascade" ->
+      """WITH f AS (
+        |  SELECT (n_chars >= 200) AS f_len,
+        |    (len(list_distinct(w)) * 1000000 // len(w) >= 300000)
+        |      AS f_div,
+        |    (list_reduce(list_transform(w, x -> length(x)),
+        |      (a, b) -> a + b) // len(w) BETWEEN 3 AND 12) AS f_word
+        |  FROM (SELECT n_chars,
+        |          list_filter(string_split(text, ' '),
+        |            x -> length(x) > 0) AS w
+        |        FROM documents)
+        |), a AS (
+        |  SELECT COUNT(*) AS n,
+        |    COUNT(CASE WHEN f_len THEN 1 END) AS p1,
+        |    COUNT(CASE WHEN f_div THEN 1 END) AS p2,
+        |    COUNT(CASE WHEN f_word THEN 1 END) AS p3,
+        |    COUNT(CASE WHEN f_len AND f_div AND f_word THEN 1 END) AS pj
+        |  FROM f
+        |)
+        |SELECT '1_len_ge_200' AS filter, p1 AS n_pass,
+        |  CAST(p1 * 1000000 // n AS BIGINT) AS pass_ppm,
+        |  CAST(NULL AS BIGINT) AS indep_ppm
+        |FROM a
+        |UNION ALL
+        |SELECT '2_diversity_ge_0.3', p2,
+        |  CAST(p2 * 1000000 // n AS BIGINT), CAST(NULL AS BIGINT) FROM a
+        |UNION ALL
+        |SELECT '3_word_len_3_12', p3,
+        |  CAST(p3 * 1000000 // n AS BIGINT), CAST(NULL AS BIGINT) FROM a
+        |UNION ALL
+        |SELECT '4_joint', pj, CAST(pj * 1000000 // n AS BIGINT),
+        |  CAST((p1 * 1000000 // n) * (p2 * 1000000 // n) // 1000000
+        |    * (p3 * 1000000 // n) // 1000000 AS BIGINT)
+        |FROM a
+        |ORDER BY filter""".stripMargin)
 }

@@ -350,6 +350,59 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q181: novelty accounting conserves the gram universe — every gram is new exactly once") {
+    import spark.implicits._
+    val rows = ops.Round10.q181NoveltyCurve(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // sum of n_new across tranches == |distinct grams| (each gram first
+    // seen exactly once), and tranche 0's grams are ALL new
+    val maxId = Tables.documents(spark, sf).agg(max($"doc_id")).head().getLong(0)
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val slices = docs.flatMap { case (id, t) =>
+      val w = t.split(" ").filter(_.nonEmpty)
+      val s = math.min(9L, id * 10L / (maxId + 1L))
+      if (w.length < 5) Seq.empty
+      else w.sliding(5).map(g => (s, g.mkString(" "))).toSeq
+    }.distinct
+    val universe = slices.map(_._2).distinct.length.toLong
+    assert(rows.map(_.getLong(2)).sum == universe,
+      "every distinct gram is first-seen exactly once")
+    val first = rows.find(_.getLong(0) == 0L).get
+    assert(first.getLong(1) == first.getLong(2) &&
+      first.getLong(3) == 1000000L,
+      "the first tranche's grams are all new by definition")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1))
+      // per-tranche inventory recount
+      val mine = slices.filter(_._1 == r.getLong(0)).map(_._2).distinct.length
+      assert(r.getLong(1) == mine, s"tranche ${r.getLong(0)} inventory")
+    }
+  }
+
+  test("q182: cascade rates are exact; the joint never exceeds any single filter") {
+    import spark.implicits._
+    val rows = ops.Round10.q182FilterCascade(spark, sf).collect()
+    assert(rows.length == 4)
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    val joint = byName("4_joint")
+    val singles = Seq("1_len_ge_200", "2_diversity_ge_0.3", "3_word_len_3_12")
+      .map(byName)
+    singles.foreach { s =>
+      assert(s.isNullAt(3), "single filters carry no independence column")
+      assert(joint.getLong(1) <= s.getLong(1),
+        "joint passes are a subset of every single filter's passes")
+    }
+    assert(!joint.isNullAt(3))
+    // the independence prediction replays exactly from the single rates
+    val Seq(pp1, pp2, pp3) = singles.map(_.getLong(2))
+    assert(joint.getLong(3) == pp1 * pp2 / 1000000L * pp3 / 1000000L)
+    // driver recount of one filter: length >= 200
+    val n200 = Tables.documents(spark, sf).filter($"n_chars" >= 200).count()
+    assert(byName("1_len_ge_200").getLong(1) == n200)
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
