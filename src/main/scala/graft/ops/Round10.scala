@@ -720,7 +720,65 @@ object Round10 {
       .orderBy($"filter")
   }
 
+  // ---------------------------------------------------------------------
+  // q183: classifier evaluation metrics (precision / recall / F1)
+  // ---------------------------------------------------------------------
+
+  /** The eval summary OVER q32's language-ID confusion matrix — raw
+    * (lang, predicted) counts answer "where do errors go"; a model
+    * gate needs per-class precision/recall/F1, here in EXACT ppm
+    * integers (f1 = 2·P·R div (P+R) on the ppm values — one integer
+    * formula both engines replay; classes the model never predicts get
+    * an honest NULL precision, not an ε). Same marker-word predictor as
+    * q32 (`Text.scala:81` — en wins ties, then de/fr/es/zh, unknown
+    * when all scores are 0); one corpus pass into a |langs|²-bounded
+    * matrix aggregate, metrics derived from matrix marginals. */
+  val q183ClassifierMetrics: Q = (spark, dir) => {
+    import spark.implicits._
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "a", "is", "in"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+      "es" -> Seq("el", "los", "las", "y", "es", "un"),
+      "zh" -> Seq("的", "是", "在", "了", "和"))
+    val toks = filter(split(lower($"text"), "\\s+"), t => length(t) > 0)
+    val withScores = markers.foldLeft(
+      Tables.documents(spark, dir).withColumn("toks", toks)) {
+      case (df, (l, words)) =>
+        df.withColumn(s"s_$l", size(filter($"toks", t => t.isin(words: _*))))
+    }
+    val best = markers.map { case (l, _) => col(s"s_$l") }
+      .reduce((a, b) => greatest(a, b))
+    val predicted = markers.foldRight(lit("unknown"): Column) {
+      case ((l, _), alt) =>
+        when(col(s"s_$l") === best && best > 0, l).otherwise(alt)
+    }
+    val matrix = withScores
+      .withColumn("predicted", predicted)
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+    val byTrue = matrix.groupBy($"lang").agg(sum($"n").as("n_true"))
+    val byPred = matrix.groupBy($"predicted".as("lang"))
+      .agg(sum($"n").as("n_pred"))
+    val tp = matrix.filter($"lang" === $"predicted")
+      .select($"lang", $"n".as("tp"))
+    byTrue
+      .join(byPred, Seq("lang"), "left")
+      .join(tp, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_pred", "tp"))
+      .withColumn("precision_ppm",
+        when($"n_pred" > 0, expr("tp * 1000000 div n_pred")))
+      .withColumn("recall_ppm", expr("tp * 1000000 div n_true"))
+      .withColumn("f1_ppm", when(
+        $"precision_ppm".isNotNull && ($"precision_ppm" + $"recall_ppm") > 0,
+        expr("2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm)")))
+      .select($"lang", $"n_true", $"n_pred", $"tp",
+        $"precision_ppm", $"recall_ppm", $"f1_ppm")
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q183_classifier_metrics" -> q183ClassifierMetrics,
     "q167_ngram_decontam" -> q167NgramDecontam,
     "q168_epoch_plan" -> q168EpochPlan,
     "q169_split_leakage" -> q169SplitLeakage,
@@ -1187,5 +1245,54 @@ object Round10 {
         |  CAST((p1 * 1000000 // n) * (p2 * 1000000 // n) // 1000000
         |    * (p3 * 1000000 // n) // 1000000 AS BIGINT)
         |FROM a
-        |ORDER BY filter""".stripMargin)
+        |ORDER BY filter""".stripMargin,
+    "q183_classifier_metrics" ->
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    length(list_filter(toks, t -> t IN ('the','and','of','to','a','is','in'))) AS s_en,
+         |    length(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein'))) AS s_de,
+         |    length(list_filter(toks, t -> t IN ('le','la','les','et','est','un'))) AS s_fr,
+         |    length(list_filter(toks, t -> t IN ('el','los','las','y','es','un'))) AS s_es,
+         |    length(list_filter(toks, t -> t IN ('的','是','在','了','和'))) AS s_zh
+         |  FROM (SELECT lang, list_filter(string_split_regex(lower(text), '\\s+'),
+         |          t -> length(t) > 0) AS toks FROM documents)
+         |), pred AS (
+         |  SELECT lang,
+         |    CASE
+         |      WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) AND greatest(s_en,s_de,s_fr,s_es,s_zh) > 0 THEN 'en'
+         |      WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_zh) AND greatest(s_en,s_de,s_fr,s_es,s_zh) > 0 THEN 'de'
+         |      WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_zh) AND greatest(s_en,s_de,s_fr,s_es,s_zh) > 0 THEN 'fr'
+         |      WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) AND greatest(s_en,s_de,s_fr,s_es,s_zh) > 0 THEN 'es'
+         |      WHEN s_zh = greatest(s_en,s_de,s_fr,s_es,s_zh) AND greatest(s_en,s_de,s_fr,s_es,s_zh) > 0 THEN 'zh'
+         |      ELSE 'unknown' END AS predicted
+         |  FROM scored
+         |), m AS (
+         |  SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2
+         |), bt AS (
+         |  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true FROM m GROUP BY 1
+         |), bp AS (
+         |  SELECT predicted AS lang, CAST(SUM(n) AS BIGINT) AS n_pred
+         |  FROM m GROUP BY 1
+         |), tp AS (
+         |  SELECT lang, CAST(n AS BIGINT) AS tp FROM m WHERE lang = predicted
+         |), j AS (
+         |  SELECT bt.lang, bt.n_true,
+         |    COALESCE(bp.n_pred, 0) AS n_pred, COALESCE(tp.tp, 0) AS tp
+         |  FROM bt
+         |  LEFT JOIN bp ON bt.lang = bp.lang
+         |  LEFT JOIN tp ON bt.lang = tp.lang
+         |), k AS (
+         |  SELECT lang, n_true, n_pred, tp,
+         |    CASE WHEN n_pred > 0
+         |      THEN CAST(tp * 1000000 // n_pred AS BIGINT) END
+         |      AS precision_ppm,
+         |    CAST(tp * 1000000 // n_true AS BIGINT) AS recall_ppm
+         |  FROM j
+         |)
+         |SELECT lang, n_true, n_pred, tp, precision_ppm, recall_ppm,
+         |  CASE WHEN precision_ppm IS NOT NULL
+         |      AND precision_ppm + recall_ppm > 0
+         |    THEN CAST(2 * precision_ppm * recall_ppm
+         |      // (precision_ppm + recall_ppm) AS BIGINT) END AS f1_ppm
+         |FROM k ORDER BY lang""".stripMargin)
 }

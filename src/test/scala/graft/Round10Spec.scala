@@ -403,6 +403,38 @@ class Round10Spec extends SparkSpec {
     assert(byName("1_len_ge_200").getLong(1) == n200)
   }
 
+  test("q183: precision/recall/F1 derive exactly from q32's confusion matrix") {
+    import spark.implicits._
+    val rows = ops.Round10.q183ClassifierMetrics(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val matrix = ops.Text.q32LangId(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val langs = rows.map(_.getString(0))
+    rows.foreach { r =>
+      val l = r.getString(0)
+      val nTrue = matrix.collect { case ((a, _), n) if a == l => n }.sum
+      val nPred = matrix.collect { case ((_, p), n) if p == l => n }.sum
+      val tp = matrix.getOrElse((l, l), 0L)
+      assert(r.getLong(1) == nTrue, s"$l n_true")
+      assert(r.getLong(2) == nPred, s"$l n_pred")
+      assert(r.getLong(3) == tp, s"$l tp")
+      assert(r.getLong(5) == tp * 1000000L / nTrue, s"$l recall")
+      if (nPred > 0) {
+        val prec = tp * 1000000L / nPred
+        assert(r.getLong(4) == prec, s"$l precision")
+        if (prec + r.getLong(5) > 0)
+          assert(r.getLong(6) ==
+            2L * prec * r.getLong(5) / (prec + r.getLong(5)), s"$l f1")
+      } else assert(r.isNullAt(4), s"$l never predicted -> NULL precision")
+      // F1 is bounded by both precision and recall... up to integer floor
+      if (!r.isNullAt(6)) {
+        assert(r.getLong(6) <= math.max(r.getLong(4), r.getLong(5)))
+      }
+    }
+    assert(langs.toSet == matrix.keys.map(_._1).toSet,
+      "one metrics row per true language")
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
