@@ -107,6 +107,86 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
       : NfcNormalize = copy(child = newChild)
 }
 
+/** The DISTINCT word-n-grams of a string, space-joined, as one array of
+  * strings — the word-gram sibling of [[DistinctGramKeys]], and the
+  * fan-out primitive behind the decontamination/novelty/containment
+  * family (q167/q174/q181).
+  *
+  * Semantics are EXACTLY the composed form
+  * `array_distinct(transform(sequence(0, size(w)-n),
+  * i -> array_join(slice(w, i+1, n), ' ')))` with
+  * `w = filter(split(text, " "), length > 0)` — tokenization splits on
+  * the single space byte (0x20 never occurs inside a multi-byte UTF-8
+  * sequence, so byte scanning is codepoint-safe) and empty runs vanish.
+  * Replacing the chain wins twice: the HOF chain crosses the
+  * interpreted-lambda boundary once per POSITION and allocates a slice
+  * array plus a joined string per position, while this walks the bytes
+  * once per document; and per-document dedup happens DURING the scan,
+  * so a downstream per-document `.distinct()` exchange (one row per
+  * gram position) disappears entirely. One interpreted call per row
+  * (CodegenFallback), first-occurrence output order. */
+case class DistinctWordGrams(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "gram length must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_word_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    // token spans: maximal runs of non-space bytes
+    var nTok = 0
+    var i = 0
+    val len = bytes.length
+    val starts = new Array[Int](len / 2 + 1)
+    val ends = new Array[Int](len / 2 + 1)
+    while (i < len) {
+      if (bytes(i) != ' ') {
+        starts(nTok) = i
+        while (i < len && bytes(i) != ' ') i += 1
+        ends(nTok) = i
+        nTok += 1
+      } else i += 1
+    }
+    val m = nTok - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](m * 2)
+    i = 0
+    while (i < m) {
+      var glen = n - 1
+      var j = 0
+      while (j < n) { glen += ends(i + j) - starts(i + j); j += 1 }
+      val g = new Array[Byte](glen)
+      var p = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { g(p) = ' '; p += 1 }
+        val tl = ends(i + j) - starts(i + j)
+        System.arraycopy(bytes, starts(i + j), g, p, tl)
+        p += tl
+        j += 1
+      }
+      seen.add(UTF8String.fromBytes(g))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+    newChild: Expression): DistinctWordGrams = copy(child = newChild)
+}
+
 object TextExprs {
   /** Column API for [[DistinctGramKeys]]. */
   def distinctGramKeys(s: Column, n: Int): Column =
@@ -115,4 +195,8 @@ object TextExprs {
   /** Column API for [[NfcNormalize]]. */
   def nfcNormalize(c: Column): Column =
     GraftBridge.column(NfcNormalize(GraftBridge.expression(c)))
+
+  /** Column API for [[DistinctWordGrams]]. */
+  def distinctWordGrams(s: Column, n: Int): Column =
+    GraftBridge.column(DistinctWordGrams(GraftBridge.expression(s), n))
 }

@@ -34,23 +34,24 @@ object Round10 {
     *
     * Scale shape: in production the eval side is benchmark-sized (tiny)
     * while train is the corpus, so the join is a broadcast/bloom probe
-    * (the q84/q99 shape); here both sides are relational and the join is
-    * gram-keyed with per-doc distinct collapsing map-side. The gram
-    * fan-out is linear (one gram per word position), rebalanced before
-    * exploding; nothing ever forms doc×doc pairs. */
+    * (the q84/q99 shape); here both sides are relational and the join
+    * is gram-keyed. Gram generation is the codegen-adjacent
+    * [[graft.functions.DistinctWordGrams]] expression — per-document
+    * dedup happens DURING the scan, so the (doc, gram) `.distinct()`
+    * exchange (one row per gram position) does not exist in this plan
+    * at all (the q43/DistinctGramKeys precedent). The fan-out is
+    * linear, rebalanced before exploding; nothing forms doc×doc
+    * pairs. */
   val q167NgramDecontam: Q = (spark, dir) => {
     import spark.implicits._
     val docs = Dedup.fanoutReady(Tables.documents(spark, dir))
       .select($"doc_id",
         (conv(substring(md5($"text"), 1, 8), 16, 10).cast("long") % 10)
           .as("bucket"),
-        filter(split($"text", " "), t => length(t) > 0).as("w"))
+        graft.functions.TextExprs.distinctWordGrams($"text", 5).as("gs"))
       .withColumn("split", when($"bucket" < 8, "train").otherwise("eval"))
-    val grams = docs.filter(size($"w") >= 5)
-      .select($"doc_id", $"split", explode(expr(
-        "transform(sequence(0, size(w) - 5), " +
-          "i -> array_join(slice(w, i + 1, 5), ' '))")).as("g"))
-      .distinct()
+    val grams = docs
+      .select($"doc_id", $"split", explode($"gs").as("g"))
     val trainGrams = grams.filter($"split" === "train")
       .select($"g").distinct()
     grams.filter($"split" === "eval")
@@ -385,11 +386,10 @@ object Round10 {
     import spark.implicits._
     val grams = Dedup.fanoutReady(Tables.documents(spark, dir))
       .select($"source",
-        filter(split($"text", " "), t => length(t) > 0).as("w"))
-      .filter(size($"w") >= 5)
-      .select($"source", explode(expr(
-        "transform(sequence(0, size(w) - 5), " +
-          "i -> array_join(slice(w, i + 1, 5), ' '))")).as("g"))
+        explode(graft.functions.TextExprs.distinctWordGrams($"text", 5))
+          .as("g"))
+      // cross-DOC dedup within a source still needs the exchange, but
+      // DistinctWordGrams pre-collapsed each document's repeats
       .distinct()
     val srcDf = grams.groupBy($"g").agg(count(lit(1)).as("src_df"))
     grams.join(srcDf, Seq("g"))
@@ -657,11 +657,10 @@ object Round10 {
       .agg(max($"doc_id")).head().getLong(0)
     val grams = Dedup.fanoutReady(Tables.documents(spark, dir))
       .select(expr(s"least(9L, doc_id * 10 div ${maxId + 1}L)").as("slice"),
-        filter(split($"text", " "), t => length(t) > 0).as("w"))
-      .filter(size($"w") >= 5)
-      .select($"slice", explode(expr(
-        "transform(sequence(0, size(w) - 5), " +
-          "i -> array_join(slice(w, i + 1, 5), ' '))")).as("g"))
+        explode(graft.functions.TextExprs.distinctWordGrams($"text", 5))
+          .as("g"))
+      // cross-DOC dedup within a tranche still needs the exchange, but
+      // DistinctWordGrams pre-collapsed each document's repeats
       .distinct()
       .cache()
     val firstSeen = grams.groupBy($"g").agg(min($"slice").as("fs"))

@@ -137,6 +137,33 @@ object OperatorProperties extends Properties("graft") {
       after == 5
     }
 
+  /** [[graft.functions.DistinctWordGrams]] must equal the composed HOF
+    * form it replaced in q167/q174/q181 — tokenize on single space,
+    * drop empties, space-join each n-window, distinct. Texts mix words,
+    * runs of spaces, and multi-byte UTF-8 (0x20 never occurs inside a
+    * UTF-8 sequence — the byte-scan assumption under test). */
+  private val wordish: Gen[String] = Gen.oneOf(
+    Gen.oneOf("the", "qu-ick", "π∂", "naïve", "的是", "a", "b1"),
+    Gen.oneOf(" ", "  ", "   "))
+  private val textGen: Gen[String] =
+    Gen.listOf(wordish).map(_.mkString(" "))
+
+  property("distinct_word_grams == slice/join/distinct composed form") =
+    forAll(textGen, Gen.choose(1, 6)) { (text, n) =>
+      val expr = graft.functions.DistinctWordGrams(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text),
+          org.apache.spark.sql.types.StringType), n)
+      val got = expr.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.map(_.toString).toSeq
+      val w = text.split(" ").filter(_.nonEmpty).toSeq
+      val ref =
+        if (w.length < n) Seq.empty
+        else w.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      got == ref
+    }
+
   /** q147's checksum core: a mod-p sum of per-item hashes is invariant
     * under permutation and any regrouping — including reducing each
     * partial mod p before combining, which is exactly what partial
