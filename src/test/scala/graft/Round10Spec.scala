@@ -435,6 +435,42 @@ class Round10Spec extends SparkSpec {
       "one metrics row per true language")
   }
 
+  test("q184: the probe sweep is monotone and its nprobe=2 row matches q51 exactly") {
+    import spark.implicits._
+    val rows = ops.Similarity.q184ProbeSweep(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4))
+    val scanned = rows.map(_.getLong(1))
+    val hits = rows.map(_.getLong(2))
+    assert(scanned.zip(scanned.tail).forall { case (a, b) => a <= b },
+      "more probes never scan fewer vectors")
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b },
+      "more probes never lose recall (probe sets are nested)")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 10)
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / 10L)
+      assert(r.getLong(1) >= r.getLong(2), "hits come from scanned vectors")
+    }
+    // cross-operator identity: q51 IS the nprobe=2 search — its top-10's
+    // overlap with the exact top-10 must equal the sweep's nprobe=2 hits
+    val q51Ids = ops.Similarity.q51AnnIvf(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val dot = graft.functions.VectorExprs.dotLong _
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding",
+        x => floor(x.cast("double") * 1000).cast("long")).as("e"))
+    val q = emb.filter($"vec_id" === 1).select($"e".as("qe"))
+    val exact = emb.filter($"vec_id" =!= 1).join(broadcast(q))
+      .select($"vec_id",
+        (dot($"e", $"qe").cast("double") /
+          (sqrt(dot($"e", $"e").cast("double"))
+            * sqrt(dot($"qe", $"qe").cast("double")))).as("cos"))
+      .orderBy($"cos".desc, $"vec_id").limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.find(_.getInt(0) == 2).get.getLong(2) ==
+      q51Ids.intersect(exact).size.toLong,
+      "nprobe=2 hits must equal q51's overlap with the exact top-10")
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
