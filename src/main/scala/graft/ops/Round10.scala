@@ -776,7 +776,53 @@ object Round10 {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------------
+  // q185: token co-occurrence mining (association lift)
+  // ---------------------------------------------------------------------
+
+  /** Co-occurrence association mining — the market-basket question
+    * asked of text ("which tokens travel together beyond chance"):
+    * for token pairs co-occurring in a document's DISTINCT token set,
+    * the count of co-occurring documents and the LIFT in exact ppm
+    * (lift = n_ab·N·10⁶ div (n_a·n_b) — observed co-occurrence over
+    * the independence expectation; >10⁶ means genuine association).
+    * Top 15 pairs by document count (pair tiebreak). Pair generation
+    * is per-document over the distinct token set — bounded by
+    * (tokens-per-doc)², never vocab² — and the per-pair aggregate
+    * combines map-side; document frequencies ride a |vocab|-row
+    * broadcast. */
+  val q185Cooccurrence: Q = (spark, dir) => {
+    import spark.implicits._
+    val docToks = Dedup.fanoutReady(Tables.documents(spark, dir))
+      .select($"doc_id",
+        array_distinct(filter(split($"text", " "), t => length(t) > 0))
+          .as("ts"))
+      .cache()
+    val nDocs = docToks.count()
+    val tokDf = docToks.select(explode($"ts").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val pairs = docToks
+      .select($"doc_id", explode($"ts").as("ta"), $"ts")
+      .select($"doc_id", $"ta", explode($"ts").as("tb"))
+      .filter($"ta" < $"tb")
+      .groupBy($"ta", $"tb").agg(count(lit(1)).as("n_ab"))
+    val out = pairs
+      .join(broadcast(tokDf.select($"tok".as("ta"), $"df".as("n_a"))),
+        Seq("ta"))
+      .join(broadcast(tokDf.select($"tok".as("tb"), $"df".as("n_b"))),
+        Seq("tb"))
+      .withColumn("lift_ppm",
+        expr(s"n_ab * ${nDocs}L * 1000000 div (n_a * n_b)"))
+      .select($"ta", $"tb", $"n_ab", $"n_a", $"n_b", $"lift_ppm")
+      .orderBy($"n_ab".desc, $"ta", $"tb")
+      .limit(15)
+    val res = OpsUtil.driverLiteral(out)
+    docToks.unpersist()
+    res
+  }
+
   val queries: Map[String, Q] = Map(
+    "q185_cooccurrence" -> q185Cooccurrence,
     "q183_classifier_metrics" -> q183ClassifierMetrics,
     "q167_ngram_decontam" -> q167NgramDecontam,
     "q168_epoch_plan" -> q168EpochPlan,
@@ -1245,6 +1291,31 @@ object Round10 {
         |    * (p3 * 1000000 // n) // 1000000 AS BIGINT)
         |FROM a
         |ORDER BY filter""".stripMargin,
+    "q185_cooccurrence" ->
+      """WITH dt AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split(text, ' '),
+        |      x -> length(x) > 0)) AS ts
+        |  FROM documents
+        |), n AS (
+        |  SELECT COUNT(*) AS n FROM dt
+        |), df AS (
+        |  SELECT t.tok, COUNT(*) AS df FROM dt, UNNEST(ts) AS t(tok)
+        |  GROUP BY 1
+        |), p AS (
+        |  SELECT a.ta, b.tb, COUNT(*) AS n_ab
+        |  FROM (SELECT doc_id, t.tok AS ta FROM dt, UNNEST(ts) AS t(tok)) a
+        |  JOIN (SELECT doc_id, t.tok AS tb FROM dt, UNNEST(ts) AS t(tok)) b
+        |    ON a.doc_id = b.doc_id AND a.ta < b.tb
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.ta, p.tb, p.n_ab, da.df AS n_a, db.df AS n_b,
+        |  CAST(p.n_ab * (SELECT n FROM n) * 1000000
+        |    // (da.df * db.df) AS BIGINT) AS lift_ppm
+        |FROM p
+        |JOIN df da ON p.ta = da.tok
+        |JOIN df db ON p.tb = db.tok
+        |ORDER BY n_ab DESC, ta, tb LIMIT 15""".stripMargin,
     "q183_classifier_metrics" ->
       s"""WITH scored AS (
          |  SELECT lang,

@@ -471,6 +471,30 @@ class Round10Spec extends SparkSpec {
       "nprobe=2 hits must equal q51's overlap with the exact top-10")
   }
 
+  test("q185: co-occurrence counts and lifts match a driver-side recount") {
+    import spark.implicits._
+    val rows = ops.Round10.q185Cooccurrence(spark, sf).collect()
+    assert(rows.length == 15)
+    val docs = Tables.documents(spark, sf).select($"text").collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty).distinct.toSet)
+    val n = docs.length.toLong
+    val df = docs.flatten.groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    rows.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      assert(ta < tb, "pairs are ordered")
+      val nAb = docs.count(d => d.contains(ta) && d.contains(tb)).toLong
+      assert(r.getLong(2) == nAb, s"($ta,$tb) co-occurrence count")
+      assert(r.getLong(3) == df(ta) && r.getLong(4) == df(tb))
+      assert(r.getLong(5) == nAb * n * 1000000L / (df(ta) * df(tb)))
+      // co-occurrence can never exceed either marginal
+      assert(nAb <= df(ta) && nAb <= df(tb))
+    }
+    // ordering law: count desc with pair tiebreak
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
