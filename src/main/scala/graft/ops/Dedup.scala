@@ -124,6 +124,84 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The banding tuning table for q41's MinHash-LSH — the (bands ×
+    * rows-per-band) frontier a dedup deployment reads before fixing its
+    * config: over the SAME 8 minhash values, three configs (2×4, 4×2 —
+    * q41's, 8×1) each produce a candidate set; candidates are verified
+    * by exact Jaccard and the sweep reports volume vs precision (the
+    * q184 recall/cost shape, turned on the dedup side). The configs
+    * NEST by construction — an all-4-hashes band match implies both
+    * 2-hash bands match implies each 1-hash band matches — so the
+    * exact verification runs ONCE on the loosest config's candidates
+    * and the tighter configs count membership (spec pins the nesting).
+    * Band identity joins on a padded (cfg, band#, h…) STRUCT — exact
+    * fieldwise equality, no hash-key collision can add a candidate,
+    * matching the oracle's md5-string keys pair-for-pair. */
+  val q186BandingSweep: Q = (spark, dir) => {
+    import spark.implicits._
+    val toks = fanoutReady(Tables.documents(spark, dir))
+      .select($"doc_id", tokens($"text").as("t"))
+      .filter(size($"t") >= 3)
+    val shingles = toks
+      .select($"doc_id", $"t",
+        explode(sequence(lit(0), size($"t") - 3)).as("i"))
+      .select($"doc_id",
+        concat_ws(" ", element_at($"t", $"i" + 1), element_at($"t", $"i" + 2),
+          element_at($"t", $"i" + 3)).as("s"))
+      .distinct()
+      .cache()
+    val minCols = (0 until 8).map { j =>
+      val salted = md5(concat(lit(s"${j / 4}:"), $"s"))
+      min(conv(substring(salted, 1 + 8 * (j % 4), 8), 16, 10).cast("long"))
+        .as(s"h$j")
+    }
+    val sig = shingles.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+      .cache()
+    // (cfg, n_bands, rows_per_band, members-of-each-band)
+    val configs = Seq(
+      ("2x4", 2, 4, (0 until 2).map(b => (0 until 4).map(r => 4 * b + r))),
+      ("4x2", 4, 2, (0 until 4).map(b => (0 until 2).map(r => 2 * b + r))),
+      ("8x1", 8, 1, (0 until 8).map(b => Seq(b))))
+    val bands = configs.map { case (cfg, nb, rpb, bs) =>
+      sig.select($"doc_id", lit(cfg).as("cfg"), lit(nb).as("nb"),
+        lit(rpb).as("rpb"),
+        explode(array(bs.zipWithIndex.map { case (members, b) =>
+          struct((lit(b).as("bno") +: members.map(m => col(s"h$m"))
+            .padTo(4, lit(-1L)).zipWithIndex
+            .map { case (c, i) => c.as(s"m$i") }): _*)
+        }: _*)).as("band"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.cfg") === col("b.cfg") && col("a.band") === col("b.band")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.cfg").as("cfg"), col("a.nb").as("nb"),
+        col("a.rpb").as("rpb"),
+        col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+      .cache()
+    // exact verification once, on the loosest (8x1) superset
+    val superset = cand.filter($"cfg" === "8x1").select($"da", $"db")
+    val sizes = shingles.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+    val verified = superset
+      .join(shingles.as("sa"), $"da" === col("sa.doc_id"))
+      .join(shingles.as("sb"),
+        $"db" === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy($"da", $"db").agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("da"), $"nsh".as("na")), Seq("da"))
+      .join(sizes.select($"doc_id".as("db"), $"nsh".as("nb2")), Seq("db"))
+      .filter($"inter".cast("double") / ($"na" + $"nb2" - $"inter") >= 0.5)
+      .select($"da", $"db", lit(true).as("dup"))
+    val out = OpsUtil.driverLiteral(cand
+      .join(verified, Seq("da", "db"), "left")
+      .groupBy($"cfg", $"nb", $"rpb")
+      .agg(count(lit(1)).as("n_cand"),
+        count(when($"dup", 1)).as("n_dup"))
+      .withColumn("precision_ppm", expr("n_dup * 1000000 div n_cand"))
+      .orderBy($"cfg"))
+    cand.unpersist(); sig.unpersist(); shingles.unpersist()
+    out
+  }
+
   /** 16-bit SimHash per document over whitespace tokens (with
     * multiplicity): per-bit ±1 voting via 16 conditional sums, then the
     * fingerprint reassembled arithmetically — one explode + one hash agg,
@@ -237,12 +315,17 @@ object Dedup {
     "q42_simhash" -> q42Simhash,
     "q43_ngram_jaccard" -> q43NgramJaccard,
     "q62_simhash_hamming" -> q62SimhashHamming,
+    "q186_banding_sweep" -> q186BandingSweep,
   )
 
   private val minhashMins = (0 until 8).map { j =>
     val pos = 1 + 8 * (j % 4)
     s"    min(CAST(('0x' || substr(md5('${j / 4}:' || s), $pos, 8)) AS BIGINT)) AS h$j"
   }.mkString(",\n")
+  private def bandListFor(groups: Seq[Seq[Int]]): String =
+    groups.zipWithIndex.map { case (ms, b) =>
+      s"md5($b${ms.map(m => s" || '_' || h$m").mkString})"
+    }.mkString(", ")
   private val bandList = (0 until 4).map(b =>
     s"md5(${b} || '_' || h${2 * b} || '_' || h${2 * b + 1})").mkString(", ")
   private val simhashBits = (0 until 16).map(i =>
@@ -300,6 +383,59 @@ object Dedup {
          |JOIN sizes zb ON doc_b = zb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (za.nsh + zb.nsh - inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q186_banding_sweep" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS t FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(0, length(t) - 2),
+         |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+         |  FROM toks WHERE length(t) >= 3
+         |), sig AS (
+         |  SELECT doc_id,
+         |$minhashMins
+         |  FROM sh GROUP BY 1
+         |), bands AS (
+         |  SELECT '2x4' AS cfg, 2 AS nb, 4 AS rpb, doc_id,
+         |    unnest([${bandListFor(Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7)))}])
+         |      AS band
+         |  FROM sig
+         |  UNION ALL
+         |  SELECT '4x2', 4, 2, doc_id,
+         |    unnest([${bandListFor((0 until 4).map(b => Seq(2 * b, 2 * b + 1)))}])
+         |  FROM sig
+         |  UNION ALL
+         |  SELECT '8x1', 8, 1, doc_id,
+         |    unnest([${bandListFor((0 until 8).map(Seq(_)))}])
+         |  FROM sig
+         |), cand AS (
+         |  SELECT DISTINCT a.cfg, a.nb, a.rpb,
+         |    a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b
+         |    ON a.cfg = b.cfg AND a.band = b.band AND a.doc_id < b.doc_id
+         |), sup AS (
+         |  SELECT DISTINCT da, db FROM cand WHERE cfg = '8x1'
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1
+         |), inter AS (
+         |  SELECT da, db, COUNT(*) AS inter FROM sup
+         |  JOIN sh sa ON da = sa.doc_id
+         |  JOIN sh sb ON db = sb.doc_id AND sa.s = sb.s
+         |  GROUP BY 1, 2
+         |), ver AS (
+         |  SELECT da, db FROM inter
+         |  JOIN sizes za ON da = za.doc_id
+         |  JOIN sizes zb ON db = zb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (za.nsh + zb.nsh - inter) >= 0.5
+         |)
+         |SELECT c.cfg, CAST(c.nb AS INT) AS nb, CAST(c.rpb AS INT) AS rpb,
+         |  COUNT(*) AS n_cand,
+         |  COUNT(CASE WHEN v.da IS NOT NULL THEN 1 END) AS n_dup,
+         |  CAST(COUNT(CASE WHEN v.da IS NOT NULL THEN 1 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS precision_ppm
+         |FROM cand c
+         |LEFT JOIN ver v ON c.da = v.da AND c.db = v.db
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "q42_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id,

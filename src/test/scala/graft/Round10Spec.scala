@@ -495,6 +495,29 @@ class Round10Spec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q186: banding configs nest, and the 4x2 row's dup count IS q41's result size") {
+    import spark.implicits._
+    val rows = ops.Dedup.q186BandingSweep(spark, sf).collect()
+      .sortBy(_.getString(0))
+    assert(rows.map(_.getString(0)).toSeq == Seq("2x4", "4x2", "8x1"))
+    val Seq(c24, c42, c81) = rows.toSeq
+    // nesting: an all-4 band match implies 2-hash band matches implies
+    // 1-hash band matches
+    assert(c24.getLong(3) <= c42.getLong(3) && c42.getLong(3) <= c81.getLong(3),
+      "candidate sets nest with looser banding")
+    assert(c24.getLong(4) <= c42.getLong(4) && c42.getLong(4) <= c81.getLong(4),
+      "verified dups nest too")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3))
+      assert(r.getLong(5) == r.getLong(4) * 1000000L / r.getLong(3))
+    }
+    // cross-operator identity: q41 is exactly the 4x2 config — its
+    // verified pair count must equal this sweep's 4x2 dup count
+    val q41Pairs = ops.Dedup.q41MinhashLsh(spark, sf).count()
+    assert(c42.getLong(4) == q41Pairs,
+      "the sweep's 4x2 row must reproduce q41's verified pair count")
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
