@@ -821,7 +821,44 @@ object Round10 {
     res
   }
 
+  // ---------------------------------------------------------------------
+  // q187: dedup survivor-selection audit
+  // ---------------------------------------------------------------------
+
+  /** What the keep-lowest-id dedup policy costs in quality — the audit
+    * behind choosing a survivor rule: for every verified near-dup pair
+    * (q41's output, composed directly), compare the kept side
+    * (min doc_id — the q79 canonical-survivor rule) against the
+    * dropped side on the lexical-diversity score. Reports how often
+    * the naive keep already retains the better copy and the exact
+    * integer quality loss when it does not (mean and max, ppm units —
+    * the score's own scale). A high loss says switch to quality-rank
+    * survivor selection; near-zero says id-keep is free. One
+    * |pairs|-sized join against the |corpus| score relation. */
+  val q187SurvivorAudit: Q = (spark, dir) => {
+    import spark.implicits._
+    val pairs = Dedup.q41MinhashLsh(spark, dir).select($"doc_a", $"doc_b")
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id",
+        filter(split($"text", " "), t => length(t) > 0).as("w"))
+      .select($"doc_id",
+        expr("size(array_distinct(w)) * 1000000 div size(w)").as("score"))
+    pairs
+      .join(scored.select($"doc_id".as("doc_a"), $"score".as("sa")),
+        Seq("doc_a"))
+      .join(scored.select($"doc_id".as("doc_b"), $"score".as("sb")),
+        Seq("doc_b"))
+      .withColumn("loss", greatest(lit(0L), $"sb" - $"sa"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when($"sa" >= $"sb", 1)).as("n_kept_best"),
+        sum($"loss").as("sum_loss"),
+        max($"loss").as("max_loss_ppm"))
+      .withColumn("mean_loss_ppm", expr("sum_loss div n_pairs"))
+      .select($"n_pairs", $"n_kept_best", $"mean_loss_ppm", $"max_loss_ppm")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q187_survivor_audit" -> q187SurvivorAudit,
     "q185_cooccurrence" -> q185Cooccurrence,
     "q183_classifier_metrics" -> q183ClassifierMetrics,
     "q167_ngram_decontam" -> q167NgramDecontam,
@@ -1291,6 +1328,29 @@ object Round10 {
         |    * (p3 * 1000000 // n) // 1000000 AS BIGINT)
         |FROM a
         |ORDER BY filter""".stripMargin,
+    "q187_survivor_audit" ->
+      s"""WITH q41 AS (
+         |${Dedup.oracle("q41_minhash_lsh")}
+         |), sc AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_distinct(w)) * 1000000 // len(w) AS BIGINT)
+         |      AS score
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split(text, ' '),
+         |            x -> length(x) > 0) AS w
+         |        FROM documents)
+         |), j AS (
+         |  SELECT sa.score AS sa, sb.score AS sb,
+         |    GREATEST(0, sb.score - sa.score) AS loss
+         |  FROM q41
+         |  JOIN sc sa ON q41.doc_a = sa.doc_id
+         |  JOIN sc sb ON q41.doc_b = sb.doc_id
+         |)
+         |SELECT COUNT(*) AS n_pairs,
+         |  COUNT(CASE WHEN sa >= sb THEN 1 END) AS n_kept_best,
+         |  CAST(SUM(loss) // COUNT(*) AS BIGINT) AS mean_loss_ppm,
+         |  CAST(MAX(loss) AS BIGINT) AS max_loss_ppm
+         |FROM j""".stripMargin,
     "q185_cooccurrence" ->
       """WITH dt AS (
         |  SELECT doc_id,

@@ -518,6 +518,28 @@ class Round10Spec extends SparkSpec {
       "the sweep's 4x2 row must reproduce q41's verified pair count")
   }
 
+  test("q187: survivor audit matches a recount from q41's own pairs") {
+    import spark.implicits._
+    val row = ops.Round10.q187SurvivorAudit(spark, sf).collect().head
+    val pairs = ops.Dedup.q41MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val score = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map { r =>
+        val w = r.getString(1).split(" ").filter(_.nonEmpty)
+        r.getLong(0) -> w.distinct.length.toLong * 1000000L / w.length
+      }.toMap
+    val losses = pairs.map { case (a, b) =>
+      math.max(0L, score(b) - score(a))
+    }
+    assert(row.getLong(0) == pairs.length, "pair count")
+    assert(row.getLong(1) ==
+      pairs.count { case (a, b) => score(a) >= score(b) }, "kept-best count")
+    assert(row.getLong(2) == losses.sum / pairs.length, "mean loss")
+    assert(row.getLong(3) == losses.max, "max loss")
+    // structural law: kept_best + lossy pairs cover everything
+    assert(row.getLong(1) + losses.count(_ > 0) == pairs.length)
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
