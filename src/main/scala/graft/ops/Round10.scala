@@ -904,7 +904,48 @@ object Round10 {
         $"all_match")
   }
 
+  // ---------------------------------------------------------------------
+  // q189: normalization stability of the quality score
+  // ---------------------------------------------------------------------
+
+  /** Is the quality score an artifact of surface form? — the robustness
+    * audit a filter passes before gating a corpus: re-score every
+    * document after canonical normalization (lowercase + whitespace
+    * collapse + Unicode NFC via the native
+    * [[graft.functions.NfcNormalize]] expression, q157's oracle-twinned
+    * normalizer) and report how many documents change score and by how
+    * much (exact integer deltas in the score's ppm scale). Whitespace
+    * collapse provably cannot move this score (empty tokens are already
+    * filtered), so every delta comes from case folding or Unicode
+    * composition — a large drift means the filter is case/encoding
+    * sensitive and normalization must run BEFORE scoring in the
+    * pipeline. One corpus pass, two score expressions, one global
+    * aggregate. */
+  val q189NormStability: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .withColumn("norm", graft.functions.TextExprs.nfcNormalize(
+        regexp_replace(lower($"text"), " +", " ")))
+      .select(
+        expr("size(array_distinct(filter(split(text, ' '), " +
+          "t -> length(t) > 0))) * 1000000 div " +
+          "size(filter(split(text, ' '), t -> length(t) > 0))").as("s_raw"),
+        expr("size(array_distinct(filter(split(norm, ' '), " +
+          "t -> length(t) > 0))) * 1000000 div " +
+          "size(filter(split(norm, ' '), t -> length(t) > 0))").as("s_norm"))
+      .withColumn("delta", abs($"s_raw" - $"s_norm"))
+    docs.agg(count(lit(1)).as("n_docs"),
+        count(when($"delta" > 0, 1)).as("n_changed"),
+        sum($"delta").as("sum_delta"),
+        max($"delta").as("max_delta_ppm"))
+      .withColumn("changed_ppm", expr("n_changed * 1000000 div n_docs"))
+      .withColumn("mean_delta_ppm", expr("sum_delta div n_docs"))
+      .select($"n_docs", $"n_changed", $"changed_ppm",
+        $"mean_delta_ppm", $"max_delta_ppm")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q189_norm_stability" -> q189NormStability,
     "q188_manifest_merge" -> q188ManifestMerge,
     "q187_survivor_audit" -> q187SurvivorAudit,
     "q185_cooccurrence" -> q185Cooccurrence,
@@ -1376,6 +1417,31 @@ object Round10 {
         |    * (p3 * 1000000 // n) // 1000000 AS BIGINT)
         |FROM a
         |ORDER BY filter""".stripMargin,
+    "q189_norm_stability" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(len(list_distinct(wr)) * 1000000 // len(wr) AS BIGINT)
+        |      AS s_raw,
+        |    CAST(len(list_distinct(wn)) * 1000000 // len(wn) AS BIGINT)
+        |      AS s_norm
+        |  FROM (
+        |    SELECT
+        |      list_filter(string_split(text, ' '),
+        |        x -> length(x) > 0) AS wr,
+        |      list_filter(string_split(
+        |        nfc_normalize(regexp_replace(lower(text), ' +', ' ', 'g')),
+        |        ' '), x -> length(x) > 0) AS wn
+        |    FROM documents)
+        |), d AS (
+        |  SELECT ABS(s_raw - s_norm) AS delta FROM s
+        |)
+        |SELECT COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN delta > 0 THEN 1 END) AS n_changed,
+        |  CAST(COUNT(CASE WHEN delta > 0 THEN 1 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS changed_ppm,
+        |  CAST(SUM(delta) // COUNT(*) AS BIGINT) AS mean_delta_ppm,
+        |  CAST(MAX(delta) AS BIGINT) AS max_delta_ppm
+        |FROM d""".stripMargin,
     "q188_manifest_merge" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source,

@@ -556,6 +556,30 @@ class Round10Spec extends SparkSpec {
     assert(((a + 1) mod p) != (a mod p))
   }
 
+  test("q189: stability deltas match a driver recount; whitespace alone can never move the score") {
+    import spark.implicits._
+    val row = ops.Round10.q189NormStability(spark, sf).collect().head
+    def score(t: String): Long = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      w.distinct.length.toLong * 1000000L / w.length
+    }
+    def norm(t: String): String = java.text.Normalizer.normalize(
+      t.toLowerCase.replaceAll(" +", " "), java.text.Normalizer.Form.NFC)
+    val docs = Tables.documents(spark, sf).select($"text").collect()
+      .map(_.getString(0))
+    val deltas = docs.map(t => math.abs(score(t) - score(norm(t))))
+    assert(row.getLong(0) == docs.length)
+    assert(row.getLong(1) == deltas.count(_ > 0), "changed-doc recount")
+    assert(row.getLong(2) == deltas.count(_ > 0).toLong * 1000000L / docs.length)
+    assert(row.getLong(3) == deltas.sum / docs.length, "mean delta")
+    assert(row.getLong(4) == deltas.max, "max delta")
+    // the whitespace-invariance law: collapsing spaces WITHOUT case
+    // folding can never move the score (empty tokens already filtered)
+    docs.take(50).foreach(t =>
+      assert(score(t) == score(t.replaceAll(" +", " ")),
+        "whitespace collapse alone must be score-neutral"))
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
