@@ -50,6 +50,26 @@ object StreamingOps {
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Streaming rate-drift monitor — the q152 rate-spike audit running
+    * continuously: per (10-minute window, event type), the observed
+    * volume against a BROADCAST static reference rate (ref events per
+    * window, learned offline), emitted as an exact-integer rate ratio
+    * in ppm with the ≥2× spike flag. One watermarked streaming
+    * aggregation plus a stream-static join — the static side adds no
+    * state, so memory stays bounded by watermark × |types| exactly as
+    * in [[windowedCounts]]. (Share-of-window drift — the q149 face —
+    * would need a second aggregation over the aggregate, which
+    * structured streaming forbids in one query; the reference-rate
+    * form is the deployable monitor.) */
+  def streamingRateDrift(events: DataFrame, refMeans: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(refMeans), Seq("event_type"))
+      .withColumn("rate_ppm", expr("n * 1000000 div ref_per_window"))
+      .withColumn("spike", col("rate_ppm") >= 2000000L)
+
   /** Streaming exact-dedup: watermark + dropDuplicates on the event key.
     * The streaming face of q40 — state holds only keys younger than the
     * watermark, so memory is bounded at any corpus size. */

@@ -53,6 +53,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rate drift flags a planted burst window and matches the batch recount") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    // steady: 2 clicks per 10-min window; burst: 6 clicks in window 2
+    val steady = Seq(0, 1, 10, 11, 30, 31).map(m =>
+      Event(100 + m, ts(m), 10, "click", 1.0))
+    val burst = (0 until 6).map(i =>
+      Event(200 + i, ts(20 + i), 11, "click", 1.0))
+    mem.addData(steady ++ burst: _*)
+    val ref = Seq(("click", 2L)).toDF("event_type", "ref_per_window")
+    val q = StreamingOps.streamingRateDrift(mem.toDF(), ref)
+      .writeStream.format("memory").queryName("srd")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("srd")
+        .selectExpr("window.start", "n", "rate_ppm", "spike").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3)))
+      assert(rows.length == 4, "four 10-minute windows")
+      val spikes = rows.filter(_._4)
+      assert(spikes.length == 1, "exactly the burst window spikes")
+      assert(spikes.head._2 == 6L && spikes.head._3 == 3000000L,
+        "burst window carries 3x the reference rate")
+      rows.filterNot(_._4).foreach { r =>
+        assert(r._2 == 2L && r._3 == 1000000L, "steady windows read 1x")
+      }
+      // batch recount over the same frame: identical numbers
+      import org.apache.spark.sql.functions.{window => winF, count => countF, lit => litF}
+      val batch = (steady ++ burst).toDF()
+        .groupBy(winF($"ts", "10 minutes"), $"event_type")
+        .agg(countF(litF(1)).as("n"))
+        .join(ref, Seq("event_type"))
+        .selectExpr("window.start", "n",
+          "n * 1000000 div ref_per_window as rate_ppm")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(rows.map(r => (r._1, r._2, r._3)).toSet == batch,
+        "streamed drift must equal the batch computation of the same frame")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
