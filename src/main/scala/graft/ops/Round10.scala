@@ -944,7 +944,48 @@ object Round10 {
         $"mean_delta_ppm", $"max_delta_ppm")
   }
 
+  // ---------------------------------------------------------------------
+  // q190: near-dup transitivity audit (chain-merge risk)
+  // ---------------------------------------------------------------------
+
+  /** Is "near-duplicate" transitive on this corpus? — the question that
+    * decides whether q79's connected-components dedup OVER-collapses: CC
+    * merges a with c whenever a~b and b~c, even if a and c are NOT
+    * near-duplicates, so a long chain can glue unrelated documents into
+    * one cluster and delete real content. The audit counts, over q41's
+    * verified pair set (composed directly), every 2-chain a~b~c (a<c,
+    * via any middle b) and how many close into a~c — closure near 10⁶
+    * ppm says CC is safe here; low closure quantifies the over-collapse
+    * risk and argues for centroid- or medoid-based cluster splitting.
+    * The chain join is bounded by the k-bounded dup degree (pairs per
+    * doc), never corpus-sized. */
+  val q190TransitivityAudit: Q = (spark, dir) => {
+    import spark.implicits._
+    val pairs = Dedup.q41MinhashLsh(spark, dir)
+      .select($"doc_a", $"doc_b").cache()
+    val undirected = pairs
+      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+    // 2-chains a—b—c with a < c (each unordered chain counted once per
+    // distinct middle b)
+    val chains = undirected.as("x").join(undirected.as("y"),
+        col("x.doc_b") === col("y.doc_a")
+          && col("x.doc_a") < col("y.doc_b"))
+      .select(col("x.doc_a").as("a"), col("x.doc_b").as("b"),
+        col("y.doc_b").as("c"))
+    val out = OpsUtil.driverLiteral(chains
+      .join(pairs.select($"doc_a".as("a"), $"doc_b".as("c"),
+        lit(true).as("closed")), Seq("a", "c"), "left")
+      .agg(count(lit(1)).as("n_chains"),
+        count(when($"closed", 1)).as("n_closed"))
+      .withColumn("closure_ppm", expr(
+        "CASE WHEN n_chains > 0 THEN n_closed * 1000000 div n_chains " +
+          "ELSE 1000000 END")))
+    pairs.unpersist()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q190_transitivity_audit" -> q190TransitivityAudit,
     "q189_norm_stability" -> q189NormStability,
     "q188_manifest_merge" -> q188ManifestMerge,
     "q187_survivor_audit" -> q187SurvivorAudit,
@@ -1417,6 +1458,29 @@ object Round10 {
         |    * (p3 * 1000000 // n) // 1000000 AS BIGINT)
         |FROM a
         |ORDER BY filter""".stripMargin,
+    "q190_transitivity_audit" ->
+      s"""WITH q41 AS (
+         |${Dedup.oracle("q41_minhash_lsh")}
+         |), und AS (
+         |  SELECT doc_a, doc_b FROM q41
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM q41
+         |), chains AS (
+         |  SELECT x.doc_a AS a, x.doc_b AS b, y.doc_b AS c
+         |  FROM und x JOIN und y
+         |    ON x.doc_b = y.doc_a AND x.doc_a < y.doc_b
+         |), j AS (
+         |  SELECT chains.a, chains.c,
+         |    (q41.doc_a IS NOT NULL) AS closed
+         |  FROM chains
+         |  LEFT JOIN q41 ON chains.a = q41.doc_a AND chains.c = q41.doc_b
+         |)
+         |SELECT COUNT(*) AS n_chains,
+         |  COUNT(CASE WHEN closed THEN 1 END) AS n_closed,
+         |  CAST(CASE WHEN COUNT(*) > 0
+         |    THEN COUNT(CASE WHEN closed THEN 1 END) * 1000000 // COUNT(*)
+         |    ELSE 1000000 END AS BIGINT) AS closure_ppm
+         |FROM j""".stripMargin,
     "q189_norm_stability" ->
       """WITH s AS (
         |  SELECT

@@ -580,6 +580,30 @@ class Round10Spec extends SparkSpec {
         "whitespace collapse alone must be score-neutral"))
   }
 
+  test("q190: chain and closure counts match a driver-side graph recount") {
+    import spark.implicits._
+    val row = ops.Round10.q190TransitivityAudit(spark, sf).collect().head
+    val pairs = ops.Dedup.q41MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairSet = pairs.toSet
+    val adj = (pairs ++ pairs.map(_.swap))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
+    var chains = 0L; var closed = 0L
+    (pairs ++ pairs.map(_.swap)).foreach { case (a, b) =>
+      adj.getOrElse(b, Array.empty[Long]).foreach { c =>
+        if (a < c) {
+          chains += 1
+          if (pairSet.contains((a, c))) closed += 1
+        }
+      }
+    }
+    assert(row.getLong(0) == chains, "chain recount")
+    assert(row.getLong(1) == closed, "closure recount")
+    assert(row.getLong(2) == (if (chains > 0) closed * 1000000L / chains
+      else 1000000L))
+    assert(row.getLong(1) <= row.getLong(0))
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
