@@ -984,7 +984,58 @@ object Round10 {
     out
   }
 
+  // ---------------------------------------------------------------------
+  // q191: language purity (code-switching detection)
+  // ---------------------------------------------------------------------
+
+  /** Mixed-language document detection — the doc-level face of q32's
+    * classifier: a document's PURITY is the share of its marker-word
+    * hits belonging to its own declared language (ppm; docs with zero
+    * marker hits are reported separately as unsignaled, not silently
+    * pure). Code-switched or mistagged documents score low purity and
+    * a multilingual pipeline filters or splits them before training.
+    * Same marker vocabulary as q32 (`Text.scala:81`); one corpus pass
+    * into a |langs|-sized profile: per language, doc count, unsignaled
+    * count, fully-pure count, and mean purity over signaled docs. */
+  val q191LanguagePurity: Q = (spark, dir) => {
+    import spark.implicits._
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "a", "is", "in"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+      "es" -> Seq("el", "los", "las", "y", "es", "un"),
+      "zh" -> Seq("的", "是", "在", "了", "和"))
+    val toks = filter(split(lower($"text"), "\\s+"), t => length(t) > 0)
+    val withScores = markers.foldLeft(
+      Tables.documents(spark, dir).withColumn("toks", toks)) {
+      case (df, (l, words)) =>
+        df.withColumn(s"s_$l", size(filter($"toks", t => t.isin(words: _*))))
+    }
+    val total = markers.map { case (l, _) => col(s"s_$l") }
+      .reduce(_ + _)
+    val own = markers.foldRight(lit(0): Column) {
+      case ((l, _), alt) => when($"lang" === l, col(s"s_$l")).otherwise(alt)
+    }
+    withScores
+      .withColumn("tot", total.cast("long"))
+      .withColumn("own", own.cast("long"))
+      .withColumn("purity",
+        when($"tot" > 0, expr("own * 1000000 div tot")))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"tot" === 0, 1)).as("n_unsignaled"),
+        count(when($"purity" === 1000000L, 1)).as("n_pure"),
+        sum(coalesce($"purity", lit(0L))).as("psum"),
+        count(when($"tot" > 0, 1)).as("n_signaled"))
+      .withColumn("mean_purity_ppm",
+        when($"n_signaled" > 0, expr("psum div n_signaled")))
+      .select($"lang", $"n_docs", $"n_unsignaled", $"n_pure",
+        $"mean_purity_ppm")
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q191_language_purity" -> q191LanguagePurity,
     "q190_transitivity_audit" -> q190TransitivityAudit,
     "q189_norm_stability" -> q189NormStability,
     "q188_manifest_merge" -> q188ManifestMerge,
@@ -1458,6 +1509,37 @@ object Round10 {
         |    * (p3 * 1000000 // n) // 1000000 AS BIGINT)
         |FROM a
         |ORDER BY filter""".stripMargin,
+    "q191_language_purity" ->
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    length(list_filter(toks, t -> t IN ('the','and','of','to','a','is','in'))) AS s_en,
+         |    length(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein'))) AS s_de,
+         |    length(list_filter(toks, t -> t IN ('le','la','les','et','est','un'))) AS s_fr,
+         |    length(list_filter(toks, t -> t IN ('el','los','las','y','es','un'))) AS s_es,
+         |    length(list_filter(toks, t -> t IN ('的','是','在','了','和'))) AS s_zh
+         |  FROM (SELECT lang, list_filter(string_split_regex(lower(text), '\\s+'),
+         |          t -> length(t) > 0) AS toks FROM documents)
+         |), p AS (
+         |  SELECT lang,
+         |    s_en + s_de + s_fr + s_es + s_zh AS tot,
+         |    CASE lang WHEN 'en' THEN s_en WHEN 'de' THEN s_de
+         |      WHEN 'fr' THEN s_fr WHEN 'es' THEN s_es
+         |      WHEN 'zh' THEN s_zh ELSE 0 END AS own
+         |  FROM scored
+         |), q AS (
+         |  SELECT lang, tot,
+         |    CASE WHEN tot > 0
+         |      THEN CAST(own * 1000000 // tot AS BIGINT) END AS purity
+         |  FROM p
+         |)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  COUNT(CASE WHEN tot = 0 THEN 1 END) AS n_unsignaled,
+         |  COUNT(CASE WHEN purity = 1000000 THEN 1 END) AS n_pure,
+         |  CASE WHEN COUNT(CASE WHEN tot > 0 THEN 1 END) > 0
+         |    THEN CAST(SUM(COALESCE(purity, 0))
+         |      // COUNT(CASE WHEN tot > 0 THEN 1 END) AS BIGINT) END
+         |    AS mean_purity_ppm
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     "q190_transitivity_audit" ->
       s"""WITH q41 AS (
          |${Dedup.oracle("q41_minhash_lsh")}

@@ -604,6 +604,38 @@ class Round10Spec extends SparkSpec {
     assert(row.getLong(1) <= row.getLong(0))
   }
 
+  test("q191: purity accounting matches a driver recount and conserves each language's docs") {
+    import spark.implicits._
+    val rows = ops.Round10.q191LanguagePurity(spark, sf).collect()
+    val markers = Map(
+      "en" -> Set("the", "and", "of", "to", "a", "is", "in"),
+      "de" -> Set("der", "die", "das", "und", "ist", "ein"),
+      "fr" -> Set("le", "la", "les", "et", "est", "un"),
+      "es" -> Set("el", "los", "las", "y", "es", "un"),
+      "zh" -> Set("的", "是", "在", "了", "和"))
+    val docs = Tables.documents(spark, sf).select($"lang", $"text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    rows.foreach { r =>
+      val l = r.getString(0)
+      val mine = docs.filter(_._1 == l)
+      val stats = mine.map { case (_, t) =>
+        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val hits = markers.view.mapValues(ws => toks.count(ws)).toMap
+        val tot = hits.values.sum.toLong
+        val own = hits.getOrElse(l, 0).toLong
+        (tot, if (tot > 0) Some(own * 1000000L / tot) else None)
+      }
+      assert(r.getLong(1) == mine.length, s"$l n_docs")
+      assert(r.getLong(2) == stats.count(_._1 == 0), s"$l unsignaled")
+      assert(r.getLong(3) == stats.count(_._2.contains(1000000L)), s"$l pure")
+      val signaled = stats.flatMap(_._2)
+      if (signaled.nonEmpty)
+        assert(r.getLong(4) == signaled.sum / signaled.length, s"$l mean")
+    }
+    assert(rows.map(_.getLong(1)).sum == docs.length,
+      "languages partition the corpus")
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
