@@ -1034,7 +1034,41 @@ object Round10 {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------------
+  // q192: document-length profile (log2 buckets)
+  // ---------------------------------------------------------------------
+
+  /** The length distribution that sizes everything downstream — q171's
+    * context window, q82's chunking, the Gopher length rules: per
+    * language, documents bucketed by the integer log₂ of their token
+    * count (`length(bin(toks))` — the q153 pure-function block key,
+    * exact integers, no float log), with doc and token mass per
+    * bucket. The heavy-tail readout ("what share of TOKENS lives in
+    * 2⁶⁺-token docs") is what decides whether long documents get
+    * split or truncated. One map-side-combined aggregate over
+    * |langs|×|buckets| (≤ ~langs·64) groups. */
+  val q192LengthProfile: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"lang",
+        size(filter(split($"text", " "), t => length(t) > 0)).cast("long")
+          .as("toks"))
+      .filter($"toks" > 0)
+      .withColumn("bucket", length(bin($"toks")).cast("long"))
+    val langTot = docs.groupBy($"lang")
+      .agg(count(lit(1)).as("ld"), sum($"toks").as("lt"))
+    docs.groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"))
+      .join(broadcast(langTot), Seq("lang"))
+      .withColumn("doc_ppm", expr("n_docs * 1000000 div ld"))
+      .withColumn("token_ppm", expr("n_tokens * 1000000 div lt"))
+      .select($"lang", $"bucket", $"n_docs", $"n_tokens",
+        $"doc_ppm", $"token_ppm")
+      .orderBy($"lang", $"bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q192_length_profile" -> q192LengthProfile,
     "q191_language_purity" -> q191LanguagePurity,
     "q190_transitivity_audit" -> q190TransitivityAudit,
     "q189_norm_stability" -> q189NormStability,
@@ -1509,6 +1543,25 @@ object Round10 {
         |    * (p3 * 1000000 // n) // 1000000 AS BIGINT)
         |FROM a
         |ORDER BY filter""".stripMargin,
+    "q192_length_profile" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> length(x) > 0)) AS BIGINT) AS toks
+        |  FROM documents
+        |), nz AS (
+        |  SELECT lang, toks, CAST(length(bin(toks)) AS BIGINT) AS bucket
+        |  FROM d WHERE toks > 0
+        |), lt AS (
+        |  SELECT lang, COUNT(*) AS ld, CAST(SUM(toks) AS BIGINT) AS lt
+        |  FROM nz GROUP BY 1
+        |)
+        |SELECT nz.lang, bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) * 1000000 // MAX(lt.ld) AS BIGINT) AS doc_ppm,
+        |  CAST(SUM(toks) * 1000000 // MAX(lt.lt) AS BIGINT) AS token_ppm
+        |FROM nz JOIN lt ON nz.lang = lt.lang
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q191_language_purity" ->
       s"""WITH scored AS (
          |  SELECT lang,

@@ -636,6 +636,37 @@ class Round10Spec extends SparkSpec {
       "languages partition the corpus")
   }
 
+  test("q192: length buckets conserve docs and tokens and the log2 key is exact") {
+    import spark.implicits._
+    val rows = ops.Round10.q192LengthProfile(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select($"lang", $"text")
+      .collect().map { r =>
+        (r.getString(0), r.getString(1).split(" ").count(_.nonEmpty).toLong)
+      }.filter(_._2 > 0)
+    assert(rows.map(_.getLong(2)).sum == docs.length, "docs conserve")
+    assert(rows.map(_.getLong(3)).sum == docs.map(_._2).sum, "tokens conserve")
+    rows.foreach { r =>
+      val (lang, bucket) = (r.getString(0), r.getLong(1))
+      val mine = docs.filter { case (l, t) =>
+        l == lang && java.lang.Long.toBinaryString(t).length.toLong == bucket
+      }
+      assert(r.getLong(2) == mine.length, s"$lang/$bucket doc count")
+      assert(r.getLong(3) == mine.map(_._2).sum, s"$lang/$bucket token mass")
+      // bucket bounds: every doc in bucket k has toks in [2^(k-1), 2^k)
+      mine.foreach { case (_, t) =>
+        assert(t >= (1L << (bucket - 1).toInt) && t < (1L << bucket.toInt))
+      }
+    }
+    // ppm identities per language
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val (ld, lt) = (g.map(_.getLong(2)).sum, g.map(_.getLong(3)).sum)
+      g.foreach { r =>
+        assert(r.getLong(4) == r.getLong(2) * 1000000L / ld)
+        assert(r.getLong(5) == r.getLong(3) * 1000000L / lt)
+      }
+    }
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
