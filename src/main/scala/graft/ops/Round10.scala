@@ -1067,7 +1067,30 @@ object Round10 {
       .orderBy($"lang", $"bucket")
   }
 
+  // ---------------------------------------------------------------------
+  // q193: duplicate-cluster size distribution
+  // ---------------------------------------------------------------------
+
+  /** The size histogram of q79's near-dup clusters — the readout that
+    * separates ordinary re-posts (size-2 clusters) from TEMPLATE
+    * boilerplate (large clusters: the same page stamped out hundreds
+    * of times), which gets a different treatment in curation (capping
+    * or outright removal vs keep-one). Composes q79's connected
+    * components directly; one |clusters|-sized aggregate on top. At
+    * 100 TB this histogram is the first thing a dedup run reports —
+    * a fat tail here means the corpus carries template spam. */
+  val q193ClusterSizes: Q = (spark, dir) => {
+    import spark.implicits._
+    Round3.q79DupClusters(spark, dir)
+      .groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", $"cluster_size" * $"n_clusters")
+      .select($"cluster_size", $"n_clusters", $"n_docs")
+      .orderBy($"cluster_size")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q193_cluster_sizes" -> q193ClusterSizes,
     "q192_length_profile" -> q192LengthProfile,
     "q191_language_purity" -> q191LanguagePurity,
     "q190_transitivity_audit" -> q190TransitivityAudit,
@@ -1543,6 +1566,26 @@ object Round10 {
         |    * (p3 * 1000000 // n) // 1000000 AS BIGINT)
         |FROM a
         |ORDER BY filter""".stripMargin,
+    "q193_cluster_sizes" ->
+      s"""WITH RECURSIVE q41 AS (
+         |${Dedup.oracle("q41_minhash_lsh")}
+         |), edges AS (
+         |  SELECT doc_a, doc_b FROM q41
+         |  UNION
+         |  SELECT doc_b AS doc_a, doc_a AS doc_b FROM q41
+         |), reach(v, label) AS (
+         |  SELECT doc_a AS v, doc_a AS label FROM edges
+         |  UNION
+         |  SELECT e.doc_a AS v, r.label FROM edges e
+         |  JOIN reach r ON e.doc_b = r.v
+         |), comp AS (
+         |  SELECT v, MIN(label) AS label FROM reach GROUP BY v
+         |), clusters AS (
+         |  SELECT label, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+         |)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+         |FROM clusters GROUP BY 1 ORDER BY 1""".stripMargin,
     "q192_length_profile" ->
       """WITH d AS (
         |  SELECT lang,

@@ -667,6 +667,23 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q193: the size histogram conserves q79's clusters and documents exactly") {
+    import spark.implicits._
+    val rows = ops.Round10.q193ClusterSizes(spark, sf).collect()
+    val clusters = ops.Round3.q79DupClusters(spark, sf).collect()
+      .map(_.getLong(1))
+    assert(rows.map(_.getLong(1)).sum == clusters.length,
+      "every q79 cluster lands in exactly one size bucket")
+    assert(rows.map(_.getLong(2)).sum == clusters.sum,
+      "document mass conserves through the histogram")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 2, "near-dup clusters have at least 2 members")
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1))
+      assert(r.getLong(1) == clusters.count(_ == r.getLong(0)),
+        s"size-${r.getLong(0)} recount")
+    }
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
