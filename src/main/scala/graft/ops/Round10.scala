@@ -1089,7 +1089,53 @@ object Round10 {
       .orderBy($"cluster_size")
   }
 
+  // ---------------------------------------------------------------------
+  // q194: duplicate provenance (which sources produce the near-dups)
+  // ---------------------------------------------------------------------
+
+  /** Duplicate PROVENANCE — the mixture-tuning face of dedup: for each
+    * source, how many of its documents participate in verified
+    * near-dup pairs (q41's output, composed), split into INTRA-source
+    * pairs (the source repeats itself — template spam) and
+    * CROSS-source pairs (syndicated content the mixture already has
+    * elsewhere). A source with high dup_ppm and mostly-cross pairs
+    * adds little even before quality scoring — the q174 novelty
+    * signal, confirmed at the verified-duplicate level. One
+    * pairs-sized join against the |corpus| (doc_id, source) relation;
+    * per-source rollup. */
+  val q194DupProvenance: Q = (spark, dir) => {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val pairs = Dedup.q41MinhashLsh(spark, dir)
+      .select($"doc_a", $"doc_b")
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")),
+        Seq("doc_a"))
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")),
+        Seq("doc_b"))
+      .cache()
+    val sides = pairs
+      .select($"doc_a".as("doc_id"), $"sa".as("source"),
+        ($"sa" === $"sb").as("intra"))
+      .unionByName(pairs.select($"doc_b".as("doc_id"), $"sb".as("source"),
+        ($"sa" === $"sb").as("intra")))
+    val perSource = sides.groupBy($"source")
+      .agg(countDistinct($"doc_id").as("n_dup_docs"),
+        count(when($"intra", 1)).as("n_intra_sides"),
+        count(when(!$"intra", 1)).as("n_cross_sides"))
+    val out = OpsUtil.driverLiteral(
+      src.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .join(perSource, Seq("source"), "left")
+        .na.fill(0L, Seq("n_dup_docs", "n_intra_sides", "n_cross_sides"))
+        .withColumn("dup_ppm", expr("n_dup_docs * 1000000 div n_docs"))
+        .select($"source", $"n_docs", $"n_dup_docs", $"dup_ppm",
+          $"n_intra_sides", $"n_cross_sides")
+        .orderBy($"source"))
+    pairs.unpersist()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q194_dup_provenance" -> q194DupProvenance,
     "q193_cluster_sizes" -> q193ClusterSizes,
     "q192_length_profile" -> q192LengthProfile,
     "q191_language_purity" -> q191LanguagePurity,
@@ -1566,6 +1612,34 @@ object Round10 {
         |    * (p3 * 1000000 // n) // 1000000 AS BIGINT)
         |FROM a
         |ORDER BY filter""".stripMargin,
+    "q194_dup_provenance" ->
+      s"""WITH q41 AS (
+         |${Dedup.oracle("q41_minhash_lsh")}
+         |), p AS (
+         |  SELECT q41.doc_a, q41.doc_b, a.source AS sa, b.source AS sb
+         |  FROM q41
+         |  JOIN documents a ON q41.doc_a = a.doc_id
+         |  JOIN documents b ON q41.doc_b = b.doc_id
+         |), sides AS (
+         |  SELECT doc_a AS doc_id, sa AS source, (sa = sb) AS intra FROM p
+         |  UNION ALL
+         |  SELECT doc_b, sb, (sa = sb) FROM p
+         |), per AS (
+         |  SELECT source, COUNT(DISTINCT doc_id) AS n_dup_docs,
+         |    COUNT(CASE WHEN intra THEN 1 END) AS n_intra_sides,
+         |    COUNT(CASE WHEN NOT intra THEN 1 END) AS n_cross_sides
+         |  FROM sides GROUP BY 1
+         |), tot AS (
+         |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+         |)
+         |SELECT t.source, t.n_docs,
+         |  COALESCE(per.n_dup_docs, 0) AS n_dup_docs,
+         |  CAST(COALESCE(per.n_dup_docs, 0) * 1000000 // t.n_docs
+         |    AS BIGINT) AS dup_ppm,
+         |  COALESCE(per.n_intra_sides, 0) AS n_intra_sides,
+         |  COALESCE(per.n_cross_sides, 0) AS n_cross_sides
+         |FROM tot t LEFT JOIN per ON t.source = per.source
+         |ORDER BY t.source""".stripMargin,
     "q193_cluster_sizes" ->
       s"""WITH RECURSIVE q41 AS (
          |${Dedup.oracle("q41_minhash_lsh")}

@@ -684,6 +684,32 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q194: duplicate provenance matches a driver recount over q41's pairs") {
+    import spark.implicits._
+    val rows = ops.Round10.q194DupProvenance(spark, sf).collect()
+    assert(rows.length == 20)
+    val srcOf = Tables.documents(spark, sf).select($"doc_id", $"source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = ops.Dedup.q41MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_.getLong(1)).sum == srcOf.size, "doc totals conserve")
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val dupDocs = pairs.flatMap { case (a, b) => Seq(a, b) }
+        .filter(srcOf(_) == s).distinct
+      assert(r.getLong(2) == dupDocs.length, s"$s dup docs")
+      assert(r.getLong(3) == dupDocs.length.toLong * 1000000L / r.getLong(1))
+      val intraSides = pairs.count { case (a, b) =>
+        srcOf(a) == s && srcOf(a) == srcOf(b) } * 2 +
+        0 // both sides of an intra pair belong to s
+      assert(r.getLong(4) == intraSides, s"$s intra sides")
+      val crossSides = pairs.count { case (a, b) =>
+        srcOf(a) == s && srcOf(a) != srcOf(b) } +
+        pairs.count { case (a, b) => srcOf(b) == s && srcOf(a) != srcOf(b) }
+      assert(r.getLong(5) == crossSides, s"$s cross sides")
+    }
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
