@@ -1134,7 +1134,48 @@ object Round10 {
     out
   }
 
+  // ---------------------------------------------------------------------
+  // q195: split difficulty parity (train-vs-eval KS)
+  // ---------------------------------------------------------------------
+
+  /** Is the held-out split as hard as the training split? — the eval
+    * hygiene check behind every benchmark number: the exact
+    * Kolmogorov–Smirnov gap between the TRAIN and EVAL quality-score
+    * distributions over the q80 content-hash split (buckets 0–7 vs
+    * 8–9), in q155's float-free integer form (no bins, no logs — CDFs
+    * from exact integer cumulative counts over distinct score values,
+    * a ≤10⁶-row documented narrow window). A content-hash split is
+    * distributionally unbiased in EXPECTATION; this measures the
+    * realized gap, row 1 being the KS statistic. */
+  val q195SplitDifficulty: Q = (spark, dir) => {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .select(
+        (conv(substring(md5($"text"), 1, 8), 16, 10).cast("long") % 10)
+          .as("bucket"),
+        filter(split($"text", " "), t => length(t) > 0).as("w"))
+      .select(($"bucket" < 8).as("is_train"),
+        expr("size(array_distinct(w)) * 1000000 div size(w)").as("score"))
+    val perScore = scored.groupBy($"score")
+      .agg(count(when($"is_train", 1)).as("n_tr"),
+        count(when(!$"is_train", 1)).as("n_ev"))
+    val tot = perScore.agg(sum($"n_tr").as("t_tr"), sum($"n_ev").as("t_ev"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"score")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perScore
+      .withColumn("cum_tr", sum($"n_tr").over(w))
+      .withColumn("cum_ev", sum($"n_ev").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("cdf_tr_ppm", expr("cum_tr * 1000000 div t_tr"))
+      .withColumn("cdf_ev_ppm", expr("cum_ev * 1000000 div t_ev"))
+      .withColumn("gap_ppm", abs($"cdf_tr_ppm" - $"cdf_ev_ppm"))
+      .select($"score", $"cdf_tr_ppm", $"cdf_ev_ppm", $"gap_ppm")
+      .orderBy($"gap_ppm".desc, $"score")
+      .limit(5)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q195_split_difficulty" -> q195SplitDifficulty,
     "q194_dup_provenance" -> q194DupProvenance,
     "q193_cluster_sizes" -> q193ClusterSizes,
     "q192_length_profile" -> q192LengthProfile,
@@ -1612,6 +1653,43 @@ object Round10 {
         |    * (p3 * 1000000 // n) // 1000000 AS BIGINT)
         |FROM a
         |ORDER BY filter""".stripMargin,
+    "q195_split_difficulty" ->
+      """WITH sc AS (
+        |  SELECT
+        |    (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10 < 8)
+        |      AS is_train,
+        |    CAST(len(list_distinct(w)) * 1000000 // len(w) AS BIGINT)
+        |      AS score
+        |  FROM (SELECT text,
+        |          list_filter(string_split(text, ' '),
+        |            x -> length(x) > 0) AS w
+        |        FROM documents)
+        |), g AS (
+        |  SELECT score,
+        |    COUNT(CASE WHEN is_train THEN 1 END) AS n_tr,
+        |    COUNT(CASE WHEN NOT is_train THEN 1 END) AS n_ev
+        |  FROM sc GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(n_tr) AS BIGINT) AS t_tr,
+        |    CAST(SUM(n_ev) AS BIGINT) AS t_ev
+        |  FROM g
+        |), c AS (
+        |  SELECT score,
+        |    CAST(SUM(n_tr) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tr,
+        |    CAST(SUM(n_ev) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_ev
+        |  FROM g
+        |)
+        |SELECT score,
+        |  CAST(cum_tr * 1000000 // t.t_tr AS BIGINT) AS cdf_tr_ppm,
+        |  CAST(cum_ev * 1000000 // t.t_ev AS BIGINT) AS cdf_ev_ppm,
+        |  CAST(ABS(cum_tr * 1000000 // t.t_tr
+        |    - cum_ev * 1000000 // t.t_ev) AS BIGINT) AS gap_ppm
+        |FROM c, t
+        |ORDER BY gap_ppm DESC, score LIMIT 5""".stripMargin,
     "q194_dup_provenance" ->
       s"""WITH q41 AS (
          |${Dedup.oracle("q41_minhash_lsh")}

@@ -710,6 +710,36 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q195: the KS row matches an exhaustive driver-side CDF scan over the split") {
+    import spark.implicits._
+    val rows = ops.Round10.q195SplitDifficulty(spark, sf).collect()
+    assert(rows.length == 5)
+    def bucket(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    val scored = Tables.documents(spark, sf).select($"text").collect()
+      .map(_.getString(0)).map { t =>
+        val w = t.split(" ").filter(_.nonEmpty)
+        (bucket(t) < 8, w.distinct.length.toLong * 1000000L / w.length)
+      }
+    val (tr, ev) = (scored.filter(_._1).map(_._2).sorted,
+      scored.filterNot(_._1).map(_._2).sorted)
+    val ks = scored.map(_._2).distinct.map { s =>
+      math.abs(tr.count(_ <= s).toLong * 1000000L / tr.length
+        - ev.count(_ <= s).toLong * 1000000L / ev.length)
+    }.max
+    assert(rows.head.getLong(3) == ks,
+      "row 1 must be the exact KS statistic over all distinct scores")
+    rows.foreach { r =>
+      assert(r.getLong(3) == math.abs(r.getLong(1) - r.getLong(2)))
+    }
+    val gaps = rows.map(_.getLong(3))
+    assert(gaps.zip(gaps.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
