@@ -1174,7 +1174,64 @@ object Round10 {
       .limit(5)
   }
 
+  // ---------------------------------------------------------------------
+  // q196: curation waterfall (token accounting per stage)
+  // ---------------------------------------------------------------------
+
+  /** The headline number of a curation run — the WATERFALL: how many
+    * tokens survive each successive stage, raw → exact dedup (md5
+    * keep-first, the q40 rule) → near-dup removal (drop the higher id
+    * of every verified q41 pair — the q79 keep-min survivor rule at
+    * pair grain) → quality filter (the q182 length+diversity+word
+    * rules). Each stage's doc and token count plus retention ppm
+    * against RAW — the chart every curation report opens with, and the
+    * composition proof that the stages (each oracle-checked alone)
+    * compose into one auditable pipeline. Stage predicates are
+    * per-document flags computed in ONE pass over the corpus plus the
+    * pairs-sized q41 join; no stage re-scans survivors. */
+  val q196CurationWaterfall: Q = (spark, dir) => {
+    import spark.implicits._
+    val dropB = Dedup.q41MinhashLsh(spark, dir)
+      .select($"doc_b".as("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+    val firstByText = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5($"text")).orderBy($"doc_id")
+    val flagged = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars", $"text",
+        filter(split($"text", " "), t => length(t) > 0).as("w"))
+      .withColumn("toks", size($"w").cast("long"))
+      .withColumn("exact_keep", row_number().over(firstByText) === 1)
+      .join(dropB, Seq("doc_id"), "left")
+      .withColumn("near_keep", $"near_dup".isNull)
+      .withColumn("quality_keep",
+        $"n_chars" >= 200
+          && expr("size(array_distinct(w)) * 1000000 div size(w)") >= 300000L
+          && expr("aggregate(w, 0L, (a, x) -> a + length(x)) div size(w)")
+            .between(3L, 12L))
+      .select($"doc_id", $"toks", $"exact_keep", $"near_keep",
+        $"quality_keep")
+    val r = flagged.agg(
+      count(lit(1)).as("d0"), sum($"toks").as("t0"),
+      count(when($"exact_keep", 1)).as("d1"),
+      sum(when($"exact_keep", $"toks").otherwise(0L)).as("t1"),
+      count(when($"exact_keep" && $"near_keep", 1)).as("d2"),
+      sum(when($"exact_keep" && $"near_keep", $"toks").otherwise(0L)).as("t2"),
+      count(when($"exact_keep" && $"near_keep" && $"quality_keep", 1)).as("d3"),
+      sum(when($"exact_keep" && $"near_keep" && $"quality_keep", $"toks")
+        .otherwise(0L)).as("t3")).head()
+    val t0 = r.getLong(1)
+    Seq(
+      ("1_raw", r.getLong(0), r.getLong(1)),
+      ("2_exact_dedup", r.getLong(2), r.getLong(3)),
+      ("3_near_dedup", r.getLong(4), r.getLong(5)),
+      ("4_quality", r.getLong(6), r.getLong(7)))
+      .map { case (s, d, t) => (s, d, t, t * 1000000L / t0) }
+      .toDF("stage", "n_docs", "n_tokens", "token_retained_ppm")
+      .orderBy($"stage")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q196_curation_waterfall" -> q196CurationWaterfall,
     "q195_split_difficulty" -> q195SplitDifficulty,
     "q194_dup_provenance" -> q194DupProvenance,
     "q193_cluster_sizes" -> q193ClusterSizes,
@@ -1653,6 +1710,53 @@ object Round10 {
         |    * (p3 * 1000000 // n) // 1000000 AS BIGINT)
         |FROM a
         |ORDER BY filter""".stripMargin,
+    "q196_curation_waterfall" ->
+      s"""WITH q41 AS (
+         |${Dedup.oracle("q41_minhash_lsh")}
+         |), dropb AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM q41
+         |), f AS (
+         |  SELECT d.doc_id,
+         |    CAST(len(w) AS BIGINT) AS toks,
+         |    (row_number() OVER (PARTITION BY md5(text)
+         |      ORDER BY d.doc_id) = 1) AS exact_keep,
+         |    (dropb.doc_id IS NULL) AS near_keep,
+         |    (n_chars >= 200
+         |      AND len(list_distinct(w)) * 1000000 // len(w) >= 300000
+         |      AND list_reduce(list_transform(w, x -> length(x)),
+         |        (a, b) -> a + b) // len(w) BETWEEN 3 AND 12) AS quality_keep
+         |  FROM (SELECT doc_id, n_chars, text,
+         |          list_filter(string_split(text, ' '),
+         |            x -> length(x) > 0) AS w
+         |        FROM documents) d
+         |  LEFT JOIN dropb ON d.doc_id = dropb.doc_id
+         |), a AS (
+         |  SELECT COUNT(*) AS d0, CAST(SUM(toks) AS BIGINT) AS t0,
+         |    COUNT(CASE WHEN exact_keep THEN 1 END) AS d1,
+         |    CAST(SUM(CASE WHEN exact_keep THEN toks ELSE 0 END)
+         |      AS BIGINT) AS t1,
+         |    COUNT(CASE WHEN exact_keep AND near_keep THEN 1 END) AS d2,
+         |    CAST(SUM(CASE WHEN exact_keep AND near_keep THEN toks
+         |      ELSE 0 END) AS BIGINT) AS t2,
+         |    COUNT(CASE WHEN exact_keep AND near_keep AND quality_keep
+         |      THEN 1 END) AS d3,
+         |    CAST(SUM(CASE WHEN exact_keep AND near_keep AND quality_keep
+         |      THEN toks ELSE 0 END) AS BIGINT) AS t3
+         |  FROM f
+         |)
+         |SELECT '1_raw' AS stage, d0 AS n_docs, t0 AS n_tokens,
+         |  CAST(t0 * 1000000 // t0 AS BIGINT) AS token_retained_ppm
+         |FROM a
+         |UNION ALL
+         |SELECT '2_exact_dedup', d1, t1,
+         |  CAST(t1 * 1000000 // t0 AS BIGINT) FROM a
+         |UNION ALL
+         |SELECT '3_near_dedup', d2, t2,
+         |  CAST(t2 * 1000000 // t0 AS BIGINT) FROM a
+         |UNION ALL
+         |SELECT '4_quality', d3, t3,
+         |  CAST(t3 * 1000000 // t0 AS BIGINT) FROM a
+         |ORDER BY stage""".stripMargin,
     "q195_split_difficulty" ->
       """WITH sc AS (
         |  SELECT

@@ -740,6 +740,38 @@ class Round10Spec extends SparkSpec {
     assert(gaps.zip(gaps.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q196: the waterfall is monotone and each stage matches its source operator") {
+    import spark.implicits._
+    val rows = ops.Round10.q196CurationWaterfall(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1_raw", "2_exact_dedup",
+      "3_near_dedup", "4_quality"))
+    val docs = rows.map(_.getLong(1))
+    val toks = rows.map(_.getLong(2))
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b },
+      "stages only remove documents")
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b },
+      "stages only remove tokens")
+    rows.foreach(r =>
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / toks.head))
+    // stage 1 == corpus; stage 2 == distinct texts (q40's universe)
+    assert(docs.head == Tables.documents(spark, sf).count())
+    val distinctTexts = Tables.documents(spark, sf)
+      .select(md5($"text")).distinct().count()
+    assert(docs(1) == distinctTexts,
+      "exact-dedup stage keeps one doc per distinct text")
+    // near-dup stage drops exactly the q41 doc_b survivors still present
+    val dropB = ops.Dedup.q41MinhashLsh(spark, sf).collect()
+      .map(_.getLong(1)).toSet
+    val firstIds = Tables.documents(spark, sf)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5($"text")).orderBy($"doc_id")))
+      .filter($"rn" === 1).select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(docs(2) == firstIds.count(id => !dropB.contains(id)),
+      "near-dup stage recounted from q41's pairs")
+  }
+
   test("q169: content-hash splitting provably never leaks; id splitting leaks the injected re-crawls") {
     import spark.implicits._
     val rows = ops.Round10.q169SplitLeakage(spark, sf).collect()
