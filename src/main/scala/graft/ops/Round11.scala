@@ -1,0 +1,469 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-11 operators: corpus-hygiene and robust-statistics audits a
+  * 100 TB curation deployment runs continuously — canonicalization
+  * sensitivity of exact dedup, edit-distance verification of LSH
+  * candidates, and robust (median/MAD) outlier detection without a
+  * global sort.
+  *
+  * Capability correspondence only — the reference
+  * (/root/reference/Assignment-python.py) has no engine code; these are
+  * the operations its pipeline would need at scale, in idiomatic Spark
+  * relational shapes.
+  */
+object Round11 {
+  type Q = (org.apache.spark.sql.SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------
+  // q197: canonicalization sensitivity of exact dedup
+  // ---------------------------------------------------------------------
+
+  /** How many duplicates does raw byte-hash dedup MISS that text
+    * canonicalization (NFC → lowercase → space-collapse → trim) would
+    * catch? The operational question behind every exact-dedup config:
+    * crawled corpora carry case/whitespace jitter, so the same page
+    * hashes differently run to run. The corpus here is already clean
+    * (lowercase, single-spaced ASCII), so — the q89 precedent —
+    * deterministic jitter is injected first (doc_id%3 → uppercased,
+    * doc_id%5 → padded with extra spaces), reproducibly in the oracle.
+    * Canonical keys then re-merge what the jitter split AND what the
+    * corpus's real duplicate groups already shared.
+    *
+    * The NFC step is the repo's codegen [[graft.functions.NfcNormalize]]
+    * expression (q157's audit subject) — identity on this ASCII corpus
+    * but load-bearing on real crawl data, and exercised here inside a
+    * whole-stage-codegen pipeline, not a udf. Space collapse uses the
+    * literal `' +'` class, not `\s+`, so Java regex and RE2 agree (the
+    * q55 lesson). Scale shape: pure per-row scalar work into two
+    * map-side-combined COUNT DISTINCTs — one scan, one 1-row result. */
+  val q197CanonicalDedup: Q = (spark, dir) => {
+    import spark.implicits._
+    val base = when($"doc_id" % 3 === 0, upper($"text")).otherwise($"text")
+    val t = when($"doc_id" % 5 === 0, concat(lit("  "), base, lit(" ")))
+      .otherwise(base)
+    val canon = trim(regexp_replace(
+      lower(graft.functions.TextExprs.nfcNormalize(t)), " +", " "))
+    Tables.documents(spark, dir)
+      .select(md5(t).as("rk"), md5(canon).as("ck"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"rk").as("raw_unique"),
+        countDistinct($"ck").as("canon_unique"))
+      .select($"n_docs", $"raw_unique",
+        ($"n_docs" - $"raw_unique").as("raw_dup_docs"),
+        expr("(n_docs - raw_unique) * 1000000 div n_docs")
+          .as("raw_dup_ppm"),
+        $"canon_unique",
+        ($"n_docs" - $"canon_unique").as("canon_dup_docs"),
+        expr("(n_docs - canon_unique) * 1000000 div n_docs")
+          .as("canon_dup_ppm"),
+        ($"raw_unique" - $"canon_unique").as("canon_extra_docs"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q198: edit-distance verification of LSH candidate pairs
+  // ---------------------------------------------------------------------
+
+  /** Character-level verification of the q41 MinHash candidates — the
+    * second stage every production near-dedup runs: LSH proposes,
+    * an exact string metric disposes. Each candidate pair is scored by
+    * Levenshtein distance over a BOUNDED 120-char prefix (the cost cap
+    * that makes O(len²) DP affordable at corpus scale: verification
+    * work is |candidates|·120², independent of document length), and
+    * pairs at ≤30% normalized distance are confirmed as textual — not
+    * just shingle-set — duplicates.
+    *
+    * Scale shape: candidate generation is q41's banded LSH (no all-pairs
+    * anywhere); this stage is two hash joins to fetch prefixes plus a
+    * per-pair scalar DP — the cheap tail of the pipeline. Both engines
+    * implement standard Levenshtein, so the scores are integer-exact. */
+  val q198EditdistVerify: Q = (spark, dir) => {
+    import spark.implicits._
+    val pre = Tables.documents(spark, dir)
+      .select($"doc_id", substring($"text", 1, 120).as("p"))
+    Dedup.q41MinhashLsh(spark, dir)
+      .select($"doc_a", $"doc_b")
+      .join(pre.select($"doc_id".as("doc_a"), $"p".as("pa")), Seq("doc_a"))
+      .join(pre.select($"doc_id".as("doc_b"), $"p".as("pb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        levenshtein($"pa", $"pb").cast("long").as("lev"),
+        greatest(length($"pa"), length($"pb")).cast("long").as("mx"))
+      .withColumn("ed_ppm", expr("lev * 1000000 div mx"))
+      .filter($"ed_ppm" <= 300000)
+      .select($"doc_a", $"doc_b", $"lev", $"ed_ppm")
+      .orderBy($"ed_ppm", $"doc_a", $"doc_b")
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------------
+  // q199: robust outlier detection (median/MAD) per language
+  // ---------------------------------------------------------------------
+
+  /** Per-language length outliers by the robust rule |x − med| > 3·MAD
+    * (median absolute deviation) — the filter that survives heavy-tailed
+    * corpora where mean/stddev rules drown in the tail they should
+    * flag. Both order statistics are EXACT low-medians (rank
+    * `(n+1) div 2`), computed WITHOUT a per-language global sort:
+    * languages are few and huge at corpus scale, so an
+    * `over (partition by lang order by x)` window would funnel each
+    * language through one task. Instead [[lowMedianByKey]] runs the
+    * repo's two-level block rank per key — rank inside (lang, block)
+    * under a keyed window, block offsets from a window over the tiny
+    * (lang, block) summary — twice: once for the median, once for the
+    * MAD of deviations. Every number is integer, bit-stable on both
+    * engines. */
+  val q199MadOutliers: Q = (spark, dir) => {
+    import spark.implicits._
+    val x = Tables.documents(spark, dir)
+      .select($"lang", $"doc_id", $"n_chars".as("x"))
+    val med = lowMedianByKey(x, "lang", "x", "doc_id")
+      .withColumnRenamed("med", "med_chars")
+    val dev = x.join(broadcast(med), Seq("lang"))
+      .withColumn("dev", abs($"x" - $"med_chars"))
+    val mad = lowMedianByKey(
+      dev.select($"lang", $"doc_id", $"dev".as("x")), "lang", "x", "doc_id")
+      .withColumnRenamed("med", "mad_chars")
+    dev.join(broadcast(mad), Seq("lang"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        first($"med_chars").as("med_chars"),
+        first($"mad_chars").as("mad_chars"),
+        count(when($"dev" > lit(3) * $"mad_chars", 1)).as("n_outliers"))
+      .withColumn("out_ppm", expr("n_outliers * 1000000 div n_docs"))
+      .orderBy($"lang")
+  }
+
+  /** Exact per-key low median (value at ascending rank `(n+1) div 2`)
+    * via the two-level block rank — no unpartitioned window, no
+    * per-key global sort. `df` must have columns (key, v, tie) with v a
+    * non-negative long; blocks are `v div 64`, a pure monotone function
+    * of the sort key, so ties cannot cross blocks and per-block
+    * row_numbers + block-offset sums reproduce the global per-key rank
+    * exactly. The offset/total window runs over the (key, block)
+    * SUMMARY — |keys|·|blocks| rows, thousands at most — while the
+    * corpus-sized rank stays under a (key, block)-keyed window. */
+  private[graft] def lowMedianByKey(
+      df: DataFrame, key: String, v: String, tie: String): DataFrame = {
+    val wb = df.withColumn("blk", (col(v) / 64L).cast("long"))
+    val bc = wb.groupBy(col(key), col("blk")).agg(count(lit(1)).as("bc"))
+    val wOff = Window.partitionBy(col(key)).orderBy(col("blk"))
+    val offs = bc
+      .withColumn("boff",
+        coalesce(sum(col("bc")).over(
+          wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("bc")).over(Window.partitionBy(col(key))))
+      .select(col(key), col("blk"), col("boff"), col("n"))
+    wb.join(broadcast(offs), Seq(key, "blk"))
+      .withColumn("rk", col("boff") + row_number().over(
+        Window.partitionBy(col(key), col("blk"))
+          .orderBy(col(v), col(tie))))
+      .filter(col("rk") === expr("(n + 1) div 2"))
+      .select(col(key), col(v).as("med"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q200: Gini concentration of the token frequency distribution
+  // ---------------------------------------------------------------------
+
+  /** How concentrated is the corpus's token mass — the single number
+    * behind "a few types dominate the stream" (tokenizer sizing, cache
+    * design, heavy-hitter budgets): the exact Gini coefficient of the
+    * type frequency distribution, G = (2·Σrk·f − (n+1)·Σf) / (n·Σf)
+    * over types ranked ascending by frequency, emitted in ppm with pure
+    * integer arithmetic. Position ties among equal frequencies cannot
+    * change Σrk·f (equal values commute), so the number is engine- and
+    * order-independent.
+    *
+    * Scale shape: the corpus collapses map-side to the type-frequency
+    * table; the global ascending rank is the q153/q162 two-level form —
+    * block by `length(bin(f))` (integer log₂, a pure monotone function
+    * of the sort key: equal f can never cross blocks), rank under a
+    * (block)-keyed window, add the ≤64 driver-collected block offsets.
+    * No unpartitioned window anywhere. The ppm multiply happens AFTER
+    * the ≤n·Σf-bounded numerator subtraction, so every intermediate
+    * fits int64 at these SFs (production would ride DECIMAL(38,0) — the
+    * q147 precedent). */
+  val q200TokenGini: Q = (spark, dir) => {
+    import spark.implicits._
+    val freq = Dedup.fanoutReady(Tables.documents(spark, dir))
+      .select(explode(filter(split($"text", " "), t => length(t) > 0))
+        .as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("f"))
+      .withColumn("blk", length(bin($"f")))
+      .cache()
+    val blkCounts = freq.groupBy($"blk").agg(count(lit(1)).as("bc"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = blkCounts.map(_._1)
+      .zip(blkCounts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val ranked = freq
+      .join(broadcast(offsets.toDF("blk", "boff")), Seq("blk"))
+      .withColumn("rk", $"boff" + row_number().over(
+        Window.partitionBy($"blk").orderBy($"f", $"t")))
+    val out = OpsUtil.driverLiteral(ranked
+      .agg(count(lit(1)).as("n_types"),
+        sum($"f").as("total_tokens"),
+        sum($"rk" * $"f").as("s"))
+      .select($"n_types", $"total_tokens",
+        expr("""(2 * s - (n_types + 1) * total_tokens) * 1000000
+                div (n_types * total_tokens)""").as("gini_ppm")))
+    freq.unpersist()
+    out
+  }
+
+  // ---------------------------------------------------------------------
+  // q201: rendezvous (HRW) sharding stability audit
+  // ---------------------------------------------------------------------
+
+  /** Rendezvous (highest-random-weight) sharding — how a 100 TB ingest
+    * assigns documents to a mutable shard set with MINIMAL movement on
+    * resize: each doc goes to the shard s maximizing h(doc, s), and
+    * adding shard 16 moves exactly the docs whose new hash beats their
+    * old champion — 1/17 of the corpus in expectation, vs ~16/17 for
+    * mod-N sharding. The query measures that: per shard, occupancy
+    * under S=16 and how many docs shard 17 steals (`moved_ppm` ≈
+    * 58824 ppm = 1/17). Ties break to the smallest shard id via
+    * first-occurrence argmax, identically in both engines.
+    *
+    * Scale shape: a pure per-row scalar (17 md5s per doc, all inside
+    * whole-stage codegen) followed by one 16-row rollup — no shuffle
+    * wider than the final groupBy. This is the q80 hash-split story
+    * upgraded to elastic shard counts. */
+  val q201HrwShards: Q = (spark, dir) => {
+    import spark.implicits._
+    val hs = transform(sequence(lit(0), lit(16)), s =>
+      conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
+        s.cast("string"))), 1, 8), 16, 10).cast("long"))
+    val first16 = slice(hs, 1, 16)
+    Tables.documents(spark, dir)
+      .select($"doc_id", first16.as("h16"), element_at(hs, 17).as("h17"))
+      .select(
+        (array_position($"h16", array_max($"h16")) - 1).cast("int")
+          .as("shard"),
+        ($"h17" > array_max($"h16")).as("moved"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"moved", 1)).as("n_moved"))
+      .withColumn("moved_ppm", expr("n_moved * 1000000 div n_docs"))
+      .orderBy($"shard")
+  }
+
+  // ---------------------------------------------------------------------
+  // q202: deterministic Poisson-bootstrap confidence intervals
+  // ---------------------------------------------------------------------
+
+  /** Per-source bootstrap CI for mean document length WITHOUT
+    * resampling rows — the Poisson bootstrap, the only bootstrap that
+    * works on a sharded 100 TB corpus: replicate b weights each doc by
+    * an independent Poisson(1) draw, here DERANDOMIZED via
+    * `md5(doc_id#b)` mapped through the fixed Poisson(1) inverse-CDF
+    * ppm table (constants hard-coded identically in the oracle, so
+    * both engines produce bit-equal replicates — the q85 content-hash
+    * sampling principle applied to resampling). 64 replicates; the CI
+    * is the 2nd/63rd order statistic of the replicate means (exact
+    * integer division), alongside the exact full-sample mean.
+    *
+    * Scale shape: one corpus scan fanned out ×64 (rebalanced first —
+    * the q166-audited explode rule), collapsed map-side to
+    * |sources|×64 partial sums; the order-statistic window runs per
+    * source over exactly 64 rows. Nothing corpus-sized ever sorts or
+    * re-shuffles. */
+  val q202BootstrapCi: Q = (spark, dir) => {
+    import spark.implicits._
+    val u = conv(substring(md5(concat($"doc_id".cast("string"), lit("#"),
+      $"b".cast("string"))), 1, 8), 16, 10).cast("long") % 1000000L
+    val w = poissonW(u)
+    val reps = Dedup.fanoutReady(Tables.documents(spark, dir))
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("b", explode(sequence(lit(0), lit(63))))
+      .select($"source", $"b", w.as("w"), $"n_chars")
+      .groupBy($"source", $"b")
+      .agg(sum($"w" * $"n_chars").as("swx"), sum($"w").as("sw"))
+      .filter($"sw" > 0)
+      .withColumn("m", expr("swx div sw"))
+    val ordered = reps
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"m", $"b")))
+    val ci = ordered.groupBy($"source")
+      .agg(max(when($"rk" === 2, $"m")).as("lo_chars"),
+        max(when($"rk" === 63, $"m")).as("hi_chars"))
+    Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(n_chars) div count(1)").as("mean_chars"))
+      .join(ci, Seq("source"))
+      .select($"source", $"n_docs", $"mean_chars", $"lo_chars", $"hi_chars")
+      .orderBy($"source")
+  }
+
+  /** Poisson(1) inverse CDF over a uniform ppm draw — fixed cumulative
+    * thresholds (floor(1e6·Σ_{i≤k} e⁻¹/i!)), mirrored verbatim in the
+    * oracle SQL so the derandomized draw is bit-equal cross-engine. */
+  private def poissonW(u: Column): Column =
+    when(u < 367879, 0L).when(u < 735758, 1L).when(u < 919698, 2L)
+      .when(u < 981011, 3L).when(u < 996340, 4L).when(u < 999405, 5L)
+      .when(u < 999916, 6L).when(u < 999989, 7L).when(u < 999998, 8L)
+      .otherwise(9L)
+
+  /** The same thresholds as a SQL CASE over column `u`. */
+  private val poissonWSql: String =
+    """CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+      |  WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+      |  WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+      |  WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
+      |  WHEN u < 999998 THEN 8 ELSE 9 END""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q197_canonical_dedup" -> q197CanonicalDedup,
+    "q198_editdist_verify" -> q198EditdistVerify,
+    "q199_mad_outliers" -> q199MadOutliers,
+    "q200_token_gini" -> q200TokenGini,
+    "q201_hrw_shards" -> q201HrwShards,
+    "q202_bootstrap_ci" -> q202BootstrapCi,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q197_canonical_dedup" ->
+      """WITH p AS (
+        |  SELECT CASE WHEN doc_id % 5 = 0 THEN '  ' || b || ' '
+        |    ELSE b END AS t
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN doc_id % 3 = 0 THEN upper(text)
+        |            ELSE text END AS b
+        |        FROM documents)
+        |), k AS (
+        |  SELECT md5(t) AS rk,
+        |    md5(trim(regexp_replace(lower(nfc_normalize(t)),
+        |      ' +', ' ', 'g'))) AS ck
+        |  FROM p
+        |)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT rk) AS BIGINT) AS raw_unique,
+        |  CAST(COUNT(*) - COUNT(DISTINCT rk) AS BIGINT) AS raw_dup_docs,
+        |  CAST((COUNT(*) - COUNT(DISTINCT rk)) * 1000000 // COUNT(*)
+        |    AS BIGINT) AS raw_dup_ppm,
+        |  CAST(COUNT(DISTINCT ck) AS BIGINT) AS canon_unique,
+        |  CAST(COUNT(*) - COUNT(DISTINCT ck) AS BIGINT) AS canon_dup_docs,
+        |  CAST((COUNT(*) - COUNT(DISTINCT ck)) * 1000000 // COUNT(*)
+        |    AS BIGINT) AS canon_dup_ppm,
+        |  CAST(COUNT(DISTINCT rk) - COUNT(DISTINCT ck) AS BIGINT)
+        |    AS canon_extra_docs
+        |FROM k""".stripMargin,
+    "q198_editdist_verify" ->
+      s"""WITH q41 AS (
+         |${Dedup.oracle("q41_minhash_lsh")}
+         |), pre AS (
+         |  SELECT doc_id, substr(text, 1, 120) AS p FROM documents
+         |)
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
+         |  CAST(levenshtein(a.p, b.p) * 1000000
+         |    // greatest(length(a.p), length(b.p)) AS BIGINT) AS ed_ppm
+         |FROM q41
+         |JOIN pre a ON q41.doc_a = a.doc_id
+         |JOIN pre b ON q41.doc_b = b.doc_id
+         |WHERE levenshtein(a.p, b.p) * 1000000
+         |  // greatest(length(a.p), length(b.p)) <= 300000
+         |ORDER BY ed_ppm, doc_a, doc_b LIMIT 20""".stripMargin,
+    "q199_mad_outliers" ->
+      """WITH x AS (
+        |  SELECT lang, doc_id, n_chars AS x FROM documents
+        |), m AS (
+        |  SELECT lang, x AS med FROM (
+        |    SELECT lang, x,
+        |      row_number() OVER (PARTITION BY lang ORDER BY x, doc_id)
+        |        AS rk,
+        |      COUNT(*) OVER (PARTITION BY lang) AS n
+        |    FROM x) WHERE rk = (n + 1) // 2
+        |), d AS (
+        |  SELECT x.lang, x.doc_id, abs(x.x - m.med) AS dev, m.med
+        |  FROM x JOIN m USING (lang)
+        |), md AS (
+        |  SELECT lang, dev AS mad FROM (
+        |    SELECT lang, dev,
+        |      row_number() OVER (PARTITION BY lang ORDER BY dev, doc_id)
+        |        AS rk,
+        |      COUNT(*) OVER (PARTITION BY lang) AS n
+        |    FROM d) WHERE rk = (n + 1) // 2
+        |)
+        |SELECT d.lang, COUNT(*) AS n_docs,
+        |  CAST(ANY_VALUE(d.med) AS BIGINT) AS med_chars,
+        |  CAST(ANY_VALUE(md.mad) AS BIGINT) AS mad_chars,
+        |  COUNT(CASE WHEN d.dev > 3 * md.mad THEN 1 END) AS n_outliers,
+        |  CAST(COUNT(CASE WHEN d.dev > 3 * md.mad THEN 1 END)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS out_ppm
+        |FROM d JOIN md USING (lang)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q200_token_gini" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '),
+        |    x -> length(x) > 0)) AS t
+        |  FROM documents
+        |), f AS (
+        |  SELECT t, COUNT(*) AS f FROM tok GROUP BY t
+        |), r AS (
+        |  SELECT f, row_number() OVER (ORDER BY f, t) AS rk FROM f
+        |), a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(f) AS BIGINT) AS tot,
+        |    CAST(SUM(rk * f) AS BIGINT) AS s
+        |  FROM r
+        |)
+        |SELECT n AS n_types, tot AS total_tokens,
+        |  CAST((2 * s - (n + 1) * tot) * 1000000 // (n * tot) AS BIGINT)
+        |    AS gini_ppm
+        |FROM a""".stripMargin,
+    "q201_hrw_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 17),
+        |      s -> CAST(('0x' || substr(md5(doc_id || ':' || s), 1, 8))
+        |        AS BIGINT)) AS hs
+        |  FROM documents
+        |), a AS (
+        |  SELECT
+        |    CAST(list_position(hs[1:16], list_max(hs[1:16])) - 1 AS INT)
+        |      AS shard,
+        |    (hs[17] > list_max(hs[1:16])) AS moved
+        |  FROM h
+        |)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN moved THEN 1 END) AS n_moved,
+        |  CAST(COUNT(CASE WHEN moved THEN 1 END) * 1000000 // COUNT(*)
+        |    AS BIGINT) AS moved_ppm
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q202_bootstrap_ci" ->
+      s"""WITH reps AS (
+         |  SELECT source, b,
+         |    CAST(SUM(w * n_chars) AS BIGINT) AS swx,
+         |    CAST(SUM(w) AS BIGINT) AS sw
+         |  FROM (
+         |    SELECT source, n_chars, b, $poissonWSql AS w
+         |    FROM (
+         |      SELECT source, n_chars, b,
+         |        CAST(('0x' || substr(md5(doc_id || '#' || b), 1, 8))
+         |          AS BIGINT) % 1000000 AS u
+         |      FROM documents, LATERAL unnest(range(0, 64)) t(b))
+         |  ) GROUP BY 1, 2 HAVING SUM(w) > 0
+         |), ordered AS (
+         |  SELECT source, swx // sw AS m,
+         |    row_number() OVER (PARTITION BY source ORDER BY swx // sw, b)
+         |      AS rk
+         |  FROM reps
+         |), ci AS (
+         |  SELECT source,
+         |    CAST(MAX(CASE WHEN rk = 2 THEN m END) AS BIGINT) AS lo_chars,
+         |    CAST(MAX(CASE WHEN rk = 63 THEN m END) AS BIGINT) AS hi_chars
+         |  FROM ordered GROUP BY 1
+         |)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars,
+         |  ANY_VALUE(ci.lo_chars) AS lo_chars,
+         |  ANY_VALUE(ci.hi_chars) AS hi_chars
+         |FROM documents d JOIN ci ON d.source = ci.source
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+  )
+}

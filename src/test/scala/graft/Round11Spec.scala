@@ -1,0 +1,230 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 specs: law-pinning and independent recounts for the
+  * canonicalization-sensitivity, edit-distance-verification, and
+  * median/MAD outlier audits (q197–q199).
+  */
+class Round11Spec extends SparkSpec {
+
+  /** Collect WindowExec nodes, descending through AQE wrapper nodes
+    * (QueryStageExec hides subtrees from the default traversal). */
+  private def windowExecs(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = p.collect {
+    case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      windowExecs(s.plan)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      windowExecs(a.executedPlan)
+  }.flatten
+
+  test("q197: canonical dedup re-merges exactly the injected jitter plus raw dup groups") {
+    import spark.implicits._
+    val r = ops.Round11.q197CanonicalDedup(spark, sf).collect().head
+    val (n, rawU, canonU) = (r.getLong(0), r.getLong(1), r.getLong(4))
+    assert(n > 0 && rawU <= n && canonU <= rawU,
+      "canonicalization can only merge keys, never split them")
+    // independent recount in plain Scala: the canonical key must equal
+    // the ORIGINAL text's key (jitter is exactly what canon undoes on
+    // this lowercase single-spaced corpus), so canon_unique ==
+    // distinct original texts
+    val texts = Tables.documents(spark, sf).select($"text")
+      .collect().map(_.getString(0))
+    assert(canonU == texts.distinct.length,
+      "canonical dedup must recover the pre-jitter duplicate structure")
+    // raw side: keys split by (doc_id%3, doc_id%5) jitter classes
+    val rawKeys = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map { row =>
+        val (id, t) = (row.getLong(0), row.getString(1))
+        val b = if (id % 3 == 0) t.toUpperCase else t
+        if (id % 5 == 0) "  " + b + " " else b
+      }
+    assert(rawU == rawKeys.distinct.length, "raw key recount")
+    assert(r.getLong(7) == rawU - canonU, "canon_extra_docs arithmetic")
+  }
+
+  test("q198: verified pairs are a subset of q41 candidates and levenshtein is recomputed exactly") {
+    import spark.implicits._
+    val rows = ops.Round11.q198EditdistVerify(spark, sf).collect()
+    assert(rows.nonEmpty, "the corpus has near-duplicates; some must verify")
+    val cands = ops.Dedup.q41MinhashLsh(spark, sf)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val text = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(cands((a, b)), s"($a,$b) not a q41 candidate")
+      val (pa, pb) = (text(a).take(120), text(b).take(120))
+      val l = lev(pa, pb)
+      assert(r.getLong(2) == l, s"levenshtein mismatch for ($a,$b)")
+      assert(r.getLong(3) == l * 1000000L / math.max(pa.length, pb.length))
+      assert(r.getLong(3) <= 300000)
+    }
+    // ordered ascending by normalized distance
+    val ppm = rows.map(_.getLong(3))
+    assert(ppm.zip(ppm.tail).forall { case (x, y) => x <= y })
+  }
+
+  test("q199: median/MAD recount per language and the outlier rule is exact") {
+    import spark.implicits._
+    val rows = ops.Round11.q199MadOutliers(spark, sf).collect()
+    val byLang = Tables.documents(spark, sf)
+      .select($"lang", $"doc_id", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet == byLang.keySet)
+    def lowMed(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s(((s.length + 1) / 2) - 1)
+    }
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val xs = byLang(lang).map(_._3).toSeq
+      val med = lowMed(xs)
+      val mad = lowMed(xs.map(x => math.abs(x - med)))
+      assert(r.getLong(1) == xs.length, s"$lang n_docs")
+      assert(r.getLong(2) == med, s"$lang median")
+      assert(r.getLong(3) == mad, s"$lang MAD")
+      val out = xs.count(x => math.abs(x - med) > 3 * mad)
+      assert(r.getLong(4) == out, s"$lang outliers")
+      assert(r.getLong(5) == out * 1000000L / xs.length)
+    }
+  }
+
+  test("q199: every WindowExec in the executed plan is key-partitioned (two-level rank, no global sort)") {
+    val df = ops.Round11.q199MadOutliers(spark, sf)
+    df.collect()
+    val wins = windowExecs(df.queryExecution.executedPlan)
+    assert(wins.nonEmpty, "expected the block-rank windows to be present")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "q199 must not contain an unpartitioned window")
+  }
+
+  test("q200: Gini matches a driver-side recount and is invariant to tie order") {
+    import spark.implicits._
+    spark.catalog.clearCache() // isolate the self-containment assert below
+    val r = ops.Round11.q200TokenGini(spark, sf).collect().head
+    val freqs = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("t"))
+      .filter(length($"t") > 0)
+      .collect().map(_.getString(0))
+      .groupBy(identity).map(_._2.length.toLong).toSeq
+    val n = freqs.length.toLong
+    val tot = freqs.sum
+    assert(r.getLong(0) == n && r.getLong(1) == tot)
+    // recount with an ARBITRARY tie order (sorted by value only) — the
+    // rank·f sum must not depend on how equal frequencies are ordered
+    val s = freqs.sorted.zipWithIndex
+      .map { case (f, i) => (i + 1).toLong * f }.sum
+    assert(r.getLong(2) == (2 * s - (n + 1) * tot) * 1000000L / (n * tot))
+    assert(r.getLong(2) >= 0 && r.getLong(2) < 1000000L)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q200 must unpersist its frequency cache")
+  }
+
+  test("q201: HRW movement is exactly the docs whose new hash wins, about 1/17 of the corpus") {
+    import spark.implicits._
+    val rows = ops.Round11.q201HrwShards(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 16),
+      "all 16 shards must be occupied")
+    val n = rows.map(_.getLong(1)).sum
+    val moved = rows.map(_.getLong(2)).sum
+    // binomial(n, 1/17): mean n/17, sd sqrt(n·(1/17)(16/17)); 6σ guard
+    val exp = n.toDouble / 17
+    val sd = math.sqrt(n * (1.0 / 17) * (16.0 / 17))
+    assert(math.abs(moved - exp) < 6 * sd + 1,
+      s"moved=$moved expected≈$exp (n=$n)")
+    // independent recount for a sample of docs
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long, s: Int): Long = {
+      val hex = md.digest(s"$id:$s".getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val ids = Tables.documents(spark, sf).select($"doc_id")
+      .collect().map(_.getLong(0))
+    val mine = ids.map { id =>
+      val hs = (0 until 16).map(s => h(id, s))
+      val shard = hs.indexOf(hs.max)
+      (shard, h(id, 16) > hs.max)
+    }
+    val mineByShard = mine.groupBy(_._1)
+    rows.foreach { r =>
+      val g = mineByShard(r.getInt(0))
+      assert(r.getLong(1) == g.length, s"shard ${r.getInt(0)} occupancy")
+      assert(r.getLong(2) == g.count(_._2), s"shard ${r.getInt(0)} moved")
+    }
+  }
+
+  test("q202: bootstrap CI brackets the point estimate and replicates recount exactly") {
+    import spark.implicits._
+    val rows = ops.Round11.q202BootstrapCi(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4), "lo <= hi")
+      // the CI need not strictly contain the mean for tiny n, but on
+      // this data the 2nd..63rd order statistics must bracket it
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(4),
+        s"${r.getString(0)}: CI [${r.getLong(3)},${r.getLong(4)}] " +
+          s"vs mean ${r.getLong(2)}")
+    }
+    // recount one source's replicate means in plain Scala
+    val src = rows.head.getString(0)
+    val docs = Tables.documents(spark, sf)
+      .filter($"source" === src).select($"doc_id", $"n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long, b: Int): Long = {
+      val hex = md.digest(s"$id#$b".getBytes("UTF-8")).take(4)
+        .map(x => f"$x%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val cum = Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L,
+      999916L, 999989L, 999998L)
+    def w(uu: Long): Long = {
+      val i = cum.indexWhere(uu < _); if (i < 0) 9L else i.toLong
+    }
+    val means = (0 until 64).flatMap { b =>
+      val ws = docs.map { case (id, nc) => (w(u(id, b)), nc) }
+      val sw = ws.map(_._1).sum
+      if (sw > 0) Some(ws.map { case (x, nc) => x * nc }.sum / sw) else None
+    }.sorted
+    val r0 = rows.head
+    assert(r0.getLong(3) == means(1), "lo = 2nd order statistic")
+    assert(r0.getLong(4) == means(62), "hi = 63rd order statistic")
+  }
+
+  test("lowMedianByKey equals the naive per-key sorted median on adversarial synthetics") {
+    import spark.implicits._
+    // ties straddling block boundaries, values exactly at multiples of
+    // 64, single-element keys, and a constant-valued key
+    val data = Seq(
+      ("a", 64L), ("a", 64L), ("a", 63L), ("a", 65L), ("a", 128L),
+      ("b", 0L), ("b", 0L), ("b", 0L),
+      ("c", 1000L),
+      ("d", 127L), ("d", 128L), ("d", 129L), ("d", 130L))
+      .zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+    val df = data.toDF("k", "x", "tie")
+    val got = ops.Round11.lowMedianByKey(df, "k", "x", "tie")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = data.groupBy(_._1).map { case (k, vs) =>
+      val s = vs.map(_._2).sorted
+      (k, s(((s.length + 1) / 2) - 1))
+    }
+    assert(got == want)
+  }
+}
