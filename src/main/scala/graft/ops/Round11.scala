@@ -316,6 +316,143 @@ object Round11 {
       |  WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
       |  WHEN u < 999998 THEN 8 ELSE 9 END""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q203: embedding moment matrix (whitening/PCA prep)
+  // ---------------------------------------------------------------------
+
+  /** The first- and second-moment statistics a whitening / PCA /
+    * mean-centering stage consumes, computed in ONE corpus pass: for
+    * the leading 8 dimensions, every pairwise covariance numerator
+    * n·Σxᵢxⱼ − Σxᵢ·Σxⱼ over milli-quantized coordinates (the q75
+    * `floor(x·1000)` lattice — float→double→floor is IEEE-exact and
+    * engine-identical, and everything after is int64). At 10⁹ vectors
+    * this is the standard d²/2-accumulator single-pass scan: partial
+    * aggregation collapses each partition to one 44-column row, the
+    * final reduce touches |partitions| rows, and the emitted triangle
+    * is a driver-side constant table (the q168 plan-artifact rule).
+    * Nothing shuffles but 44 numbers per partition. */
+  val q203EmbeddingMoments: Q = (spark, dir) => {
+    import spark.implicits._
+    val d = 8
+    val e = transform(col("embedding"),
+      x => floor(x.cast("double") * 1000).cast("long"))
+    val base = Tables.embeddings(spark, dir).select(e.as("e"))
+    val sumCols =
+      (for (i <- 0 until d)
+        yield sum(element_at($"e", i + 1)).as(s"sx$i")) ++
+      (for { i <- 0 until d; j <- i until d }
+        yield sum(element_at($"e", i + 1) * element_at($"e", j + 1))
+          .as(s"s_${i}_$j"))
+    val row = base.agg(count(lit(1)).as("n"), sumCols: _*).head()
+    val n = row.getLong(row.fieldIndex("n"))
+    val out = for { i <- 0 until d; j <- i until d } yield {
+      val sxy = row.getLong(row.fieldIndex(s"s_${i}_$j"))
+      val sxi = row.getLong(row.fieldIndex(s"sx$i"))
+      val sxj = row.getLong(row.fieldIndex(s"sx$j"))
+      (i, j, n, sxy, sxi, sxj, n * sxy - sxi * sxj)
+    }
+    out.toDF("i", "j", "n", "sxy", "sxi", "sxj", "cov_num")
+      .orderBy($"i", $"j")
+  }
+
+  // ---------------------------------------------------------------------
+  // q204: pairwise source-overlap containment matrix
+  // ---------------------------------------------------------------------
+
+  /** Which sources syndicate whose content — the source-level
+    * contamination matrix: winnowing fingerprints (the q77 MOSS
+    * selection, k=5/w=8) deduped per source, then directional
+    * containment |A∩B|·10⁶/|A| for every ordered source pair. High
+    * containment with asymmetry (A⊂B but not B⊂A) is the signature of
+    * a mirror site — drop A, keep B.
+    *
+    * Scale shape: the intersection is a fingerprint-keyed self-join
+    * whose per-key fan-out is bounded by |sources|² (a few hundred),
+    * NEVER by corpus size — each fingerprint row carries source ids,
+    * not documents. The |sources|-row size table broadcasts. The only
+    * corpus-sized work is the q77 selection itself (doc-keyed window,
+    * no global sort). */
+  val q204SourceOverlap: Q = (spark, dir) => {
+    import spark.implicits._
+    val k = 5; val w = 8
+    val grams = Dedup.fanoutReady(Tables.documents(spark, dir))
+      .select($"doc_id", $"source",
+        explode(sequence(lit(0), length($"text") - k)).as("pos"),
+        $"text")
+      .select($"doc_id", $"source", $"pos",
+        conv(substring(md5($"text".substr($"pos" + 1, lit(k))), 1, 8),
+          16, 10).cast("long").as("h"))
+    val win = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(-(w - 1), 0)
+    val sfp = grams
+      .withColumn("wm", min($"h").over(win))
+      .filter($"pos" >= w - 1)
+      .select($"source", $"wm")
+      .distinct()
+    val sizes = sfp.groupBy($"source").agg(count(lit(1)).as("na"))
+    sfp.select($"source".as("sa"), $"wm")
+      .join(sfp.select($"source".as("sb"), $"wm"), Seq("wm"))
+      .filter($"sa" =!= $"sb")
+      .groupBy($"sa", $"sb").agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.withColumnRenamed("source", "sa")), Seq("sa"))
+      .withColumn("containment_ppm", expr("n_common * 1000000 div na"))
+      .select($"sa", $"sb", $"n_common", $"na", $"containment_ppm")
+      .orderBy($"containment_ppm".desc, $"sa", $"sb")
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------------
+  // q205: does near-dedup bias against quality?
+  // ---------------------------------------------------------------------
+
+  /** The bias check run before shipping any dedup config: cut the
+    * corpus into exact quality quintiles (lexical-diversity score, the
+    * q143 two-level block rank — no unpartitioned window) and measure
+    * the q41 near-duplicate rate inside each. A dup rate that climbs
+    * with quality means the dedup stage is eating the best documents
+    * (template-free prose dedups honestly; boilerplate hides), and the
+    * mixture math downstream (q102/q148) needs reweighting.
+    *
+    * Scale shape: quintile assignment is the q143 pattern (blocked
+    * rank, driver-collected ≤257-row offsets); the duplicate flag is a
+    * broadcast semi-join against the pairs-derived doc set. One
+    * corpus-sized exchange for the block rank, nothing else wide. */
+  val q205DupQualityBias: Q = (spark, dir) => {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id",
+        filter(split($"text", " "), t => length(t) > 0).as("w"))
+      .select($"doc_id",
+        expr("size(array_distinct(w)) * 1000000 div size(w)").as("score"))
+      .cache()
+    val n = scored.count()
+    val stats = scored.agg(min($"score"), max($"score")).head()
+    val (lo, hi) = (stats.getLong(0), stats.getLong(1))
+    val width = math.max(1L, (hi - lo) / 256L + 1L)
+    val blocked = scored
+      .withColumn("blk", (($"score" - lo) / width).cast("long"))
+    val counts = blocked.groupBy($"blk").agg(count(lit(1)).as("bc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val dups = Dedup.q41MinhashLsh(spark, dir)
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    val out = OpsUtil.driverLiteral(blocked
+      .join(broadcast(offsets.toDF("blk", "boff")), Seq("blk"))
+      .withColumn("rk", $"boff" + row_number().over(
+        Window.partitionBy($"blk").orderBy($"score", $"doc_id")))
+      .withColumn("quintile", expr(s"(rk - 1) * 5 div ${n}L"))
+      .join(broadcast(dups), Seq("doc_id"), "left")
+      .groupBy($"quintile")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"is_dup", 1)).as("n_dup"))
+      .withColumn("dup_ppm", expr("n_dup * 1000000 div n_docs"))
+      .orderBy($"quintile"))
+    scored.unpersist()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "q197_canonical_dedup" -> q197CanonicalDedup,
     "q198_editdist_verify" -> q198EditdistVerify,
@@ -323,6 +460,9 @@ object Round11 {
     "q200_token_gini" -> q200TokenGini,
     "q201_hrw_shards" -> q201HrwShards,
     "q202_bootstrap_ci" -> q202BootstrapCi,
+    "q203_embedding_moments" -> q203EmbeddingMoments,
+    "q204_source_overlap" -> q204SourceOverlap,
+    "q205_dup_quality_bias" -> q205DupQualityBias,
   )
 
   val oracle: Map[String, String] = Map(
@@ -465,5 +605,85 @@ object Round11 {
          |  ANY_VALUE(ci.hi_chars) AS hi_chars
          |FROM documents d JOIN ci ON d.source = ci.source
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q203_embedding_moments" -> {
+      val d = 8
+      val sx = (0 until d)
+        .map(i => s"CAST(SUM(e[${i + 1}]) AS BIGINT) AS sx$i")
+        .mkString(",\n  ")
+      val sxy = (for { i <- 0 until d; j <- i until d }
+        yield s"CAST(SUM(e[${i + 1}] * e[${j + 1}]) AS BIGINT) AS s_${i}_$j")
+        .mkString(",\n  ")
+      val rows = (for { i <- 0 until d; j <- i until d }
+        yield s"SELECT $i AS i, $j AS j, n, s_${i}_$j AS sxy, " +
+          s"sx$i AS sxi, sx$j AS sxj, " +
+          s"n * s_${i}_$j - sx$i * sx$j AS cov_num FROM a")
+        .mkString("\nUNION ALL\n")
+      s"""WITH v AS (
+         |  SELECT list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+         |  FROM embeddings
+         |), a AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  $sx,
+         |  $sxy
+         |  FROM v
+         |)
+         |$rows
+         |ORDER BY i, j""".stripMargin
+    },
+    "q204_source_overlap" ->
+      """WITH grams AS (
+        |  SELECT doc_id, source, i AS pos,
+        |    CAST(('0x' || substr(md5(substr(text, i + 1, 5)), 1, 8))
+        |      AS BIGINT) AS h
+        |  FROM documents, LATERAL unnest(range(0, length(text) - 4)) t(i)
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wm
+        |  FROM grams
+        |  QUALIFY pos >= 7
+        |), sfp AS (
+        |  SELECT DISTINCT source, wm FROM sel
+        |), sizes AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS na
+        |  FROM sfp GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_common
+        |  FROM sfp a JOIN sfp b USING (wm)
+        |  WHERE a.source <> b.source GROUP BY 1, 2
+        |)
+        |SELECT sa, sb, n_common, na,
+        |  CAST(n_common * 1000000 // na AS BIGINT) AS containment_ppm
+        |FROM pairs JOIN sizes ON pairs.sa = sizes.source
+        |ORDER BY containment_ppm DESC, sa, sb LIMIT 20""".stripMargin,
+    "q205_dup_quality_bias" ->
+      s"""WITH q41 AS (
+         |${Dedup.oracle("q41_minhash_lsh")}
+         |), dups AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM q41
+         |    UNION ALL SELECT doc_b FROM q41)
+         |), sc AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_distinct(w)) * 1000000 // len(w) AS BIGINT)
+         |      AS score
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split(text, ' '),
+         |            x -> length(x) > 0) AS w
+         |        FROM documents)
+         |), r AS (
+         |  SELECT doc_id, score,
+         |    row_number() OVER (ORDER BY score, doc_id) AS rk,
+         |    COUNT(*) OVER () AS n
+         |  FROM sc
+         |)
+         |SELECT CAST((rk - 1) * 5 // n AS BIGINT) AS quintile,
+         |  COUNT(*) AS n_docs,
+         |  COUNT(CASE WHEN dups.doc_id IS NOT NULL THEN 1 END) AS n_dup,
+         |  CAST(COUNT(CASE WHEN dups.doc_id IS NOT NULL THEN 1 END)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+         |FROM r LEFT JOIN dups ON r.doc_id = dups.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -208,6 +208,87 @@ class Round11Spec extends SparkSpec {
     assert(r0.getLong(4) == means(62), "hi = 63rd order statistic")
   }
 
+  test("q203: moment matrix matches a driver-side recount and Cauchy-Schwarz holds") {
+    import spark.implicits._
+    val rows = ops.Round11.q203EmbeddingMoments(spark, sf).collect()
+    assert(rows.length == 36)
+    val vecs = Tables.embeddings(spark, sf).select($"embedding")
+      .collect().map(_.getSeq[Float](0).toArray
+        .map(x => math.floor(x.toDouble * 1000).toLong))
+    val n = vecs.length.toLong
+    val byIj = rows.map(r => ((r.getInt(0), r.getInt(1)), r)).toMap
+    for { i <- 0 until 8; j <- i until 8 } {
+      val r = byIj((i, j))
+      val sxy = vecs.map(v => v(i) * v(j)).sum
+      val sxi = vecs.map(_(i)).sum
+      val sxj = vecs.map(_(j)).sum
+      assert(r.getLong(2) == n && r.getLong(3) == sxy)
+      assert(r.getLong(4) == sxi && r.getLong(5) == sxj)
+      assert(r.getLong(6) == n * sxy - sxi * sxj)
+    }
+    // diagonal entries are n·Var ≥ 0; off-diagonals obey Cauchy-Schwarz
+    for { i <- 0 until 8; j <- i until 8 } {
+      val c = byIj((i, j)).getLong(6)
+      if (i == j) assert(c >= 0)
+      else {
+        val (vi, vj) = (byIj((i, i)).getLong(6), byIj((j, j)).getLong(6))
+        assert(c.toDouble * c <= 1.0000001 * vi.toDouble * vj,
+          s"|cov($i,$j)| exceeds sqrt(var·var)")
+      }
+    }
+  }
+
+  test("q204: containment is directional, bounded, and recounts from per-source fingerprint sets") {
+    import spark.implicits._
+    val rows = ops.Round11.q204SourceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent per-source winnowing recount in plain Scala
+    val docs = Tables.documents(spark, sf).select($"source", $"text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val bySource = docs.groupBy(_._1).map { case (src, ds) =>
+      val fps = ds.flatMap { case (_, t) =>
+        val hs = (0 to t.length - 5).map(i => h(t.substring(i, i + 5)))
+        if (hs.length < 8) Seq.empty
+        else hs.sliding(8).map(_.min).toSeq
+      }.toSet
+      (src, fps)
+    }
+    rows.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      assert(sa != sb)
+      val (fa, fb) = (bySource(sa), bySource(sb))
+      assert(r.getLong(2) == (fa & fb).size, s"($sa,$sb) intersection")
+      assert(r.getLong(3) == fa.size, s"$sa set size")
+      assert(r.getLong(4) == (fa & fb).size.toLong * 1000000L / fa.size)
+      assert(r.getLong(4) <= 1000000L)
+    }
+  }
+
+  test("q205: quintiles partition the corpus exactly and dup counts recount from q41") {
+    import spark.implicits._
+    val rows = ops.Round11.q205DupQualityBias(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 5L))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "quintiles must partition the corpus")
+    // exact-quintile law: each cell is floor-balanced (sizes differ by <= 1
+    // only when n is not divisible by 5; with blocked ranks they are exact)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"unbalanced quintiles: ${sizes.toSeq}")
+    val dupDocs = ops.Dedup.q41MinhashLsh(spark, sf)
+      .select(explode(array($"doc_a", $"doc_b")).as("d")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == dupDocs,
+      "per-quintile dup counts must sum to the distinct dup-doc count")
+    rows.foreach(r =>
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1)))
+  }
+
   test("lowMedianByKey equals the naive per-key sorted median on adversarial synthetics") {
     import spark.implicits._
     // ties straddling block boundaries, values exactly at multiples of
