@@ -178,4 +178,42 @@ object OperatorProperties extends Properties("graft") {
         val (l, r) = xs.splitAt(if (xs.isEmpty) 0 else cut % (xs.size + 1))
         ck(xs) == ck(shuffled) && ck(xs) == ((ck(l) + ck(r)) mod p)
     }
+
+  /** q201's HRW core: adding a shard can only steal documents for the
+    * NEW shard — it can never move a document between two old shards
+    * (argmax over S∪{s'} is either argmax over S or s'). This is the
+    * minimal-movement law that makes rendezvous sharding elastic. */
+  property("q201 HRW: adding a shard never reassigns between old shards") =
+    forAll(Gen.listOfN(17, Gen.choose(Long.MinValue, Long.MaxValue))) {
+      hs0 =>
+        val hs = hs0.toArray
+        val old16 = hs.take(16).indexOf(hs.take(16).max)
+        val new17 = hs.indexOf(hs.max)
+        new17 == old16 || new17 == 16
+    }
+
+  /** q200's Gini core: the exact integer formula is 0 for a uniform
+    * distribution, invariant under uniform scaling of all frequencies,
+    * and independent of tie ordering among equal frequencies. */
+  property("q200 Gini: zero on uniform, scale-invariant, tie-order-free") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(1L, 1000L)), Gen.choose(2L, 9L)) {
+      (fs, k) =>
+        def gini(xs: Seq[Long]): Long = {
+          val s = xs.sorted
+          val n = s.length.toLong
+          val tot = s.sum
+          val rkf = s.zipWithIndex.map { case (f, i) => (i + 1) * f }.sum
+          (2 * rkf - (n + 1) * tot) * 1000000L / (n * tot)
+        }
+        val uniform = gini(Seq.fill(fs.length)(7L)) == 0L
+        val scaleInv = gini(fs.map(_ * k)) == gini(fs)
+        // tie-order freedom: two different stable orders of equal values
+        // produce the same rank·f sum by construction of `sorted`; check
+        // against a reversed-tie variant computed by hand
+        val s = fs.sorted
+        val rkf1 = s.zipWithIndex.map { case (f, i) => (i + 1) * f }.sum
+        val rkf2 = s.reverse.zipWithIndex
+          .map { case (f, i) => (s.length - i).toLong * f }.sum
+        uniform && scaleInv && rkf1 == rkf2
+    }
 }

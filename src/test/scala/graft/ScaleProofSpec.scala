@@ -168,4 +168,64 @@ class ScaleProofSpec extends SparkSpec {
       s"shuffle records grew $small -> $big across a 10x corpus — " +
         "growth must stay linear in the gram stream")
   }
+
+  test("q200 Gini: shuffle follows the vocabulary, not the token stream") {
+    // q200's contract: the token stream collapses map-side to the type
+    // table before any exchange, and the rank stage exchanges the type
+    // table once more — so total shuffle is a few multiples of |vocab|,
+    // far below the corpus token count (~57k tokens at sf0.001 vs a
+    // ~2.5k-type vocabulary).
+    val toks = Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("explode(filter(split(text, ' '), t -> length(t) > 0))")
+      .count()
+    val vocab = Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("explode(filter(split(text, ' '), t -> length(t) > 0)) AS t")
+      .distinct().count()
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").count()
+    val recs = shuffleRecords(
+      ops.Round11.q200TokenGini(spark, "/root/testdata/sf0.001").count())
+    spark.catalog.clearCache()
+    assert(recs > 0, "the frequency aggregation must actually shuffle")
+    // residual shuffle = the pre-explode doc rebalance (|docs| rows, the
+    // q166 fan-out rule) + per-map-task type partials — bounded by docs
+    // and vocabulary, NEVER by the token stream
+    assert(recs <= docs * 2 + vocab * 8 && recs < toks / 8,
+      s"$recs shuffle records vs $toks tokens / $vocab types / $docs " +
+        "docs — the frequency combine must collapse the stream before " +
+        "the exchange")
+  }
+
+  test("q202 bootstrap: the x64 replicate fan-out collapses to |sources|x64 before the exchange") {
+    // q202's contract: the explode creates |corpus|·64 rows, but the
+    // (source, b) partial aggregation combines them map-side — the
+    // exchange carries ~|sources|·64·maptasks rows, orders of magnitude
+    // below the fanned-out stream (500·64 = 32k at sf0.001).
+    val recs = shuffleRecords(
+      ops.Round11.q202BootstrapCi(spark, "/root/testdata/sf0.001").count())
+    spark.catalog.clearCache()
+    assert(recs > 0, "the replicate aggregation must actually shuffle")
+    assert(recs < 32000 / 2,
+      s"$recs shuffle records — the replicate sums must combine " +
+        "map-side, not ship the x64 fan-out")
+  }
+
+  test("q204 overlap: the pair join exchanges source-level fingerprints, never documents") {
+    // q204's contract: after per-source dedup, every exchanged row is a
+    // (source, fingerprint) pair — so shuffle volume is bounded by a few
+    // multiples of the distinct (source, fp) relation and CANNOT grow
+    // with per-source duplication. The gram/window stage dominates; the
+    // pair stage must stay at the fingerprint grain.
+    import org.apache.spark.sql.functions._
+    val grams = Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("length(text) - 4 AS g").agg(sum(col("g"))).head().getLong(0)
+    val recs = shuffleRecords(
+      ops.Round11.q204SourceOverlap(spark, "/root/testdata/sf0.001").count())
+    spark.catalog.clearCache()
+    assert(recs > 0)
+    // the gram stream is exchanged a bounded number of times (window +
+    // distinct + join); a doc×doc or gram×gram pair plan would square it
+    assert(recs < grams * 6,
+      s"$recs shuffle records vs $grams grams — pair formation must stay " +
+        "at the (source, fingerprint) grain")
+  }
 }
