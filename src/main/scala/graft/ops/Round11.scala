@@ -453,6 +453,113 @@ object Round11 {
     out
   }
 
+  // ---------------------------------------------------------------------
+  // q206: blocking-recall audit for entity resolution
+  // ---------------------------------------------------------------------
+
+  /** Does q120's cheap blocking key lose real matches? The audit every
+    * blocked linkage needs: ground truth = ALL name pairs within edit
+    * distance 2 over the distinct-name relation (names are
+    * catalog-sized — the corpus aggregates to them first, so the
+    * |names|² audit is bounded; at web scale you'd run it on a
+    * hash-stable sample, the q85 membership rule), recall = the share
+    * of true pairs the head-noun block retains. Pair completeness is
+    * THE number that decides whether a blocking key ships.
+    *
+    * The deliberate cross join is the audit's point and is flagged as
+    * such: it runs on an already-aggregated ≤100-row relation, never on
+    * corpus rows. */
+  val q206BlockingRecall: Q = (spark, dir) => {
+    import spark.implicits._
+    blockingRecall(Tables.part(spark, dir).select($"p_name").distinct())
+  }
+
+  /** The audit core, on any (p_name) relation: true pairs at lev≤2 vs
+    * pairs surviving the head-noun block. Exposed so specs can prove
+    * the audit COUNTS misses on an imperfect synthetic blocking. */
+  private[graft] def blockingRecall(names: DataFrame): DataFrame = {
+    import names.sparkSession.implicits._
+    val n = names.withColumn("noun", substring_index($"p_name", " ", -1))
+    val a = n.select($"p_name".as("na"), $"noun".as("ba"))
+    val b = n.select($"p_name".as("nb"), $"noun".as("bb"))
+    val truth = a.crossJoin(b).filter($"na" < $"nb")
+      .withColumn("dist", levenshtein($"na", $"nb"))
+      .filter($"dist" <= 2)
+    truth
+      .agg(count(lit(1)).as("n_true_pairs"),
+        count(when($"ba" === $"bb", 1)).as("n_blocked_pairs"))
+      .crossJoin(n.agg(count(lit(1)).as("n_names")))
+      .select($"n_names", $"n_true_pairs", $"n_blocked_pairs",
+        ($"n_true_pairs" - $"n_blocked_pairs").as("n_missed_pairs"),
+        expr("""CASE WHEN n_true_pairs > 0
+                THEN n_blocked_pairs * 1000000 div n_true_pairs
+                ELSE 1000000 END""").as("recall_ppm"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q207: near-dedup threshold operating-point sweep
+  // ---------------------------------------------------------------------
+
+  /** The operating-point table for q41's verification threshold: for
+    * each candidate Jaccard cutoff, how many verified pairs survive and
+    * how many documents the greedy drop-b rule would remove. Dedup
+    * configs are chosen off this curve (tight = keep more near-copies,
+    * loose = eat paraphrases); q186 sweeps the BANDING, this sweeps the
+    * VERIFY stage of the same pipeline. Thresholding uses
+    * floor(jaccard·10⁶) — both engines compute the identical IEEE
+    * quotient of the same two ints, so the floor is bit-stable.
+    *
+    * Scale shape: q41's pair set is already candidate-bounded; the
+    * sweep fans each pair out ×5 thresholds (pairs are audit-sized) and
+    * collapses map-side to 5 rows. */
+  val q207DedupThresholds: Q = (spark, dir) => {
+    import spark.implicits._
+    val pairs = Dedup.q41MinhashLsh(spark, dir)
+      .select($"doc_a", $"doc_b",
+        floor($"jaccard" * 1000000).cast("long").as("j_ppm"))
+    val thresholds = (5 to 9).map(_ * 100000L).toDF("threshold")
+    pairs
+      .crossJoin(broadcast(thresholds))
+      .filter($"j_ppm" >= $"threshold")
+      .groupBy($"threshold")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"doc_b").as("n_docs_dropped"))
+      .orderBy($"threshold")
+  }
+
+  // ---------------------------------------------------------------------
+  // q208: boilerplate template mining by shared prefix
+  // ---------------------------------------------------------------------
+
+  /** Template spam detection at the cheapest possible grain: group
+    * documents by their first 5 words (the "rendered template" prefix),
+    * surface the 15 biggest groups with their source spread. A prefix
+    * shared across many docs AND many sources is syndicated boilerplate
+    * (strip it); one shared within a single source is that source's
+    * page chrome (cap it — the q144 rule). One map-side-combined
+    * aggregation on a computed key; no fan-out at all.
+    *
+    * Production note: byte-bounded prefixes (not word counts) keep the
+    * key width fixed at 100 TB; word-prefix here because the corpus is
+    * single-spaced ASCII. */
+  val q208TemplateMining: Q = (spark, dir) => {
+    import spark.implicits._
+    val total = Tables.documents(spark, dir).count()
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        concat_ws(" ", slice(filter(split($"text", " "),
+          t => length(t) > 0), 1, 5)).as("prefix"))
+      .groupBy($"prefix")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        min($"doc_id").as("min_doc_id"))
+      .withColumn("share_ppm", expr(s"n_docs * 1000000 div ${total}L"))
+      .orderBy($"n_docs".desc, $"prefix")
+      .limit(15)
+      .select($"prefix", $"n_docs", $"n_sources", $"min_doc_id",
+        $"share_ppm")
+  }
+
   val queries: Map[String, Q] = Map(
     "q197_canonical_dedup" -> q197CanonicalDedup,
     "q198_editdist_verify" -> q198EditdistVerify,
@@ -463,6 +570,9 @@ object Round11 {
     "q203_embedding_moments" -> q203EmbeddingMoments,
     "q204_source_overlap" -> q204SourceOverlap,
     "q205_dup_quality_bias" -> q205DupQualityBias,
+    "q206_blocking_recall" -> q206BlockingRecall,
+    "q207_dedup_thresholds" -> q207DedupThresholds,
+    "q208_template_mining" -> q208TemplateMining,
   )
 
   val oracle: Map[String, String] = Map(
@@ -685,5 +795,51 @@ object Round11 {
          |    * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
          |FROM r LEFT JOIN dups ON r.doc_id = dups.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q206_blocking_recall" ->
+      """WITH n AS (
+        |  SELECT DISTINCT p_name,
+        |    string_split(p_name, ' ')[-1] AS noun
+        |  FROM part
+        |), t AS (
+        |  SELECT a.noun AS ba, b.noun AS bb
+        |  FROM n a, n b
+        |  WHERE a.p_name < b.p_name
+        |    AND levenshtein(a.p_name, b.p_name) <= 2
+        |)
+        |SELECT (SELECT COUNT(*) FROM n) AS n_names,
+        |  COUNT(*) AS n_true_pairs,
+        |  COUNT(CASE WHEN ba = bb THEN 1 END) AS n_blocked_pairs,
+        |  COUNT(*) - COUNT(CASE WHEN ba = bb THEN 1 END) AS n_missed_pairs,
+        |  CAST(CASE WHEN COUNT(*) > 0
+        |    THEN COUNT(CASE WHEN ba = bb THEN 1 END) * 1000000 // COUNT(*)
+        |    ELSE 1000000 END AS BIGINT) AS recall_ppm
+        |FROM t""".stripMargin,
+    "q207_dedup_thresholds" ->
+      s"""WITH q41 AS (
+         |${Dedup.oracle("q41_minhash_lsh")}
+         |), p AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(floor(jaccard * 1000000) AS BIGINT) AS j_ppm
+         |  FROM q41
+         |)
+         |SELECT t.threshold, COUNT(*) AS n_pairs,
+         |  CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped
+         |FROM p, LATERAL (SELECT unnest([500000, 600000, 700000,
+         |  800000, 900000]) AS threshold) t
+         |WHERE p.j_ppm >= t.threshold
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q208_template_mining" ->
+      """SELECT prefix, COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+        |  CAST(COUNT(*) * 1000000
+        |    // (SELECT COUNT(*) FROM documents) AS BIGINT) AS share_ppm
+        |FROM (
+        |  SELECT doc_id, source,
+        |    array_to_string(list_filter(string_split(text, ' '),
+        |      x -> length(x) > 0)[1:5], ' ') AS prefix
+        |  FROM documents
+        |)
+        |GROUP BY 1 ORDER BY n_docs DESC, prefix LIMIT 15""".stripMargin,
   )
 }

@@ -289,6 +289,70 @@ class Round11Spec extends SparkSpec {
       assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1)))
   }
 
+  test("q206: the audit counts misses on an imperfect synthetic blocking") {
+    import spark.implicits._
+    // "mint anvil"/"mint anvis": lev 1 but DIFFERENT head nouns — the
+    // block loses the pair and recall must drop below 1e6
+    val names = Seq("mint anvil", "mint anvis", "cold anvil", "gold anvil",
+      "totally unrelated").toDF("p_name")
+    val r = ops.Round11.blockingRecall(names).collect().head
+    assert(r.getLong(0) == 5)
+    // true pairs: (mint anvil, mint anvis) lev1 cross-block;
+    // (cold anvil, gold anvil) lev1 same block;
+    // (cold anvil, mint anvil)? lev("cold","mint") prefix... dist > 2; no
+    assert(r.getLong(1) == 2, s"true pairs: ${r.getLong(1)}")
+    assert(r.getLong(2) == 1 && r.getLong(3) == 1,
+      "exactly one pair must be lost to the noun block")
+    assert(r.getLong(4) == 500000L)
+    // and on the corpus: recall is a valid ppm with truth > 0
+    val c = ops.Round11.q206BlockingRecall(spark, sf).collect().head
+    assert(c.getLong(1) > 0 && c.getLong(4) <= 1000000L)
+    assert(c.getLong(2) + c.getLong(3) == c.getLong(1))
+  }
+
+  test("q207: threshold sweep is monotone and recounts from q41's verified pairs") {
+    import spark.implicits._
+    val rows = ops.Round11.q207DedupThresholds(spark, sf).collect()
+    val jppm = ops.Dedup.q41MinhashLsh(spark, sf)
+      .select($"doc_a", $"doc_b", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 1000000).toLong))
+    rows.foreach { r =>
+      val t = r.getLong(0)
+      val surviving = jppm.filter(_._3 >= t)
+      assert(r.getLong(1) == surviving.length, s"pairs at $t")
+      assert(r.getLong(2) == surviving.map(_._2).distinct.length,
+        s"dropped docs at $t")
+    }
+    // monotone: higher threshold, fewer pairs and fewer drops
+    val byT = rows.sortBy(_.getLong(0))
+    byT.zip(byT.tail).foreach { case (a, b) =>
+      assert(a.getLong(1) >= b.getLong(1) && a.getLong(2) >= b.getLong(2))
+    }
+  }
+
+  test("q208: template groups recount and share_ppm uses the corpus total") {
+    import spark.implicits._
+    val rows = ops.Round11.q208TemplateMining(spark, sf).collect()
+    assert(rows.length == 15)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty).take(5).mkString(" ")))
+    val total = docs.length.toLong
+    val groups = docs.groupBy(_._3)
+    rows.foreach { r =>
+      val g = groups(r.getString(0))
+      assert(r.getLong(1) == g.length)
+      assert(r.getLong(2) == g.map(_._2).distinct.length)
+      assert(r.getLong(3) == g.map(_._1).min)
+      assert(r.getLong(4) == g.length * 1000000L / total)
+    }
+    // ordered by group size desc
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b })
+  }
+
   test("lowMedianByKey equals the naive per-key sorted median on adversarial synthetics") {
     import spark.implicits._
     // ties straddling block boundaries, values exactly at multiples of
