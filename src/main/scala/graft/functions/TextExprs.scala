@@ -187,6 +187,89 @@ case class DistinctWordGrams(child: Expression, n: Int)
     newChild: Expression): DistinctWordGrams = copy(child = newChild)
 }
 
+/** The DISTINCT winnowing fingerprints of a string (Schleimer et al.
+  * SIGMOD'03, the q77 MOSS scheme) in ONE per-document evaluation:
+  * hash every k-character-gram (md5, first 8 hex digits as a long — the
+  * exact `conv(substring(md5(substr(text, i+1, k)), 1, 8), 16, 10)`
+  * lattice the composed plan and the DuckDB oracle share), slide a
+  * window of w hashes, keep each full window's minimum, dedup.
+  *
+  * Why an Expression: the composed plan explodes one row per CHARACTER
+  * position and then runs a doc-keyed sliding-min window — which costs
+  * a corpus×len(text) exchange just to bring each document's gram
+  * stream back together. Fingerprint selection is a per-document
+  * sequential computation; doing it inside the scan deletes that
+  * exchange and the window sort entirely, leaving only the deduped
+  * fingerprint rows (a ~w-fold smaller stream) to exit the operator.
+  *
+  * Grams are CODEPOINT-windows (Spark `substr`/DuckDB `substr`
+  * semantics — byte windows would split multi-byte UTF-8); the sliding
+  * minimum uses a monotonic deque (O(1) amortized per position); md5
+  * dominates, one digest per gram, one interpreted call per row
+  * (CodegenFallback). Output is the distinct minima in first-selection
+  * order. */
+case class WinnowedFingerprints(child: Expression, k: Int, w: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1 && w >= 1, "gram length and window must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnowed_fingerprints"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // codepoint start offsets (UTF-16 char indices)
+    val n = s.codePointCount(0, s.length)
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](n + 1)
+    var ci = 0
+    var cp = 0
+    while (cp < n) { offs(cp) = ci; ci = s.offsetByCodePoints(ci, 1); cp += 1 }
+    offs(n) = s.length
+    val m = n - k + 1 // gram count
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val bytes = s.substring(offs(i), offs(i + k)).getBytes("UTF-8")
+      val d = md.digest(bytes)
+      // first 8 hex digits = first 4 bytes, big-endian, unsigned
+      hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      md.reset()
+      i += 1
+    }
+    if (m < w) return new GenericArrayData(Array.empty[Any])
+    // sliding min over windows of w via monotonic deque of indices
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0 // [head, tail) holds candidate indices, values increasing
+    i = 0
+    while (i < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) seen.add(hs(deque(head)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next().longValue(); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+    newChild: Expression): WinnowedFingerprints = copy(child = newChild)
+}
+
 object TextExprs {
   /** Column API for [[DistinctGramKeys]]. */
   def distinctGramKeys(s: Column, n: Int): Column =
@@ -199,4 +282,8 @@ object TextExprs {
   /** Column API for [[DistinctWordGrams]]. */
   def distinctWordGrams(s: Column, n: Int): Column =
     GraftBridge.column(DistinctWordGrams(GraftBridge.expression(s), n))
+
+  /** Column API for [[WinnowedFingerprints]]. */
+  def winnowedFingerprints(s: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowedFingerprints(GraftBridge.expression(s), k, w))
 }

@@ -374,20 +374,14 @@ object Round11 {
     * no global sort). */
   val q204SourceOverlap: Q = (spark, dir) => {
     import spark.implicits._
-    val k = 5; val w = 8
-    val grams = Dedup.fanoutReady(Tables.documents(spark, dir))
-      .select($"doc_id", $"source",
-        explode(sequence(lit(0), length($"text") - k)).as("pos"),
-        $"text")
-      .select($"doc_id", $"source", $"pos",
-        conv(substring(md5($"text".substr($"pos" + 1, lit(k))), 1, 8),
-          16, 10).cast("long").as("h"))
-    val win = Window.partitionBy($"doc_id").orderBy($"pos")
-      .rowsBetween(-(w - 1), 0)
-    val sfp = grams
-      .withColumn("wm", min($"h").over(win))
-      .filter($"pos" >= w - 1)
-      .select($"source", $"wm")
+    // one-scan winnowing (see q77): per-doc fingerprint selection
+    // happens inside the scan via WinnowedFingerprints — no gram
+    // explode, no doc-keyed window exchange; the source-level distinct
+    // is the first (and only corpus-derived) shuffle.
+    val sfp = Dedup.fanoutReady(Tables.documents(spark, dir))
+      .select($"source",
+        explode(graft.functions.TextExprs
+          .winnowedFingerprints($"text", 5, 8)).as("wm"))
       .distinct()
     val sizes = sfp.groupBy($"source").agg(count(lit(1)).as("na"))
     sfp.select($"source".as("sa"), $"wm")

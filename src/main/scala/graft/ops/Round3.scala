@@ -343,20 +343,17 @@ object Round3 {
   // lazy: referenced by the queries map ABOVE its definition point
   lazy val q77Winnowing: Q = (spark, dir) => {
     import spark.implicits._
-    val k = 5; val w = 8
-    val grams = Dedup.fanoutReady(Tables.documents(spark, dir))
-      .select($"doc_id", $"source", $"text",
-        explode(sequence(lit(0), length($"text") - k)).as("pos"))
-      .select($"doc_id", $"source", $"pos",
-        conv(substring(md5($"text".substr($"pos" + 1, lit(k))), 1, 8), 16, 10)
-          .cast("long").as("h"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"pos").rowsBetween(-(w - 1), 0)
-    val fps = grams
-      .withColumn("wm", min($"h").over(win))
-      .filter($"pos" >= w - 1)       // full windows only
-      .select($"doc_id", $"source", $"wm")
-      .distinct()
+    // one-scan winnowing: the codegen-adjacent expression computes each
+    // document's distinct window minima in place, so the per-position
+    // gram explode AND the doc-keyed sliding-min window (a
+    // corpus×len(text) exchange in the composed plan) do not exist in
+    // this plan at all; only deduped fingerprints exit the scan.
+    // Equivalence to the composed form is property-tested
+    // (PropertiesSpec) and the oracle is unchanged.
+    val fps = Dedup.fanoutReady(Tables.documents(spark, dir))
+      .select($"doc_id", $"source",
+        explode(graft.functions.TextExprs
+          .winnowedFingerprints($"text", 5, 8)).as("wm"))
     fps.groupBy($"source")
       .agg(
         countDistinct($"doc_id").as("n_docs"),

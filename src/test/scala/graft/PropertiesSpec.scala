@@ -179,6 +179,40 @@ object OperatorProperties extends Properties("graft") {
         ck(xs) == ck(shuffled) && ck(xs) == ((ck(l) + ck(r)) mod p)
     }
 
+  /** WinnowedFingerprints must equal the composed explode + sliding-min
+    * window + distinct plan it replaced (q77/q204): same md5-prefix
+    * lattice, full windows only, per-document dedup. Includes multi-byte
+    * codepoints — grams are CODEPOINT windows, not byte windows. */
+  property("winnowed_fingerprints == explode/window-min/distinct composed form") = {
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.const(' '),
+      1 -> Gen.oneOf('的', 'é', 'ß', '是'))
+    forAll(Gen.listOf(charGen).map(_.mkString),
+      Gen.choose(1, 6), Gen.choose(1, 10)) { (text, k, w) =>
+      val expr = graft.functions.WinnowedFingerprints(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text),
+          org.apache.spark.sql.types.StringType), k, w)
+      val got = expr.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.map(_.asInstanceOf[Long]).toSet
+      // reference: codepoint grams, md5 first-8-hex as long, sliding min
+      val cps = text.codePoints().toArray
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val grams = (0 to cps.length - k).map { i =>
+        new String(cps, i, k).getBytes("UTF-8")
+      }
+      val hs = grams.map { g =>
+        val hex = md.digest(g).take(4).map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val ref =
+        if (hs.length < w) Set.empty[Long]
+        else hs.sliding(w).map(_.min).toSet
+      got == ref
+    }
+  }
+
   /** q201's HRW core: adding a shard can only steal documents for the
     * NEW shard — it can never move a document between two old shards
     * (argmax over S∪{s'} is either argmax over S or s'). This is the

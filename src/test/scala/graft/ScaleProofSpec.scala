@@ -209,12 +209,15 @@ class ScaleProofSpec extends SparkSpec {
         "map-side, not ship the x64 fan-out")
   }
 
-  test("q204 overlap: the pair join exchanges source-level fingerprints, never documents") {
-    // q204's contract: after per-source dedup, every exchanged row is a
-    // (source, fingerprint) pair — so shuffle volume is bounded by a few
-    // multiples of the distinct (source, fp) relation and CANNOT grow
-    // with per-source duplication. The gram/window stage dominates; the
-    // pair stage must stay at the fingerprint grain.
+  test("q204 overlap: winnowing inside the scan keeps every exchange below the gram stream") {
+    // q204's contract after the WinnowedFingerprints rewrite: fingerprint
+    // selection happens IN the scan, so no exchange ever carries the
+    // per-position gram stream (the composed plan shuffled it once for
+    // the doc-keyed sliding-min window). What shuffles: the |docs|
+    // pre-explode rebalance, the per-doc fingerprint rows entering the
+    // (source, fp) distinct (~grams/w after windowing dedup), and
+    // source-grain aggregates. Total must sit far below one gram-stream
+    // exchange.
     import org.apache.spark.sql.functions._
     val grams = Tables.documents(spark, "/root/testdata/sf0.001")
       .selectExpr("length(text) - 4 AS g").agg(sum(col("g"))).head().getLong(0)
@@ -222,10 +225,8 @@ class ScaleProofSpec extends SparkSpec {
       ops.Round11.q204SourceOverlap(spark, "/root/testdata/sf0.001").count())
     spark.catalog.clearCache()
     assert(recs > 0)
-    // the gram stream is exchanged a bounded number of times (window +
-    // distinct + join); a doc×doc or gram×gram pair plan would square it
-    assert(recs < grams * 6,
-      s"$recs shuffle records vs $grams grams — pair formation must stay " +
-        "at the (source, fingerprint) grain")
+    assert(recs < grams / 2,
+      s"$recs shuffle records vs $grams grams — the winnowed plan must " +
+        "never exchange the per-position gram stream")
   }
 }
