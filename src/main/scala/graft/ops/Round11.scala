@@ -554,6 +554,89 @@ object Round11 {
         $"share_ppm")
   }
 
+  // ---------------------------------------------------------------------
+  // q209: audit-sample sufficiency
+  // ---------------------------------------------------------------------
+
+  /** How small can a corpus audit's sample be? Every per-source statistic
+    * in this suite has a 100 TB production form that runs on a
+    * hash-stable sample (the q85 membership rule); this query measures
+    * the cost: per sampling rate (1/64, 1/16, 1/4 by content hash), the
+    * worst-case absolute error of the sampled per-source mean length vs
+    * the exact mean, in ppm of the exact mean. The table answers "which
+    * audits can ride the 1.5% sample" with data instead of folklore.
+    *
+    * Scale shape: one corpus scan computes all three sample aggregates
+    * AND the exact aggregate simultaneously (conditional sums — no
+    * second pass, no join); |sources|-row arithmetic follows. Membership
+    * is md5-derived, so re-sharding and re-running cannot change it. */
+  val q209SampleSufficiency: Q = (spark, dir) => {
+    import spark.implicits._
+    val u = conv(substring(md5(concat_ws(":", $"doc_id", $"text")), 1, 8),
+      16, 10).cast("long") % 64
+    val per = Tables.documents(spark, dir)
+      .select($"source", $"n_chars", u.as("u"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("sx"),
+        count(when($"u" === 0, 1)).as("n64"),
+        sum(when($"u" === 0, $"n_chars")).as("sx64"),
+        count(when($"u" < 4, 1)).as("n16"),
+        sum(when($"u" < 4, $"n_chars")).as("sx16"),
+        count(when($"u" < 16, 1)).as("n4"),
+        sum(when($"u" < 16, $"n_chars")).as("sx4"))
+      .withColumn("mean", expr("sx div n"))
+    val err = (nc: String, sc: String) =>
+      expr(s"""CASE WHEN $nc > 0
+              |THEN abs($sc div $nc - mean) * 1000000 div mean
+              |ELSE 1000000 END""".stripMargin)
+    per.select($"source",
+        err("n64", "sx64").as("e64"),
+        err("n16", "sx16").as("e16"),
+        err("n4", "sx4").as("e4"))
+      .agg(max($"e64").as("worst_err_ppm_r64"),
+        max($"e16").as("worst_err_ppm_r16"),
+        max($"e4").as("worst_err_ppm_r4"),
+        count(lit(1)).as("n_sources"))
+      .select($"n_sources", $"worst_err_ppm_r64", $"worst_err_ppm_r16",
+        $"worst_err_ppm_r4")
+  }
+
+  // ---------------------------------------------------------------------
+  // q210: winnowing density calibration
+  // ---------------------------------------------------------------------
+
+  /** Calibration of the [[graft.functions.WinnowedFingerprints]]
+    * operator against its own theory: winnowing with window w selects
+    * each window's minimum, for an expected pre-dedup density of
+    * 2/(w+1) ≈ 222,222 ppm of gram positions (Schleimer et al. §3);
+    * per-document dedup then compresses further on repetitive text.
+    * Per source: gram positions, windows, distinct selected
+    * fingerprints, and the realized density in ppm. Doubles as a
+    * corpus-scale cross-check of the expression: the ORACLE computes
+    * the same table from the composed explode + sliding-min + distinct
+    * plan, so any divergence between the one-scan expression and the
+    * reference dataflow hash-fails here at every SF.
+    *
+    * Scale shape: selection in the scan (no gram exchange — the q77
+    * rewrite); one (doc grain) aggregate and a |sources| rollup. */
+  val q210WinnowDensity: Q = (spark, dir) => {
+    import spark.implicits._
+    val k = 5; val w = 8
+    val per = Dedup.fanoutReady(Tables.documents(spark, dir))
+      .select($"source", length($"text").as("len"),
+        size(graft.functions.TextExprs
+          .winnowedFingerprints($"text", k, w)).cast("long").as("nfp"))
+      .withColumn("grams", greatest(lit(0L), $"len" - lit(k - 1)))
+      .withColumn("wins", greatest(lit(0L), $"grams" - lit(w - 1)))
+    per.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"grams").as("n_grams"),
+        sum($"wins").as("n_windows"),
+        sum($"nfp").as("n_fps"))
+      .withColumn("density_ppm", expr("n_fps * 1000000 div n_grams"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q197_canonical_dedup" -> q197CanonicalDedup,
     "q198_editdist_verify" -> q198EditdistVerify,
@@ -567,6 +650,8 @@ object Round11 {
     "q206_blocking_recall" -> q206BlockingRecall,
     "q207_dedup_thresholds" -> q207DedupThresholds,
     "q208_template_mining" -> q208TemplateMining,
+    "q209_sample_sufficiency" -> q209SampleSufficiency,
+    "q210_winnow_density" -> q210WinnowDensity,
   )
 
   val oracle: Map[String, String] = Map(
@@ -835,5 +920,60 @@ object Round11 {
         |  FROM documents
         |)
         |GROUP BY 1 ORDER BY n_docs DESC, prefix LIMIT 15""".stripMargin,
+    "q209_sample_sufficiency" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    COUNT(CASE WHEN u = 0 THEN 1 END) AS n64,
+        |    CAST(SUM(CASE WHEN u = 0 THEN n_chars END) AS BIGINT) AS sx64,
+        |    COUNT(CASE WHEN u < 4 THEN 1 END) AS n16,
+        |    CAST(SUM(CASE WHEN u < 4 THEN n_chars END) AS BIGINT) AS sx16,
+        |    COUNT(CASE WHEN u < 16 THEN 1 END) AS n4,
+        |    CAST(SUM(CASE WHEN u < 16 THEN n_chars END) AS BIGINT) AS sx4
+        |  FROM (SELECT source, n_chars,
+        |      CAST(('0x' || substr(md5(doc_id || ':' || text), 1, 8))
+        |        AS BIGINT) % 64 AS u
+        |    FROM documents)
+        |  GROUP BY 1
+        |), e AS (
+        |  SELECT source, sx // n AS mean,
+        |    CASE WHEN n64 > 0 THEN abs(sx64 // n64 - sx // n) * 1000000
+        |      // (sx // n) ELSE 1000000 END AS e64,
+        |    CASE WHEN n16 > 0 THEN abs(sx16 // n16 - sx // n) * 1000000
+        |      // (sx // n) ELSE 1000000 END AS e16,
+        |    CASE WHEN n4 > 0 THEN abs(sx4 // n4 - sx // n) * 1000000
+        |      // (sx // n) ELSE 1000000 END AS e4
+        |  FROM per
+        |)
+        |SELECT COUNT(*) AS n_sources,
+        |  CAST(MAX(e64) AS BIGINT) AS worst_err_ppm_r64,
+        |  CAST(MAX(e16) AS BIGINT) AS worst_err_ppm_r16,
+        |  CAST(MAX(e4) AS BIGINT) AS worst_err_ppm_r4
+        |FROM e""".stripMargin,
+    "q210_winnow_density" ->
+      """WITH grams AS (
+        |  SELECT doc_id, source, i AS pos,
+        |    CAST(('0x' || substr(md5(substr(text, i + 1, 5)), 1, 8))
+        |      AS BIGINT) AS h
+        |  FROM documents,
+        |    LATERAL unnest(range(0, greatest(length(text) - 4, 0))) t(i)
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, MIN(h) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wm
+        |  FROM grams QUALIFY pos >= 7
+        |), perdoc AS (
+        |  SELECT doc_id, COUNT(*) AS nfp FROM sel GROUP BY 1
+        |), base AS (
+        |  SELECT d.source,
+        |    greatest(0, length(text) - 4) AS grams,
+        |    greatest(0, length(text) - 4 - 7) AS wins,
+        |    COALESCE(p.nfp, 0) AS nfp
+        |  FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(grams) AS BIGINT) AS n_grams,
+        |  CAST(SUM(wins) AS BIGINT) AS n_windows,
+        |  CAST(SUM(nfp) AS BIGINT) AS n_fps,
+        |  CAST(SUM(nfp) * 1000000 // SUM(grams) AS BIGINT) AS density_ppm
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -353,6 +353,64 @@ class Round11Spec extends SparkSpec {
     assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q209: sampled-mean errors recount exactly and shrink with the rate") {
+    import spark.implicits._
+    val r = ops.Round11.q209SampleSufficiency(spark, sf).collect().head
+    assert(r.getLong(0) == 20)
+    // recount in plain Scala from the same membership hash
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long, t: String): Long = {
+      val hex = md.digest(s"$id:$t".getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"doc_id", $"text", $"n_chars").collect()
+      .map(row => (row.getString(0), u(row.getLong(1), row.getString(2)),
+        row.getLong(3)))
+    def worst(cut: Long): Long = docs.groupBy(_._1).map { case (_, ds) =>
+      val mean = ds.map(_._3).sum / ds.length
+      val s = ds.filter(_._2 < cut)
+      if (s.isEmpty) 1000000L
+      else math.abs(s.map(_._3).sum / s.length - mean) * 1000000L / mean
+    }.max
+    assert(r.getLong(1) == worst(1), "rate 1/64")
+    assert(r.getLong(2) == worst(4), "rate 1/16")
+    assert(r.getLong(3) == worst(16), "rate 1/4")
+  }
+
+  test("q210: density sits in the winnowing band and the expression matches the composed form per source") {
+    import spark.implicits._
+    val rows = ops.Round11.q210WinnowDensity(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(4) > 0 && r.getLong(4) < 333333L,
+        s"${r.getString(0)}: density ${r.getLong(4)} ppm above the " +
+          "2/(w+1) selection bound")
+      assert(r.getLong(3) <= r.getLong(2),
+        "selected fps cannot exceed gram positions")
+    }
+    // this corpus's ~30-word vocabulary makes gram REPETITION collapse
+    // per-doc distinct minima to ~0.1-1% — the very signal q77 reports;
+    // the 2/(w+1) theory band applies to HIGH-ENTROPY text, pinned here
+    // on synthetic unique strings (md5-hex chains: effectively random)
+    val uniq = (0 until 50).map { i =>
+      Iterator.iterate(s"seed$i")(s => java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString).drop(1).take(8).mkString
+    }.toDF("text")
+    val dens = uniq.select(
+      sum(size(graft.functions.TextExprs
+        .winnowedFingerprints($"text", 5, 8))).cast("long").as("nfp"),
+      sum(length($"text") - 4).cast("long").as("grams")).collect().head
+    val ppm = dens.getLong(0) * 1000000L / dens.getLong(1)
+    assert(ppm > 150000L && ppm < 300000L,
+      s"high-entropy density $ppm ppm should sit near 2/(w+1) = 222222")
+    // n_windows accounting: wins = grams - 7 per doc, never negative
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(2) - 7 * r.getLong(1),
+      "all docs here are longer than one window"))
+  }
+
   test("lowMedianByKey equals the naive per-key sorted median on adversarial synthetics") {
     import spark.implicits._
     // ties straddling block boundaries, values exactly at multiples of
