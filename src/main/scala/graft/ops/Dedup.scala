@@ -32,7 +32,7 @@ object Dedup {
     if (df.rdd.getNumPartitions >= np) df else df.repartition(np)
   }
 
-  private val tokensSql =
+  private[ops] val tokensSql =
     "list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)"
 
   /** Exact dedup over a corpus with deliberately injected duplicates
@@ -61,23 +61,21 @@ object Dedup {
     * step, so work is proportional to true collisions. */
   val q41MinhashLsh: Q = (spark, dir) => {
     import spark.implicits._
-    val toks = fanoutReady(Tables.documents(spark, dir))
-      .select($"doc_id", tokens($"text").as("t"))
-      .filter(size($"t") >= 3)
     // cached: consumed 4× downstream (signatures, sizes, both sides of the
     // verification join) — the reference's own missed-cache lesson
     // (SURVEY.md §2.12 C1) applied.
-    // Shingles are built by exploding the POSITION range and assembling
-    // each shingle with plain (codegen'd) expressions — a transform()
-    // lambda would evaluate interpreted per shingle (HOF lambdas never
-    // enter whole-stage codegen; profiled as the hot frame).
-    val shingles = toks
-      .select($"doc_id", $"t",
-        explode(sequence(lit(0), size($"t") - 3)).as("i"))
+    // Shingles come from DistinctWordGrams — per-document dedup happens
+    // DURING the scan, so the corpus-wide (doc, shingle) `.distinct()`
+    // exchange (formerly this query's most expensive stage) does not
+    // exist in the plan; one interpreted call per document replaces a
+    // per-position expression chain. Byte-split tokenization equals the
+    // `\s+` form on this single-space corpus (property-tested; q167
+    // precedent), and the 3-SF oracle gate pins the equivalence on every
+    // composed dependent (q79/q186/q190/q193/q194/q196/q198/q205/q207).
+    val shingles = fanoutReady(Tables.documents(spark, dir))
       .select($"doc_id",
-        concat_ws(" ", element_at($"t", $"i" + 1), element_at($"t", $"i" + 2),
-          element_at($"t", $"i" + 3)).as("s"))
-      .distinct()
+        explode(graft.functions.TextExprs
+          .distinctWordGrams($"text", 3)).as("s"))
       .cache()
     // 8 independent 32-bit hashes from TWO md5 computations (4 hex-chunks
     // each) instead of 8 salted md5s: hashing is the per-row hot loop at
@@ -139,16 +137,12 @@ object Dedup {
     * matching the oracle's md5-string keys pair-for-pair. */
   val q186BandingSweep: Q = (spark, dir) => {
     import spark.implicits._
-    val toks = fanoutReady(Tables.documents(spark, dir))
-      .select($"doc_id", tokens($"text").as("t"))
-      .filter(size($"t") >= 3)
-    val shingles = toks
-      .select($"doc_id", $"t",
-        explode(sequence(lit(0), size($"t") - 3)).as("i"))
+    // DistinctWordGrams shingles — same rewrite as q41 (per-doc dedup in
+    // the scan, no corpus-wide distinct exchange)
+    val shingles = fanoutReady(Tables.documents(spark, dir))
       .select($"doc_id",
-        concat_ws(" ", element_at($"t", $"i" + 1), element_at($"t", $"i" + 2),
-          element_at($"t", $"i" + 3)).as("s"))
-      .distinct()
+        explode(graft.functions.TextExprs
+          .distinctWordGrams($"text", 3)).as("s"))
       .cache()
     val minCols = (0 until 8).map { j =>
       val salted = md5(concat(lit(s"${j / 4}:"), $"s"))
@@ -318,7 +312,7 @@ object Dedup {
     "q186_banding_sweep" -> q186BandingSweep,
   )
 
-  private val minhashMins = (0 until 8).map { j =>
+  private[ops] val minhashMins = (0 until 8).map { j =>
     val pos = 1 + 8 * (j % 4)
     s"    min(CAST(('0x' || substr(md5('${j / 4}:' || s), $pos, 8)) AS BIGINT)) AS h$j"
   }.mkString(",\n")

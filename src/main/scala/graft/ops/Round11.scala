@@ -637,6 +637,96 @@ object Round11 {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------------
+  // q211: MinHash estimator calibration
+  // ---------------------------------------------------------------------
+
+  /** Is the 8-hash MinHash estimate honest? For every q41-verified pair,
+    * compare the signature-agreement estimate (matches/8, the unbiased
+    * MinHash estimator of Jaccard) against the EXACT shingle Jaccard,
+    * grouped by match count: each row is one estimator value with the
+    * n/mean/min/max of the truth behind it. The spread per row is the
+    * resolution argument for (or against) shipping 8 hashes — the same
+    * question q186 answers for banding, asked of the estimator itself.
+    *
+    * Scale shape: signatures are the q41 aggregate (4 rows per doc
+    * collapse map-side); the calibration join touches only verified
+    * pairs. Estimates and truths are exact integers cross-engine. */
+  val q211MinhashCalibration: Q = (spark, dir) => {
+    import spark.implicits._
+    val shingles = Dedup.fanoutReady(Tables.documents(spark, dir))
+      .select($"doc_id",
+        explode(graft.functions.TextExprs
+          .distinctWordGrams($"text", 3)).as("s"))
+    val minCols = (0 until 8).map { j =>
+      val salted = md5(concat(lit(s"${j / 4}:"), $"s"))
+      min(conv(substring(salted, 1 + 8 * (j % 4), 8), 16, 10).cast("long"))
+        .as(s"h$j")
+    }
+    val sig = shingles.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    val sa = sig.toDF("doc_a" +: (0 until 8).map(j => s"a$j"): _*)
+    val sb = sig.toDF("doc_b" +: (0 until 8).map(j => s"b$j"): _*)
+    val m = (0 until 8)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    Dedup.q41MinhashLsh(spark, dir)
+      .select($"doc_a", $"doc_b",
+        floor($"jaccard" * 1000000).cast("long").as("j_ppm"))
+      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("m", m.cast("long"))
+      .groupBy($"m")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(j_ppm) div count(1)").as("mean_j_ppm"),
+        min($"j_ppm").as("min_j_ppm"), max($"j_ppm").as("max_j_ppm"))
+      .select($"m".as("sig_matches"),
+        expr("m * 1000000 div 8").as("est_j_ppm"),
+        $"n_pairs", $"mean_j_ppm", $"min_j_ppm", $"max_j_ppm")
+      .orderBy($"sig_matches")
+  }
+
+  // ---------------------------------------------------------------------
+  // q212: Kendall rank correlation (is "quality" just length?)
+  // ---------------------------------------------------------------------
+
+  /** Exact Kendall tau-a between document length and the
+    * lexical-diversity quality score, on a content-hash sample — the
+    * audit that catches a quality filter that secretly ranks by length.
+    * Concordant/discordant/tied pair counts are exact integers; tau's
+    * sign is applied OUTSIDE the integer division (both engines truncate
+    * the non-negative magnitude identically — the signed floor-vs-
+    * truncate divergence never arises, the q98 rule).
+    *
+    * Scale shape: the deliberate pair join runs on the hash-stable 1/32
+    * sample ONLY (q206's bounded-audit pattern; tau needs pairs by
+    * definition). The sample rate, not the corpus, bounds the work; the
+    * corpus is scanned once to score and sample. */
+  val q212KendallTau: Q = (spark, dir) => {
+    import spark.implicits._
+    val s = Tables.documents(spark, dir)
+      .filter(conv(substring(md5(concat_ws(":", $"doc_id", $"text")), 1, 8),
+        16, 10).cast("long") % 32 === 0)
+      .select($"doc_id", $"n_chars".as("x"),
+        expr("""size(array_distinct(filter(split(text, ' '),
+                t -> length(t) > 0))) * 1000000
+                div size(filter(split(text, ' '), t -> length(t) > 0))""")
+          .as("y"))
+    val a = s.toDF("ida", "xa", "ya")
+    val b = s.toDF("idb", "xb", "yb")
+    a.crossJoin(b).filter($"ida" < $"idb")
+      .select((($"xa" - $"xb") * ($"ya" - $"yb")).as("prod"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when($"prod" > 0, 1)).as("n_concordant"),
+        count(when($"prod" < 0, 1)).as("n_discordant"),
+        count(when($"prod" === 0, 1)).as("n_tied"))
+      .crossJoin(s.agg(count(lit(1)).as("n_sample")))
+      .select($"n_sample", $"n_pairs", $"n_concordant", $"n_discordant",
+        $"n_tied",
+        expr("""CASE WHEN n_concordant >= n_discordant
+                THEN (n_concordant - n_discordant) * 1000000 div n_pairs
+                ELSE -((n_discordant - n_concordant) * 1000000 div n_pairs)
+                END""").as("tau_a_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q197_canonical_dedup" -> q197CanonicalDedup,
     "q198_editdist_verify" -> q198EditdistVerify,
@@ -652,6 +742,8 @@ object Round11 {
     "q208_template_mining" -> q208TemplateMining,
     "q209_sample_sufficiency" -> q209SampleSufficiency,
     "q210_winnow_density" -> q210WinnowDensity,
+    "q211_minhash_calibration" -> q211MinhashCalibration,
+    "q212_kendall_tau" -> q212KendallTau,
   )
 
   val oracle: Map[String, String] = Map(
@@ -975,5 +1067,63 @@ object Round11 {
         |  CAST(SUM(nfp) AS BIGINT) AS n_fps,
         |  CAST(SUM(nfp) * 1000000 // SUM(grams) AS BIGINT) AS density_ppm
         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q211_minhash_calibration" -> {
+      val matchSum = (0 until 8)
+        .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH q41 AS (
+         |${Dedup.oracle("q41_minhash_lsh")}
+         |), toks AS (
+         |  SELECT doc_id, ${Dedup.tokensSql} AS t FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(0, length(t) - 2),
+         |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+         |  FROM toks WHERE length(t) >= 3
+         |), sig AS (
+         |  SELECT doc_id,
+         |${Dedup.minhashMins}
+         |  FROM sh GROUP BY 1
+         |), scored AS (
+         |  SELECT CAST(floor(q41.jaccard * 1000000) AS BIGINT) AS j_ppm,
+         |    CAST($matchSum AS BIGINT) AS m
+         |  FROM q41 JOIN sig a ON q41.doc_a = a.doc_id
+         |  JOIN sig b ON q41.doc_b = b.doc_id
+         |)
+         |SELECT m AS sig_matches,
+         |  CAST(m * 1000000 // 8 AS BIGINT) AS est_j_ppm,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(SUM(j_ppm) // COUNT(*) AS BIGINT) AS mean_j_ppm,
+         |  CAST(MIN(j_ppm) AS BIGINT) AS min_j_ppm,
+         |  CAST(MAX(j_ppm) AS BIGINT) AS max_j_ppm
+         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q212_kendall_tau" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars AS x,
+        |    CAST(len(list_distinct(w)) * 1000000 // len(w) AS BIGINT) AS y
+        |  FROM (SELECT doc_id, n_chars, text,
+        |          list_filter(string_split(text, ' '),
+        |            t -> length(t) > 0) AS w
+        |        FROM documents)
+        |  WHERE CAST(('0x' || substr(md5(doc_id || ':' || text), 1, 8))
+        |    AS BIGINT) % 32 = 0
+        |), p AS (
+        |  SELECT (a.x - b.x) * (a.y - b.y) AS prod
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id
+        |), agg AS (
+        |  SELECT COUNT(*) AS n_pairs,
+        |    COUNT(CASE WHEN prod > 0 THEN 1 END) AS n_concordant,
+        |    COUNT(CASE WHEN prod < 0 THEN 1 END) AS n_discordant,
+        |    COUNT(CASE WHEN prod = 0 THEN 1 END) AS n_tied
+        |  FROM p
+        |)
+        |SELECT (SELECT COUNT(*) FROM s) AS n_sample,
+        |  n_pairs, n_concordant, n_discordant, n_tied,
+        |  CAST(CASE WHEN n_concordant >= n_discordant
+        |    THEN (n_concordant - n_discordant) * 1000000 // n_pairs
+        |    ELSE -((n_discordant - n_concordant) * 1000000 // n_pairs)
+        |    END AS BIGINT) AS tau_a_ppm
+        |FROM agg""".stripMargin,
   )
 }

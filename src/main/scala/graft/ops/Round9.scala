@@ -517,14 +517,14 @@ object Round9 {
         .select(($"doc_id" + 1000000L).as("doc_id"),
           concat(lit("intro preamble section "), $"text",
             lit(" closing remarks appendix end")).as("text")))
+    // per-document distinct 5-grams DURING the scan (DistinctWordGrams,
+    // the q167 rewrite applied here): the interpreted per-position HOF
+    // lambda and the corpus-wide (doc, gram) `.distinct()` exchange —
+    // formerly this query's biggest shuffle — no longer exist.
     val grams = Dedup.fanoutReady(corpus)
-      .select($"doc_id", split($"text", " ").as("w"))
-      .filter(size($"w") >= 5)
       .select($"doc_id",
-        explode(expr(
-          "transform(sequence(0, size(w) - 5), " +
-            "i -> array_join(slice(w, i + 1, 5), ' '))")).as("gram"))
-      .distinct()
+        explode(graft.functions.TextExprs
+          .distinctWordGrams($"text", 5)).as("gram"))
       .cache()
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("g"))
     val rare = grams.groupBy($"gram").agg(count(lit(1)).as("df"))

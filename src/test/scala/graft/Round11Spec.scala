@@ -411,6 +411,79 @@ class Round11Spec extends SparkSpec {
       "all docs here are longer than one window"))
   }
 
+  test("q211: estimator rows bracket the truth and recount from first principles") {
+    import spark.implicits._
+    val rows = ops.Round11.q211MinhashCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 8)
+      assert(r.getLong(1) == r.getLong(0) * 1000000L / 8)
+      assert(r.getLong(4) <= r.getLong(3) && r.getLong(3) <= r.getLong(5),
+        "mean must sit between min and max")
+      // q41 pairs are verified at jaccard >= 0.5
+      assert(r.getLong(4) >= 500000L)
+    }
+    assert(rows.map(_.getLong(2)).sum ==
+      ops.Dedup.q41MinhashLsh(spark, sf).count(),
+      "every verified pair lands in exactly one estimator row")
+    // full recount of the signature-match distribution in plain Scala
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String, off: Int): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(off, off + 8), 16)
+    }
+    def sig(t: String): Seq[Long] = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      val sh = if (w.length < 3) Set.empty[String]
+        else w.sliding(3).map(_.mkString(" ")).toSet
+      (0 until 8).map(j => sh.map(s => h32(s"${j / 4}:$s", 8 * (j % 4))).min)
+    }
+    val sigs = docs.toMap.map { case (id, t) => (id, sig(t)) }
+    val pairs = ops.Dedup.q41MinhashLsh(spark, sf)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mine = pairs.map { case (a, b) =>
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toLong
+    }.groupBy(identity).map { case (m, xs) => (m, xs.length.toLong) }
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toMap == mine)
+  }
+
+  test("q212: tau recounts exactly from the sampled pairs and counts conserve") {
+    import spark.implicits._
+    val r = ops.Round11.q212KendallTau(spark, sf).collect().head
+    val n = r.getLong(0)
+    assert(r.getLong(1) == n * (n - 1) / 2, "pair count = C(n,2)")
+    assert(r.getLong(2) + r.getLong(3) + r.getLong(4) == r.getLong(1),
+      "concordant + discordant + tied must cover all pairs")
+    // recount from the same sample definition
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def keep(id: Long, t: String): Boolean = {
+      val hex = md.digest(s"$id:$t".getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 32 == 0
+    }
+    val s = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"n_chars").collect()
+      .filter(row => keep(row.getLong(0), row.getString(1)))
+      .map { row =>
+        val w = row.getString(1).split(" ").filter(_.nonEmpty)
+        (row.getLong(2), w.distinct.length.toLong * 1000000L / w.length)
+      }
+    assert(n == s.length)
+    val prods = for {
+      i <- s.indices; j <- (i + 1) until s.length
+    } yield (s(i)._1 - s(j)._1) * (s(i)._2 - s(j)._2)
+    assert(r.getLong(2) == prods.count(_ > 0))
+    assert(r.getLong(3) == prods.count(_ < 0))
+    val (c, d) = (prods.count(_ > 0).toLong, prods.count(_ < 0).toLong)
+    val np = prods.length.toLong
+    val tau = if (c >= d) (c - d) * 1000000L / np
+      else -((d - c) * 1000000L / np)
+    assert(r.getLong(5) == tau)
+  }
+
   test("lowMedianByKey equals the naive per-key sorted median on adversarial synthetics") {
     import spark.implicits._
     // ties straddling block boundaries, values exactly at multiples of
