@@ -33,6 +33,27 @@ object OpsUtil {
   val revenueSql: String =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
 
+  /** Fixed-SIZE hash-bottom-k sample: the k rows with the smallest
+    * content hash (first 15 hex chars of md5 over `hashOn`, as an exact
+    * long in column "h"), ties broken by `tie`. The physical plan is
+    * TakeOrderedAndProject — each partition keeps its local k, the
+    * driver merges k·partitions candidate rows — so the sample is
+    * corpus-size-INDEPENDENT, which is what makes a downstream pair
+    * join over it bounded (a fixed sample *rate* bounds nothing: the
+    * pair count still grows quadratically with the corpus). Membership
+    * is a pure function of content (the q85/q110 rule): re-sharding,
+    * re-runs, and retries all pick the same rows, and union+re-take-k
+    * over shards equals the global bottom-k (mergeable). DuckDB mirror:
+    * `ORDER BY CAST(('0x' || substr(md5(...), 1, 15)) AS BIGINT), tie
+    * LIMIT k`. */
+  def bottomKByHash(df: DataFrame, hashOn: Seq[Column], tie: Column,
+      k: Int): DataFrame =
+    df.withColumn("h",
+        conv(substring(md5(concat_ws(":", hashOn: _*)), 1, 15), 16, 10)
+          .cast("long"))
+      .orderBy(col("h"), tie)
+      .limit(k)
+
   /** Materialize a SMALL (≤ a few hundred rows — profile/audit-sized)
     * result on the driver and rebuild it as a local DataFrame with the
     * identical schema. Lets a query unpersist its corpus-sized caches

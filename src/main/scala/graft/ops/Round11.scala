@@ -148,7 +148,11 @@ object Round11 {
     * corpus-sized rank stays under a (key, block)-keyed window. */
   private[graft] def lowMedianByKey(
       df: DataFrame, key: String, v: String, tie: String): DataFrame = {
-    val wb = df.withColumn("blk", (col(v) / 64L).cast("long"))
+    // `div` is integer division — exact for ANY long. Double division
+    // (`/` then cast) is only exact below 2^53, and a silently wrong
+    // block id would corrupt the exact-median guarantee if this helper
+    // were reused on larger longs than n_chars.
+    val wb = df.withColumn("blk", expr(s"`$v` div 64"))
     val bc = wb.groupBy(col(key), col("blk")).agg(count(lit(1)).as("bc"))
     val wOff = Window.partitionBy(col(key)).orderBy(col("blk"))
     val offs = bc
@@ -228,15 +232,20 @@ object Round11 {
     * 58824 ppm = 1/17). Ties break to the smallest shard id via
     * first-occurrence argmax, identically in both engines.
     *
-    * Scale shape: a pure per-row scalar (17 md5s per doc, all inside
-    * whole-stage codegen) followed by one 16-row rollup — no shuffle
-    * wider than the final groupBy. This is the q80 hash-split story
-    * upgraded to elastic shard counts. */
+    * Scale shape: a pure per-row scalar (17 md5s per doc) followed by
+    * one 16-row rollup — no shuffle wider than the final groupBy. The
+    * 17 hashes are UNROLLED as plain literal-shard columns inside an
+    * `array(...)` — not a `transform()` lambda, which would evaluate
+    * interpreted per element (the HOF pitfall this codebase documents
+    * at q41/Round9), so the whole scalar stage stays in whole-stage
+    * codegen. This is the q80 hash-split story upgraded to elastic
+    * shard counts. */
   val q201HrwShards: Q = (spark, dir) => {
     import spark.implicits._
-    val hs = transform(sequence(lit(0), lit(16)), s =>
+    def shardHash(s: Int): Column =
       conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
-        s.cast("string"))), 1, 8), 16, 10).cast("long"))
+        lit(s.toString))), 1, 8), 16, 10).cast("long")
+    val hs = array((0 to 16).map(shardHash): _*)
     val first16 = slice(hs, 1, 16)
     Tables.documents(spark, dir)
       .select($"doc_id", first16.as("h16"), element_at(hs, 17).as("h17"))
@@ -378,13 +387,19 @@ object Round11 {
     // happens inside the scan via WinnowedFingerprints — no gram
     // explode, no doc-keyed window exchange; the source-level distinct
     // is the first (and only corpus-derived) shuffle.
+    // cached: the winnowing scan is the dominant cost and is consumed
+    // three times (sizes + both sides of the fingerprint self-join) —
+    // without the cache it can re-execute up to 3x (the q41/q186
+    // missed-cache lesson). Output is 20 rows, so driverLiteral lets
+    // the cache be dropped before returning (q131 self-containment).
     val sfp = Dedup.fanoutReady(Tables.documents(spark, dir))
       .select($"source",
         explode(graft.functions.TextExprs
           .winnowedFingerprints($"text", 5, 8)).as("wm"))
       .distinct()
+      .cache()
     val sizes = sfp.groupBy($"source").agg(count(lit(1)).as("na"))
-    sfp.select($"source".as("sa"), $"wm")
+    val out = OpsUtil.driverLiteral(sfp.select($"source".as("sa"), $"wm")
       .join(sfp.select($"source".as("sb"), $"wm"), Seq("wm"))
       .filter($"sa" =!= $"sb")
       .groupBy($"sa", $"sb").agg(count(lit(1)).as("n_common"))
@@ -392,7 +407,9 @@ object Round11 {
       .withColumn("containment_ppm", expr("n_common * 1000000 div na"))
       .select($"sa", $"sb", $"n_common", $"na", $"containment_ppm")
       .orderBy($"containment_ppm".desc, $"sa", $"sb")
-      .limit(20)
+      .limit(20))
+    sfp.unpersist()
+    out
   }
 
   // ---------------------------------------------------------------------
@@ -454,26 +471,38 @@ object Round11 {
   /** Does q120's cheap blocking key lose real matches? The audit every
     * blocked linkage needs: ground truth = ALL name pairs within edit
     * distance 2 over the distinct-name relation (names are
-    * catalog-sized — the corpus aggregates to them first, so the
-    * |names|² audit is bounded; at web scale you'd run it on a
-    * hash-stable sample, the q85 membership rule), recall = the share
-    * of true pairs the head-noun block retains. Pair completeness is
-    * THE number that decides whether a blocking key ships.
+    * catalog-sized — the corpus aggregates to them first), recall = the
+    * share of true pairs the head-noun block retains. Pair completeness
+    * is THE number that decides whether a blocking key ships.
     *
     * The deliberate cross join is the audit's point and is flagged as
-    * such: it runs on an already-aggregated ≤100-row relation, never on
-    * corpus rows. */
+    * such: it runs on an already-aggregated catalog-sized relation,
+    * never on corpus rows — and that bound is now STRUCTURAL, not an
+    * assumption: the name relation passes through
+    * [[OpsUtil.bottomKByHash]] (k = 4096, the same fixed-size sampler
+    * that bounds q212's pair join), so even if the distinct-name
+    * catalog grew with the corpus the audit's pair count stays capped
+    * at k(k−1)/2. At the test SFs |names| < k and the sample is the
+    * whole relation; the oracle applies the identical membership rule
+    * so the guard is symmetric at any scale. */
   val q206BlockingRecall: Q = (spark, dir) => {
     import spark.implicits._
     blockingRecall(Tables.part(spark, dir).select($"p_name").distinct())
   }
 
   /** The audit core, on any (p_name) relation: true pairs at lev≤2 vs
-    * pairs surviving the head-noun block. Exposed so specs can prove
-    * the audit COUNTS misses on an imperfect synthetic blocking. */
-  private[graft] def blockingRecall(names: DataFrame): DataFrame = {
+    * pairs surviving the head-noun block, over the hash-bottom-4096
+    * sample of names. Exposed so specs can prove the audit COUNTS
+    * misses on an imperfect synthetic blocking AND that the sampler
+    * caps the relation when |names| > k. */
+  private[graft] def blockingRecall(names: DataFrame): DataFrame =
+    blockingRecall(names, 4096)
+
+  private[graft] def blockingRecall(names: DataFrame, k: Int): DataFrame = {
     import names.sparkSession.implicits._
-    val n = names.withColumn("noun", substring_index($"p_name", " ", -1))
+    val sampled = OpsUtil.bottomKByHash(names, Seq($"p_name"), $"p_name", k)
+      .drop("h")
+    val n = sampled.withColumn("noun", substring_index($"p_name", " ", -1))
     val a = n.select($"p_name".as("na"), $"noun".as("ba"))
     val b = n.select($"p_name".as("nb"), $"noun".as("bb"))
     val truth = a.crossJoin(b).filter($"na" < $"nb")
@@ -689,22 +718,26 @@ object Round11 {
   // ---------------------------------------------------------------------
 
   /** Exact Kendall tau-a between document length and the
-    * lexical-diversity quality score, on a content-hash sample — the
-    * audit that catches a quality filter that secretly ranks by length.
-    * Concordant/discordant/tied pair counts are exact integers; tau's
-    * sign is applied OUTSIDE the integer division (both engines truncate
-    * the non-negative magnitude identically — the signed floor-vs-
-    * truncate divergence never arises, the q98 rule).
+    * lexical-diversity quality score, on a fixed-SIZE content-hash
+    * sample — the audit that catches a quality filter that secretly
+    * ranks by length. Concordant/discordant/tied pair counts are exact
+    * integers; tau's sign is applied OUTSIDE the integer division (both
+    * engines truncate the non-negative magnitude identically — the
+    * signed floor-vs-truncate divergence never arises, the q98 rule).
     *
-    * Scale shape: the deliberate pair join runs on the hash-stable 1/32
-    * sample ONLY (q206's bounded-audit pattern; tau needs pairs by
-    * definition). The sample rate, not the corpus, bounds the work; the
-    * corpus is scanned once to score and sample. */
+    * Scale shape: the deliberate pair join runs ONLY on the k = 512
+    * hash-bottom-k sample ([[OpsUtil.bottomKByHash]] — the q110
+    * mergeable-sketch pattern; tau needs pairs by definition). A fixed
+    * sample SIZE, not a rate, is what bounds the work: the earlier
+    * 1/32-rate membership left the pair count growing as (n/32)²,
+    * quadratic in corpus size, while bottom-k caps it at k(k−1)/2 ≈
+    * 131k pairs no matter the corpus. The corpus is scanned once to
+    * score; the sample selection is TakeOrderedAndProject (per-partition
+    * local k, no global sort). */
   val q212KendallTau: Q = (spark, dir) => {
     import spark.implicits._
-    val s = Tables.documents(spark, dir)
-      .filter(conv(substring(md5(concat_ws(":", $"doc_id", $"text")), 1, 8),
-        16, 10).cast("long") % 32 === 0)
+    val s = OpsUtil.bottomKByHash(
+        Tables.documents(spark, dir), Seq($"doc_id", $"text"), $"doc_id", 512)
       .select($"doc_id", $"n_chars".as("x"),
         expr("""size(array_distinct(filter(split(text, ' '),
                 t -> length(t) > 0))) * 1000000
@@ -967,10 +1000,17 @@ object Round11 {
          |FROM r LEFT JOIN dups ON r.doc_id = dups.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q206_blocking_recall" ->
-      """WITH n AS (
-        |  SELECT DISTINCT p_name,
+      """WITH dn AS (
+        |  SELECT DISTINCT p_name FROM part
+        |), s AS (
+        |  SELECT p_name FROM dn
+        |  ORDER BY CAST(('0x' || substr(md5(p_name), 1, 15)) AS BIGINT),
+        |    p_name
+        |  LIMIT 4096
+        |), n AS (
+        |  SELECT p_name,
         |    string_split(p_name, ' ')[-1] AS noun
-        |  FROM part
+        |  FROM s
         |), t AS (
         |  SELECT a.noun AS ba, b.noun AS bb
         |  FROM n a, n b
@@ -1106,8 +1146,9 @@ object Round11 {
         |          list_filter(string_split(text, ' '),
         |            t -> length(t) > 0) AS w
         |        FROM documents)
-        |  WHERE CAST(('0x' || substr(md5(doc_id || ':' || text), 1, 8))
-        |    AS BIGINT) % 32 = 0
+        |  ORDER BY CAST(('0x' || substr(md5(doc_id || ':' || text), 1, 15))
+        |    AS BIGINT), doc_id
+        |  LIMIT 512
         |), p AS (
         |  SELECT (a.x - b.x) * (a.y - b.y) AS prod
         |  FROM s a, s b WHERE a.doc_id < b.doc_id

@@ -264,19 +264,16 @@ object Round6 {
     val corpus = base.unionByName(
       base.filter($"doc_id" % 7 === 0)
         .withColumn("doc_id", $"doc_id" + 1000000L))
-    val grams = Dedup.fanoutReady(corpus)
-      .filter(length($"text") >= k + w - 1) // at least one full window
-      .select($"doc_id", explode(sequence(lit(0), length($"text") - k)).as("pos"),
-        $"text")
-      .select($"doc_id", $"pos",
-        conv(substring(md5($"text".substr($"pos" + 1, lit(k))), 1, 8), 16, 10)
-          .cast("long").as("h"))
-    val win = Window.partitionBy($"doc_id").orderBy($"pos")
-      .rowsBetween(-(w - 1), 0)
-    val fps = grams
-      .withColumn("wm", min($"h").over(win))
-      .filter($"pos" >= w - 1)
-      .select($"doc_id", $"wm")
+    // one-scan winnowing (the q77/q204 rewrite): per-doc fingerprint
+    // selection runs inside the scan via WinnowedFingerprints(k=20,w=8)
+    // — no per-character gram explode, no doc-keyed sliding-min window
+    // exchange; only the deduped fingerprint rows leave the operator.
+    // The expression returns [] for docs shorter than one full window
+    // (k+w-1 chars), so the old length filter is implicit.
+    val fps = Dedup.fanoutReady(corpus)
+      .select($"doc_id",
+        explode(graft.functions.TextExprs
+          .winnowedFingerprints($"text", k, w)).as("wm"))
       .distinct()
       .cache()
     // the df filter is corpus-derived, so it is NOT broadcast-hinted (at

@@ -251,14 +251,20 @@ object Round7 {
     * much of the token stream falls outside it. The vocab is a broadcast
     * of 16 rows; the corpus is scanned once; the OOV ratio is integer ppm
     * of exact counts. Output also carries the distinct OOV-type count per
-    * language (how many new merges a tokenizer would need per language). */
+    * language (how many new merges a tokenizer would need per language).
+    *
+    * The top-16 cut is `orderBy(...).limit(16)` — physically
+    * TakeOrderedAndProject (each partition keeps its local 16, the
+    * driver merges 16·partitions rows), NOT row_number over an
+    * unpartitioned window, which would single-partition-sort the entire
+    * vocabulary (10⁸+ types at web scale) to pick 16 rows — the exact
+    * shape the r8 verdict had q153 delete. */
   val q111VocabOov: Q = (spark, dir) => {
     import spark.implicits._
     val t = toks(Tables.documents(spark, dir)).cache()
     val vocab = t.groupBy($"tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy($"cnt".desc, $"tok")))
-      .filter($"rk" <= 16)
+      .orderBy($"cnt".desc, $"tok")
+      .limit(16)
       .select($"tok", lit(1).as("iv"))
     t.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy($"lang")
