@@ -66,14 +66,16 @@ object Bench {
       Tables.events(spark, sfDir).count()
       SparkEntry.queries.get("q13_global_agg").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
-    // Best-of-2 per query: round 7's only shared-prefix "regressions"
-    // (q01 4.6x, q02 3.2x) were position-in-suite artifacts — identical
-    // code, and host forensics showed virtualization-level phases moving
-    // spikes between unrelated queries across sessions (PLANS.md "Bench
-    // noise forensics"). Reporting min-of-two runs per query measures the
-    // plan, not whichever host phase the first execution landed in; the
-    // warmup pass above still absorbs codegen/JIT, so run 2 differs from
-    // run 1 only by noise.
+    // Median-of-3 per query: round 7-10 forensics (PLANS.md "Bench noise
+    // forensics") showed virtualization-level host phases moving 2-4x
+    // spikes between unrelated queries across sessions — two full r10
+    // runs on identical code differed 33% in total. The r10 verdict's
+    // protocol ask: 3 runs, median (robust to a single spiked run in
+    // either direction, unlike min-of-2 which still inherits one-sided
+    // noise), plus a CANARY re-measurement at the end of the session
+    // whose agreement with the main pass is emitted in the JSON — a
+    // run whose canaries drift says "host noise, don't read the totals
+    // as a regression" with data instead of a post-hoc story.
     def timedOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -92,9 +94,35 @@ object Bench {
       System.gc()
       dt
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    def median3(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val ts = Seq(timedOnce(fn), timedOnce(fn), timedOnce(fn)).sorted
+      // (median, relative spread) — spread = (max-min)/median, the
+      // per-query noise figure summarized below.
+      (ts(1), if (ts(1) > 0) (ts(2) - ts(0)) / ts(1) else 0.0)
+    }
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => name -> math.min(timedOnce(fn), timedOnce(fn)) }
+      .map { case (name, fn) => (name, fn, median3(fn)) }
+    val results = timed.map { case (name, _, (med, _)) => name -> med }
+    // Canary agreement: re-measure a pinned subset at the END of the
+    // session and compare medians against the main pass. The canaries
+    // span the suite's cost profiles (scan-agg q01, cached LSH dedup
+    // q41, ML fits q60, broadcast-probe decontam q121). Max relative
+    // deviation > ~10% marks the whole run as host-noise-dominated.
+    val canaryNames = Seq("q01_flagship_revenue", "q41_minhash_lsh",
+      "q60_ml_metrics", "q121_curation_pipeline")
+    val canaryDev = {
+      val base = timed.collect {
+        case (n, fn, (med, _)) if canaryNames.contains(n) => (n, fn, med) }
+      val devs = base.map { case (_, fn, med1) =>
+        val med2 = median3(fn)._1
+        if (med1 > 0) math.abs(med2 - med1) / med1 else 0.0 }
+      if (devs.isEmpty) 0.0 else devs.max
+    }
+    val spreads = timed.map(_._3._2).sorted
+    def pct(p: Double): Double =
+      if (spreads.isEmpty) 0.0
+      else spreads(math.min(spreads.size - 1, (p * spreads.size).toInt))
     // Keep the JSON line SHORT: the driver captures a bounded tail (~2.9 KB)
     // of this process's output. Round 3's full-precision doubles overflowed
     // it; round 4's 2-decimal line with full query names (~2.8 KB) STILL got
@@ -111,9 +139,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // "runs":2 marks the per-query metric as min-of-two (see timedOnce) so
-    // cross-round comparisons against pre-r8 single-run numbers are flagged.
-    println(s"""{"queries":$qs,"metric":"total","unit":"sec","runs":2,"sf":"$sfDir","value":${f3(total)}}""")
+    // "runs":3 = median-of-3 per query (see median3); "spread_med"/
+    // "spread_p90" = per-query (max-min)/median noise quantiles;
+    // "canary_dev" = max relative drift of the 4 canary medians
+    // re-measured at session end (>~0.10 → treat totals as noisy).
+    println(s"""{"queries":$qs,"metric":"total","unit":"sec","runs":3,"spread_med":${f3(pct(0.5))},"spread_p90":${f3(pct(0.9))},"canary_dev":${f3(canaryDev)},"sf":"$sfDir","value":${f3(total)}}""")
     spark.stop()
   }
 }

@@ -203,14 +203,16 @@ object Round6 {
     * the tokenized corpus into fixed-capacity context windows (C = 512
     * tokens) and cuts a bin boundary every C tokens; a document belongs to
     * the bin where it STARTS. The core primitive is a global prefix sum
-    * of token counts in corpus order, computed the scale-correct way:
-    * a two-level scan (per-block partial sums → tiny cumulative offset
-    * table → block-local window), NOT one global unpartitioned window.
-    * The within-block window is partitioned by block (parallel), and the
-    * cross-block cumsum runs over |corpus|/100 rows — at 100 TB you add
-    * another level, the shape is the textbook distributed scan. Output is
-    * the bin-occupancy histogram (docs-per-bin → bin count + token mass),
-    * which is what a packing stage reports (padding waste / fill rate).
+    * of token counts in corpus order, computed as the textbook THREE-level
+    * distributed scan with no unpartitioned window at any level (the
+    * WindowGateSpec inventory): per-block partial sums, block offsets
+    * under a super-block-KEYED window, and super-block offsets from a
+    * driver-collected summary (the q200/q205 offset-table pattern). The
+    * super-block summary is |corpus|/409600 rows — ~24k at the
+    * 100 TB / 10¹⁰-doc design point, an aggregate-sized driver literal,
+    * never corpus rows. Output is the bin-occupancy histogram
+    * (docs-per-bin → bin count + token mass), which is what a packing
+    * stage reports (padding waste / fill rate).
     *
     * The oracle computes the SAME prefix sum with DuckDB's global window —
     * two different evaluation strategies, bit-identical integer result. */
@@ -220,24 +222,37 @@ object Round6 {
       .select($"doc_id", size(split($"text", " ")).cast("long").as("t"),
         expr("doc_id div 100").as("blk"))
     val blockSums = docs.groupBy($"blk").agg(sum($"t").as("bt"))
-    // cross-block running offset: |corpus|/100 rows — the only narrow
-    // window; its input is already aggregated so the single partition
-    // holds block subtotals, never documents
-    val wBlk = Window.orderBy($"blk").rowsBetween(Window.unboundedPreceding, -1)
+      .withColumn("sblk", expr("blk div 4096"))
+      .cache()
+    // level 3: super-block offsets — the |corpus|/409600-row summary is
+    // driver-collected into a broadcast offset table; level 2: block
+    // offsets within each super-block under a KEYED window
+    val sSums = blockSums.groupBy($"sblk").agg(sum($"bt").as("sbt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val sOffs = sSums.map(_._1)
+      .zip(sSums.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val wIn = Window.partitionBy($"sblk").orderBy($"blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val blockOff = blockSums
-      .withColumn("boff", coalesce(sum($"bt").over(wBlk), lit(0L)))
-      .select($"blk", $"boff")
+      .withColumn("inoff", coalesce(sum($"bt").over(wIn), lit(0L)))
+      .join(broadcast(sOffs.toDF("sblk", "soff")), Seq("sblk"))
+      .select($"blk", ($"soff" + $"inoff").as("boff"))
     val wDoc = Window.partitionBy($"blk").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .join(broadcast(blockOff), Seq("blk"))
+    // blockOff is |corpus|/100 rows — corpus-derived, so NOT
+    // broadcast-hinted (at 100 TB it no longer fits an executor); AQE
+    // still picks broadcast at small SF where it measures small
+    val out = OpsUtil.driverLiteral(docs
+      .join(blockOff, Seq("blk"))
       .withColumn("off", $"boff" + coalesce(sum($"t").over(wDoc), lit(0L)))
       .withColumn("bin", expr("off div 512"))
       .groupBy($"bin")
       .agg(count(lit(1)).as("docs_in_bin"), sum($"t").as("bin_tokens"))
       .groupBy($"docs_in_bin")
       .agg(count(lit(1)).as("n_bins"), sum($"bin_tokens").as("tokens"))
-      .orderBy($"docs_in_bin")
+      .orderBy($"docs_in_bin"))
+    blockSums.unpersist()
+    out
   }
 
   /** Cross-document duplicated-passage detection: document pairs sharing

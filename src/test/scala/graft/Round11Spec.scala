@@ -457,19 +457,23 @@ class Round11Spec extends SparkSpec {
     assert(r.getLong(1) == n * (n - 1) / 2, "pair count = C(n,2)")
     assert(r.getLong(2) + r.getLong(3) + r.getLong(4) == r.getLong(1),
       "concordant + discordant + tied must cover all pairs")
-    // recount from the same sample definition
+    // recount from the same sample definition: the k = 512 smallest
+    // content hashes (bottomKByHash), NOT a rate — the fix that caps
+    // the pair join at C(512,2) regardless of corpus size
     val md = java.security.MessageDigest.getInstance("MD5")
-    def keep(id: Long, t: String): Boolean = {
-      val hex = md.digest(s"$id:$t".getBytes("UTF-8")).take(4)
-        .map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex, 16) % 32 == 0
+    def h15(id: Long, t: String): Long = {
+      val hex = md.digest(s"$id:$t".getBytes("UTF-8")).take(8)
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
     }
     val s = Tables.documents(spark, sf)
       .select($"doc_id", $"text", $"n_chars").collect()
-      .filter(row => keep(row.getLong(0), row.getString(1)))
-      .map { row =>
-        val w = row.getString(1).split(" ").filter(_.nonEmpty)
-        (row.getLong(2), w.distinct.length.toLong * 1000000L / w.length)
+      .map(row => (row.getLong(0), row.getString(1), row.getLong(2)))
+      .sortBy { case (id, t, _) => (h15(id, t), id) }
+      .take(512)
+      .map { case (_, t, nc) =>
+        val w = t.split(" ").filter(_.nonEmpty)
+        (nc, w.distinct.length.toLong * 1000000L / w.length)
       }
     assert(n == s.length)
     val prods = for {
@@ -482,6 +486,35 @@ class Round11Spec extends SparkSpec {
     val tau = if (c >= d) (c - d) * 1000000L / np
       else -((d - c) * 1000000L / np)
     assert(r.getLong(5) == tau)
+  }
+
+  test("bottomKByHash caps the relation at k and is a no-op when k >= n (q206/q212 bound)") {
+    import spark.implicits._
+    val names = (1 to 100).map(i => s"name $i").toDF("p_name")
+    assert(ops.OpsUtil.bottomKByHash(names, Seq($"p_name"), $"p_name", 10)
+      .count() == 10, "k < n must cap the relation at k rows")
+    assert(ops.OpsUtil.bottomKByHash(names, Seq($"p_name"), $"p_name", 4096)
+      .count() == 100, "k >= n must keep the whole relation")
+    // membership is content-keyed: the k=10 sample over a re-shuffled
+    // input is the identical row set (the q85/q110 determinism rule)
+    val a = ops.OpsUtil.bottomKByHash(names, Seq($"p_name"), $"p_name", 10)
+      .select($"p_name").collect().map(_.getString(0)).toSet
+    val b = ops.OpsUtil.bottomKByHash(names.repartition(7), Seq($"p_name"),
+      $"p_name", 10).select($"p_name").collect().map(_.getString(0)).toSet
+    assert(a == b, "sample membership must be a pure function of content")
+  }
+
+  test("corpus fixture invariant: documents.text has no non-space whitespace at any SF (backs the q41 single-space-tokenizer / oracle regex-split equivalence)") {
+    import spark.implicits._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val n = Tables.documents(spark, dir)
+        .filter($"text".rlike("[\\t\\n\\r\\u000B\\f\\u0085\\u00A0]"))
+        .count()
+      assert(n == 0, s"$dir: $n docs carry non-space whitespace — " +
+        "DistinctWordGrams' single-space tokenizer would diverge from " +
+        "the oracle's \\s+ split (Dedup.scala q41/q186/q211)")
+    }
   }
 
   test("lowMedianByKey equals the naive per-key sorted median on adversarial synthetics") {
