@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,6 +32,10 @@ object Bench {
       // fit this profile; a cluster job with big partitions would keep
       // the default.
       .config("spark.buffer.pageSize", "2m")
+      // Pin the tz so events epoch arithmetic can't drift with the host
+      // (Verify and the specs already pin it; the bench should measure
+      // the same plans they verify).
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -76,9 +81,16 @@ object Bench {
     // whose agreement with the main pass is emitted in the JSON — a
     // run whose canaries drift says "host noise, don't read the totals
     // as a regression" with data instead of a post-hoc story.
-    def timedOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // r11 lesson: a swallowed Throwable here timed 27 broken queries as
+    // 0.05-0.10 s "successes" and the total looked like an improvement.
+    // A bench that can't tell fast from dead hides regressions — so track
+    // which queries threw and emit them in the JSON line.
+    val erroredQueries = mutable.LinkedHashSet[String]()
+    def timedOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).count() } catch {
+        case _: Throwable => erroredQueries += name
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // Queries that .cache() intermediates would otherwise leak blocks
       // into every later query's heap — isolate them.
@@ -94,15 +106,15 @@ object Bench {
       System.gc()
       dt
     }
-    def median3(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
-      val ts = Seq(timedOnce(fn), timedOnce(fn), timedOnce(fn)).sorted
+    def median3(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val ts = Seq(timedOnce(name, fn), timedOnce(name, fn), timedOnce(name, fn)).sorted
       // (median, relative spread) — spread = (max-min)/median, the
       // per-query noise figure summarized below.
       (ts(1), if (ts(1) > 0) (ts(2) - ts(0)) / ts(1) else 0.0)
     }
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => (name, fn, median3(fn)) }
+      .map { case (name, fn) => (name, fn, median3(name, fn)) }
     val results = timed.map { case (name, _, (med, _)) => name -> med }
     // Canary agreement: re-measure a pinned subset at the END of the
     // session and compare medians against the main pass. The canaries
@@ -114,8 +126,8 @@ object Bench {
     val canaryDev = {
       val base = timed.collect {
         case (n, fn, (med, _)) if canaryNames.contains(n) => (n, fn, med) }
-      val devs = base.map { case (_, fn, med1) =>
-        val med2 = median3(fn)._1
+      val devs = base.map { case (n, fn, med1) =>
+        val med2 = median3(n, fn)._1
         if (med1 > 0) math.abs(med2 - med1) / med1 else 0.0 }
       if (devs.isEmpty) 0.0 else devs.max
     }
@@ -142,8 +154,13 @@ object Bench {
     // "runs":3 = median-of-3 per query (see median3); "spread_med"/
     // "spread_p90" = per-query (max-min)/median noise quantiles;
     // "canary_dev" = max relative drift of the 4 canary medians
-    // re-measured at session end (>~0.10 → treat totals as noisy).
-    println(s"""{"queries":$qs,"metric":"total","unit":"sec","runs":3,"spread_med":${f3(pct(0.5))},"spread_p90":${f3(pct(0.9))},"canary_dev":${f3(canaryDev)},"sf":"$sfDir","value":${f3(total)}}""")
+    // re-measured at session end (>~0.10 → treat totals as noisy);
+    // "errors" = short keys of queries that threw in ANY timed run —
+    // their per-query numbers are throw-time, not query time, and the
+    // total is NOT comparable to a clean round's.
+    val errs = erroredQueries.toSeq.map(n => "\"" + shortKey(n) + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"queries":$qs,"metric":"total","unit":"sec","runs":3,"spread_med":${f3(pct(0.5))},"spread_p90":${f3(pct(0.9))},"canary_dev":${f3(canaryDev)},"errors":$errs,"sf":"$sfDir","value":${f3(total)}}""")
     spark.stop()
   }
 }

@@ -20,15 +20,36 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = p(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = p(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = p(spark, dir, "lineitem")
-  /** events.ts is nanosecond-precision parquet (TESTDATA: timestamp[ns]),
-    * which Spark's vectorized reader rejects outright. Read it as a raw
-    * ns-since-epoch long, then rebuild a µs TimestampType column with
-    * integer division (a double division would lose precision at 1e18 ns).
+  /** events.ts has shipped under two physical parquet types across driver
+    * testdata generations: `timestamp[ns]` (rounds ≤10) and `timestamp[us]`
+    * (round 11's regeneration). Branch on the OBSERVED type so either
+    * encoding — and any future flip back — loads to the same µs-precision
+    * TimestampType column:
+    *
+    *  - ns: Spark's vectorized reader rejects INT64(TIMESTAMP(NANOS))
+    *    outright, so read it as a raw ns-since-epoch long
+    *    (`nanosAsLong`), then rebuild with integer division (a double
+    *    division would lose precision at 1e18 ns).
+    *  - µs without tz: resolves as TIMESTAMP_NTZ; cast to TimestampType.
+    *    Sessions pin `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ
+    *    cast preserves the epoch and all downstream epoch-seconds
+    *    arithmetic is identical to the ns path.
+    *  - µs adjusted-to-UTC: already TimestampType; pass through.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Harmless for µs-typed files (only changes how TIMESTAMP(NANOS)
+    // columns resolve), and required BEFORE the read for ns-typed ones.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    p(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = p(spark, dir, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => sys.error(s"events.ts: unsupported parquet type $other " +
+        "(expected ns-as-long, timestamp, or timestamp_ntz)")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "embeddings")

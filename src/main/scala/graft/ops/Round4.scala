@@ -47,8 +47,9 @@ object Round4 {
     * the first click at-or-after it, the first purchase at-or-after that.
     * Three aggregations joined on user_id — one shuffle key throughout,
     * so on a cluster the per-stage exchanges reuse the same hash
-    * partitioning. Timestamps floored to epoch seconds (events.ts is
-    * ns-precision; playbook rule). */
+    * partitioning. Timestamps floored to epoch seconds (sub-second
+    * precision is generator-dependent — see Tables.events; playbook
+    * rule). */
   val q83Funnel: Q = (spark, dir) => {
     import spark.implicits._
     val e = Tables.events(spark, dir).select($"user_id", $"event_type",

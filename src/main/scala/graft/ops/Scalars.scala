@@ -12,7 +12,7 @@ import OpsUtil._
   */
 object Scalars {
 
-  /** Datetime field extraction from the ns-precision event stream
+  /** Datetime field extraction from the event stream
     * (reference `from_unixtime(time,"MM"/"HH"/"dd")` `:913-915`; X1/X2).
     * DuckDB dayofweek is 0=Sunday; Spark is 1=Sunday — oracle adds 1. */
   val q19DatetimeExtract: Q = (spark, dir) => {

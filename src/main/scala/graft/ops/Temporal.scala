@@ -19,9 +19,11 @@ import OpsUtil._
 object Temporal {
 
   /** As-of join: for every purchase event, the most recent click by the
-    * same user at-or-before it. Timestamps leave as epoch seconds (events.ts
-    * is ns-precision parquet; Spark truncates to µs — epoch-second flooring
-    * is identical on both engines, raw ns timestamps would not hash-match).
+    * same user at-or-before it. Timestamps leave as epoch seconds: the
+    * generator has shipped events.ts at both ns and µs precision (see
+    * Tables.events), and epoch-second flooring is identical on both
+    * engines under either encoding — raw sub-second timestamps would not
+    * hash-match across them.
     */
   val q17AsofJoin: Q = (spark, dir) => {
     import spark.implicits._

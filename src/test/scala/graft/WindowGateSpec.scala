@@ -67,18 +67,28 @@ class WindowGateSpec extends SparkSpec {
     }
     spark.listenerManager.register(listener)
     val usedWhitelist = mutable.Set[String]()
+    // r11 lesson: the sweep used to die on the FIRST query that failed
+    // analysis (a regenerated events table broke 27 of them), so one
+    // broken table masked window coverage of the other ~185 queries.
+    // Record per-query failures, finish the whole sweep, report at end.
+    val failed = mutable.LinkedHashMap[String, String]()
     try {
       for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
         current = name
-        val df = fn(spark, sf)
-        record(name, df.queryExecution.executedPlan)
-        // flush async listener events while `current` still names the
-        // query that triggered them
-        GraftTestBridge.flushListeners(spark.sparkContext)
-        if (whitelist.contains(name) &&
-            windowNodes(df.queryExecution.executedPlan)
-              .exists(_.partitionSpec.isEmpty))
-          usedWhitelist += name
+        try {
+          val df = fn(spark, sf)
+          record(name, df.queryExecution.executedPlan)
+          // flush async listener events while `current` still names the
+          // query that triggered them
+          GraftTestBridge.flushListeners(spark.sparkContext)
+          if (whitelist.contains(name) &&
+              windowNodes(df.queryExecution.executedPlan)
+                .exists(_.partitionSpec.isEmpty))
+            usedWhitelist += name
+        } catch {
+          case e: Throwable =>
+            failed += name -> e.toString.linesIterator.next().take(160)
+        }
         spark.catalog.clearCache()
       }
     } finally {
@@ -88,6 +98,13 @@ class WindowGateSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unpartitioned WindowExec outside the whitelist:\n" +
         offenders.map { case (n, w) => s"  $n: $w" }.mkString("\n"))
+    // A query the gate can't plan is a query the gate can't certify —
+    // still a failure, but reported AFTER the full sweep so a broken
+    // table never hides a window regression elsewhere.
+    assert(failed.isEmpty,
+      s"${failed.size} queries failed before their plan could be " +
+        s"audited:\n" +
+        failed.map { case (n, e) => s"  $n: $e" }.mkString("\n"))
     // the whitelist must stay the COMPLETE inventory — an entry whose
     // global window disappeared is stale and gets deleted, not kept as
     // a loophole for future regressions
