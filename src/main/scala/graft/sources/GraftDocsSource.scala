@@ -127,7 +127,15 @@ class GraftDocsScanBuilder(rows: Long, parts: Int, buckets: Int = 0,
     case _ => false
   }
   private def recognize(a: Aggregation): Option[Seq[String]] =
-    if (a.groupByExpressions.nonEmpty) None
+    // Decline the EMPTY aggregation (no grouping, no aggregate exprs):
+    // it arises when an outer count() makes ColumnPruning drop every
+    // unreferenced inner aggregate — `forall` on the empty list is
+    // vacuously true, so without this guard we'd claim complete
+    // pushdown while build() (pushedAggs.isEmpty) planned the ordinary
+    // row scan, and Spark would fail optimization with "data source
+    // returns unexpected number of columns" (hidden for rounds by the
+    // bench's swallowed Throwables; surfaced by its new errors field).
+    if (a.groupByExpressions.nonEmpty || a.aggregateExpressions.isEmpty) None
     else {
       val rec: Seq[Option[String]] = a.aggregateExpressions.toSeq.map {
         case _: CountStar => Some("count")

@@ -188,6 +188,26 @@ class Round7Spec extends SparkSpec {
       "plan must show the source-side aggregate scan")
   }
 
+  test("q119 regression: count() OVER the pushed aggregate plans and runs (empty pushed aggregation declined)") {
+    // An outer count() makes ColumnPruning drop every unreferenced inner
+    // aggregate expression, so the source sees an Aggregation with NO
+    // aggregate exprs. The connector must DECLINE it (vacuous forall used
+    // to claim complete pushdown while building the row scan → Spark
+    // internal error "data source returns unexpected number of columns").
+    // Hidden for rounds by Bench's swallowed Throwables; its new
+    // "errors" field surfaced it the day it shipped.
+    import spark.implicits._
+    val df = spark.read.format("graft.sources.GraftDocsSource")
+      .option("rows", "50000").load()
+      .filter($"doc_id" >= 1000 && $"doc_id" < 42000)
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_id"),
+        max($"doc_id").as("max_id"))
+    assert(df.count() == 1L)           // the bench's action shape
+    assert(df.limit(1).collect().length == 1)
+    // and the normal path still pushes completely
+    assert(df.queryExecution.executedPlan.toString.contains("COMPLETE-agg-pushdown"))
+  }
+
   test("q121: the curation funnel is monotone non-increasing per language") {
     val rows = ops.Round7.q121CurationPipeline(spark, sf).collect()
     assert(rows.nonEmpty)

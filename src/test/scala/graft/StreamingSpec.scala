@@ -8,6 +8,7 @@ import graft.streaming.StreamingOps.Event
 
 /** Row shape for the streaming content-dedup spec. */
 case class TextDoc(doc_id: Long, ts: Timestamp, text: String)
+case class CurDoc(doc_id: Long, text: String, n_chars: Long)
 
 /** Structured Streaming specs via MemoryStream → memory sink (SURVEY.md
   * §2.14 seams: watermark + windowed agg; stateful sessionization). */
@@ -163,6 +164,40 @@ class StreamingSpec extends SparkSpec {
       val clicks = all.filter($"event_type" === "click")
         .agg(org.apache.spark.sql.functions.sum($"total_value")).head().getDouble(0)
       assert(clicks == 11.0)
+    } finally q.stop()
+  }
+
+  test("incremental waterfall dedups across micro-batches through the persistent ledger") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("graft_wf").toString
+    // quality-passing text: 50 distinct 7-char words → 399 chars,
+    // diversity 1e6 ppm, avg word length 7 (the q196/q182 rules)
+    val goodA = (0 until 50).map(i => f"alpha$i%02d").mkString(" ")
+    val goodB = (0 until 50).map(i => f"bravo$i%02d").mkString(" ")
+    val mem = MemoryStream[CurDoc]
+    mem.addData(
+      CurDoc(1, goodA, goodA.length.toLong),
+      CurDoc(2, goodA, goodA.length.toLong),   // in-batch duplicate
+      CurDoc(3, "tiny doc", 8L))               // unique but low-quality
+    val q = StreamingOps.incrementalWaterfall(mem.toDF(), state).start()
+    try {
+      q.processAllAvailable()
+      mem.addData(
+        CurDoc(4, goodA, goodA.length.toLong), // CROSS-batch duplicate
+        CurDoc(5, goodB, goodB.length.toLong))
+      q.processAllAvailable()
+      val totals = StreamingOps.waterfallTotals(spark, state)
+        .select("stage", "n_docs", "n_tokens", "token_retained_ppm")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // raw: all 5 arrivals, 50+50+2+50+50 tokens
+      assert(totals(0) == (("1_raw", 5L, 202L, 1000000L)))
+      // exact dedup: docs 1,3,5 survive (2 in-batch dup, 4 cross-batch dup)
+      assert(totals(1) == (("2_exact_dedup", 3L, 102L, 102L * 1000000L / 202L)))
+      // quality: docs 1,5
+      assert(totals(2) == (("3_quality", 2L, 100L, 100L * 1000000L / 202L)))
+      // the ledger admitted exactly the 3 exact-dedup survivors
+      assert(spark.read.parquet(s"$state/seen").select("h").distinct().count() == 3)
     } finally q.stop()
   }
 
