@@ -1,39 +1,85 @@
 package graft.sources
 
+import java.nio.file.{Files, Paths}
 import java.util
+
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** A DSv2 `TableCatalog` + `FunctionCatalog` over the graft_docs corpus —
-  * the missing half of the storage-partitioned-join story: Spark resolves
-  * a scan-reported `bucket(n, doc_id)` transform into a catalyst
-  * expression ONLY through the function catalog of the table's own
-  * catalog (a bare `TableProvider` has none, so its reported
-  * `KeyGroupedPartitioning` silently degrades to `UnknownPartitioning` —
-  * measured, not guessed). This is exactly how Iceberg/Delta wire
-  * layout-aware joins: the catalog serves the table AND the function that
-  * defines its layout.
+/** A DSv2 `TableCatalog` + `FunctionCatalog` over the graft_docs corpus,
+  * serving two table personalities:
   *
-  * Tables: `docs` (20000 rows, 8 buckets) or `docs_<rows>_<buckets>`.
+  * 1. **Virtual bucketed tables** (round 8, q136): `docs` (20000 rows,
+  *    8 buckets) or `docs_<rows>_<buckets>` — the generative corpus with
+  *    a declared bucket layout. This is the missing half of the
+  *    storage-partitioned-join story: Spark resolves a scan-reported
+  *    `bucket(n, doc_id)` transform into a catalyst expression ONLY
+  *    through the function catalog of the table's own catalog (a bare
+  *    `TableProvider` has none, so its reported `KeyGroupedPartitioning`
+  *    silently degrades to `UnknownPartitioning` — measured, not
+  *    guessed). Exactly how Iceberg/Delta wire layout-aware joins: the
+  *    catalog serves the table AND the function that defines its layout.
+  *
+  * 2. **Warehouse-backed mutable tables** (round 12): any other
+  *    identifier maps to `<warehouse>/<ns...>/<name>`, holding the
+  *    path-backed TSV personality — readable, writable (staged commit),
+  *    and supporting SQL row-level commands (`MERGE INTO` / `UPDATE` /
+  *    `DELETE`) via [[GraftRlTable]]'s copy-on-write operation. Row-level
+  *    SQL requires a catalog-qualified target; this is the piece that
+  *    makes the connector's tables mutable by name.
+  *
   * Function: `bucket(numBuckets, id) = id % numBuckets` — the SAME
   * mapping [[GraftBucketPartition]] uses for its partition values, which
   * is the whole contract: the catalog's function is the executable
   * definition of the layout the scan declares. Register with
-  * `spark.sql.catalog.<name> = graft.sources.GraftCatalog` and read
-  * `spark.table("<name>.docs")`. */
+  * `spark.sql.catalog.<name> = graft.sources.GraftCatalog` (add
+  * `spark.sql.catalog.<name>.warehouse = <dir>` for personality 2) and
+  * read `spark.table("<name>.docs")`. */
 class GraftCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName = "graft"
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  private var warehouse: Option[java.nio.file.Path] = None
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    warehouse = Option(options.get("warehouse")).map(Paths.get(_))
+  }
   override def name(): String = catalogName
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array.empty, "docs"))
+  private def isVirtual(name: String): Boolean =
+    name == "docs" || name.startsWith("docs_")
+
+  private def dirFor(ident: Identifier): java.nio.file.Path = {
+    val wh = warehouse.getOrElse(throw new NoSuchTableException(ident))
+    ident.namespace().foldLeft(wh)(_ resolve _).resolve(ident.name())
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val virtual =
+      if (namespace.isEmpty) Array(Identifier.of(Array.empty, "docs"))
+      else Array.empty[Identifier]
+    val stored = warehouse.toArray.flatMap { wh =>
+      val ns = namespace.foldLeft(wh)(_ resolve _)
+      if (!Files.isDirectory(ns)) Array.empty[Identifier]
+      else {
+        val s = Files.list(ns)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(Files.isDirectory(_))
+            .map(p => Identifier.of(namespace, p.getFileName.toString))
+            .toArray
+        } finally s.close()
+      }
+    }
+    virtual ++ stored
+  }
 
   override def loadTable(ident: Identifier): Table = ident.name() match {
     case "docs" => new GraftDocsTable(20000L, 8, None, 8)
@@ -43,17 +89,60 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
           new GraftDocsTable(rows.toLong, 8, None, buckets.toInt)
         case _ => throw new NoSuchTableException(ident)
       }
-    case _ => throw new NoSuchTableException(ident)
+    case _ =>
+      val dir = dirFor(ident)
+      if (!Files.isDirectory(dir)) throw new NoSuchTableException(ident)
+      new GraftRlTable(dir.toString)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException("graft catalog tables are virtual")
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (isVirtual(ident.name()))
+      throw new UnsupportedOperationException(
+        s"${ident.name()}: the docs/docs_* tables are virtual")
+    if (warehouse.isEmpty)
+      throw new UnsupportedOperationException(
+        s"catalog $catalogName has no 'warehouse' option; only the " +
+          "virtual docs tables are available")
+    val dir = dirFor(ident)
+    if (Files.isDirectory(dir))
+      throw new TableAlreadyExistsException(Seq(ident.name()))
+    // the connector's schema is fixed; an explicit CREATE must match it
+    if (schema.nonEmpty && schema.fieldNames.toSeq !=
+        GraftDocsSource.schema.fieldNames.toSeq)
+      throw new IllegalArgumentException(
+        s"graft_docs tables have the fixed schema " +
+          s"${GraftDocsSource.schema.simpleString}; got ${schema.simpleString}")
+    Files.createDirectories(dir)
+    new GraftRlTable(dir.toString)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog tables are virtual")
-  override def dropTable(ident: Identifier): Boolean = false
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft catalog tables are virtual")
+    throw new UnsupportedOperationException(
+      "graft_docs tables have a fixed schema; ALTER is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (isVirtual(ident.name()) || warehouse.isEmpty) return false
+    val dir = dirFor(ident)
+    if (!Files.isDirectory(dir)) return false
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (isVirtual(oldIdent.name()) || isVirtual(newIdent.name()))
+      throw new UnsupportedOperationException(
+        "the docs/docs_* tables are virtual")
+    val from = dirFor(oldIdent)
+    if (!Files.isDirectory(from)) throw new NoSuchTableException(oldIdent)
+    val to = dirFor(newIdent)
+    if (Files.isDirectory(to))
+      throw new TableAlreadyExistsException(Seq(newIdent.name()))
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+    ()
+  }
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array.empty, "bucket"))
@@ -86,5 +175,96 @@ object GraftBucketFunction extends UnboundFunction {
     override def isResultNullable: Boolean = false
     override def produceResult(input: InternalRow): Int =
       (input.getLong(1) % input.getInt(0)).toInt
+  }
+}
+
+/** The warehouse personality's table: the path-backed TSV table plus
+  * `SupportsRowLevelOperations` — `MERGE INTO`/`UPDATE`/`DELETE` plan a
+  * GROUP-BASED (copy-on-write) rewrite through it.
+  *
+  * `SupportsMetadataColumns` (`_file`: the part file a row came from,
+  * the Iceberg-style provenance column) is not decorative: Spark's
+  * `ReplaceDataExec.writingTask` applies its row projection — the one
+  * that strips the internal `__row_operation` dispatch column off the
+  * rewrite rows — only on the metadata path
+  * (`DataAndMetadataWritingSparkTask`); an operation that requests no
+  * metadata attributes gets the raw 5-field rows handed to its
+  * `DataWriter` and writes garbage. Found empirically (UnsafeRow hex
+  * dump: leading word constant 6 = `RowDeltaUtils
+  * .WRITE_WITH_METADATA_OPERATION`); the connector therefore always
+  * requests `_file` for row-level operations. */
+class GraftRlTable(path: String) extends Table
+    with SupportsRead with SupportsWrite with SupportsRowLevelOperations
+    with SupportsMetadataColumns {
+  override def name(): String = s"graft_docs(path=$path)"
+  override def schema(): StructType = GraftDocsSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "part file this row was read from"
+    })
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftFilesScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftDocsWriteBuilder(path, info)
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new GraftCowOperation(path, info.command())
+}
+
+/** Copy-on-write row-level operation at per-FILE group granularity —
+  * the Iceberg-shaped COW pipeline, end to end:
+  *
+  *  1. Spark's runtime group filtering (`RowLevelOperationRuntimeGroup
+  *     Filtering`, on by default) runs a group-discovery subquery and
+  *     hands this operation's scan an `_file IN (...)` predicate;
+  *  2. the scan ([[GraftFilesScan]], `SupportsRuntimeV2Filtering`)
+  *     reads ONLY the matched files, so the rewrite query touches
+  *     exactly the groups with matching rows;
+  *  3. the write stages replacement parts under collision-free suffixed
+  *     names and, at commit, atomically deletes exactly the matched
+  *     files and moves the replacements in — untouched files are never
+  *     read, rewritten, or deleted. A MERGE touching 1 of 10⁶ files
+  *     rewrites 1 file.
+  *
+  * If no runtime filter arrives (conf off, or a plan shape the
+  * discovery rule declines), `matched` stays None and the commit scope
+  * degrades to the whole table — correct, just not minimal. Failed
+  * rewrites leave the table untouched (staged commit); a replayed
+  * commit is idempotent (same scope, same staged names).
+  */
+class GraftCowOperation(path: String,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+  // set by the scan's runtime group filter (driver-side), read by the
+  // write's commit — the handshake that scopes replacement to the files
+  // actually rewritten
+  @volatile private var matched: Option[Set[String]] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftDocs COW $cmd"
+  // see GraftRlTable: requesting _file routes the rewrite through
+  // DataAndMetadataWritingSparkTask, whose row projection strips the
+  // __row_operation column before rows reach the DataWriter
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftFilesScanBuilder(path, Some(fs => matched = Some(fs)))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // staged replacement parts carry a per-write suffix so they can land
+    // beside the retained files of untouched groups
+    val suffix = "-" + Integer.toHexString(info.queryId().hashCode).takeRight(8)
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new GraftDocsBatchWrite(
+          path, info.queryId(), info.schema(), truncate = true,
+          replaceScope = () => matched, fileSuffix = suffix)
+      }
+    }
   }
 }

@@ -416,26 +416,82 @@ class GraftDocsReaderFactory(cols: Array[String])
 // format would add min/max pruning here; out of scope for the TSV demo).
 // ---------------------------------------------------------------------------
 
-class GraftFilesScanBuilder(path: String) extends ScanBuilder
+class GraftFilesScanBuilder(path: String,
+    onGroupFilter: Option[Set[String] => Unit] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns {
   private var required: StructType = GraftDocsSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftFilesScan(path, required)
+  override def build(): Scan = new GraftFilesScan(path, required, onGroupFilter)
 }
 
-class GraftFilesScan(path: String, required: StructType) extends Scan with Batch {
+/** `part-*.tsv` names: plain writes use `part-NNNNN.tsv`; row-level
+  * rewrites suffix a write id (`part-NNNNN-<hex>.tsv`) so replacement
+  * files can land next to retained ones without colliding. */
+object GraftFiles {
+  val partFileRegex = "part-\\d+(-[0-9a-f]+)?\\.tsv"
+}
+
+class GraftFilesScan(path: String, required: StructType,
+    onGroupFilter: Option[Set[String] => Unit] = None)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  // files surviving runtime group filtering; None = no filter arrived
+  @volatile private var keep: Option[Set[String]] = None
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftDocsFiles path=$path cols=${required.fieldNames.mkString(",")}"
+
+  /** Runtime (dynamic) filtering on the `_file` metadata column — what
+    * turns a whole-table row-level rewrite into a per-FILE one: Spark
+    * first runs the group-discovery subquery, then hands this scan an
+    * `_file IN (...)` predicate, and only the named files are read (and
+    * therefore only they are replaced — see [[GraftCowOperation]]).
+    * Unrecognized predicate shapes are ignored: reading more than
+    * necessary is correct, just not minimal. */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val fileRef = Seq("_file")
+    def refMatches(e: V2Expression): Boolean = e match {
+      case r: NamedReference => r.fieldNames.toSeq == fileRef
+      case _ => false
+    }
+    def litString(e: V2Expression): Option[String] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        Option(l.value()).map(_.toString)
+      case _ => None
+    }
+    val matched: Seq[Set[String]] = predicates.toSeq.flatMap { p =>
+      (p.name(), p.children().toSeq) match {
+        case ("IN", ref +: vals) if refMatches(ref) && vals.forall(litString(_).isDefined) =>
+          Some(vals.flatMap(litString).toSet)
+        case ("=", Seq(a, b)) if refMatches(a) && litString(b).isDefined =>
+          Some(litString(b).toSet)
+        case ("=", Seq(a, b)) if refMatches(b) && litString(a).isDefined =>
+          Some(litString(a).toSet)
+        case _ => None
+      }
+    }
+    if (matched.nonEmpty) {
+      // multiple predicates on _file intersect
+      val files = matched.reduce(_ intersect _)
+      keep = Some(files)
+      onGroupFilter.foreach(_(files))
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     import scala.jdk.CollectionConverters._
     val dir = Paths.get(path)
     if (!Files.isDirectory(dir)) return Array.empty
     val s = Files.list(dir)
     try s.iterator().asScala.toArray
-      .filter(f => f.getFileName.toString.matches("part-\\d+\\.tsv"))
+      .filter(f => f.getFileName.toString.matches(GraftFiles.partFileRegex))
+      .filter(f => keep.forall(_.contains(f.getFileName.toString)))
       .sortBy(_.getFileName.toString)
       .map(f => GraftFilePartition(f.toString): InputPartition)
     finally s.close()
@@ -461,12 +517,16 @@ class GraftFilesReaderFactory(cols: Array[String])
       }
       override def get(): InternalRow =
         // canonical TSV order: doc_id, title, fp, n_words (the writer's
-        // order, independent of the query's write-projection order)
+        // order, independent of the query's write-projection order);
+        // _file is the metadata column (row provenance + the handle
+        // row-level operations group by)
         InternalRow.fromSeq(cols.toSeq.map {
           case "doc_id" => cur(0).toLong
           case "title" => UTF8String.fromString(cur(1))
           case "fp" => cur(2).toLong
           case "n_words" => cur(3).toInt
+          case "_file" => UTF8String.fromString(
+            Paths.get(file).getFileName.toString)
         })
       override def close(): Unit = ()
     }
@@ -501,7 +561,14 @@ class GraftDocsWriteBuilder(path: String, info: LogicalWriteInfo)
 }
 
 class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType,
-    truncate: Boolean) extends BatchWrite {
+    truncate: Boolean,
+    // row-level rewrites: which part files the replacement covers —
+    // evaluated at COMMIT time (after the scan's runtime group filter has
+    // fired); None = the whole table (plain truncate semantics)
+    replaceScope: () => Option[Set[String]] = () => None,
+    // suffix for staged file names so replacement parts never collide
+    // with retained ones ("" for plain writes)
+    fileSuffix: String = "") extends BatchWrite {
   private def root = Paths.get(path)
   private def staging = root.resolve("_staging").resolve(queryId)
 
@@ -512,19 +579,24 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
     // write schema (Spark has already validated it against the table)
     val idx = Array("doc_id", "title", "fp", "n_words")
       .map(writeSchema.fieldIndex)
-    new GraftDocsWriterFactory(staging.toString, idx)
+    new GraftDocsWriterFactory(staging.toString, idx, fileSuffix)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     Files.createDirectories(root)
     if (truncate) {
+      val scope = replaceScope()
       val s = Files.list(root)
       try {
         val it = s.iterator()
         while (it.hasNext) {
           val f = it.next()
-          if (f.getFileName.toString.matches("part-\\d+\\.tsv") ||
-              f.getFileName.toString == "_SUCCESS") Files.deleteIfExists(f)
+          val n = f.getFileName.toString
+          val inScope = scope match {
+            case Some(files) => files.contains(n)
+            case None => n.matches(GraftFiles.partFileRegex)
+          }
+          if (inScope || n == "_SUCCESS") Files.deleteIfExists(f)
         }
       } finally s.close()
     }
@@ -551,11 +623,12 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
 
 case class GraftDocsCommitMessage(fileName: String) extends WriterCommitMessage
 
-class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int])
+class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
+    fileSuffix: String = "")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val finalName = f"part-$partitionId%05d.tsv"
+      private val finalName = f"part-$partitionId%05d$fileSuffix.tsv"
       private val attempt =
         Paths.get(stagingDir).resolve(s"$finalName.attempt-$taskId")
       private val out = Files.newBufferedWriter(attempt, StandardCharsets.UTF_8)

@@ -1,0 +1,113 @@
+package graft
+
+import graft.sources.GraftDocsSource
+
+/** End-to-end row-level operations through the DSv2 catalog
+  * (`graft.sources.GraftCatalog`): MERGE INTO with DELETE/UPDATE/INSERT
+  * branches, then UPDATE and DELETE statements, all planned as
+  * group-based copy-on-write rewrites through the connector's staged
+  * TSV commit. The expected table is recomputed row-by-row from the
+  * connector's own column generators, so the assertion covers values,
+  * not just counts.
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  test("MERGE INTO / UPDATE / DELETE rewrite the catalog table copy-on-write") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    spark.conf.set("spark.sql.catalog.rl", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rl.warehouse", wh)
+
+    // seed rows [0,30) from the generative personality via CTAS — the
+    // catalog's createTable + the connector's batch write in one step
+    spark.read.format("graft.sources.GraftDocsSource")
+      .option("rows", "30").load()
+      .writeTo("rl.corpus").create()
+    assert(spark.table("rl.corpus").count() == 30)
+
+    // source rows [20,40): overlap [20,30) matches, [30,40) inserts
+    import org.apache.spark.sql.functions._
+    spark.read.format("graft.sources.GraftDocsSource")
+      .option("rows", "40").load()
+      .filter(col("doc_id") >= 20)
+      .withColumn("title", concat(lit("upd-"), col("doc_id")))
+      .withColumn("n_words", (col("n_words") + 100).cast("int"))
+      .createOrReplaceTempView("doc_updates")
+
+    spark.sql("""
+      MERGE INTO rl.corpus t
+      USING doc_updates s
+      ON t.doc_id = s.doc_id
+      WHEN MATCHED AND s.doc_id % 5 = 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET title = s.title, n_words = s.n_words
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    spark.sql("UPDATE rl.corpus SET n_words = 0 WHERE doc_id < 5")
+    spark.sql("DELETE FROM rl.corpus WHERE doc_id >= 35")
+
+    // expected, from the connector's own deterministic generators:
+    //   0..19 untouched (0..4 then zeroed by UPDATE), 20/25 deleted by
+    //   the merge's DELETE branch, 21..34 (sans 25) upd-titled +100,
+    //   35..39 inserted then removed by the final DELETE
+    val expected = (0L until 35L).flatMap { i =>
+      if (i == 20L || i == 25L) None
+      else if (i < 5L) Some((i, GraftDocsSource.title(i), GraftDocsSource.fp(i), 0))
+      else if (i < 20L) Some((i, GraftDocsSource.title(i), GraftDocsSource.fp(i), GraftDocsSource.nWords(i)))
+      else Some((i, s"upd-$i", GraftDocsSource.fp(i), GraftDocsSource.nWords(i) + 100))
+    }
+    val got = spark.table("rl.corpus").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == expected)
+
+    // the _file metadata column reads like Iceberg's: hidden from *,
+    // selectable by name, valued with the part file of each row
+    val files = spark.sql("SELECT DISTINCT _file FROM rl.corpus")
+      .collect().map(_.getString(0)).toSeq
+    assert(files.nonEmpty &&
+      files.forall(_.matches(graft.sources.GraftFiles.partFileRegex)))
+    assert(!spark.table("rl.corpus").columns.contains("_file"))
+
+    // per-FILE copy-on-write: a one-row UPDATE must rewrite ONLY the
+    // file holding that row — every other part file stays byte-identical
+    // (runtime group filtering on _file, scoped commit)
+    val tableDir = new java.io.File(s"$wh/corpus")
+    def partBytes(): Map[String, Seq[Byte]] = tableDir.listFiles()
+      .filter(_.getName.matches(graft.sources.GraftFiles.partFileRegex))
+      .map(f => f.getName ->
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    val before = partBytes()
+    assert(before.size > 1, "need >1 part file to prove scoped rewrite")
+    val victimFile = spark.sql(
+      "SELECT _file FROM rl.corpus WHERE doc_id = 10").head().getString(0)
+    spark.sql("UPDATE rl.corpus SET n_words = 999 WHERE doc_id = 10")
+    val after = partBytes()
+    assert(!after.contains(victimFile),
+      s"$victimFile should have been replaced, still present")
+    for ((name, bytes) <- before if name != victimFile)
+      assert(after.get(name).contains(bytes),
+        s"untouched file $name was rewritten — group scope not applied")
+    assert(spark.sql("SELECT n_words FROM rl.corpus WHERE doc_id = 10")
+      .head().getInt(0) == 999)
+    // undo so the value-level expectations below stay exact
+    spark.sql(s"UPDATE rl.corpus SET n_words = ${GraftDocsSource.nWords(10L)} WHERE doc_id = 10")
+    val got2 = spark.table("rl.corpus").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got2 == expected)
+
+    // the round-8 virtual personality coexists in the same catalog
+    // (q136's storage-partitioned join reads it as rl.docs here)
+    assert(spark.table("rl.docs").count() == 20000)
+
+    // catalog surface: list / rename / drop round-trip (the virtual
+    // docs entry is always listed alongside warehouse tables)
+    val cat = spark.sessionState.catalogManager.catalog("rl")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    assert(cat.listTables(Array.empty).map(_.name()).toSet ==
+      Set("docs", "corpus"))
+    cat.renameTable(Identifier.of(Array.empty, "corpus"),
+      Identifier.of(Array.empty, "corpus2"))
+    assert(spark.table("rl.corpus2").count() == 33)
+    assert(cat.dropTable(Identifier.of(Array.empty, "corpus2")))
+    assert(cat.listTables(Array.empty).map(_.name()).toSet == Set("docs"))
+  }
+}
