@@ -87,8 +87,52 @@ object Round12 {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------------
+  // q214: SQL row-level operations (MERGE INTO / UPDATE / DELETE)
+  // ---------------------------------------------------------------------
+
+  /** The connector's row-level-operations face as a verified query: CTAS
+    * a warehouse table from the generative corpus (rows [0,30)), then a
+    * three-branch `MERGE INTO` (source rows [20,40): matched-and-div-5
+    * DELETE, matched UPDATE, not-matched INSERT), an `UPDATE`, and a
+    * `DELETE` — the CDC upkeep cycle every curated corpus runs nightly
+    * (q90 builds the same semantics manually with DataFrames; THIS is
+    * the engine doing it from SQL through `SupportsRowLevelOperations`,
+    * per-file copy-on-write, staged commits). Deterministic: every
+    * value is a closed-form function of doc_id, so the DuckDB oracle
+    * regenerates the exact final table from range(). A fresh scratch
+    * warehouse (and catalog name) per invocation keeps repeated bench /
+    * verify calls independent. */
+  val q214RowLevelMerge: Q = (spark, dir) => {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_rl_q214")
+    val cat = "rl_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    spark.read.format("graft.sources.GraftDocsSource")
+      .option("rows", "30").load()
+      .writeTo(s"$cat.corpus").create()
+    spark.read.format("graft.sources.GraftDocsSource")
+      .option("rows", "40").load()
+      .filter($"doc_id" >= 20)
+      .withColumn("title", concat(lit("upd-"), $"doc_id"))
+      .withColumn("n_words", ($"n_words" + 100).cast("int"))
+      .createOrReplaceTempView("q214_updates")
+    spark.sql(
+      s"""MERGE INTO $cat.corpus t USING q214_updates s ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND s.doc_id % 5 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET title = s.title, n_words = s.n_words
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(s"UPDATE $cat.corpus SET n_words = 0 WHERE doc_id < 5")
+    spark.sql(s"DELETE FROM $cat.corpus WHERE doc_id >= 35")
+    spark.table(s"$cat.corpus")
+      .select($"doc_id", $"title", $"fp", $"n_words")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q213_model_scoring" -> q213ModelScoring,
+    "q214_rowlevel_merge" -> q214RowLevelMerge,
   )
 
   val oracle: Map[String, String] = Map(
@@ -130,5 +174,19 @@ object Round12 {
          |        + COUNT(CASE WHEN NOT pred AND label THEN 1 END))
          |    ELSE 0 END AS BIGINT) AS recall_ppm
          |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    // the final table is a closed-form function of doc_id: rows [0,35)
+    // minus the merge-DELETEd 20/25; 0-4 zeroed by UPDATE; 21+ carry the
+    // merge's upd- title and +100 words; 35+ removed by the last DELETE
+    "q214_rowlevel_merge" ->
+      """SELECT i AS doc_id,
+        |  CASE WHEN i >= 21 THEN 'upd-' || i ELSE 'doc-' || i END AS title,
+        |  CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    AS fp,
+        |  CAST(CASE WHEN i < 5 THEN 0
+        |            WHEN i >= 21 THEN i % 91 + 9 + 100
+        |            ELSE i % 91 + 9 END AS INT) AS n_words
+        |FROM range(0, 35) t(i)
+        |WHERE i NOT IN (20, 25)
+        |ORDER BY i""".stripMargin,
   )
 }
