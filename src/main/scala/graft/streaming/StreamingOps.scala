@@ -524,6 +524,15 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        waterfallBatch(batch, batchId, stateDir)
+      }
+
+  /** One micro-batch of the incremental waterfall — factored out of the
+    * foreachBatch lambda so the replay contract is directly testable:
+    * calling this twice with the SAME batchId must leave byte-identical
+    * state (the at-least-once scenario foreachBatch documents). */
+  private[graft] def waterfallBatch(batch: DataFrame, batchId: Long,
+      stateDir: String): Unit = {
         val spark = batch.sparkSession
         val flagged = batch.select(col("doc_id"), col("n_chars"),
             md5(col("text")).as("h"),

@@ -201,6 +201,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("waterfall batch replay is idempotent (at-least-once foreachBatch contract)") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("graft_wf_replay").toString
+    val goodA = (0 until 50).map(i => f"alpha$i%02d").mkString(" ")
+    val goodB = (0 until 50).map(i => f"bravo$i%02d").mkString(" ")
+    val b0 = Seq(CurDoc(1, goodA, goodA.length.toLong),
+      CurDoc(2, "tiny doc", 8L)).toDF()
+    val b1 = Seq(CurDoc(3, goodA, goodA.length.toLong), // dup of batch 0
+      CurDoc(4, goodB, goodB.length.toLong)).toDF()
+    StreamingOps.waterfallBatch(b0, 0L, state)
+    StreamingOps.waterfallBatch(b1, 1L, state)
+    def snapshot() = StreamingOps.waterfallTotals(spark, state)
+      .collect().map(_.toSeq).toSeq
+    val before = snapshot()
+    // a failure between commit and checkpoint re-delivers the SAME
+    // batch: dynamic partition overwrite + the ledger read excluding the
+    // current batch_id must reproduce identical state, not double-count
+    StreamingOps.waterfallBatch(b1, 1L, state)
+    assert(snapshot() == before, "replaying batch 1 changed the totals")
+    StreamingOps.waterfallBatch(b0, 0L, state)
+    assert(snapshot() == before, "replaying batch 0 changed the totals")
+    // raw = 4 docs; exact-dedup = 3 (doc 3 is a cross-batch dup);
+    // quality = 2 (alpha + bravo)
+    val byStage = before.map(r => r.head.toString -> (r(1), r(2))).toMap
+    assert(byStage("1_raw") == ((4L, 152L)))         // 50+2+50+50 tokens
+    assert(byStage("2_exact_dedup") == ((3L, 102L))) // doc 3 deduped
+    assert(byStage("3_quality") == ((2L, 100L)))     // alpha + bravo
+  }
+
   test("Trigger.AvailableNow drains the stream to parquet and stops") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
