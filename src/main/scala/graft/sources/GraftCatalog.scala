@@ -195,8 +195,27 @@ object GraftBucketFunction extends UnboundFunction {
   * requests `_file` for row-level operations. */
 class GraftRlTable(path: String) extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations
-    with SupportsMetadataColumns {
+    with SupportsMetadataColumns with TruncatableTable {
   override def name(): String = s"graft_docs(path=$path)"
+
+  /** SQL `TRUNCATE TABLE` — metadata-only delete of every part file
+    * (no scan, no rewrite; the row-level DELETE path is for predicated
+    * deletes). */
+  override def truncateTable(): Boolean = {
+    val dir = Paths.get(path)
+    if (!Files.isDirectory(dir)) return false
+    val s = Files.list(dir)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getFileName.toString
+        if (n.matches(GraftFiles.partFileRegex) || n == "_SUCCESS")
+          Files.deleteIfExists(f)
+      }
+    } finally s.close()
+    true
+  }
   override def schema(): StructType = GraftDocsSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,

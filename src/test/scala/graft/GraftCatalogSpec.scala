@@ -93,6 +93,25 @@ class GraftCatalogSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
     assert(got2 == expected)
 
+    // SQL INSERT INTO appends through the ordinary batch write
+    spark.sql("INSERT INTO rl.corpus VALUES (100, 'doc-ins', 7, 11)")
+    assert(spark.sql("SELECT * FROM rl.corpus WHERE doc_id = 100").count() == 1)
+    spark.sql("DELETE FROM rl.corpus WHERE doc_id = 100")
+    assert(spark.table("rl.corpus").count() == 33)
+
+    // SQL TRUNCATE TABLE is metadata-only (TruncatableTable): all part
+    // files dropped, table readable and refillable afterwards
+    spark.read.format("graft.sources.GraftDocsSource")
+      .option("rows", "3").load()
+      .createOrReplaceTempView("q_trunc_seed")
+    spark.sql("CREATE TABLE rl.scratch AS SELECT * FROM q_trunc_seed")
+    assert(spark.table("rl.scratch").count() == 3)
+    spark.sql("TRUNCATE TABLE rl.scratch")
+    assert(spark.table("rl.scratch").count() == 0)
+    spark.sql("INSERT INTO rl.scratch SELECT * FROM q_trunc_seed")
+    assert(spark.table("rl.scratch").count() == 3)
+    spark.sql("DROP TABLE rl.scratch")
+
     // the round-8 virtual personality coexists in the same catalog
     // (q136's storage-partitioned join reads it as rl.docs here)
     assert(spark.table("rl.docs").count() == 20000)
