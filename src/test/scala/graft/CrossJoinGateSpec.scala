@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.GraftTestBridge
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import scala.collection.mutable
+
+/** Suite-wide cartesian/nested-loop plan gate — the WindowGateSpec
+  * pattern applied to the OTHER silent scale killer: a join that
+  * degrades to CartesianProduct or BroadcastNestedLoopJoin multiplies
+  * its inputs, and an accidental one (a join-key typo, a condition that
+  * stopped being an equi-join after a refactor) is O(|A|·|B|) at 100 TB
+  * while returning plausible-looking rows. The repo's ~23 crossJoin
+  * sites are all DELIBERATE bounded audits (aggregate-sized or scalar
+  * sides); this spec turns that claim into an enforced inventory: every
+  * query whose plan contains such a node must be whitelisted with the
+  * reason its sides are bounded, and stale entries are deleted, not
+  * kept as loopholes.
+  *
+  * Coverage matches WindowGateSpec: executed plans of the returned
+  * DataFrame plus every INTERNAL eager action (driverLiteral collects),
+  * captured via QueryExecutionListener with a synchronous flush per
+  * query; per-query failures are recorded and reported after the full
+  * sweep so one broken query can't mask the rest.
+  */
+class CrossJoinGateSpec extends SparkSpec {
+
+  /** query name → why its cartesian/BNLJ sides are bounded. Three
+    * classes, every entry one of them:
+    *  - SCALAR-NORMALIZER: a 1-row (or few-row) global aggregate
+    *    crossJoined onto a grouped relation for a share/ppm division —
+    *    output = |grouped relation|, broadcast side ≤ a handful of rows.
+    *  - BROADCAST-PROBE: an ANN query point / codebook / ground-truth
+    *    set broadcast against candidates under a non-equi condition —
+    *    broadcast side is constant-sized by construction.
+    *  - CAPPED-PAIR-AUDIT: an audit over pairs of a bottomKByHash-capped
+    *    sample (k ≤ 4096 / 512), so the product is a fixed constant at
+    *    any corpus size (the r11-verdict-verified q206/q212 class). */
+  private val whitelist: Map[String, String] = Map(
+    "q102_mix_weights" -> "SCALAR-NORMALIZER: corpus token total × |sources|",
+    "q118_corrupt_csv" -> "SCALAR-NORMALIZER: two 1-row parse-mode counts crossed into one row",
+    "q125_heavy_hitters" -> "SCALAR-NORMALIZER: stream length N × ≤k·shards MG candidates",
+    "q129_event_transitions" -> "SCALAR-NORMALIZER: transition total × |type pairs|",
+    "q133_attribution" -> "SCALAR-NORMALIZER: conversion total × |channels|",
+    "q138_kcore" -> "SCALAR-NORMALIZER: 1-row core summary × 1-row iteration count",
+    "q139_hll_merge" -> "SCALAR-NORMALIZER: exact count × 1-row merged-sketch estimate (×2)",
+    "q145_time_decay" -> "SCALAR-NORMALIZER: decay normalizer × |event types|",
+    "q148_source_quota" -> "SCALAR-NORMALIZER: global budget × |sources|",
+    "q150_skew_profile" -> "SCALAR-NORMALIZER: total volume × |key buckets|",
+    "q155_ks_drift" -> "SCALAR-NORMALIZER: split sizes × ≤1000-row quantized-score CDF",
+    "q161_ivf_pq" -> "BROADCAST-PROBE: query vector + PQ codebooks (≤16·256 rows) × probed candidates (×4)",
+    "q165_source_lift" -> "SCALAR-NORMALIZER: global rate × |sources|",
+    "q178_source_divergence" -> "SCALAR-NORMALIZER: corpus totals × |source×bucket| (P and Q normalizers)",
+    "q180_benford" -> "SCALAR-NORMALIZER: total count × 9 digit rows",
+    "q184_probe_sweep" -> "BROADCAST-PROBE: 10-row exact top-k × per-probe results",
+    "q195_split_difficulty" -> "SCALAR-NORMALIZER: split sizes × quantized-score CDF (q155 class)",
+    "q206_blocking_recall" -> "CAPPED-PAIR-AUDIT: k=4096 bottomKByHash sample pairs (×2)",
+    "q207_dedup_thresholds" -> "SCALAR-NORMALIZER: pair total × 5-row threshold grid",
+    "q212_kendall_tau" -> "CAPPED-PAIR-AUDIT: C(512,2) bottomKByHash pairs (×2)",
+    "q50_cosine_topk" -> "BROADCAST-PROBE: single query vector × corpus scan",
+    "q51_ann_ivf" -> "BROADCAST-PROBE: query vector × centroids, then × probed-cell candidates")
+
+  private def nlNodes(p: SparkPlan): Seq[String] = p.collect {
+    case c: CartesianProductExec => Seq("cartesian")
+    case b: BroadcastNestedLoopJoinExec => Seq(s"bnlj(${b.joinType})")
+    case a: AdaptiveSparkPlanExec => nlNodes(a.executedPlan)
+    case s: QueryStageExec => nlNodes(s.plan)
+  }.flatten
+
+  test("every cartesian/nested-loop join in every query's plan is a whitelisted bounded audit") {
+    val offenders = mutable.LinkedHashMap[String, String]()
+    val usedWhitelist = mutable.Set[String]()
+    @volatile var current = "<init>"
+    def record(name: String, plan: SparkPlan): Unit = {
+      val bad = nlNodes(plan)
+      if (bad.nonEmpty) {
+        if (whitelist.contains(name)) usedWhitelist += name
+        else if (!offenders.contains(name))
+          offenders += name -> bad.mkString(",")
+      }
+    }
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = record(current, qe.executedPlan)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val failed = mutable.LinkedHashMap[String, String]()
+    try {
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+        current = name
+        try {
+          val df = fn(spark, sf)
+          record(name, df.queryExecution.executedPlan)
+          GraftTestBridge.flushListeners(spark.sparkContext)
+        } catch {
+          case e: Throwable =>
+            failed += name -> e.toString.linesIterator.next().take(160)
+        }
+        spark.catalog.clearCache()
+      }
+    } finally {
+      GraftTestBridge.flushListeners(spark.sparkContext)
+      spark.listenerManager.unregister(listener)
+    }
+    assert(offenders.isEmpty,
+      s"cartesian/nested-loop join outside the whitelist:\n" +
+        offenders.map { case (n, w) => s"  $n: $w" }.mkString("\n"))
+    assert(failed.isEmpty,
+      s"${failed.size} queries failed before their plan could be " +
+        s"audited:\n" +
+        failed.map { case (n, e) => s"  $n: $e" }.mkString("\n"))
+    // the whitelist must stay the COMPLETE inventory — an entry whose
+    // nested-loop join disappeared is stale and gets deleted, not kept
+    // as a loophole for future regressions
+    val stale = whitelist.keySet -- usedWhitelist
+    assert(stale.isEmpty, s"stale whitelist entries (no cartesian/BNLJ " +
+      s"in their plan anymore): ${stale.mkString(", ")}")
+  }
+}
