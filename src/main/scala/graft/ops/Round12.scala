@@ -102,32 +102,43 @@ object Round12 {
     * value is a closed-form function of doc_id, so the DuckDB oracle
     * regenerates the exact final table from range(). A fresh scratch
     * warehouse (and catalog name) per invocation keeps repeated bench /
-    * verify calls independent. */
+    * verify calls independent; the final 33-row table is collected via
+    * [[OpsUtil.driverLiteral]] so the scratch warehouse and its two
+    * catalog confs can be torn down before returning — repeated calls
+    * leak neither /tmp dirs nor session-conf entries. */
   val q214RowLevelMerge: Q = (spark, dir) => {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft_rl_q214")
     val cat = "rl_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
-    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
-    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
-    spark.read.format("graft.sources.GraftDocsSource")
-      .option("rows", "30").load()
-      .writeTo(s"$cat.corpus").create()
-    spark.read.format("graft.sources.GraftDocsSource")
-      .option("rows", "40").load()
-      .filter($"doc_id" >= 20)
-      .withColumn("title", concat(lit("upd-"), $"doc_id"))
-      .withColumn("n_words", ($"n_words" + 100).cast("int"))
-      .createOrReplaceTempView("q214_updates")
-    spark.sql(
-      s"""MERGE INTO $cat.corpus t USING q214_updates s ON t.doc_id = s.doc_id
-         |WHEN MATCHED AND s.doc_id % 5 = 0 THEN DELETE
-         |WHEN MATCHED THEN UPDATE SET title = s.title, n_words = s.n_words
-         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    spark.sql(s"UPDATE $cat.corpus SET n_words = 0 WHERE doc_id < 5")
-    spark.sql(s"DELETE FROM $cat.corpus WHERE doc_id >= 35")
-    spark.table(s"$cat.corpus")
-      .select($"doc_id", $"title", $"fp", $"n_words")
-      .orderBy($"doc_id")
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "30").load()
+        .writeTo(s"$cat.corpus").create()
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "40").load()
+        .filter($"doc_id" >= 20)
+        .withColumn("title", concat(lit("upd-"), $"doc_id"))
+        .withColumn("n_words", ($"n_words" + 100).cast("int"))
+        .createOrReplaceTempView("q214_updates")
+      spark.sql(
+        s"""MERGE INTO $cat.corpus t USING q214_updates s ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.doc_id % 5 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET title = s.title, n_words = s.n_words
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.sql(s"UPDATE $cat.corpus SET n_words = 0 WHERE doc_id < 5")
+      spark.sql(s"DELETE FROM $cat.corpus WHERE doc_id >= 35")
+      OpsUtil.driverLiteral(
+        spark.table(s"$cat.corpus")
+          .select($"doc_id", $"title", $"fp", $"n_words")
+          .orderBy($"doc_id"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.catalog.dropTempView("q214_updates")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
   }
 
   val queries: Map[String, Q] = Map(

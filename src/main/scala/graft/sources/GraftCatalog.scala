@@ -56,9 +56,25 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   private def isVirtual(name: String): Boolean =
     name == "docs" || name.startsWith("docs_")
 
+  /** Resolve an identifier under the warehouse, rejecting any component
+    * that could escape it. Backquoted SQL identifiers may contain
+    * arbitrary characters (including `..` and `/`), and `dirFor` feeds
+    * create/drop/rename — so without this check a `DROP TABLE
+    * rl.`..`.`..`.etc` would delete directories outside the warehouse. */
   private def dirFor(ident: Identifier): java.nio.file.Path = {
     val wh = warehouse.getOrElse(throw new NoSuchTableException(ident))
-    ident.namespace().foldLeft(wh)(_ resolve _).resolve(ident.name())
+    val parts = ident.namespace().toSeq :+ ident.name()
+    parts.foreach { p =>
+      if (p.isEmpty || p == "." || p == ".." || p.contains('/') ||
+          p.contains('\\'))
+        throw new IllegalArgumentException(
+          s"illegal table identifier component '$p' in ${ident}")
+    }
+    val dir = parts.foldLeft(wh)(_ resolve _).normalize()
+    if (!dir.startsWith(wh.normalize()))
+      throw new IllegalArgumentException(
+        s"resolved table path $dir escapes warehouse $wh")
+    dir
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -134,9 +150,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     if (isVirtual(oldIdent.name()) || isVirtual(newIdent.name()))
       throw new UnsupportedOperationException(
         "the docs/docs_* tables are virtual")
+    // resolve (and containment-check) BOTH idents before touching disk
     val from = dirFor(oldIdent)
-    if (!Files.isDirectory(from)) throw new NoSuchTableException(oldIdent)
     val to = dirFor(newIdent)
+    if (!Files.isDirectory(from)) throw new NoSuchTableException(oldIdent)
     if (Files.isDirectory(to))
       throw new TableAlreadyExistsException(Seq(newIdent.name()))
     Files.createDirectories(to.getParent)

@@ -592,14 +592,24 @@ object StreamingOps {
   /** Running waterfall across every processed batch: per-batch counts are
     * ADDITIVE (each batch's stage counts are over docs the ledger had not
     * seen), so the corpus-lifetime waterfall is a sum plus one ppm
-    * division — no rescan of history. */
+    * division — no rescan of history. Before any batch has been
+    * processed the waterfall directory does not exist; that is a normal
+    * startup state (a monitor polling a fresh pipeline), so it returns
+    * an EMPTY frame with the output schema rather than letting the
+    * parquet read or head() throw a path-not-found. */
   def waterfallTotals(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): DataFrame = {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long, Long, Long)]
+      .toDF("stage", "n_docs", "n_tokens", "token_retained_ppm")
+    if (!new java.io.File(s"$stateDir/waterfall").isDirectory) return empty
     val per = spark.read.parquet(s"$stateDir/waterfall")
       .groupBy(col("stage"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-    val t0 = per.where(col("stage") === "1_raw")
-      .select(col("n_tokens")).head().getLong(0)
+    val raw = per.where(col("stage") === "1_raw")
+      .select(col("n_tokens")).collect()
+    if (raw.isEmpty) return empty
+    val t0 = raw.head.getLong(0)
     per.withColumn("token_retained_ppm",
         expr(s"n_tokens * 1000000 div ${math.max(t0, 1L)}"))
       .orderBy(col("stage"))

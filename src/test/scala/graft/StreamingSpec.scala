@@ -230,6 +230,14 @@ class StreamingSpec extends SparkSpec {
     assert(byStage("3_quality") == ((2L, 100L)))     // alpha + bravo
   }
 
+  test("waterfallTotals on a fresh pipeline (no batches yet) is empty, not a throw") {
+    val state = java.nio.file.Files.createTempDirectory("graft_wf_empty").toString
+    val totals = StreamingOps.waterfallTotals(spark, s"$state/never_started")
+    assert(totals.columns.toSeq ==
+      Seq("stage", "n_docs", "n_tokens", "token_retained_ppm"))
+    assert(totals.count() == 0)
+  }
+
   test("Trigger.AvailableNow drains the stream to parquet and stops") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
