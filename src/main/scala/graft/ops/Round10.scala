@@ -837,7 +837,7 @@ object Round10 {
     * |pairs|-sized join against the |corpus| score relation. */
   val q187SurvivorAudit: Q = (spark, dir) => {
     import spark.implicits._
-    val pairs = Dedup.q41MinhashLsh(spark, dir).select($"doc_a", $"doc_b")
+    val pairs = Dedup.verifiedPairs(spark, dir).select($"doc_a", $"doc_b")
     val scored = Tables.documents(spark, dir)
       .select($"doc_id",
         filter(split($"text", " "), t => length(t) > 0).as("w"))
@@ -961,7 +961,7 @@ object Round10 {
     * doc), never corpus-sized. */
   val q190TransitivityAudit: Q = (spark, dir) => {
     import spark.implicits._
-    val pairs = Dedup.q41MinhashLsh(spark, dir)
+    val pairs = Dedup.verifiedPairs(spark, dir)
       .select($"doc_a", $"doc_b").cache()
     val undirected = pairs
       .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
@@ -1106,7 +1106,7 @@ object Round10 {
   val q194DupProvenance: Q = (spark, dir) => {
     import spark.implicits._
     val src = Tables.documents(spark, dir).select($"doc_id", $"source")
-    val pairs = Dedup.q41MinhashLsh(spark, dir)
+    val pairs = Dedup.verifiedPairs(spark, dir)
       .select($"doc_a", $"doc_b")
       .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")),
         Seq("doc_a"))
@@ -1191,7 +1191,7 @@ object Round10 {
     * pairs-sized q41 join; no stage re-scans survivors. */
   val q196CurationWaterfall: Q = (spark, dir) => {
     import spark.implicits._
-    val dropB = Dedup.q41MinhashLsh(spark, dir)
+    val dropB = Dedup.verifiedPairs(spark, dir)
       .select($"doc_b".as("doc_id")).distinct()
       .withColumn("near_dup", lit(true))
     val firstByText = org.apache.spark.sql.expressions.Window

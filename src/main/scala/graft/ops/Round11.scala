@@ -85,7 +85,7 @@ object Round11 {
     import spark.implicits._
     val pre = Tables.documents(spark, dir)
       .select($"doc_id", substring($"text", 1, 120).as("p"))
-    Dedup.q41MinhashLsh(spark, dir)
+    Dedup.verifiedPairs(spark, dir)
       .select($"doc_a", $"doc_b")
       .join(pre.select($"doc_id".as("doc_a"), $"p".as("pa")), Seq("doc_a"))
       .join(pre.select($"doc_id".as("doc_b"), $"p".as("pb")), Seq("doc_b"))
@@ -446,7 +446,7 @@ object Round11 {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.map(_._1)
       .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq
-    val dups = Dedup.q41MinhashLsh(spark, dir)
+    val dups = Dedup.verifiedPairs(spark, dir)
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
       .withColumn("is_dup", lit(true))
     val out = OpsUtil.driverLiteral(blocked
@@ -537,7 +537,7 @@ object Round11 {
     * collapses map-side to 5 rows. */
   val q207DedupThresholds: Q = (spark, dir) => {
     import spark.implicits._
-    val pairs = Dedup.q41MinhashLsh(spark, dir)
+    val pairs = Dedup.verifiedPairs(spark, dir)
       .select($"doc_a", $"doc_b",
         floor($"jaccard" * 1000000).cast("long").as("j_ppm"))
     val thresholds = (5 to 9).map(_ * 100000L).toDF("threshold")
@@ -698,7 +698,7 @@ object Round11 {
     val m = (0 until 8)
       .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
       .reduce(_ + _)
-    Dedup.q41MinhashLsh(spark, dir)
+    Dedup.verifiedPairs(spark, dir)
       .select($"doc_a", $"doc_b",
         floor($"jaccard" * 1000000).cast("long").as("j_ppm"))
       .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))

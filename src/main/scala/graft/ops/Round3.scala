@@ -267,13 +267,13 @@ object Round3 {
     * components with a recursive transitive-closure CTE. */
   lazy val q79DupClusters: Q = (spark, dir) => {
     import spark.implicits._
-    // Materialize the q41 pair table ONCE as a checkpointed leaf: the
-    // propagation loop then replans against a constant-size LogicalRDD
-    // instead of carrying the whole minhash pipeline (shingles, bands,
-    // verification joins) in every round's lineage, and q41's internal
-    // caches stop being referenced the moment this action completes.
-    val pairs = Dedup.q41MinhashLsh(spark, dir)
-      .select($"doc_a", $"doc_b").localCheckpoint(true)
+    // The q41 pair table arrives as the session-memoized checkpointed
+    // leaf (Dedup.verifiedPairs): the propagation loop replans against a
+    // constant-size LogicalRDD instead of carrying the whole minhash
+    // pipeline (shingles, bands, verification joins) in every round's
+    // lineage — and the derivation is shared with the 8 other pair
+    // consumers instead of re-run per query.
+    val pairs = Dedup.verifiedPairs(spark, dir).select($"doc_a", $"doc_b")
     val edges = pairs
       .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .localCheckpoint(true)
