@@ -39,5 +39,5 @@ object SparkEntry {
       ops.Round5.oracle ++ ops.Round6.oracle ++ ops.Round7.oracle ++
       ops.Round8.oracle ++ ops.Round9.oracle ++ ops.Round10.oracle ++
       ops.Round11.oracle ++ ops.Round12.oracle ++
-      multimodal.Multimodal.oracle
+      ml.Pipelines.oracle ++ multimodal.Multimodal.oracle
 }

@@ -59,11 +59,16 @@ object Pipelines {
     "input4" -> Array("f_value", "f_k", "f_vk"),
   )
 
-  /** Wide results table, one row per trained case, sorted by accuracy like
-    * the reference's `sort(desc("Correct"))` (`:1036`). */
-  val q60MlMetrics: (SparkSession, String) => DataFrame = (spark, dir) => {
+  /** The matrix's shared input: four features + four labels per event,
+    * mirroring the reference's feature/label prep
+    * (`Assignment-python.py:913-918`: month/hour/weekday extraction and
+    * the 8-18 peak-hour flag). Factored out of [[q60MlMetrics]] so the
+    * derivation itself is ORACLE-CHECKED (q215 aggregates exactly this
+    * frame against DuckDB) — only the RF fits stay oracle-exempt. */
+  private[graft] def labeledFeatures(spark: SparkSession,
+      dir: String): DataFrame = {
     import spark.implicits._
-    val data = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .select(
         $"value".as("f_value"),
         coalesce(get_json_object($"props", "$.k").cast("double"), lit(0.0))
@@ -75,6 +80,13 @@ object Pipelines {
         (dayofweek($"ts") - 1).cast("double").as("weekday_label"),
         when(hour($"ts").between(8, 18), 1.0).otherwise(0.0).as("peak_label"))
       .na.drop()
+  }
+
+  /** Wide results table, one row per trained case, sorted by accuracy like
+    * the reference's `sort(desc("Correct"))` (`:1036`). */
+  val q60MlMetrics: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val data = labeledFeatures(spark, dir)
 
     // ONE shared split+cache of the plain double columns (cheap columnar
     // cache); each case assembles its own feature vector on the fly — a
@@ -149,7 +161,66 @@ object Pipelines {
       .orderBy($"accuracy".desc, $"input", $"label")
   }
 
+  /** The q60 matrix's feature/label derivation as its own oracle-checked
+    * query (verdict r12 item 4): everything SQL-expressible about the ML
+    * surface — JSON feature extraction, derived sensors, month/hour/
+    * weekday/peak labels, the na.drop — is hash-verified against DuckDB,
+    * leaving only the RF fit itself exempt. Aggregated per
+    * (month, weekday) cell so the output is calendar-sized (≤ 84 rows)
+    * at any corpus scale; doubles are floor-quantized to integer
+    * micro-units before summing (the q59 rule: integer sums are
+    * accumulation-order-independent, double sums are not). */
+  val q215FeatureLabelPrep: (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      import spark.implicits._
+      labeledFeatures(spark, dir)
+        .groupBy($"month_label".cast("long").as("month_label"),
+          $"weekday_label".cast("long").as("weekday_label"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"peak_label".cast("long")).as("n_peak"),
+          sum($"hour_label".cast("long")).as("hour_sum"),
+          sum(floor($"f_value" * 1e6).cast("long")).as("f_value_q"),
+          sum(floor($"f_k" * 1e6).cast("long")).as("f_k_q"),
+          sum($"f_vbucket".cast("long")).as("f_vbucket_sum"),
+          sum($"f_vk".cast("long")).as("f_vk_sum"))
+        .orderBy($"month_label", $"weekday_label")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_ml_metrics" -> q60MlMetrics,
+    "q215_feature_label_prep" -> q215FeatureLabelPrep,
+  )
+
+  /** q60 itself stays oracle-exempt by the driver contract (ML is not
+    * SQL-expressible); q215 pins its entire input derivation. DuckDB's
+    * `dayofweek` is already Sunday=0, matching Spark's `dayofweek - 1`. */
+  val oracle: Map[String, String] = Map(
+    "q215_feature_label_prep" ->
+      """WITH f AS (
+        |  SELECT
+        |    value AS f_value,
+        |    COALESCE(CAST(json_extract_string(props, '$.k') AS DOUBLE), 0.0)
+        |      AS f_k,
+        |    CAST(floor(value / 10.0) AS BIGINT) AS f_vbucket,
+        |    ((CAST(floor(value * 7) AS BIGINT) % 5) + 5) % 5 AS f_vk,
+        |    month(ts) AS month_label,
+        |    hour(ts) AS hour_label,
+        |    dayofweek(ts) AS weekday_label,
+        |    CASE WHEN hour(ts) BETWEEN 8 AND 18 THEN 1 ELSE 0 END
+        |      AS peak_label
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |)
+        |SELECT CAST(month_label AS BIGINT) AS month_label,
+        |  CAST(weekday_label AS BIGINT) AS weekday_label,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(peak_label) AS BIGINT) AS n_peak,
+        |  CAST(SUM(hour_label) AS BIGINT) AS hour_sum,
+        |  CAST(SUM(CAST(floor(f_value * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS f_value_q,
+        |  CAST(SUM(CAST(floor(f_k * 1e6) AS BIGINT)) AS BIGINT) AS f_k_q,
+        |  CAST(SUM(f_vbucket) AS BIGINT) AS f_vbucket_sum,
+        |  CAST(SUM(f_vk) AS BIGINT) AS f_vk_sum
+        |FROM f GROUP BY 1, 2 ORDER BY month_label, weekday_label""".stripMargin,
   )
 }
