@@ -2,6 +2,44 @@ package graft
 import org.apache.spark.sql.SparkSession
 import scala.collection.mutable
 object Bench {
+
+  /** Per-query trend gate (r12 verdict item 3): queries whose measured
+    * median exceeds 3× their recorded clean median. The absolute floor
+    * (+0.25 s) keeps 60 ms queries from tripping on scheduler jitter —
+    * a real regression on a sub-second query clears it instantly, and a
+    * planted stall (the gate's acceptance test) is seconds, not
+    * fractions. Only meaningful when the RUN is clean (canary_dev ≤
+    * 0.10): a host-noise-dominated session says nothing about trends,
+    * so the caller gates on the canary before acting on this. */
+  def trendViolations(measured: Seq[(String, Double)],
+      recorded: Map[String, Double]): Seq[String] =
+    measured.collect {
+      case (name, med) if recorded.get(name).exists(base =>
+        med > 3.0 * base + 0.25) => name
+    }
+
+  /** Clean-run medians from `tools/bench_clean_medians.tsv` (line 1:
+    * `sf <dir>`; then `<shortKey> <median>` per query). Returns empty —
+    * gate off — when the file is absent or was recorded at a different
+    * scale factor than this run. */
+  def recordedMedians(path: String, sfDir: String): Map[String, Double] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) return Map.empty
+    val lines = scala.io.Source.fromFile(f)
+    try {
+      val it = lines.getLines().map(_.trim).filter(_.nonEmpty).toSeq
+      val headerOk = it.headOption.map(_.split("\\s+").toSeq).exists {
+        case Seq("sf", dir) => dir == sfDir
+        case _ => false
+      }
+      if (!headerOk) Map.empty
+      else it.tail.flatMap(_.split("\\s+") match {
+        case Array(k, v) => v.toDoubleOption.map(k -> _)
+        case _ => None
+      }).toMap
+    } finally lines.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to the driver's rig (local[32]); round 2 was tuned at the
@@ -123,14 +161,15 @@ object Bench {
     // deviation > ~10% marks the whole run as host-noise-dominated.
     val canaryNames = Seq("q01_flagship_revenue", "q41_minhash_lsh",
       "q60_ml_metrics", "q121_curation_pipeline")
-    val canaryDev = {
+    val canaryDevs: Seq[(String, Double)] = {
       val base = timed.collect {
         case (n, fn, (med, _)) if canaryNames.contains(n) => (n, fn, med) }
-      val devs = base.map { case (n, fn, med1) =>
+      base.map { case (n, fn, med1) =>
         val med2 = median3(n, fn)._1
-        if (med1 > 0) math.abs(med2 - med1) / med1 else 0.0 }
-      if (devs.isEmpty) 0.0 else devs.max
+        n -> (if (med1 > 0) math.abs(med2 - med1) / med1 else 0.0) }
     }
+    val canaryDev =
+      if (canaryDevs.isEmpty) 0.0 else canaryDevs.map(_._2).max
     val spreads = timed.map(_._3._2).sorted
     def pct(p: Double): Double =
       if (spreads.isEmpty) 0.0
@@ -160,7 +199,30 @@ object Bench {
     // total is NOT comparable to a clean round's.
     val errs = erroredQueries.toSeq.map(n => "\"" + shortKey(n) + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"queries":$qs,"metric":"total","unit":"sec","runs":3,"spread_med":${f3(pct(0.5))},"spread_p90":${f3(pct(0.9))},"canary_dev":${f3(canaryDev)},"errors":$errs,"sf":"$sfDir","value":${f3(total)}}""")
+    // Trend gate: compare this run's per-query medians to the checked-in
+    // clean-run trend file, but ONLY act on a clean run (canary_dev ≤
+    // 0.10) — a noise-flagged session would trip on host phases, not
+    // regressions. "over3x" is always emitted (empty when clean or gate
+    // off); SPARK_GRAFT_TREND_STRICT=1 (dev runs; the driver never sets
+    // it) additionally exits nonzero so a planted stall fails the run.
+    val trendPath = sys.env.getOrElse("SPARK_GRAFT_TREND",
+      "tools/bench_clean_medians.tsv")
+    val over3x =
+      if (canaryDev > 0.10) Seq.empty
+      else trendViolations(results.map { case (k, v) => shortKey(k) -> v },
+        recordedMedians(trendPath, sfDir))
+    val over = over3x.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    // which canary moved: a flagged run should name its drifter (q60's
+    // r12 39s artifact took a round to diagnose for lack of exactly this)
+    val cdevs = canaryDevs
+      .map { case (n, d) => "\"" + shortKey(n) + "\":" + f3(d) }
+      .mkString("{", ",", "}")
+    println(s"""{"queries":$qs,"metric":"total","unit":"sec","runs":3,"spread_med":${f3(pct(0.5))},"spread_p90":${f3(pct(0.9))},"canary_dev":${f3(canaryDev)},"canary_devs":$cdevs,"errors":$errs,"over3x":$over,"sf":"$sfDir","value":${f3(total)}}""")
     spark.stop()
+    if (over3x.nonEmpty && sys.env.get("SPARK_GRAFT_TREND_STRICT").contains("1")) {
+      System.err.println(s"[bench] trend gate: ${over3x.mkString(", ")} " +
+        "exceeded 3x their recorded clean medians on a clean run")
+      sys.exit(2)
+    }
   }
 }

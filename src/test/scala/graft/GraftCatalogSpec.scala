@@ -149,4 +149,91 @@ class GraftCatalogSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(outside.resolve("keep.txt")),
       "traversal identifier escaped the warehouse and touched a victim dir")
   }
+
+  private def partBytesOf(dir: java.io.File): Map[String, Seq[Byte]] =
+    dir.listFiles()
+      .filter(_.getName.matches(graft.sources.GraftFiles.partFileRegex))
+      .map(f => f.getName ->
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+
+  test("two concurrent MERGEs with disjoint file scopes both commit; files outside both scopes stay byte-identical") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_conc").toString
+    spark.conf.set("spark.sql.catalog.rlc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rlc.warehouse", wh)
+    spark.read.format("graft.sources.GraftDocsSource")
+      .option("rows", "30").load()
+      .repartition(6) // several part files so two scopes can be disjoint
+      .writeTo("rlc.corpus").create()
+    val tableDir = new java.io.File(s"$wh/corpus")
+    val before = partBytesOf(tableDir)
+    assert(before.size >= 3, "need >=3 part files for two disjoint scopes")
+    // pick two victims living in DIFFERENT part files
+    val fileOf = spark.sql("SELECT doc_id, _file FROM rlc.corpus")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vA = 3L
+    val vB = fileOf.collectFirst {
+      case (id, f) if f != fileOf(vA) => id }.get
+    assert(fileOf(vA) != fileOf(vB))
+    import spark.implicits._
+    Seq(vA).toDF("doc_id").createOrReplaceTempView("merge_src_a")
+    Seq(vB).toDF("doc_id").createOrReplaceTempView("merge_src_b")
+    // run both merges CONCURRENTLY: per-file copy-on-write with disjoint
+    // scopes means neither commit invalidates the other's replacement set
+    // (the lakehouse claim behind file-granular COW). The connector has
+    // no MVCC, so this is the strongest concurrency it promises.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fa = Future(spark.sql(
+      """MERGE INTO rlc.corpus t USING merge_src_a s ON t.doc_id = s.doc_id
+        |WHEN MATCHED THEN UPDATE SET n_words = 777""".stripMargin))
+    val fb = Future(spark.sql(
+      """MERGE INTO rlc.corpus t USING merge_src_b s ON t.doc_id = s.doc_id
+        |WHEN MATCHED THEN UPDATE SET n_words = 888""".stripMargin))
+    Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+    // both committed
+    val got = spark.table("rlc.corpus")
+      .selectExpr("doc_id", "n_words").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(vA) == 777, s"merge A lost: ${got(vA)}")
+    assert(got(vB) == 888, s"merge B lost: ${got(vB)}")
+    assert(got.size == 30)
+    // every part file outside the two rewritten scopes is bit-for-bit
+    // untouched by either commit
+    val after = partBytesOf(tableDir)
+    for ((name, bytes) <- before
+         if name != fileOf(vA) && name != fileOf(vB))
+      assert(after.get(name).contains(bytes),
+        s"file $name outside both merge scopes was rewritten")
+    assert(!after.contains(fileOf(vA)) && !after.contains(fileOf(vB)),
+      "rewritten scopes should carry replacement (suffixed) names")
+  }
+
+  test("a rewrite that fails mid-write aborts cleanly: staging removed, table byte-identical") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_abort").toString
+    spark.conf.set("spark.sql.catalog.rla", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rla.warehouse", wh)
+    spark.read.format("graft.sources.GraftDocsSource")
+      .option("rows", "30").load()
+      .writeTo("rla.corpus").create()
+    val tableDir = new java.io.File(s"$wh/corpus")
+    val before = partBytesOf(tableDir)
+    // raise_error throws inside the rewrite tasks AFTER the scan has
+    // matched and staging has begun — Spark aborts the batch write, which
+    // must tear down staged files and never touch the committed parts
+    intercept[Exception] {
+      spark.sql("""UPDATE rla.corpus
+                  |SET n_words = CAST(raise_error('planted abort') AS INT)
+                  |WHERE doc_id < 5""".stripMargin)
+    }
+    assert(partBytesOf(tableDir) == before,
+      "aborted rewrite modified committed part files")
+    assert(!new java.io.File(tableDir, "_staging").exists(),
+      "aborted rewrite left staged files behind")
+    // the table remains fully operational after the abort
+    spark.sql("UPDATE rla.corpus SET n_words = 5 WHERE doc_id = 0")
+    assert(spark.sql("SELECT n_words FROM rla.corpus WHERE doc_id = 0")
+      .head().getInt(0) == 5)
+  }
 }

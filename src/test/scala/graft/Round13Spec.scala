@@ -45,4 +45,31 @@ class Round13Spec extends SparkSpec {
     assert(got.keySet.map(_._2).size > 1, "weekday label never varies")
     assert(got.values.map(_._2).sum > 0, "peak label never fires")
   }
+
+  test("bench trend gate: trips on a planted stall, tolerates jitter on fast queries") {
+    val recorded = Map("q01" -> 0.50, "q43" -> 2.00, "q08" -> 0.06)
+    // a planted Thread.sleep turns q01's 0.5s into 5s → must trip
+    assert(Bench.trendViolations(
+      Seq("q01" -> 5.0, "q43" -> 2.1), recorded) == Seq("q01"))
+    // 3x-with-floor: a 60ms query jittering to 150ms (2.5x) stays quiet,
+    // and even 3.5x of 60ms is under the 0.25s absolute floor
+    assert(Bench.trendViolations(Seq("q08" -> 0.21), recorded).isEmpty)
+    // unrecorded queries (new this round) never trip
+    assert(Bench.trendViolations(Seq("q999" -> 60.0), recorded).isEmpty)
+    // boundary: exactly 3x + floor does not trip; just above does
+    assert(Bench.trendViolations(Seq("q43" -> 6.25), recorded).isEmpty)
+    assert(Bench.trendViolations(Seq("q43" -> 6.26), recorded) == Seq("q43"))
+  }
+
+  test("bench trend file: header must match the run's sf dir; malformed lines skipped") {
+    val f = java.nio.file.Files.createTempFile("trend", ".tsv")
+    java.nio.file.Files.writeString(f,
+      "sf /root/testdata/sf0.1\nq01 0.50\nq43 2.00\nbadline\nq99 notanumber\n")
+    val m = Bench.recordedMedians(f.toString, "/root/testdata/sf0.1")
+    assert(m == Map("q01" -> 0.50, "q43" -> 2.00))
+    // recorded at a different SF → gate off entirely
+    assert(Bench.recordedMedians(f.toString, "/root/testdata/sf0.01").isEmpty)
+    // absent file → gate off
+    assert(Bench.recordedMedians("/nonexistent/trend.tsv", "x").isEmpty)
+  }
 }
