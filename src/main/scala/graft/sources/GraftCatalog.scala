@@ -111,6 +111,34 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       new GraftRlTable(dir.toString)
   }
 
+  /** `VERSION AS OF <v>` — load a warehouse table pinned to snapshot v
+    * (read-only). Spark routes SQL time-travel through this overload;
+    * the pin rides the Table into its ScanBuilder. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (isVirtual(ident.name()))
+      throw new UnsupportedOperationException(
+        s"${ident.name()}: the virtual docs tables keep no version history")
+    val dir = dirFor(ident)
+    if (!Files.isDirectory(dir)) throw new NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"graft_docs version identifiers are numeric; got '$version'"))
+    // resolve NOW for a load-time error on a bad/vacuumed version
+    GraftVersions.manifest(dir, v)
+    new GraftRlTable(dir.toString, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` (micros since epoch, per the DSv2 contract):
+    * floor to the newest snapshot committed at or before ts. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (isVirtual(ident.name()))
+      throw new UnsupportedOperationException(
+        s"${ident.name()}: the virtual docs tables keep no version history")
+    val dir = dirFor(ident)
+    if (!Files.isDirectory(dir)) throw new NoSuchTableException(ident)
+    val v = GraftVersions.asOfTimestamp(dir, timestamp).version
+    new GraftRlTable(dir.toString, Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -131,6 +159,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         s"graft_docs tables have the fixed schema " +
           s"${GraftDocsSource.schema.simpleString}; got ${schema.simpleString}")
     Files.createDirectories(dir)
+    // TBLPROPERTIES('versioned'='true') / .tableProperty("versioned", …):
+    // snapshot-version the table from birth (v0 = the empty table)
+    if ("true".equalsIgnoreCase(properties.getOrDefault("versioned", "")))
+      GraftVersions.enable(dir)
     new GraftRlTable(dir.toString)
   }
 
@@ -210,17 +242,27 @@ object GraftBucketFunction extends UnboundFunction {
   * dump: leading word constant 6 = `RowDeltaUtils
   * .WRITE_WITH_METADATA_OPERATION`); the connector therefore always
   * requests `_file` for row-level operations. */
-class GraftRlTable(path: String) extends Table
+class GraftRlTable(path: String,
+    // Some(v): a `VERSION/TIMESTAMP AS OF` load — a READ-ONLY view of
+    // snapshot v (Spark rejects writes to time-travel relations at
+    // analysis; the capability set makes the contract explicit)
+    versionPin: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations
     with SupportsMetadataColumns with TruncatableTable {
-  override def name(): String = s"graft_docs(path=$path)"
+  override def name(): String =
+    s"graft_docs(path=$path${versionPin.map(v => s", version=$v").getOrElse("")})"
 
-  /** SQL `TRUNCATE TABLE` — metadata-only delete of every part file
-    * (no scan, no rewrite; the row-level DELETE path is for predicated
-    * deletes). */
+  /** SQL `TRUNCATE TABLE` — metadata-only: on a versioned table, one
+    * empty-snapshot manifest (files stay for time travel); otherwise
+    * delete of every part file (no scan, no rewrite; the row-level
+    * DELETE path is for predicated deletes). */
   override def truncateTable(): Boolean = {
     val dir = Paths.get(path)
     if (!Files.isDirectory(dir)) return false
+    if (GraftVersions.isVersioned(dir)) {
+      GraftVersions.advance(dir, "truncate", None, Nil)
+      return true
+    }
     val s = Files.list(dir)
     try {
       val it = s.iterator()
@@ -235,8 +277,9 @@ class GraftRlTable(path: String) extends Table
   }
   override def schema(): StructType = GraftDocsSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+    if (versionPin.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
       override def name(): String = "_file"
@@ -245,12 +288,16 @@ class GraftRlTable(path: String) extends Table
       override def comment(): String = "part file this row was read from"
     })
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftFilesScanBuilder(path)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftFilesScanBuilder(path, versionPin = versionPin)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(versionPin.isEmpty, s"$name is a read-only snapshot view")
     new GraftDocsWriteBuilder(path, info)
+  }
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(versionPin.isEmpty, s"$name is a read-only snapshot view")
     () => new GraftCowOperation(path, info.command())
+  }
 }
 
 /** Copy-on-write row-level operation at per-FILE group granularity —
@@ -293,13 +340,17 @@ class GraftCowOperation(path: String,
     new GraftFilesScanBuilder(path, Some(fs => matched = Some(fs)))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // staged replacement parts carry a per-write suffix so they can land
-    // beside the retained files of untouched groups
-    val suffix = "-" + Integer.toHexString(info.queryId().hashCode).takeRight(8)
+    // beside the retained files of untouched groups; the full queryId
+    // (UUID) as hex keeps names unique across ALL commits — on a
+    // versioned table a truncated-hash collision would silently overwrite
+    // a file an older snapshot still references
+    val suffix = "-" + info.queryId().toLowerCase.replaceAll("[^0-9a-f]", "")
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new GraftDocsBatchWrite(
           path, info.queryId(), info.schema(), truncate = true,
-          replaceScope = () => matched, fileSuffix = suffix)
+          replaceScope = () => matched, fileSuffix = suffix,
+          opName = cmd.toString.toLowerCase)
       }
     }
   }

@@ -417,12 +417,14 @@ class GraftDocsReaderFactory(cols: Array[String])
 // ---------------------------------------------------------------------------
 
 class GraftFilesScanBuilder(path: String,
-    onGroupFilter: Option[Set[String] => Unit] = None) extends ScanBuilder
+    onGroupFilter: Option[Set[String] => Unit] = None,
+    versionPin: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns {
   private var required: StructType = GraftDocsSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftFilesScan(path, required, onGroupFilter)
+  override def build(): Scan =
+    new GraftFilesScan(path, required, onGroupFilter, versionPin)
 }
 
 /** `part-*.tsv` names: plain writes use `part-NNNNN.tsv`; row-level
@@ -433,7 +435,10 @@ object GraftFiles {
 }
 
 class GraftFilesScan(path: String, required: StructType,
-    onGroupFilter: Option[Set[String] => Unit] = None)
+    onGroupFilter: Option[Set[String] => Unit] = None,
+    // Some(v): a time-travel read pinned to snapshot v; None: the live
+    // table (manifest-latest when versioned, directory listing otherwise)
+    versionPin: Option[Long] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   // files surviving runtime group filtering; None = no filter arrived
@@ -488,13 +493,25 @@ class GraftFilesScan(path: String, required: StructType,
     import scala.jdk.CollectionConverters._
     val dir = Paths.get(path)
     if (!Files.isDirectory(dir)) return Array.empty
-    val s = Files.list(dir)
-    try s.iterator().asScala.toArray
-      .filter(f => f.getFileName.toString.matches(GraftFiles.partFileRegex))
-      .filter(f => keep.forall(_.contains(f.getFileName.toString)))
-      .sortBy(_.getFileName.toString)
-      .map(f => GraftFilePartition(f.toString): InputPartition)
-    finally s.close()
+    // Versioned tables resolve their file list from a snapshot manifest
+    // (the pin, or latest — resolved HERE at plan time, so a scan
+    // observes one committed snapshot even if a commit lands mid-query);
+    // unversioned tables keep the original directory listing.
+    val names: Seq[String] =
+      if (GraftVersions.isVersioned(dir))
+        versionPin.map(GraftVersions.manifest(dir, _))
+          .orElse(GraftVersions.latest(dir)).map(_.files).getOrElse(Nil)
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.matches(GraftFiles.partFileRegex)).toSeq.sorted
+        finally s.close()
+      }
+    names
+      .filter(n => keep.forall(_.contains(n)))
+      .map(n => GraftFilePartition(dir.resolve(n).toString): InputPartition)
+      .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftFilesReaderFactory(required.fieldNames)
@@ -556,7 +573,8 @@ class GraftDocsWriteBuilder(path: String, info: LogicalWriteInfo)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftDocsBatchWrite(path, info.queryId(), info.schema(), doTruncate)
+      new GraftDocsBatchWrite(path, info.queryId(), info.schema(), doTruncate,
+        opName = if (doTruncate) "overwrite" else "append")
   }
 }
 
@@ -568,9 +586,21 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
     replaceScope: () => Option[Set[String]] = () => None,
     // suffix for staged file names so replacement parts never collide
     // with retained ones ("" for plain writes)
-    fileSuffix: String = "") extends BatchWrite {
+    fileSuffix: String = "",
+    // operation label recorded in the version log of a versioned table
+    opName: String = "write") extends BatchWrite {
   private def root = Paths.get(path)
   private def staging = root.resolve("_staging").resolve(queryId)
+  private def versioned = GraftVersions.isVersioned(root)
+
+  // On a VERSIONED table every commit's files must be unique forever —
+  // an unsuffixed second append would land a second part-00000.tsv on
+  // top of the one an older snapshot still references. The queryId (a
+  // UUID) as hex suffix makes names collision-free across all commits;
+  // unversioned tables keep their original plain names.
+  private def effSuffix: String =
+    if (fileSuffix.nonEmpty || !versioned) fileSuffix
+    else "-" + queryId.toLowerCase.replaceAll("[^0-9a-f]", "")
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
@@ -579,12 +609,15 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
     // write schema (Spark has already validated it against the table)
     val idx = Array("doc_id", "title", "fp", "n_words")
       .map(writeSchema.fieldIndex)
-    new GraftDocsWriterFactory(staging.toString, idx, fileSuffix)
+    new GraftDocsWriterFactory(staging.toString, idx, effSuffix)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     Files.createDirectories(root)
-    if (truncate) {
+    // A versioned table never deletes data at commit: superseded files
+    // stay for their snapshots (vacuum reclaims them); the manifest
+    // advance below is what removes them from the LIVE view.
+    if (truncate && !versioned) {
       val scope = replaceScope()
       val s = Files.list(root)
       try {
@@ -600,9 +633,19 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
         }
       } finally s.close()
     }
-    messages.foreach { case GraftDocsCommitMessage(name) =>
+    val added = messages.map { case GraftDocsCommitMessage(name) =>
       Files.move(staging.resolve(name), root.resolve(name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      name
+    }
+    if (versioned) {
+      val removed =
+        if (!truncate) Some(Set.empty[String]) // append: remove nothing
+        else replaceScope() match {
+          case Some(scope) => Some(scope) // COW rewrite: its file scope
+          case None => None               // overwrite: remove-all
+        }
+      GraftVersions.advance(root, opName, removed, added.toSeq)
     }
     Files.write(root.resolve("_SUCCESS"), Array.empty[Byte])
     cleanupStaging()

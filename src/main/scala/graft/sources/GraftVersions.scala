@@ -1,0 +1,207 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Snapshot-version log for the warehouse personality — the missing
+  * "catalog transaction log" the write path's Scaladoc notes
+  * ([[GraftDocsBatchWrite]]): an Iceberg/Delta-shaped manifest layer that
+  * makes every committed table state a durable, named, time-travelable
+  * SNAPSHOT.
+  *
+  * Opt-in per table (`TBLPROPERTIES('versioned'='true')` at CREATE, or
+  * [[GraftVersions.enable]] on an existing directory). Once enabled:
+  *
+  *  - every commit (append, overwrite, TRUNCATE, and the per-file
+  *    copy-on-write MERGE/UPDATE/DELETE rewrites) writes manifest
+  *    `_versions/v%05d.manifest` listing the part files that constitute
+  *    the new snapshot — and physically deletes NOTHING: superseded
+  *    files stay on disk for older snapshots until [[vacuum]];
+  *  - the scan resolves its file list from a manifest (latest, or a
+  *    pinned version for `VERSION AS OF` / `TIMESTAMP AS OF`) instead of
+  *    the directory listing, so concurrent readers get manifest-level
+  *    snapshot isolation: a scan planned mid-commit sees either the old
+  *    or the new snapshot, never a half-committed file mix;
+  *  - [[vacuum]] (snapshot retention) expires all but the last N
+  *    manifests and deletes exactly the part files no retained snapshot
+  *    references — commit work and cleanup both proportional to #files,
+  *    never a data rewrite.
+  *
+  * Why this matters for a training-data pipeline: "which exact bytes did
+  * run X train on" is answerable forever as `VERSION AS OF n` — the
+  * reproducibility contract Delta/Iceberg give a 100 TB corpus, here in
+  * its minimal complete form. The reference notebook
+  * (/root/reference/Assignment-python.py:134) reads plain immutable
+  * files and has no mutation story at all; this is the face its pipeline
+  * would need the day the corpus starts being curated in place.
+  *
+  * Manifest format (one text file per version, written once, never
+  * rewritten): line 1 `ts=<epochMicros>\top=<operation>`, then one part
+  * file name per line. Commit protocol: version numbers are claimed
+  * under a per-table JVM lock (single-driver deployment, matching
+  * local[*]); the manifest lands via write-to-temp + ATOMIC_MOVE so a
+  * concurrent reader never observes a partial manifest. Cross-driver
+  * commits would need a CAS-capable catalog (Iceberg) or a LogStore
+  * with putIfAbsent (Delta) — documented out of scope, loudly.
+  */
+object GraftVersions {
+  final case class VersionInfo(version: Long, tsMicros: Long, op: String,
+      files: Seq[String])
+
+  class NoSuchVersionException(msg: String)
+      extends IllegalArgumentException(msg)
+
+  private val DIR = "_versions"
+  private val ManifestName = "v(\\d{5,})\\.manifest".r
+
+  private def versionsDir(root: Path): Path = root.resolve(DIR)
+
+  def isVersioned(root: Path): Boolean = Files.isDirectory(versionsDir(root))
+
+  /** Per-table commit lock (normalized absolute path, interned so every
+    * writer in this JVM synchronizes on the same object). */
+  private def lockFor(root: Path): AnyRef =
+    root.toAbsolutePath.normalize().toString.intern()
+
+  /** Turn versioning on: snapshot the CURRENT directory contents as v0
+    * (op `enable`). Idempotent — enabling an already-versioned table is
+    * a no-op, so CREATE-with-property and a later explicit call
+    * compose. */
+  def enable(root: Path): Unit = lockFor(root).synchronized {
+    if (isVersioned(root)) return
+    Files.createDirectories(versionsDir(root))
+    val current = listPartFiles(root)
+    writeManifest(root, 0L, "enable", current)
+  }
+
+  private def listPartFiles(root: Path): Seq[String] = {
+    if (!Files.isDirectory(root)) return Nil
+    val s = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches(GraftFiles.partFileRegex)).toSeq.sorted
+    } finally s.close()
+  }
+
+  private def writeManifest(root: Path, version: Long, op: String,
+      files: Seq[String]): VersionInfo = {
+    // strictly-increasing timestamps: TIMESTAMP AS OF floor semantics
+    // need an unambiguous order even when two commits share a clock tick
+    val prevTs = latest(root).map(_.tsMicros).getOrElse(Long.MinValue)
+    val ts = math.max(System.currentTimeMillis() * 1000L, prevTs + 1L)
+    val body = (s"ts=$ts\top=$op" +: files).mkString("", "\n", "\n")
+    val target = versionsDir(root).resolve(f"v$version%05d.manifest")
+    if (Files.exists(target))
+      throw new IllegalStateException(
+        s"version $version already committed at $target")
+    val tmp = Files.createTempFile(versionsDir(root), s"v$version-", ".tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    VersionInfo(version, ts, op, files)
+  }
+
+  private def readManifest(root: Path, version: Long): VersionInfo = {
+    val p = versionsDir(root).resolve(f"v$version%05d.manifest")
+    val lines = Files.readAllLines(p, StandardCharsets.UTF_8)
+    require(!lines.isEmpty, s"empty manifest $p")
+    val header = lines.get(0).split("\t", -1).map { kv =>
+      val i = kv.indexOf('='); kv.substring(0, i) -> kv.substring(i + 1)
+    }.toMap
+    import scala.jdk.CollectionConverters._
+    VersionInfo(version, header("ts").toLong, header("op"),
+      lines.asScala.toSeq.tail.filter(_.nonEmpty))
+  }
+
+  def listVersionNumbers(root: Path): Seq[Long] = {
+    val vd = versionsDir(root)
+    if (!Files.isDirectory(vd)) return Nil
+    val s = Files.list(vd)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString).collect {
+        case ManifestName(n) => n.toLong
+      }.toSeq.sorted
+    } finally s.close()
+  }
+
+  def listVersions(root: Path): Seq[VersionInfo] =
+    listVersionNumbers(root).map(readManifest(root, _))
+
+  def latest(root: Path): Option[VersionInfo] =
+    listVersionNumbers(root).lastOption.map(readManifest(root, _))
+
+  /** Resolve a pinned version, with available-range errors a user can
+    * act on (mirrors Delta's `versionAsOf` error shape). */
+  def manifest(root: Path, version: Long): VersionInfo = {
+    val have = listVersionNumbers(root)
+    if (!have.contains(version))
+      throw new NoSuchVersionException(
+        s"no version $version for table at $root; available: " +
+          (if (have.isEmpty) "none (table is not versioned?)"
+           else s"[${have.head}, ${have.last}]" +
+             (if (have.length != (have.last - have.head + 1))
+                s" minus vacuumed ${((have.head to have.last).toSet -- have.toSet).toSeq.sorted.mkString(",")}"
+              else "")))
+    readManifest(root, version)
+  }
+
+  /** `TIMESTAMP AS OF` floor semantics: the newest snapshot committed at
+    * or before `tsMicros`. */
+  def asOfTimestamp(root: Path, tsMicros: Long): VersionInfo = {
+    val all = listVersions(root)
+    all.filter(_.tsMicros <= tsMicros).lastOption.getOrElse {
+      throw new NoSuchVersionException(
+        s"timestamp $tsMicros predates the oldest retained snapshot of " +
+          s"table at $root" +
+          all.headOption.map(v => s" (v${v.version} at ts=${v.tsMicros})")
+            .getOrElse(" (no snapshots)"))
+    }
+  }
+
+  /** Advance the log by one commit: new snapshot = (latest − removed) +
+    * added. `removed = None` means remove-all (overwrite / TRUNCATE
+    * semantics); the per-file COW rewrites pass their matched-file
+    * scope. Runs under the table lock so concurrent disjoint-scope
+    * commits serialize into consecutive versions, each rebased on the
+    * other's outcome — the manifest analog of the connector's
+    * disjoint-file concurrency promise. */
+  def advance(root: Path, op: String, removed: Option[Set[String]],
+      added: Seq[String]): VersionInfo = lockFor(root).synchronized {
+    val base = latest(root).getOrElse(
+      throw new IllegalStateException(s"advance on unversioned table $root"))
+    val kept = removed match {
+      case Some(scope) => base.files.filterNot(scope)
+      case None => Nil
+    }
+    writeManifest(root, base.version + 1, op, (kept ++ added).sorted)
+  }
+
+  final case class VacuumStats(expiredVersions: Seq[Long],
+      deletedFiles: Seq[String])
+
+  /** Snapshot retention: keep the newest `keepLast` snapshots, expire
+    * the rest, and delete exactly the part files no retained snapshot
+    * references. Retained snapshots stay byte-identically readable;
+    * expired ones fail with the available-range error. */
+  def vacuum(root: Path, keepLast: Int): VacuumStats =
+    lockFor(root).synchronized {
+      require(keepLast >= 1, s"vacuum must keep at least 1 snapshot")
+      val versions = listVersionNumbers(root)
+      val (expire, retain) =
+        versions.splitAt(math.max(versions.length - keepLast, 0))
+      val retainedFiles =
+        retain.flatMap(readManifest(root, _).files).toSet
+      val expiredFiles =
+        expire.flatMap(readManifest(root, _).files).toSet -- retainedFiles
+      // delete manifests first: a crash mid-vacuum must never leave a
+      // readable snapshot whose files are gone
+      expire.foreach { v =>
+        Files.deleteIfExists(versionsDir(root).resolve(f"v$v%05d.manifest"))
+      }
+      expiredFiles.toSeq.sorted.foreach { f =>
+        Files.deleteIfExists(root.resolve(f))
+      }
+      VacuumStats(expire, expiredFiles.toSeq.sorted)
+    }
+}

@@ -1,0 +1,208 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.{GraftDocsSource, GraftVersions}
+
+/** Snapshot versioning + time travel on the DSv2 warehouse tables
+  * (round 13): every commit — append, overwrite, TRUNCATE, and the
+  * copy-on-write MERGE/UPDATE/DELETE rewrites — lands a manifest in the
+  * table's `_versions` log; `VERSION AS OF` / `TIMESTAMP AS OF` read any
+  * retained snapshot bit-exactly; vacuum expires old snapshots and
+  * reclaims exactly the files no retained snapshot references.
+  */
+class VersioningSpec extends SparkSpec {
+
+  private def freshCatalog(tag: String): (String, java.nio.file.Path) = {
+    val wh = Files.createTempDirectory(s"graft_ver_$tag")
+    val cat = s"ver_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    (cat, wh)
+  }
+
+  private def docsRange(rows: Int) =
+    spark.read.format("graft.sources.GraftDocsSource")
+      .option("rows", rows.toString).load()
+
+  test("every commit snapshots; VERSION/TIMESTAMP AS OF read history exactly") {
+    val (cat, wh) = freshCatalog("tt")
+    try {
+      docsRange(30).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true").create()
+      spark.sql(s"UPDATE $cat.t SET n_words = 0 WHERE doc_id < 5")
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id >= 20")
+      spark.sql(s"INSERT INTO $cat.t SELECT 100L, 'late', 7L, 3")
+
+      val dir = wh.resolve("t")
+      val log = GraftVersions.listVersions(dir)
+      assert(log.map(_.op) == Seq("enable", "append", "update", "delete",
+        "append"))
+      assert(log.map(_.version) == Seq(0L, 1L, 2L, 3L, 4L))
+      assert(log.map(_.tsMicros) == log.map(_.tsMicros).sorted &&
+        log.map(_.tsMicros).distinct.length == log.length,
+        "commit timestamps must be strictly increasing")
+
+      def rows(sql: String): Seq[(Long, Int)] =
+        spark.sql(sql).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      // v0 = empty table at CREATE; v1 = the CTAS seed, original values
+      assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 0").count() == 0)
+      val v1 = rows(s"SELECT doc_id, n_words FROM $cat.t VERSION AS OF 1 ORDER BY doc_id")
+      assert(v1 == (0L until 30L).map(i => (i, GraftDocsSource.nWords(i))))
+      // v2: first five zeroed, nothing deleted yet
+      val v2 = rows(s"SELECT doc_id, n_words FROM $cat.t VERSION AS OF 2 ORDER BY doc_id")
+      assert(v2 == (0L until 30L).map(i =>
+        (i, if (i < 5) 0 else GraftDocsSource.nWords(i))))
+      // v3: rows >= 20 gone; v4 (= live table): the late insert appended
+      assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 3").count() == 20)
+      val live = rows(s"SELECT doc_id, n_words FROM $cat.t ORDER BY doc_id")
+      assert(live == rows(s"SELECT doc_id, n_words FROM $cat.t VERSION AS OF 4 ORDER BY doc_id"))
+      assert(live.last == (100L, 3) && live.length == 21)
+
+      // TIMESTAMP AS OF floors to the newest snapshot at-or-before ts:
+      // exactly v2's commit ts → v2; midway to v3 → still v2
+      val ts2 = log(2).tsMicros
+      val tsMid = (ts2 + log(3).tsMicros) / 2
+      for (ts <- Seq(ts2, tsMid)) {
+        val got = rows(s"SELECT doc_id, n_words FROM $cat.t " +
+          s"TIMESTAMP AS OF timestamp_micros(${ts}L) ORDER BY doc_id")
+        assert(got == v2, s"ts=$ts should resolve to v2")
+      }
+      // before the first snapshot: a clear error, not an empty read
+      val early = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.t TIMESTAMP AS OF " +
+          s"timestamp_micros(${log.head.tsMicros - 1}L)").collect()
+      }
+      assert(early.getMessage.contains("predates"))
+
+      // bad version: error names the available range
+      val bad = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 99").collect()
+      }
+      assert(bad.getMessage.contains("available") &&
+        bad.getMessage.contains("[0, 4]"))
+
+      // a pinned load is a read-only snapshot view
+      import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableCapability}
+      val catImpl = spark.sessionState.catalogManager.catalog(cat)
+        .asInstanceOf[TableCatalog]
+      val pinned = catImpl.loadTable(Identifier.of(Array.empty, "t"), "1")
+      assert(pinned.capabilities() ==
+        java.util.EnumSet.of(TableCapability.BATCH_READ))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
+  test("vacuum keeps the last N snapshots and reclaims exactly the rest") {
+    val (cat, wh) = freshCatalog("vac")
+    try {
+      docsRange(20).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true").create()
+      spark.sql(s"UPDATE $cat.t SET n_words = 1 WHERE doc_id = 3")
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id >= 15")     // v3
+      spark.sql(s"UPDATE $cat.t SET n_words = 2 WHERE doc_id = 7") // v4
+      val dir = wh.resolve("t")
+      val preVacuumV3 = spark.sql(
+        s"SELECT doc_id, n_words FROM $cat.t VERSION AS OF 3 ORDER BY doc_id")
+        .collect().toSeq
+
+      val stats = GraftVersions.vacuum(dir, keepLast = 2)
+      assert(stats.expiredVersions == Seq(0L, 1L, 2L))
+      assert(GraftVersions.listVersionNumbers(dir) == Seq(3L, 4L))
+
+      // on disk: exactly the union of the retained manifests' files
+      val referenced = GraftVersions.listVersions(dir).flatMap(_.files).toSet
+      val onDisk = dir.toFile.listFiles()
+        .map(_.getName).filter(_.matches(graft.sources.GraftFiles.partFileRegex))
+        .toSet
+      assert(onDisk == referenced)
+      assert(stats.deletedFiles.nonEmpty &&
+        stats.deletedFiles.forall(f => !onDisk.contains(f)))
+
+      // retained snapshots read exactly as before the vacuum
+      assert(spark.sql(
+        s"SELECT doc_id, n_words FROM $cat.t VERSION AS OF 3 ORDER BY doc_id")
+        .collect().toSeq == preVacuumV3)
+      assert(spark.table(s"$cat.t").count() == 15)
+      // expired snapshots fail loudly, naming what was vacuumed
+      val gone = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1").collect()
+      }
+      assert(gone.getMessage.contains("available"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
+  test("TRUNCATE on a versioned table is an empty snapshot, not a delete") {
+    val (cat, wh) = freshCatalog("tr")
+    try {
+      docsRange(10).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true").create()
+      spark.sql(s"TRUNCATE TABLE $cat.t")
+      assert(spark.table(s"$cat.t").count() == 0)
+      // pre-truncate snapshot still fully readable
+      assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1").count() == 10)
+      val dir = wh.resolve("t")
+      assert(GraftVersions.latest(dir).exists(v =>
+        v.op == "truncate" && v.files.isEmpty))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
+  test("concurrent disjoint-scope commits serialize into consecutive snapshots") {
+    val (cat, wh) = freshCatalog("cc")
+    try {
+      docsRange(40).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true").create()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val updates = Seq(
+        s"UPDATE $cat.t SET n_words = 11 WHERE doc_id < 10",
+        s"UPDATE $cat.t SET n_words = 22 WHERE doc_id >= 30")
+      Await.result(
+        Future.sequence(updates.map(u => Future(spark.sql(u)))), 120.seconds)
+      val dir = wh.resolve("t")
+      // both rewrites committed (order unknown): versions 2 and 3 exist
+      assert(GraftVersions.listVersionNumbers(dir) == Seq(0L, 1L, 2L, 3L))
+      val live = spark.table(s"$cat.t").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(3))).toSeq
+      assert(live == (0L until 40L).map(i =>
+        (i, if (i < 10) 11 else if (i >= 30) 22
+            else GraftDocsSource.nWords(i))))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
+  test("unversioned tables keep the original delete-on-rewrite behavior") {
+    val (cat, wh) = freshCatalog("uv")
+    try {
+      docsRange(10).writeTo(s"$cat.t").create()
+      val dir = wh.resolve("t")
+      assert(!GraftVersions.isVersioned(dir))
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id >= 5")
+      assert(!Files.isDirectory(dir.resolve("_versions")))
+      assert(spark.table(s"$cat.t").count() == 5)
+      val err = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 0").collect()
+      }
+      assert(err.getMessage.contains("not versioned"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+}
