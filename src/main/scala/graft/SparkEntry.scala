@@ -25,7 +25,7 @@ object SparkEntry {
       ops.Extended2.queries ++ ops.Round3.queries ++ ops.Round4.queries ++
       ops.Round5.queries ++ ops.Round6.queries ++ ops.Round7.queries ++
       ops.Round8.queries ++ ops.Round9.queries ++ ops.Round10.queries ++
-      ops.Round11.queries ++ ops.Round12.queries ++
+      ops.Round11.queries ++ ops.Round12.queries ++ ops.Round13.queries ++
       ml.Pipelines.queries ++ multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,6 +38,6 @@ object SparkEntry {
       ops.Extended2.oracle ++ ops.Round3.oracle ++ ops.Round4.oracle ++
       ops.Round5.oracle ++ ops.Round6.oracle ++ ops.Round7.oracle ++
       ops.Round8.oracle ++ ops.Round9.oracle ++ ops.Round10.oracle ++
-      ops.Round11.oracle ++ ops.Round12.oracle ++
+      ops.Round11.oracle ++ ops.Round12.oracle ++ ops.Round13.oracle ++
       ml.Pipelines.oracle ++ multimodal.Multimodal.oracle
 }
