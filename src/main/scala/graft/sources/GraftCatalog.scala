@@ -278,6 +278,12 @@ class GraftRlTable(path: String,
   override def schema(): StructType = GraftDocsSource.schema
   override def capabilities(): util.Set[TableCapability] =
     if (versionPin.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else if (GraftVersions.isVersioned(Paths.get(path)))
+      // versioned tables additionally stream their commit log
+      // (GraftVersionFeed): readStream.table(...) tails the history
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def metadataColumns(): Array[MetadataColumn] = Array(
@@ -288,7 +294,8 @@ class GraftRlTable(path: String,
       override def comment(): String = "part file this row was read from"
     })
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftFilesScanBuilder(path, versionPin = versionPin)
+    new GraftFilesScanBuilder(path, versionPin = versionPin,
+      options = options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(versionPin.isEmpty, s"$name is a read-only snapshot view")
     new GraftDocsWriteBuilder(path, info)

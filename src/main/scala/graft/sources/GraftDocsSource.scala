@@ -418,13 +418,17 @@ class GraftDocsReaderFactory(cols: Array[String])
 
 class GraftFilesScanBuilder(path: String,
     onGroupFilter: Option[Set[String] => Unit] = None,
-    versionPin: Option[Long] = None) extends ScanBuilder
+    versionPin: Option[Long] = None,
+    // readStream options (ignoreChanges) ride in via the scan builder
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns {
   private var required: StructType = GraftDocsSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new GraftFilesScan(path, required, onGroupFilter, versionPin)
+    new GraftFilesScan(path, required, onGroupFilter, versionPin,
+      ignoreChanges = options.getBoolean("ignoreChanges", false))
 }
 
 /** `part-*.tsv` names: plain writes use `part-NNNNN.tsv`; row-level
@@ -438,7 +442,9 @@ class GraftFilesScan(path: String, required: StructType,
     onGroupFilter: Option[Set[String] => Unit] = None,
     // Some(v): a time-travel read pinned to snapshot v; None: the live
     // table (manifest-latest when versioned, directory listing otherwise)
-    versionPin: Option[Long] = None)
+    versionPin: Option[Long] = None,
+    // streaming only: tolerate rewrite commits (see GraftVersionFeed)
+    ignoreChanges: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   // files surviving runtime group filtering; None = no filter arrived
@@ -512,6 +518,128 @@ class GraftFilesScan(path: String, required: StructType,
       .filter(n => keep.forall(_.contains(n)))
       .map(n => GraftFilePartition(dir.resolve(n).toString): InputPartition)
       .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftFilesReaderFactory(required.fieldNames)
+
+  /** Streaming personality of a VERSIONED warehouse table: the commit
+    * log is the offset axis — see [[GraftVersionFeed]]. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    if (!GraftVersions.isVersioned(Paths.get(path)))
+      throw new UnsupportedOperationException(
+        s"streaming reads of $path need a versioned table: the _versions " +
+          "commit log is the stream's offset axis (enable versioning with " +
+          "TBLPROPERTIES('versioned'='true') or GraftVersions.enable)")
+    new GraftVersionFeed(path, required, ignoreChanges)
+  }
+}
+
+/** Offset = "every commit up to and including version `v` has been
+  * emitted"; -1 = nothing consumed yet. */
+case class GraftVersionOffset(v: Long) extends Offset {
+  override def json: String = v.toString
+}
+
+/** Change feed over a versioned table's commit log — the readStream
+  * personality of the warehouse tables, shaped like Delta's table
+  * streaming:
+  *
+  *  - the OFFSET AXIS is the version number; each micro-batch consumes
+  *    EXACTLY ONE commit (admission unit = commit), so batch contents
+  *    are deterministic, bounded by what a single commit wrote, and
+  *    align 1:1 with the history q217 audits;
+  *  - a batch emits the rows of the files the commit ADDED (manifest
+  *    diff vs its predecessor) — exact row-level CDC for append-only
+  *    workloads. A REWRITE commit (update/delete/merge/overwrite/
+  *    truncate) fails the stream by default — silently treating a
+  *    rewritten file's full contents as "new rows" would double-count
+  *    its carried-over rows; `option("ignoreChanges", true)` opts into
+  *    exactly Delta's documented ignoreChanges semantics (re-emission
+  *    of rewritten files, consumers dedupe by key);
+  *  - a restart whose checkpointed offset predates VACUUMed history
+  *    fails loudly (the diff base is gone — silently restreaming the
+  *    full snapshot would duplicate everything already consumed); a
+  *    FRESH stream on a vacuumed table starts from the oldest retained
+  *    snapshot as its initial batch, then follows diffs — Delta's
+  *    initial-snapshot-then-tail semantics;
+  *  - `Trigger.AvailableNow` pins the target version at start and
+  *    terminates — the cron-resumable drain, same as the generative
+  *    stream's ([[GraftDocsMicroBatchStream]]).
+  *
+  * Column pruning composes (the same pruned readers as the batch scan).
+  */
+class GraftVersionFeed(path: String, required: StructType,
+    ignoreChanges: Boolean)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  private def dir = Paths.get(path)
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def initialOffset(): Offset = GraftVersionOffset(-1L)
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(GraftVersions.latest(dir).map(_.version).getOrElse(-1L))
+
+  // admission unit is one COMMIT per micro-batch; row-based limits
+  // don't apply (a commit is indivisible in the offset axis)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is the API")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftVersionOffset].v
+    val target = availableNowTarget.getOrElse(
+      GraftVersions.latest(dir).map(_.version).getOrElse(-1L))
+    // a FRESH stream on vacuumed history jumps straight to the oldest
+    // retained snapshot (its full contents are the initial batch); a
+    // resumed stream advances one commit at a time — a resumed offset
+    // inside vacuumed history is the stale-checkpoint error, raised
+    // with context in planInputPartitions
+    val oldest = GraftVersions.listVersionNumbers(dir).headOption.getOrElse(0L)
+    val next = if (s < 0) math.max(oldest, 0L) else s + 1
+    GraftVersionOffset(math.min(next, target))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftVersionOffset].v
+    val e = end.asInstanceOf[GraftVersionOffset].v
+    if (e <= s) return Array.empty
+    val retained = GraftVersions.listVersionNumbers(dir).toSet
+    if (s >= 0 && !retained.contains(s) && s < e)
+      throw new IllegalStateException(
+        s"stream checkpoint at version $s predates the retained history " +
+          s"of $path after vacuum (oldest retained: " +
+          s"v${retained.toSeq.sorted.headOption.getOrElse(-1L)}); restart " +
+          "the stream from scratch to take a fresh initial snapshot")
+    val added: Seq[String] =
+      (s + 1 to e).filter(retained.contains).flatMap { v =>
+        val info = GraftVersions.manifest(dir, v)
+        val base: Option[Set[String]] =
+          if (retained.contains(v - 1))
+            Some(GraftVersions.manifest(dir, v - 1).files.toSet)
+          else None // fresh stream's initial batch: the full snapshot
+        val isRewrite = base.exists(b => info.files.toSet != b &&
+          !b.subsetOf(info.files.toSet))
+        if (isRewrite && !ignoreChanges)
+          throw new IllegalStateException(
+            s"commit v$v of $path is a ${info.op} rewrite: re-emitting " +
+              "rewritten files would duplicate their carried-over rows. " +
+              "Set option(\"ignoreChanges\", true) to stream them anyway " +
+              "(consumers must dedupe by key), or time-travel the exact " +
+              "snapshots instead")
+        base match {
+          case Some(b) => info.files.filterNot(b)
+          case None => info.files
+        }
+      }
+    added.map(n =>
+      GraftFilePartition(dir.resolve(n).toString): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftFilesReaderFactory(required.fieldNames)

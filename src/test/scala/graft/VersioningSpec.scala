@@ -186,6 +186,127 @@ class VersioningSpec extends SparkSpec {
     }
   }
 
+  test("version feed streams one commit per batch and resumes from checkpoint") {
+    val (cat, wh) = freshCatalog("sf")
+    val base = Files.createTempDirectory("graft_feed")
+    try {
+      docsRange(10).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true").create()        // v0 + v1
+      spark.sql(s"INSERT INTO $cat.t SELECT doc_id, title, fp, n_words " +
+        "FROM VALUES (100L, 'a', 1L, 2), (101L, 'b', 2L, 3) " +
+        "AS s(doc_id, title, fp, n_words)")                 // v2
+
+      def drain(): Unit = {
+        val q = spark.readStream.table(s"$cat.t")
+          .writeStream.format("parquet")
+          .option("path", s"$base/data")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        assert(!q.isActive)
+      }
+      drain()
+      val ids1 = spark.read.parquet(s"$base/data")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids1 == ((0L until 10L) ++ Seq(100L, 101L)))
+
+      // new commit, second drain from the same checkpoint: ONLY the new
+      // rows land (offset axis = version number, resumed at v2)
+      spark.sql(s"INSERT INTO $cat.t SELECT 200L, 'c', 3L, 4") // v3
+      drain()
+      val ids2 = spark.read.parquet(s"$base/data")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids2 == ((0L until 10L) ++ Seq(100L, 101L, 200L)))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
+  test("version feed rejects rewrite commits unless ignoreChanges is set") {
+    val (cat, wh) = freshCatalog("rw")
+    val base = Files.createTempDirectory("graft_feed_rw")
+    try {
+      docsRange(10).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true").create()
+      spark.sql(s"UPDATE $cat.t SET n_words = 0 WHERE doc_id = 3") // rewrite
+      def drain(ignoreChanges: Boolean, tag: String): Unit = {
+        val r = spark.readStream
+        val reader = if (ignoreChanges) r.option("ignoreChanges", "true") else r
+        val q = reader.table(s"$cat.t")
+          .writeStream.format("parquet")
+          .option("path", s"$base/$tag/data")
+          .option("checkpointLocation", s"$base/$tag/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        q.exception.foreach(throw _)
+      }
+      val err = intercept[Exception] { drain(ignoreChanges = false, "strict") }
+      def causes(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => e.getMessage +: causes(e.getCause))
+      assert(causes(err).exists(m => m != null && m.contains("ignoreChanges")))
+      // with ignoreChanges: the rewritten file's rows re-emit (Delta's
+      // documented semantics) — full drain = v1's 10 rows + the
+      // rewritten file's contents (at least the changed row, possibly
+      // carried-over neighbors); dedupe by key downstream
+      drain(ignoreChanges = true, "loose")
+      val rows = spark.read.parquet(s"$base/loose/data")
+        .select("doc_id", "n_words").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(rows.count(_._1 == 3L) == 2, "doc 3 appears pre- and post-rewrite")
+      assert(rows.contains((3L, 0)))
+      assert(rows.map(_._1).distinct.sorted == (0L until 10L))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
+  test("version feed: vacuum fails stale checkpoints, fresh streams snapshot") {
+    val (cat, wh) = freshCatalog("vf")
+    val base = Files.createTempDirectory("graft_feed_vac")
+    try {
+      docsRange(6).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true").create()        // v0, v1
+      def drain(tag: String): Unit = {
+        val q = spark.readStream.table(s"$cat.t")
+          .writeStream.format("parquet")
+          .option("path", s"$base/$tag/data")
+          .option("checkpointLocation", s"$base/$tag/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        q.exception.foreach(throw _)
+      }
+      drain("early") // consumed through v1
+      spark.sql(s"INSERT INTO $cat.t SELECT 50L, 'x', 9L, 1") // v2
+      spark.sql(s"INSERT INTO $cat.t SELECT 51L, 'y', 8L, 2") // v3
+      GraftVersions.vacuum(wh.resolve("t"), keepLast = 2)     // keeps v2,v3
+      // the early stream's checkpoint (v1) predates retained history
+      val stale = intercept[Exception] { drain("early") }
+      def causes(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => e.getMessage +: causes(e.getCause))
+      assert(causes(stale).exists(m => m != null && m.contains("vacuum")))
+      // a FRESH stream takes the oldest retained snapshot as its initial
+      // batch, then follows diffs: v2's full state + v3's addition
+      drain("fresh")
+      val ids = spark.read.parquet(s"$base/fresh/data")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == ((0L until 6L) ++ Seq(50L, 51L)))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("unversioned tables keep the original delete-on-rewrite behavior") {
     val (cat, wh) = freshCatalog("uv")
     try {
