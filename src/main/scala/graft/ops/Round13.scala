@@ -173,10 +173,78 @@ object Round13 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q219: the version feed, oracle-checked — streaming on the verify bar
+  // ---------------------------------------------------------------------
+
+  /** The commit-log change feed ([[graft.sources.GraftVersionFeed]]) as a
+    * verified query — the first STREAMING query on the oracle surface
+    * (every other streaming seam is spec-verified): build an append-only
+    * versioned table, drain its feed with `Trigger.AvailableNow` into a
+    * parquet sink, commit more rows, drain AGAIN from the same
+    * checkpoint, and emit the sink's cumulative state after each drain.
+    * Exactly-once incremental consumption is what the numbers prove:
+    * drain 2 lands ONLY the rows of the commits after drain 1's
+    * checkpointed version (a re-emission would inflate rows/sums; a
+    * missed commit would deflate them). Both drains are hard-bounded:
+    * a feed that fails to terminate is stopped and thrown, never hung.
+    */
+  val q219VersionFeed: Q = (spark, dir) => {
+    val wh = Files.createTempDirectory("graft_ver_q219")
+    val sink = Files.createTempDirectory("graft_feed_q219")
+    val cat = "q219_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      def insertRange(lo: Int, hi: Int): Unit = {
+        spark.read.format("graft.sources.GraftDocsSource")
+          .option("rows", hi.toString).load()
+          .filter(col("doc_id") >= lo)
+          .createOrReplaceTempView(s"${cat}_ins")
+        spark.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_ins")
+        spark.catalog.dropTempView(s"${cat}_ins")
+      }
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "10").load()
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      insertRange(10, 12)                                   // v2
+      def drain(): Unit = {
+        val q = spark.readStream.table(s"$cat.t")
+          .writeStream.format("parquet")
+          .option("path", s"$sink/data")
+          .option("checkpointLocation", s"$sink/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val done = q.awaitTermination(180000)
+        if (!done) { q.stop(); throw new IllegalStateException(
+          "q219: version-feed drain did not terminate under AvailableNow") }
+        q.exception.foreach(throw _)
+      }
+      def sinkState(phase: String): DataFrame =
+        spark.read.parquet(s"$sink/data")
+          .agg(count(lit(1)).as("rows_in_sink"),
+            coalesce(sum("n_words"), lit(0L)).as("sum_words"))
+          .select(lit(phase).as("phase"), col("rows_in_sink"),
+            col("sum_words"))
+      drain()
+      val initial = OpsUtil.driverLiteral(sinkState("a_initial"))
+      insertRange(12, 15)                                   // v3
+      drain()
+      val incr = OpsUtil.driverLiteral(sinkState("b_incremental"))
+      initial.unionByName(incr).orderBy("phase")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(sink.toFile)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q216_time_travel" -> q216TimeTravel,
     "q217_version_changes" -> q217VersionChanges,
     "q218_snapshot_retention" -> q218SnapshotRetention,
+    "q219_version_feed" -> q219VersionFeed,
   )
 
   /** The scratch table's history is a closed-form function of doc_id
@@ -241,5 +309,15 @@ object Round13 {
         |  CAST((SELECT sw FROM v3) AS BIGINT) AS oldest_sum_words,
         |  CAST((SELECT n FROM v4) AS BIGINT) AS live_rows,
         |  CAST((SELECT sw FROM v4) AS BIGINT) AS live_sum_words""".stripMargin,
+    "q219_version_feed" ->
+      """WITH w AS (SELECT i, i % 91 + 9 AS nw FROM range(0, 15) t(i))
+        |SELECT 'a_initial' AS phase,
+        |  CAST(12 AS BIGINT) AS rows_in_sink,
+        |  CAST((SELECT SUM(nw) FROM w WHERE i < 12) AS BIGINT) AS sum_words
+        |UNION ALL
+        |SELECT 'b_incremental' AS phase,
+        |  CAST(15 AS BIGINT) AS rows_in_sink,
+        |  CAST((SELECT SUM(nw) FROM w) AS BIGINT) AS sum_words
+        |ORDER BY phase""".stripMargin,
   )
 }
