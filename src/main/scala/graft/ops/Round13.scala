@@ -240,11 +240,124 @@ object Round13 {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q220: OPTIMIZE-style compaction as a dataChange=false commit
+  // ---------------------------------------------------------------------
+
+  /** Small-file compaction, verified end to end: many small commits
+    * leave 10 part files; [[GraftVersions.compact]] rewrites the live
+    * rows into ONE file as a `dataChange=false` snapshot. Proven from
+    * reads: the live rows/sums are unchanged, the pre-compaction
+    * snapshot still time-travels, and a FRESH change-feed drain over
+    * the whole history emits each row exactly ONCE (a feed that
+    * re-emitted the compacted file would double every row — the
+    * Delta dataChange=false contract, caught by arithmetic). At
+    * 100 TB this is the nightly OPTIMIZE: one read + one write of
+    * live data, commit work proportional to #files, no log rewrite. */
+  val q220Compaction: Q = (spark, dir) => {
+    val wh = Files.createTempDirectory("graft_ver_q220")
+    val sink = Files.createTempDirectory("graft_feed_q220")
+    val cat = "q220_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "10").load()
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "12").load().filter(col("doc_id") >= 10)
+        .createOrReplaceTempView(s"${cat}_ins")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_ins") // v2
+      spark.catalog.dropTempView(s"${cat}_ins")
+      val tdir = wh.resolve("t")
+      val filesBefore = GraftVersions.latest(tdir).get.files.length.toLong
+      val compacted = GraftVersions.compact(spark, tdir, targetFiles = 1)
+      val live = spark.sql(
+        s"""SELECT COUNT(*) AS n, COALESCE(SUM(n_words), 0) AS w
+           |FROM $cat.t""".stripMargin).head()
+      val preCompact = spark
+        .sql(s"SELECT COUNT(*) AS n FROM $cat.t VERSION AS OF 2").head()
+      val q = spark.readStream.table(s"$cat.t")
+        .writeStream.format("parquet")
+        .option("path", s"$sink/data")
+        .option("checkpointLocation", s"$sink/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val done = q.awaitTermination(180000)
+      if (!done) { q.stop(); throw new IllegalStateException(
+        "q220: version-feed drain did not terminate under AvailableNow") }
+      q.exception.foreach(throw _)
+      val feed = spark.read.parquet(s"$sink/data")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("n_words"), lit(0L)).as("w")).head()
+      import spark.implicits._
+      OpsUtil.driverLiteral(Seq((
+        filesBefore, compacted.files.length.toLong,
+        live.getLong(0), live.getLong(1), preCompact.getLong(0),
+        feed.getLong(0), feed.getLong(1)
+      )).toDF("files_before", "files_after", "live_rows", "live_sum_words",
+        "precompact_rows", "feed_rows", "feed_sum_words"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(sink.toFile)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // q221: RESTORE — rewind a curated table, keeping the bad history
+  // ---------------------------------------------------------------------
+
+  /** Delta-style RESTORE as a verified query: seed, then a DELETE and
+    * an UPDATE (the "bad" commits), then restore to v1 — a NEW commit
+    * whose file set is v1's, zero data movement — then prove the table
+    * is still writable with one more append. One row per snapshot in
+    * the final log, each aggregated from an actual `VERSION AS OF`
+    * read: the restore row must be BIT-IDENTICAL in rows/sums to v1's
+    * (sharing its files), and the bad commits stay auditable in place.
+    * The incident-recovery path every curated corpus eventually needs:
+    * rewind is O(1) in data, and nothing is lost until vacuum. */
+  val q221Restore: Q = (spark, dir) => {
+    val wh = Files.createTempDirectory("graft_ver_q221")
+    val cat = "q221_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "10").load()
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id >= 5")           // v2
+      spark.sql(s"UPDATE $cat.t SET n_words = 0 WHERE doc_id = 1") // v3
+      val tdir = wh.resolve("t")
+      GraftVersions.restore(tdir, 1L)                              // v4
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "12").load().filter(col("doc_id") >= 10)
+        .createOrReplaceTempView(s"${cat}_ins")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_ins")    // v5
+      spark.catalog.dropTempView(s"${cat}_ins")
+      val perVersion = GraftVersions.listVersions(tdir).map { v =>
+        spark.sql(
+          s"""SELECT ${v.version}L AS version, '${v.op}' AS op,
+             |  COUNT(*) AS n_rows,
+             |  COALESCE(SUM(n_words), 0) AS sum_words
+             |FROM $cat.t VERSION AS OF ${v.version}""".stripMargin)
+      }.reduce(_ unionByName _)
+      OpsUtil.driverLiteral(perVersion.orderBy("version"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q216_time_travel" -> q216TimeTravel,
     "q217_version_changes" -> q217VersionChanges,
     "q218_snapshot_retention" -> q218SnapshotRetention,
     "q219_version_feed" -> q219VersionFeed,
+    "q220_compaction_versioned" -> q220Compaction,
+    "q221_restore" -> q221Restore,
   )
 
   /** The scratch table's history is a closed-form function of doc_id
@@ -319,5 +432,33 @@ object Round13 {
         |  CAST(15 AS BIGINT) AS rows_in_sink,
         |  CAST((SELECT SUM(nw) FROM w) AS BIGINT) AS sum_words
         |ORDER BY phase""".stripMargin,
+    // files_before: the CTAS seed plans min(8, 10) = 8 generative
+    // partitions (8 part files) and the filtered insert's pushed
+    // doc_id clamp [10,12) leaves min(8, 2) = 2 — pushdown-derived
+    // write parallelism, so the count is closed-form too
+    "q220_compaction_versioned" ->
+      """WITH w AS (SELECT i, i % 91 + 9 AS nw FROM range(0, 12) t(i))
+        |SELECT CAST(10 AS BIGINT) AS files_before,
+        |  CAST(1 AS BIGINT) AS files_after,
+        |  CAST(12 AS BIGINT) AS live_rows,
+        |  CAST((SELECT SUM(nw) FROM w) AS BIGINT) AS live_sum_words,
+        |  CAST(12 AS BIGINT) AS precompact_rows,
+        |  CAST(12 AS BIGINT) AS feed_rows,
+        |  CAST((SELECT SUM(nw) FROM w) AS BIGINT) AS feed_sum_words""".stripMargin,
+    "q221_restore" ->
+      """WITH w AS (SELECT i, i % 91 + 9 AS nw FROM range(0, 12) t(i)),
+        |v(version, op, n_rows, sum_words) AS (VALUES
+        |  (0, 'enable', 0, 0),
+        |  (1, 'append', 10, (SELECT SUM(nw) FROM w WHERE i < 10)),
+        |  (2, 'delete', 5, (SELECT SUM(nw) FROM w WHERE i < 5)),
+        |  (3, 'update', 5,
+        |    (SELECT SUM(CASE WHEN i = 1 THEN 0 ELSE nw END) FROM w
+        |      WHERE i < 5)),
+        |  (4, 'restore', 10, (SELECT SUM(nw) FROM w WHERE i < 10)),
+        |  (5, 'append', 12, (SELECT SUM(nw) FROM w)))
+        |SELECT CAST(version AS BIGINT) AS version, op,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(sum_words AS BIGINT) AS sum_words
+        |FROM v ORDER BY version""".stripMargin,
   )
 }

@@ -624,17 +624,22 @@ class GraftVersionFeed(path: String, required: StructType,
           if (retained.contains(v - 1))
             Some(GraftVersions.manifest(dir, v - 1).files.toSet)
           else None // fresh stream's initial batch: the full snapshot
-        val isRewrite = base.exists(b => info.files.toSet != b &&
-          !b.subsetOf(info.files.toSet))
-        if (isRewrite && !ignoreChanges)
-          throw new IllegalStateException(
-            s"commit v$v of $path is a ${info.op} rewrite: re-emitting " +
-              "rewritten files would duplicate their carried-over rows. " +
-              "Set option(\"ignoreChanges\", true) to stream them anyway " +
-              "(consumers must dedupe by key), or time-travel the exact " +
-              "snapshots instead")
         base match {
-          case Some(b) => info.files.filterNot(b)
+          // dataChange=false commits (compaction) rearranged files
+          // without changing rows: nothing to emit, nothing to reject.
+          // A fresh stream's initial snapshot (base=None) still
+          // materializes even if the latest commit was a compaction.
+          case Some(_) if !info.dataChange => Nil
+          case Some(b) =>
+            val isRewrite = info.files.toSet != b && !b.subsetOf(info.files.toSet)
+            if (isRewrite && !ignoreChanges)
+              throw new IllegalStateException(
+                s"commit v$v of $path is a ${info.op} rewrite: re-emitting " +
+                  "rewritten files would duplicate their carried-over rows. " +
+                  "Set option(\"ignoreChanges\", true) to stream them anyway " +
+                  "(consumers must dedupe by key), or time-travel the exact " +
+                  "snapshots instead")
+            info.files.filterNot(b)
           case None => info.files
         }
       }

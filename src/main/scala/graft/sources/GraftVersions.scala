@@ -45,8 +45,13 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * with putIfAbsent (Delta) — documented out of scope, loudly.
   */
 object GraftVersions {
+  /** `dataChange = false` marks a commit that rearranged FILES without
+    * changing ROWS (compaction): time travel and live reads treat it
+    * like any snapshot, but the change feed emits nothing for it —
+    * Delta's dataChange=false contract. Absent in a manifest header
+    * (pre-compaction logs) it defaults to true. */
   final case class VersionInfo(version: Long, tsMicros: Long, op: String,
-      files: Seq[String])
+      files: Seq[String], dataChange: Boolean = true)
 
   class NoSuchVersionException(msg: String)
       extends IllegalArgumentException(msg)
@@ -85,12 +90,13 @@ object GraftVersions {
   }
 
   private def writeManifest(root: Path, version: Long, op: String,
-      files: Seq[String]): VersionInfo = {
+      files: Seq[String], dataChange: Boolean = true): VersionInfo = {
     // strictly-increasing timestamps: TIMESTAMP AS OF floor semantics
     // need an unambiguous order even when two commits share a clock tick
     val prevTs = latest(root).map(_.tsMicros).getOrElse(Long.MinValue)
     val ts = math.max(System.currentTimeMillis() * 1000L, prevTs + 1L)
-    val body = (s"ts=$ts\top=$op" +: files).mkString("", "\n", "\n")
+    val body = (s"ts=$ts\top=$op\tdataChange=$dataChange" +: files)
+      .mkString("", "\n", "\n")
     val target = versionsDir(root).resolve(f"v$version%05d.manifest")
     if (Files.exists(target))
       throw new IllegalStateException(
@@ -98,7 +104,7 @@ object GraftVersions {
     val tmp = Files.createTempFile(versionsDir(root), s"v$version-", ".tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    VersionInfo(version, ts, op, files)
+    VersionInfo(version, ts, op, files, dataChange)
   }
 
   private def readManifest(root: Path, version: Long): VersionInfo = {
@@ -110,7 +116,8 @@ object GraftVersions {
     }.toMap
     import scala.jdk.CollectionConverters._
     VersionInfo(version, header("ts").toLong, header("op"),
-      lines.asScala.toSeq.tail.filter(_.nonEmpty))
+      lines.asScala.toSeq.tail.filter(_.nonEmpty),
+      header.get("dataChange").forall(_.toBoolean))
   }
 
   def listVersionNumbers(root: Path): Seq[Long] = {
@@ -167,14 +174,68 @@ object GraftVersions {
     * other's outcome — the manifest analog of the connector's
     * disjoint-file concurrency promise. */
   def advance(root: Path, op: String, removed: Option[Set[String]],
-      added: Seq[String]): VersionInfo = lockFor(root).synchronized {
-    val base = latest(root).getOrElse(
-      throw new IllegalStateException(s"advance on unversioned table $root"))
-    val kept = removed match {
-      case Some(scope) => base.files.filterNot(scope)
-      case None => Nil
+      added: Seq[String], dataChange: Boolean = true): VersionInfo =
+    lockFor(root).synchronized {
+      val base = latest(root).getOrElse(
+        throw new IllegalStateException(s"advance on unversioned table $root"))
+      val kept = removed match {
+        case Some(scope) => base.files.filterNot(scope)
+        case None => Nil
+      }
+      writeManifest(root, base.version + 1, op, (kept ++ added).sorted,
+        dataChange)
     }
-    writeManifest(root, base.version + 1, op, (kept ++ added).sorted)
+
+  /** OPTIMIZE-style small-file compaction: rewrite the LIVE snapshot's
+    * rows into `targetFiles` part files and commit them as a
+    * `dataChange = false` snapshot — time travel to every prior version
+    * still reads the original files (nothing is deleted until vacuum),
+    * live reads plan the few compacted files, and the change feed skips
+    * the commit entirely (no rows changed, nothing to re-emit). The
+    * compacted files are written and moved in BEFORE the manifest
+    * advance, so a crash mid-compaction leaves only unreferenced files
+    * (vacuum reclaims them), never a corrupted snapshot. Cost is one
+    * read + one write of the live rows — the classic nightly OPTIMIZE
+    * a 100 TB table runs per partition, never a log rewrite. */
+  def compact(spark: org.apache.spark.sql.SparkSession, root: Path,
+      targetFiles: Int = 1): VersionInfo = {
+    require(isVersioned(root), s"compact needs a versioned table: $root")
+    val live = spark.read.format("graft.sources.GraftDocsSource")
+      .option("path", root.toString).load()
+      .coalesce(math.max(targetFiles, 1))
+    val tmp = Files.createTempDirectory(root, "_compact")
+    try {
+      live.write.format("graft.sources.GraftDocsSource")
+        .option("path", tmp.toString).mode("append").save()
+      val staged = listPartFiles(tmp)
+      // land beside the originals under collision-free names
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+      val landed = staged.zipWithIndex.map { case (n, i) =>
+        val name = f"part-$i%05d-$tag.tsv"
+        Files.move(tmp.resolve(n), root.resolve(name),
+          StandardCopyOption.ATOMIC_MOVE)
+        name
+      }
+      advance(root, "compact", removed = None, added = landed,
+        dataChange = false)
+    } finally {
+      try org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Delta-style RESTORE: make snapshot `version` the live state again
+    * via a NEW commit whose file set is the old snapshot's (zero data
+    * movement — manifests share files; vacuum's union-of-retained
+    * reference counting already handles sharing). History is preserved:
+    * the bad commits stay time-travelable until vacuumed, and the
+    * restore itself is an auditable `restore` entry. A dataChange
+    * commit: downstream feeds fail (or re-consume under ignoreChanges)
+    * exactly as they would for any rewrite — silently rewinding a
+    * consumed stream would corrupt consumers. */
+  def restore(root: Path, version: Long): VersionInfo = {
+    val target = manifest(root, version) // throws if vacuumed/absent
+    advance(root, "restore", removed = None, added = target.files)
   }
 
   final case class VacuumStats(expiredVersions: Seq[Long],

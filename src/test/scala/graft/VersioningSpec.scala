@@ -307,6 +307,86 @@ class VersioningSpec extends SparkSpec {
     }
   }
 
+  test("compaction is a dataChange=false commit: fewer files, same rows, feed silent") {
+    val (cat, wh) = freshCatalog("cp")
+    val base = Files.createTempDirectory("graft_feed_cp")
+    try {
+      docsRange(12).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true").create()        // v0, v1
+      spark.sql(s"INSERT INTO $cat.t SELECT 50L, 'x', 9L, 7") // v2
+      val dir = wh.resolve("t")
+      def drain(): Unit = {
+        val q = spark.readStream.table(s"$cat.t")
+          .writeStream.format("parquet")
+          .option("path", s"$base/data")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        q.exception.foreach(throw _)
+      }
+      drain() // consume v0..v2
+      val filesBefore = GraftVersions.latest(dir).get.files.length
+      val liveBefore = spark.table(s"$cat.t").orderBy("doc_id").collect().toSeq
+
+      val info = GraftVersions.compact(spark, dir, targetFiles = 1) // v3
+      assert(info.op == "compact" && !info.dataChange)
+      assert(info.files.length == 1 && filesBefore > 1)
+      // same rows, live and time-traveled; pre-compact snapshots intact
+      assert(spark.table(s"$cat.t").orderBy("doc_id").collect().toSeq
+        == liveBefore)
+      assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 2").count() == 13)
+      // the feed emits NOTHING for the compaction commit...
+      drain()
+      assert(spark.read.parquet(s"$base/data").count() == 13)
+      // ...but keeps tailing data commits committed after it
+      spark.sql(s"INSERT INTO $cat.t SELECT 51L, 'y', 8L, 3") // v4
+      drain()
+      assert(spark.read.parquet(s"$base/data").count() == 14)
+      // vacuum after compaction reclaims the superseded small files
+      GraftVersions.vacuum(dir, keepLast = 2) // keeps v3 (compact), v4
+      assert(spark.table(s"$cat.t").count() == 14)
+      assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 3").count() == 13)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
+  test("restore rewinds the live state via a new commit, preserving history") {
+    val (cat, wh) = freshCatalog("rs")
+    try {
+      docsRange(10).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true").create()        // v0, v1
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id >= 5")    // v2
+      spark.sql(s"UPDATE $cat.t SET n_words = 0 WHERE doc_id = 1") // v3
+      val dir = wh.resolve("t")
+      val v1Rows = spark.sql(
+        s"SELECT * FROM $cat.t VERSION AS OF 1 ORDER BY doc_id")
+        .collect().toSeq
+
+      val info = GraftVersions.restore(dir, 1L)             // v4
+      assert(info.op == "restore" && info.version == 4L && info.dataChange)
+      // live == v1, bit-exact; the bad commits remain time-travelable
+      assert(spark.table(s"$cat.t").orderBy("doc_id").collect().toSeq
+        == v1Rows)
+      assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 3").count() == 5)
+      // the table stays writable after a restore
+      spark.sql(s"INSERT INTO $cat.t SELECT 99L, 'z', 1L, 2") // v5
+      assert(spark.table(s"$cat.t").count() == 11)
+      // restoring a vacuumed version fails with the available range
+      GraftVersions.vacuum(dir, keepLast = 2)
+      val err = intercept[Exception] { GraftVersions.restore(dir, 1L) }
+      assert(err.getMessage.contains("available"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
   test("unversioned tables keep the original delete-on-rewrite behavior") {
     val (cat, wh) = freshCatalog("uv")
     try {
