@@ -351,6 +351,45 @@ object Round13 {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q222: the history metadata table — the commit log from SQL
+  // ---------------------------------------------------------------------
+
+  /** `SELECT ... FROM cat.t.history` (Iceberg's metadata-table idiom /
+    * Delta's DESCRIBE HISTORY): the commit log as a relation, resolved
+    * through the catalog's multipart-identifier path. The history here
+    * is append+compact+restore so every column incl. the FILE COUNTS is
+    * closed-form: the CTAS seed plans min(8, rows)=8 generative
+    * partitions, the clamped insert min(8, 2)=2, compaction lands 1,
+    * and restore re-references v1's 8. Audit-sized scan: one partition
+    * over #versions manifest lines, never data. */
+  val q222History: Q = (spark, dir) => {
+    val wh = Files.createTempDirectory("graft_ver_q222")
+    val cat = "q222_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "10").load()
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "12").load().filter(col("doc_id") >= 10)
+        .createOrReplaceTempView(s"${cat}_ins")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_ins")   // v2
+      spark.catalog.dropTempView(s"${cat}_ins")
+      val tdir = wh.resolve("t")
+      GraftVersions.compact(spark, tdir, targetFiles = 1)         // v3
+      GraftVersions.restore(tdir, 1L)                             // v4
+      OpsUtil.driverLiteral(spark.sql(
+        s"""SELECT version, op, data_change, n_files
+           |FROM $cat.t.history ORDER BY version""".stripMargin))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q216_time_travel" -> q216TimeTravel,
     "q217_version_changes" -> q217VersionChanges,
@@ -358,6 +397,7 @@ object Round13 {
     "q219_version_feed" -> q219VersionFeed,
     "q220_compaction_versioned" -> q220Compaction,
     "q221_restore" -> q221Restore,
+    "q222_history_table" -> q222History,
   )
 
   /** The scratch table's history is a closed-form function of doc_id
@@ -459,6 +499,16 @@ object Round13 {
         |SELECT CAST(version AS BIGINT) AS version, op,
         |  CAST(n_rows AS BIGINT) AS n_rows,
         |  CAST(sum_words AS BIGINT) AS sum_words
+        |FROM v ORDER BY version""".stripMargin,
+    "q222_history_table" ->
+      """WITH v(version, op, data_change, n_files) AS (VALUES
+        |  (0, 'enable', TRUE, 0),
+        |  (1, 'append', TRUE, 8),
+        |  (2, 'append', TRUE, 10),
+        |  (3, 'compact', FALSE, 1),
+        |  (4, 'restore', TRUE, 8))
+        |SELECT CAST(version AS BIGINT) AS version, op, data_change,
+        |  CAST(n_files AS INT) AS n_files
         |FROM v ORDER BY version""".stripMargin,
   )
 }

@@ -105,6 +105,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
           new GraftDocsTable(rows.toLong, 8, None, buckets.toInt)
         case _ => throw new NoSuchTableException(ident)
       }
+    case "history" if ident.namespace().nonEmpty &&
+        Files.isDirectory(dirFor(ident).getParent) &&
+        !Files.isDirectory(dirFor(ident)) =>
+      // Iceberg-style METADATA TABLE: `SELECT * FROM cat.t.history`
+      // resolves here as Identifier(ns=[...,"t"], name="history") —
+      // the commit log as a queryable relation (version, ts, op,
+      // dataChange, file count). Only for versioned parents; a real
+      // directory named "history" keeps winning above.
+      val parent = dirFor(ident).getParent
+      if (!GraftVersions.isVersioned(parent))
+        throw new NoSuchTableException(ident)
+      new GraftHistoryTable(parent.toString)
     case _ =>
       val dir = dirFor(ident)
       if (!Files.isDirectory(dir)) throw new NoSuchTableException(ident)
@@ -200,6 +212,69 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       case "bucket" => GraftBucketFunction
       case _ => throw new NoSuchFunctionException(ident)
     }
+}
+
+/** The `history` metadata table of a versioned warehouse table — the
+  * commit log as a relation (Iceberg's `t.history` / Delta's DESCRIBE
+  * HISTORY, DSv2-native): one row per retained snapshot. Reading is a
+  * single-partition executor-side scan of the manifests; the log is
+  * #versions-sized (audit-sized), never data-sized. Read-only. */
+class GraftHistoryTable(tableDir: String) extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read._
+  override def name(): String = s"graft_docs(path=$tableDir).history"
+  override def schema(): StructType = GraftHistoryTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required = GraftHistoryTable.schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = required
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"GraftDocs history log of $tableDir"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GraftHistoryPartition(tableDir))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new GraftHistoryReaderFactory(required.fieldNames)
+      }
+    }
+}
+
+object GraftHistoryTable {
+  val schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("ts_micros", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("data_change", BooleanType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false)))
+}
+
+case class GraftHistoryPartition(tableDir: String)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+class GraftHistoryReaderFactory(cols: Array[String])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val dir = Paths.get(p.asInstanceOf[GraftHistoryPartition].tableDir)
+    new PartitionReader[InternalRow] {
+      private val it = GraftVersions.listVersions(dir).iterator
+      private var cur: GraftVersions.VersionInfo = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = InternalRow.fromSeq(cols.toSeq.map {
+        case "version" => cur.version
+        case "ts_micros" => cur.tsMicros
+        case "op" =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(cur.op)
+        case "data_change" => cur.dataChange
+        case "n_files" => cur.files.length
+      })
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** `bucket(numBuckets, doc_id)` — the layout function behind the bucketed

@@ -387,6 +387,37 @@ class VersioningSpec extends SparkSpec {
     }
   }
 
+  test("the history metadata table exposes the commit log to SQL") {
+    val (cat, wh) = freshCatalog("hi")
+    try {
+      docsRange(10).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true").create()
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id >= 8")
+      val hist = spark.sql(
+        s"SELECT version, op, data_change, n_files FROM $cat.t.history " +
+          "ORDER BY version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+      assert(hist.map(h => (h._1, h._2)) ==
+        Seq((0L, "enable"), (1L, "append"), (2L, "delete")))
+      assert(hist.forall(_._3))
+      // ts_micros column agrees with the log and is strictly increasing
+      val ts = spark.sql(s"SELECT ts_micros FROM $cat.t.history ORDER BY version")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ts == GraftVersions.listVersions(wh.resolve("t")).map(_.tsMicros))
+      assert(ts == ts.sorted && ts.distinct.length == ts.length)
+      // no history face for unversioned tables or bogus names
+      docsRange(3).writeTo(s"$cat.plain").create()
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.plain.history").collect() }
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.t.nonsense").collect() }
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
   test("unversioned tables keep the original delete-on-rewrite behavior") {
     val (cat, wh) = freshCatalog("uv")
     try {
