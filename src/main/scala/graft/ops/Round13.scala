@@ -390,6 +390,69 @@ object Round13 {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q223: file skipping — manifest min/max stats prune the scan
+  // ---------------------------------------------------------------------
+
+  /** Data skipping on the warehouse tables, verified from planned work:
+    * versioned commits record per-file doc_id min/max in their
+    * manifests, and a scan with a pushed doc_id range PLANS ONLY the
+    * files whose range intersects it (parquet-style unit pruning:
+    * files skipped early, rows still filtered exactly). Three clamped
+    * appends leave 6 files with known disjoint ranges; a BETWEEN over
+    * 2 of them plans exactly 2 input partitions. Then range-clustered
+    * compaction (repartitionByRange + sortWithinPartitions — the
+    * Z-order-lite layout) rewrites into 2 disjoint sorted files and
+    * the same-shaped selective query plans exactly 1. The planned
+    * counts are IN the output row: a pruning regression breaks the
+    * oracle hash, not just a perf trend. At 100 TB this is the
+    * difference between touching 3 files and 30,000. */
+  val q223FileSkipping: Q = (spark, dir) => {
+    val wh = Files.createTempDirectory("graft_ver_q223")
+    val cat = "q223_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "10").option("partitions", "2").load()
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      for (lo <- Seq(10, 20)) {
+        spark.read.format("graft.sources.GraftDocsSource")
+          .option("rows", (lo + 10).toString).option("partitions", "2").load()
+          .filter(col("doc_id") >= lo)
+          .createOrReplaceTempView(s"${cat}_ins")
+        spark.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_ins")
+        spark.catalog.dropTempView(s"${cat}_ins")
+      }
+      val tdir = wh.resolve("t")
+      def planned(pred: String): Long =
+        spark.sql(s"SELECT * FROM $cat.t WHERE $pred")
+          .rdd.getNumPartitions.toLong
+      def agg(pred: String) = spark.sql(
+        s"""SELECT COUNT(*) AS n, COALESCE(SUM(n_words), 0) AS w
+           |FROM $cat.t WHERE $pred""".stripMargin).head()
+      val totalFiles = GraftVersions.latest(tdir).get.entries.length.toLong
+      val plannedRange = planned("doc_id BETWEEN 12 AND 17")
+      val aggRange = agg("doc_id BETWEEN 12 AND 17")
+      val compacted = GraftVersions.compact(spark, tdir, targetFiles = 2,
+        clusterByDocId = true)
+      val plannedAfter = planned("doc_id BETWEEN 2 AND 7")
+      val aggAfter = agg("doc_id BETWEEN 2 AND 7")
+      import spark.implicits._
+      OpsUtil.driverLiteral(Seq((
+        totalFiles, plannedRange, aggRange.getLong(0), aggRange.getLong(1),
+        compacted.entries.length.toLong, plannedAfter,
+        aggAfter.getLong(0), aggAfter.getLong(1)
+      )).toDF("total_files", "planned_files_range", "rows_range",
+        "sum_words_range", "files_after_compact", "planned_after_compact",
+        "rows_after_compact", "sum_words_after_compact"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q216_time_travel" -> q216TimeTravel,
     "q217_version_changes" -> q217VersionChanges,
@@ -398,6 +461,7 @@ object Round13 {
     "q220_compaction_versioned" -> q220Compaction,
     "q221_restore" -> q221Restore,
     "q222_history_table" -> q222History,
+    "q223_file_skipping" -> q223FileSkipping,
   )
 
   /** The scratch table's history is a closed-form function of doc_id
@@ -510,5 +574,20 @@ object Round13 {
         |SELECT CAST(version AS BIGINT) AS version, op, data_change,
         |  CAST(n_files AS INT) AS n_files
         |FROM v ORDER BY version""".stripMargin,
+    // ranges [0,5)[5,10) | [10,15)[15,20) | [20,25)[25,30): BETWEEN 12
+    // AND 17 intersects exactly 2 files; after range-clustered
+    // compaction into 2 disjoint sorted files, BETWEEN 2 AND 7 plans 1
+    "q223_file_skipping" ->
+      """WITH w AS (SELECT i, i % 91 + 9 AS nw FROM range(0, 30) t(i))
+        |SELECT CAST(6 AS BIGINT) AS total_files,
+        |  CAST(2 AS BIGINT) AS planned_files_range,
+        |  CAST(6 AS BIGINT) AS rows_range,
+        |  CAST((SELECT SUM(nw) FROM w WHERE i BETWEEN 12 AND 17)
+        |    AS BIGINT) AS sum_words_range,
+        |  CAST(2 AS BIGINT) AS files_after_compact,
+        |  CAST(1 AS BIGINT) AS planned_after_compact,
+        |  CAST(6 AS BIGINT) AS rows_after_compact,
+        |  CAST((SELECT SUM(nw) FROM w WHERE i BETWEEN 2 AND 7)
+        |    AS BIGINT) AS sum_words_after_compact""".stripMargin,
   )
 }

@@ -422,13 +422,51 @@ class GraftFilesScanBuilder(path: String,
     // readStream options (ignoreChanges) ride in via the scan builder
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = GraftDocsSource.schema
+  private var lo = Long.MinValue
+  private var hi = Long.MaxValue
+  private var accepted = Array.empty[Filter]
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** doc_id range predicates drive FILE SKIPPING against the manifest's
+    * per-file min/max stats (versioned tables only). Unlike the
+    * generative scan's exact clamps, file stats are file-level, not
+    * row-exact — so every filter is returned as RESIDUAL for Spark to
+    * re-evaluate per row, and `pushedFilters` reports the ranges only
+    * for EXPLAIN visibility. This is precisely how parquet min/max
+    * pruning composes: prune units early, still filter rows. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach {
+      case GreaterThan("doc_id", v: Number) =>
+        lo = math.max(lo, v.longValue + 1)
+      case GreaterThanOrEqual("doc_id", v: Number) =>
+        lo = math.max(lo, v.longValue)
+      case LessThan("doc_id", v: Number) =>
+        hi = math.min(hi, v.longValue - 1)
+      case LessThanOrEqual("doc_id", v: Number) =>
+        hi = math.min(hi, v.longValue)
+      case EqualTo("doc_id", v: Number) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue)
+      case _ => ()
+    }
+    accepted = filters.filter {
+      case GreaterThan("doc_id", _: Number) |
+           GreaterThanOrEqual("doc_id", _: Number) |
+           LessThan("doc_id", _: Number) |
+           LessThanOrEqual("doc_id", _: Number) |
+           EqualTo("doc_id", _: Number) => true
+      case _ => false
+    }
+    filters // all residual: stats prune files, Spark filters rows
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
   override def build(): Scan =
     new GraftFilesScan(path, required, onGroupFilter, versionPin,
-      ignoreChanges = options.getBoolean("ignoreChanges", false))
+      ignoreChanges = options.getBoolean("ignoreChanges", false),
+      idRange = (lo, hi))
 }
 
 /** `part-*.tsv` names: plain writes use `part-NNNNN.tsv`; row-level
@@ -444,7 +482,9 @@ class GraftFilesScan(path: String, required: StructType,
     // table (manifest-latest when versioned, directory listing otherwise)
     versionPin: Option[Long] = None,
     // streaming only: tolerate rewrite commits (see GraftVersionFeed)
-    ignoreChanges: Boolean = false)
+    ignoreChanges: Boolean = false,
+    // pushed doc_id bounds: prune files by manifest min/max stats
+    idRange: (Long, Long) = (Long.MinValue, Long.MaxValue))
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   // files surviving runtime group filtering; None = no filter arrived
@@ -501,12 +541,17 @@ class GraftFilesScan(path: String, required: StructType,
     if (!Files.isDirectory(dir)) return Array.empty
     // Versioned tables resolve their file list from a snapshot manifest
     // (the pin, or latest — resolved HERE at plan time, so a scan
-    // observes one committed snapshot even if a commit lands mid-query);
-    // unversioned tables keep the original directory listing.
+    // observes one committed snapshot even if a commit lands mid-query)
+    // and SKIP files whose recorded doc_id min/max is disjoint from the
+    // pushed range — planning work proportional to the files a
+    // selective query can actually touch. Unversioned tables keep the
+    // original directory listing (no stats, no pruning).
     val names: Seq[String] =
       if (GraftVersions.isVersioned(dir))
         versionPin.map(GraftVersions.manifest(dir, _))
-          .orElse(GraftVersions.latest(dir)).map(_.files).getOrElse(Nil)
+          .orElse(GraftVersions.latest(dir)).map(_.entries).getOrElse(Nil)
+          .filter(_.mayContain(idRange._1, idRange._2))
+          .map(_.name)
       else {
         val s = Files.list(dir)
         try s.iterator().asScala
@@ -766,10 +811,10 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
         }
       } finally s.close()
     }
-    val added = messages.map { case GraftDocsCommitMessage(name) =>
+    val added = messages.map { case GraftDocsCommitMessage(name, mn, mx) =>
       Files.move(staging.resolve(name), root.resolve(name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      name
+      GraftVersions.FileEntry(name, Some((mn, mx)))
     }
     if (versioned) {
       val removed =
@@ -797,7 +842,12 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
   }
 }
 
-case class GraftDocsCommitMessage(fileName: String) extends WriterCommitMessage
+/** Task-commit message: the staged file plus its observed doc_id
+  * min/max — the per-file statistics a versioned commit records in its
+  * manifest for scan-time file skipping. An empty file reports
+  * (0, -1) (min > max): prunable by every predicate. */
+case class GraftDocsCommitMessage(fileName: String, minId: Long = 0L,
+    maxId: Long = -1L) extends WriterCommitMessage
 
 class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
     fileSuffix: String = "")
@@ -808,8 +858,13 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
       private val attempt =
         Paths.get(stagingDir).resolve(s"$finalName.attempt-$taskId")
       private val out = Files.newBufferedWriter(attempt, StandardCharsets.UTF_8)
+      private var minId = Long.MaxValue
+      private var maxId = Long.MinValue
       override def write(row: InternalRow): Unit = {
-        out.write(row.getLong(idx(0)).toString); out.write('\t')
+        val id = row.getLong(idx(0))
+        if (id < minId) minId = id
+        if (id > maxId) maxId = id
+        out.write(id.toString); out.write('\t')
         out.write(row.getUTF8String(idx(1)).toString); out.write('\t')
         out.write(row.getLong(idx(2)).toString); out.write('\t')
         out.write(row.getInt(idx(3)).toString); out.write('\n')
@@ -818,7 +873,8 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
         out.close()
         Files.move(attempt, Paths.get(stagingDir).resolve(finalName),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        GraftDocsCommitMessage(finalName)
+        if (minId > maxId) GraftDocsCommitMessage(finalName) // empty file
+        else GraftDocsCommitMessage(finalName, minId, maxId)
       }
       override def abort(): Unit = { out.close(); Files.deleteIfExists(attempt) }
       override def close(): Unit = ()

@@ -45,13 +45,32 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * with putIfAbsent (Delta) — documented out of scope, loudly.
   */
 object GraftVersions {
+  /** A data file in a snapshot, with optional per-file doc_id min/max —
+    * the Iceberg/Delta file-statistics idea in its minimal form: the
+    * scan prunes files whose range is disjoint from a pushed doc_id
+    * predicate, so a selective query over a range-clustered 100 TB
+    * table plans a handful of files instead of all of them. `stats =
+    * None` (no rows observed, or a pre-stats manifest line) means the
+    * file can never be pruned — absence of stats must always widen,
+    * never narrow. An EMPTY file carries `Some((0, -1))` (min > max):
+    * prunable by every predicate, readable by none the less. */
+  final case class FileEntry(name: String, stats: Option[(Long, Long)]) {
+    /** Can a row with doc_id in [lo, hi] possibly live in this file? */
+    def mayContain(lo: Long, hi: Long): Boolean = stats match {
+      case Some((mn, mx)) => mn <= hi && mx >= lo
+      case None => true
+    }
+  }
+
   /** `dataChange = false` marks a commit that rearranged FILES without
     * changing ROWS (compaction): time travel and live reads treat it
     * like any snapshot, but the change feed emits nothing for it —
     * Delta's dataChange=false contract. Absent in a manifest header
-    * (pre-compaction logs) it defaults to true. */
+    * (pre-stats logs) it defaults to true. */
   final case class VersionInfo(version: Long, tsMicros: Long, op: String,
-      files: Seq[String], dataChange: Boolean = true)
+      entries: Seq[FileEntry], dataChange: Boolean = true) {
+    def files: Seq[String] = entries.map(_.name)
+  }
 
   class NoSuchVersionException(msg: String)
       extends IllegalArgumentException(msg)
@@ -75,7 +94,9 @@ object GraftVersions {
   def enable(root: Path): Unit = lockFor(root).synchronized {
     if (isVersioned(root)) return
     Files.createDirectories(versionsDir(root))
-    val current = listPartFiles(root)
+    // pre-existing files enter the log without stats (never prunable —
+    // absence of stats widens, it can't lose rows)
+    val current = listPartFiles(root).map(FileEntry(_, None))
     writeManifest(root, 0L, "enable", current)
   }
 
@@ -90,12 +111,18 @@ object GraftVersions {
   }
 
   private def writeManifest(root: Path, version: Long, op: String,
-      files: Seq[String], dataChange: Boolean = true): VersionInfo = {
+      entries: Seq[FileEntry], dataChange: Boolean = true): VersionInfo = {
     // strictly-increasing timestamps: TIMESTAMP AS OF floor semantics
     // need an unambiguous order even when two commits share a clock tick
     val prevTs = latest(root).map(_.tsMicros).getOrElse(Long.MinValue)
     val ts = math.max(System.currentTimeMillis() * 1000L, prevTs + 1L)
-    val body = (s"ts=$ts\top=$op\tdataChange=$dataChange" +: files)
+    val lines = entries.map { e =>
+      e.stats match {
+        case Some((mn, mx)) => s"${e.name}\t$mn\t$mx"
+        case None => e.name
+      }
+    }
+    val body = (s"ts=$ts\top=$op\tdataChange=$dataChange" +: lines)
       .mkString("", "\n", "\n")
     val target = versionsDir(root).resolve(f"v$version%05d.manifest")
     if (Files.exists(target))
@@ -104,7 +131,7 @@ object GraftVersions {
     val tmp = Files.createTempFile(versionsDir(root), s"v$version-", ".tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    VersionInfo(version, ts, op, files, dataChange)
+    VersionInfo(version, ts, op, entries, dataChange)
   }
 
   private def readManifest(root: Path, version: Long): VersionInfo = {
@@ -115,8 +142,15 @@ object GraftVersions {
       val i = kv.indexOf('='); kv.substring(0, i) -> kv.substring(i + 1)
     }.toMap
     import scala.jdk.CollectionConverters._
-    VersionInfo(version, header("ts").toLong, header("op"),
-      lines.asScala.toSeq.tail.filter(_.nonEmpty),
+    val entries = lines.asScala.toSeq.tail.filter(_.nonEmpty).map { l =>
+      l.split("\t", -1) match {
+        case Array(n, mn, mx) => FileEntry(n, Some((mn.toLong, mx.toLong)))
+        case Array(n) => FileEntry(n, None) // pre-stats manifest line
+        case other => throw new IllegalStateException(
+          s"malformed manifest line '${l}' in $p")
+      }
+    }
+    VersionInfo(version, header("ts").toLong, header("op"), entries,
       header.get("dataChange").forall(_.toBoolean))
   }
 
@@ -174,16 +208,16 @@ object GraftVersions {
     * other's outcome — the manifest analog of the connector's
     * disjoint-file concurrency promise. */
   def advance(root: Path, op: String, removed: Option[Set[String]],
-      added: Seq[String], dataChange: Boolean = true): VersionInfo =
+      added: Seq[FileEntry], dataChange: Boolean = true): VersionInfo =
     lockFor(root).synchronized {
       val base = latest(root).getOrElse(
         throw new IllegalStateException(s"advance on unversioned table $root"))
       val kept = removed match {
-        case Some(scope) => base.files.filterNot(scope)
+        case Some(scope) => base.entries.filterNot(e => scope(e.name))
         case None => Nil
       }
-      writeManifest(root, base.version + 1, op, (kept ++ added).sorted,
-        dataChange)
+      writeManifest(root, base.version + 1, op,
+        (kept ++ added).sortBy(_.name), dataChange)
     }
 
   /** OPTIMIZE-style small-file compaction: rewrite the LIVE snapshot's
@@ -198,23 +232,36 @@ object GraftVersions {
     * read + one write of the live rows — the classic nightly OPTIMIZE
     * a 100 TB table runs per partition, never a log rewrite. */
   def compact(spark: org.apache.spark.sql.SparkSession, root: Path,
-      targetFiles: Int = 1): VersionInfo = {
+      targetFiles: Int = 1,
+      // range-cluster by doc_id: files get DISJOINT sorted id ranges, so
+      // the per-file min/max stats prune selective scans to one or two
+      // files — the Z-order-lite layout a 100 TB table compacts into
+      clusterByDocId: Boolean = false): VersionInfo = {
     require(isVersioned(root), s"compact needs a versioned table: $root")
-    val live = spark.read.format("graft.sources.GraftDocsSource")
+    val n = math.max(targetFiles, 1)
+    val df = spark.read.format("graft.sources.GraftDocsSource")
       .option("path", root.toString).load()
-      .coalesce(math.max(targetFiles, 1))
+    val live =
+      if (clusterByDocId)
+        df.repartitionByRange(n, org.apache.spark.sql.functions.col("doc_id"))
+          .sortWithinPartitions("doc_id")
+      else df.coalesce(n)
     val tmp = Files.createTempDirectory(root, "_compact")
     try {
+      // the rewrite lands in a VERSIONED scratch dir so its commit
+      // records per-file min/max stats; those stats ride along into the
+      // compact manifest under the files' final names
+      enable(tmp)
       live.write.format("graft.sources.GraftDocsSource")
         .option("path", tmp.toString).mode("append").save()
-      val staged = listPartFiles(tmp)
+      val staged = latest(tmp).map(_.entries).getOrElse(Nil)
       // land beside the originals under collision-free names
       val tag = java.util.UUID.randomUUID.toString.replace("-", "")
-      val landed = staged.zipWithIndex.map { case (n, i) =>
+      val landed = staged.zipWithIndex.map { case (e, i) =>
         val name = f"part-$i%05d-$tag.tsv"
-        Files.move(tmp.resolve(n), root.resolve(name),
+        Files.move(tmp.resolve(e.name), root.resolve(name),
           StandardCopyOption.ATOMIC_MOVE)
-        name
+        FileEntry(name, e.stats)
       }
       advance(root, "compact", removed = None, added = landed,
         dataChange = false)
@@ -235,7 +282,7 @@ object GraftVersions {
     * consumed stream would corrupt consumers. */
   def restore(root: Path, version: Long): VersionInfo = {
     val target = manifest(root, version) // throws if vacuumed/absent
-    advance(root, "restore", removed = None, added = target.files)
+    advance(root, "restore", removed = None, added = target.entries)
   }
 
   final case class VacuumStats(expiredVersions: Seq[Long],

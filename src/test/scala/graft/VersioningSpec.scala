@@ -418,6 +418,58 @@ class VersioningSpec extends SparkSpec {
     }
   }
 
+  test("manifest min/max stats skip files disjoint from a pushed doc_id range") {
+    val (cat, wh) = freshCatalog("fs")
+    try {
+      // three clamped appends of 2 files each: ranges [0,5) [5,10) |
+      // [10,15) [15,20) | [20,25) [25,30)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "10").option("partitions", "2").load()
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      for (lo <- Seq(10, 20)) {
+        spark.read.format("graft.sources.GraftDocsSource")
+          .option("rows", (lo + 10).toString).option("partitions", "2").load()
+          .filter(org.apache.spark.sql.functions.col("doc_id") >= lo)
+          .createOrReplaceTempView("fs_ins")
+        spark.sql(s"INSERT INTO $cat.t SELECT * FROM fs_ins")
+        spark.catalog.dropTempView("fs_ins")
+      }
+      val dir = wh.resolve("t")
+      val entries = GraftVersions.latest(dir).get.entries
+      assert(entries.length == 6 && entries.forall(_.stats.isDefined))
+
+      def planned(pred: String): Int =
+        spark.sql(s"SELECT * FROM $cat.t WHERE $pred").rdd.getNumPartitions
+      assert(planned("doc_id BETWEEN 12 AND 17") == 2)
+      assert(planned("doc_id = 7") == 1)
+      assert(planned("doc_id >= 25") == 1)
+      assert(planned("doc_id > 100") == 0)
+      // correctness alongside pruning: residual row filters still apply
+      assert(spark.sql(
+        s"SELECT COUNT(*) FROM $cat.t WHERE doc_id BETWEEN 12 AND 17")
+        .head().getLong(0) == 6)
+
+      // range-clustered compaction: 2 files with DISJOINT sorted ranges,
+      // so a selective query plans exactly one
+      val info = GraftVersions.compact(spark, dir, targetFiles = 2,
+        clusterByDocId = true)
+      assert(info.entries.length == 2)
+      val ranges = info.entries.flatMap(_.stats).sortBy(_._1)
+      assert(ranges.head._2 < ranges.last._1, s"disjoint ranges: $ranges")
+      assert(planned("doc_id BETWEEN 2 AND 7") == 1)
+      assert(spark.table(s"$cat.t").count() == 30)
+      // time travel ignores the pushed range's pruning only when stats
+      // demand it: pre-compact snapshot still prunes on ITS files
+      assert(spark.sql(
+        s"SELECT COUNT(*) FROM $cat.t VERSION AS OF 3 WHERE doc_id < 5")
+        .head().getLong(0) == 5)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
   test("unversioned tables keep the original delete-on-rewrite behavior") {
     val (cat, wh) = freshCatalog("uv")
     try {
