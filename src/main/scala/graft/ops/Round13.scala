@@ -435,7 +435,7 @@ object Round13 {
       val plannedRange = planned("doc_id BETWEEN 12 AND 17")
       val aggRange = agg("doc_id BETWEEN 12 AND 17")
       val compacted = GraftVersions.compact(spark, tdir, targetFiles = 2,
-        clusterByDocId = true)
+        clusterBy = Seq("doc_id"))
       val plannedAfter = planned("doc_id BETWEEN 2 AND 7")
       val aggAfter = agg("doc_id BETWEEN 2 AND 7")
       import spark.implicits._
@@ -453,6 +453,146 @@ object Round13 {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q224: OPTIMIZE ZORDER BY — multi-dimensional clustering for skipping
+  // ---------------------------------------------------------------------
+
+  /** Z-order compaction verified from planned work on BOTH clustered
+    * dimensions. 256 generative rows land hash-scattered across 8
+    * files (repartition on fp), so every file spans nearly the full
+    * doc_id AND fp range and a selective predicate on either column
+    * must plan all 8. `GraftVersions.compact(clusterBy = doc_id, fp)`
+    * rewrites them into 4 Z-ordered files — interleaved-bits Morton
+    * layout, range-partitioned on the Z-value — giving each file a
+    * tight HYPER-RECTANGLE in (doc_id, fp) space: the same half-range
+    * predicates now plan 2 files on either axis. Planned file counts
+    * ride IN the output row (the q223 pattern), so a layout or pruning
+    * regression breaks the oracle hash. Row/aggregate results are
+    * closed-form (fp = first-15-hex-of-md5, n_words = id%91+9), so
+    * DuckDB recomputes them exactly. One clustering pass serving
+    * MULTIPLE filter axes is the point of Z-order at 100 TB: a
+    * single-column sort would make one axis perfect and leave the
+    * other unprunable. */
+  val q224ZOrder: Q = (spark, dir) => {
+    val wh = Files.createTempDirectory("graft_ver_q224")
+    val cat = "q224_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "256").load()
+        .repartition(8, col("fp"))
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      val tdir = wh.resolve("t")
+      // 2^58 = quarter point of the 60-bit fp domain: comfortably inside
+      // the fp-low half-space, so the claim "fp-high quadrant files are
+      // skipped" doesn't ride on the exact data midpoint the Z-scaling
+      // derives from the observed min/max
+      val fpMid = 288230376151711744L
+      def planned(pred: String): Long =
+        spark.sql(s"SELECT * FROM $cat.t WHERE $pred")
+          .rdd.getNumPartitions.toLong
+      def agg(pred: String) = spark.sql(
+        s"""SELECT COUNT(*) AS n, COALESCE(SUM(n_words), 0) AS w
+           |FROM $cat.t WHERE $pred""".stripMargin).head()
+      val filesBefore = GraftVersions.latest(tdir).get.entries.length.toLong
+      val plannedIdBefore = planned("doc_id < 128")
+      val plannedFpBefore = planned(s"fp < $fpMid")
+      val info = GraftVersions.compact(spark, tdir, targetFiles = 4,
+        clusterBy = Seq("doc_id", "fp"))
+      val plannedIdAfter = planned("doc_id < 128")
+      val plannedFpAfter = planned(s"fp < $fpMid")
+      val aggId = agg("doc_id < 128")
+      val aggFp = agg(s"fp < $fpMid")
+      import spark.implicits._
+      OpsUtil.driverLiteral(Seq((
+        filesBefore, plannedIdBefore, plannedFpBefore,
+        info.entries.length.toLong, plannedIdAfter, plannedFpAfter,
+        aggId.getLong(0), aggId.getLong(1), aggFp.getLong(0), aggFp.getLong(1)
+      )).toDF("files_before", "planned_id_before", "planned_fp_before",
+        "files_after", "planned_id_after", "planned_fp_after",
+        "rows_id", "sum_words_id", "rows_fp", "sum_words_fp"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // q225: streaming sink — exactly-once writes INTO a versioned table
+  // ---------------------------------------------------------------------
+
+  /** The write-side closure of the streaming loop: q219 proved the
+    * commit log streams OUT exactly once; this proves a stream lands
+    * IN a versioned table exactly once. A versioned source table's
+    * change feed is piped via `writeStream.toTable` into a versioned
+    * sink table ([[graft.sources.GraftDocsStreamingWrite]]): every
+    * micro-batch commits one manifest carrying `txn=appId:epoch`, and
+    * a replayed epoch is skipped against that ledger — Delta's
+    * idempotent-write contract. Two AvailableNow drains over one
+    * checkpoint (initial + incremental after more source commits)
+    * must produce zero duplicate rows, closed-form aggregates, one
+    * stable appId across the restart (the queryId the checkpoint
+    * persists), and one ledgered commit per consumed source commit.
+    * At 100 TB this is how a corpus ingests a firehose: commit work
+    * per batch proportional to that batch's files, replay-safe with
+    * no reconciliation job. */
+  val q225StreamSink: Q = (spark, dir) => {
+    val wh = Files.createTempDirectory("graft_ver_q225")
+    val cp = Files.createTempDirectory("graft_ckpt_q225")
+    val cat = "q225_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      def insertRange(lo: Int, hi: Int): Unit = {
+        spark.read.format("graft.sources.GraftDocsSource")
+          .option("rows", hi.toString).load()
+          .filter(col("doc_id") >= lo)
+          .createOrReplaceTempView(s"${cat}_ins")
+        spark.sql(s"INSERT INTO $cat.src SELECT * FROM ${cat}_ins")
+        spark.catalog.dropTempView(s"${cat}_ins")
+      }
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "20").load()
+        .writeTo(s"$cat.src").tableProperty("versioned", "true").create()
+      insertRange(20, 30)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "0").option("partitions", "1").load()
+        .writeTo(s"$cat.dst").tableProperty("versioned", "true").create()
+      def drain(): Unit = {
+        val q = spark.readStream.table(s"$cat.src")
+          .writeStream
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.dst")
+        val done = q.awaitTermination(180000)
+        if (!done) { q.stop(); throw new IllegalStateException(
+          "q225: stream-sink drain did not terminate under AvailableNow") }
+        q.exception.foreach(throw _)
+      }
+      drain()                       // consumes src v0(enable), v1, v2
+      insertRange(30, 35)           // src v3
+      drain()                       // same checkpoint: v3 only
+      val dstDir = wh.resolve("dst")
+      val txns = GraftVersions.listVersions(dstDir).flatMap(_.txn)
+      val stats = spark.table(s"$cat.dst")
+        .agg(count(lit(1)).as("rows_in_dst"),
+          countDistinct(col("doc_id")).as("distinct_ids"),
+          coalesce(sum("n_words"), lit(0L)).as("sum_words"))
+        .withColumn("txn_commits", lit(txns.length.toLong))
+        .withColumn("distinct_app_ids",
+          lit(txns.map(_._1).distinct.length.toLong))
+        .withColumn("max_epoch", lit(txns.map(_._2).max))
+      OpsUtil.driverLiteral(stats)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(cp.toFile)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q216_time_travel" -> q216TimeTravel,
     "q217_version_changes" -> q217VersionChanges,
@@ -462,6 +602,8 @@ object Round13 {
     "q221_restore" -> q221Restore,
     "q222_history_table" -> q222History,
     "q223_file_skipping" -> q223FileSkipping,
+    "q224_zorder" -> q224ZOrder,
+    "q225_stream_sink" -> q225StreamSink,
   )
 
   /** The scratch table's history is a closed-form function of doc_id
@@ -589,5 +731,41 @@ object Round13 {
         |  CAST(6 AS BIGINT) AS rows_after_compact,
         |  CAST((SELECT SUM(nw) FROM w WHERE i BETWEEN 2 AND 7)
         |    AS BIGINT) AS sum_words_after_compact""".stripMargin,
+    // planned_* file counts are closed-form from the layout: 8 hash-
+    // scattered files all intersect any half-range (256 uniform rows =
+    // 32/file; a miss needs all 32 outside the half: impossible for
+    // this fixed data); after Z-order into 4 range-partitioned quarters
+    // of the Morton curve, a half-range on either axis touches the 2
+    // quadrant-files on its side of that axis's top bit.
+    "q224_zorder" ->
+      """WITH w AS (SELECT i, i % 91 + 9 AS nw,
+        |  CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    AS fp
+        |  FROM range(0, 256) t(i))
+        |SELECT CAST(8 AS BIGINT) AS files_before,
+        |  CAST(8 AS BIGINT) AS planned_id_before,
+        |  CAST(8 AS BIGINT) AS planned_fp_before,
+        |  CAST(4 AS BIGINT) AS files_after,
+        |  CAST(2 AS BIGINT) AS planned_id_after,
+        |  CAST(2 AS BIGINT) AS planned_fp_after,
+        |  (SELECT COUNT(*) FROM w WHERE i < 128) AS rows_id,
+        |  CAST((SELECT SUM(nw) FROM w WHERE i < 128) AS BIGINT)
+        |    AS sum_words_id,
+        |  (SELECT COUNT(*) FROM w WHERE fp < 288230376151711744) AS rows_fp,
+        |  CAST((SELECT SUM(nw) FROM w WHERE fp < 288230376151711744)
+        |    AS BIGINT) AS sum_words_fp""".stripMargin,
+    // src history = v0 enable (empty) + v1 create [0,20) + v2 insert
+    // [20,30) + v3 insert [30,35); the feed emits one micro-batch per
+    // commit, so the sink's txn ledger holds epochs 0..3 under ONE
+    // appId (the checkpoint-stable queryId), and the sink's live rows
+    // are exactly [0,35) — no duplicates from the second drain.
+    "q225_stream_sink" ->
+      """WITH w AS (SELECT i, i % 91 + 9 AS nw FROM range(0, 35) t(i))
+        |SELECT CAST(35 AS BIGINT) AS rows_in_dst,
+        |  CAST(35 AS BIGINT) AS distinct_ids,
+        |  CAST((SELECT SUM(nw) FROM w) AS BIGINT) AS sum_words,
+        |  CAST(4 AS BIGINT) AS txn_commits,
+        |  CAST(1 AS BIGINT) AS distinct_app_ids,
+        |  CAST(3 AS BIGINT) AS max_epoch""".stripMargin,
   )
 }

@@ -355,10 +355,13 @@ class GraftRlTable(path: String,
     if (versionPin.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else if (GraftVersions.isVersioned(Paths.get(path)))
       // versioned tables additionally stream their commit log
-      // (GraftVersionFeed): readStream.table(...) tails the history
+      // (GraftVersionFeed): readStream.table(...) tails the history —
+      // and accept streams (GraftDocsStreamingWrite): the same log is
+      // the sink's exactly-once txn ledger
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
-        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+        TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+        TableCapability.TRUNCATE)
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def metadataColumns(): Array[MetadataColumn] = Array(

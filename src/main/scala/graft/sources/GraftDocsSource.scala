@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count,
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -90,8 +91,11 @@ class GraftDocsTable(rows: Long, parts: Int, path: Option[String],
         TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
     else
+      // STREAMING_WRITE is declared statically but only versioned
+      // tables accept a stream (the _versions log is the exactly-once
+      // txn ledger) — unversioned targets fail loudly at stream start
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE)
+        TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     path match {
       case Some(p) => new GraftFilesScanBuilder(p)
@@ -424,49 +428,61 @@ class GraftFilesScanBuilder(path: String,
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = GraftDocsSource.schema
-  private var lo = Long.MinValue
-  private var hi = Long.MaxValue
+  // per-column pushed bounds, intersected across filters; only columns
+  // present here can prune (the writer records stats for exactly these)
+  private val statCols = Set("doc_id", "fp", "n_words")
+  private val lo = scala.collection.mutable.Map.empty[String, Long]
+  private val hi = scala.collection.mutable.Map.empty[String, Long]
+  private def tightenLo(c: String, v: Long): Unit =
+    lo(c) = math.max(lo.getOrElse(c, Long.MinValue), v)
+  private def tightenHi(c: String, v: Long): Unit =
+    hi(c) = math.min(hi.getOrElse(c, Long.MaxValue), v)
   private var accepted = Array.empty[Filter]
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** doc_id range predicates drive FILE SKIPPING against the manifest's
-    * per-file min/max stats (versioned tables only). Unlike the
-    * generative scan's exact clamps, file stats are file-level, not
-    * row-exact — so every filter is returned as RESIDUAL for Spark to
-    * re-evaluate per row, and `pushedFilters` reports the ranges only
-    * for EXPLAIN visibility. This is precisely how parquet min/max
-    * pruning composes: prune units early, still filter rows. */
+  /** Range predicates on any stats-bearing numeric column (doc_id, fp,
+    * n_words) drive FILE SKIPPING against the manifest's per-file
+    * min/max stats (versioned tables only). Unlike the generative
+    * scan's exact clamps, file stats are file-level, not row-exact —
+    * so every filter is returned as RESIDUAL for Spark to re-evaluate
+    * per row, and `pushedFilters` reports the ranges only for EXPLAIN
+    * visibility. This is precisely how parquet min/max pruning
+    * composes: prune units early, still filter rows. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     filters.foreach {
-      case GreaterThan("doc_id", v: Number) =>
-        lo = math.max(lo, v.longValue + 1)
-      case GreaterThanOrEqual("doc_id", v: Number) =>
-        lo = math.max(lo, v.longValue)
-      case LessThan("doc_id", v: Number) =>
-        hi = math.min(hi, v.longValue - 1)
-      case LessThanOrEqual("doc_id", v: Number) =>
-        hi = math.min(hi, v.longValue)
-      case EqualTo("doc_id", v: Number) =>
-        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue)
+      case GreaterThan(c, v: Number) if statCols(c) =>
+        tightenLo(c, v.longValue + 1)
+      case GreaterThanOrEqual(c, v: Number) if statCols(c) =>
+        tightenLo(c, v.longValue)
+      case LessThan(c, v: Number) if statCols(c) =>
+        tightenHi(c, v.longValue - 1)
+      case LessThanOrEqual(c, v: Number) if statCols(c) =>
+        tightenHi(c, v.longValue)
+      case EqualTo(c, v: Number) if statCols(c) =>
+        tightenLo(c, v.longValue); tightenHi(c, v.longValue)
       case _ => ()
     }
     accepted = filters.filter {
-      case GreaterThan("doc_id", _: Number) |
-           GreaterThanOrEqual("doc_id", _: Number) |
-           LessThan("doc_id", _: Number) |
-           LessThanOrEqual("doc_id", _: Number) |
-           EqualTo("doc_id", _: Number) => true
+      case GreaterThan(c, _: Number) => statCols(c)
+      case GreaterThanOrEqual(c, _: Number) => statCols(c)
+      case LessThan(c, _: Number) => statCols(c)
+      case LessThanOrEqual(c, _: Number) => statCols(c)
+      case EqualTo(c, _: Number) => statCols(c)
       case _ => false
     }
     filters // all residual: stats prune files, Spark filters rows
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan =
+  override def build(): Scan = {
+    val ranges = (lo.keySet ++ hi.keySet).map { c =>
+      c -> (lo.getOrElse(c, Long.MinValue), hi.getOrElse(c, Long.MaxValue))
+    }.toMap
     new GraftFilesScan(path, required, onGroupFilter, versionPin,
       ignoreChanges = options.getBoolean("ignoreChanges", false),
-      idRange = (lo, hi))
+      colRanges = ranges)
+  }
 }
 
 /** `part-*.tsv` names: plain writes use `part-NNNNN.tsv`; row-level
@@ -483,8 +499,8 @@ class GraftFilesScan(path: String, required: StructType,
     versionPin: Option[Long] = None,
     // streaming only: tolerate rewrite commits (see GraftVersionFeed)
     ignoreChanges: Boolean = false,
-    // pushed doc_id bounds: prune files by manifest min/max stats
-    idRange: (Long, Long) = (Long.MinValue, Long.MaxValue))
+    // pushed per-column bounds: prune files by manifest min/max stats
+    colRanges: Map[String, (Long, Long)] = Map.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   // files surviving runtime group filtering; None = no filter arrived
@@ -542,15 +558,17 @@ class GraftFilesScan(path: String, required: StructType,
     // Versioned tables resolve their file list from a snapshot manifest
     // (the pin, or latest — resolved HERE at plan time, so a scan
     // observes one committed snapshot even if a commit lands mid-query)
-    // and SKIP files whose recorded doc_id min/max is disjoint from the
-    // pushed range — planning work proportional to the files a
-    // selective query can actually touch. Unversioned tables keep the
-    // original directory listing (no stats, no pruning).
+    // and SKIP files whose recorded min/max on ANY pushed column is
+    // disjoint from that column's range — planning work proportional to
+    // the files a selective query can actually touch. Unversioned
+    // tables keep the original directory listing (no stats, no pruning).
     val names: Seq[String] =
       if (GraftVersions.isVersioned(dir))
         versionPin.map(GraftVersions.manifest(dir, _))
           .orElse(GraftVersions.latest(dir)).map(_.entries).getOrElse(Nil)
-          .filter(_.mayContain(idRange._1, idRange._2))
+          .filter(e => colRanges.forall { case (c, (l, h)) =>
+            e.mayContain(c, l, h)
+          })
           .map(_.name)
       else {
         val s = Files.list(dir)
@@ -753,6 +771,121 @@ class GraftDocsWriteBuilder(path: String, info: LogicalWriteInfo)
     override def toBatch: BatchWrite =
       new GraftDocsBatchWrite(path, info.queryId(), info.schema(), doTruncate,
         opName = if (doTruncate) "overwrite" else "append")
+    override def toStreaming: StreamingWrite = {
+      if (!GraftVersions.isVersioned(Paths.get(path)))
+        throw new UnsupportedOperationException(
+          s"streaming writes to $path need a versioned table: the " +
+            "_versions commit log is the sink's exactly-once txn ledger " +
+            "(enable versioning with TBLPROPERTIES('versioned'='true') " +
+            "or GraftVersions.enable)")
+      // txnAppId: the idempotence key recorded per epoch commit. The
+      // default is Spark's streaming queryId, which is persisted in the
+      // checkpoint and stable across restarts — exactly the appId
+      // contract Delta's idempotent writes use; override it to share
+      // one ledger across distinct queries (e.g. blue/green restarts
+      // with fresh checkpoints replaying the same upstream).
+      val appId = Option(info.options.get("txnAppId")).getOrElse(info.queryId())
+      new GraftDocsStreamingWrite(path, info.schema(), doTruncate, appId)
+    }
+  }
+}
+
+/** Streaming personality of the warehouse write path — exactly-once by
+  * construction on a VERSIONED table:
+  *
+  *  - each micro-batch stages its part files under an (appId, epoch)
+  *    staging dir, then commits them as one manifest advance carrying
+  *    `txn=appId:epoch`;
+  *  - a REPLAYED epoch (driver died after the sink committed but
+  *    before the engine advanced its offset log — the at-least-once
+  *    gap every streaming sink must close) is detected in
+  *    [[GraftVersions.commitTxn]] by `epoch <= last recorded epoch`
+  *    and skipped atomically under the table lock: rows land exactly
+  *    once no matter how many times the batch is retried;
+  *  - Append mode advances the snapshot additively; Complete mode
+  *    (`truncate`) replaces the live file set each epoch — both are
+  *    ordinary manifest commits, so time travel, the change feed, and
+  *    vacuum compose with streamed-in data unchanged.
+  *
+  * Commit work is proportional to the files of one micro-batch —
+  * the property that lets a 100 TB table absorb a continuous stream
+  * without ever rewriting history. */
+class GraftDocsStreamingWrite(path: String, writeSchema: StructType,
+    truncate: Boolean, appId: String) extends StreamingWrite {
+  private def root = Paths.get(path)
+  private val appHex = GraftDocsStreamingWrite.hex(appId)
+  private def staging(epochId: Long) =
+    root.resolve("_staging").resolve(s"stream-$appHex-$epochId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val idx = Array("doc_id", "title", "fp", "n_words")
+      .map(writeSchema.fieldIndex)
+    new GraftDocsStreamingWriterFactory(
+      root.resolve("_staging").toString, appId, idx)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val stg = staging(epochId)
+    // Replay fast-path BEFORE any file move: a replayed epoch must not
+    // touch the already-committed files (a non-deterministic upstream
+    // could have produced different bytes this time — overwriting
+    // would silently change a committed snapshot's content).
+    if (GraftVersions.lastTxnEpoch(root, appId).exists(_ >= epochId)) {
+      cleanup(stg)
+      return
+    }
+    // Files first, manifest second (the batch path's order): the
+    // epoch-suffixed names are referenced by no manifest yet, so a
+    // reader can never plan a file that isn't fully in place.
+    val entries = messages.map { case GraftDocsCommitMessage(name, stats) =>
+      Files.move(stg.resolve(name), root.resolve(name),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      GraftVersions.FileEntry(name, stats)
+    }
+    // commitTxn re-checks the ledger under the table lock — if a racing
+    // replay won in between, this returns None and the just-moved files
+    // stay unreferenced (vacuum reclaims them); rows still land once.
+    val committed = GraftVersions.commitTxn(root,
+      op = if (truncate) "streaming-complete" else "streaming-append",
+      removed = if (truncate) None else Some(Set.empty),
+      added = entries.toSeq, appId = appId, epoch = epochId).isDefined
+    cleanup(stg)
+    if (committed) Files.write(root.resolve("_SUCCESS"), Array.empty[Byte])
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = cleanup(staging(epochId))
+
+  private def cleanup(stg: Path): Unit = {
+    try org.apache.commons.io.FileUtils.deleteDirectory(stg.toFile)
+    catch { case _: java.io.IOException => () }
+    try Files.deleteIfExists(root.resolve("_staging")) catch {
+      case _: java.nio.file.DirectoryNotEmptyException => ()
+    }
+  }
+}
+
+object GraftDocsStreamingWrite {
+  def hex(s: String): String = s.toLowerCase.replaceAll("[^0-9a-f]", "")
+}
+
+/** Stages each epoch's files under `_staging/stream-<appHex>-<epoch>`
+  * with epoch-unique final names (`part-NNNNN-<appHex><epochHex>.tsv`)
+  * so streamed commits never collide with each other or with batch
+  * writes across the table's whole history. Delegates row encoding and
+  * per-file stats to the batch [[GraftDocsWriterFactory]] writer. */
+class GraftDocsStreamingWriterFactory(stagingBase: String, appId: String,
+    idx: Array[Int]) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val appHex = GraftDocsStreamingWrite.hex(appId)
+    val dir = Paths.get(stagingBase).resolve(s"stream-$appHex-$epochId")
+    Files.createDirectories(dir)
+    val suffix = s"-$appHex${java.lang.Long.toHexString(epochId)}"
+    new GraftDocsWriterFactory(dir.toString, idx, suffix)
+      .createWriter(partitionId, taskId)
   }
 }
 
@@ -811,10 +944,10 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
         }
       } finally s.close()
     }
-    val added = messages.map { case GraftDocsCommitMessage(name, mn, mx) =>
+    val added = messages.map { case GraftDocsCommitMessage(name, stats) =>
       Files.move(staging.resolve(name), root.resolve(name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      GraftVersions.FileEntry(name, Some((mn, mx)))
+      GraftVersions.FileEntry(name, stats)
     }
     if (versioned) {
       val removed =
@@ -842,12 +975,13 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
   }
 }
 
-/** Task-commit message: the staged file plus its observed doc_id
-  * min/max — the per-file statistics a versioned commit records in its
-  * manifest for scan-time file skipping. An empty file reports
-  * (0, -1) (min > max): prunable by every predicate. */
-case class GraftDocsCommitMessage(fileName: String, minId: Long = 0L,
-    maxId: Long = -1L) extends WriterCommitMessage
+/** Task-commit message: the staged file plus its observed per-column
+  * min/max for every numeric column — the per-file statistics a
+  * versioned commit records in its manifest for scan-time file
+  * skipping. An empty file reports (0, -1) (min > max) per column:
+  * prunable by every predicate. */
+case class GraftDocsCommitMessage(fileName: String,
+    stats: Map[String, (Long, Long)] = Map.empty) extends WriterCommitMessage
 
 class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
     fileSuffix: String = "")
@@ -858,23 +992,34 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
       private val attempt =
         Paths.get(stagingDir).resolve(s"$finalName.attempt-$taskId")
       private val out = Files.newBufferedWriter(attempt, StandardCharsets.UTF_8)
-      private var minId = Long.MaxValue
-      private var maxId = Long.MinValue
+      // per-column min/max over this file's rows, for the manifest's
+      // file-skipping stats (all three numeric columns of the schema)
+      private val mins = Array.fill(3)(Long.MaxValue)
+      private val maxs = Array.fill(3)(Long.MinValue)
+      private def observe(slot: Int, v: Long): Unit = {
+        if (v < mins(slot)) mins(slot) = v
+        if (v > maxs(slot)) maxs(slot) = v
+      }
       override def write(row: InternalRow): Unit = {
         val id = row.getLong(idx(0))
-        if (id < minId) minId = id
-        if (id > maxId) maxId = id
+        val fp = row.getLong(idx(2))
+        val nw = row.getInt(idx(3))
+        observe(0, id); observe(1, fp); observe(2, nw.toLong)
         out.write(id.toString); out.write('\t')
         out.write(row.getUTF8String(idx(1)).toString); out.write('\t')
-        out.write(row.getLong(idx(2)).toString); out.write('\t')
-        out.write(row.getInt(idx(3)).toString); out.write('\n')
+        out.write(fp.toString); out.write('\t')
+        out.write(nw.toString); out.write('\n')
       }
       override def commit(): WriterCommitMessage = {
         out.close()
         Files.move(attempt, Paths.get(stagingDir).resolve(finalName),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        if (minId > maxId) GraftDocsCommitMessage(finalName) // empty file
-        else GraftDocsCommitMessage(finalName, minId, maxId)
+        val cols = Array("doc_id", "fp", "n_words")
+        val stats = cols.indices.map { s =>
+          if (mins(s) > maxs(s)) cols(s) -> (0L, -1L) // empty file
+          else cols(s) -> (mins(s), maxs(s))
+        }.toMap
+        GraftDocsCommitMessage(finalName, stats)
       }
       override def abort(): Unit = { out.close(); Files.deleteIfExists(attempt) }
       override def close(): Unit = ()

@@ -45,21 +45,27 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * with putIfAbsent (Delta) — documented out of scope, loudly.
   */
 object GraftVersions {
-  /** A data file in a snapshot, with optional per-file doc_id min/max —
-    * the Iceberg/Delta file-statistics idea in its minimal form: the
-    * scan prunes files whose range is disjoint from a pushed doc_id
-    * predicate, so a selective query over a range-clustered 100 TB
-    * table plans a handful of files instead of all of them. `stats =
-    * None` (no rows observed, or a pre-stats manifest line) means the
-    * file can never be pruned — absence of stats must always widen,
-    * never narrow. An EMPTY file carries `Some((0, -1))` (min > max):
-    * prunable by every predicate, readable by none the less. */
-  final case class FileEntry(name: String, stats: Option[(Long, Long)]) {
-    /** Can a row with doc_id in [lo, hi] possibly live in this file? */
-    def mayContain(lo: Long, hi: Long): Boolean = stats match {
-      case Some((mn, mx)) => mn <= hi && mx >= lo
-      case None => true
-    }
+  /** A data file in a snapshot, with optional per-file min/max stats
+    * for each NUMERIC column — the Iceberg/Delta file-statistics idea
+    * in its minimal form: the scan prunes files whose recorded range
+    * is disjoint from a pushed predicate on ANY stats-bearing column,
+    * so a selective query over a clustered 100 TB table plans a
+    * handful of files instead of all of them. A column absent from
+    * `stats` (pre-stats manifest line, or a column the writer didn't
+    * track) can never prune — absence of stats must always widen,
+    * never narrow. An EMPTY file carries `(0, -1)` (min > max) for
+    * every tracked column: prunable by every predicate, readable by
+    * none the less. */
+  final case class FileEntry(name: String, stats: Map[String, (Long, Long)]) {
+    /** Can a row with `col` in [lo, hi] possibly live in this file? */
+    def mayContain(col: String, lo: Long, hi: Long): Boolean =
+      stats.get(col) match {
+        case Some((mn, mx)) => mn <= hi && mx >= lo
+        case None => true
+      }
+  }
+  object FileEntry {
+    val NoStats: Map[String, (Long, Long)] = Map.empty
   }
 
   /** `dataChange = false` marks a commit that rearranged FILES without
@@ -67,8 +73,15 @@ object GraftVersions {
     * like any snapshot, but the change feed emits nothing for it —
     * Delta's dataChange=false contract. Absent in a manifest header
     * (pre-stats logs) it defaults to true. */
+  /** `txn` records the (appId, epoch) of an idempotent streaming-sink
+    * commit — Delta's SetTransaction action in its minimal form: a
+    * replayed micro-batch (failure after sink commit, before the
+    * engine's offset-log write) is detected by `epoch <= last recorded
+    * epoch for appId` and skipped, which is what turns the sink's
+    * at-least-once replay into exactly-once. */
   final case class VersionInfo(version: Long, tsMicros: Long, op: String,
-      entries: Seq[FileEntry], dataChange: Boolean = true) {
+      entries: Seq[FileEntry], dataChange: Boolean = true,
+      txn: Option[(String, Long)] = None) {
     def files: Seq[String] = entries.map(_.name)
   }
 
@@ -96,7 +109,7 @@ object GraftVersions {
     Files.createDirectories(versionsDir(root))
     // pre-existing files enter the log without stats (never prunable —
     // absence of stats widens, it can't lose rows)
-    val current = listPartFiles(root).map(FileEntry(_, None))
+    val current = listPartFiles(root).map(FileEntry(_, FileEntry.NoStats))
     writeManifest(root, 0L, "enable", current)
   }
 
@@ -111,19 +124,28 @@ object GraftVersions {
   }
 
   private def writeManifest(root: Path, version: Long, op: String,
-      entries: Seq[FileEntry], dataChange: Boolean = true): VersionInfo = {
+      entries: Seq[FileEntry], dataChange: Boolean = true,
+      txn: Option[(String, Long)] = None): VersionInfo = {
     // strictly-increasing timestamps: TIMESTAMP AS OF floor semantics
     // need an unambiguous order even when two commits share a clock tick
     val prevTs = latest(root).map(_.tsMicros).getOrElse(Long.MinValue)
     val ts = math.max(System.currentTimeMillis() * 1000L, prevTs + 1L)
+    // stats columns sorted for a canonical line; format per column is
+    // `col=min:max`. (The previous 2-column `name\tmin\tmax` doc_id-only
+    // form is still READ for old logs, never written again.)
     val lines = entries.map { e =>
-      e.stats match {
-        case Some((mn, mx)) => s"${e.name}\t$mn\t$mx"
-        case None => e.name
-      }
+      (e.name +: e.stats.toSeq.sortBy(_._1).map {
+        case (c, (mn, mx)) => s"$c=$mn:$mx"
+      }).mkString("\t")
     }
-    val body = (s"ts=$ts\top=$op\tdataChange=$dataChange" +: lines)
-      .mkString("", "\n", "\n")
+    val txnField = txn.map { case (app, e) =>
+      require(!app.contains('\t') && !app.contains('\n'),
+        s"txn appId must not contain tabs/newlines: '$app'")
+      s"\ttxn=$app:$e"
+    }.getOrElse("")
+    val body =
+      (s"ts=$ts\top=$op\tdataChange=$dataChange$txnField" +: lines)
+        .mkString("", "\n", "\n")
     val target = versionsDir(root).resolve(f"v$version%05d.manifest")
     if (Files.exists(target))
       throw new IllegalStateException(
@@ -131,7 +153,7 @@ object GraftVersions {
     val tmp = Files.createTempFile(versionsDir(root), s"v$version-", ".tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    VersionInfo(version, ts, op, entries, dataChange)
+    VersionInfo(version, ts, op, entries, dataChange, txn)
   }
 
   private def readManifest(root: Path, version: Long): VersionInfo = {
@@ -144,14 +166,28 @@ object GraftVersions {
     import scala.jdk.CollectionConverters._
     val entries = lines.asScala.toSeq.tail.filter(_.nonEmpty).map { l =>
       l.split("\t", -1) match {
-        case Array(n, mn, mx) => FileEntry(n, Some((mn.toLong, mx.toLong)))
-        case Array(n) => FileEntry(n, None) // pre-stats manifest line
-        case other => throw new IllegalStateException(
-          s"malformed manifest line '${l}' in $p")
+        case Array(n) => FileEntry(n, FileEntry.NoStats) // pre-stats line
+        case Array(n, mn, mx) if !mn.contains('=') =>    // doc_id-only era
+          FileEntry(n, Map("doc_id" -> (mn.toLong, mx.toLong)))
+        case arr =>
+          FileEntry(arr.head, arr.tail.map { tok =>
+            val eq = tok.indexOf('=')
+            val colon = tok.indexOf(':', eq + 1)
+            if (eq < 0 || colon < 0) throw new IllegalStateException(
+              s"malformed manifest stats token '$tok' in $p")
+            tok.substring(0, eq) ->
+              (tok.substring(eq + 1, colon).toLong,
+                tok.substring(colon + 1).toLong)
+          }.toMap)
       }
     }
+    val txn = header.get("txn").map { v =>
+      val i = v.lastIndexOf(':') // appId may itself contain ':'
+      require(i > 0, s"malformed txn field '$v' in $p")
+      (v.substring(0, i), v.substring(i + 1).toLong)
+    }
     VersionInfo(version, header("ts").toLong, header("op"), entries,
-      header.get("dataChange").forall(_.toBoolean))
+      header.get("dataChange").forall(_.toBoolean), txn)
   }
 
   def listVersionNumbers(root: Path): Seq[Long] = {
@@ -220,6 +256,40 @@ object GraftVersions {
         (kept ++ added).sortBy(_.name), dataChange)
     }
 
+  /** Newest epoch recorded for a streaming appId across the RETAINED
+    * manifests. Caveat shared with Delta's SetTransaction retention:
+    * vacuuming past every manifest that carries an appId's txn forgets
+    * its ledger, so a replay delayed past the retention window could
+    * double-write — retention must outlive the longest possible
+    * restart gap of any writing stream. */
+  def lastTxnEpoch(root: Path, appId: String): Option[Long] = {
+    val epochs = listVersions(root).flatMap(_.txn)
+      .collect { case (a, e) if a == appId => e }
+    if (epochs.isEmpty) None else Some(epochs.max)
+  }
+
+  /** Idempotent streaming commit: advance IF epoch is new for appId,
+    * else None (replayed micro-batch — the sink already holds these
+    * rows). Check and advance run under the one table lock, so two
+    * racing replays of the same epoch can't both land. */
+  def commitTxn(root: Path, op: String, removed: Option[Set[String]],
+      added: Seq[FileEntry], appId: String, epoch: Long)
+      : Option[VersionInfo] =
+    lockFor(root).synchronized {
+      if (lastTxnEpoch(root, appId).exists(_ >= epoch)) None
+      else {
+        val base = latest(root).getOrElse(throw new IllegalStateException(
+          s"streaming commit on unversioned table $root"))
+        val kept = removed match {
+          case Some(scope) => base.entries.filterNot(e => scope(e.name))
+          case None => Nil
+        }
+        Some(writeManifest(root, base.version + 1, op,
+          (kept ++ added).sortBy(_.name), dataChange = true,
+          txn = Some((appId, epoch))))
+      }
+    }
+
   /** OPTIMIZE-style small-file compaction: rewrite the LIVE snapshot's
     * rows into `targetFiles` part files and commit them as a
     * `dataChange = false` snapshot — time travel to every prior version
@@ -233,19 +303,81 @@ object GraftVersions {
     * a 100 TB table runs per partition, never a log rewrite. */
   def compact(spark: org.apache.spark.sql.SparkSession, root: Path,
       targetFiles: Int = 1,
-      // range-cluster by doc_id: files get DISJOINT sorted id ranges, so
-      // the per-file min/max stats prune selective scans to one or two
-      // files — the Z-order-lite layout a 100 TB table compacts into
-      clusterByDocId: Boolean = false): VersionInfo = {
+      // cluster the rewrite so the per-file min/max stats get TIGHT:
+      //  - one column: range-partition + sort — files get disjoint
+      //    sorted ranges, selective scans on that column plan 1-2 files;
+      //  - two+ columns: Z-ORDER — each column is scaled to 16 bits via
+      //    its global min/max and the bits are interleaved; range-
+      //    partitioning on the interleaved value gives every file a
+      //    small HYPER-RECTANGLE in (col1, col2, ...) space, so
+      //    selective predicates on ANY clustered column skip most
+      //    files. This is OPTIMIZE ZORDER BY: the multi-dimensional
+      //    layout a 100 TB table compacts into when more than one
+      //    column is a common filter axis.
+      clusterBy: Seq[String] = Nil): VersionInfo = {
+    import org.apache.spark.sql.functions._
     require(isVersioned(root), s"compact needs a versioned table: $root")
     val n = math.max(targetFiles, 1)
     val df = spark.read.format("graft.sources.GraftDocsSource")
       .option("path", root.toString).load()
-    val live =
-      if (clusterByDocId)
-        df.repartitionByRange(n, org.apache.spark.sql.functions.col("doc_id"))
-          .sortWithinPartitions("doc_id")
-      else df.coalesce(n)
+    val live = clusterBy match {
+      case Nil => df.coalesce(n)
+      case Seq(c) =>
+        df.repartitionByRange(n, col(c)).sortWithinPartitions(c)
+      case cols =>
+        // global per-column bounds for the 16-bit scaling, from the live
+        // manifest's file stats when every file carries them (a driver-
+        // side set union — no data read); files predating stats fall
+        // back to one aggregate pass over the live rows
+        val entries = latest(root).map(_.entries).getOrElse(Nil)
+        val bounds: Map[String, (Long, Long)] =
+          if (entries.nonEmpty && cols.forall(c =>
+              entries.forall(_.stats.contains(c)))) {
+            cols.map { c =>
+              val s = entries.flatMap(_.stats.get(c)).filter(r => r._1 <= r._2)
+              c -> (if (s.isEmpty) (0L, 0L)
+                    else (s.map(_._1).min, s.map(_._2).max))
+            }.toMap
+          } else {
+            val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+            val r = df.agg(aggs.head, aggs.tail: _*).head()
+            cols.zipWithIndex.map { case (c, i) =>
+              c -> (r.getLong(2 * i), r.getLong(2 * i + 1))
+            }.toMap
+          }
+        val z = zOrderValue(cols.map(c =>
+          (col(c), bounds(c)._1, bounds(c)._2)))
+        // Assign output files by the top ceil(log2 n) bits of the
+        // Z-value through an IDENTITY partitioner: file boundaries sit
+        // exactly on Z-quadrant corners, so every file's stats box is
+        // one tight hyper-rectangle. A repartitionByRange on z would
+        // cut wherever range-exchange SAMPLING landed — smearing a few
+        // rows of one quadrant into the next file widens that file's
+        // box to the union of both quadrants and can erase the
+        // skipping on one whole axis (observed, not hypothetical).
+        // The explicit RDD partitionBy is deliberate: Spark's public
+        // Dataset API offers hash and sampled-range exchanges only;
+        // bin = partition needs a custom partitioner. One shuffle
+        // either way.
+        val bits = (64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(n - 1, 1).toLong)).toInt
+        val zbin = shiftright(z, math.max(16 * cols.length - bits, 0))
+        val withBin = df.withColumn("_zbin", zbin.cast("long"))
+          .withColumn("_z", z)
+        val schema = withBin.schema
+        val binDomain = bits
+        val parted = withBin.rdd
+          .map(r => (r.getAs[Long]("_zbin"), r))
+          .partitionBy(new org.apache.spark.Partitioner {
+            override def numPartitions: Int = n
+            override def getPartition(key: Any): Int =
+              ((key.asInstanceOf[Long] * n) >> binDomain).toInt
+          })
+          .map(_._2)
+        spark.createDataFrame(parted, schema)
+          .sortWithinPartitions("_z")
+          .drop("_zbin", "_z")
+    }
     val tmp = Files.createTempDirectory(root, "_compact")
     try {
       // the rewrite lands in a VERSIONED scratch dir so its commit
@@ -268,6 +400,38 @@ object GraftVersions {
     } finally {
       try org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Interleaved-bits Z-value over (column, globalMin, globalMax)
+    * triples: each column is clamped to its bounds and scaled to 16
+    * bits, then bit i of column j lands at position `i*k + (k-1-j)` —
+    * the classic Morton encoding. Pure built-in arithmetic (shifts,
+    * masks, adds), so the whole thing stays inside whole-stage codegen;
+    * no UDF, no custom Expression needed. Rows close in Z-value are
+    * close in EVERY clustered dimension, which is what makes the
+    * range-partitioned rewrite's per-file min/max boxes tight on all
+    * of them at once. */
+  def zOrderValue(cols: Seq[(org.apache.spark.sql.Column, Long, Long)])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "zOrderValue needs at least one column")
+    val k = cols.length
+    val scaled = cols.map { case (c, mn, mx) =>
+      // Scale (c - mn) onto the FULL 16-bit range — a narrow span must
+      // stretch up (or its bits never reach the high interleave
+      // positions and the curve degenerates to a single-column sort),
+      // a wide span must shrink down WITHOUT the `x * 65535` multiply
+      // (values near 2^60, like the fp hash, would overflow it).
+      val span = math.max(mx - mn, 1L)
+      val base = greatest(least(c, lit(mx)), lit(mn)) - lit(mn)
+      if (span < 65536L) (base * (65535L / span)).cast("long")
+      else (base / (span / 65536L + 1L)).cast("long")
+    }
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      scaled.zipWithIndex.foldLeft(acc) { case (a, (s, j)) =>
+        a + shiftleft(shiftright(s, i).bitwiseAND(lit(1L)), i * k + (k - 1 - j))
+      }
     }
   }
 

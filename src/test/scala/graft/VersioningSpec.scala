@@ -436,7 +436,8 @@ class VersioningSpec extends SparkSpec {
       }
       val dir = wh.resolve("t")
       val entries = GraftVersions.latest(dir).get.entries
-      assert(entries.length == 6 && entries.forall(_.stats.isDefined))
+      assert(entries.length == 6 &&
+        entries.forall(_.stats.contains("doc_id")))
 
       def planned(pred: String): Int =
         spark.sql(s"SELECT * FROM $cat.t WHERE $pred").rdd.getNumPartitions
@@ -452,9 +453,9 @@ class VersioningSpec extends SparkSpec {
       // range-clustered compaction: 2 files with DISJOINT sorted ranges,
       // so a selective query plans exactly one
       val info = GraftVersions.compact(spark, dir, targetFiles = 2,
-        clusterByDocId = true)
+        clusterBy = Seq("doc_id"))
       assert(info.entries.length == 2)
-      val ranges = info.entries.flatMap(_.stats).sortBy(_._1)
+      val ranges = info.entries.flatMap(_.stats.get("doc_id")).sortBy(_._1)
       assert(ranges.head._2 < ranges.last._1, s"disjoint ranges: $ranges")
       assert(planned("doc_id BETWEEN 2 AND 7") == 1)
       assert(spark.table(s"$cat.t").count() == 30)
@@ -487,6 +488,194 @@ class VersioningSpec extends SparkSpec {
       spark.conf.unset(s"spark.sql.catalog.$cat")
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
       org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
+  test("commits record multi-column stats; old doc_id-only manifests still read") {
+    val (cat, wh) = freshCatalog("mc")
+    try {
+      docsRange(20).writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .create()
+      val dir = wh.resolve("t")
+      val entries = GraftVersions.latest(dir).get.entries
+      assert(entries.nonEmpty)
+      entries.foreach { e =>
+        assert(Set("doc_id", "fp", "n_words").subsetOf(e.stats.keySet),
+          s"expected stats for all numeric columns, got ${e.stats.keySet}")
+      }
+      // pruning on a non-doc_id column: n_words lives in [9, 99] by
+      // construction, so a disjoint range plans zero files
+      assert(spark.sql(s"SELECT * FROM $cat.t WHERE n_words > 1000")
+        .rdd.getNumPartitions == 0)
+
+      // back-compat: the doc_id-only manifest line format of earlier
+      // logs (name\tmin\tmax) must still parse as doc_id stats
+      val vd = dir.resolve("_versions")
+      val old = vd.resolve("v99999.manifest")
+      Files.write(old,
+        "ts=1\top=append\tdataChange=true\nold-file.tsv\t3\t7\n"
+          .getBytes("UTF-8"))
+      val parsed = GraftVersions.manifest(dir, 99999L)
+      assert(parsed.entries == Seq(
+        GraftVersions.FileEntry("old-file.tsv", Map("doc_id" -> (3L, 7L)))))
+      Files.delete(old)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
+  test("Z-order compaction yields quadrant-pure files skippable on every axis") {
+    val (cat, wh) = freshCatalog("zo")
+    try {
+      import org.apache.spark.sql.functions._
+      docsRange(256).repartition(8, col("fp"))
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      val dir = wh.resolve("t")
+      def planned(pred: String): Int =
+        spark.sql(s"SELECT * FROM $cat.t WHERE $pred").rdd.getNumPartitions
+      // hash-scattered layout: no axis can prune anything
+      assert(planned("doc_id < 128") == 8 && planned("fp < 288230376151711744") == 8)
+      val info = GraftVersions.compact(spark, dir, targetFiles = 4,
+        clusterBy = Seq("doc_id", "fp"))
+      assert(info.entries.length == 4 && !info.dataChange)
+      // every file is one tight hyper-rectangle: id ranges split at 128,
+      // fp ranges split near the data midpoint, and the four boxes are
+      // the four quadrants (two id-low files, two id-high, each pair
+      // split by fp) — identity bin partitioning, not sampled cuts
+      val boxes = info.entries.map(e => (e.stats("doc_id"), e.stats("fp")))
+      assert(boxes.count(_._1._2 < 128) == 2, s"id-low files: $boxes")
+      assert(boxes.count(_._1._1 >= 128) == 2, s"id-high files: $boxes")
+      // both axes now prune half the files
+      assert(planned("doc_id < 128") == 2)
+      assert(planned("fp < 288230376151711744") == 2)
+      // and correctness is untouched by the layout change
+      assert(spark.table(s"$cat.t").count() == 256)
+      assert(spark.sql(
+        s"SELECT COUNT(DISTINCT doc_id) FROM $cat.t").head.getLong(0) == 256)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
+  test("streaming sink: exactly-once epochs, replay skipped, restart-stable appId") {
+    val (cat, wh) = freshCatalog("sw")
+    val cp = Files.createTempDirectory("graft_ckpt_sw")
+    try {
+      import org.apache.spark.sql.functions._
+      docsRange(10).writeTo(s"$cat.src").tableProperty("versioned", "true")
+        .create()
+      docsRange(0).writeTo(s"$cat.dst").tableProperty("versioned", "true")
+        .create()
+      def drain(): Unit = {
+        val q = spark.readStream.table(s"$cat.src")
+          .writeStream.option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.dst")
+        assert(q.awaitTermination(120000)); q.exception.foreach(throw _)
+      }
+      drain() // src v0 (enable) + v1 (create) → epochs 0, 1
+      assert(spark.table(s"$cat.dst").count() == 10)
+      spark.sql(s"INSERT INTO $cat.dst SELECT 500L, 'batch', 1L, 2") // interleaved batch write
+      spark.sql(s"INSERT INTO $cat.src SELECT 100L, 'late', 7L, 3")  // src v2
+      drain() // same checkpoint: only v2; nothing re-emitted
+      val dst = spark.table(s"$cat.dst")
+      assert(dst.count() == 12)
+      assert(dst.agg(countDistinct(col("doc_id"))).head.getLong(0) == 12)
+
+      val dstDir = wh.resolve("dst")
+      val txns = GraftVersions.listVersions(dstDir).flatMap(_.txn)
+      assert(txns.map(_._2) == Seq(0L, 1L, 2L),
+        s"one ledgered epoch per consumed commit: $txns")
+      assert(txns.map(_._1).distinct.length == 1,
+        "appId must be checkpoint-stable across restarts")
+
+      // ledger-level replay: committing an already-recorded epoch is a no-op
+      val replay = GraftVersions.commitTxn(dstDir, "streaming-append",
+        removed = Some(Set.empty), added = Nil,
+        appId = txns.head._1, epoch = 2L)
+      assert(replay.isEmpty, "replayed epoch must be skipped")
+      val fresh = GraftVersions.commitTxn(dstDir, "streaming-append",
+        removed = Some(Set.empty), added = Nil,
+        appId = txns.head._1, epoch = 3L)
+      assert(fresh.isDefined, "a new epoch still commits")
+
+      // unversioned sink targets fail loudly at stream start
+      val plain = Files.createTempDirectory("graft_sw_plain")
+      try {
+        val q = spark.readStream.table(s"$cat.src")
+          .writeStream.format("graft.sources.GraftDocsSource")
+          .option("path", plain.toString)
+          .option("checkpointLocation", s"$cp-plain")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val err = intercept[Exception] { q.awaitTermination(120000) }
+        assert(err.getMessage.contains("versioned") ||
+          q.exception.exists(_.getMessage.contains("versioned")))
+        q.stop()
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(plain.toFile)
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          Paths.get(s"$cp-plain").toFile)
+      }
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(cp.toFile)
+    }
+  }
+
+  test("streaming sink Complete mode: each epoch replaces the live snapshot") {
+    val (cat, wh) = freshCatalog("swc")
+    val cp = Files.createTempDirectory("graft_ckpt_swc")
+    try {
+      import org.apache.spark.sql.functions._
+      docsRange(10).writeTo(s"$cat.src").tableProperty("versioned", "true")
+        .create()
+      docsRange(0).writeTo(s"$cat.dst").tableProperty("versioned", "true")
+        .create()
+      def drain(): Unit = {
+        val q = spark.readStream.table(s"$cat.src")
+          .groupBy().agg(
+            max(col("doc_id")).as("doc_id"),
+            lit("rollup").as("title"),
+            count(lit(1)).as("fp"),
+            sum(col("n_words")).cast("int").as("n_words"))
+          .writeStream.outputMode("complete")
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.dst")
+        assert(q.awaitTermination(120000)); q.exception.foreach(throw _)
+      }
+      drain()
+      def state(): (Long, Long, Long, Int) = {
+        val r = spark.table(s"$cat.dst").head()
+        (spark.table(s"$cat.dst").count(), r.getLong(0), r.getLong(2),
+          r.getInt(3))
+      }
+      val s1 = state()
+      assert(s1 == ((1L, 9L, 10L,
+        (0L until 10L).map(GraftDocsSource.nWords).sum)),
+        s"complete-mode rollup after first drain: $s1")
+      spark.sql(s"INSERT INTO $cat.src SELECT 100L, 'late', 7L, 3")
+      drain()
+      val s2 = state()
+      assert(s2 == ((1L, 100L, 11L,
+        (0L until 10L).map(GraftDocsSource.nWords).sum + 3)),
+        s"complete-mode rollup must REPLACE, not append: $s2")
+      // replaced snapshots stay time-travelable like any other commit
+      val dstDir = wh.resolve("dst")
+      val ops = GraftVersions.listVersions(dstDir).map(_.op)
+      assert(ops.count(_ == "streaming-complete") >= 2, s"ops: $ops")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(cp.toFile)
     }
   }
 }
