@@ -593,6 +593,121 @@ object Round13 {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q226: Bloom-filter file skipping — point lookups min/max can't prune
+  // ---------------------------------------------------------------------
+
+  /** Per-file Bloom indexes (`TBLPROPERTIES('bloom.columns'='fp,title')`)
+    * verified from planned work. The table is doc_id-clustered (8
+    * contiguous-range files), so every file spans the whole fp/title
+    * domain and min/max stats can never prune a point lookup on them —
+    * the precise gap blooms close. A `fp = <literal>` lookup plans
+    * exactly the 1 file containing that document (bloom miss = proof of
+    * absence; a false positive would only add a scanned file, never
+    * lose a row), same for `title = 'doc-200'`, and a value that exists
+    * nowhere plans 0 files. At 100 TB this is the difference between a
+    * point lookup opening 3 files and 30,000 — on exactly the columns
+    * the layout was NOT sorted by. Planned counts ride in the hashed
+    * row (q223 pattern). */
+  val q226BloomSkipping: Q = (spark, dir) => {
+    val wh = Files.createTempDirectory("graft_ver_q226")
+    val cat = "q226_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "256").option("partitions", "8").load()
+        .writeTo(s"$cat.t")
+        .tableProperty("versioned", "true")
+        .tableProperty("bloom.columns", "fp,title")
+        .create()
+      val fp137 = graft.sources.GraftDocsSource.fp(137L)
+      def planned(pred: String): Long =
+        spark.sql(s"SELECT * FROM $cat.t WHERE $pred")
+          .rdd.getNumPartitions.toLong
+      def agg(pred: String) = spark.sql(
+        s"""SELECT COUNT(*) AS n, COALESCE(SUM(n_words), 0) AS w
+           |FROM $cat.t WHERE $pred""".stripMargin).head()
+      val total = GraftVersions.latest(wh.resolve("t")).get.entries.length.toLong
+      val aggFp = agg(s"fp = $fp137")
+      val aggTitle = agg("title = 'doc-200'")
+      import spark.implicits._
+      OpsUtil.driverLiteral(Seq((
+        total,
+        planned(s"fp = $fp137"), aggFp.getLong(0), aggFp.getLong(1),
+        planned("title = 'doc-200'"), aggTitle.getLong(0),
+        aggTitle.getLong(1),
+        planned("fp = 999"), agg("fp = 999").getLong(0)
+      )).toDF("total_files", "planned_fp_point", "rows_fp_point",
+        "words_fp_point", "planned_title_point", "rows_title_point",
+        "words_title_point", "planned_fp_missing", "rows_fp_missing"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // q227: CHECK constraints — write-time data quality gates
+  // ---------------------------------------------------------------------
+
+  /** Write-time CHECK constraints (`TBLPROPERTIES('check.<name>'=
+    * '<boolean SQL>')`, compiled through the real analyzer and enforced
+    * per row in every writer — batch INSERT, the COW UPDATE rewrite,
+    * and streaming all share the path). A violating write FAILS AS A
+    * UNIT: the staged commit never lands, the version log doesn't
+    * advance, and the table's contents are bit-identical to before —
+    * proven here by attempting a bad INSERT and a bad UPDATE between
+    * good ones and hashing the surviving state + version count. This
+    * is Delta's constraint contract, and for a training corpus it is
+    * the cheapest possible quality gate: bad rows are rejected at the
+    * door instead of quarantined by a later audit pass over 100 TB. */
+  val q227CheckConstraints: Q = (spark, dir) => {
+    val wh = Files.createTempDirectory("graft_ver_q227")
+    val cat = "q227_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "30").load()
+        .writeTo(s"$cat.t")
+        .tableProperty("versioned", "true")
+        .tableProperty("check.words", "n_words BETWEEN 9 AND 99")
+        .tableProperty("check.id_pos", "doc_id >= 0")
+        .create()
+      def rejected(sql: String): Boolean =
+        try { spark.sql(sql); false }
+        catch {
+          case e: Throwable =>
+            // only a constraint rejection counts; anything else is a bug
+            val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .map(_.getMessage).filter(_ != null).mkString(" | ")
+            if (!msgs.contains("CHECK constraint")) throw e
+            true
+        }
+      val badInsert =
+        rejected(s"INSERT INTO $cat.t SELECT 500L, 'bad', 1L, 500")
+      val badUpdate =
+        rejected(s"UPDATE $cat.t SET n_words = -1 WHERE doc_id < 3")
+      spark.sql(s"UPDATE $cat.t SET n_words = 50 WHERE doc_id < 3") // passes
+      val versions = GraftVersions.listVersionNumbers(wh.resolve("t")).length
+      val state = spark.sql(
+        s"""SELECT COUNT(*) AS n, SUM(n_words) AS w, SUM(doc_id) AS ids
+           |FROM $cat.t""".stripMargin).head()
+      import spark.implicits._
+      OpsUtil.driverLiteral(Seq((
+        badInsert, badUpdate, versions.toLong,
+        state.getLong(0), state.getLong(1), state.getLong(2)
+      )).toDF("bad_insert_rejected", "bad_update_rejected", "n_versions",
+        "rows_live", "sum_words_live", "sum_ids_live"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q216_time_travel" -> q216TimeTravel,
     "q217_version_changes" -> q217VersionChanges,
@@ -604,6 +719,8 @@ object Round13 {
     "q223_file_skipping" -> q223FileSkipping,
     "q224_zorder" -> q224ZOrder,
     "q225_stream_sink" -> q225StreamSink,
+    "q226_bloom_skipping" -> q226BloomSkipping,
+    "q227_check_constraints" -> q227CheckConstraints,
   )
 
   /** The scratch table's history is a closed-form function of doc_id
@@ -767,5 +884,32 @@ object Round13 {
         |  CAST(4 AS BIGINT) AS txn_commits,
         |  CAST(1 AS BIGINT) AS distinct_app_ids,
         |  CAST(3 AS BIGINT) AS max_epoch""".stripMargin,
+    // 8 doc_id-contiguous files; fp/title point lookups hit exactly the
+    // one file holding that doc (doc 137 and doc 200 resp.), a nowhere
+    // value hits none. fp is the md5-derived closed form (q88 oracle).
+    "q226_bloom_skipping" ->
+      """WITH w AS (SELECT i, i % 91 + 9 AS nw FROM range(0, 256) t(i))
+        |SELECT CAST(8 AS BIGINT) AS total_files,
+        |  CAST(1 AS BIGINT) AS planned_fp_point,
+        |  CAST(1 AS BIGINT) AS rows_fp_point,
+        |  CAST((SELECT nw FROM w WHERE i = 137) AS BIGINT)
+        |    AS words_fp_point,
+        |  CAST(1 AS BIGINT) AS planned_title_point,
+        |  CAST(1 AS BIGINT) AS rows_title_point,
+        |  CAST((SELECT nw FROM w WHERE i = 200) AS BIGINT)
+        |    AS words_title_point,
+        |  CAST(0 AS BIGINT) AS planned_fp_missing,
+        |  CAST(0 AS BIGINT) AS rows_fp_missing""".stripMargin,
+    // v0 enable + v1 create + v2 good update = 3 manifests (the two
+    // rejected writes advance nothing); live rows = [0,30) with
+    // n_words=50 for i<3, untouched otherwise.
+    "q227_check_constraints" ->
+      """WITH w AS (SELECT i, i % 91 + 9 AS nw FROM range(0, 30) t(i))
+        |SELECT TRUE AS bad_insert_rejected, TRUE AS bad_update_rejected,
+        |  CAST(3 AS BIGINT) AS n_versions,
+        |  CAST(30 AS BIGINT) AS rows_live,
+        |  CAST((SELECT SUM(CASE WHEN i < 3 THEN 50 ELSE nw END) FROM w)
+        |    AS BIGINT) AS sum_words_live,
+        |  CAST((SELECT SUM(i) FROM w) AS BIGINT) AS sum_ids_live""".stripMargin,
   )
 }

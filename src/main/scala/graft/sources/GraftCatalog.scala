@@ -175,6 +175,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     // snapshot-version the table from birth (v0 = the empty table)
     if ("true".equalsIgnoreCase(properties.getOrDefault("versioned", "")))
       GraftVersions.enable(dir)
+    // persist the declarative quality properties (CHECK constraints and
+    // bloom-index config) — everything else in `properties` is either a
+    // CREATE-time command (versioned) or Spark-internal bookkeeping
+    import scala.jdk.CollectionConverters._
+    val kept = properties.asScala.filter { case (k, _) =>
+      k.startsWith("check.") || k.startsWith("bloom.")
+    }.toMap
+    GraftTableMeta.write(dir, kept)
     new GraftRlTable(dir.toString)
   }
 

@@ -433,6 +433,9 @@ class GraftFilesScanBuilder(path: String,
   private val statCols = Set("doc_id", "fp", "n_words")
   private val lo = scala.collection.mutable.Map.empty[String, Long]
   private val hi = scala.collection.mutable.Map.empty[String, Long]
+  // exact-equality literals (any column, incl. strings) for Bloom
+  // probing — rendered exactly as the writer keys them
+  private val eqLit = scala.collection.mutable.Map.empty[String, String]
   private def tightenLo(c: String, v: Long): Unit =
     lo(c) = math.max(lo.getOrElse(c, Long.MinValue), v)
   private def tightenHi(c: String, v: Long): Unit =
@@ -463,6 +466,12 @@ class GraftFilesScanBuilder(path: String,
         tightenLo(c, v.longValue); tightenHi(c, v.longValue)
       case _ => ()
     }
+    filters.foreach {
+      case EqualTo(c, v: Number) => eqLit(c) = v.longValue.toString
+      case EqualTo(c, v: String) => eqLit(c) = v
+      case EqualTo(c, v: UTF8String) => eqLit(c) = v.toString
+      case _ => ()
+    }
     accepted = filters.filter {
       case GreaterThan(c, _: Number) => statCols(c)
       case GreaterThanOrEqual(c, _: Number) => statCols(c)
@@ -481,7 +490,7 @@ class GraftFilesScanBuilder(path: String,
     }.toMap
     new GraftFilesScan(path, required, onGroupFilter, versionPin,
       ignoreChanges = options.getBoolean("ignoreChanges", false),
-      colRanges = ranges)
+      colRanges = ranges, eqLiterals = eqLit.toMap)
   }
 }
 
@@ -500,7 +509,9 @@ class GraftFilesScan(path: String, required: StructType,
     // streaming only: tolerate rewrite commits (see GraftVersionFeed)
     ignoreChanges: Boolean = false,
     // pushed per-column bounds: prune files by manifest min/max stats
-    colRanges: Map[String, (Long, Long)] = Map.empty)
+    colRanges: Map[String, (Long, Long)] = Map.empty,
+    // pushed equality literals: prune files by their manifest blooms
+    eqLiterals: Map[String, String] = Map.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   // files surviving runtime group filtering; None = no filter arrived
@@ -563,13 +574,21 @@ class GraftFilesScan(path: String, required: StructType,
     // the files a selective query can actually touch. Unversioned
     // tables keep the original directory listing (no stats, no pruning).
     val names: Seq[String] =
-      if (GraftVersions.isVersioned(dir))
+      if (GraftVersions.isVersioned(dir)) {
+        // bloom probes apply only to columns the table indexes
+        // (GraftTableMeta) — probing a never-inserted column would
+        // wrongly prove absence
+        val bloomCols = eqLiterals.keySet
+          .intersect(GraftTableMeta.bloomColumns(dir).toSet)
         versionPin.map(GraftVersions.manifest(dir, _))
           .orElse(GraftVersions.latest(dir)).map(_.entries).getOrElse(Nil)
           .filter(e => colRanges.forall { case (c, (l, h)) =>
             e.mayContain(c, l, h)
           })
+          .filter(e => bloomCols.forall(c =>
+            e.mayContainValue(c, eqLiterals(c))))
           .map(_.name)
+      }
       else {
         val s = Files.list(dir)
         try s.iterator().asScala
@@ -822,7 +841,8 @@ class GraftDocsStreamingWrite(path: String, writeSchema: StructType,
     val idx = Array("doc_id", "title", "fp", "n_words")
       .map(writeSchema.fieldIndex)
     new GraftDocsStreamingWriterFactory(
-      root.resolve("_staging").toString, appId, idx)
+      root.resolve("_staging").toString, appId, idx,
+      GraftWriteGuards.forTable(root, writeSchema))
   }
 
   override def commit(epochId: Long,
@@ -839,10 +859,10 @@ class GraftDocsStreamingWrite(path: String, writeSchema: StructType,
     // Files first, manifest second (the batch path's order): the
     // epoch-suffixed names are referenced by no manifest yet, so a
     // reader can never plan a file that isn't fully in place.
-    val entries = messages.map { case GraftDocsCommitMessage(name, stats) =>
+    val entries = messages.map { case GraftDocsCommitMessage(name, stats, bloom) =>
       Files.move(stg.resolve(name), root.resolve(name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      GraftVersions.FileEntry(name, stats)
+      GraftVersions.FileEntry(name, stats, bloom)
     }
     // commitTxn re-checks the ledger under the table lock — if a racing
     // replay won in between, this returns None and the just-moved files
@@ -877,14 +897,16 @@ object GraftDocsStreamingWrite {
   * writes across the table's whole history. Delegates row encoding and
   * per-file stats to the batch [[GraftDocsWriterFactory]] writer. */
 class GraftDocsStreamingWriterFactory(stagingBase: String, appId: String,
-    idx: Array[Int]) extends StreamingDataWriterFactory {
+    idx: Array[Int],
+    guards: GraftWriteGuards.Guards = GraftWriteGuards.none)
+    extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
     val appHex = GraftDocsStreamingWrite.hex(appId)
     val dir = Paths.get(stagingBase).resolve(s"stream-$appHex-$epochId")
     Files.createDirectories(dir)
     val suffix = s"-$appHex${java.lang.Long.toHexString(epochId)}"
-    new GraftDocsWriterFactory(dir.toString, idx, suffix)
+    new GraftDocsWriterFactory(dir.toString, idx, suffix, guards)
       .createWriter(partitionId, taskId)
   }
 }
@@ -920,7 +942,8 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
     // write schema (Spark has already validated it against the table)
     val idx = Array("doc_id", "title", "fp", "n_words")
       .map(writeSchema.fieldIndex)
-    new GraftDocsWriterFactory(staging.toString, idx, effSuffix)
+    new GraftDocsWriterFactory(staging.toString, idx, effSuffix,
+      GraftWriteGuards.forTable(root, writeSchema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -944,10 +967,10 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
         }
       } finally s.close()
     }
-    val added = messages.map { case GraftDocsCommitMessage(name, stats) =>
+    val added = messages.map { case GraftDocsCommitMessage(name, stats, bloom) =>
       Files.move(staging.resolve(name), root.resolve(name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      GraftVersions.FileEntry(name, stats)
+      GraftVersions.FileEntry(name, stats, bloom)
     }
     if (versioned) {
       val removed =
@@ -978,13 +1001,81 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
 /** Task-commit message: the staged file plus its observed per-column
   * min/max for every numeric column — the per-file statistics a
   * versioned commit records in its manifest for scan-time file
-  * skipping. An empty file reports (0, -1) (min > max) per column:
-  * prunable by every predicate. */
+  * skipping — and the file's Bloom filter when the table enables one.
+  * An empty file reports (0, -1) (min > max) per column: prunable by
+  * every predicate. */
 case class GraftDocsCommitMessage(fileName: String,
-    stats: Map[String, (Long, Long)] = Map.empty) extends WriterCommitMessage
+    stats: Map[String, (Long, Long)] = Map.empty,
+    bloom: Option[GraftBloom] = None) extends WriterCommitMessage
+
+/** Driver-side preparation of the write-time quality guards persisted
+  * in `_table.properties` ([[GraftTableMeta]]):
+  *
+  *  - CHECK constraints compile through the full analyzer (an empty
+  *    DataFrame of the table schema + `filter(expr(...))`) so implicit
+  *    casts and function resolution behave exactly as in a query, then
+  *    bind to writeSchema ordinals — the bound Catalyst expressions
+  *    serialize to the executors and evaluate per row with no codegen
+  *    dependency. SQL CHECK semantics: a row fails only when the
+  *    condition is definitively FALSE (NULL passes).
+  *  - Bloom config is just (columns, bits) — the writer builds one
+  *    filter per file with `col:value` keys.
+  */
+object GraftWriteGuards {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Expression}
+
+  final case class Guards(constraints: Seq[(String, Expression)],
+      bloomCols: Seq[String], bloomBits: Int) extends Serializable
+  val none: Guards = Guards(Nil, Nil, 0)
+
+  def forTable(root: Path, writeSchema: StructType): Guards = {
+    val cs = GraftTableMeta.checkConstraints(root)
+    val compiled = if (cs.isEmpty) Nil else {
+      val spark = org.apache.spark.sql.SparkSession.active
+      cs.map { case (name, sqlText) =>
+        val analyzed = spark
+          .createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            GraftDocsSource.schema)
+          .filter(org.apache.spark.sql.functions.expr(sqlText))
+          .queryExecution.analyzed
+        val cond = analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }.getOrElse(throw new IllegalArgumentException(
+          s"CHECK constraint '$name' ($sqlText) did not analyze to a filter"))
+        // RuntimeReplaceable nodes (BETWEEN, some string/date sugar)
+        // only exist pre-optimization — swap in their replacements
+        // bottom-up, then INLINE the `With` common-subexpression form
+        // those replacements use (normally the optimizer's
+        // RewriteWithExpression does this); evaluating a shared def
+        // more than once is fine here, constraints are tiny
+        val runnable = cond.transformUp {
+          case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+            r.replacement
+        }.transformUp {
+          case w: org.apache.spark.sql.catalyst.expressions.With =>
+            val defs = w.defs.map(d => d.id -> d.child).toMap
+            w.child.transformUp {
+              case ref: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+                defs(ref.id)
+            }
+        }
+        val bound = runnable.transform {
+          case a: AttributeReference =>
+            BoundReference(writeSchema.fieldIndex(a.name), a.dataType,
+              a.nullable)
+        }
+        name -> bound
+      }
+    }
+    Guards(compiled, GraftTableMeta.bloomColumns(root),
+      GraftTableMeta.bloomBits(root))
+  }
+}
 
 class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
-    fileSuffix: String = "")
+    fileSuffix: String = "",
+    guards: GraftWriteGuards.Guards = GraftWriteGuards.none)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -1000,13 +1091,40 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
         if (v < mins(slot)) mins(slot) = v
         if (v > maxs(slot)) maxs(slot) = v
       }
+      private val bloom =
+        if (guards.bloomCols.isEmpty) None
+        else Some(GraftBloom.empty(guards.bloomBits))
       override def write(row: InternalRow): Unit = {
+        // CHECK constraints gate the row BEFORE any bytes land: a
+        // violating write fails the task, the job aborts, and the
+        // staged commit never reaches the table (Delta's constraint
+        // contract — bad data cannot enter, no quarantine pass needed)
+        guards.constraints.foreach { case (name, cond) =>
+          if (cond.eval(row) == false)
+            throw new IllegalStateException(
+              s"CHECK constraint '$name' violated by row " +
+                s"(doc_id=${row.getLong(idx(0))})")
+        }
         val id = row.getLong(idx(0))
+        val title = row.getUTF8String(idx(1)).toString
         val fp = row.getLong(idx(2))
         val nw = row.getInt(idx(3))
         observe(0, id); observe(1, fp); observe(2, nw.toLong)
+        bloom.foreach { b =>
+          guards.bloomCols.foreach { c =>
+            val v = c match {
+              case "doc_id" => id.toString
+              case "title" => title
+              case "fp" => fp.toString
+              case "n_words" => nw.toString
+              case other => throw new IllegalArgumentException(
+                s"bloom.columns names unknown column '$other'")
+            }
+            b.add(GraftBloom.key(c, v))
+          }
+        }
         out.write(id.toString); out.write('\t')
-        out.write(row.getUTF8String(idx(1)).toString); out.write('\t')
+        out.write(title); out.write('\t')
         out.write(fp.toString); out.write('\t')
         out.write(nw.toString); out.write('\n')
       }
@@ -1019,7 +1137,7 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
           if (mins(s) > maxs(s)) cols(s) -> (0L, -1L) // empty file
           else cols(s) -> (mins(s), maxs(s))
         }.toMap
-        GraftDocsCommitMessage(finalName, stats)
+        GraftDocsCommitMessage(finalName, stats, bloom)
       }
       override def abort(): Unit = { out.close(); Files.deleteIfExists(attempt) }
       override def close(): Unit = ()

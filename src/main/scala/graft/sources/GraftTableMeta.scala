@@ -1,0 +1,151 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.Base64
+
+/** Per-table metadata for the warehouse personality, beyond the version
+  * log: a `_table.properties` key=value store (written once at CREATE,
+  * read by the write/scan paths) carrying the two write-time quality
+  * faces a curated 100 TB corpus needs:
+  *
+  *  - `check.<name> = <boolean SQL expr>` — CHECK constraints enforced
+  *    on every row of every write (batch, streaming, and the COW
+  *    row-level rewrites all funnel through the same writer), Delta's
+  *    constraint contract: a violating WRITE fails as a unit and the
+  *    staged commit never lands, so bad data cannot enter the table at
+  *    all — cheaper than quarantining it after the fact;
+  *  - `bloom.columns = c1,c2` (+ optional `bloom.bits`) — per-file
+  *    Bloom filters over the named columns' values, recorded in the
+  *    commit manifest next to the min/max stats. Blooms answer the
+  *    query min/max can't: point lookups on HIGH-CARDINALITY columns a
+  *    file is NOT clustered by (a doc_id-clustered file spans the whole
+  *    fp domain, so fp min/max prunes nothing; its fp bloom prunes it
+  *    in O(1)). False positives only cost a scanned file; a bloom miss
+  *    is a proof of absence — pruning stays exact.
+  *
+  * The blooms live inline in the manifest (base64) — the minimal
+  * complete form. At 100 TB they would move to sidecar files keyed by
+  * part-file name (Iceberg's puffin / Delta's index folder) with the
+  * manifest holding offsets; the probe-side logic is unchanged.
+  */
+object GraftTableMeta {
+  private val FILE = "_table.properties"
+
+  /** Persist CREATE-time table properties (minus the ones that are
+    * commands, not state). Written via temp+ATOMIC_MOVE like the
+    * manifests; absent file = no properties. */
+  def write(root: Path, props: Map[String, String]): Unit = {
+    if (props.isEmpty) return
+    props.foreach { case (k, v) =>
+      require(!k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\t'),
+        s"table property '$k' must be single-line and '='-free in the key")
+    }
+    Files.createDirectories(root)
+    val body = props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(root, "props-", ".tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, root.resolve(FILE), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def read(root: Path): Map[String, String] = {
+    val f = root.resolve(FILE)
+    if (!Files.isRegularFile(f)) return Map.empty
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+      .map(_.trim).filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('=')
+        require(i > 0, s"malformed table property line '$l' in $f")
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+  }
+
+  /** `check.<name>` constraint expressions, keyed by name. */
+  def checkConstraints(root: Path): Seq[(String, String)] =
+    read(root).toSeq.collect {
+      case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
+    }.sortBy(_._1)
+
+  /** Columns to build per-file blooms for (empty = blooms off). */
+  def bloomColumns(root: Path): Seq[String] = {
+    val p = read(root)
+    p.get("bloom.columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+  }
+  def bloomBits(root: Path): Int =
+    read(root).get("bloom.bits").flatMap(_.toIntOption).getOrElse(32768)
+}
+
+/** A plain blocked Bloom-free Bloom filter (k=5 double-hashed probes
+  * over an m-bit array). Keys are strings of the form `col:value` so
+  * one filter per file serves every bloom-enabled column; both hashes
+  * are FNV-1a variants over the UTF-8 bytes — stable across JVMs,
+  * no dependency on JVM hashCode. */
+final class GraftBloom(val bits: Array[Long]) extends Serializable {
+  private def m: Int = bits.length * 64
+
+  private def h1(key: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val b = key.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+  private def h2(key: String): Long = {
+    var h = 0x9e3779b97f4a7c15L
+    val b = key.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < b.length) {
+      h = (h ^ (b(i) & 0xffL)) * 0xff51afd7ed558ccdL
+      h ^= (h >>> 33); i += 1
+    }
+    h | 1L // odd stride so probes cover the array
+  }
+
+  def add(key: String): Unit = {
+    val a = h1(key); val b = h2(key)
+    var i = 0
+    while (i < GraftBloom.K) {
+      val bit = java.lang.Long.remainderUnsigned(a + i * b, m).toInt
+      bits(bit >> 6) |= (1L << (bit & 63)); i += 1
+    }
+  }
+
+  /** false = DEFINITELY absent (safe to skip the file). */
+  def mightContain(key: String): Boolean = {
+    val a = h1(key); val b = h2(key)
+    var i = 0
+    while (i < GraftBloom.K) {
+      val bit = java.lang.Long.remainderUnsigned(a + i * b, m).toInt
+      if ((bits(bit >> 6) & (1L << (bit & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def toBase64: String = {
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+    bits.foreach(bb.putLong)
+    Base64.getEncoder.encodeToString(bb.array())
+  }
+}
+
+object GraftBloom {
+  val K = 5
+  def empty(mBits: Int): GraftBloom = {
+    require(mBits >= 64 && mBits % 64 == 0, s"bloom bits must be a " +
+      s"positive multiple of 64: $mBits")
+    new GraftBloom(new Array[Long](mBits / 64))
+  }
+  def fromBase64(s: String): GraftBloom = {
+    val bytes = Base64.getDecoder.decode(s)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val arr = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < arr.length) { arr(i) = bb.getLong; i += 1 }
+    new GraftBloom(arr)
+  }
+  def key(col: String, value: String): String = s"$col:$value"
+}

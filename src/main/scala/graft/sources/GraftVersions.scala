@@ -56,13 +56,22 @@ object GraftVersions {
     * never narrow. An EMPTY file carries `(0, -1)` (min > max) for
     * every tracked column: prunable by every predicate, readable by
     * none the less. */
-  final case class FileEntry(name: String, stats: Map[String, (Long, Long)]) {
+  final case class FileEntry(name: String, stats: Map[String, (Long, Long)],
+      // per-file Bloom filter over `col:value` keys of the table's
+      // bloom-enabled columns (GraftTableMeta) — the point-lookup
+      // complement to min/max: None (bloom off, or a pre-bloom file)
+      // can never prune
+      bloom: Option[GraftBloom] = None) {
     /** Can a row with `col` in [lo, hi] possibly live in this file? */
     def mayContain(col: String, lo: Long, hi: Long): Boolean =
       stats.get(col) match {
         case Some((mn, mx)) => mn <= hi && mx >= lo
         case None => true
       }
+    /** Can a row with `col` = value possibly live in this file?
+      * (bloom miss = proof of absence; probe only bloom-enabled cols) */
+    def mayContainValue(col: String, value: String): Boolean =
+      bloom.forall(_.mightContain(GraftBloom.key(col, value)))
   }
   object FileEntry {
     val NoStats: Map[String, (Long, Long)] = Map.empty
@@ -131,12 +140,14 @@ object GraftVersions {
     val prevTs = latest(root).map(_.tsMicros).getOrElse(Long.MinValue)
     val ts = math.max(System.currentTimeMillis() * 1000L, prevTs + 1L)
     // stats columns sorted for a canonical line; format per column is
-    // `col=min:max`. (The previous 2-column `name\tmin\tmax` doc_id-only
-    // form is still READ for old logs, never written again.)
+    // `col=min:max`, then an optional `bloom=<base64>` token. (The
+    // previous 2-column `name\tmin\tmax` doc_id-only form is still READ
+    // for old logs, never written again.)
     val lines = entries.map { e =>
-      (e.name +: e.stats.toSeq.sortBy(_._1).map {
-        case (c, (mn, mx)) => s"$c=$mn:$mx"
-      }).mkString("\t")
+      (e.name +:
+        (e.stats.toSeq.sortBy(_._1).map {
+          case (c, (mn, mx)) => s"$c=$mn:$mx"
+        } ++ e.bloom.map(b => s"bloom=${b.toBase64}").toSeq)).mkString("\t")
     }
     val txnField = txn.map { case (app, e) =>
       require(!app.contains('\t') && !app.contains('\n'),
@@ -170,7 +181,9 @@ object GraftVersions {
         case Array(n, mn, mx) if !mn.contains('=') =>    // doc_id-only era
           FileEntry(n, Map("doc_id" -> (mn.toLong, mx.toLong)))
         case arr =>
-          FileEntry(arr.head, arr.tail.map { tok =>
+          val (bloomToks, statToks) =
+            arr.tail.partition(_.startsWith("bloom="))
+          FileEntry(arr.head, statToks.map { tok =>
             val eq = tok.indexOf('=')
             val colon = tok.indexOf(':', eq + 1)
             if (eq < 0 || colon < 0) throw new IllegalStateException(
@@ -178,7 +191,9 @@ object GraftVersions {
             tok.substring(0, eq) ->
               (tok.substring(eq + 1, colon).toLong,
                 tok.substring(colon + 1).toLong)
-          }.toMap)
+          }.toMap,
+            bloom = bloomToks.headOption
+              .map(t => GraftBloom.fromBase64(t.stripPrefix("bloom="))))
       }
     }
     val txn = header.get("txn").map { v =>
@@ -381,9 +396,11 @@ object GraftVersions {
     val tmp = Files.createTempDirectory(root, "_compact")
     try {
       // the rewrite lands in a VERSIONED scratch dir so its commit
-      // records per-file min/max stats; those stats ride along into the
-      // compact manifest under the files' final names
+      // records per-file min/max stats; those stats (and blooms — the
+      // table's quality properties are mirrored into the scratch dir)
+      // ride along into the compact manifest under the final names
       enable(tmp)
+      GraftTableMeta.write(tmp, GraftTableMeta.read(root))
       live.write.format("graft.sources.GraftDocsSource")
         .option("path", tmp.toString).mode("append").save()
       val staged = latest(tmp).map(_.entries).getOrElse(Nil)
@@ -393,7 +410,7 @@ object GraftVersions {
         val name = f"part-$i%05d-$tag.tsv"
         Files.move(tmp.resolve(e.name), root.resolve(name),
           StandardCopyOption.ATOMIC_MOVE)
-        FileEntry(name, e.stats)
+        FileEntry(name, e.stats, e.bloom)
       }
       advance(root, "compact", removed = None, added = landed,
         dataChange = false)

@@ -629,6 +629,105 @@ class VersioningSpec extends SparkSpec {
     }
   }
 
+  test("bloom filters: exact-absence skipping, roundtrip, survival through compact") {
+    import graft.sources.GraftBloom
+    // filter math: everything added is found; absent keys miss at the
+    // designed FPR (spot-checked well below 1% at this load factor)
+    val b = GraftBloom.empty(32768)
+    (0 until 500).foreach(i => b.add(GraftBloom.key("fp", i.toString)))
+    assert((0 until 500).forall(i =>
+      b.mightContain(GraftBloom.key("fp", i.toString))))
+    val falsePos = (100000 until 110000).count(i =>
+      b.mightContain(GraftBloom.key("fp", i.toString)))
+    assert(falsePos < 100, s"FPR too high: $falsePos/10000")
+    val rt = GraftBloom.fromBase64(b.toBase64)
+    assert(rt.bits.toSeq == b.bits.toSeq, "base64 roundtrip")
+
+    val (cat, wh) = freshCatalog("bl")
+    try {
+      docsRange(256)
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("bloom.columns", "fp,title").create()
+      val dir = wh.resolve("t")
+      assert(GraftVersions.latest(dir).get.entries.forall(_.bloom.isDefined))
+      def planned(pred: String): Int =
+        spark.sql(s"SELECT * FROM $cat.t WHERE $pred").rdd.getNumPartitions
+      // never loses a row: every real fp found, exactly one row each
+      Seq(3L, 100L, 255L).foreach { i =>
+        val fp = GraftDocsSource.fp(i)
+        assert(spark.sql(s"SELECT * FROM $cat.t WHERE fp = $fp").count() == 1)
+        assert(planned(s"fp = $fp") <= 2, "bloom should prune most files")
+      }
+      assert(planned("fp = 12345") == 0, "absent value plans nothing")
+      assert(planned("title = 'doc-77'") <= 2 &&
+        spark.sql(s"SELECT * FROM $cat.t WHERE title = 'doc-77'").count() == 1)
+      // n_words is NOT bloom-indexed: equality must not consult blooms
+      // (min/max may still prune; 50 is inside every file's range here)
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t WHERE n_words = 50")
+        .head.getLong(0) == (0L until 256L).count(GraftDocsSource.nWords(_) == 50))
+      // compacted files keep blooms (table props mirror into the
+      // rewrite's scratch dir), so point skipping survives OPTIMIZE
+      GraftVersions.compact(spark, dir, targetFiles = 2)
+      assert(GraftVersions.latest(dir).get.entries.forall(_.bloom.isDefined))
+      assert(planned("fp = 12345") == 0)
+      assert(spark.sql(
+        s"SELECT * FROM $cat.t WHERE fp = ${GraftDocsSource.fp(100L)}")
+        .count() == 1)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
+  test("CHECK constraints reject bad writes atomically, incl. streaming") {
+    val (cat, wh) = freshCatalog("ck")
+    val cp = Files.createTempDirectory("graft_ckpt_ck")
+    try {
+      docsRange(10)
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("check.words", "n_words BETWEEN 9 AND 99").create()
+      def liveSum: Long = spark.sql(
+        s"SELECT COALESCE(SUM(n_words), 0) FROM $cat.t").head.getLong(0)
+      val before = liveSum
+      val versionsBefore = GraftVersions.listVersionNumbers(wh.resolve("t"))
+      // batch INSERT with one bad row among good ones: ALL rejected
+      val e1 = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.t " +
+          "SELECT 300L, 'ok', 1L, 50 UNION ALL SELECT 301L, 'bad', 2L, 500")
+      }
+      assert(Iterator.iterate(e1: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(t => Option(t.getMessage).exists(_.contains("CHECK constraint"))))
+      assert(liveSum == before && spark.table(s"$cat.t").count() == 10,
+        "failed write must leave the table untouched")
+      assert(GraftVersions.listVersionNumbers(wh.resolve("t")) == versionsBefore,
+        "failed write must not advance the version log")
+
+      // streaming writes share the writer, so the same gate applies:
+      // a source commit with a violating row fails the stream and the
+      // sink keeps only fully-valid epochs
+      docsRange(5).writeTo(s"$cat.src")
+        .tableProperty("versioned", "true").create()
+      spark.sql(s"INSERT INTO $cat.src SELECT 400L, 'bad', 3L, 7") // 7 < 9
+      val q = spark.readStream.table(s"$cat.src")
+        .writeStream.option("checkpointLocation", cp.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.t")
+      val e2 = intercept[Exception] { q.awaitTermination(120000) }
+      assert(Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(t => Option(t.getMessage).exists(_.contains("CHECK constraint"))))
+      q.stop()
+      // epochs before the bad commit landed; the bad epoch did not
+      val live = spark.table(s"$cat.t").count()
+      assert(live == 15, s"good epochs in, bad epoch out: $live")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(cp.toFile)
+    }
+  }
+
   test("streaming sink Complete mode: each epoch replaces the live snapshot") {
     val (cat, wh) = freshCatalog("swc")
     val cp = Files.createTempDirectory("graft_ckpt_swc")
