@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.GraftVersions
+import graft.sources.{GraftTableMeta, GraftVersions}
 
 /** Round-13 operators: the snapshot-versioning face of the warehouse
   * connector as verified queries — time travel, version-diff CDC, and
@@ -708,6 +708,259 @@ object Round13 {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q228: merge-on-read DELETE — deletion vectors instead of rewrites
+  // ---------------------------------------------------------------------
+
+  /** The deletion-vector delete path, audited per snapshot: a table
+    * with `delete.mode=merge-on-read` takes scattered DELETEs as
+    * manifest-resident position masks ([[graft.sources.GraftDV]], via
+    * Spark's SupportsDelta/WriteDelta contract with `(_file, _pos)`
+    * row ids) — the data files are NEVER rewritten, which the output
+    * row proves two ways: `files_rewritten` (manifest names not in the
+    * original append) stays 0 through every delete, and
+    * `bytes_immutable` compares each original part file's bytes
+    * against a snapshot taken before the deletes. Per version the row
+    * carries live row count / sum(doc_id) from an actual VERSION AS OF
+    * read plus `masked_rows` (total DV cardinality in that manifest) —
+    * all closed-form over range(40). OPTIMIZE then materializes the
+    * masks away (`masked_rows` back to 0) with the live rows
+    * unchanged. At 100 TB: a delete touching 3 rows in each of 10⁵
+    * gigabyte-files commits a few KB of masks instead of rewriting
+    * 100 TB; the read-side cost is a sorted-mask skip per file. */
+  val q228MorDelete: Q = (spark, dir) => {
+    val wh = Files.createTempDirectory("graft_ver_q228")
+    val cat = "q228_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "40").load()
+        .repartitionByRange(4, col("doc_id"))
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "merge-on-read").create()
+      val tdir = wh.resolve("t")
+      val originals = GraftVersions.latest(tdir).get.files
+      val bytesBefore = originals.map(n =>
+        n -> java.util.Arrays.hashCode(Files.readAllBytes(tdir.resolve(n)))).toMap
+      // scattered predicates (not provable from min/max stats, not
+      // even translatable): the planner falls through the metadata
+      // path onto the MOR row-level path
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id % 7 = 3")
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id % 7 = 5")
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id < 10 AND doc_id % 2 = 0")
+      GraftVersions.compact(spark, tdir, targetFiles = 2,
+        clusterBy = Seq("doc_id"))
+      val log = GraftVersions.listVersions(tdir)
+      val perVersion = log.map { v =>
+        val masked = v.entries.flatMap(_.dv).map(_.cardinality.toLong).sum
+        val rewritten = v.files.count(n => !originals.contains(n)).toLong
+        val immutable = originals.forall(n =>
+          java.util.Arrays.hashCode(Files.readAllBytes(tdir.resolve(n))) ==
+            bytesBefore(n))
+        spark.sql(
+          s"""SELECT ${v.version}L AS version, '${v.op}' AS op,
+             |  COUNT(*) AS n_rows, COALESCE(SUM(doc_id), 0) AS sum_ids,
+             |  ${masked}L AS masked_rows, ${rewritten}L AS files_rewritten,
+             |  $immutable AS bytes_immutable
+             |FROM $cat.t VERSION AS OF ${v.version}""".stripMargin)
+      }.reduce(_ unionByName _)
+      OpsUtil.driverLiteral(perVersion.orderBy("version"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // q229: metadata-only DELETE — stats-provable deletes never touch data
+  // ---------------------------------------------------------------------
+
+  /** The three-tier delete story on one table, cheapest tier first:
+    * (1) `DELETE WHERE doc_id >= 30` on a range-clustered table is
+    * PROVABLE from the manifest's per-file min/max — every file is
+    * wholly in or wholly out — so Spark's
+    * OptimizeMetadataOnlyDeleteFromTable + the connector's
+    * SupportsDeleteV2 turn it into ONE manifest advance
+    * (`delete-metadata`) dropping the all-match file: no scan job, no
+    * rewrite, and `disk_files` proves the dropped file's bytes still
+    * exist for time travel. (2) `DELETE WHERE doc_id >= 25` is PARTIAL
+    * on the [20,30) file, canDeleteWhere says no, and the same SQL
+    * falls back to the copy-on-write rewrite (`delete`) of exactly
+    * that one file (`files_rewritten` = 1, runtime group filtering
+    * scoping the rewrite). The output row pins the op labels, the
+    * file accounting, and VERSION AS OF aggregates per snapshot — a
+    * regression in either tier breaks the hash. Tier (3), masks, is
+    * q228. At 100 TB, tier 1 is how `DELETE WHERE date < retention`
+    * on a date-clustered corpus finishes in milliseconds. */
+  val q229MetadataDelete: Q = (spark, dir) => {
+    val wh = Files.createTempDirectory("graft_ver_q229")
+    val cat = "q229_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "40").load()
+        .repartitionByRange(4, col("doc_id"))
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      val tdir = wh.resolve("t")
+      val originals = GraftVersions.latest(tdir).get.files
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id >= 30") // provable
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id >= 25") // partial -> COW
+      def diskFiles: Long = {
+        val s = Files.list(tdir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.count(p => p.getFileName.toString
+            .matches(graft.sources.GraftFiles.partFileRegex)).toLong
+        } finally s.close()
+      }
+      val log = GraftVersions.listVersions(tdir)
+      val perVersion = log.map { v =>
+        val rewritten = v.files.count(n => !originals.contains(n)).toLong
+        spark.sql(
+          s"""SELECT ${v.version}L AS version, '${v.op}' AS op,
+             |  COUNT(*) AS n_rows, COALESCE(SUM(doc_id), 0) AS sum_ids,
+             |  ${v.files.length}L AS manifest_files,
+             |  ${rewritten}L AS files_rewritten
+             |FROM $cat.t VERSION AS OF ${v.version}""".stripMargin)
+      }.reduce(_ unionByName _)
+      // all four original files still on disk (time travel needs them)
+      // plus the one COW replacement
+      val disk = diskFiles
+      OpsUtil.driverLiteral(perVersion
+        .withColumn("disk_files", lit(disk)).orderBy("version"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // q230: manifest statistics drive the cost-based optimizer
+  // ---------------------------------------------------------------------
+
+  /** SupportsReportStatistics, verified through the numbers the
+    * PLANNER actually consumes: the warehouse scan reports
+    * manifest-resident row/byte counts (`rows=`/`bytes=` written at
+    * commit, minus deletion-vector cardinality), and the output row
+    * pins `stats_rows_*` read straight off the optimized plan's
+    * DataSourceV2ScanRelation — before a MOR delete (500) and after
+    * (500 − 71), proving statistics track masks without any file
+    * access. The join itself (big generative corpus ⋈ small curated
+    * table) aggregates to closed-form sums DuckDB recomputes. The
+    * plan-level consequence — Spark auto-broadcasting the small side
+    * with NO hint — is asserted in DeletionVectorSpec; at 100 TB this
+    * is what turns "join the corpus to a curated exclusion list" from
+    * an accidental full shuffle into a broadcast hash join. */
+  val q230StatsCbo: Q = (spark, dir) => {
+    val wh = Files.createTempDirectory("graft_ver_q230")
+    val cat = "q230_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "500").load()
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "merge-on-read").create()
+      def reportedRows: Long =
+        spark.table(s"$cat.t").queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.stats.rowCount.map(_.toLong).getOrElse(-1L)
+        }.getOrElse(-1L)
+      val statsBefore = reportedRows
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id % 7 = 3") // 71 rows masked
+      val statsAfter = reportedRows
+      val big = spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "20000").load()
+      val joined = big.join(spark.table(s"$cat.t").select("doc_id"), "doc_id")
+        .agg(count(lit(1)).as("n_joined"),
+          sum("n_words").as("sum_words_joined"))
+        .head()
+      import spark.implicits._
+      OpsUtil.driverLiteral(Seq((
+        statsBefore, statsAfter, joined.getLong(0), joined.getLong(1)
+      )).toDF("stats_rows_before", "stats_rows_after",
+        "n_joined", "sum_words_joined"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // q231: ALTER TABLE SET/UNSET TBLPROPERTIES — mutable table behavior
+  // ---------------------------------------------------------------------
+
+  /** The property-ALTER lifecycle as one audited row: (1) adding a
+    * CHECK constraint VALIDATES the existing rows first (Delta's ADD
+    * CONSTRAINT contract — one scan, violations reject the ALTER), so
+    * `alter_ok` lands but `alter_rejected` (a constraint 25 existing
+    * rows violate) must fail; (2) the landed constraint gates
+    * subsequent writes (`bad_insert_rejected`, version log unmoved);
+    * (3) UNSET lifts it and the same row inserts; (4) ALTER switching
+    * `delete.mode` to merge-on-read changes the NEXT delete's
+    * execution path — same SQL, masks instead of rewrite — pinned by
+    * `masked_rows` > 0 and `final_op`. Behavior, not just storage, is
+    * what ALTER mutates; every count is closed-form over range(30). */
+  val q231AlterProperties: Q = (spark, dir) => {
+    val wh = Files.createTempDirectory("graft_ver_q231")
+    val cat = "q231_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "30").load()
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      val tdir = wh.resolve("t")
+      spark.sql(
+        s"ALTER TABLE $cat.t SET TBLPROPERTIES ('check.pos_words' = 'n_words > 0')")
+      val alterOk =
+        GraftTableMeta.read(tdir).contains("check.pos_words")
+      val alterRejected =
+        try {
+          spark.sql(
+            s"ALTER TABLE $cat.t SET TBLPROPERTIES ('check.tiny' = 'doc_id < 5')")
+          false
+        } catch { case e: Exception =>
+          e.getMessage != null && e.getMessage.contains("25 existing row(s)")
+        }
+      val versionsBefore = GraftVersions.listVersions(tdir).length
+      val badInsertRejected =
+        try {
+          spark.sql(s"INSERT INTO $cat.t SELECT 777L, 'bad', 7L, 0")
+          false
+        } catch { case _: Exception => true }
+      val versionsUnmoved =
+        GraftVersions.listVersions(tdir).length == versionsBefore
+      spark.sql(s"ALTER TABLE $cat.t UNSET TBLPROPERTIES ('check.pos_words')")
+      spark.sql(s"INSERT INTO $cat.t SELECT 777L, 'ok-now', 7L, 0")
+      spark.sql(
+        s"ALTER TABLE $cat.t SET TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id % 5 = 2")
+      val last = GraftVersions.latest(tdir).get
+      val masked = last.entries.flatMap(_.dv).map(_.cardinality.toLong).sum
+      val state = spark.sql(
+        s"""SELECT COUNT(*) AS n, COALESCE(SUM(doc_id), 0) AS ids,
+           |  COALESCE(SUM(n_words), 0) AS words FROM $cat.t""".stripMargin)
+        .head()
+      import spark.implicits._
+      OpsUtil.driverLiteral(Seq((
+        alterOk, alterRejected, badInsertRejected, versionsUnmoved,
+        last.op, masked, state.getLong(0), state.getLong(1), state.getLong(2)
+      )).toDF("alter_ok", "alter_rejected", "bad_insert_rejected",
+        "versions_unmoved", "final_op", "masked_rows",
+        "rows_live", "sum_ids_live", "sum_words_live"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q216_time_travel" -> q216TimeTravel,
     "q217_version_changes" -> q217VersionChanges,
@@ -721,6 +974,10 @@ object Round13 {
     "q225_stream_sink" -> q225StreamSink,
     "q226_bloom_skipping" -> q226BloomSkipping,
     "q227_check_constraints" -> q227CheckConstraints,
+    "q228_mor_delete" -> q228MorDelete,
+    "q229_metadata_delete" -> q229MetadataDelete,
+    "q230_stats_cbo" -> q230StatsCbo,
+    "q231_alter_properties" -> q231AlterProperties,
   )
 
   /** The scratch table's history is a closed-form function of doc_id
@@ -813,7 +1070,7 @@ object Round13 {
         |v(version, op, n_rows, sum_words) AS (VALUES
         |  (0, 'enable', 0, 0),
         |  (1, 'append', 10, (SELECT SUM(nw) FROM w WHERE i < 10)),
-        |  (2, 'delete', 5, (SELECT SUM(nw) FROM w WHERE i < 5)),
+        |  (2, 'delete-metadata', 5, (SELECT SUM(nw) FROM w WHERE i < 5)),
         |  (3, 'update', 5,
         |    (SELECT SUM(CASE WHEN i = 1 THEN 0 ELSE nw END) FROM w
         |      WHERE i < 5)),
@@ -911,5 +1168,76 @@ object Round13 {
         |  CAST((SELECT SUM(CASE WHEN i < 3 THEN 50 ELSE nw END) FROM w)
         |    AS BIGINT) AS sum_words_live,
         |  CAST((SELECT SUM(i) FROM w) AS BIGINT) AS sum_ids_live""".stripMargin,
+    // q228: live sets per version — v2 drops i%7=3, v3 additionally
+    // i%7=5, v4 additionally evens below 10; v5 is the compaction
+    // (same rows, masks materialized, 2 fresh files)
+    "q228_mor_delete" ->
+      """WITH w AS (SELECT i FROM range(0, 40) t(i)),
+        |l2 AS (SELECT i FROM w WHERE i % 7 <> 3),
+        |l3 AS (SELECT i FROM l2 WHERE i % 7 <> 5),
+        |l4 AS (SELECT i FROM l3 WHERE NOT (i < 10 AND i % 2 = 0)),
+        |v(version, op, n_rows, sum_ids, masked_rows, files_rewritten,
+        |  bytes_immutable) AS (VALUES
+        |  (0, 'enable', 0, 0, 0, 0, TRUE),
+        |  (1, 'append', 40, (SELECT SUM(i) FROM w), 0, 0, TRUE),
+        |  (2, 'delete', (SELECT COUNT(*) FROM l2), (SELECT SUM(i) FROM l2),
+        |    6, 0, TRUE),
+        |  (3, 'delete', (SELECT COUNT(*) FROM l3), (SELECT SUM(i) FROM l3),
+        |    11, 0, TRUE),
+        |  (4, 'delete', (SELECT COUNT(*) FROM l4), (SELECT SUM(i) FROM l4),
+        |    16, 0, TRUE),
+        |  (5, 'compact', (SELECT COUNT(*) FROM l4), (SELECT SUM(i) FROM l4),
+        |    0, 2, TRUE))
+        |SELECT CAST(version AS BIGINT) AS version, op,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(sum_ids AS BIGINT) AS sum_ids,
+        |  CAST(masked_rows AS BIGINT) AS masked_rows,
+        |  CAST(files_rewritten AS BIGINT) AS files_rewritten,
+        |  bytes_immutable
+        |FROM v ORDER BY version""".stripMargin,
+    // q229: v2 = metadata delete of the [30,40) file (3 files remain,
+    // none rewritten); v3 = COW delete of [25,30) rewriting exactly the
+    // [20,30) file; 5 part files on disk throughout (4 originals kept
+    // for time travel + 1 replacement)
+    "q229_metadata_delete" ->
+      """WITH w AS (SELECT i FROM range(0, 40) t(i)),
+        |v(version, op, n_rows, sum_ids, manifest_files, files_rewritten)
+        |  AS (VALUES
+        |  (0, 'enable', 0, 0, 0, 0),
+        |  (1, 'append', 40, (SELECT SUM(i) FROM w), 4, 0),
+        |  (2, 'delete-metadata', 30, (SELECT SUM(i) FROM w WHERE i < 30),
+        |    3, 0),
+        |  (3, 'delete', 25, (SELECT SUM(i) FROM w WHERE i < 25), 3, 1))
+        |SELECT CAST(version AS BIGINT) AS version, op,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(sum_ids AS BIGINT) AS sum_ids,
+        |  CAST(manifest_files AS BIGINT) AS manifest_files,
+        |  CAST(files_rewritten AS BIGINT) AS files_rewritten,
+        |  CAST(5 AS BIGINT) AS disk_files
+        |FROM v ORDER BY version""".stripMargin,
+    // q230: reported statistics are exact manifest numbers (500 rows;
+    // 429 after the %7=3 mask), and the join aggregates over the live
+    // ids with the generative n_words = i % 91 + 9
+    "q230_stats_cbo" ->
+      """WITH live AS (SELECT i, i % 91 + 9 AS nw FROM range(0, 500) t(i)
+        |  WHERE i % 7 <> 3)
+        |SELECT CAST(500 AS BIGINT) AS stats_rows_before,
+        |  CAST((SELECT COUNT(*) FROM live) AS BIGINT) AS stats_rows_after,
+        |  CAST((SELECT COUNT(*) FROM live) AS BIGINT) AS n_joined,
+        |  CAST((SELECT SUM(nw) FROM live) AS BIGINT) AS sum_words_joined""".stripMargin,
+    // q231: 30 seed rows (n_words = i+9, all positive); the %5=2 MOR
+    // delete masks 6 of them and fully deletes the late 777 row's
+    // single-row file (dropped from the manifest, hence not in
+    // masked_rows)
+    "q231_alter_properties" ->
+      """WITH w AS (SELECT i, i % 91 + 9 AS nw FROM range(0, 30) t(i)),
+        |kept AS (SELECT i, nw FROM w WHERE i % 5 <> 2)
+        |SELECT TRUE AS alter_ok, TRUE AS alter_rejected,
+        |  TRUE AS bad_insert_rejected, TRUE AS versions_unmoved,
+        |  'delete' AS final_op,
+        |  CAST(6 AS BIGINT) AS masked_rows,
+        |  CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS rows_live,
+        |  CAST((SELECT SUM(i) FROM kept) AS BIGINT) AS sum_ids_live,
+        |  CAST((SELECT SUM(nw) FROM kept) AS BIGINT) AS sum_words_live""".stripMargin,
   )
 }

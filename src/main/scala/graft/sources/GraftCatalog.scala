@@ -175,20 +175,58 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     // snapshot-version the table from birth (v0 = the empty table)
     if ("true".equalsIgnoreCase(properties.getOrDefault("versioned", "")))
       GraftVersions.enable(dir)
-    // persist the declarative quality properties (CHECK constraints and
-    // bloom-index config) — everything else in `properties` is either a
-    // CREATE-time command (versioned) or Spark-internal bookkeeping
+    // persist the declarative quality/behavior properties (CHECK
+    // constraints, bloom-index config, delete mode) — everything else
+    // in `properties` is either a CREATE-time command (versioned) or
+    // Spark-internal bookkeeping
     import scala.jdk.CollectionConverters._
     val kept = properties.asScala.filter { case (k, _) =>
-      k.startsWith("check.") || k.startsWith("bloom.")
+      GraftCatalog.isPersistedProperty(k)
     }.toMap
     GraftTableMeta.write(dir, kept)
     new GraftRlTable(dir.toString)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft_docs tables have a fixed schema; ALTER is not supported")
+  /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES` over the persisted
+    * property store ([[GraftTableMeta]]): CHECK constraints, bloom
+    * config, and the delete mode are mutable table STATE, not
+    * create-time constants — a production table tightens its quality
+    * gates and switches delete strategies without recreation. Delta
+    * parity on the sharp edge: ADDING a CHECK constraint validates the
+    * existing live rows first (one scan, aggregate-sized result) and
+    * refuses if any row violates — otherwise the constraint would lie
+    * about the data already in the table. Schema changes stay
+    * rejected: the connector's schema is fixed by design. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirFor(ident)
+    if (isVirtual(ident.name()) || !Files.isDirectory(dir))
+      throw new UnsupportedOperationException(
+        s"${ident.name()}: only warehouse tables support ALTER")
+    import org.apache.spark.sql.connector.catalog.TableChange._
+    val current = GraftTableMeta.read(dir)
+    val updated = changes.foldLeft(current) { (props, change) =>
+      change match {
+        case s: SetProperty if GraftCatalog.isPersistedProperty(s.property()) =>
+          if (s.property().startsWith("check."))
+            GraftCatalog.validateExistingRows(dir,
+              s.property().stripPrefix("check."), s.value())
+          props + (s.property() -> s.value())
+        case r: RemoveProperty
+            if GraftCatalog.isPersistedProperty(r.property()) =>
+          props - r.property()
+        case s: SetProperty if s.property() == "versioned" =>
+          throw new UnsupportedOperationException(
+            "versioning cannot be toggled by ALTER; enable it at CREATE " +
+              "(TBLPROPERTIES('versioned'='true')) or via GraftVersions.enable")
+        case other =>
+          throw new UnsupportedOperationException(
+            s"graft_docs tables have a fixed schema; unsupported change: " +
+              other.getClass.getSimpleName)
+      }
+    }
+    GraftTableMeta.replaceAll(dir, updated)
+    new GraftRlTable(dir.toString)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (isVirtual(ident.name()) || warehouse.isEmpty) return false
@@ -220,6 +258,33 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       case "bucket" => GraftBucketFunction
       case _ => throw new NoSuchFunctionException(ident)
     }
+}
+
+object GraftCatalog {
+  /** Properties that live in `_table.properties` and are settable by
+    * ALTER: quality gates (check.*), index config (bloom.*), and the
+    * delete strategy. */
+  def isPersistedProperty(k: String): Boolean =
+    k.startsWith("check.") || k.startsWith("bloom.") || k == "delete.mode"
+
+  /** ADD CONSTRAINT validation (Delta parity): a new CHECK must hold
+    * on the rows already in the table, or it is rejected with the
+    * violation count. One scan through the path-backed source; SQL
+    * CHECK semantics (NULL passes), so the violation predicate is
+    * `NOT coalesce(expr, true)`. */
+  def validateExistingRows(dir: java.nio.file.Path, name: String,
+      sqlText: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val violations = spark.read.format("graft.sources.GraftDocsSource")
+      .option("path", dir.toString).load()
+      .filter(org.apache.spark.sql.functions.expr(
+        s"not coalesce(($sqlText), true)"))
+      .count()
+    if (violations > 0)
+      throw new IllegalStateException(
+        s"cannot add CHECK constraint '$name' ($sqlText): $violations " +
+          s"existing row(s) violate it")
+  }
 }
 
 /** The `history` metadata table of a versioned warehouse table — the
@@ -331,7 +396,7 @@ class GraftRlTable(path: String,
     // analysis; the capability set makes the contract explicit)
     versionPin: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations
-    with SupportsMetadataColumns with TruncatableTable {
+    with SupportsMetadataColumns with SupportsDeleteV2 {
   override def name(): String =
     s"graft_docs(path=$path${versionPin.map(v => s", version=$v").getOrElse("")})"
 
@@ -378,6 +443,14 @@ class GraftRlTable(path: String,
       override def dataType(): DataType = StringType
       override def isNullable: Boolean = false
       override def comment(): String = "part file this row was read from"
+    },
+    new MetadataColumn {
+      override def name(): String = "_pos"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "physical row position within its part file — with _file, the " +
+          "stable row id deletion vectors address"
     })
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftFilesScanBuilder(path, versionPin = versionPin,
@@ -389,7 +462,45 @@ class GraftRlTable(path: String,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(versionPin.isEmpty, s"$name is a read-only snapshot view")
-    () => new GraftCowOperation(path, info.command())
+    // DELETE on a versioned table with delete.mode=merge-on-read takes
+    // the deletion-vector path (GraftMorDeleteOperation); UPDATE/MERGE
+    // — and every delete elsewhere — stay copy-on-write
+    val dir = Paths.get(path)
+    val mor = info.command() == RowLevelOperation.Command.DELETE &&
+      GraftVersions.isVersioned(dir) &&
+      GraftTableMeta.read(dir).get("delete.mode")
+        .exists(_.equalsIgnoreCase("merge-on-read"))
+    if (mor) () => new GraftMorDeleteOperation(path)
+    else () => new GraftCowOperation(path, info.command())
+  }
+
+  /** Metadata-only DELETE fast path ([[GraftMetaDelete]]): answer yes
+    * ONLY when the manifest stats prove every live file wholly in or
+    * wholly out of the predicate region — then `deleteWhere` is a
+    * single manifest advance dropping the all-match files, no scan, no
+    * rewrite, no mask. Any partial file → false → Spark falls back to
+    * this table's row-level path (COW or MOR). Versioned tables only:
+    * dropping whole files from an unversioned directory would break
+    * its (listing-defined) snapshot for concurrent readers. */
+  override def canDeleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean = {
+    val dir = Paths.get(path)
+    GraftVersions.isVersioned(dir) &&
+      GraftVersions.latest(dir).exists(v =>
+        GraftMetaDelete.provableScope(v.entries, predicates).isDefined)
+  }
+
+  override def deleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val dir = Paths.get(path)
+    val live = GraftVersions.latest(dir).getOrElse(
+      throw new IllegalStateException(
+        s"metadata delete on unversioned table $path"))
+    val scope = GraftMetaDelete.provableScope(live.entries, predicates)
+      .getOrElse(throw new IllegalStateException(
+        s"deleteWhere called with unprovable predicates on $path — " +
+          "canDeleteWhere must gate this path"))
+    GraftVersions.advance(dir, "delete-metadata", Some(scope), Nil)
   }
 }
 

@@ -490,6 +490,7 @@ class GraftFilesScanBuilder(path: String,
     }.toMap
     new GraftFilesScan(path, required, onGroupFilter, versionPin,
       ignoreChanges = options.getBoolean("ignoreChanges", false),
+      ignoreDeletes = options.getBoolean("ignoreDeletes", false),
       colRanges = ranges, eqLiterals = eqLit.toMap)
   }
 }
@@ -508,14 +509,50 @@ class GraftFilesScan(path: String, required: StructType,
     versionPin: Option[Long] = None,
     // streaming only: tolerate rewrite commits (see GraftVersionFeed)
     ignoreChanges: Boolean = false,
+    // streaming only: tolerate deletion-vector-only commits (MOR
+    // deletes) — Delta's ignoreDeletes contract
+    ignoreDeletes: Boolean = false,
     // pushed per-column bounds: prune files by manifest min/max stats
     colRanges: Map[String, (Long, Long)] = Map.empty,
     // pushed equality literals: prune files by their manifest blooms
     eqLiterals: Map[String, String] = Map.empty)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   // files surviving runtime group filtering; None = no filter arrived
   @volatile private var keep: Option[Set[String]] = None
+
+  /** Manifest-resident statistics for the COST-BASED optimizer: the
+    * planner sees this scan's true size (post-pruning, DV-adjusted)
+    * without opening a single data file, so a small curated table on
+    * the build side of a join gets auto-broadcast exactly like a small
+    * parquet table would — at 100 TB, the difference between a
+    * broadcast hash join and an accidental 100 TB shuffle. Row counts
+    * come from the writer's `rows=` manifest counters minus each
+    * file's deletion-vector cardinality; byte sizes from `bytes=`,
+    * falling back to a driver-side Files.size for pre-stats entries
+    * (a few syscalls, still no data read). Statistics may only
+    * OVERCOUNT on masked files' bytes — safe for planning. */
+  override def estimateStatistics(): Statistics = {
+    val dir = Paths.get(path)
+    val entries = liveEntries()
+    val bytes = entries.map { e =>
+      e.bytes.getOrElse {
+        try Files.size(dir.resolve(e.name)) catch {
+          case _: java.io.IOException => 0L
+        }
+      }
+    }.sum
+    val rows: java.util.OptionalLong =
+      if (entries.forall(_.rows.isDefined))
+        java.util.OptionalLong.of(entries.flatMap(_.liveRows).sum)
+      else java.util.OptionalLong.empty()
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -530,7 +567,16 @@ class GraftFilesScan(path: String, required: StructType,
     * Unrecognized predicate shapes are ignored: reading more than
     * necessary is correct, just not minimal. */
   override def filterAttributes(): Array[NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+    // advertise `_file` ONLY when this scan actually produces it (the
+    // row-level operations always request it): Spark's dynamic-pruning
+    // rule resolves filterAttributes against the relation OUTPUT and
+    // throws on a miss — a plain query's scan (no metadata columns)
+    // must therefore advertise nothing, or any broadcast-join plan
+    // over this table fails analysis (surfaced when manifest
+    // statistics made these tables broadcast-able)
+    if (required.fieldNames.contains("_file"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+    else Array.empty
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     val fileRef = Seq("_file")
@@ -562,18 +608,20 @@ class GraftFilesScan(path: String, required: StructType,
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** File entries this scan will read, after every planning-time prune
+    * (snapshot resolution, min/max stats, blooms, runtime group
+    * filter). Versioned tables resolve from a snapshot manifest (the
+    * pin, or latest — resolved at plan time, so a scan observes one
+    * committed snapshot even if a commit lands mid-query) and SKIP
+    * files whose recorded min/max on ANY pushed column is disjoint from
+    * that column's range — planning work proportional to the files a
+    * selective query can actually touch. Unversioned tables keep the
+    * original directory listing (no stats, no pruning, no masks). */
+  private def liveEntries(): Seq[GraftVersions.FileEntry] = {
     import scala.jdk.CollectionConverters._
     val dir = Paths.get(path)
-    if (!Files.isDirectory(dir)) return Array.empty
-    // Versioned tables resolve their file list from a snapshot manifest
-    // (the pin, or latest — resolved HERE at plan time, so a scan
-    // observes one committed snapshot even if a commit lands mid-query)
-    // and SKIP files whose recorded min/max on ANY pushed column is
-    // disjoint from that column's range — planning work proportional to
-    // the files a selective query can actually touch. Unversioned
-    // tables keep the original directory listing (no stats, no pruning).
-    val names: Seq[String] =
+    if (!Files.isDirectory(dir)) return Nil
+    val entries: Seq[GraftVersions.FileEntry] =
       if (GraftVersions.isVersioned(dir)) {
         // bloom probes apply only to columns the table indexes
         // (GraftTableMeta) — probing a never-inserted column would
@@ -587,18 +635,23 @@ class GraftFilesScan(path: String, required: StructType,
           })
           .filter(e => bloomCols.forall(c =>
             e.mayContainValue(c, eqLiterals(c))))
-          .map(_.name)
       }
       else {
         val s = Files.list(dir)
         try s.iterator().asScala
           .map(_.getFileName.toString)
           .filter(_.matches(GraftFiles.partFileRegex)).toSeq.sorted
+          .map(GraftVersions.FileEntry(_, GraftVersions.FileEntry.NoStats))
         finally s.close()
       }
-    names
-      .filter(n => keep.forall(_.contains(n)))
-      .map(n => GraftFilePartition(dir.resolve(n).toString): InputPartition)
+    entries.filter(e => keep.forall(_.contains(e.name)))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = Paths.get(path)
+    liveEntries()
+      .map(e => GraftFilePartition(dir.resolve(e.name).toString,
+        e.dv.map(_.positions).getOrElse(Array.empty)): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -612,7 +665,7 @@ class GraftFilesScan(path: String, required: StructType,
         s"streaming reads of $path need a versioned table: the _versions " +
           "commit log is the stream's offset axis (enable versioning with " +
           "TBLPROPERTIES('versioned'='true') or GraftVersions.enable)")
-    new GraftVersionFeed(path, required, ignoreChanges)
+    new GraftVersionFeed(path, required, ignoreChanges, ignoreDeletes)
   }
 }
 
@@ -651,7 +704,7 @@ case class GraftVersionOffset(v: Long) extends Offset {
   * Column pruning composes (the same pruned readers as the batch scan).
   */
 class GraftVersionFeed(path: String, required: StructType,
-    ignoreChanges: Boolean)
+    ignoreChanges: Boolean, ignoreDeletes: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   private def dir = Paths.get(path)
@@ -699,12 +752,12 @@ class GraftVersionFeed(path: String, required: StructType,
           s"of $path after vacuum (oldest retained: " +
           s"v${retained.toSeq.sorted.headOption.getOrElse(-1L)}); restart " +
           "the stream from scratch to take a fresh initial snapshot")
-    val added: Seq[String] =
+    val added: Seq[GraftVersions.FileEntry] =
       (s + 1 to e).filter(retained.contains).flatMap { v =>
         val info = GraftVersions.manifest(dir, v)
-        val base: Option[Set[String]] =
+        val base: Option[GraftVersions.VersionInfo] =
           if (retained.contains(v - 1))
-            Some(GraftVersions.manifest(dir, v - 1).files.toSet)
+            Some(GraftVersions.manifest(dir, v - 1))
           else None // fresh stream's initial batch: the full snapshot
         base match {
           // dataChange=false commits (compaction) rearranged files
@@ -713,7 +766,8 @@ class GraftVersionFeed(path: String, required: StructType,
           // materializes even if the latest commit was a compaction.
           case Some(_) if !info.dataChange => Nil
           case Some(b) =>
-            val isRewrite = info.files.toSet != b && !b.subsetOf(info.files.toSet)
+            val bf = b.files.toSet
+            val isRewrite = info.files.toSet != bf && !bf.subsetOf(info.files.toSet)
             if (isRewrite && !ignoreChanges)
               throw new IllegalStateException(
                 s"commit v$v of $path is a ${info.op} rewrite: re-emitting " +
@@ -721,37 +775,75 @@ class GraftVersionFeed(path: String, required: StructType,
                   "Set option(\"ignoreChanges\", true) to stream them anyway " +
                   "(consumers must dedupe by key), or time-travel the exact " +
                   "snapshots instead")
-            info.files.filterNot(b)
-          case None => info.files
+            // a deletion-vector-only commit (merge-on-read DELETE)
+            // removed rows without adding files: this append-only feed
+            // has nothing to emit for it, but consuming past it changes
+            // what the downstream state MEANS — Delta's ignoreDeletes
+            // contract makes that an explicit opt-in, not a silence
+            val dvGrew = info.entries.exists { en =>
+              bf.contains(en.name) && {
+                val baseCard = b.entries.find(_.name == en.name)
+                  .flatMap(_.dv).map(_.cardinality).getOrElse(0)
+                en.dv.map(_.cardinality).getOrElse(0) > baseCard
+              }
+            }
+            if (dvGrew && !ignoreDeletes && !ignoreChanges)
+              throw new IllegalStateException(
+                s"commit v$v of $path deleted rows via deletion vectors " +
+                  s"(${info.op}): this append-only change feed cannot " +
+                  "represent row removal. Set option(\"ignoreDeletes\", " +
+                  "true) to skip delete commits (downstream keeps the " +
+                  "deleted rows), or time-travel the exact snapshots")
+            info.entries.filterNot(en => bf.contains(en.name))
+          case None => info.entries
         }
       }
-    added.map(n =>
-      GraftFilePartition(dir.resolve(n).toString): InputPartition).toArray
+    added.map(e =>
+      GraftFilePartition(dir.resolve(e.name).toString,
+        e.dv.map(_.positions).getOrElse(Array.empty)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftFilesReaderFactory(required.fieldNames)
 }
 
-case class GraftFilePartition(file: String) extends InputPartition
+case class GraftFilePartition(file: String,
+    // deletion-vector positions for this file (empty = no mask): the
+    // snapshot's mask rides into the executor with the split, so the
+    // reader needs no manifest access
+    dvPositions: Array[Long] = Array.empty) extends InputPartition
 
 class GraftFilesReaderFactory(cols: Array[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val file = p.asInstanceOf[GraftFilePartition].file
+    val part = p.asInstanceOf[GraftFilePartition]
+    val file = part.file
     new PartitionReader[InternalRow] {
       private val lines =
         Files.readAllLines(Paths.get(file), StandardCharsets.UTF_8).iterator()
       private var cur: Array[String] = _
+      // physical position of `cur` within the file (0-based). The mask
+      // and the cursor advance together — positions are sorted, the
+      // lines stream in order, so skipping is a two-pointer walk, not a
+      // per-row set probe.
+      private var pos = -1L
+      private val dv = part.dvPositions
+      private var dvIdx = 0
       override def next(): Boolean = {
-        if (!lines.hasNext) return false
-        cur = lines.next().split("\t", -1)
-        true
+        while (lines.hasNext) {
+          val line = lines.next(); pos += 1
+          if (dvIdx < dv.length && dv(dvIdx) == pos) dvIdx += 1 // masked
+          else { cur = line.split("\t", -1); return true }
+        }
+        false
       }
       override def get(): InternalRow =
         // canonical TSV order: doc_id, title, fp, n_words (the writer's
         // order, independent of the query's write-projection order);
         // _file is the metadata column (row provenance + the handle
-        // row-level operations group by)
+        // row-level operations group by); _pos is the physical row
+        // ordinal — together they are the stable row id deletion
+        // vectors address (the file is never edited in place, so
+        // neither component ever shifts)
         InternalRow.fromSeq(cols.toSeq.map {
           case "doc_id" => cur(0).toLong
           case "title" => UTF8String.fromString(cur(1))
@@ -759,6 +851,7 @@ class GraftFilesReaderFactory(cols: Array[String])
           case "n_words" => cur(3).toInt
           case "_file" => UTF8String.fromString(
             Paths.get(file).getFileName.toString)
+          case "_pos" => pos
         })
       override def close(): Unit = ()
     }
@@ -859,10 +952,11 @@ class GraftDocsStreamingWrite(path: String, writeSchema: StructType,
     // Files first, manifest second (the batch path's order): the
     // epoch-suffixed names are referenced by no manifest yet, so a
     // reader can never plan a file that isn't fully in place.
-    val entries = messages.map { case GraftDocsCommitMessage(name, stats, bloom) =>
-      Files.move(stg.resolve(name), root.resolve(name),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      GraftVersions.FileEntry(name, stats, bloom)
+    val entries = messages.map {
+      case GraftDocsCommitMessage(name, stats, bloom, rows, bytes) =>
+        Files.move(stg.resolve(name), root.resolve(name),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        GraftVersions.FileEntry(name, stats, bloom, Some(rows), Some(bytes))
     }
     // commitTxn re-checks the ledger under the table lock — if a racing
     // replay won in between, this returns None and the just-moved files
@@ -967,10 +1061,11 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
         }
       } finally s.close()
     }
-    val added = messages.map { case GraftDocsCommitMessage(name, stats, bloom) =>
-      Files.move(staging.resolve(name), root.resolve(name),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      GraftVersions.FileEntry(name, stats, bloom)
+    val added = messages.map {
+      case GraftDocsCommitMessage(name, stats, bloom, rows, bytes) =>
+        Files.move(staging.resolve(name), root.resolve(name),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        GraftVersions.FileEntry(name, stats, bloom, Some(rows), Some(bytes))
     }
     if (versioned) {
       val removed =
@@ -1006,7 +1101,10 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
   * every predicate. */
 case class GraftDocsCommitMessage(fileName: String,
     stats: Map[String, (Long, Long)] = Map.empty,
-    bloom: Option[GraftBloom] = None) extends WriterCommitMessage
+    bloom: Option[GraftBloom] = None,
+    // physical row/byte counts for the manifest (scan statistics and
+    // the fully-deleted-file drop in the MOR delete path)
+    rows: Long = 0L, bytes: Long = 0L) extends WriterCommitMessage
 
 /** Driver-side preparation of the write-time quality guards persisted
   * in `_table.properties` ([[GraftTableMeta]]):
@@ -1094,6 +1192,8 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
       private val bloom =
         if (guards.bloomCols.isEmpty) None
         else Some(GraftBloom.empty(guards.bloomBits))
+      private var nRows = 0L
+      private var nBytes = 0L
       override def write(row: InternalRow): Unit = {
         // CHECK constraints gate the row BEFORE any bytes land: a
         // violating write fails the task, the job aborts, and the
@@ -1123,10 +1223,10 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
             b.add(GraftBloom.key(c, v))
           }
         }
-        out.write(id.toString); out.write('\t')
-        out.write(title); out.write('\t')
-        out.write(fp.toString); out.write('\t')
-        out.write(nw.toString); out.write('\n')
+        val line = s"$id\t$title\t$fp\t$nw\n"
+        out.write(line)
+        nRows += 1
+        nBytes += line.getBytes(StandardCharsets.UTF_8).length
       }
       override def commit(): WriterCommitMessage = {
         out.close()
@@ -1137,7 +1237,7 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
           if (mins(s) > maxs(s)) cols(s) -> (0L, -1L) // empty file
           else cols(s) -> (mins(s), maxs(s))
         }.toMap
-        GraftDocsCommitMessage(finalName, stats, bloom)
+        GraftDocsCommitMessage(finalName, stats, bloom, nRows, nBytes)
       }
       override def abort(): Unit = { out.close(); Files.deleteIfExists(attempt) }
       override def close(): Unit = ()

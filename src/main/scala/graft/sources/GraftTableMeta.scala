@@ -50,6 +50,13 @@ object GraftTableMeta {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Replace the property store wholesale (ALTER TABLE): unlike
+    * [[write]], an empty map is meaningful here — it clears every
+    * property (UNSET of the last one). */
+  def replaceAll(root: Path, props: Map[String, String]): Unit =
+    if (props.isEmpty) Files.deleteIfExists(root.resolve(FILE))
+    else write(root, props)
+
   def read(root: Path): Map[String, String] = {
     val f = root.resolve(FILE)
     if (!Files.isRegularFile(f)) return Map.empty

@@ -61,8 +61,21 @@ object GraftVersions {
       // bloom-enabled columns (GraftTableMeta) — the point-lookup
       // complement to min/max: None (bloom off, or a pre-bloom file)
       // can never prune
-      bloom: Option[GraftBloom] = None) {
-    /** Can a row with `col` in [lo, hi] possibly live in this file? */
+      bloom: Option[GraftBloom] = None,
+      // physical row count and byte size, recorded at write time — the
+      // manifest-resident inputs to SupportsReportStatistics (the CBO
+      // sees table sizes without touching storage) and to the "file
+      // fully deleted" manifest-drop in the merge-on-read delete path.
+      // None on pre-stats manifest lines: statistics degrade to a
+      // driver-side Files.size, never to a wrong number.
+      rows: Option[Long] = None, bytes: Option[Long] = None,
+      // deletion vector: physical row POSITIONS masked out of this file
+      // (merge-on-read DELETE) — the file's bytes are immutable, the
+      // mask travels in the manifest. None = no deletes.
+      dv: Option[GraftDV] = None) {
+    /** Can a row with `col` in [lo, hi] possibly live in this file?
+      * Stats bound ALL physical rows, so they stay conservative (may
+      * overcount, never undercount) for DV-masked files too. */
     def mayContain(col: String, lo: Long, hi: Long): Boolean =
       stats.get(col) match {
         case Some((mn, mx)) => mn <= hi && mx >= lo
@@ -72,6 +85,9 @@ object GraftVersions {
       * (bloom miss = proof of absence; probe only bloom-enabled cols) */
     def mayContainValue(col: String, value: String): Boolean =
       bloom.forall(_.mightContain(GraftBloom.key(col, value)))
+    /** Rows a scan of this file returns (physical minus masked). */
+    def liveRows: Option[Long] =
+      rows.map(_ - dv.map(_.cardinality.toLong).getOrElse(0L))
   }
   object FileEntry {
     val NoStats: Map[String, (Long, Long)] = Map.empty
@@ -140,14 +156,21 @@ object GraftVersions {
     val prevTs = latest(root).map(_.tsMicros).getOrElse(Long.MinValue)
     val ts = math.max(System.currentTimeMillis() * 1000L, prevTs + 1L)
     // stats columns sorted for a canonical line; format per column is
-    // `col=min:max`, then an optional `bloom=<base64>` token. (The
-    // previous 2-column `name\tmin\tmax` doc_id-only form is still READ
-    // for old logs, never written again.)
+    // `col=min:max`, then optional `rows=`/`bytes=` counters, an
+    // optional `bloom=<base64>` token, and an optional `dv=<base64>`
+    // deletion vector. (The previous 2-column `name\tmin\tmax`
+    // doc_id-only form is still READ for old logs, never written
+    // again.) Unknown-token forward compat is deliberate: counters and
+    // masks are per-file FACTS, so an old entry simply lacks them.
     val lines = entries.map { e =>
       (e.name +:
         (e.stats.toSeq.sortBy(_._1).map {
           case (c, (mn, mx)) => s"$c=$mn:$mx"
-        } ++ e.bloom.map(b => s"bloom=${b.toBase64}").toSeq)).mkString("\t")
+        } ++ e.rows.map(r => s"rows=$r").toSeq
+          ++ e.bytes.map(b => s"bytes=$b").toSeq
+          ++ e.bloom.map(b => s"bloom=${b.toBase64}").toSeq
+          ++ e.dv.filter(_.cardinality > 0)
+            .map(d => s"dv=${d.toBase64}").toSeq)).mkString("\t")
     }
     val txnField = txn.map { case (app, e) =>
       require(!app.contains('\t') && !app.contains('\n'),
@@ -181,8 +204,11 @@ object GraftVersions {
         case Array(n, mn, mx) if !mn.contains('=') =>    // doc_id-only era
           FileEntry(n, Map("doc_id" -> (mn.toLong, mx.toLong)))
         case arr =>
-          val (bloomToks, statToks) =
-            arr.tail.partition(_.startsWith("bloom="))
+          def tok(prefix: String): Option[String] =
+            arr.tail.find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+          val reserved = Set("rows=", "bytes=", "bloom=", "dv=")
+          val statToks =
+            arr.tail.filterNot(t => reserved.exists(t.startsWith))
           FileEntry(arr.head, statToks.map { tok =>
             val eq = tok.indexOf('=')
             val colon = tok.indexOf(':', eq + 1)
@@ -192,8 +218,10 @@ object GraftVersions {
               (tok.substring(eq + 1, colon).toLong,
                 tok.substring(colon + 1).toLong)
           }.toMap,
-            bloom = bloomToks.headOption
-              .map(t => GraftBloom.fromBase64(t.stripPrefix("bloom="))))
+            bloom = tok("bloom=").map(GraftBloom.fromBase64),
+            rows = tok("rows=").map(_.toLong),
+            bytes = tok("bytes=").map(_.toLong),
+            dv = tok("dv=").map(GraftDV.fromBase64))
       }
     }
     val txn = header.get("txn").map { v =>
@@ -270,6 +298,39 @@ object GraftVersions {
       writeManifest(root, base.version + 1, op,
         (kept ++ added).sortBy(_.name), dataChange)
     }
+
+  /** Commit a merge-on-read DELETE: fold per-file deleted row
+    * POSITIONS into the live snapshot's deletion vectors — no data
+    * file is read, written, or removed; the commit is one manifest
+    * line per touched file. Runs under the table lock so two
+    * concurrent MOR deletes merge (union of masks), never lose one
+    * side's rows. A file whose mask reaches its physical row count is
+    * dropped from the live set entirely (its bytes stay for time
+    * travel; vacuum reclaims them) — the manifest analog of Delta's
+    * fully-deleted-file compaction. */
+  def applyDeletes(root: Path, deletes: Map[String, Seq[Long]])
+      : VersionInfo = lockFor(root).synchronized {
+    val base = latest(root).getOrElse(throw new IllegalStateException(
+      s"merge-on-read delete on unversioned table $root"))
+    val live = base.files.toSet
+    val unknown = deletes.keySet -- live
+    require(unknown.isEmpty,
+      s"MOR delete targets files outside the live snapshot of $root: " +
+        unknown.toSeq.sorted.mkString(", "))
+    val updated = base.entries.flatMap { e =>
+      deletes.get(e.name).filter(_.nonEmpty) match {
+        case None => Some(e)
+        case Some(ps) =>
+          val merged = e.dv.map(_.union(ps)).getOrElse(GraftDV.of(ps))
+          e.rows.foreach(r => require(merged.positions.last < r,
+            s"MOR delete position ${merged.positions.last} out of range " +
+              s"for ${e.name} ($r physical rows)"))
+          if (e.rows.contains(merged.cardinality.toLong)) None
+          else Some(e.copy(dv = Some(merged)))
+      }
+    }
+    writeManifest(root, base.version + 1, "delete", updated.sortBy(_.name))
+  }
 
   /** Newest epoch recorded for a streaming appId across the RETAINED
     * manifests. Caveat shared with Delta's SetTransaction retention:
@@ -410,7 +471,12 @@ object GraftVersions {
         val name = f"part-$i%05d-$tag.tsv"
         Files.move(tmp.resolve(e.name), root.resolve(name),
           StandardCopyOption.ATOMIC_MOVE)
-        FileEntry(name, e.stats, e.bloom)
+        // copy() carries EVERY per-file fact (stats, bloom, rows,
+        // bytes) — a field-list here silently drops the next fact we
+        // add (the bloom-drop regression of wave 5, pinned in
+        // VersioningSpec). dv is structurally absent: the rewrite read
+        // only live rows, so the masks are materialized away.
+        e.copy(name = name)
       }
       advance(root, "compact", removed = None, added = landed,
         dataChange = false)

@@ -397,8 +397,10 @@ class VersioningSpec extends SparkSpec {
         s"SELECT version, op, data_change, n_files FROM $cat.t.history " +
           "ORDER BY version").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+      // doc_id >= 8 is provable from the range-clustered file stats, so
+      // the wave-6 metadata fast path handles it (no scan, no rewrite)
       assert(hist.map(h => (h._1, h._2)) ==
-        Seq((0L, "enable"), (1L, "append"), (2L, "delete")))
+        Seq((0L, "enable"), (1L, "append"), (2L, "delete-metadata")))
       assert(hist.forall(_._3))
       // ts_micros column agrees with the log and is strictly increasing
       val ts = spark.sql(s"SELECT ts_micros FROM $cat.t.history ORDER BY version")
