@@ -961,6 +961,68 @@ object Round13 {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q232: merge-on-read UPDATE — masks for old rows, tiny files for new
+  // ---------------------------------------------------------------------
+
+  /** The MOR story completed for UPDATE: with
+    * `update.mode=merge-on-read`, Spark's delta-write contract splits
+    * each matched row into a DELETE of its `(_file,_pos)` row id plus a
+    * REINSERT of the updated row (`representUpdateAsDeleteAndInsert`) —
+    * the old version is masked where it lies, the new version lands in
+    * a small fresh part file, and both halves commit as ONE manifest
+    * advance. The audit row per snapshot pins: the op label, the
+    * constant row count (an update never changes cardinality), the
+    * moving sum(n_words), total mask cardinality, files added beyond
+    * the original four, and `bytes_immutable` over the originals. The
+    * second UPDATE targets a row whose live version sits in a
+    * REPLACEMENT file from the first — masking it makes that 1-row
+    * file 100% masked, so it drops from the manifest entirely (masks
+    * compose across generations). OPTIMIZE then folds everything back
+    * to clean files. At 100 TB a scattered UPDATE commits masks plus
+    * only the changed rows' bytes — vs copy-on-write's rewrite of
+    * every touched gigabyte. */
+  val q232MorUpdate: Q = (spark, dir) => {
+    val wh = Files.createTempDirectory("graft_ver_q232")
+    val cat = "q232_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "40").load()
+        .repartitionByRange(4, col("doc_id"))
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("update.mode", "merge-on-read").create()
+      val tdir = wh.resolve("t")
+      val originals = GraftVersions.latest(tdir).get.files
+      val bytesBefore = originals.map(n =>
+        n -> java.util.Arrays.hashCode(Files.readAllBytes(tdir.resolve(n)))).toMap
+      spark.sql(s"UPDATE $cat.t SET n_words = 0 WHERE doc_id % 7 = 3")
+      spark.sql(s"UPDATE $cat.t SET n_words = 1 WHERE doc_id = 3")
+      GraftVersions.compact(spark, tdir, targetFiles = 2,
+        clusterBy = Seq("doc_id"))
+      val log = GraftVersions.listVersions(tdir)
+      val perVersion = log.map { v =>
+        val masked = v.entries.flatMap(_.dv).map(_.cardinality.toLong).sum
+        val added = v.files.count(n => !originals.contains(n)).toLong
+        val immutable = originals.forall(n =>
+          java.util.Arrays.hashCode(Files.readAllBytes(tdir.resolve(n))) ==
+            bytesBefore(n))
+        spark.sql(
+          s"""SELECT ${v.version}L AS version, '${v.op}' AS op,
+             |  COUNT(*) AS n_rows, COALESCE(SUM(n_words), 0) AS sum_words,
+             |  ${masked}L AS masked_rows, ${added}L AS files_added,
+             |  $immutable AS bytes_immutable
+             |FROM $cat.t VERSION AS OF ${v.version}""".stripMargin)
+      }.reduce(_ unionByName _)
+      OpsUtil.driverLiteral(perVersion.orderBy("version"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q216_time_travel" -> q216TimeTravel,
     "q217_version_changes" -> q217VersionChanges,
@@ -978,6 +1040,7 @@ object Round13 {
     "q229_metadata_delete" -> q229MetadataDelete,
     "q230_stats_cbo" -> q230StatsCbo,
     "q231_alter_properties" -> q231AlterProperties,
+    "q232_mor_update" -> q232MorUpdate,
   )
 
   /** The scratch table's history is a closed-form function of doc_id
@@ -1239,5 +1302,28 @@ object Round13 {
         |  CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS rows_live,
         |  CAST((SELECT SUM(i) FROM kept) AS BIGINT) AS sum_ids_live,
         |  CAST((SELECT SUM(nw) FROM kept) AS BIGINT) AS sum_words_live""".stripMargin,
+    // q232: v2 zeroes n_words for i%7=3 (6 masks, one replacement file
+    // per scanned original = 4); v3 bumps doc_id 3 to n_words=1 — its
+    // live row sits in a 1-row replacement file, which becomes 100%
+    // masked and DROPS (masks stay 6, adds stay 4 net); v4 = compaction
+    // into 2 clean files
+    "q232_mor_update" ->
+      """WITH w AS (SELECT i, i % 91 + 9 AS nw FROM range(0, 40) t(i)),
+        |s1 AS (SELECT SUM(nw) AS v FROM w),
+        |s2 AS (SELECT SUM(CASE WHEN i % 7 = 3 THEN 0 ELSE nw END) AS v FROM w),
+        |v(version, op, n_rows, sum_words, masked_rows, files_added,
+        |  bytes_immutable) AS (VALUES
+        |  (0, 'enable', 0, 0, 0, 0, TRUE),
+        |  (1, 'append', 40, (SELECT v FROM s1), 0, 0, TRUE),
+        |  (2, 'update', 40, (SELECT v FROM s2), 6, 4, TRUE),
+        |  (3, 'update', 40, (SELECT v FROM s2) + 1, 6, 4, TRUE),
+        |  (4, 'compact', 40, (SELECT v FROM s2) + 1, 0, 2, TRUE))
+        |SELECT CAST(version AS BIGINT) AS version, op,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(sum_words AS BIGINT) AS sum_words,
+        |  CAST(masked_rows AS BIGINT) AS masked_rows,
+        |  CAST(files_added AS BIGINT) AS files_added,
+        |  bytes_immutable
+        |FROM v ORDER BY version""".stripMargin,
   )
 }

@@ -265,7 +265,8 @@ object GraftCatalog {
     * ALTER: quality gates (check.*), index config (bloom.*), and the
     * delete strategy. */
   def isPersistedProperty(k: String): Boolean =
-    k.startsWith("check.") || k.startsWith("bloom.") || k == "delete.mode"
+    k.startsWith("check.") || k.startsWith("bloom.") ||
+      k == "delete.mode" || k == "update.mode"
 
   /** ADD CONSTRAINT validation (Delta parity): a new CHECK must hold
     * on the rows already in the table, or it is rejected with the
@@ -462,15 +463,21 @@ class GraftRlTable(path: String,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(versionPin.isEmpty, s"$name is a read-only snapshot view")
-    // DELETE on a versioned table with delete.mode=merge-on-read takes
-    // the deletion-vector path (GraftMorDeleteOperation); UPDATE/MERGE
-    // — and every delete elsewhere — stay copy-on-write
+    // DELETE (delete.mode) and UPDATE (update.mode) on a versioned
+    // table with the property set to merge-on-read take the
+    // deletion-vector path (GraftMorOperation): masks for the old
+    // rows, tiny replacement files for UPDATE's new rows. MERGE — and
+    // everything elsewhere — stays copy-on-write.
     val dir = Paths.get(path)
-    val mor = info.command() == RowLevelOperation.Command.DELETE &&
-      GraftVersions.isVersioned(dir) &&
-      GraftTableMeta.read(dir).get("delete.mode")
-        .exists(_.equalsIgnoreCase("merge-on-read"))
-    if (mor) () => new GraftMorDeleteOperation(path)
+    val modeKey = info.command() match {
+      case RowLevelOperation.Command.DELETE => Some("delete.mode")
+      case RowLevelOperation.Command.UPDATE => Some("update.mode")
+      case _ => None
+    }
+    val mor = GraftVersions.isVersioned(dir) &&
+      modeKey.exists(k => GraftTableMeta.read(dir).get(k)
+        .exists(_.equalsIgnoreCase("merge-on-read")))
+    if (mor) () => new GraftMorOperation(path, info.command())
     else () => new GraftCowOperation(path, info.command())
   }
 

@@ -1,95 +1,147 @@
 package graft.sources
 
-import java.nio.file.Paths
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Merge-on-read DELETE — the deletion-vector half of the row-level
-  * story, via Spark's native delta-write contract ([[SupportsDelta]]):
+/** Merge-on-read row-level operations — the deletion-vector half of
+  * the row-level story, via Spark's native delta-write contract
+  * ([[SupportsDelta]]):
   *
   *  - the row id is `(_file, _pos)` — the two metadata columns the scan
   *    already produces (Iceberg's position-delete row id, exactly);
-  *  - Spark plans a `WriteDelta`: the operation's scan reads candidate
+  *  - DELETE plans a `WriteDelta`: the operation's scan reads candidate
   *    files (manifest stats/blooms still prune), the WHERE selects the
-  *    doomed rows, and each one reaches [[GraftDvWriter.delete]] as a
-  *    row id — no data column ever travels;
+  *    doomed rows, and each one reaches [[GraftDeltaWriter.delete]] as
+  *    a row id — no data column ever travels;
+  *  - UPDATE (`representUpdateAsDeleteAndInsert`) splits each matched
+  *    row into a DELETE of its row id plus a REINSERT of the updated
+  *    row: the old version is masked in place, the new version lands
+  *    in a (tiny) fresh part file — Iceberg's MOR update, exactly;
   *  - commit folds the collected positions into the snapshot's
-  *    deletion vectors ([[GraftVersions.applyDeletes]]): ONE manifest
-  *    line per touched file, ZERO data bytes moved. A scattered DELETE
-  *    over a 100 TB table that copy-on-write would turn into a rewrite
-  *    of every touched gigabyte-file commits in milliseconds; readers
-  *    pay a sorted-mask skip; OPTIMIZE materializes masks away.
+  *    deletion vectors and appends the replacement files in ONE
+  *    manifest advance ([[GraftVersions.applyDelta]]): a scattered
+  *    UPDATE over a 100 TB table that copy-on-write would turn into a
+  *    rewrite of every touched gigabyte-file commits KBs of masks plus
+  *    only the changed rows' bytes; readers pay a sorted-mask skip;
+  *    OPTIMIZE materializes masks away.
   *
-  * Chosen per-table: `TBLPROPERTIES('delete.mode'='merge-on-read')` on
-  * a versioned table; UPDATE and MERGE stay copy-on-write (the
-  * reference point for rewrite semantics), and the metadata-only fast
-  * path ([[GraftMetaDelete]]) still wins when stats prove whole files.
+  * Chosen per-table and per-command: `delete.mode` / `update.mode` =
+  * `merge-on-read` on a versioned table; MERGE stays copy-on-write
+  * (its multi-action matrix is the rewrite reference point), and the
+  * metadata-only fast path ([[GraftMetaDelete]]) still wins when stats
+  * prove whole files.
   */
-class GraftMorDeleteOperation(path: String) extends RowLevelOperation
-    with SupportsDelta {
-  override def command(): RowLevelOperation.Command =
-    RowLevelOperation.Command.DELETE
-  override def description(): String = "GraftDocs MOR DELETE (deletion vectors)"
+class GraftMorOperation(path: String, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta {
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String =
+    s"GraftDocs MOR $cmd (deletion vectors)"
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column("_file"), Expressions.column("_pos"))
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array.empty
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftFilesScanBuilder(path)
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
-        override def toBatch: DeltaBatchWrite = new GraftDvBatchWrite(path)
+        override def toBatch: DeltaBatchWrite =
+          new GraftDvBatchWrite(path, info.queryId(), info.schema(),
+            cmd.toString.toLowerCase)
       }
     }
 }
 
-/** Per-task result: deleted positions grouped by file. Tasks see whole
+/** Per-task result: deleted positions grouped by file, plus the staged
+  * replacement file (UPDATE's rewritten rows), if any. Tasks see whole
   * files (one file = one input partition), so the maps of distinct
   * tasks touch distinct files unless speculation retries a task — the
   * driver-side union in commit() is idempotent either way. */
-case class GraftDvCommitMessage(deletes: Map[String, Array[Long]])
-    extends WriterCommitMessage
+case class GraftDvCommitMessage(deletes: Map[String, Array[Long]],
+    inserted: Option[GraftDocsCommitMessage]) extends WriterCommitMessage
 
-class GraftDvBatchWrite(path: String) extends DeltaBatchWrite {
+class GraftDvBatchWrite(path: String, queryId: String,
+    writeSchema: StructType, opName: String) extends DeltaBatchWrite {
+  private def root = Paths.get(path)
+  private def staging = root.resolve("_staging").resolve(queryId)
+  // same collision-free naming contract as the COW rewrites: staged
+  // replacement parts must land beside files every older snapshot
+  // still references
+  private val suffix = "-" + queryId.toLowerCase.replaceAll("[^0-9a-f]", "")
+
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DeltaWriterFactory =
+      info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val idx =
+      if (writeSchema.isEmpty) Array.empty[Int] // pure DELETE: no data rows
+      else Array("doc_id", "title", "fp", "n_words")
+        .map(writeSchema.fieldIndex)
+    val guards = GraftWriteGuards.forTable(root, writeSchema)
+    val stagingDir = staging.toString
+    val sfx = suffix
     new DeltaWriterFactory {
       override def createWriter(partitionId: Int,
-          taskId: Long): DeltaWriter[InternalRow] = new GraftDvWriter
+          taskId: Long): DeltaWriter[InternalRow] =
+        new GraftDeltaWriter(stagingDir, partitionId, taskId, idx, sfx,
+          guards)
     }
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val merged = scala.collection.mutable.Map.empty[String, Set[Long]]
-    messages.foreach { case GraftDvCommitMessage(ds) =>
+    val entries = scala.collection.mutable.ArrayBuffer
+      .empty[GraftVersions.FileEntry]
+    messages.foreach { case GraftDvCommitMessage(ds, ins) =>
       ds.foreach { case (f, ps) =>
         merged(f) = merged.getOrElse(f, Set.empty) ++ ps
       }
+      ins.foreach { case GraftDocsCommitMessage(name, stats, bloom, rows, bytes) =>
+        Files.move(staging.resolve(name), root.resolve(name),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        entries += GraftVersions.FileEntry(name, stats, bloom,
+          Some(rows), Some(bytes))
+      }
     }
-    if (merged.nonEmpty)
-      GraftVersions.applyDeletes(Paths.get(path),
-        merged.view.mapValues(_.toSeq).toMap)
-    else
-      // a DELETE matching nothing still commits a (no-op) snapshot so
-      // the operation is observable in history — mirrors the COW path,
-      // which commits its (empty) replacement scope
-      GraftVersions.applyDeletes(Paths.get(path), Map.empty)
+    // one atomic manifest advance for both halves: masks + replacements
+    // (a no-op statement still commits an observable snapshot, matching
+    // the COW path's empty replacement scope)
+    GraftVersions.applyDelta(root,
+      merged.view.mapValues(_.toSeq).toMap, entries.toSeq, opName)
+    cleanupStaging()
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanupStaging()
+
+  private def cleanupStaging(): Unit = {
+    try org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+    catch { case _: java.io.IOException => () }
+    try Files.deleteIfExists(root.resolve("_staging")) catch {
+      case _: java.nio.file.DirectoryNotEmptyException => ()
+    }
+  }
 }
 
-/** Accumulates (file, pos) row ids; no bytes are written anywhere —
-  * the "write" IS the commit message. */
-class GraftDvWriter extends DeltaWriter[InternalRow] {
+/** Accumulates (file, pos) row ids for the masked half; UPDATE's
+  * rewritten rows stream into a LAZILY-created data writer (a pure
+  * DELETE task never creates a file at all). CHECK constraints run on
+  * the inserted halves through the shared writer — a violating UPDATE
+  * fails its task before commit, so neither its masks nor its rows
+  * land (atomicity proven in DeletionVectorSpec). */
+class GraftDeltaWriter(stagingDir: String, partitionId: Int, taskId: Long,
+    idx: Array[Int], fileSuffix: String, guards: GraftWriteGuards.Guards)
+    extends DeltaWriter[InternalRow] {
   private val acc =
     scala.collection.mutable.Map.empty[String,
       scala.collection.mutable.ArrayBuffer[Long]]
+  private var dataWriter: DataWriter[InternalRow] = _
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     val file = id.getUTF8String(0).toString
@@ -97,18 +149,28 @@ class GraftDvWriter extends DeltaWriter[InternalRow] {
     acc.getOrElseUpdate(file,
       scala.collection.mutable.ArrayBuffer.empty[Long]) += pos
   }
-  override def insert(row: InternalRow): Unit =
-    throw new UnsupportedOperationException(
-      "GraftDocs delta writes serve DELETE only")
+  override def insert(row: InternalRow): Unit = {
+    if (dataWriter == null) {
+      require(idx.nonEmpty,
+        "GraftDocs delta write received a data row without a write schema")
+      Files.createDirectories(Paths.get(stagingDir))
+      dataWriter = new GraftDocsWriterFactory(stagingDir, idx, fileSuffix,
+        guards).createWriter(partitionId, taskId)
+    }
+    dataWriter.write(row)
+  }
+  override def reinsert(meta: InternalRow, row: InternalRow): Unit =
+    insert(row)
   override def update(meta: InternalRow, id: InternalRow,
       row: InternalRow): Unit =
     throw new UnsupportedOperationException(
-      "GraftDocs delta writes serve DELETE only")
+      "GraftDocs delta writes split updates (representUpdateAsDeleteAndInsert)")
 
   override def commit(): WriterCommitMessage =
-    GraftDvCommitMessage(acc.view.mapValues(_.toArray).toMap)
-  override def abort(): Unit = ()
-  override def close(): Unit = ()
+    GraftDvCommitMessage(acc.view.mapValues(_.toArray).toMap,
+      Option(dataWriter).map(_.commit().asInstanceOf[GraftDocsCommitMessage]))
+  override def abort(): Unit = if (dataWriter != null) dataWriter.abort()
+  override def close(): Unit = if (dataWriter != null) dataWriter.close()
 }
 
 /** Metadata-only DELETE: the fastest of the three delete paths. When
@@ -172,7 +234,7 @@ object GraftMetaDelete {
   /** Some(true) = every LIVE row of the file matches all conjuncts;
     * Some(false) = none does; None = can't prove either (partial).
     * File stats bound all physical rows, so both proofs stay sound for
-    * deletion-vector-masked files. */
+    * deletion-vector-masked files too. */
   def classify(e: GraftVersions.FileEntry,
       conjuncts: Seq[(String, Long, Long)]): Option[Boolean] = {
     val verdicts = conjuncts.map { case (c, plo, phi) =>

@@ -309,28 +309,43 @@ object GraftVersions {
     * travel; vacuum reclaims them) — the manifest analog of Delta's
     * fully-deleted-file compaction. */
   def applyDeletes(root: Path, deletes: Map[String, Seq[Long]])
-      : VersionInfo = lockFor(root).synchronized {
-    val base = latest(root).getOrElse(throw new IllegalStateException(
-      s"merge-on-read delete on unversioned table $root"))
-    val live = base.files.toSet
-    val unknown = deletes.keySet -- live
-    require(unknown.isEmpty,
-      s"MOR delete targets files outside the live snapshot of $root: " +
-        unknown.toSeq.sorted.mkString(", "))
-    val updated = base.entries.flatMap { e =>
-      deletes.get(e.name).filter(_.nonEmpty) match {
-        case None => Some(e)
-        case Some(ps) =>
-          val merged = e.dv.map(_.union(ps)).getOrElse(GraftDV.of(ps))
-          e.rows.foreach(r => require(merged.positions.last < r,
-            s"MOR delete position ${merged.positions.last} out of range " +
-              s"for ${e.name} ($r physical rows)"))
-          if (e.rows.contains(merged.cardinality.toLong)) None
-          else Some(e.copy(dv = Some(merged)))
+      : VersionInfo = applyDelta(root, deletes, Nil, "delete")
+
+  /** Commit a merge-on-read row-level DELTA: fold per-file deleted row
+    * POSITIONS into the live snapshot's deletion vectors AND append
+    * the replacement files an UPDATE's rewritten rows landed in — one
+    * atomic manifest advance for both halves, under the table lock so
+    * concurrent deltas merge (union of masks) rather than lose one
+    * side's rows. No retained data file is read, written, or removed;
+    * commit cost is one manifest line per touched file plus the (tiny)
+    * replacement files. A file whose mask reaches its physical row
+    * count is dropped from the live set entirely (its bytes stay for
+    * time travel; vacuum reclaims them). */
+  def applyDelta(root: Path, deletes: Map[String, Seq[Long]],
+      added: Seq[FileEntry], op: String): VersionInfo =
+    lockFor(root).synchronized {
+      val base = latest(root).getOrElse(throw new IllegalStateException(
+        s"merge-on-read $op on unversioned table $root"))
+      val live = base.files.toSet
+      val unknown = deletes.keySet -- live
+      require(unknown.isEmpty,
+        s"MOR $op targets files outside the live snapshot of $root: " +
+          unknown.toSeq.sorted.mkString(", "))
+      val updated = base.entries.flatMap { e =>
+        deletes.get(e.name).filter(_.nonEmpty) match {
+          case None => Some(e)
+          case Some(ps) =>
+            val merged = e.dv.map(_.union(ps)).getOrElse(GraftDV.of(ps))
+            e.rows.foreach(r => require(merged.positions.last < r,
+              s"MOR $op position ${merged.positions.last} out of range " +
+                s"for ${e.name} ($r physical rows)"))
+            if (e.rows.contains(merged.cardinality.toLong)) None
+            else Some(e.copy(dv = Some(merged)))
+        }
       }
+      writeManifest(root, base.version + 1, op,
+        (updated ++ added).sortBy(_.name))
     }
-    writeManifest(root, base.version + 1, "delete", updated.sortBy(_.name))
-  }
 
   /** Newest epoch recorded for a streaming appId across the RETAINED
     * manifests. Caveat shared with Delta's SetTransaction retention:

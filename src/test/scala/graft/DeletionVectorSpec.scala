@@ -275,6 +275,76 @@ class DeletionVectorSpec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("MOR update: old rows masked in place, new rows in fresh files, " +
+      "original bytes untouched; masks compose across generations") {
+    val (cat, wh) = freshCatalog("upd")
+    try {
+      docsRange(40)
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("doc_id"))
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("update.mode", "merge-on-read").create()
+      val dir = wh.resolve("t")
+      val originals = GraftVersions.latest(dir).get.files
+      val before = fileBytes(dir, originals)
+
+      spark.sql(s"UPDATE $cat.t SET n_words = 0 WHERE doc_id % 7 = 3")
+      val v2 = GraftVersions.latest(dir).get
+      assert(v2.op == "update")
+      assert(originals.forall(v2.files.contains), "originals retained")
+      assert(fileBytes(dir, originals) == before, "original bytes immutable")
+      assert(v2.entries.filter(e => originals.contains(e.name))
+        .flatMap(_.dv).map(_.cardinality).sum == 6)
+      val added = v2.files.filterNot(originals.contains)
+      assert(added.nonEmpty, "updated rows land in fresh files")
+      // cardinality conserved; updated rows read back with new values
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 40)
+      val zeroed = spark.sql(
+        s"SELECT doc_id FROM $cat.t WHERE n_words = 0 ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(zeroed == (0L until 40L).filter(_ % 7 == 3))
+
+      // update a row living in a replacement file: its 1-row file goes
+      // 100% masked and drops; the row re-lands with the newest value
+      spark.sql(s"UPDATE $cat.t SET n_words = 1 WHERE doc_id = 3")
+      assert(spark.sql(s"SELECT n_words FROM $cat.t WHERE doc_id = 3")
+        .head().getInt(0) == 1)
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 40)
+
+      // time travel reads every generation's values
+      assert(spark.sql(
+        s"SELECT n_words FROM $cat.t VERSION AS OF 1 WHERE doc_id = 3")
+        .head().getInt(0) == 12) // 3 % 91 + 9
+      assert(spark.sql(
+        s"SELECT n_words FROM $cat.t VERSION AS OF 2 WHERE doc_id = 3")
+        .head().getInt(0) == 0)
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("MOR update atomicity: a CHECK-violating update lands NEITHER its " +
+      "masks nor its rows") {
+    val (cat, wh) = freshCatalog("updatom")
+    try {
+      docsRange(20).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true")
+        .tableProperty("update.mode", "merge-on-read")
+        .tableProperty("check.pos", "n_words > 0").create()
+      val dir = wh.resolve("t")
+      val vBefore = GraftVersions.latest(dir).get
+      intercept[Exception] {
+        spark.sql(s"UPDATE $cat.t SET n_words = 0 WHERE doc_id % 3 = 1")
+      }
+      val vAfter = GraftVersions.latest(dir).get
+      assert(vAfter.version == vBefore.version, "no version advance")
+      assert(vAfter.entries.forall(_.dv.isEmpty), "no masks landed")
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t WHERE n_words = 0")
+        .head().getLong(0) == 0)
+      // table still writable afterwards
+      spark.sql(s"UPDATE $cat.t SET n_words = 99 WHERE doc_id = 2")
+      assert(spark.sql(s"SELECT n_words FROM $cat.t WHERE doc_id = 2")
+        .head().getInt(0) == 99)
+    } finally dropCatalog(cat, wh)
+  }
+
   test("change feed: a deletion-vector commit fails the stream unless " +
       "ignoreDeletes, which skips it and keeps tailing") {
     val (cat, wh) = freshCatalog("feed")
