@@ -1023,6 +1023,76 @@ object Round13 {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q233: bucketed warehouse tables — storage-partitioned join on
+  // real written (and mutated) data
+  // ---------------------------------------------------------------------
+
+  /** The q136 storage-partitioned-join story on REAL written tables:
+    * `PARTITIONED BY (bucket(8, doc_id))` persists a physical layout;
+    * every write path fans rows into per-bucket files whose bucket ids
+    * ride in the manifest; the scan groups files by bucket class and
+    * reports `KeyGroupedPartitioning`, so joining two such tables on
+    * doc_id plans with NO exchange on either side — and the layout
+    * SURVIVES MUTATION: side a takes a merge-on-read delete (masks
+    * only), side b an OPTIMIZE rewrite (the bucketed writer fans the
+    * compaction output too). The output row pins the join aggregates
+    * (closed-form over the surviving ids) plus the manifest's layout
+    * accounting (both sides fully bucketed, 8 distinct classes each);
+    * the zero-exchange plan shape and its shuffle-join control are
+    * asserted in BucketedWarehouseSpec. At 100 TB this is the layout
+    * that keeps corpus⋈corpus joins — dedup-pair resolution, split
+    * assignment, CDC reconciliation — entirely off the wire, even as
+    * the tables keep absorbing deletes and compactions. */
+  val q233BucketedSpj: Q = (spark, dir) => {
+    val wh = Files.createTempDirectory("graft_ver_q233")
+    val cat = "q233_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    val confKeys = Seq("spark.sql.sources.v2.bucketing.enabled")
+    val prev = confKeys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      def mkTable(name: String, rows: Int): Unit =
+        spark.read.format("graft.sources.GraftDocsSource")
+          .option("rows", rows.toString).load()
+          .writeTo(s"$cat.$name")
+          .partitionedBy(bucket(8, col("doc_id")))
+          .tableProperty("versioned", "true")
+          .tableProperty("delete.mode", "merge-on-read").create()
+      mkTable("a", 400)
+      mkTable("b", 300)
+      spark.sql(s"DELETE FROM $cat.a WHERE doc_id % 11 = 4")
+      GraftVersions.compact(spark, wh.resolve("b"), targetFiles = 2)
+      def layout(t: String): (Boolean, Long) = {
+        val es = GraftVersions.latest(wh.resolve(t)).get.entries
+        (es.nonEmpty && es.forall(_.bucket.isDefined),
+          es.flatMap(_.bucket).distinct.length.toLong)
+      }
+      val (aOk, aBuckets) = layout("a")
+      val (bOk, bBuckets) = layout("b")
+      val j = spark.table(s"$cat.a").select("doc_id", "n_words")
+        .join(spark.table(s"$cat.b").select("doc_id", "fp"), "doc_id")
+        .agg(count(lit(1)).as("n"), sum("n_words").as("w"),
+          sum(col("fp") % 1000).as("f"))
+        .head()
+      import spark.implicits._
+      OpsUtil.driverLiteral(Seq((
+        aOk && bOk, aBuckets, bBuckets,
+        j.getLong(0), j.getLong(1), j.getLong(2)
+      )).toDF("all_bucketed", "buckets_a", "buckets_b",
+        "n_joined", "sum_words_joined", "sum_fp_mod"))
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q216_time_travel" -> q216TimeTravel,
     "q217_version_changes" -> q217VersionChanges,
@@ -1041,6 +1111,7 @@ object Round13 {
     "q230_stats_cbo" -> q230StatsCbo,
     "q231_alter_properties" -> q231AlterProperties,
     "q232_mor_update" -> q232MorUpdate,
+    "q233_bucketed_spj" -> q233BucketedSpj,
   )
 
   /** The scratch table's history is a closed-form function of doc_id
@@ -1325,5 +1396,17 @@ object Round13 {
         |  CAST(files_added AS BIGINT) AS files_added,
         |  bytes_immutable
         |FROM v ORDER BY version""".stripMargin,
+    // q233: the join's surviving ids are [0,300) minus the %11=4 MOR
+    // deletes on side a; n_words and fp are the generative closed forms
+    "q233_bucketed_spj" ->
+      """WITH live AS (SELECT i, i % 91 + 9 AS nw,
+        |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS fp
+        |  FROM range(0, 300) t(i) WHERE i % 11 <> 4)
+        |SELECT TRUE AS all_bucketed,
+        |  CAST(8 AS BIGINT) AS buckets_a, CAST(8 AS BIGINT) AS buckets_b,
+        |  CAST((SELECT COUNT(*) FROM live) AS BIGINT) AS n_joined,
+        |  CAST((SELECT SUM(nw) FROM live) AS BIGINT) AS sum_words_joined,
+        |  CAST((SELECT SUM(fp % 1000) FROM live) AS BIGINT) AS sum_fp_mod""".stripMargin,
   )
 }

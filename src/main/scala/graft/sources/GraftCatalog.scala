@@ -175,14 +175,41 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     // snapshot-version the table from birth (v0 = the empty table)
     if ("true".equalsIgnoreCase(properties.getOrDefault("versioned", "")))
       GraftVersions.enable(dir)
+    // PARTITIONED BY (bucket(n, doc_id)): persist the declared layout —
+    // every subsequent write fans rows into per-bucket files and the
+    // scan reports KeyGroupedPartitioning, so two such tables join
+    // storage-partitioned (no exchange). Other transforms are rejected:
+    // a layout the writer can't enforce would be a lie to the planner.
+    val layout: Option[(String, Int)] = partitions.toSeq match {
+      case Nil => None
+      case Seq(t) if t.name() == "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }
+        val col = t.arguments().collectFirst {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+              if r.fieldNames.length == 1 => r.fieldNames.head
+        }
+        (n, col) match {
+          case (Some(b), Some("doc_id")) if b > 0 => Some(("doc_id", b))
+          case _ => throw new UnsupportedOperationException(
+            s"graft_docs bucket layouts take bucket(n, doc_id); got $t")
+        }
+      case other => throw new UnsupportedOperationException(
+        s"graft_docs tables support a single bucket(n, doc_id) transform; " +
+          s"got ${other.mkString(", ")}")
+    }
     // persist the declarative quality/behavior properties (CHECK
-    // constraints, bloom-index config, delete mode) — everything else
-    // in `properties` is either a CREATE-time command (versioned) or
-    // Spark-internal bookkeeping
+    // constraints, bloom-index config, delete/update modes) plus the
+    // CREATE-only physical layout — everything else in `properties` is
+    // either a CREATE-time command (versioned) or Spark-internal
+    // bookkeeping
     import scala.jdk.CollectionConverters._
     val kept = properties.asScala.filter { case (k, _) =>
       GraftCatalog.isPersistedProperty(k)
-    }.toMap
+    }.toMap ++ layout.map { case (c, n) => "layout.bucket" -> s"$c:$n" }
     GraftTableMeta.write(dir, kept)
     new GraftRlTable(dir.toString)
   }
@@ -425,6 +452,10 @@ class GraftRlTable(path: String,
     true
   }
   override def schema(): StructType = GraftDocsSource.schema
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    GraftTableMeta.bucketLayout(Paths.get(path)).map { case (c, n) =>
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+    }.toArray
   override def capabilities(): util.Set[TableCapability] =
     if (versionPin.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else if (GraftVersions.isVersioned(Paths.get(path)))

@@ -495,11 +495,13 @@ class GraftFilesScanBuilder(path: String,
   }
 }
 
-/** `part-*.tsv` names: plain writes use `part-NNNNN.tsv`; row-level
-  * rewrites suffix a write id (`part-NNNNN-<hex>.tsv`) so replacement
-  * files can land next to retained ones without colliding. */
+/** `part-*.tsv` names: plain writes use `part-NNNNN.tsv`; bucketed
+  * writes insert the bucket id (`part-NNNNN-b<k>.tsv`); row-level
+  * rewrites and versioned commits suffix a write id
+  * (`part-NNNNN[-b<k>]-<hex>.tsv`) so replacement files can land next
+  * to retained ones without colliding. */
 object GraftFiles {
-  val partFileRegex = "part-\\d+(-[0-9a-f]+)?\\.tsv"
+  val partFileRegex = "part-\\d+(-b\\d+)?(-[0-9a-f]+)?\\.tsv"
 }
 
 class GraftFilesScan(path: String, required: StructType,
@@ -518,9 +520,49 @@ class GraftFilesScan(path: String, required: StructType,
     eqLiterals: Map[String, String] = Map.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with SupportsReportPartitioning {
   // files surviving runtime group filtering; None = no filter arrived
   @volatile private var keep: Option[Set[String]] = None
+
+  /** The declared bucket layout IF this scan can honor it: the table
+    * persists `layout.bucket` (bucketed CREATE), the resolved snapshot's
+    * every live file carries a recorded bucket id, and the read schema
+    * still contains the bucketing column (the engine resolves the
+    * reported transform against the relation OUTPUT — same lesson as
+    * the `_file` runtime-filter attribute). Files predating the layout
+    * degrade the whole scan to unknown partitioning: a partial grouping
+    * would be a lie to the planner. Decided once per scan, so
+    * outputPartitioning and planInputPartitions always agree. */
+  private lazy val bucketedLayout: Option[Int] = {
+    val dir = Paths.get(path)
+    if (!GraftVersions.isVersioned(dir)) None
+    else if (!required.fieldNames.contains("doc_id")) None
+    else GraftTableMeta.bucketLayout(dir).map(_._2).filter { n =>
+      val entries = versionPin.map(GraftVersions.manifest(dir, _))
+        .orElse(GraftVersions.latest(dir)).map(_.entries).getOrElse(Nil)
+      entries.forall(e => e.bucket.exists(b => b >= 0 && b < n))
+    }
+  }
+
+  /** Storage-partitioned-join face of the WAREHOUSE tables: a bucketed
+    * table's files group into one input partition per bucket class
+    * (`HasPartitionKey`), reported as `KeyGroupedPartitioning` over
+    * `bucket(n, doc_id)` — two such tables joined on doc_id plan with
+    * NO exchange on either side (the Iceberg/Delta layout-aware join;
+    * the virtual docs tables' q136 story, now on real written data
+    * that MERGE/UPDATE/DELETE and OPTIMIZE keep bucketed). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketedLayout match {
+      case Some(n) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(n, "doc_id")), n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          planInputPartitions().length)
+    }
 
   /** Manifest-resident statistics for the COST-BASED optimizer: the
     * planner sees this scan's true size (post-pruning, DV-adjusted)
@@ -649,10 +691,26 @@ class GraftFilesScan(path: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = Paths.get(path)
-    liveEntries()
-      .map(e => GraftFilePartition(dir.resolve(e.name).toString,
-        e.dv.map(_.positions).getOrElse(Array.empty)): InputPartition)
-      .toArray
+    val entries = liveEntries()
+    bucketedLayout match {
+      case Some(n) =>
+        // one partition per bucket CLASS, every class planned even when
+        // empty after pruning — the two sides of a storage-partitioned
+        // join must see aligned partition-value sets
+        val byBucket = entries.groupBy(_.bucket.get)
+        (0 until n).map { b =>
+          GraftBucketFilesPartition(b,
+            byBucket.getOrElse(b, Nil).map(e =>
+              (dir.resolve(e.name).toString,
+                e.dv.map(_.positions).getOrElse(Array.empty[Long])))
+          ): InputPartition
+        }.toArray
+      case None =>
+        entries
+          .map(e => GraftFilePartition(dir.resolve(e.name).toString,
+            e.dv.map(_.positions).getOrElse(Array.empty)): InputPartition)
+          .toArray
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftFilesReaderFactory(required.fieldNames)
@@ -812,27 +870,49 @@ case class GraftFilePartition(file: String,
     // reader needs no manifest access
     dvPositions: Array[Long] = Array.empty) extends InputPartition
 
+/** All live files of one bucket class of a bucketed table (possibly
+  * none after pruning), carrying the class id as the partition key the
+  * storage-partitioned join aligns on. */
+case class GraftBucketFilesPartition(bucket: Int,
+    files: Seq[(String, Array[Long])]) extends InputPartition
+    with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
 class GraftFilesReaderFactory(cols: Array[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[GraftFilePartition]
-    val file = part.file
+    val files: Seq[(String, Array[Long])] = p match {
+      case fp: GraftFilePartition => Seq((fp.file, fp.dvPositions))
+      case bp: GraftBucketFilesPartition => bp.files
+    }
     new PartitionReader[InternalRow] {
-      private val lines =
-        Files.readAllLines(Paths.get(file), StandardCharsets.UTF_8).iterator()
+      private val fileIt = files.iterator
+      private var lines: java.util.Iterator[String] = _
+      private var curFileName: String = _
       private var cur: Array[String] = _
-      // physical position of `cur` within the file (0-based). The mask
-      // and the cursor advance together — positions are sorted, the
-      // lines stream in order, so skipping is a two-pointer walk, not a
-      // per-row set probe.
+      // physical position of `cur` within the CURRENT file (0-based).
+      // The mask and the cursor advance together — positions are
+      // sorted, the lines stream in order, so skipping is a two-pointer
+      // walk, not a per-row set probe.
       private var pos = -1L
-      private val dv = part.dvPositions
+      private var dv: Array[Long] = Array.empty
       private var dvIdx = 0
       override def next(): Boolean = {
-        while (lines.hasNext) {
-          val line = lines.next(); pos += 1
-          if (dvIdx < dv.length && dv(dvIdx) == pos) dvIdx += 1 // masked
-          else { cur = line.split("\t", -1); return true }
+        while (true) {
+          if (lines == null || !lines.hasNext) {
+            if (!fileIt.hasNext) return false
+            val (f, d) = fileIt.next()
+            lines = Files.readAllLines(Paths.get(f),
+              StandardCharsets.UTF_8).iterator()
+            curFileName = Paths.get(f).getFileName.toString
+            dv = d; dvIdx = 0; pos = -1L
+          }
+          while (lines.hasNext) {
+            val line = lines.next(); pos += 1
+            if (dvIdx < dv.length && dv(dvIdx) == pos) dvIdx += 1 // masked
+            else { cur = line.split("\t", -1); return true }
+          }
         }
         false
       }
@@ -849,8 +929,7 @@ class GraftFilesReaderFactory(cols: Array[String])
           case "title" => UTF8String.fromString(cur(1))
           case "fp" => cur(2).toLong
           case "n_words" => cur(3).toInt
-          case "_file" => UTF8String.fromString(
-            Paths.get(file).getFileName.toString)
+          case "_file" => UTF8String.fromString(curFileName)
           case "_pos" => pos
         })
       override def close(): Unit = ()
@@ -952,12 +1031,7 @@ class GraftDocsStreamingWrite(path: String, writeSchema: StructType,
     // Files first, manifest second (the batch path's order): the
     // epoch-suffixed names are referenced by no manifest yet, so a
     // reader can never plan a file that isn't fully in place.
-    val entries = messages.map {
-      case GraftDocsCommitMessage(name, stats, bloom, rows, bytes) =>
-        Files.move(stg.resolve(name), root.resolve(name),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        GraftVersions.FileEntry(name, stats, bloom, Some(rows), Some(bytes))
-    }
+    val entries = messages.flatMap(GraftDocsCommits.land(stg, root, _))
     // commitTxn re-checks the ledger under the table lock — if a racing
     // replay won in between, this returns None and the just-moved files
     // stay unreferenced (vacuum reclaims them); rows still land once.
@@ -1061,12 +1135,7 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
         }
       } finally s.close()
     }
-    val added = messages.map {
-      case GraftDocsCommitMessage(name, stats, bloom, rows, bytes) =>
-        Files.move(staging.resolve(name), root.resolve(name),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        GraftVersions.FileEntry(name, stats, bloom, Some(rows), Some(bytes))
-    }
+    val added = messages.flatMap(GraftDocsCommits.land(staging, root, _))
     if (versioned) {
       val removed =
         if (!truncate) Some(Set.empty[String]) // append: remove nothing
@@ -1123,7 +1192,10 @@ object GraftWriteGuards {
   import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Expression}
 
   final case class Guards(constraints: Seq[(String, Expression)],
-      bloomCols: Seq[String], bloomBits: Int) extends Serializable
+      bloomCols: Seq[String], bloomBits: Int,
+      // declared bucket layout (doc_id mod n): the writer fans rows
+      // into per-bucket files so the scan can report the layout
+      bucketN: Option[Int] = None) extends Serializable
   val none: Guards = Guards(Nil, Nil, 0)
 
   def forTable(root: Path, writeSchema: StructType): Guards = {
@@ -1167,7 +1239,35 @@ object GraftWriteGuards {
       }
     }
     Guards(compiled, GraftTableMeta.bloomColumns(root),
-      GraftTableMeta.bloomBits(root))
+      GraftTableMeta.bloomBits(root),
+      GraftTableMeta.bucketLayout(root).map(_._2))
+  }
+}
+
+/** One staged file per (bucket, task) of a BUCKETED table: rows fan
+  * out to per-bucket inner writers, created lazily — a task that sees
+  * no row of bucket b never creates b's file. The commit message nests
+  * the inner messages with their bucket ids so the manifest records
+  * every file's bucket. */
+case class GraftBucketedCommitMessage(
+    parts: Seq[(Int, GraftDocsCommitMessage)]) extends WriterCommitMessage
+
+/** Driver-side landing shared by every commit path (batch, streaming,
+  * delta): move a task's staged files into the table root and build
+  * their manifest entries (bucket ids from nested bucketed messages). */
+object GraftDocsCommits {
+  def land(staging: Path, root: Path,
+      m: WriterCommitMessage): Seq[GraftVersions.FileEntry] = m match {
+    case GraftDocsCommitMessage(name, stats, bloom, rows, bytes) =>
+      Files.move(staging.resolve(name), root.resolve(name),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      Seq(GraftVersions.FileEntry(name, stats, bloom, Some(rows), Some(bytes)))
+    case GraftBucketedCommitMessage(parts) =>
+      parts.flatMap { case (b, msg) =>
+        land(staging, root, msg).map(_.copy(bucket = Some(b)))
+      }
+    case other => throw new IllegalStateException(
+      s"unexpected commit message: $other")
   }
 }
 
@@ -1176,8 +1276,31 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
     guards: GraftWriteGuards.Guards = GraftWriteGuards.none)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    guards.bucketN match {
+      case None => fileWriter(partitionId, taskId, "")
+      case Some(n) => new DataWriter[InternalRow] {
+        private val inner =
+          scala.collection.mutable.Map.empty[Int, DataWriter[InternalRow]]
+        override def write(row: InternalRow): Unit = {
+          val id = row.getLong(idx(0))
+          val b = (((id % n) + n) % n).toInt
+          inner.getOrElseUpdate(b,
+            fileWriter(partitionId, taskId, s"-b$b")).write(row)
+        }
+        override def commit(): WriterCommitMessage =
+          GraftBucketedCommitMessage(inner.toSeq.sortBy(_._1).map {
+            case (b, w) =>
+              (b, w.commit().asInstanceOf[GraftDocsCommitMessage])
+          })
+        override def abort(): Unit = inner.values.foreach(_.abort())
+        override def close(): Unit = inner.values.foreach(_.close())
+      }
+    }
+
+  private def fileWriter(partitionId: Int, taskId: Long,
+      nameInfix: String): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val finalName = f"part-$partitionId%05d$fileSuffix.tsv"
+      private val finalName = f"part-$partitionId%05d$nameInfix$fileSuffix.tsv"
       private val attempt =
         Paths.get(stagingDir).resolve(s"$finalName.attempt-$taskId")
       private val out = Files.newBufferedWriter(attempt, StandardCharsets.UTF_8)

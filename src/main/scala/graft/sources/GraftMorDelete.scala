@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
@@ -66,7 +66,7 @@ class GraftMorOperation(path: String, cmd: RowLevelOperation.Command)
   * tasks touch distinct files unless speculation retries a task — the
   * driver-side union in commit() is idempotent either way. */
 case class GraftDvCommitMessage(deletes: Map[String, Array[Long]],
-    inserted: Option[GraftDocsCommitMessage]) extends WriterCommitMessage
+    inserted: Option[WriterCommitMessage]) extends WriterCommitMessage
 
 class GraftDvBatchWrite(path: String, queryId: String,
     writeSchema: StructType, opName: String) extends DeltaBatchWrite {
@@ -102,12 +102,7 @@ class GraftDvBatchWrite(path: String, queryId: String,
       ds.foreach { case (f, ps) =>
         merged(f) = merged.getOrElse(f, Set.empty) ++ ps
       }
-      ins.foreach { case GraftDocsCommitMessage(name, stats, bloom, rows, bytes) =>
-        Files.move(staging.resolve(name), root.resolve(name),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        entries += GraftVersions.FileEntry(name, stats, bloom,
-          Some(rows), Some(bytes))
-      }
+      ins.foreach(m => entries ++= GraftDocsCommits.land(staging, root, m))
     }
     // one atomic manifest advance for both halves: masks + replacements
     // (a no-op statement still commits an observable snapshot, matching
@@ -168,7 +163,7 @@ class GraftDeltaWriter(stagingDir: String, partitionId: Int, taskId: Long,
 
   override def commit(): WriterCommitMessage =
     GraftDvCommitMessage(acc.view.mapValues(_.toArray).toMap,
-      Option(dataWriter).map(_.commit().asInstanceOf[GraftDocsCommitMessage]))
+      Option(dataWriter).map(_.commit()))
   override def abort(): Unit = if (dataWriter != null) dataWriter.abort()
   override def close(): Unit = if (dataWriter != null) dataWriter.close()
 }

@@ -75,6 +75,18 @@ object GraftTableMeta {
       case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
     }.sortBy(_._1)
 
+  /** Declared bucket layout, persisted at CREATE from a
+    * `PARTITIONED BY (bucket(n, col))` transform as
+    * `layout.bucket=<col>:<n>`. Physical layout is immutable — not an
+    * ALTERable property: files written under one layout would lie
+    * about their bucket ids under another. */
+  def bucketLayout(root: Path): Option[(String, Int)] =
+    read(root).get("layout.bucket").map { v =>
+      val i = v.lastIndexOf(':')
+      require(i > 0, s"malformed layout.bucket '$v'")
+      (v.substring(0, i), v.substring(i + 1).toInt)
+    }
+
   /** Columns to build per-file blooms for (empty = blooms off). */
   def bloomColumns(root: Path): Seq[String] = {
     val p = read(root)

@@ -72,7 +72,15 @@ object GraftVersions {
       // deletion vector: physical row POSITIONS masked out of this file
       // (merge-on-read DELETE) — the file's bytes are immutable, the
       // mask travels in the manifest. None = no deletes.
-      dv: Option[GraftDV] = None) {
+      dv: Option[GraftDV] = None,
+      // bucket id under the table's declared bucket layout
+      // (GraftTableMeta.bucketLayout) — every row in this file satisfies
+      // doc_id mod n = bucket. What lets the scan group files into
+      // bucket-aligned partitions and report KeyGroupedPartitioning for
+      // storage-partitioned joins. None = file predates the layout (or
+      // the table has none): the scan then degrades to unknown
+      // partitioning, never to a wrong grouping.
+      bucket: Option[Int] = None) {
     /** Can a row with `col` in [lo, hi] possibly live in this file?
       * Stats bound ALL physical rows, so they stay conservative (may
       * overcount, never undercount) for DV-masked files too. */
@@ -168,6 +176,7 @@ object GraftVersions {
           case (c, (mn, mx)) => s"$c=$mn:$mx"
         } ++ e.rows.map(r => s"rows=$r").toSeq
           ++ e.bytes.map(b => s"bytes=$b").toSeq
+          ++ e.bucket.map(b => s"bucket=$b").toSeq
           ++ e.bloom.map(b => s"bloom=${b.toBase64}").toSeq
           ++ e.dv.filter(_.cardinality > 0)
             .map(d => s"dv=${d.toBase64}").toSeq)).mkString("\t")
@@ -206,7 +215,7 @@ object GraftVersions {
         case arr =>
           def tok(prefix: String): Option[String] =
             arr.tail.find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
-          val reserved = Set("rows=", "bytes=", "bloom=", "dv=")
+          val reserved = Set("rows=", "bytes=", "bucket=", "bloom=", "dv=")
           val statToks =
             arr.tail.filterNot(t => reserved.exists(t.startsWith))
           FileEntry(arr.head, statToks.map { tok =>
@@ -221,7 +230,8 @@ object GraftVersions {
             bloom = tok("bloom=").map(GraftBloom.fromBase64),
             rows = tok("rows=").map(_.toLong),
             bytes = tok("bytes=").map(_.toLong),
-            dv = tok("dv=").map(GraftDV.fromBase64))
+            dv = tok("dv=").map(GraftDV.fromBase64),
+            bucket = tok("bucket=").map(_.toInt))
       }
     }
     val txn = header.get("txn").map { v =>
