@@ -1093,6 +1093,111 @@ object Round13 {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q234: merge-on-read MERGE — the full three-action matrix on masks
+  // ---------------------------------------------------------------------
+
+  /** MERGE completes the merge-on-read trilogy
+    * (`merge.mode=merge-on-read`): one statement's matched-UPDATE
+    * (split into mask + reinsert), matched-DELETE (mask), and
+    * not-matched-INSERT (plain new file) all flow through the one
+    * delta writer and commit as ONE manifest advance. The source rows
+    * [15,40) hit the 3-file table so that the [10,19] file is
+    * PARTIALLY masked (5 of 10) and the [20,29] file is FULLY masked —
+    * dropped from the live set outright — while [30,40) arrives as
+    * fresh inserts; the audit row per snapshot pins live rows /
+    * sum(n_words) / residual mask count / original-byte immutability,
+    * all closed-form. At 100 TB this is the CDC-upsert shape: a MERGE
+    * touching 0.1% of rows commits masks + the changed rows' bytes,
+    * not a rewrite of every touched file. */
+  val q234MorMerge: Q = (spark, dir) => {
+    val wh = Files.createTempDirectory("graft_ver_q234")
+    val cat = "q234_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "30").load()
+        .repartitionByRange(3, col("doc_id"))
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("merge.mode", "merge-on-read").create()
+      val tdir = wh.resolve("t")
+      val originals = GraftVersions.latest(tdir).get.files
+      val bytesBefore = originals.map(n =>
+        n -> java.util.Arrays.hashCode(Files.readAllBytes(tdir.resolve(n)))).toMap
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "40").load().filter(col("doc_id") >= 15)
+        .createOrReplaceTempView(s"${cat}_src")
+      spark.sql(
+        s"""MERGE INTO $cat.t t USING ${cat}_src s ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.doc_id % 2 = 0 THEN UPDATE SET n_words = 0
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.catalog.dropTempView(s"${cat}_src")
+      val log = GraftVersions.listVersions(tdir)
+      val perVersion = log.map { v =>
+        val masked = v.entries.flatMap(_.dv).map(_.cardinality.toLong).sum
+        val immutable = originals.forall(n =>
+          java.util.Arrays.hashCode(Files.readAllBytes(tdir.resolve(n))) ==
+            bytesBefore(n))
+        spark.sql(
+          s"""SELECT ${v.version}L AS version, '${v.op}' AS op,
+             |  COUNT(*) AS n_rows, COALESCE(SUM(n_words), 0) AS sum_words,
+             |  ${masked}L AS masked_rows, $immutable AS bytes_immutable
+             |FROM $cat.t VERSION AS OF ${v.version}""".stripMargin)
+      }.reduce(_ unionByName _)
+      OpsUtil.driverLiteral(perVersion.orderBy("version"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // q235: the `files` metadata table — manifest health from SQL
+  // ---------------------------------------------------------------------
+
+  /** Iceberg's `t.files` as a DSv2 metadata table: the live manifest
+    * queryable as a relation (file, bucket, physical rows/bytes,
+    * deletion-vector cardinality, doc_id min/max, bloom presence). The
+    * operator's health dashboard — bucket skew, mask buildup wanting
+    * an OPTIMIZE, stats coverage — answered by a #files-sized manifest
+    * read that opens ZERO data files. Here: a bucket(4) table of 40
+    * rows takes a scattered MOR delete (2 masks per residue class);
+    * grouping the metadata relation by bucket pins physical rows (10),
+    * masks (2), and the residue-class doc_id envelope (min=b,
+    * max=36+b) — every cell closed-form. */
+  val q235FilesTable: Q = (spark, dir) => {
+    val wh = Files.createTempDirectory("graft_ver_q235")
+    val cat = "q235_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      // 2 input partitions × 4 buckets → 8 files of 5 rows: the
+      // scattered delete masks 1 row per file, never a whole file (a
+      // fully-masked file would drop and shrink the physical counters
+      // — the drop behavior is q228/q232's story)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "40").option("partitions", "2").load()
+        .writeTo(s"$cat.t")
+        .partitionedBy(bucket(4, col("doc_id")))
+        .tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "merge-on-read").create()
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id % 5 = 2")
+      OpsUtil.driverLiteral(spark.sql(
+        s"""SELECT bucket, SUM(rows) AS rows_physical,
+           |  SUM(masked) AS masked_rows,
+           |  MIN(min_doc_id) AS min_id, MAX(max_doc_id) AS max_id,
+           |  SUM(rows) - SUM(masked) AS rows_live
+           |FROM $cat.t.files GROUP BY bucket ORDER BY bucket""".stripMargin))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q216_time_travel" -> q216TimeTravel,
     "q217_version_changes" -> q217VersionChanges,
@@ -1112,6 +1217,8 @@ object Round13 {
     "q231_alter_properties" -> q231AlterProperties,
     "q232_mor_update" -> q232MorUpdate,
     "q233_bucketed_spj" -> q233BucketedSpj,
+    "q234_mor_merge" -> q234MorMerge,
+    "q235_files_table" -> q235FilesTable,
   )
 
   /** The scratch table's history is a closed-form function of doc_id
@@ -1408,5 +1515,39 @@ object Round13 {
         |  CAST((SELECT COUNT(*) FROM live) AS BIGINT) AS n_joined,
         |  CAST((SELECT SUM(nw) FROM live) AS BIGINT) AS sum_words_joined,
         |  CAST((SELECT SUM(fp % 1000) FROM live) AS BIGINT) AS sum_fp_mod""".stripMargin,
+    // q234: matched [15,30) — evens updated to n_words=0 (7), odds
+    // deleted (8); [30,40) inserted (10). The [10,19] file keeps 5
+    // residual masks; the fully-matched [20,29] file drops outright.
+    "q234_mor_merge" ->
+      """WITH w AS (SELECT i, i % 91 + 9 AS nw FROM range(0, 40) t(i)),
+        |v(version, op, n_rows, sum_words, masked_rows, bytes_immutable)
+        |  AS (VALUES
+        |  (0, 'enable', 0, 0, 0, TRUE),
+        |  (1, 'append', 30, (SELECT SUM(nw) FROM w WHERE i < 30), 0, TRUE),
+        |  (2, 'merge',
+        |    (SELECT COUNT(*) FROM w
+        |      WHERE i < 15 OR (i >= 15 AND i < 30 AND i % 2 = 0) OR i >= 30),
+        |    (SELECT SUM(CASE WHEN i >= 15 AND i < 30 THEN 0 ELSE nw END)
+        |      FROM w WHERE i < 15 OR (i >= 15 AND i < 30 AND i % 2 = 0)
+        |        OR i >= 30),
+        |    5, TRUE))
+        |SELECT CAST(version AS BIGINT) AS version, op,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(sum_words AS BIGINT) AS sum_words,
+        |  CAST(masked_rows AS BIGINT) AS masked_rows,
+        |  bytes_immutable
+        |FROM v ORDER BY version""".stripMargin,
+    // q235: residue class b of range(40) holds ids b, b+4, ..., b+36
+    // (10 rows, envelope [b, 36+b]); the %5=2 delete masks exactly 2
+    // ids per class
+    "q235_files_table" ->
+      """WITH b(bucket) AS (VALUES (0), (1), (2), (3))
+        |SELECT CAST(bucket AS INT) AS bucket,
+        |  CAST(10 AS BIGINT) AS rows_physical,
+        |  CAST(2 AS BIGINT) AS masked_rows,
+        |  CAST(bucket AS BIGINT) AS min_id,
+        |  CAST(bucket + 36 AS BIGINT) AS max_id,
+        |  CAST(8 AS BIGINT) AS rows_live
+        |FROM b ORDER BY bucket""".stripMargin,
   )
 }

@@ -105,18 +105,19 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
           new GraftDocsTable(rows.toLong, 8, None, buckets.toInt)
         case _ => throw new NoSuchTableException(ident)
       }
-    case "history" if ident.namespace().nonEmpty &&
+    case meta @ ("history" | "files") if ident.namespace().nonEmpty &&
         Files.isDirectory(dirFor(ident).getParent) &&
         !Files.isDirectory(dirFor(ident)) =>
-      // Iceberg-style METADATA TABLE: `SELECT * FROM cat.t.history`
-      // resolves here as Identifier(ns=[...,"t"], name="history") —
-      // the commit log as a queryable relation (version, ts, op,
-      // dataChange, file count). Only for versioned parents; a real
-      // directory named "history" keeps winning above.
+      // Iceberg-style METADATA TABLES: `SELECT * FROM cat.t.history`
+      // (the commit log as a relation) and `cat.t.files` (the live
+      // manifest as a relation) resolve here as Identifier(
+      // ns=[...,"t"], name=<meta>). Only for versioned parents; a real
+      // directory with the metadata name keeps winning above.
       val parent = dirFor(ident).getParent
       if (!GraftVersions.isVersioned(parent))
         throw new NoSuchTableException(ident)
-      new GraftHistoryTable(parent.toString)
+      if (meta == "history") new GraftHistoryTable(parent.toString)
+      else new GraftFilesMetaTable(parent.toString)
     case _ =>
       val dir = dirFor(ident)
       if (!Files.isDirectory(dir)) throw new NoSuchTableException(ident)
@@ -293,7 +294,7 @@ object GraftCatalog {
     * delete strategy. */
   def isPersistedProperty(k: String): Boolean =
     k.startsWith("check.") || k.startsWith("bloom.") ||
-      k == "delete.mode" || k == "update.mode"
+      k == "delete.mode" || k == "update.mode" || k == "merge.mode"
 
   /** ADD CONSTRAINT validation (Delta parity): a new CHECK must hold
     * on the rows already in the table, or it is rejected with the
@@ -372,6 +373,79 @@ class GraftHistoryReaderFactory(cols: Array[String])
           org.apache.spark.unsafe.types.UTF8String.fromString(cur.op)
         case "data_change" => cur.dataChange
         case "n_files" => cur.files.length
+      })
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The `files` metadata table of a versioned warehouse table — the
+  * LIVE snapshot's manifest as a relation (Iceberg's `t.files`, DSv2-
+  * native): one row per data file with its layout bucket, physical
+  * row/byte counters, deletion-vector cardinality, recorded doc_id
+  * min/max, and bloom presence. What an operator (or an audit query)
+  * reads to answer "is this table healthy" — skew across buckets,
+  * mask buildup that wants an OPTIMIZE, stats coverage — without
+  * touching one data file: the scan is a manifest read, #files-sized.
+  * Read-only. */
+class GraftFilesMetaTable(tableDir: String) extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read._
+  override def name(): String = s"graft_docs(path=$tableDir).files"
+  override def schema(): StructType = GraftFilesMetaTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required = GraftFilesMetaTable.schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = required
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"GraftDocs files manifest of $tableDir"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GraftHistoryPartition(tableDir))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new GraftFilesMetaReaderFactory(required.fieldNames)
+      }
+    }
+}
+
+object GraftFilesMetaTable {
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("bucket", IntegerType, nullable = true),
+    StructField("rows", LongType, nullable = true),
+    StructField("bytes", LongType, nullable = true),
+    StructField("masked", LongType, nullable = false),
+    StructField("min_doc_id", LongType, nullable = true),
+    StructField("max_doc_id", LongType, nullable = true),
+    StructField("has_bloom", BooleanType, nullable = false)))
+}
+
+class GraftFilesMetaReaderFactory(cols: Array[String])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val dir = Paths.get(p.asInstanceOf[GraftHistoryPartition].tableDir)
+    new PartitionReader[InternalRow] {
+      private val it = GraftVersions.latest(dir)
+        .map(_.entries).getOrElse(Nil).iterator
+      private var cur: GraftVersions.FileEntry = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = InternalRow.fromSeq(cols.toSeq.map {
+        case "file" =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(cur.name)
+        case "bucket" => cur.bucket.map(Int.box).orNull
+        case "rows" => cur.rows.map(Long.box).orNull
+        case "bytes" => cur.bytes.map(Long.box).orNull
+        case "masked" => cur.dv.map(_.cardinality.toLong).getOrElse(0L)
+        case "min_doc_id" =>
+          cur.stats.get("doc_id").map(s => Long.box(s._1)).orNull
+        case "max_doc_id" =>
+          cur.stats.get("doc_id").map(s => Long.box(s._2)).orNull
+        case "has_bloom" => cur.bloom.isDefined
       })
       override def close(): Unit = ()
     }
@@ -494,15 +568,18 @@ class GraftRlTable(path: String,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(versionPin.isEmpty, s"$name is a read-only snapshot view")
-    // DELETE (delete.mode) and UPDATE (update.mode) on a versioned
-    // table with the property set to merge-on-read take the
-    // deletion-vector path (GraftMorOperation): masks for the old
-    // rows, tiny replacement files for UPDATE's new rows. MERGE — and
-    // everything elsewhere — stays copy-on-write.
+    // DELETE (delete.mode), UPDATE (update.mode), and MERGE
+    // (merge.mode) on a versioned table with the property set to
+    // merge-on-read take the deletion-vector path (GraftMorOperation):
+    // masks for the old rows, tiny files for the new ones — MERGE's
+    // matched updates split into delete+reinsert, its not-matched
+    // inserts are plain inserts. Everything else (and everything on
+    // unversioned tables) stays copy-on-write.
     val dir = Paths.get(path)
     val modeKey = info.command() match {
       case RowLevelOperation.Command.DELETE => Some("delete.mode")
       case RowLevelOperation.Command.UPDATE => Some("update.mode")
+      case RowLevelOperation.Command.MERGE => Some("merge.mode")
       case _ => None
     }
     val mor = GraftVersions.isVersioned(dir) &&

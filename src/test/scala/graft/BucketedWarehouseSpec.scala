@@ -131,6 +131,46 @@ class BucketedWarehouseSpec extends SparkSpec {
     }
   }
 
+  test("the files metadata table exposes the live manifest: buckets, " +
+      "counters, masks, stats envelope — and only for versioned parents") {
+    val (cat, wh) = freshCatalog("fmeta")
+    try {
+      // 2 input partitions × 4 buckets → 8 files of 5 rows each: no
+      // mask below can fully cover a file (a 1-row bucket file whose
+      // row is deleted would drop from the manifest and shrink the
+      // physical accounting — that behavior has its own test above)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "40").option("partitions", "2").load()
+        .writeTo(s"$cat.t")
+        .partitionedBy(org.apache.spark.sql.functions.bucket(4,
+          org.apache.spark.sql.functions.col("doc_id")))
+        .tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "merge-on-read").create()
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id % 5 = 2")
+      val rows = spark.sql(
+        s"""SELECT bucket, SUM(rows), SUM(masked), MIN(min_doc_id),
+           |  MAX(max_doc_id), COUNT(*) FILTER (WHERE has_bloom)
+           |FROM $cat.t.files GROUP BY bucket ORDER BY bucket""".stripMargin)
+        .collect()
+      assert(rows.length == 4)
+      rows.zipWithIndex.foreach { case (r, b) =>
+        assert(r.getInt(0) == b)
+        assert(r.getLong(1) == 10 && r.getLong(2) == 2)
+        assert(r.getLong(3) == b && r.getLong(4) == 36 + b)
+        assert(r.getLong(5) == 0, "no bloom config, no blooms")
+      }
+      // live row accounting agrees with the data read
+      val live = spark.sql(s"SELECT SUM(rows) - SUM(masked) FROM $cat.t.files")
+        .head().getLong(0)
+      assert(live == spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0))
+      // unversioned parents expose no files table
+      docsRange(3).writeTo(s"$cat.plain").create()
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.plain.files").collect()
+      }
+    } finally dropCatalog(cat, wh)
+  }
+
   test("a scan without the bucket column, and a table with pre-layout " +
       "files, degrade to unknown partitioning — never a wrong grouping") {
     val (cat, wh) = freshCatalog("deg")

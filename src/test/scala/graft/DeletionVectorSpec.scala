@@ -345,6 +345,47 @@ class DeletionVectorSpec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("MOR MERGE: update/delete/insert actions in one statement — masks, " +
+      "a dropped fully-matched file, fresh insert files, one commit") {
+    val (cat, wh) = freshCatalog("merge")
+    try {
+      docsRange(30)
+        .repartitionByRange(3, org.apache.spark.sql.functions.col("doc_id"))
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("merge.mode", "merge-on-read")
+        .tableProperty("check.pos", "n_words >= 0").create()
+      val dir = wh.resolve("t")
+      val originals = GraftVersions.latest(dir).get.files
+      val before = fileBytes(dir, originals)
+      docsRange(40).filter(org.apache.spark.sql.functions.col("doc_id") >= 15)
+        .createOrReplaceTempView(s"${cat}_src")
+      spark.sql(
+        s"""MERGE INTO $cat.t t USING ${cat}_src s ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.doc_id % 2 = 0 THEN UPDATE SET n_words = 0
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.catalog.dropTempView(s"${cat}_src")
+      val v = GraftVersions.latest(dir).get
+      assert(v.op == "merge")
+      // originals byte-identical; the fully-matched [20,29] file gone
+      // from the live set, the partially-matched [10,19] file masked
+      assert(fileBytes(dir, originals.filter(v.files.contains)) ==
+        before.filter { case (n, _) => v.files.contains(n) })
+      assert(originals.count(v.files.contains) == 2)
+      assert(v.entries.filter(e => originals.contains(e.name))
+        .flatMap(_.dv).map(_.cardinality).sum == 5)
+      // final state: [0,15) intact, evens of [15,30) zeroed, [30,40) new
+      val rows = spark.sql(
+        s"SELECT doc_id, n_words FROM $cat.t ORDER BY doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      val expected =
+        (0L until 15L).map(i => (i, (i % 91 + 9).toInt)) ++
+        (15L until 30L).filter(_ % 2 == 0).map(i => (i, 0)) ++
+        (30L until 40L).map(i => (i, (i % 91 + 9).toInt))
+      assert(rows == expected.sortBy(_._1))
+    } finally dropCatalog(cat, wh)
+  }
+
   test("change feed: a deletion-vector commit fails the stream unless " +
       "ignoreDeletes, which skips it and keeps tailing") {
     val (cat, wh) = freshCatalog("feed")
