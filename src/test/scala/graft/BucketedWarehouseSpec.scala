@@ -171,6 +171,40 @@ class BucketedWarehouseSpec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("streaming epochs into a bucketed table keep the layout: every " +
+      "sink-committed file carries its bucket and residue class") {
+    val (cat, wh) = freshCatalog("stream")
+    val cp = Files.createTempDirectory("graft_bkt_stream_cp")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.sink (doc_id BIGINT, title STRING, fp BIGINT,
+           |  n_words INT) PARTITIONED BY (bucket(4, doc_id))
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      // source: a versioned table's change feed
+      docsRange(24).writeTo(s"$cat.src")
+        .tableProperty("versioned", "true").create()
+      val q = spark.readStream.table(s"$cat.src")
+        .writeStream.option("checkpointLocation", cp.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.sink")
+      assert(q.awaitTermination(120000), "drain did not terminate")
+      val dir = wh.resolve("sink")
+      val entries = GraftVersions.latest(dir).get.entries
+      assert(entries.nonEmpty && entries.forall(_.bucket.isDefined),
+        "streamed files must carry bucket ids")
+      entries.foreach { e =>
+        val ids = java.nio.file.Files.readAllLines(dir.resolve(e.name))
+          .toArray.map(_.toString.split("\t")(0).toLong)
+        assert(ids.forall(id => id % 4 == e.bucket.get.toLong))
+      }
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.sink")
+        .head().getLong(0) == 24)
+    } finally {
+      dropCatalog(cat, wh)
+      org.apache.commons.io.FileUtils.deleteDirectory(cp.toFile)
+    }
+  }
+
   test("a scan without the bucket column, and a table with pre-layout " +
       "files, degrade to unknown partitioning — never a wrong grouping") {
     val (cat, wh) = freshCatalog("deg")
