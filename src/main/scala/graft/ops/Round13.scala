@@ -1198,6 +1198,56 @@ object Round13 {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q236: SQL-callable maintenance — CALL system.optimize/restore/vacuum
+  // ---------------------------------------------------------------------
+
+  /** The nightly maintenance job as a SQL script (Spark 4 DSv2
+    * procedures, Iceberg's `system.*` shape): a versioned table takes
+    * a metadata DELETE (drops its [30,40) file), then
+    * `CALL system.optimize('t', 2, 'doc_id')` compacts the 3 live
+    * files into 2 range-clustered ones, `CALL system.restore('t', 1)`
+    * rewinds to the pre-delete snapshot (zero data movement — the
+    * restore manifest references the ORIGINAL files, which is why the
+    * vacuum below deletes nothing), and `CALL system.vacuum('t', 2)`
+    * expires versions 0-2. Every procedure's audited RESULT ROW feeds
+    * the output — retention/compaction regressions break the hash, not
+    * a trend. At 100 TB: maintenance runs from the same SQL gateway as
+    * queries, no driver-side tooling required. */
+  val q236Procedures: Q = (spark, dir) => {
+    val wh = Files.createTempDirectory("graft_ver_q236")
+    val cat = "q236_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "40").load()
+        .repartitionByRange(4, col("doc_id"))
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id >= 30")
+      val opt = spark.sql(s"CALL $cat.system.optimize('t', 2, 'doc_id')").head()
+      val res = spark.sql(s"CALL $cat.system.restore('t', 1)").head()
+      val vac = spark.sql(s"CALL $cat.system.vacuum('t', 2)").head()
+      val state = spark.sql(
+        s"""SELECT COUNT(*) AS n, COALESCE(SUM(doc_id), 0) AS ids
+           |FROM $cat.t""".stripMargin).head()
+      import spark.implicits._
+      OpsUtil.driverLiteral(Seq((
+        opt.getLong(0), opt.getLong(1),
+        res.getLong(0), res.getLong(1), res.getLong(2),
+        vac.getLong(0), vac.getLong(1), vac.getLong(2),
+        state.getLong(0), state.getLong(1)
+      )).toDF("opt_files_before", "opt_files_after",
+        "restored_version", "restore_new_version", "restore_n_files",
+        "vacuum_expired", "vacuum_deleted", "oldest_retained",
+        "rows_live", "sum_ids_live"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q216_time_travel" -> q216TimeTravel,
     "q217_version_changes" -> q217VersionChanges,
@@ -1219,6 +1269,7 @@ object Round13 {
     "q233_bucketed_spj" -> q233BucketedSpj,
     "q234_mor_merge" -> q234MorMerge,
     "q235_files_table" -> q235FilesTable,
+    "q236_procedures" -> q236Procedures,
   )
 
   /** The scratch table's history is a closed-form function of doc_id
@@ -1549,5 +1600,21 @@ object Round13 {
         |  CAST(bucket + 36 AS BIGINT) AS max_id,
         |  CAST(8 AS BIGINT) AS rows_live
         |FROM b ORDER BY bucket""".stripMargin,
+    // q236: v2 metadata-delete leaves 3 of 4 files; optimize 3→2 (v3);
+    // restore to v1 (v4, the 4 ORIGINAL files — zero copy, so vacuum
+    // keep_last=2 expires v0-v2 but deletes no file: v4 still
+    // references v1's data); live = the full 40 rows
+    "q236_procedures" ->
+      """SELECT CAST(3 AS BIGINT) AS opt_files_before,
+        |  CAST(2 AS BIGINT) AS opt_files_after,
+        |  CAST(1 AS BIGINT) AS restored_version,
+        |  CAST(4 AS BIGINT) AS restore_new_version,
+        |  CAST(4 AS BIGINT) AS restore_n_files,
+        |  CAST(3 AS BIGINT) AS vacuum_expired,
+        |  CAST(0 AS BIGINT) AS vacuum_deleted,
+        |  CAST(3 AS BIGINT) AS oldest_retained,
+        |  CAST(40 AS BIGINT) AS rows_live,
+        |  CAST((SELECT SUM(i) FROM range(0, 40) t(i)) AS BIGINT)
+        |    AS sum_ids_live""".stripMargin,
   )
 }

@@ -42,9 +42,35 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `spark.sql.catalog.<name> = graft.sources.GraftCatalog` (add
   * `spark.sql.catalog.<name>.warehouse = <dir>` for personality 2) and
   * read `spark.table("<name>.docs")`. */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog
+    with ProcedureCatalog {
   private var catalogName = "graft"
   private var warehouse: Option[java.nio.file.Path] = None
+
+  /** `CALL <cat>.system.<proc>(...)` — the maintenance surface
+    * ([[GraftProcedures]]: vacuum / optimize / restore), namespaced
+    * `system` like Iceberg's. The table argument is a warehouse table
+    * name (optionally namespace-qualified), resolved with the same
+    * containment checks as loadTable. */
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    GraftProcedures.names.map(n =>
+      Identifier.of(Array("system"), n)).toArray
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!(ident.namespace().isEmpty ||
+        ident.namespace().toSeq == Seq("system")))
+      throw new IllegalArgumentException(
+        s"procedures live in the 'system' namespace: $ident")
+    GraftProcedures(ident.name(), tableName => {
+      val parts = tableName.split('.')
+      val dir = dirFor(Identifier.of(parts.init, parts.last))
+      if (!Files.isDirectory(dir))
+        throw new NoSuchTableException(
+          Identifier.of(parts.init, parts.last))
+      dir
+    })
+  }
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
