@@ -1248,6 +1248,66 @@ object Round13 {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q237: manifest aggregate pushdown — COUNT(*) without opening a file
+  // ---------------------------------------------------------------------
+
+  /** The first query anyone runs on a 100 TB table — `SELECT COUNT(*)`
+    * — answered from the MANIFEST: the scan builder recognizes
+    * unfiltered COUNT/MIN/MAX aggregations and folds them from the
+    * live snapshot's per-file `rows=` counters and min/max stats at
+    * plan time (complete pushdown; zero data files opened), exactly
+    * how Iceberg/Delta answer it. The audit row pins the exactness
+    * rules as behavior: COUNT stays pushed and DV-EXACT after a
+    * merge-on-read delete (live = physical − masks); MIN/MAX push
+    * only while NO file is masked (a mask could hide the extremum —
+    * after the delete they fall back to the ordinary scan and stay
+    * correct); a WHERE keeps the ordinary path; a time-travel read
+    * folds the PINNED manifest. The pushed/declined flags come off
+    * the executed plans, so a pushdown regression breaks the hash. */
+  val q237ManifestAgg: Q = (spark, dir) => {
+    val wh = Files.createTempDirectory("graft_ver_q237")
+    val cat = "q237_" + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "40").load()
+        .repartitionByRange(4, col("doc_id"))
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "merge-on-read").create()
+      def pushed(sql: String): Boolean =
+        spark.sql(sql).queryExecution.executedPlan.toString
+          .contains("manifest-agg")
+      val countPushed = pushed(s"SELECT COUNT(*) FROM $cat.t")
+      val nBefore = spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0)
+      val mmPushed = pushed(s"SELECT MIN(doc_id), MAX(n_words) FROM $cat.t")
+      val mm = spark.sql(
+        s"SELECT MIN(doc_id), MAX(n_words) FROM $cat.t").head()
+      val wherePushed = pushed(s"SELECT COUNT(*) FROM $cat.t WHERE doc_id > 5")
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id % 7 = 3")
+      val countPushedAfter = pushed(s"SELECT COUNT(*) FROM $cat.t")
+      val nAfter = spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0)
+      val mmPushedAfter = pushed(s"SELECT MIN(doc_id) FROM $cat.t")
+      val minAfter = spark.sql(s"SELECT MIN(doc_id) FROM $cat.t")
+        .head().getLong(0)
+      val nAsOf = spark.sql(s"SELECT COUNT(*) FROM $cat.t VERSION AS OF 1")
+        .head().getLong(0)
+      import spark.implicits._
+      OpsUtil.driverLiteral(Seq((
+        countPushed, nBefore, mmPushed, mm.getLong(0), mm.getInt(1).toLong,
+        wherePushed, countPushedAfter, nAfter, mmPushedAfter, minAfter,
+        nAsOf
+      )).toDF("count_pushed", "n_before", "minmax_pushed", "min_id",
+        "max_words", "where_pushed", "count_pushed_after", "n_after",
+        "minmax_pushed_after", "min_id_after", "n_asof_v1"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q216_time_travel" -> q216TimeTravel,
     "q217_version_changes" -> q217VersionChanges,
@@ -1270,6 +1330,7 @@ object Round13 {
     "q234_mor_merge" -> q234MorMerge,
     "q235_files_table" -> q235FilesTable,
     "q236_procedures" -> q236Procedures,
+    "q237_manifest_agg" -> q237ManifestAgg,
   )
 
   /** The scratch table's history is a closed-form function of doc_id
@@ -1616,5 +1677,15 @@ object Round13 {
         |  CAST(40 AS BIGINT) AS rows_live,
         |  CAST((SELECT SUM(i) FROM range(0, 40) t(i)) AS BIGINT)
         |    AS sum_ids_live""".stripMargin,
+    // q237: n_words = i % 91 + 9 = i + 9 for i < 40, so max_words = 48;
+    // the %7=3 delete masks 6 of 40 rows
+    "q237_manifest_agg" ->
+      """SELECT TRUE AS count_pushed, CAST(40 AS BIGINT) AS n_before,
+        |  TRUE AS minmax_pushed, CAST(0 AS BIGINT) AS min_id,
+        |  CAST(48 AS BIGINT) AS max_words, FALSE AS where_pushed,
+        |  TRUE AS count_pushed_after, CAST(34 AS BIGINT) AS n_after,
+        |  FALSE AS minmax_pushed_after,
+        |  CAST(0 AS BIGINT) AS min_id_after,
+        |  CAST(40 AS BIGINT) AS n_asof_v1""".stripMargin,
   )
 }

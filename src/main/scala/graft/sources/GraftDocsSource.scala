@@ -426,7 +426,8 @@ class GraftFilesScanBuilder(path: String,
     // readStream options (ignoreChanges) ride in via the scan builder
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = GraftDocsSource.schema
   // per-column pushed bounds, intersected across filters; only columns
   // present here can prune (the writer records stats for exactly these)
@@ -484,7 +485,85 @@ class GraftFilesScanBuilder(path: String,
   }
   override def pushedFilters(): Array[Filter] = accepted
 
+  // ----- aggregate pushdown (COMPLETE) from the MANIFEST: an
+  // unfiltered COUNT(*) over a versioned table is the sum of the live
+  // snapshot's `rows=` counters minus deletion-vector cardinalities —
+  // exact even under masks — and MIN/MAX over a stats-tracked column
+  // is the fold of the per-file min/max (exact only while NO file is
+  // masked: a mask could hide the extremum, so any DV declines those).
+  // Spark offers aggregate pushdown only when no post-scan filter
+  // remains (ours are always residual), so a WHERE keeps the ordinary
+  // path. At 100 TB this answers `SELECT COUNT(*)` — the first query
+  // anyone runs — in O(#files) driver work with ZERO data files opened,
+  // exactly how Iceberg/Delta answer it from manifest statistics.
+  private var pushedAggs: Seq[(String, String)] = Nil // (kind, column)
+  private def manifestEntries(): Option[Seq[GraftVersions.FileEntry]] = {
+    val dir = Paths.get(path)
+    if (!GraftVersions.isVersioned(dir)) None
+    else versionPin.map(e => Some(GraftVersions.manifest(dir, e)))
+      .getOrElse(GraftVersions.latest(dir)).map(_.entries)
+  }
+  private def recognizeAggs(a: Aggregation): Option[Seq[(String, String)]] =
+    if (a.groupByExpressions.nonEmpty || a.aggregateExpressions.isEmpty) None
+    else {
+      def col(e: V2Expression): Option[String] = e match {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          Some(r.fieldNames.head).filter(GraftDocsSource.schema.fieldNames.contains)
+        case _ => None
+      }
+      val statCols = Set("doc_id", "fp", "n_words")
+      val rec = a.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(("count", ""))
+        // every column of the schema is non-nullable, so COUNT(col)
+        // ≡ COUNT(*)
+        case c: Count if !c.isDistinct && col(c.column).isDefined =>
+          Some(("count", ""))
+        case m: Min if col(m.column).exists(statCols) =>
+          Some(("min", col(m.column).get))
+        case m: Max if col(m.column).exists(statCols) =>
+          Some(("max", col(m.column).get))
+        case _ => None
+      }
+      if (rec.forall(_.isDefined)) Some(rec.flatten) else None
+    }
+  /** Can the manifest answer these aggregates EXACTLY? */
+  private def answerable(kinds: Seq[(String, String)]): Boolean =
+    (accepted.isEmpty && lo.isEmpty && hi.isEmpty && eqLit.isEmpty) &&
+      manifestEntries().exists { es =>
+        es.forall(_.rows.isDefined) && kinds.forall {
+          case ("count", _) => true
+          case (_, c) =>
+            // min/max: every non-empty file tracks c, none is masked,
+            // and at least one live row exists (else the answer is
+            // NULL — leave that to the ordinary aggregate)
+            es.forall(e => e.dv.isEmpty &&
+              (e.rows.contains(0L) || e.stats.contains(c))) &&
+              es.exists(_.rows.exists(_ > 0L))
+        }
+      }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    recognizeAggs(agg).exists(answerable)
+  override def pushAggregation(agg: Aggregation): Boolean =
+    recognizeAggs(agg).filter(answerable) match {
+      case Some(kinds) => pushedAggs = kinds; true
+      case None => false
+    }
+
   override def build(): Scan = {
+    if (pushedAggs.nonEmpty) {
+      val es = manifestEntries().get
+      val nonEmpty = es.filter(_.rows.exists(_ > 0L))
+      val values: Seq[(Long, DataType)] = pushedAggs.map {
+        case ("count", _) => (es.flatMap(_.liveRows).sum, LongType)
+        case (kind, c) =>
+          val t = GraftDocsSource.schema(c).dataType
+          val folded =
+            if (kind == "min") nonEmpty.map(_.stats(c)._1).min
+            else nonEmpty.map(_.stats(c)._2).max
+          (folded, t)
+      }
+      return new GraftManifestAggScan(path, values)
+    }
     val ranges = (lo.keySet ++ hi.keySet).map { c =>
       c -> (lo.getOrElse(c, Long.MinValue), hi.getOrElse(c, Long.MaxValue))
     }.toMap
@@ -494,6 +573,40 @@ class GraftFilesScanBuilder(path: String,
       colRanges = ranges, eqLiterals = eqLit.toMap)
   }
 }
+
+/** Result of a COMPLETELY pushed manifest aggregation: one partition,
+  * one pre-computed row — the values were folded from the manifest at
+  * PLAN time, no data file is ever opened. */
+class GraftManifestAggScan(path: String, values: Seq[(Long, DataType)])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(values.zipWithIndex.map { case ((_, t), i) =>
+      StructField(s"pushed_manifest_$i", t, nullable = false) })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftDocs manifest-agg path=$path values=${values.map(_._1).mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftManifestAggPartition(values.map {
+      case (v, IntegerType) => Int.box(v.toInt)
+      case (v, _) => Long.box(v)
+    }))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = {
+            val first = !emitted; emitted = true; first
+          }
+          override def get(): InternalRow = InternalRow.fromSeq(
+            p.asInstanceOf[GraftManifestAggPartition].values)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class GraftManifestAggPartition(values: Seq[Any]) extends InputPartition
 
 /** `part-*.tsv` names: plain writes use `part-NNNNN.tsv`; bucketed
   * writes insert the bucket id (`part-NNNNN-b<k>.tsv`); row-level

@@ -386,6 +386,46 @@ class DeletionVectorSpec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("manifest aggregate pushdown: unfiltered COUNT/MIN/MAX answer from " +
+      "the manifest (DV-exact for COUNT, DV-declined for MIN/MAX)") {
+    val (cat, wh) = freshCatalog("agg")
+    try {
+      docsRange(40)
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("doc_id"))
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "merge-on-read").create()
+      def planOf(sql: String): String =
+        spark.sql(sql).queryExecution.executedPlan.toString
+      def one(sql: String): Long = spark.sql(sql).head().getLong(0)
+
+      // pushed: plan carries the manifest-agg scan, zero data files read
+      assert(planOf(s"SELECT COUNT(*) FROM $cat.t").contains("manifest-agg"))
+      assert(one(s"SELECT COUNT(*) FROM $cat.t") == 40)
+      assert(planOf(s"SELECT MIN(doc_id), MAX(fp), MAX(n_words) FROM $cat.t")
+        .contains("manifest-agg"))
+      assert(one(s"SELECT MIN(doc_id) FROM $cat.t") == 0)
+      assert(spark.sql(s"SELECT MAX(n_words) FROM $cat.t").head().getInt(0) ==
+        (0 until 40).map(i => i % 91 + 9).max)
+
+      // a WHERE keeps the ordinary path (stats can't answer it exactly)
+      assert(!planOf(s"SELECT COUNT(*) FROM $cat.t WHERE doc_id > 5")
+        .contains("manifest-agg"))
+
+      // after a MOR delete: COUNT stays pushed and is DV-adjusted;
+      // MIN/MAX decline (a mask could hide the extremum) but stay exact
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id % 7 = 3")
+      assert(planOf(s"SELECT COUNT(*) FROM $cat.t").contains("manifest-agg"))
+      assert(one(s"SELECT COUNT(*) FROM $cat.t") == 34)
+      assert(!planOf(s"SELECT MIN(doc_id) FROM $cat.t").contains("manifest-agg"))
+      assert(one(s"SELECT MIN(doc_id) FROM $cat.t") == 0)
+
+      // time travel: the pinned manifest answers the pinned count
+      assert(one(s"SELECT COUNT(*) FROM $cat.t VERSION AS OF 1") == 40)
+      assert(planOf(s"SELECT COUNT(*) FROM $cat.t VERSION AS OF 1")
+        .contains("manifest-agg"))
+    } finally dropCatalog(cat, wh)
+  }
+
   test("change feed: a deletion-vector commit fails the stream unless " +
       "ignoreDeletes, which skips it and keeps tailing") {
     val (cat, wh) = freshCatalog("feed")
