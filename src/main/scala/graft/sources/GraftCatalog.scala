@@ -556,6 +556,16 @@ class GraftRlTable(path: String,
     GraftTableMeta.bucketLayout(Paths.get(path)).map { case (c, n) =>
       org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
     }.toArray
+  /** `SHOW TBLPROPERTIES` / `DESCRIBE TABLE EXTENDED` surface: the
+    * persisted property store plus the versioning state — table
+    * metadata is INSPECTABLE, not just settable. */
+  override def properties(): util.Map[String, String] = {
+    val dir = Paths.get(path)
+    val m = new util.HashMap[String, String]()
+    GraftTableMeta.read(dir).foreach { case (k, v) => m.put(k, v) }
+    m.put("versioned", GraftVersions.isVersioned(dir).toString)
+    m
+  }
   override def capabilities(): util.Set[TableCapability] =
     if (versionPin.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else if (GraftVersions.isVersioned(Paths.get(path)))

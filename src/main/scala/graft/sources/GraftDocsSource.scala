@@ -570,6 +570,7 @@ class GraftFilesScanBuilder(path: String,
     new GraftFilesScan(path, required, onGroupFilter, versionPin,
       ignoreChanges = options.getBoolean("ignoreChanges", false),
       ignoreDeletes = options.getBoolean("ignoreDeletes", false),
+      startingVersion = Option(options.get("startingVersion")).map(_.toLong),
       colRanges = ranges, eqLiterals = eqLit.toMap)
   }
 }
@@ -627,6 +628,9 @@ class GraftFilesScan(path: String, required: StructType,
     // streaming only: tolerate deletion-vector-only commits (MOR
     // deletes) — Delta's ignoreDeletes contract
     ignoreDeletes: Boolean = false,
+    // streaming only: start tailing AT this commit instead of taking
+    // the initial snapshot — Delta's startingVersion contract
+    startingVersion: Option[Long] = None,
     // pushed per-column bounds: prune files by manifest min/max stats
     colRanges: Map[String, (Long, Long)] = Map.empty,
     // pushed equality literals: prune files by their manifest blooms
@@ -836,7 +840,8 @@ class GraftFilesScan(path: String, required: StructType,
         s"streaming reads of $path need a versioned table: the _versions " +
           "commit log is the stream's offset axis (enable versioning with " +
           "TBLPROPERTIES('versioned'='true') or GraftVersions.enable)")
-    new GraftVersionFeed(path, required, ignoreChanges, ignoreDeletes)
+    new GraftVersionFeed(path, required, ignoreChanges, ignoreDeletes,
+      startingVersion)
   }
 }
 
@@ -875,13 +880,34 @@ case class GraftVersionOffset(v: Long) extends Offset {
   * Column pruning composes (the same pruned readers as the batch scan).
   */
 class GraftVersionFeed(path: String, required: StructType,
-    ignoreChanges: Boolean, ignoreDeletes: Boolean = false)
+    ignoreChanges: Boolean, ignoreDeletes: Boolean = false,
+    // Delta's startingVersion: begin tailing AT this commit (its own
+    // files are the first batch) instead of materializing the initial
+    // snapshot — the consumer that already holds a copy up to v-1
+    // resumes without re-reading the table. Checkpointed restarts keep
+    // their stored offset; this only seeds a FRESH stream.
+    startingVersion: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   private def dir = Paths.get(path)
   @volatile private var availableNowTarget: Option[Long] = None
 
-  override def initialOffset(): Offset = GraftVersionOffset(-1L)
+  override def initialOffset(): Offset = startingVersion match {
+    case None => GraftVersionOffset(-1L)
+    case Some(v) =>
+      val retained = GraftVersions.listVersionNumbers(dir)
+      // the first batch is commit v AS A DIFF against v-1, so both must
+      // be reconstructable: v retained, and its base retained (or v=0,
+      // whose base is the empty table). A vacuumed base cannot yield
+      // the commit's changes — fail loudly rather than re-emit carried
+      // rows (Delta's startingVersion raises the same way).
+      require(retained.contains(v) && (v == 0 || retained.contains(v - 1)),
+        s"startingVersion $v needs snapshots $v and ${v - 1} retained " +
+          s"in $path (have: ${retained.mkString(",")})")
+      // offset semantics: "every commit ≤ offset emitted" — starting AT
+      // v means the stored offset is v-1
+      GraftVersionOffset(v - 1)
+  }
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.toLong)
   override def commit(end: Offset): Unit = ()

@@ -426,6 +426,81 @@ class DeletionVectorSpec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("change feed startingVersion: a fresh stream tails from the named " +
+      "commit instead of the initial snapshot; vacuumed starts reject") {
+    val (cat, wh) = freshCatalog("sv")
+    val sink = Files.createTempDirectory("graft_sv_sink")
+    val cp = Files.createTempDirectory("graft_sv_cp")
+    try {
+      docsRange(20).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true").create() // v0 enable, v1 CTAS
+      def insertRange(lo: Int, hi: Int): Unit = {
+        docsRange(hi).filter(
+          org.apache.spark.sql.functions.col("doc_id") >= lo)
+          .createOrReplaceTempView(s"${cat}_ins")
+        spark.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_ins")
+        spark.catalog.dropTempView(s"${cat}_ins")
+      }
+      insertRange(20, 25) // v2
+      insertRange(25, 30) // v3
+      val q = spark.readStream.option("startingVersion", "2")
+        .table(s"$cat.t")
+        .writeStream.format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", cp.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+      val ids = spark.read.parquet(sink.toString)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == (20L until 30L),
+        s"only v2+v3 rows must stream, not the v1 snapshot: $ids")
+
+      // a start whose diff base was vacuumed rejects loudly
+      GraftVersions.vacuum(wh.resolve("t"), keepLast = 2) // keeps v2,v3
+      val cp2 = Files.createTempDirectory("graft_sv_cp2")
+      try {
+        val e = intercept[Exception] {
+          val q2 = spark.readStream.option("startingVersion", "2")
+            .table(s"$cat.t")
+            .writeStream.format("parquet")
+            .option("path", sink.toString)
+            .option("checkpointLocation", cp2.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q2.awaitTermination(120000)
+          q2.exception.foreach(throw _)
+        }
+        assert(e.getMessage != null &&
+          e.getMessage.contains("startingVersion"), e.getMessage)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(cp2.toFile)
+    } finally {
+      dropCatalog(cat, wh)
+      org.apache.commons.io.FileUtils.deleteDirectory(sink.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(cp.toFile)
+    }
+  }
+
+  test("SHOW TBLPROPERTIES exposes the persisted store and versioning state") {
+    val (cat, wh) = freshCatalog("props")
+    try {
+      docsRange(10).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "merge-on-read")
+        .tableProperty("check.pos", "n_words > 0").create()
+      val props = spark.sql(s"SHOW TBLPROPERTIES $cat.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("versioned").contains("true"))
+      assert(props.get("delete.mode").contains("merge-on-read"))
+      assert(props.get("check.pos").contains("n_words > 0"))
+      // ALTER is visible immediately
+      spark.sql(s"ALTER TABLE $cat.t UNSET TBLPROPERTIES ('check.pos')")
+      val after = spark.sql(s"SHOW TBLPROPERTIES $cat.t").collect()
+        .map(_.getString(0)).toSet
+      assert(!after.contains("check.pos"))
+    } finally dropCatalog(cat, wh)
+  }
+
   test("change feed: a deletion-vector commit fails the stream unless " +
       "ignoreDeletes, which skips it and keeps tailing") {
     val (cat, wh) = freshCatalog("feed")
