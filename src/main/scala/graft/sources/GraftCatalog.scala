@@ -237,6 +237,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val kept = properties.asScala.filter { case (k, _) =>
       GraftCatalog.isPersistedProperty(k)
     }.toMap ++ layout.map { case (c, n) => "layout.bucket" -> s"$c:$n" }
+    kept.foreach { case (k, v) => GraftCatalog.validateProperty(k, v) }
     GraftTableMeta.write(dir, kept)
     new GraftRlTable(dir.toString)
   }
@@ -261,6 +262,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val updated = changes.foldLeft(current) { (props, change) =>
       change match {
         case s: SetProperty if GraftCatalog.isPersistedProperty(s.property()) =>
+          GraftCatalog.validateProperty(s.property(), s.value())
           if (s.property().startsWith("check."))
             GraftCatalog.validateExistingRows(dir,
               s.property().stripPrefix("check."), s.value())
@@ -272,6 +274,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           throw new UnsupportedOperationException(
             "versioning cannot be toggled by ALTER; enable it at CREATE " +
               "(TBLPROPERTIES('versioned'='true')) or via GraftVersions.enable")
+        case s: SetProperty =>
+          // a non-persisted key is a PROPERTY problem, not a schema one
+          // — name the keys this store actually persists so the user
+          // can fix the spelling instead of chasing a phantom schema
+          // restriction
+          throw new UnsupportedOperationException(
+            s"table property '${s.property()}' is not persisted by " +
+              "graft_docs tables; settable properties: check.<name>, " +
+              "bloom.columns, bloom.bits, delete.mode, update.mode, " +
+              "merge.mode")
+        case r: RemoveProperty =>
+          throw new UnsupportedOperationException(
+            s"table property '${r.property()}' is not persisted by " +
+              "graft_docs tables; removable properties: check.<name>, " +
+              "bloom.columns, bloom.bits, delete.mode, update.mode, " +
+              "merge.mode")
         case other =>
           throw new UnsupportedOperationException(
             s"graft_docs tables have a fixed schema; unsupported change: " +
@@ -320,7 +338,21 @@ object GraftCatalog {
     * delete strategy. */
   def isPersistedProperty(k: String): Boolean =
     k.startsWith("check.") || k.startsWith("bloom.") ||
-      k == "delete.mode" || k == "update.mode" || k == "merge.mode"
+      RowLevelModeKeys(k)
+
+  /** The three row-level strategy selectors, and their only legal
+    * values. Validated at CREATE and ALTER: a typo like
+    * 'merge_on_read' must fail loudly THEN, not silently fall back to
+    * copy-on-write at the first MERGE. */
+  val RowLevelModeKeys: Set[String] =
+    Set("delete.mode", "update.mode", "merge.mode")
+  val RowLevelModeValues: Set[String] =
+    Set("copy-on-write", "merge-on-read")
+  def validateProperty(k: String, v: String): Unit =
+    if (RowLevelModeKeys(k) && !RowLevelModeValues(v))
+      throw new IllegalArgumentException(
+        s"invalid value '$v' for table property '$k'; legal values: " +
+          RowLevelModeValues.toSeq.sorted.mkString(", "))
 
   /** ADD CONSTRAINT validation (Delta parity): a new CHECK must hold
     * on the rows already in the table, or it is rejected with the
@@ -498,8 +530,17 @@ object GraftBucketFunction extends UnboundFunction {
     override def name(): String = "bucket"
     override def canonicalName(): String = "graft.bucket"
     override def isResultNullable: Boolean = false
-    override def produceResult(input: InternalRow): Int =
-      (input.getLong(1) % input.getInt(0)).toInt
+    // floored mod, NOT Java's truncated `%`: the writer fans rows with
+    // `(((id % n) + n) % n)`, and the engine may evaluate THIS function
+    // to shuffle an unbucketed join side against the scan's reported
+    // KeyGroupedPartitioning — a negative doc_id under truncated mod
+    // would land in a partition that doesn't match the stored layout
+    // and silently drop join matches. Function and layout must agree
+    // for ALL long values.
+    override def produceResult(input: InternalRow): Int = {
+      val n = input.getInt(0)
+      (((input.getLong(1) % n) + n) % n).toInt
+    }
   }
 }
 

@@ -964,19 +964,26 @@ class GraftVersionFeed(path: String, required: StructType,
           case Some(_) if !info.dataChange => Nil
           case Some(b) =>
             val bf = b.files.toSet
-            val isRewrite = info.files.toSet != bf && !bf.subsetOf(info.files.toSet)
-            if (isRewrite && !ignoreChanges)
-              throw new IllegalStateException(
-                s"commit v$v of $path is a ${info.op} rewrite: re-emitting " +
-                  "rewritten files would duplicate their carried-over rows. " +
-                  "Set option(\"ignoreChanges\", true) to stream them anyway " +
-                  "(consumers must dedupe by key), or time-travel the exact " +
-                  "snapshots instead")
-            // a deletion-vector-only commit (merge-on-read DELETE)
-            // removed rows without adding files: this append-only feed
-            // has nothing to emit for it, but consuming past it changes
-            // what the downstream state MEANS — Delta's ignoreDeletes
-            // contract makes that an explicit opt-in, not a silence
+            // Commit taxonomy along two independent axes — does it ADD
+            // files (new rows the feed could emit) and does it REMOVE
+            // rows (files dropped from the snapshot, or deletion-vector
+            // growth on retained files)? Delta's contract, which this
+            // mirrors exactly:
+            //  - append        (adds, removes nothing)  → emit, always;
+            //  - delete        (removes, adds NOTHING)  → nothing to
+            //    emit; `ignoreDeletes` opts into skipping it (that is
+            //    precisely what the option exists for — metadata
+            //    deletes, fully-masked-file drops, MOR mask-only
+            //    deletes all land here);
+            //  - rewrite/update (adds AND removes)      → the added
+            //    files carry rows that REPLACE removed ones; emitting
+            //    them as plain appends duplicates downstream state, so
+            //    this demands `ignoreChanges` — `ignoreDeletes` alone
+            //    must NOT admit it (a MOR UPDATE grows DVs on retained
+            //    base files and adds replacement files: under the old
+            //    subset test it looked like "just deletes").
+            val addedEntries = info.entries.filterNot(en => bf.contains(en.name))
+            val removedFiles = bf -- info.files.toSet
             val dvGrew = info.entries.exists { en =>
               bf.contains(en.name) && {
                 val baseCard = b.entries.find(_.name == en.name)
@@ -984,14 +991,24 @@ class GraftVersionFeed(path: String, required: StructType,
                 en.dv.map(_.cardinality).getOrElse(0) > baseCard
               }
             }
-            if (dvGrew && !ignoreDeletes && !ignoreChanges)
+            val removesRows = removedFiles.nonEmpty || dvGrew
+            if (removesRows && addedEntries.nonEmpty && !ignoreChanges)
               throw new IllegalStateException(
-                s"commit v$v of $path deleted rows via deletion vectors " +
-                  s"(${info.op}): this append-only change feed cannot " +
-                  "represent row removal. Set option(\"ignoreDeletes\", " +
-                  "true) to skip delete commits (downstream keeps the " +
-                  "deleted rows), or time-travel the exact snapshots")
-            info.entries.filterNot(en => bf.contains(en.name))
+                s"commit v$v of $path is a ${info.op} rewrite/update: its " +
+                  "new files replace rows it removed, so re-emitting them " +
+                  "as appends would duplicate downstream state. Set " +
+                  "option(\"ignoreChanges\", true) to stream them anyway " +
+                  "(consumers must dedupe by key), or time-travel the exact " +
+                  "snapshots instead")
+            if (removesRows && addedEntries.isEmpty &&
+                !ignoreDeletes && !ignoreChanges)
+              throw new IllegalStateException(
+                s"commit v$v of $path deleted rows (${info.op}): this " +
+                  "append-only change feed cannot represent row removal. " +
+                  "Set option(\"ignoreDeletes\", true) to skip delete " +
+                  "commits (downstream keeps the deleted rows), or " +
+                  "time-travel the exact snapshots")
+            addedEntries
           case None => info.entries
         }
       }

@@ -1,0 +1,201 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{GraftBucketFunction, GraftVersions}
+
+/** Round-14 wave 1: the advisor's change-feed and catalog findings.
+  *
+  *  - the feed's commit taxonomy: rewrite/update commits (adds AND
+  *    removes rows) demand `ignoreChanges` even when `ignoreDeletes`
+  *    is set; removal-only commits (file-dropping deletes) are
+  *    skippable with `ignoreDeletes` alone — Delta's contract on both
+  *    edges;
+  *  - `bucket()` uses floored mod so the V2 function agrees with the
+  *    writer's fan-out for NEGATIVE ids;
+  *  - table-property hygiene: unknown keys get a property error naming
+  *    the persistable keys, and row-level mode values are validated at
+  *    CREATE and ALTER.
+  */
+class Round14Spec extends SparkSpec {
+
+  private def freshCatalog(tag: String): (String, java.nio.file.Path) = {
+    val wh = Files.createTempDirectory(s"graft_r14_$tag")
+    val cat = s"r14_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    (cat, wh)
+  }
+  private def dropCatalog(cat: String, wh: java.nio.file.Path): Unit = {
+    spark.conf.unset(s"spark.sql.catalog.$cat")
+    spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+  }
+  private def docsRange(rows: Int) =
+    spark.read.format("graft.sources.GraftDocsSource")
+      .option("rows", rows.toString).load()
+
+  private def drain(cat: String, sink: java.nio.file.Path,
+      cp: java.nio.file.Path, opts: Map[String, String]): Unit = {
+    var reader = spark.readStream
+    opts.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.table(s"$cat.t").writeStream.format("parquet")
+      .option("path", sink.toString)
+      .option("checkpointLocation", cp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "drain did not terminate")
+    q.exception.foreach(throw _)
+  }
+
+  test("change feed: a MOR UPDATE commit demands ignoreChanges — " +
+      "ignoreDeletes alone must NOT admit it") {
+    val (cat, wh) = freshCatalog("morup")
+    val sinks = Seq.fill(3)(Files.createTempDirectory("graft_r14_sink"))
+    val cps = Seq.fill(3)(Files.createTempDirectory("graft_r14_cp"))
+    try {
+      docsRange(20).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true")
+        .tableProperty("update.mode", "merge-on-read").create()
+      spark.sql(s"UPDATE $cat.t SET n_words = 999 WHERE doc_id = 3")
+      val v = GraftVersions.latest(wh.resolve("t")).get
+      // precondition: the commit really is a MOR update — DV growth on
+      // a retained base file PLUS a replacement file (the shape the
+      // old subset test misclassified as "just deletes")
+      assert(v.entries.exists(_.dv.exists(_.cardinality > 0)))
+      assert(v.files.exists(f => !GraftVersions.manifest(wh.resolve("t"), 1)
+        .files.contains(f)), "update must add a replacement file")
+
+      // ignoreDeletes=true alone: still rejected, pointing at ignoreChanges
+      val e = intercept[Exception] {
+        drain(cat, sinks(0), cps(0), Map("ignoreDeletes" -> "true"))
+      }
+      def causes(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).filter(_ != null).toSeq
+      assert(causes(e).exists(_.contains("ignoreChanges")),
+        causes(e).mkString(" | "))
+      // and the error must NOT have been the ignoreDeletes-suggesting one
+      assert(!causes(e).exists(_.contains("Set option(\"ignoreDeletes\"")),
+        causes(e).mkString(" | "))
+
+      // ignoreChanges admits it: the replacement row re-emits
+      drain(cat, sinks(1), cps(1), Map("ignoreChanges" -> "true"))
+      val rows = spark.read.parquet(sinks(1).toString)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_words")))
+      assert(rows.count(_._1 == 3L) == 2,
+        s"doc 3 must appear twice (original + post-update): ${rows.toSeq}")
+      assert(rows.contains((3L, 999)))
+    } finally {
+      dropCatalog(cat, wh)
+      (sinks ++ cps).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+    }
+  }
+
+  test("change feed: a removal-only delete commit (whole file dropped) " +
+      "skips under ignoreDeletes — it must not demand ignoreChanges") {
+    val (cat, wh) = freshCatalog("filedrop")
+    val sinks = Seq.fill(2)(Files.createTempDirectory("graft_r14_fsink"))
+    val cps = Seq.fill(2)(Files.createTempDirectory("graft_r14_fcp"))
+    try {
+      import org.apache.spark.sql.functions.col
+      docsRange(20).repartitionByRange(2, col("doc_id"))
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      // predicate aligned with one whole file: the delete drops the
+      // file from the snapshot without writing anything
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id < 10")
+      val t = wh.resolve("t")
+      val v1 = GraftVersions.manifest(t, 1)
+      val v2 = GraftVersions.latest(t).get
+      assert(v2.files.toSet.subsetOf(v1.files.toSet) &&
+        v2.files.length < v1.files.length,
+        s"precondition: removal-only commit; v1=${v1.files} v2=${v2.files}")
+
+      // strict: rejected, and the fix-it hint is ignoreDeletes (this was
+      // the advisor's low finding: the old subset test called this a
+      // 'rewrite' and demanded ignoreChanges)
+      val e = intercept[Exception] { drain(cat, sinks(0), cps(0), Map.empty) }
+      def causes(t2: Throwable): Seq[String] =
+        Iterator.iterate(t2)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).filter(_ != null).toSeq
+      assert(causes(e).exists(_.contains("ignoreDeletes")),
+        causes(e).mkString(" | "))
+      assert(!causes(e).exists(_.contains("rewrite")),
+        causes(e).mkString(" | "))
+
+      // ignoreDeletes: v1 streams, the drop contributes nothing, a
+      // later append still arrives
+      drain(cat, sinks(1), cps(1), Map("ignoreDeletes" -> "true"))
+      spark.sql(s"INSERT INTO $cat.t SELECT 500L, 'late', 5L, 5")
+      drain(cat, sinks(1), cps(1), Map("ignoreDeletes" -> "true"))
+      val ids = spark.read.parquet(sinks(1).toString)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == ((0L until 20L) :+ 500L), s"got $ids")
+    } finally {
+      dropCatalog(cat, wh)
+      (sinks ++ cps).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+    }
+  }
+
+  test("bucket() agrees with the writer's floored-mod fan-out for all " +
+      "long ids, negatives included") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val bound = GraftBucketFunction.Bound
+    for (n <- Seq(1, 3, 8, 32);
+         id <- Seq(0L, 1L, -1L, 7L, -7L, Long.MaxValue, Long.MinValue + 1,
+           -1000000007L)) {
+      val writerBucket = (((id % n) + n) % n).toInt
+      val fnBucket = bound.produceResult(InternalRow(n, id))
+      assert(fnBucket == writerBucket,
+        s"bucket($n, $id): function=$fnBucket writer=$writerBucket")
+      assert(fnBucket >= 0 && fnBucket < n, s"out of range: $fnBucket")
+    }
+  }
+
+  test("table properties: unknown keys and bad mode values fail with " +
+      "actionable errors at CREATE and ALTER") {
+    val (cat, wh) = freshCatalog("props")
+    try {
+      // CREATE with a typo'd mode value: rejected up front, naming the
+      // legal values — not silently falling back to copy-on-write
+      val eCreate = intercept[Exception] {
+        docsRange(5).writeTo(s"$cat.bad")
+          .tableProperty("versioned", "true")
+          .tableProperty("delete.mode", "merge_on_read").create()
+      }
+      def causes(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).filter(_ != null).toSeq
+      assert(causes(eCreate).exists(m =>
+        m.contains("merge-on-read") && m.contains("copy-on-write")),
+        causes(eCreate).mkString(" | "))
+
+      docsRange(5).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true").create()
+      // ALTER with a bad mode value: same validation
+      val eAlter = intercept[Exception] {
+        spark.sql(
+          s"ALTER TABLE $cat.t SET TBLPROPERTIES ('update.mode'='cow')")
+      }
+      assert(causes(eAlter).exists(m =>
+        m.contains("merge-on-read") && m.contains("copy-on-write")),
+        causes(eAlter).mkString(" | "))
+      // ALTER of a non-persisted key: a PROPERTY error listing the
+      // persistable keys, not a misleading schema complaint
+      val eUnknown = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('comment'='hi')")
+      }
+      assert(causes(eUnknown).exists(m =>
+        m.contains("delete.mode") && !m.contains("fixed schema")),
+        causes(eUnknown).mkString(" | "))
+      // valid mode values still land
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES " +
+        "('delete.mode'='merge-on-read')")
+      val props = spark.sql(s"SHOW TBLPROPERTIES $cat.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("delete.mode").contains("merge-on-read"))
+    } finally dropCatalog(cat, wh)
+  }
+}
