@@ -274,6 +274,53 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           throw new UnsupportedOperationException(
             "versioning cannot be toggled by ALTER; enable it at CREATE " +
               "(TBLPROPERTIES('versioned'='true')) or via GraftVersions.enable")
+        case a: AddColumn =>
+          // Schema EVOLUTION, not schema change: strictly-appended
+          // nullable columns of the codec-supported types. Old files
+          // are never rewritten — a missing trailing cell IS the NULL
+          // backfill — and on a versioned table the evolution itself is
+          // a commit (dataChange=false, nothing for the change feed),
+          // whose version stamps the column's `since` so time travel
+          // below it presents the pre-evolution shape.
+          require(a.fieldNames().length == 1,
+            s"ADD COLUMN supports top-level columns only; got " +
+              a.fieldNames().mkString("."))
+          val colName = a.fieldNames().head
+          val tpe = a.dataType() match {
+            case org.apache.spark.sql.types.LongType => "long"
+            case org.apache.spark.sql.types.IntegerType => "int"
+            case org.apache.spark.sql.types.StringType => "string"
+            case other => throw new UnsupportedOperationException(
+              s"ADD COLUMN type ${other.simpleString} unsupported; " +
+                "evolvable types: bigint, int, string")
+          }
+          if (!a.isNullable)
+            throw new UnsupportedOperationException(
+              s"added column '$colName' must be nullable: rows written " +
+                "before the evolution are NULL-backfilled")
+          val taken = GraftSchemas.tableSchema(dir).fieldNames.toSet
+          if (taken(colName) || Set("_file", "_pos")(colName))
+            throw new IllegalArgumentException(
+              s"column '$colName' already exists on ${ident.name()}")
+          val since =
+            if (GraftVersions.isVersioned(dir))
+              GraftVersions.advance(dir, "add-column",
+                removed = Some(Set.empty), added = Nil,
+                dataChange = false).version
+            else 0L
+          GraftTableMeta.appendAddedColumn(dir,
+            GraftSchemas.AddedColumn(colName, tpe, since))
+          // re-read: appendAddedColumn persisted directly; keep the
+          // fold's accumulator in sync for any subsequent change
+          GraftTableMeta.read(dir)
+        case _: DeleteColumn | _: RenameColumn | _: UpdateColumnType |
+            _: UpdateColumnNullability | _: UpdateColumnPosition =>
+          throw new UnsupportedOperationException(
+            "graft_docs schema evolution is append-only: ADD COLUMN " +
+              "(nullable bigint/int/string) is supported; drops, " +
+              "renames, type and nullability changes, and reordering " +
+              "are rejected — files written under the old schema would " +
+              "be reinterpreted wrongly")
         case s: SetProperty =>
           // a non-persisted key is a PROPERTY problem, not a schema one
           // — name the keys this store actually persists so the user
@@ -592,7 +639,10 @@ class GraftRlTable(path: String,
     } finally s.close()
     true
   }
-  override def schema(): StructType = GraftDocsSource.schema
+  override def schema(): StructType =
+    // evolved shape (base + ADD COLUMN tail); a version-pinned read
+    // older than a column's `since` presents the PRE-evolution schema
+    GraftSchemas.tableSchema(Paths.get(path), versionPin)
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
     GraftTableMeta.bucketLayout(Paths.get(path)).map { case (c, n) =>
       org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)

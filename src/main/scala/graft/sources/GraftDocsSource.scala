@@ -38,7 +38,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GraftDocsSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftDocsSource.schema
+    Option(options.get("path")) match {
+      case Some(p) => GraftSchemas.tableSchema(Paths.get(p))
+      case None => GraftDocsSource.schema
+    }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new GraftDocsTable(
@@ -50,11 +53,11 @@ class GraftDocsSource extends TableProvider {
 }
 
 object GraftDocsSource {
-  val schema: StructType = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("title", StringType, nullable = false),
-    StructField("fp", LongType, nullable = false), // 60-bit md5 fingerprint
-    StructField("n_words", IntegerType, nullable = false)))
+  // canonical 4-column base shape (fp = 60-bit md5 fingerprint); the
+  // single definition lives in GraftDocsSourceSchema so the schema-
+  // evolution layer (GraftSchemas) can reference it without a circular
+  // initialization dependency
+  val schema: StructType = GraftDocsSourceSchema.base
 
   def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -84,7 +87,13 @@ class GraftDocsTable(rows: Long, parts: Int, path: Option[String],
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     path.map(p => s"graft_docs(path=$p)").getOrElse(s"graft_docs(rows=$rows)")
-  override def schema(): StructType = GraftDocsSource.schema
+  override def schema(): StructType = path match {
+    // a file-backed table may have been evolved (ADD COLUMN) — its
+    // shape is base + the registry tail; the generative personality
+    // is always the fixed base
+    case Some(p) => GraftSchemas.tableSchema(Paths.get(p))
+    case None => GraftDocsSource.schema
+  }
   override def capabilities(): util.Set[TableCapability] =
     if (path.isEmpty)
       util.EnumSet.of(TableCapability.BATCH_READ,
@@ -428,7 +437,8 @@ class GraftFilesScanBuilder(path: String,
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
-  private var required: StructType = GraftDocsSource.schema
+  private var required: StructType =
+    GraftSchemas.tableSchema(Paths.get(path), versionPin)
   // per-column pushed bounds, intersected across filters; only columns
   // present here can prune (the writer records stats for exactly these)
   private val statCols = Set("doc_id", "fp", "n_words")
@@ -830,7 +840,8 @@ class GraftFilesScan(path: String, required: StructType,
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftFilesReaderFactory(required.fieldNames)
+    new GraftFilesReaderFactory(required.fieldNames,
+      GraftSchemas.readerAdded(Paths.get(path)))
 
   /** Streaming personality of a VERSIONED warehouse table: the commit
     * log is the offset axis — see [[GraftVersionFeed]]. */
@@ -1017,7 +1028,8 @@ class GraftVersionFeed(path: String, required: StructType,
         e.dv.map(_.positions).getOrElse(Array.empty)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftFilesReaderFactory(required.fieldNames)
+    new GraftFilesReaderFactory(required.fieldNames,
+      GraftSchemas.readerAdded(Paths.get(path)))
 }
 
 case class GraftFilePartition(file: String,
@@ -1035,8 +1047,15 @@ case class GraftBucketFilesPartition(bucket: Int,
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
 
-class GraftFilesReaderFactory(cols: Array[String])
+class GraftFilesReaderFactory(cols: Array[String],
+    // schema-evolution tail in registry order: (name, type); the TSV
+    // position of entry i is 4 + i regardless of which columns the
+    // query reads — visibility prunes, position math never moves
+    added: Seq[(String, String)] = Nil)
     extends PartitionReaderFactory {
+  // name -> (tsv position, type) for the evolved columns
+  private val addedAt: Map[String, (Int, String)] =
+    added.zipWithIndex.map { case ((n, t), i) => n -> (4 + i, t) }.toMap
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val files: Seq[(String, Array[Long])] = p match {
       case fp: GraftFilePartition => Seq((fp.file, fp.dvPositions))
@@ -1087,6 +1106,19 @@ class GraftFilesReaderFactory(cols: Array[String])
           case "n_words" => cur(3).toInt
           case "_file" => UTF8String.fromString(curFileName)
           case "_pos" => pos
+          case evolved =>
+            // ADD COLUMN tail: a file written before the column existed
+            // is SHORTER than the current schema — the missing cell IS
+            // the NULL backfill (no rewrite ever happens); a present
+            // cell holding the `\N` sentinel is an explicitly-written
+            // NULL
+            val (at, tpe) = addedAt(evolved)
+            if (at >= cur.length || cur(at) == "\\N") null
+            else tpe match {
+              case "long" => cur(at).toLong
+              case "int" => cur(at).toInt
+              case _ => UTF8String.fromString(cur(at))
+            }
         })
       override def close(): Unit = ()
     }
@@ -1170,7 +1202,8 @@ class GraftDocsStreamingWrite(path: String, writeSchema: StructType,
       .map(writeSchema.fieldIndex)
     new GraftDocsStreamingWriterFactory(
       root.resolve("_staging").toString, appId, idx,
-      GraftWriteGuards.forTable(root, writeSchema))
+      GraftWriteGuards.forTable(root, writeSchema),
+      GraftSchemas.writerAdded(root, writeSchema))
   }
 
   override def commit(epochId: Long,
@@ -1222,7 +1255,8 @@ object GraftDocsStreamingWrite {
   * per-file stats to the batch [[GraftDocsWriterFactory]] writer. */
 class GraftDocsStreamingWriterFactory(stagingBase: String, appId: String,
     idx: Array[Int],
-    guards: GraftWriteGuards.Guards = GraftWriteGuards.none)
+    guards: GraftWriteGuards.Guards = GraftWriteGuards.none,
+    added: Seq[(String, String, Int)] = Nil)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
@@ -1230,7 +1264,7 @@ class GraftDocsStreamingWriterFactory(stagingBase: String, appId: String,
     val dir = Paths.get(stagingBase).resolve(s"stream-$appHex-$epochId")
     Files.createDirectories(dir)
     val suffix = s"-$appHex${java.lang.Long.toHexString(epochId)}"
-    new GraftDocsWriterFactory(dir.toString, idx, suffix, guards)
+    new GraftDocsWriterFactory(dir.toString, idx, suffix, guards, added)
       .createWriter(partitionId, taskId)
   }
 }
@@ -1267,7 +1301,8 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
     val idx = Array("doc_id", "title", "fp", "n_words")
       .map(writeSchema.fieldIndex)
     new GraftDocsWriterFactory(staging.toString, idx, effSuffix,
-      GraftWriteGuards.forTable(root, writeSchema))
+      GraftWriteGuards.forTable(root, writeSchema),
+      GraftSchemas.writerAdded(root, writeSchema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1361,7 +1396,7 @@ object GraftWriteGuards {
       cs.map { case (name, sqlText) =>
         val analyzed = spark
           .createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-            GraftDocsSource.schema)
+            GraftSchemas.tableSchema(root)) // evolved shape: constraints may name added columns
           .filter(org.apache.spark.sql.functions.expr(sqlText))
           .queryExecution.analyzed
         val cond = analyzed.collectFirst {
@@ -1429,7 +1464,12 @@ object GraftDocsCommits {
 
 class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
     fileSuffix: String = "",
-    guards: GraftWriteGuards.Guards = GraftWriteGuards.none)
+    guards: GraftWriteGuards.Guards = GraftWriteGuards.none,
+    // schema-evolution tail: (name, type, ordinal in the incoming write
+    // schema, or -1 when the writer must NULL-fill). EVERY added column
+    // is written for every row — TSV positions are registry positions,
+    // so the cells must line up even when a query supplies only some
+    added: Seq[(String, String, Int)] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     guards.bucketN match {
@@ -1488,6 +1528,25 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
         val title = row.getUTF8String(idx(1)).toString
         val fp = row.getLong(idx(2))
         val nw = row.getInt(idx(3))
+        // evolved tail: NULL (or a column the write didn't supply)
+        // encodes as the `\N` sentinel so the cell count stays equal to
+        // the registry width; a string value that would collide with
+        // the codec is rejected up front — silently corrupting it on
+        // read-back would be worse than a failed write
+        val addedVals = added.map { case (name, tpe, i) =>
+          if (i < 0 || row.isNullAt(i)) "\\N"
+          else tpe match {
+            case "long" => row.getLong(i).toString
+            case "int" => row.getInt(i).toString
+            case _ =>
+              val v = row.getUTF8String(i).toString
+              if (v == "\\N" || v.contains('\t') || v.contains('\n'))
+                throw new IllegalStateException(
+                  s"value of evolved column '$name' collides with the " +
+                    s"TSV codec (tab/newline/literal \\N): '$v'")
+              v
+          }
+        }
         observe(0, id); observe(1, fp); observe(2, nw.toLong)
         bloom.foreach { b =>
           guards.bloomCols.foreach { c =>
@@ -1502,7 +1561,8 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
             b.add(GraftBloom.key(c, v))
           }
         }
-        val line = s"$id\t$title\t$fp\t$nw\n"
+        val line = (s"$id\t$title\t$fp\t$nw" +: addedVals)
+          .mkString("", "\t", "\n")
         out.write(line)
         nRows += 1
         nBytes += line.getBytes(StandardCharsets.UTF_8).length

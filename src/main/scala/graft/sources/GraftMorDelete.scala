@@ -84,13 +84,16 @@ class GraftDvBatchWrite(path: String, queryId: String,
       else Array("doc_id", "title", "fp", "n_words")
         .map(writeSchema.fieldIndex)
     val guards = GraftWriteGuards.forTable(root, writeSchema)
+    val added =
+      if (writeSchema.isEmpty) Nil
+      else GraftSchemas.writerAdded(root, writeSchema)
     val stagingDir = staging.toString
     val sfx = suffix
     new DeltaWriterFactory {
       override def createWriter(partitionId: Int,
           taskId: Long): DeltaWriter[InternalRow] =
         new GraftDeltaWriter(stagingDir, partitionId, taskId, idx, sfx,
-          guards)
+          guards, added)
     }
   }
 
@@ -131,7 +134,8 @@ class GraftDvBatchWrite(path: String, queryId: String,
   * fails its task before commit, so neither its masks nor its rows
   * land (atomicity proven in DeletionVectorSpec). */
 class GraftDeltaWriter(stagingDir: String, partitionId: Int, taskId: Long,
-    idx: Array[Int], fileSuffix: String, guards: GraftWriteGuards.Guards)
+    idx: Array[Int], fileSuffix: String, guards: GraftWriteGuards.Guards,
+    added: Seq[(String, String, Int)] = Nil)
     extends DeltaWriter[InternalRow] {
   private val acc =
     scala.collection.mutable.Map.empty[String,
@@ -150,7 +154,7 @@ class GraftDeltaWriter(stagingDir: String, partitionId: Int, taskId: Long,
         "GraftDocs delta write received a data row without a write schema")
       Files.createDirectories(Paths.get(stagingDir))
       dataWriter = new GraftDocsWriterFactory(stagingDir, idx, fileSuffix,
-        guards).createWriter(partitionId, taskId)
+        guards, added).createWriter(partitionId, taskId)
     }
     dataWriter.write(row)
   }

@@ -95,6 +95,97 @@ object GraftTableMeta {
   }
   def bloomBits(root: Path): Int =
     read(root).get("bloom.bits").flatMap(_.toIntOption).getOrElse(32768)
+
+  /** Schema-evolution registry: `schema.added = name:type:since,...` —
+    * the ordered list of columns appended to the base schema by
+    * `ALTER TABLE ... ADD COLUMN`, each stamped with the table version
+    * at which it appeared (`since`), so time travel to an earlier
+    * snapshot presents the PRE-evolution shape. Append-only by
+    * construction: a column's list index is its permanent TSV position
+    * (4 + index), which is what lets files written under ANY schema
+    * version coexist — an old file simply has fewer columns, and the
+    * reader NULL-backfills the missing tail. Managed exclusively by
+    * the catalog's AddColumn path (the key is not ALTER-settable). */
+  def addedColumns(root: Path): Seq[GraftSchemas.AddedColumn] =
+    read(root).get("schema.added").toSeq.flatMap(_.split(","))
+      .filter(_.nonEmpty).map { tok =>
+        tok.split(":") match {
+          case Array(n, t, s) => GraftSchemas.AddedColumn(n, t, s.toLong)
+          case _ => throw new IllegalStateException(
+            s"malformed schema.added token '$tok' at $root")
+        }
+      }
+
+  def appendAddedColumn(root: Path, c: GraftSchemas.AddedColumn): Unit = {
+    val cur = read(root)
+    val tok = s"${c.name}:${c.tpe}:${c.since}"
+    val joined = cur.get("schema.added").map(_ + "," + tok).getOrElse(tok)
+    write(root, cur + ("schema.added" -> joined))
+  }
+}
+
+/** The evolved-schema view of a warehouse table: fixed base columns
+  * plus the `ALTER TABLE ADD COLUMN` tail from [[GraftTableMeta]],
+  * optionally filtered to a pinned snapshot's shape (a `VERSION AS OF`
+  * read older than a column's `since` does not see it — Delta's
+  * time-travel-to-old-schema behavior). */
+object GraftSchemas {
+  import org.apache.spark.sql.types._
+
+  /** Evolvable column types — the TSV codec and NULL backfill are
+    * implemented for exactly these. */
+  val Types: Set[String] = Set("long", "int", "string")
+
+  final case class AddedColumn(name: String, tpe: String, since: Long) {
+    def dataType: DataType = tpe match {
+      case "long" => LongType
+      case "int" => IntegerType
+      case "string" => StringType
+      case other => throw new IllegalStateException(
+        s"unsupported evolved column type '$other' for '$name'")
+    }
+    def field: StructField = StructField(name, dataType, nullable = true)
+  }
+
+  /** Added columns visible at `versionPin` (None = live shape). The
+    * FULL list keeps its indices — position math must never depend on
+    * the pin, only visibility does. */
+  def visibleAdded(root: Path, versionPin: Option[Long]): Seq[AddedColumn] =
+    GraftTableMeta.addedColumns(root)
+      .filter(c => versionPin.forall(_ >= c.since))
+
+  def tableSchema(root: Path, versionPin: Option[Long] = None): StructType =
+    StructType(GraftDocsSourceSchema.base.fields.toSeq ++
+      visibleAdded(root, versionPin).map(_.field))
+
+  /** Writer-side plan for the added tail: every added column is ALWAYS
+    * written (in registry order, so TSV positions stay stable); a
+    * column absent from the incoming write schema writes NULL. */
+  def writerAdded(root: Path,
+      writeSchema: StructType): Seq[(String, String, Int)] =
+    GraftTableMeta.addedColumns(root).map { c =>
+      (c.name, c.tpe,
+        if (writeSchema.fieldNames.contains(c.name))
+          writeSchema.fieldIndex(c.name)
+        else -1)
+    }
+
+  /** Reader-side plan: (name, type) in registry order; TSV position of
+    * entry i is 4 + i. */
+  def readerAdded(root: Path): Seq[(String, String)] =
+    GraftTableMeta.addedColumns(root).map(c => (c.name, c.tpe))
+}
+
+/** Base schema indirection so this file stays import-light: the
+  * canonical 4-column shape lives in GraftDocsSource; mirrored here to
+  * avoid a circular val-initialization order dependency. */
+object GraftDocsSourceSchema {
+  import org.apache.spark.sql.types._
+  val base: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("title", StringType, nullable = false),
+    StructField("fp", LongType, nullable = false),
+    StructField("n_words", IntegerType, nullable = false)))
 }
 
 /** A plain blocked Bloom-free Bloom filter (k=5 double-hashed probes

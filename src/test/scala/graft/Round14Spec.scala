@@ -154,6 +154,111 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("ADD COLUMN evolution: NULL backfill, typed round-trip, " +
+      "pre-evolution time travel, and rejected unsafe changes") {
+    val (cat, wh) = freshCatalog("evo")
+    try {
+      import org.apache.spark.sql.functions._
+      docsRange(10).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true").create()
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (score BIGINT)")
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (lang STRING)")
+
+      // old rows: both added columns read as NULL (no rewrite happened
+      // — the part file bytes still hold 4 cells per row)
+      assert(spark.table(s"$cat.t").filter(col("score").isNotNull ||
+        col("lang").isNotNull).count() == 0)
+
+      // new rows carry values; explicit NULL round-trips
+      spark.sql(s"INSERT INTO $cat.t VALUES " +
+        "(100, 'a', 1, 5, 7, 'fi'), (101, 'b', 2, 6, NULL, NULL)")
+      val got = spark.table(s"$cat.t").filter(col("doc_id") >= 100)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          Option(r.getAs[java.lang.Long]("score")),
+          Option(r.getAs[String]("lang"))))
+      assert(got.toSeq == Seq((100L, Some(java.lang.Long.valueOf(7L)),
+        Some("fi")), (101L, None, None)), got.toSeq.toString)
+
+      // time travel below the evolution commits: the old 4-column shape
+      val pre = spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1")
+      assert(pre.columns.toSeq ==
+        Seq("doc_id", "title", "fp", "n_words"), pre.columns.toSeq)
+      // between the two ADDs: score visible, lang not yet
+      val mid = spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 2")
+      assert(mid.columns.toSeq ==
+        Seq("doc_id", "title", "fp", "n_words", "score"), mid.columns.toSeq)
+
+      // rejected evolutions: type change, rename, drop, non-nullable,
+      // duplicate, unsupported type
+      def rejects(sql: String, needle: String): Unit = {
+        val e = intercept[Exception] { spark.sql(sql) }
+        def causes(t: Throwable) =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+            .map(_.getMessage).filter(_ != null).toSeq
+        assert(causes(e).exists(_.contains(needle)),
+          s"$sql → ${causes(e).mkString(" | ")}")
+      }
+      rejects(s"ALTER TABLE $cat.t ALTER COLUMN n_words TYPE BIGINT",
+        "append-only")
+      rejects(s"ALTER TABLE $cat.t RENAME COLUMN score TO points",
+        "append-only")
+      rejects(s"ALTER TABLE $cat.t DROP COLUMN score", "append-only")
+      rejects(s"ALTER TABLE $cat.t ADD COLUMNS (bad DOUBLE)",
+        "evolvable types")
+      rejects(s"ALTER TABLE $cat.t ADD COLUMNS (score BIGINT)",
+        "already exists")
+      rejects(s"ALTER TABLE $cat.t ADD COLUMNS (strict BIGINT NOT NULL)",
+        "nullable")
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("evolution composes with UPDATE, MOR, OPTIMIZE, and the feed: " +
+      "added values survive rewrites, masks, and compaction") {
+    val (cat, wh) = freshCatalog("evoc")
+    val sink = Files.createTempDirectory("graft_r14_evsink")
+    val cp = Files.createTempDirectory("graft_r14_evcp")
+    try {
+      import org.apache.spark.sql.functions._
+      docsRange(12).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "merge-on-read").create()
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (score BIGINT)")
+      // COW UPDATE writes the evolved cells (matched rows get values,
+      // carried-over rows of touched files get explicit \N)
+      spark.sql(s"UPDATE $cat.t SET score = doc_id * 10 WHERE doc_id < 4")
+      // MOR DELETE masks rows without disturbing evolved cells
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id = 1")
+      val t = wh.resolve("t")
+      // OPTIMIZE rewrites live rows — evolved values must ride along
+      GraftVersions.compact(spark, t, targetFiles = 1)
+      val rows = spark.table(s"$cat.t").orderBy("doc_id")
+        .select("doc_id", "score").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[java.lang.Long]("score"))))
+      assert(rows.length == 11 && !rows.exists(_._1 == 1L))
+      assert(rows.filter(_._1 < 4).forall { case (id, s) =>
+        s.contains(java.lang.Long.valueOf(id * 10)) }, rows.toSeq.toString)
+      assert(rows.filter(_._1 >= 4).forall(_._2.isEmpty))
+      // the change feed streams the evolved schema (fresh stream over
+      // the whole history needs ignoreChanges for the update commit)
+      val q = spark.readStream.option("ignoreChanges", "true")
+        .option("ignoreDeletes", "true").table(s"$cat.t")
+        .writeStream.format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", cp.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "feed drain did not terminate")
+      val feed = spark.read.parquet(sink.toString)
+      assert(feed.columns.contains("score"))
+      assert(feed.filter(col("doc_id") === 3 && col("score") === 30).count() >= 1)
+    } finally {
+      dropCatalog(cat, wh)
+      org.apache.commons.io.FileUtils.deleteDirectory(sink.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(cp.toFile)
+    }
+  }
+
   test("table properties: unknown keys and bad mode values fail with " +
       "actionable errors at CREATE and ALTER") {
     val (cat, wh) = freshCatalog("props")
