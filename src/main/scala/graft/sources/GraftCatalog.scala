@@ -773,6 +773,11 @@ class GraftCowOperation(path: String,
   // write's commit — the handshake that scopes replacement to the files
   // actually rewritten
   @volatile private var matched: Option[Set[String]] = None
+  // the snapshot the operation's scan planned against — its commit
+  // validates conflicts against this (optimistic concurrency): a racer
+  // that rewrote one of OUR files in between fails us loudly instead of
+  // us silently undoing its change
+  @volatile private var readVersion: Option[Long] = None
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"GraftDocs COW $cmd"
@@ -783,7 +788,8 @@ class GraftCowOperation(path: String,
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftFilesScanBuilder(path, Some(fs => matched = Some(fs)))
+    new GraftFilesScanBuilder(path, Some(fs => matched = Some(fs)),
+      onSnapshotResolved = Some(v => readVersion = Some(v)))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // staged replacement parts carry a per-write suffix so they can land
     // beside the retained files of untouched groups; the full queryId
@@ -796,7 +802,8 @@ class GraftCowOperation(path: String,
         override def toBatch: BatchWrite = new GraftDocsBatchWrite(
           path, info.queryId(), info.schema(), truncate = true,
           replaceScope = () => matched, fileSuffix = suffix,
-          opName = cmd.toString.toLowerCase)
+          opName = cmd.toString.toLowerCase,
+          readVersion = () => readVersion)
       }
     }
   }

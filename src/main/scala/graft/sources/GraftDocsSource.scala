@@ -433,7 +433,11 @@ class GraftFilesScanBuilder(path: String,
     onGroupFilter: Option[Set[String] => Unit] = None,
     versionPin: Option[Long] = None,
     // readStream options (ignoreChanges) ride in via the scan builder
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    // row-level operations register here to learn which snapshot their
+    // scan planned against — the readVersion their commit validates
+    // conflicts with (optimistic concurrency)
+    onSnapshotResolved: Option[Long => Unit] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
@@ -581,7 +585,8 @@ class GraftFilesScanBuilder(path: String,
       ignoreChanges = options.getBoolean("ignoreChanges", false),
       ignoreDeletes = options.getBoolean("ignoreDeletes", false),
       startingVersion = Option(options.get("startingVersion")).map(_.toLong),
-      colRanges = ranges, eqLiterals = eqLit.toMap)
+      colRanges = ranges, eqLiterals = eqLit.toMap,
+      onSnapshotResolved = onSnapshotResolved)
   }
 }
 
@@ -644,7 +649,10 @@ class GraftFilesScan(path: String, required: StructType,
     // pushed per-column bounds: prune files by manifest min/max stats
     colRanges: Map[String, (Long, Long)] = Map.empty,
     // pushed equality literals: prune files by their manifest blooms
-    eqLiterals: Map[String, String] = Map.empty)
+    eqLiterals: Map[String, String] = Map.empty,
+    // reports the snapshot version this scan resolved at plan time
+    // (row-level operations' optimistic-concurrency readVersion)
+    onSnapshotResolved: Option[Long => Unit] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -797,8 +805,10 @@ class GraftFilesScan(path: String, required: StructType,
         // wrongly prove absence
         val bloomCols = eqLiterals.keySet
           .intersect(GraftTableMeta.bloomColumns(dir).toSet)
-        versionPin.map(GraftVersions.manifest(dir, _))
-          .orElse(GraftVersions.latest(dir)).map(_.entries).getOrElse(Nil)
+        val snapshot = versionPin.map(GraftVersions.manifest(dir, _))
+          .orElse(GraftVersions.latest(dir))
+        snapshot.foreach(s => onSnapshotResolved.foreach(_(s.version)))
+        snapshot.map(_.entries).getOrElse(Nil)
           .filter(e => colRanges.forall { case (c, (l, h)) =>
             e.mayContain(c, l, h)
           })
@@ -1279,7 +1289,11 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
     // with retained ones ("" for plain writes)
     fileSuffix: String = "",
     // operation label recorded in the version log of a versioned table
-    opName: String = "write") extends BatchWrite {
+    opName: String = "write",
+    // snapshot the planning scan resolved (row-level rewrites):
+    // the commit's optimistic-concurrency readVersion; () => None for
+    // plain appends/overwrites, which carry no stale-content risk
+    readVersion: () => Option[Long] = () => None) extends BatchWrite {
   private def root = Paths.get(path)
   private def staging = root.resolve("_staging").resolve(queryId)
   private def versioned = GraftVersions.isVersioned(root)
@@ -1334,7 +1348,8 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
           case Some(scope) => Some(scope) // COW rewrite: its file scope
           case None => None               // overwrite: remove-all
         }
-      GraftVersions.advance(root, opName, removed, added.toSeq)
+      GraftVersions.advance(root, opName, removed, added.toSeq,
+        readVersion = readVersion())
     }
     Files.write(root.resolve("_SUCCESS"), Array.empty[Byte])
     cleanupStaging()

@@ -40,6 +40,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftMorOperation(path: String, cmd: RowLevelOperation.Command)
     extends RowLevelOperation with SupportsDelta {
+  // optimistic concurrency: the snapshot the scan planned against;
+  // the UPDATE/MERGE commit refuses to land over a racer that touched
+  // the same files (two MOR updates masking the same row would
+  // otherwise BOTH land replacements — a duplicate). Pure deletes
+  // merge commutatively and skip the check.
+  @volatile private var readVersion: Option[Long] = None
+
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String =
     s"GraftDocs MOR $cmd (deletion vectors)"
@@ -49,13 +56,14 @@ class GraftMorOperation(path: String, cmd: RowLevelOperation.Command)
     Array.empty
   override def representUpdateAsDeleteAndInsert(): Boolean = true
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftFilesScanBuilder(path)
+    new GraftFilesScanBuilder(path,
+      onSnapshotResolved = Some(v => readVersion = Some(v)))
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
         override def toBatch: DeltaBatchWrite =
           new GraftDvBatchWrite(path, info.queryId(), info.schema(),
-            cmd.toString.toLowerCase)
+            cmd.toString.toLowerCase, () => readVersion)
       }
     }
 }
@@ -69,7 +77,8 @@ case class GraftDvCommitMessage(deletes: Map[String, Array[Long]],
     inserted: Option[WriterCommitMessage]) extends WriterCommitMessage
 
 class GraftDvBatchWrite(path: String, queryId: String,
-    writeSchema: StructType, opName: String) extends DeltaBatchWrite {
+    writeSchema: StructType, opName: String,
+    readVersion: () => Option[Long] = () => None) extends DeltaBatchWrite {
   private def root = Paths.get(path)
   private def staging = root.resolve("_staging").resolve(queryId)
   // same collision-free naming contract as the COW rewrites: staged
@@ -111,7 +120,8 @@ class GraftDvBatchWrite(path: String, queryId: String,
     // (a no-op statement still commits an observable snapshot, matching
     // the COW path's empty replacement scope)
     GraftVersions.applyDelta(root,
-      merged.view.mapValues(_.toSeq).toMap, entries.toSeq, opName)
+      merged.view.mapValues(_.toSeq).toMap, entries.toSeq, opName,
+      readVersion = readVersion())
     cleanupStaging()
   }
 

@@ -289,18 +289,75 @@ object GraftVersions {
     }
   }
 
+  /** Value-semantics fingerprint of a file entry for conflict
+    * detection — FileEntry's bloom/dv members hold arrays (reference
+    * equality), so `==` on entries read from two manifest parses would
+    * always differ; this compares what the entry MEANS. */
+  private def fingerprint(e: FileEntry): (String, Map[String, (Long, Long)],
+      Option[Long], Option[Long], Option[Int], Option[Seq[Long]],
+      Option[String]) =
+    (e.name, e.stats, e.rows, e.bytes, e.bucket,
+      e.dv.map(_.positions.toSeq), e.bloom.map(_.toBase64))
+
+  class ConcurrentCommitException(msg: String)
+      extends java.util.ConcurrentModificationException(msg)
+
+  /** Optimistic-concurrency validation (Delta/Iceberg commit-time
+    * conflict detection, in its file-scope form): an operation that
+    * planned against snapshot `readVersion` may commit against a newer
+    * base ONLY if every file it is replacing/removing is untouched in
+    * between — another writer having rewritten, masked, or removed one
+    * of them means this commit was computed from stale content and
+    * must fail (loudly, retryably) instead of silently losing the
+    * other writer's rows. Scope-DISJOINT concurrent commits rebase and
+    * both land; `removed = None` (overwrite/compaction) conflicts with
+    * ANY intervening commit — it replaces the whole table, so there is
+    * no disjoint scope to rebase onto. */
+  private def validateNoConflict(root: Path, readVersion: Long,
+      base: VersionInfo, op: String, removed: Option[Set[String]]): Unit = {
+    if (base.version == readVersion) return
+    def fail(what: String): Nothing = throw new ConcurrentCommitException(
+      s"$op on $root planned against snapshot v$readVersion, but " +
+        s"v${base.version} is now committed and $what; re-run the " +
+        "operation against the current snapshot")
+    removed match {
+      case None => fail("a whole-table replacement cannot rebase over " +
+        "concurrent commits")
+      case Some(scope) =>
+        val rvEntries =
+          try readManifest(root, readVersion).entries
+            .map(e => e.name -> fingerprint(e)).toMap
+          catch {
+            case _: Exception =>
+              fail(s"snapshot v$readVersion is no longer readable " +
+                "(vacuumed?)")
+          }
+        val baseMap = base.entries.map(e => e.name -> fingerprint(e)).toMap
+        val touched =
+          scope.toSeq.sorted.filter(f => rvEntries.get(f) != baseMap.get(f))
+        if (touched.nonEmpty)
+          fail(s"touched the files this commit replaces: " +
+            touched.mkString(", "))
+    }
+  }
+
   /** Advance the log by one commit: new snapshot = (latest − removed) +
     * added. `removed = None` means remove-all (overwrite / TRUNCATE
     * semantics); the per-file COW rewrites pass their matched-file
     * scope. Runs under the table lock so concurrent disjoint-scope
     * commits serialize into consecutive versions, each rebased on the
     * other's outcome — the manifest analog of the connector's
-    * disjoint-file concurrency promise. */
+    * disjoint-file concurrency promise. `readVersion` (when the caller
+    * knows the snapshot it planned against) turns the blind rebase
+    * into optimistic concurrency: overlapping-scope racers fail with
+    * [[ConcurrentCommitException]] instead of losing updates. */
   def advance(root: Path, op: String, removed: Option[Set[String]],
-      added: Seq[FileEntry], dataChange: Boolean = true): VersionInfo =
+      added: Seq[FileEntry], dataChange: Boolean = true,
+      readVersion: Option[Long] = None): VersionInfo =
     lockFor(root).synchronized {
       val base = latest(root).getOrElse(
         throw new IllegalStateException(s"advance on unversioned table $root"))
+      readVersion.foreach(validateNoConflict(root, _, base, op, removed))
       val kept = removed match {
         case Some(scope) => base.entries.filterNot(e => scope(e.name))
         case None => Nil
@@ -332,10 +389,22 @@ object GraftVersions {
     * count is dropped from the live set entirely (its bytes stay for
     * time travel; vacuum reclaims them). */
   def applyDelta(root: Path, deletes: Map[String, Seq[Long]],
-      added: Seq[FileEntry], op: String): VersionInfo =
+      added: Seq[FileEntry], op: String,
+      readVersion: Option[Long] = None): VersionInfo =
     lockFor(root).synchronized {
       val base = latest(root).getOrElse(throw new IllegalStateException(
         s"merge-on-read $op on unversioned table $root"))
+      // optimistic concurrency for the UPDATE/MERGE face: two MOR
+      // updates that masked the SAME row would otherwise both land
+      // their replacement rows (mask union dedupes the delete, not the
+      // reinserts) — a lost update surfacing as a duplicate. Pure
+      // deletes stay permissive: delete ∪ delete is the right merge,
+      // so concurrent mask growth on a shared file is not a conflict.
+      readVersion.filter(_ != base.version)
+        .filter(_ => op != "delete").foreach { rv =>
+          validateNoConflict(root, rv, base, s"MOR $op",
+            Some(deletes.keySet))
+        }
       val live = base.files.toSet
       val unknown = deletes.keySet -- live
       require(unknown.isEmpty,
@@ -404,6 +473,13 @@ object GraftVersions {
     * a 100 TB table runs per partition, never a log rewrite. */
   def compact(spark: org.apache.spark.sql.SparkSession, root: Path,
       targetFiles: Int = 1,
+      // optimistic-concurrency retries: the rewrite reads the live
+      // rows OUTSIDE the table lock, so a concurrent commit landing
+      // mid-compaction would be silently dropped by the remove-all
+      // advance — instead the commit validates against the snapshot
+      // the rewrite read (readVersion) and a conflict re-runs the
+      // whole compaction against the new live state
+      maxAttempts: Int = 3,
       // cluster the rewrite so the per-file min/max stats get TIGHT:
       //  - one column: range-partition + sort — files get disjoint
       //    sorted ranges, selective scans on that column plan 1-2 files;
@@ -419,6 +495,10 @@ object GraftVersions {
     import org.apache.spark.sql.functions._
     require(isVersioned(root), s"compact needs a versioned table: $root")
     val n = math.max(targetFiles, 1)
+    // the snapshot this rewrite is OF — the commit below validates no
+    // one advanced the table while the rewrite ran
+    val readVersion = latest(root).map(_.version).getOrElse(
+      throw new IllegalStateException(s"compact on empty version log: $root"))
     val df = spark.read.format("graft.sources.GraftDocsSource")
       .option("path", root.toString).load()
     val live = clusterBy match {
@@ -503,8 +583,15 @@ object GraftVersions {
         // only live rows, so the masks are materialized away.
         e.copy(name = name)
       }
-      advance(root, "compact", removed = None, added = landed,
-        dataChange = false)
+      try advance(root, "compact", removed = None, added = landed,
+        dataChange = false, readVersion = Some(readVersion))
+      catch {
+        case e: ConcurrentCommitException if maxAttempts > 1 =>
+          // a writer advanced the table mid-compaction: the rewrite is
+          // of a stale snapshot. The landed files stay unreferenced
+          // (vacuum reclaims them); re-run against the new live state.
+          compact(spark, root, targetFiles, maxAttempts - 1, clusterBy)
+      }
     } finally {
       try org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       catch { case _: java.io.IOException => () }

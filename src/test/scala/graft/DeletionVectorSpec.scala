@@ -246,9 +246,10 @@ class DeletionVectorSpec extends SparkSpec {
       spark.sql(s"INSERT INTO $cat.t SELECT 777L, 'ok', 7L, 0")
       assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 31)
 
-      // schema changes and versioning stay rejected
+      // UNSAFE schema changes and versioning stay rejected (ADD COLUMN
+      // is the one supported evolution — Round14Spec covers it)
       intercept[Exception] {
-        spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (extra INT)")
+        spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN n_words TYPE BIGINT")
       }
       intercept[Exception] {
         spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('versioned' = 'false')")

@@ -259,6 +259,70 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("optimistic concurrency: disjoint-scope racers both land, " +
+      "overlapping scopes and stale overwrites fail loudly") {
+    import GraftVersions.{FileEntry, ConcurrentCommitException}
+    val root = Files.createTempDirectory("graft_r14_occ")
+    try {
+      GraftVersions.enable(root) // v0
+      val a = FileEntry("part-00000-a.tsv", FileEntry.NoStats,
+        rows = Some(10L), bytes = Some(100L))
+      val b = FileEntry("part-00001-b.tsv", FileEntry.NoStats,
+        rows = Some(10L), bytes = Some(100L))
+      GraftVersions.advance(root, "append", Some(Set.empty), Seq(a, b)) // v1
+
+      // two writers both plan against v1; writer 1 rewrites A → v2
+      val a2 = a.copy(name = "part-00000-a2.tsv")
+      GraftVersions.advance(root, "update", Some(Set(a.name)), Seq(a2),
+        readVersion = Some(1L)) // lands: base IS v1
+      // writer 2's scope {B} is untouched between v1 and v2 → rebases
+      val b2 = b.copy(name = "part-00001-b2.tsv")
+      val v3 = GraftVersions.advance(root, "update", Some(Set(b.name)),
+        Seq(b2), readVersion = Some(1L))
+      assert(v3.version == 3L)
+      assert(v3.files.toSet == Set(a2.name, b2.name))
+
+      // writer 3 also planned against v1 and targets A — but A was
+      // rewritten in v2: stale content, must conflict
+      val e = intercept[ConcurrentCommitException] {
+        GraftVersions.advance(root, "merge", Some(Set(a.name)),
+          Seq(a.copy(name = "part-00000-a3.tsv")), readVersion = Some(1L))
+      }
+      assert(e.getMessage.contains("planned against snapshot v1"),
+        e.getMessage)
+      // and the failed commit left no trace
+      assert(GraftVersions.latest(root).get.version == 3L)
+
+      // whole-table replacement cannot rebase over ANY concurrent commit
+      intercept[ConcurrentCommitException] {
+        GraftVersions.advance(root, "overwrite", None, Seq(a2),
+          readVersion = Some(2L))
+      }
+
+      // MOR: concurrent DELETEs on the same file merge (mask union is
+      // the right semantics)...
+      GraftVersions.applyDelta(root, Map(a2.name -> Seq(0L)), Nil,
+        "delete", readVersion = Some(3L)) // v4
+      val v5 = GraftVersions.applyDelta(root, Map(a2.name -> Seq(1L)), Nil,
+        "delete", readVersion = Some(3L)) // stale read, still fine
+      assert(v5.entries.find(_.name == a2.name).get.dv.get
+        .positions.toSeq == Seq(0L, 1L))
+      // ...but a MOR UPDATE over a file whose mask moved is a conflict
+      // (both racers would land replacement rows for the same logical
+      // row — a duplicate)
+      intercept[ConcurrentCommitException] {
+        GraftVersions.applyDelta(root, Map(a2.name -> Seq(2L)),
+          Seq(a.copy(name = "part-00000-a4.tsv")), "update",
+          readVersion = Some(3L))
+      }
+      // with a current readVersion the same update lands
+      val v6 = GraftVersions.applyDelta(root, Map(a2.name -> Seq(2L)),
+        Seq(a.copy(name = "part-00000-a4.tsv")), "update",
+        readVersion = Some(5L))
+      assert(v6.version == 6L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("table properties: unknown keys and bad mode values fail with " +
       "actionable errors at CREATE and ALTER") {
     val (cat, wh) = freshCatalog("props")
