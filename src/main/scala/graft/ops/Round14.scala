@@ -112,8 +112,80 @@ object Round14 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q240: change-feed update pre/post-images (CDF) over MOR commits
+  // ---------------------------------------------------------------------
+
+  /** Delta-style Change Data Feed: `option("readChangeFeed", true)`
+    * labels every emitted row with `_change_type`/`_commit_version`,
+    * and merge-on-read commits become row-EXACT CDC — the positions a
+    * commit newly masked are its `update_preimage`/`delete` rows (read
+    * back out of the immutable base files, no CDC sidecar needed), its
+    * replacement files are the `update_postimage` rows.
+    *
+    * History: v1 append [0,12); v2 MOR UPDATE (n_words=0, doc_id<3);
+    * v3 MOR UPDATE (doc_id in [3,5)); v4 DELETE (doc_id>=10 — metadata
+    * drop or mask, both CDF-exact). Drained TWICE from one checkpoint
+    * with a commit landing in between: the second drain emits ONLY the
+    * new commits' images (exactly-once under replay — a re-emission
+    * would double phase-a's rows inside phase b's aggregate). Audit =
+    * counts and integer sums per (change type, commit). At 100 TB this
+    * is the incremental-materialization feed: a downstream aggregate
+    * consumes exact row deltas instead of re-reading snapshots. */
+  val q240ChangeFeedImages: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q240")
+    val sink = Files.createTempDirectory("graft_cdf_q240")
+    try {
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "12").load()
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("update.mode", "merge-on-read")
+        .tableProperty("delete.mode", "merge-on-read").create()
+      spark.sql(s"UPDATE $cat.t SET n_words = 0 WHERE doc_id < 3")
+
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft.sources.GraftDocsSource")
+          .option("path", wh.resolve("t").toString)
+          .option("readChangeFeed", "true").load()
+          .writeStream.format("parquet")
+          .option("path", s"$sink/data")
+          .option("checkpointLocation", s"$sink/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(180000)) { q.stop()
+          throw new IllegalStateException(
+            "q240: change-feed drain did not terminate under AvailableNow") }
+        q.exception.foreach(throw _)
+      }
+      def sinkState(phase: String): DataFrame =
+        spark.read.parquet(s"$sink/data")
+          .groupBy(col("_change_type").as("change_type"),
+            col("_commit_version").as("commit_version"))
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            coalesce(sum("n_words"), lit(0L)).cast("long").as("sum_words"),
+            coalesce(sum("doc_id"), lit(0L)).cast("long").as("sum_doc_id"))
+          .select(lit(phase).as("phase"), col("change_type"),
+            col("commit_version"), col("n_rows"), col("sum_words"),
+            col("sum_doc_id"))
+
+      drain()
+      val first = OpsUtil.driverLiteral(sinkState("a_first"))
+      spark.sql(s"UPDATE $cat.t SET n_words = 0 " +
+        "WHERE doc_id >= 3 AND doc_id < 5")
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id >= 10")
+      drain()
+      val second = OpsUtil.driverLiteral(sinkState("b_second"))
+      first.unionByName(second)
+        .orderBy("phase", "commit_version", "change_type")
+    } finally {
+      teardown(spark, cat, wh)
+      org.apache.commons.io.FileUtils.deleteDirectory(sink.toFile)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
-    "q238_schema_evolution" -> q238SchemaEvolution)
+    "q238_schema_evolution" -> q238SchemaEvolution,
+    "q240_change_feed_images" -> q240ChangeFeedImages)
 
   val oracle: Map[String, String] = Map(
     "q238_schema_evolution" ->
@@ -134,5 +206,28 @@ object Round14 {
         |  CAST(sum_words AS BIGINT) AS sum_words,
         |  CAST(score_nulls AS BIGINT) AS score_nulls,
         |  CAST(sum_score AS BIGINT) AS sum_score
-        |FROM v ORDER BY phase""".stripMargin)
+        |FROM v ORDER BY phase""".stripMargin,
+    "q240_change_feed_images" ->
+      """WITH w AS (SELECT i, i % 91 + 9 AS nw FROM range(0, 12) t(i)),
+        |v(phase, change_type, commit_version, n_rows, sum_words,
+        |  sum_doc_id) AS (VALUES
+        |  ('a_first', 'insert', 1, 12, (SELECT SUM(nw) FROM w), 66),
+        |  ('a_first', 'update_preimage', 2, 3,
+        |    (SELECT SUM(nw) FROM w WHERE i < 3), 3),
+        |  ('a_first', 'update_postimage', 2, 3, 0, 3),
+        |  ('b_second', 'insert', 1, 12, (SELECT SUM(nw) FROM w), 66),
+        |  ('b_second', 'update_preimage', 2, 3,
+        |    (SELECT SUM(nw) FROM w WHERE i < 3), 3),
+        |  ('b_second', 'update_postimage', 2, 3, 0, 3),
+        |  ('b_second', 'update_preimage', 3, 2,
+        |    (SELECT SUM(nw) FROM w WHERE i >= 3 AND i < 5), 7),
+        |  ('b_second', 'update_postimage', 3, 2, 0, 7),
+        |  ('b_second', 'delete', 4, 2,
+        |    (SELECT SUM(nw) FROM w WHERE i >= 10), 21))
+        |SELECT phase, change_type,
+        |  CAST(commit_version AS BIGINT) AS commit_version,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(sum_words AS BIGINT) AS sum_words,
+        |  CAST(sum_doc_id AS BIGINT) AS sum_doc_id
+        |FROM v ORDER BY phase, commit_version, change_type""".stripMargin)
 }

@@ -39,7 +39,11 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftDocsSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     Option(options.get("path")) match {
-      case Some(p) => GraftSchemas.tableSchema(Paths.get(p))
+      case Some(p) =>
+        val base = GraftSchemas.tableSchema(Paths.get(p))
+        if (options.getBoolean("readChangeFeed", false))
+          StructType(base.fields.toSeq ++ GraftDocsSource.cdfFields)
+        else base
       case None => GraftDocsSource.schema
     }
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -49,7 +53,9 @@ class GraftDocsSource extends TableProvider {
       properties.getOrDefault("partitions", "8").toInt,
       Option(properties.get("path")),
       properties.getOrDefault("buckets", "0").toInt,
-      properties.getOrDefault("streamBatchRows", "32").toLong)
+      properties.getOrDefault("streamBatchRows", "32").toLong,
+      cdf = "true".equalsIgnoreCase(
+        properties.getOrDefault("readChangeFeed", "false")))
 }
 
 object GraftDocsSource {
@@ -70,6 +76,13 @@ object GraftDocsSource {
     java.lang.Long.parseLong(md5Hex(id.toString).substring(0, 15), 16)
   def nWords(id: Long): Int = (id % 91 + 9).toInt
   def title(id: Long): String = s"doc-$id"
+
+  /** Change-feed columns appended by `option("readChangeFeed", true)`:
+    * Delta's CDF shape — the CDC type of each emitted row and the
+    * commit it belongs to. */
+  val cdfFields: Seq[StructField] = Seq(
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_commit_version", LongType, nullable = false))
 }
 
 /** Two personalities behind one provider, selected by the `path` option:
@@ -83,7 +96,11 @@ object GraftDocsSource {
   *    committed files (q94 round-trips through both).
   */
 class GraftDocsTable(rows: Long, parts: Int, path: Option[String],
-    buckets: Int = 0, streamBatchRows: Long = 32L)
+    buckets: Int = 0, streamBatchRows: Long = 32L,
+    // change-feed personality (`option("readChangeFeed", true)` on a
+    // path-backed read): the schema gains _change_type/_commit_version
+    // and the stream emits row-level CDC instead of snapshot rows
+    cdf: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     path.map(p => s"graft_docs(path=$p)").getOrElse(s"graft_docs(rows=$rows)")
@@ -91,7 +108,10 @@ class GraftDocsTable(rows: Long, parts: Int, path: Option[String],
     // a file-backed table may have been evolved (ADD COLUMN) — its
     // shape is base + the registry tail; the generative personality
     // is always the fixed base
-    case Some(p) => GraftSchemas.tableSchema(Paths.get(p))
+    case Some(p) =>
+      val base = GraftSchemas.tableSchema(Paths.get(p))
+      if (cdf) StructType(base.fields.toSeq ++ GraftDocsSource.cdfFields)
+      else base
     case None => GraftDocsSource.schema
   }
   override def capabilities(): util.Set[TableCapability] =
@@ -102,12 +122,16 @@ class GraftDocsTable(rows: Long, parts: Int, path: Option[String],
     else
       // STREAMING_WRITE is declared statically but only versioned
       // tables accept a stream (the _versions log is the exactly-once
-      // txn ledger) — unversioned targets fail loudly at stream start
-      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      // txn ledger) — unversioned targets fail loudly at stream start;
+      // MICRO_BATCH_READ likewise gates on versioning at stream start
+      // (the commit log is the offset axis)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_WRITE,
         TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     path match {
-      case Some(p) => new GraftFilesScanBuilder(p)
+      case Some(p) => new GraftFilesScanBuilder(p, options = options)
       case None    => new GraftDocsScanBuilder(rows, parts, buckets,
         streamBatchRows)
     }
@@ -441,8 +465,12 @@ class GraftFilesScanBuilder(path: String,
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
-  private var required: StructType =
-    GraftSchemas.tableSchema(Paths.get(path), versionPin)
+  private var required: StructType = {
+    val base = GraftSchemas.tableSchema(Paths.get(path), versionPin)
+    if (options.getBoolean("readChangeFeed", false))
+      StructType(base.fields.toSeq ++ GraftDocsSource.cdfFields)
+    else base
+  }
   // per-column pushed bounds, intersected across filters; only columns
   // present here can prune (the writer records stats for exactly these)
   private val statCols = Set("doc_id", "fp", "n_words")
@@ -586,7 +614,8 @@ class GraftFilesScanBuilder(path: String,
       ignoreDeletes = options.getBoolean("ignoreDeletes", false),
       startingVersion = Option(options.get("startingVersion")).map(_.toLong),
       colRanges = ranges, eqLiterals = eqLit.toMap,
-      onSnapshotResolved = onSnapshotResolved)
+      onSnapshotResolved = onSnapshotResolved,
+      cdf = options.getBoolean("readChangeFeed", false))
   }
 }
 
@@ -652,7 +681,11 @@ class GraftFilesScan(path: String, required: StructType,
     eqLiterals: Map[String, String] = Map.empty,
     // reports the snapshot version this scan resolved at plan time
     // (row-level operations' optimistic-concurrency readVersion)
-    onSnapshotResolved: Option[Long => Unit] = None)
+    onSnapshotResolved: Option[Long => Unit] = None,
+    // change-feed personality: the micro-batch stream emits row-level
+    // CDC (insert/delete/update_preimage/update_postimage) instead of
+    // snapshot rows; batch reads reject the option
+    cdf: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -827,6 +860,10 @@ class GraftFilesScan(path: String, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (cdf) throw new UnsupportedOperationException(
+      "readChangeFeed is a streaming read (the commit log is the " +
+        "offset axis); use spark.readStream, or time-travel snapshots " +
+        "for batch diffs")
     val dir = Paths.get(path)
     val entries = liveEntries()
     bucketedLayout match {
@@ -862,7 +899,7 @@ class GraftFilesScan(path: String, required: StructType,
           "commit log is the stream's offset axis (enable versioning with " +
           "TBLPROPERTIES('versioned'='true') or GraftVersions.enable)")
     new GraftVersionFeed(path, required, ignoreChanges, ignoreDeletes,
-      startingVersion)
+      startingVersion, cdf)
   }
 }
 
@@ -907,7 +944,16 @@ class GraftVersionFeed(path: String, required: StructType,
     // snapshot — the consumer that already holds a copy up to v-1
     // resumes without re-reading the table. Checkpointed restarts keep
     // their stored offset; this only seeds a FRESH stream.
-    startingVersion: Option[Long] = None)
+    startingVersion: Option[Long] = None,
+    // change-feed mode: emit row-level CDC with _change_type/
+    // _commit_version labels. MOR commits are row-EXACT by
+    // construction: the positions a commit newly masked are its
+    // delete/update preimages, read back out of the immutable base
+    // files; its added files are the postimages/inserts. File-granular
+    // rewrites (COW update/merge, overwrite, restore) stay rejected in
+    // CDF mode — fabricating row images from whole-file diffs would
+    // mislabel carried-over rows as changes.
+    cdf: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   private def dir = Paths.get(path)
@@ -970,7 +1016,19 @@ class GraftVersionFeed(path: String, required: StructType,
           s"of $path after vacuum (oldest retained: " +
           s"v${retained.toSeq.sorted.headOption.getOrElse(-1L)}); restart " +
           "the stream from scratch to take a fresh initial snapshot")
-    val added: Seq[GraftVersions.FileEntry] =
+    // partition builders: `fileRows` reads a file's rows minus a skip
+    // mask; `imageRows` reads EXACTLY the named positions (CDF images)
+    def fileRows(v: Long, label: String, en: GraftVersions.FileEntry)
+        : GraftFilePartition =
+      GraftFilePartition(dir.resolve(en.name).toString,
+        en.dv.map(_.positions).getOrElse(Array.empty),
+        changeType = if (cdf) label else null, commitVersion = v)
+    def imageRows(v: Long, label: String, name: String,
+        positions: Array[Long]): GraftFilePartition =
+      GraftFilePartition(dir.resolve(name).toString, positions.sorted,
+        changeType = label, commitVersion = v, emitOnlyPositions = true)
+
+    val parts: Seq[GraftFilePartition] =
       (s + 1 to e).filter(retained.contains).flatMap { v =>
         val info = GraftVersions.manifest(dir, v)
         val base: Option[GraftVersions.VersionInfo] =
@@ -1003,39 +1061,82 @@ class GraftVersionFeed(path: String, required: StructType,
             //    must NOT admit it (a MOR UPDATE grows DVs on retained
             //    base files and adds replacement files: under the old
             //    subset test it looked like "just deletes").
+            // CDF mode upgrades the two MOR shapes to row-level images
+            // instead of refusing: the newly-masked positions ARE the
+            // delete/update preimages (read back out of the immutable
+            // base files), the added files are the postimages.
             val addedEntries = info.entries.filterNot(en => bf.contains(en.name))
-            val removedFiles = bf -- info.files.toSet
-            val dvGrew = info.entries.exists { en =>
-              bf.contains(en.name) && {
-                val baseCard = b.entries.find(_.name == en.name)
-                  .flatMap(_.dv).map(_.cardinality).getOrElse(0)
-                en.dv.map(_.cardinality).getOrElse(0) > baseCard
+            val removedEntries =
+              b.entries.filterNot(en => info.files.toSet.contains(en.name))
+            val baseByName = b.entries.map(e2 => e2.name -> e2).toMap
+            // (retained file, its newly-masked positions)
+            val grown = info.entries
+              .filter(en => bf.contains(en.name))
+              .map { en =>
+                val before = baseByName.get(en.name).flatMap(_.dv)
+                  .map(_.positions.toSet).getOrElse(Set.empty[Long])
+                en -> en.dv.map(_.positions.filterNot(before))
+                  .getOrElse(Array.empty[Long])
               }
+              .filter(_._2.nonEmpty)
+            val removesRows = removedEntries.nonEmpty || grown.nonEmpty
+            if (cdf) {
+              val isDelete =
+                info.op == "delete" || info.op == "delete-metadata"
+              if (!removesRows)
+                addedEntries.map(fileRows(v, "insert", _))
+              else if (isDelete && addedEntries.isEmpty)
+                // mask growth → exactly the deleted rows; dropped files
+                // (metadata delete, fully-masked drop) → their base-live
+                // rows (the base entry's mask skips already-dead rows)
+                grown.map { case (en, ps) =>
+                  imageRows(v, "delete", en.name, ps)
+                } ++ removedEntries.map(fileRows(v, "delete", _))
+              else if (info.op == "update" && (grown.nonEmpty ||
+                  GraftTableMeta.read(dir).get("update.mode")
+                    .exists(_.equalsIgnoreCase("merge-on-read"))))
+                // MOR update: partial files' newly-masked positions are
+                // exact preimages; a file the commit FULLY masked drops
+                // from the snapshot — its preimages are its base-live
+                // rows (the base entry's mask skips already-dead ones).
+                // The grown-or-mode test matters: a tiny update can
+                // fully mask every file it touches, leaving no DV
+                // growth to witness the mechanism.
+                grown.map { case (en, ps) =>
+                  imageRows(v, "update_preimage", en.name, ps)
+                } ++ removedEntries.map(fileRows(v, "update_preimage", _)) ++
+                  addedEntries.map(fileRows(v, "update_postimage", _))
+              else throw new IllegalStateException(
+                s"commit v$v of $path (${info.op}) is file-granular: " +
+                  "the change feed cannot derive row-level images from " +
+                  "whole-file rewrites. Use merge-on-read delete/update " +
+                  "modes for CDF-exact commits, or time-travel the " +
+                  "snapshots")
+            } else {
+              if (removesRows && addedEntries.nonEmpty && !ignoreChanges)
+                throw new IllegalStateException(
+                  s"commit v$v of $path is a ${info.op} rewrite/update: its " +
+                    "new files replace rows it removed, so re-emitting them " +
+                    "as appends would duplicate downstream state. Set " +
+                    "option(\"ignoreChanges\", true) to stream them anyway " +
+                    "(consumers must dedupe by key), or time-travel the exact " +
+                    "snapshots instead")
+              if (removesRows && addedEntries.isEmpty &&
+                  !ignoreDeletes && !ignoreChanges)
+                throw new IllegalStateException(
+                  s"commit v$v of $path deleted rows (${info.op}): this " +
+                    "append-only change feed cannot represent row removal. " +
+                    "Set option(\"ignoreDeletes\", true) to skip delete " +
+                    "commits (downstream keeps the deleted rows), or " +
+                    "time-travel the exact snapshots")
+              addedEntries.map(fileRows(v, null, _))
             }
-            val removesRows = removedFiles.nonEmpty || dvGrew
-            if (removesRows && addedEntries.nonEmpty && !ignoreChanges)
-              throw new IllegalStateException(
-                s"commit v$v of $path is a ${info.op} rewrite/update: its " +
-                  "new files replace rows it removed, so re-emitting them " +
-                  "as appends would duplicate downstream state. Set " +
-                  "option(\"ignoreChanges\", true) to stream them anyway " +
-                  "(consumers must dedupe by key), or time-travel the exact " +
-                  "snapshots instead")
-            if (removesRows && addedEntries.isEmpty &&
-                !ignoreDeletes && !ignoreChanges)
-              throw new IllegalStateException(
-                s"commit v$v of $path deleted rows (${info.op}): this " +
-                  "append-only change feed cannot represent row removal. " +
-                  "Set option(\"ignoreDeletes\", true) to skip delete " +
-                  "commits (downstream keeps the deleted rows), or " +
-                  "time-travel the exact snapshots")
-            addedEntries
-          case None => info.entries
+          case None =>
+            // fresh stream's initial batch: the full snapshot as inserts
+            info.entries.map(fileRows(v, "insert", _))
         }
       }
-    added.map(e =>
-      GraftFilePartition(dir.resolve(e.name).toString,
-        e.dv.map(_.positions).getOrElse(Array.empty)): InputPartition).toArray
+    parts.map(p => p: InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftFilesReaderFactory(required.fieldNames,
@@ -1046,7 +1147,18 @@ case class GraftFilePartition(file: String,
     // deletion-vector positions for this file (empty = no mask): the
     // snapshot's mask rides into the executor with the split, so the
     // reader needs no manifest access
-    dvPositions: Array[Long] = Array.empty) extends InputPartition
+    dvPositions: Array[Long] = Array.empty,
+    // change-feed labeling: the row-level CDC type of every row this
+    // partition emits (null outside CDF mode) and the commit it
+    // belongs to — surfaced via the _change_type/_commit_version
+    // columns
+    changeType: String = null,
+    commitVersion: Long = -1L,
+    // false: dvPositions are a SKIP mask (read the file's live rows);
+    // true: dvPositions are the EXACT positions to emit — how delete
+    // preimages and update preimages are read back out of immutable
+    // base files (the positions a MOR commit newly masked)
+    emitOnlyPositions: Boolean = false) extends InputPartition
 
 /** All live files of one bucket class of a bucketed table (possibly
   * none after pruning), carrying the class id as the partition key the
@@ -1070,6 +1182,12 @@ class GraftFilesReaderFactory(cols: Array[String],
     val files: Seq[(String, Array[Long])] = p match {
       case fp: GraftFilePartition => Seq((fp.file, fp.dvPositions))
       case bp: GraftBucketFilesPartition => bp.files
+    }
+    val (changeTypeU, commitVersion, emitOnly) = p match {
+      case fp: GraftFilePartition =>
+        (Option(fp.changeType).map(UTF8String.fromString).orNull,
+          fp.commitVersion, fp.emitOnlyPositions)
+      case _ => (null: UTF8String, -1L, false)
     }
     new PartitionReader[InternalRow] {
       private val fileIt = files.iterator
@@ -1095,7 +1213,13 @@ class GraftFilesReaderFactory(cols: Array[String],
           }
           while (lines.hasNext) {
             val line = lines.next(); pos += 1
-            if (dvIdx < dv.length && dv(dvIdx) == pos) dvIdx += 1 // masked
+            if (emitOnly) {
+              // CDF image mode: dv holds the EXACT positions to emit
+              // (sorted) — everything else streams past
+              if (dvIdx < dv.length && dv(dvIdx) == pos) {
+                dvIdx += 1; cur = line.split("\t", -1); return true
+              }
+            } else if (dvIdx < dv.length && dv(dvIdx) == pos) dvIdx += 1 // masked
             else { cur = line.split("\t", -1); return true }
           }
         }
@@ -1116,6 +1240,8 @@ class GraftFilesReaderFactory(cols: Array[String],
           case "n_words" => cur(3).toInt
           case "_file" => UTF8String.fromString(curFileName)
           case "_pos" => pos
+          case "_change_type" => changeTypeU
+          case "_commit_version" => commitVersion
           case evolved =>
             // ADD COLUMN tail: a file written before the column existed
             // is SHORTER than the current schema — the missing cell IS

@@ -259,6 +259,101 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("change data feed: row-exact images for MOR commits, loud " +
+      "rejection for file-granular COW rewrites, evolved columns ride") {
+    val (cat, wh) = freshCatalog("cdf")
+    val sink = Files.createTempDirectory("graft_r14_cdfsink")
+    val cp = Files.createTempDirectory("graft_r14_cdfcp")
+    try {
+      import org.apache.spark.sql.functions._
+      docsRange(8).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true")
+        .tableProperty("update.mode", "merge-on-read").create()
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (score BIGINT)")
+      spark.sql(s"UPDATE $cat.t SET score = 5 WHERE doc_id = 2")
+
+      def cdfDrain(): Unit = {
+        val q = spark.readStream.format("graft.sources.GraftDocsSource")
+          .option("path", wh.resolve("t").toString)
+          .option("readChangeFeed", "true").load()
+          .writeStream.format("parquet")
+          .option("path", sink.toString)
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        assert(q.awaitTermination(120000), "cdf drain did not terminate")
+        q.exception.foreach(throw _)
+      }
+      cdfDrain()
+      val rows = spark.read.parquet(sink.toString)
+        .select("doc_id", "score", "_change_type", "_commit_version")
+        .collect().map(r => (r.getLong(0),
+          Option(r.getAs[java.lang.Long]("score")), r.getString(2),
+          r.getLong(3)))
+      // initial snapshot labeled insert at the append commit
+      assert(rows.count(_._3 == "insert") == 8)
+      assert(rows.filter(_._3 == "insert").forall(_._4 == 1L))
+      // the MOR update: preimage carries the OLD score (null), the
+      // postimage the new one — evolved columns flow through images
+      val pre = rows.filter(_._3 == "update_preimage")
+      val post = rows.filter(_._3 == "update_postimage")
+      assert(pre.toSeq == Seq((2L, None, "update_preimage", 3L)),
+        pre.toSeq.toString)
+      assert(post.toSeq ==
+        Seq((2L, Some(java.lang.Long.valueOf(5L)), "update_postimage", 3L)),
+        post.toSeq.toString)
+
+      // a COW update (no MOR mode) is file-granular: CDF refuses it
+      val (cat2, wh2) = freshCatalog("cdfcow")
+      val sink2 = Files.createTempDirectory("graft_r14_cdfsink2")
+      val cp2 = Files.createTempDirectory("graft_r14_cdfcp2")
+      try {
+        docsRange(8).writeTo(s"$cat2.t")
+          .tableProperty("versioned", "true").create()
+        spark.sql(s"UPDATE $cat2.t SET n_words = 0 WHERE doc_id = 2")
+        val e = intercept[Exception] {
+          val q = spark.readStream.format("graft.sources.GraftDocsSource")
+            .option("path", wh2.resolve("t").toString)
+            .option("readChangeFeed", "true").load()
+            .writeStream.format("parquet")
+            .option("path", sink2.toString)
+            .option("checkpointLocation", cp2.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(120000)
+          q.exception.foreach(throw _)
+        }
+        def causes(t: Throwable) =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+            .map(_.getMessage).filter(_ != null).toSeq
+        assert(causes(e).exists(_.contains("file-granular")),
+          causes(e).mkString(" | "))
+      } finally {
+        dropCatalog(cat2, wh2)
+        org.apache.commons.io.FileUtils.deleteDirectory(sink2.toFile)
+        org.apache.commons.io.FileUtils.deleteDirectory(cp2.toFile)
+      }
+
+      // batch reads reject the option (the commit log is the offset axis)
+      val eBatch = intercept[Exception] {
+        // collect(), not count(): an unfiltered COUNT is answered from
+        // the manifest by aggregate pushdown before partitions plan
+        spark.read.format("graft.sources.GraftDocsSource")
+          .option("path", wh.resolve("t").toString)
+          .option("readChangeFeed", "true").load().collect()
+      }
+      def causes2(t: Throwable) =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).filter(_ != null).toSeq
+      assert(causes2(eBatch).exists(_.contains("streaming read")),
+        causes2(eBatch).mkString(" | "))
+    } finally {
+      dropCatalog(cat, wh)
+      org.apache.commons.io.FileUtils.deleteDirectory(sink.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(cp.toFile)
+    }
+  }
+
   test("optimistic concurrency: disjoint-scope racers both land, " +
       "overlapping scopes and stale overwrites fail loudly") {
     import GraftVersions.{FileEntry, ConcurrentCommitException}
