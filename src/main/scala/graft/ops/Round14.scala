@@ -113,6 +113,114 @@ object Round14 {
   }
 
   // ---------------------------------------------------------------------
+  // q239: a decision-tree FIT on the oracle bar — exact Gini, no RNG
+  // ---------------------------------------------------------------------
+
+  /** A depth-2 decision tree trained AND applied wholly in DataFrame
+    * algebra (the q98-kmeans playbook applied to trees), putting a
+    * model FIT on the DuckDB oracle bar and shrinking the q60
+    * exemption to the RF library call alone (reference anchor
+    * /root/reference/Assignment-python.py:940-944 — the notebook can
+    * only call a fit; this IS one, reproducible to the hash).
+    *
+    * Task: the reference's binary peak-hour label over events, with
+    * integer features (value bucket, the derived vk sensor, floored
+    * JSON k). Split search is EXACT: per node, one groupBy per feature
+    * over its (small-domain) values → cumulative (count, positives)
+    * via a window PARTITIONED by feature → weighted Gini from integer
+    * counts with ONE division per side (identical IEEE expression in
+    * Spark and DuckDB, so the doubles match bitwise) → deterministic
+    * argmin with (gini, feature, threshold) tiebreak. Depth 2 = three
+    * split searches + one leaf aggregation; no randomness anywhere, so
+    * train = apply corpus is the honest resubstitution evaluation.
+    *
+    * Scale shape: each split search is a map-side-combined groupBy
+    * onto a candidate table the size of the feature DOMAINS (hundreds
+    * of rows), then a driver argmin of ONE row — the same passes a
+    * 100 TB fit would run; nothing shuffles wider than the domains. */
+  val q239DecisionTree: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val feats = Seq("x1", "x2", "x3")
+    val data = graft.Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(
+        floor(col("value") / 10.0).cast("long").as("x1"),
+        pmod(floor(col("value") * 7), lit(5)).cast("long").as("x2"),
+        floor(coalesce(get_json_object(col("props"), "$.k").cast("double"),
+          lit(0.0))).cast("long").as("x3"),
+        when(hour(col("ts")).between(8, 18), 1L).otherwise(0L).as("y"))
+      .cache()
+
+    /** Exact best split of `node`: (feature, threshold, gini, n, pos);
+      * None when no feature has two distinct values. */
+    def bestSplit(node: DataFrame)
+        : Option[(String, Long, Double, Long, Long)] = {
+      val cands = feats.map { f =>
+        node.groupBy(col(f).as("v"))
+          .agg(count(lit(1)).as("n"), sum("y").as("p"))
+          .select(lit(f).as("fname"), col("v"), col("n"), col("p"))
+      }.reduce(_ unionByName _)
+      val cum = Window.partitionBy("fname").orderBy("v")
+      val all = Window.partitionBy("fname")
+      val nl = col("nl"); val pl = col("pl")
+      val nr = col("nt") - nl; val pr = col("pt") - pl
+      val ql = nl - pl; val qr = nr - pr
+      // weighted Gini: nl·g(L) + nr·g(R) = nl − (pl²+ql²)/nl + …; the
+      // numerators stay exact int64, ONE double division per side —
+      // the oracle writes the identical expression, so the doubles
+      // (and their 1e-6 quantization) match bitwise
+      val gini = (nl - (pl * pl + ql * ql).cast("double") /
+          nl.cast("double")) +
+        (nr - (pr * pr + qr * qr).cast("double") / nr.cast("double"))
+      cands
+        .withColumn("nl", sum("n").over(cum))
+        .withColumn("pl", sum("p").over(cum))
+        .withColumn("nt", sum("n").over(all))
+        .withColumn("pt", sum("p").over(all))
+        .filter(col("nl") < col("nt")) // last value: right side empty
+        .select(col("fname"), col("v"), gini.as("gini"),
+          col("nt"), col("pt"))
+        .orderBy("gini", "fname", "v").limit(1)
+        .collect().headOption
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4)))
+    }
+
+    val root = bestSplit(data).getOrElse(throw new IllegalStateException(
+      "q239: the events corpus must admit a root split"))
+    val rootCond = col(root._1) <= lit(root._2)
+    val lSplit = bestSplit(data.filter(rootCond))
+    val rSplit = bestSplit(data.filter(!rootCond))
+    def cond(s: Option[(String, Long, Double, Long, Long)]) =
+      s.map(t => col(t._1) <= lit(t._2)).getOrElse(lit(true))
+
+    // apply: leaf id per row from the (up to) three split predicates
+    val leaf = when(rootCond,
+        when(cond(lSplit), "LL").otherwise("LR"))
+      .otherwise(when(cond(rSplit), "RL").otherwise("RR"))
+    val leaves = data.groupBy(leaf.as("node"))
+      .agg(count(lit(1)).as("n_rows"), sum("y").as("n_pos"))
+      .select(col("node"), lit("leaf").as("feature"),
+        lit(-1L).as("threshold"), col("n_rows"), col("n_pos"),
+        when(lit(2) * col("n_pos") >= col("n_rows"), 1L).otherwise(0L)
+          .as("pred"),
+        when(lit(2) * col("n_pos") >= col("n_rows"), col("n_pos"))
+          .otherwise(col("n_rows") - col("n_pos")).as("correct"),
+        lit(-1L).as("gini_q"))
+
+    import spark.implicits._
+    val splits = Seq(
+      Some(("root", root)), lSplit.map(("L", _)), rSplit.map(("R", _))
+    ).flatten.map { case (node, (f, t, g, n, p)) =>
+      (node, f, t, n, p, -1L, -1L, math.floor(g * 1e6).toLong)
+    }.toDF("node", "feature", "threshold", "n_rows", "n_pos", "pred",
+      "correct", "gini_q")
+    data.unpersist()
+    OpsUtil.driverLiteral(
+      splits.unionByName(leaves).orderBy("node"))
+  }
+
+  // ---------------------------------------------------------------------
   // q240: change-feed update pre/post-images (CDF) over MOR commits
   // ---------------------------------------------------------------------
 
@@ -185,6 +293,7 @@ object Round14 {
 
   val queries: Map[String, Q] = Map(
     "q238_schema_evolution" -> q238SchemaEvolution,
+    "q239_decision_tree" -> q239DecisionTree,
     "q240_change_feed_images" -> q240ChangeFeedImages)
 
   val oracle: Map[String, String] = Map(
@@ -207,6 +316,116 @@ object Round14 {
         |  CAST(score_nulls AS BIGINT) AS score_nulls,
         |  CAST(sum_score AS BIGINT) AS sum_score
         |FROM v ORDER BY phase""".stripMargin,
+    "q239_decision_tree" ->
+      """WITH f AS (
+        |  SELECT CAST(floor(value / 10.0) AS BIGINT) AS x1,
+        |    ((CAST(floor(value * 7) AS BIGINT) % 5) + 5) % 5 AS x2,
+        |    CAST(floor(COALESCE(
+        |      CAST(json_extract_string(props, '$.k') AS DOUBLE), 0.0))
+        |      AS BIGINT) AS x3,
+        |    CASE WHEN hour(ts) BETWEEN 8 AND 18 THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |cand0 AS (
+        |  SELECT 'x1' AS fname, x1 AS v, COUNT(*) AS n, SUM(y) AS p
+        |    FROM f GROUP BY x1
+        |  UNION ALL SELECT 'x2', x2, COUNT(*), SUM(y) FROM f GROUP BY x2
+        |  UNION ALL SELECT 'x3', x3, COUNT(*), SUM(y) FROM f GROUP BY x3),
+        |sc0 AS (
+        |  SELECT fname, v,
+        |    SUM(n) OVER (PARTITION BY fname ORDER BY v) AS nl,
+        |    SUM(p) OVER (PARTITION BY fname ORDER BY v) AS pl,
+        |    SUM(n) OVER (PARTITION BY fname) AS nt,
+        |    SUM(p) OVER (PARTITION BY fname) AS pt
+        |  FROM cand0),
+        |best0 AS (
+        |  SELECT fname, v,
+        |    (nl - CAST(pl*pl + (nl-pl)*(nl-pl) AS DOUBLE)
+        |       / CAST(nl AS DOUBLE))
+        |    + ((nt-nl) - CAST((pt-pl)*(pt-pl)
+        |         + ((nt-nl)-(pt-pl))*((nt-nl)-(pt-pl)) AS DOUBLE)
+        |       / CAST(nt-nl AS DOUBLE)) AS gini, nt, pt
+        |  FROM sc0 WHERE nl < nt ORDER BY gini, fname, v LIMIT 1),
+        |fl AS (SELECT f.* FROM f, best0 b WHERE
+        |  (CASE b.fname WHEN 'x1' THEN x1 WHEN 'x2' THEN x2 ELSE x3 END)
+        |    <= b.v),
+        |fr AS (SELECT f.* FROM f, best0 b WHERE
+        |  (CASE b.fname WHEN 'x1' THEN x1 WHEN 'x2' THEN x2 ELSE x3 END)
+        |    > b.v),
+        |candl AS (
+        |  SELECT 'x1' AS fname, x1 AS v, COUNT(*) AS n, SUM(y) AS p
+        |    FROM fl GROUP BY x1
+        |  UNION ALL SELECT 'x2', x2, COUNT(*), SUM(y) FROM fl GROUP BY x2
+        |  UNION ALL SELECT 'x3', x3, COUNT(*), SUM(y) FROM fl GROUP BY x3),
+        |scl AS (
+        |  SELECT fname, v,
+        |    SUM(n) OVER (PARTITION BY fname ORDER BY v) AS nl,
+        |    SUM(p) OVER (PARTITION BY fname ORDER BY v) AS pl,
+        |    SUM(n) OVER (PARTITION BY fname) AS nt,
+        |    SUM(p) OVER (PARTITION BY fname) AS pt
+        |  FROM candl),
+        |bestl AS (
+        |  SELECT fname, v,
+        |    (nl - CAST(pl*pl + (nl-pl)*(nl-pl) AS DOUBLE)
+        |       / CAST(nl AS DOUBLE))
+        |    + ((nt-nl) - CAST((pt-pl)*(pt-pl)
+        |         + ((nt-nl)-(pt-pl))*((nt-nl)-(pt-pl)) AS DOUBLE)
+        |       / CAST(nt-nl AS DOUBLE)) AS gini, nt, pt
+        |  FROM scl WHERE nl < nt ORDER BY gini, fname, v LIMIT 1),
+        |candr AS (
+        |  SELECT 'x1' AS fname, x1 AS v, COUNT(*) AS n, SUM(y) AS p
+        |    FROM fr GROUP BY x1
+        |  UNION ALL SELECT 'x2', x2, COUNT(*), SUM(y) FROM fr GROUP BY x2
+        |  UNION ALL SELECT 'x3', x3, COUNT(*), SUM(y) FROM fr GROUP BY x3),
+        |scr AS (
+        |  SELECT fname, v,
+        |    SUM(n) OVER (PARTITION BY fname ORDER BY v) AS nl,
+        |    SUM(p) OVER (PARTITION BY fname ORDER BY v) AS pl,
+        |    SUM(n) OVER (PARTITION BY fname) AS nt,
+        |    SUM(p) OVER (PARTITION BY fname) AS pt
+        |  FROM candr),
+        |bestr AS (
+        |  SELECT fname, v,
+        |    (nl - CAST(pl*pl + (nl-pl)*(nl-pl) AS DOUBLE)
+        |       / CAST(nl AS DOUBLE))
+        |    + ((nt-nl) - CAST((pt-pl)*(pt-pl)
+        |         + ((nt-nl)-(pt-pl))*((nt-nl)-(pt-pl)) AS DOUBLE)
+        |       / CAST(nt-nl AS DOUBLE)) AS gini, nt, pt
+        |  FROM scr WHERE nl < nt ORDER BY gini, fname, v LIMIT 1),
+        |leafed AS (
+        |  SELECT y,
+        |    CASE WHEN (CASE (SELECT fname FROM best0)
+        |        WHEN 'x1' THEN x1 WHEN 'x2' THEN x2 ELSE x3 END)
+        |        <= (SELECT v FROM best0)
+        |      THEN CASE WHEN (SELECT fname FROM bestl) IS NULL
+        |          OR (CASE (SELECT fname FROM bestl)
+        |            WHEN 'x1' THEN x1 WHEN 'x2' THEN x2 ELSE x3 END)
+        |            <= (SELECT v FROM bestl)
+        |        THEN 'LL' ELSE 'LR' END
+        |      ELSE CASE WHEN (SELECT fname FROM bestr) IS NULL
+        |          OR (CASE (SELECT fname FROM bestr)
+        |            WHEN 'x1' THEN x1 WHEN 'x2' THEN x2 ELSE x3 END)
+        |            <= (SELECT v FROM bestr)
+        |        THEN 'RL' ELSE 'RR' END
+        |    END AS node
+        |  FROM f),
+        |rows_out AS (
+        |  SELECT 'root' AS node, fname AS feature, v AS threshold,
+        |    nt AS n_rows, pt AS n_pos, -1 AS pred, -1 AS correct,
+        |    CAST(floor(gini * 1e6) AS BIGINT) AS gini_q FROM best0
+        |  UNION ALL SELECT 'L', fname, v, nt, pt, -1, -1,
+        |    CAST(floor(gini * 1e6) AS BIGINT) FROM bestl
+        |  UNION ALL SELECT 'R', fname, v, nt, pt, -1, -1,
+        |    CAST(floor(gini * 1e6) AS BIGINT) FROM bestr
+        |  UNION ALL SELECT node, 'leaf', -1, COUNT(*), SUM(y),
+        |    CASE WHEN 2*SUM(y) >= COUNT(*) THEN 1 ELSE 0 END,
+        |    CASE WHEN 2*SUM(y) >= COUNT(*) THEN SUM(y)
+        |         ELSE COUNT(*) - SUM(y) END, -1
+        |  FROM leafed GROUP BY node)
+        |SELECT node, feature, CAST(threshold AS BIGINT) AS threshold,
+        |  CAST(n_rows AS BIGINT) AS n_rows, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(pred AS BIGINT) AS pred, CAST(correct AS BIGINT) AS correct,
+        |  CAST(gini_q AS BIGINT) AS gini_q
+        |FROM rows_out ORDER BY node""".stripMargin,
     "q240_change_feed_images" ->
       """WITH w AS (SELECT i, i % 91 + 9 AS nw FROM range(0, 12) t(i)),
         |v(phase, change_type, commit_version, n_rows, sum_words,
