@@ -156,6 +156,12 @@ object GraftVersions {
     } finally s.close()
   }
 
+  /** Base64 payloads at or below this many chars stay inline in the
+    * manifest line; anything larger moves to the commit's sidecar
+    * file. Small DVs (a handful of positions) are cheaper inline than
+    * as a seek; blooms (KBs each) always cross it. */
+  private val InlineBlobMax = 64
+
   private def writeManifest(root: Path, version: Long, op: String,
       entries: Seq[FileEntry], dataChange: Boolean = true,
       txn: Option[(String, Long)] = None): VersionInfo = {
@@ -165,11 +171,32 @@ object GraftVersions {
     val ts = math.max(System.currentTimeMillis() * 1000L, prevTs + 1L)
     // stats columns sorted for a canonical line; format per column is
     // `col=min:max`, then optional `rows=`/`bytes=` counters, an
-    // optional `bloom=<base64>` token, and an optional `dv=<base64>`
-    // deletion vector. (The previous 2-column `name\tmin\tmax`
-    // doc_id-only form is still READ for old logs, never written
-    // again.) Unknown-token forward compat is deliberate: counters and
-    // masks are per-file FACTS, so an old entry simply lacks them.
+    // optional `bloom=` token, and an optional `dv=` deletion vector.
+    // (The previous 2-column `name\tmin\tmax` doc_id-only form is
+    // still READ for old logs, never written again.) Unknown-token
+    // forward compat is deliberate: counters and masks are per-file
+    // FACTS, so an old entry simply lacks them.
+    //
+    // SIDECAR layout (the documented 100 TB shape, actually built):
+    // blob payloads larger than [[InlineBlobMax]] base64 chars land as
+    // raw bytes in this commit's `v%05d.sidecar` file and the manifest
+    // token becomes `bloom=@<offset>:<length>` — manifest LINE size is
+    // bounded by the stats/counters alone, the way Iceberg's puffin /
+    // Delta's index folder keep the log slim while per-file indexes
+    // grow. Every manifest references ONLY its own sidecar (entries
+    // re-serialize on each commit), so vacuum's lifecycle is 1:1:
+    // expire the manifest, delete its sidecar. Tiny payloads stay
+    // inline (`bloom=<base64>`) — a seek would cost more than the
+    // bytes — and old inline-only logs read unchanged.
+    val sidecar = new java.io.ByteArrayOutputStream()
+    def blobToken(key: String, base64: String): String =
+      if (base64.length <= InlineBlobMax) s"$key=$base64"
+      else {
+        val bytes = java.util.Base64.getDecoder.decode(base64)
+        val off = sidecar.size()
+        sidecar.write(bytes, 0, bytes.length)
+        s"$key=@$off:${bytes.length}"
+      }
     val lines = entries.map { e =>
       (e.name +:
         (e.stats.toSeq.sortBy(_._1).map {
@@ -177,9 +204,9 @@ object GraftVersions {
         } ++ e.rows.map(r => s"rows=$r").toSeq
           ++ e.bytes.map(b => s"bytes=$b").toSeq
           ++ e.bucket.map(b => s"bucket=$b").toSeq
-          ++ e.bloom.map(b => s"bloom=${b.toBase64}").toSeq
+          ++ e.bloom.map(b => blobToken("bloom", b.toBase64)).toSeq
           ++ e.dv.filter(_.cardinality > 0)
-            .map(d => s"dv=${d.toBase64}").toSeq)).mkString("\t")
+            .map(d => blobToken("dv", d.toBase64)).toSeq)).mkString("\t")
     }
     val txnField = txn.map { case (app, e) =>
       require(!app.contains('\t') && !app.contains('\n'),
@@ -193,6 +220,16 @@ object GraftVersions {
     if (Files.exists(target))
       throw new IllegalStateException(
         s"version $version already committed at $target")
+    // sidecar FIRST, manifest second: a crash in between leaves an
+    // unreferenced sidecar (vacuum's sweep reclaims it), never a
+    // manifest pointing at missing bytes
+    if (sidecar.size() > 0) {
+      val scTarget = versionsDir(root).resolve(f"v$version%05d.sidecar")
+      val scTmp =
+        Files.createTempFile(versionsDir(root), s"v$version-sc-", ".tmp")
+      Files.write(scTmp, sidecar.toByteArray)
+      Files.move(scTmp, scTarget, StandardCopyOption.ATOMIC_MOVE)
+    }
     val tmp = Files.createTempFile(versionsDir(root), s"v$version-", ".tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
@@ -207,6 +244,25 @@ object GraftVersions {
       val i = kv.indexOf('='); kv.substring(0, i) -> kv.substring(i + 1)
     }.toMap
     import scala.jdk.CollectionConverters._
+    // sidecar payloads: read once per manifest parse, sliced per token
+    // (`@<offset>:<length>` refs); absent file = no sidecar payloads
+    lazy val sidecarBytes: Array[Byte] = {
+      val sc = versionsDir(root).resolve(f"v$version%05d.sidecar")
+      if (Files.isRegularFile(sc)) Files.readAllBytes(sc)
+      else Array.empty[Byte]
+    }
+    def blob(v: String): String =
+      if (!v.startsWith("@")) v
+      else {
+        val i = v.indexOf(':')
+        val off = v.substring(1, i).toInt
+        val len = v.substring(i + 1).toInt
+        require(off >= 0 && len >= 0 && off + len <= sidecarBytes.length,
+          s"sidecar ref '$v' out of range (${sidecarBytes.length} bytes) " +
+            s"for v$version of $root")
+        java.util.Base64.getEncoder.encodeToString(
+          java.util.Arrays.copyOfRange(sidecarBytes, off, off + len))
+      }
     val entries = lines.asScala.toSeq.tail.filter(_.nonEmpty).map { l =>
       l.split("\t", -1) match {
         case Array(n) => FileEntry(n, FileEntry.NoStats) // pre-stats line
@@ -227,10 +283,10 @@ object GraftVersions {
               (tok.substring(eq + 1, colon).toLong,
                 tok.substring(colon + 1).toLong)
           }.toMap,
-            bloom = tok("bloom=").map(GraftBloom.fromBase64),
+            bloom = tok("bloom=").map(v => GraftBloom.fromBase64(blob(v))),
             rows = tok("rows=").map(_.toLong),
             bytes = tok("bytes=").map(_.toLong),
-            dv = tok("dv=").map(GraftDV.fromBase64),
+            dv = tok("dv=").map(v => GraftDV.fromBase64(blob(v))),
             bucket = tok("bucket=").map(_.toInt))
       }
     }
@@ -665,7 +721,22 @@ object GraftVersions {
       // readable snapshot whose files are gone
       expire.foreach { v =>
         Files.deleteIfExists(versionsDir(root).resolve(f"v$v%05d.manifest"))
+        Files.deleteIfExists(versionsDir(root).resolve(f"v$v%05d.sidecar"))
       }
+      // sweep orphan sidecars: crash-between-sidecar-and-manifest
+      // leftovers, and sidecars whose manifest is gone — a sidecar is
+      // referenced ONLY by its same-version manifest, so the lifecycle
+      // check is a name test
+      val retainedSet = retain.toSet
+      val scList = Files.list(versionsDir(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        val SidecarName = "v(\\d{5,})\\.sidecar".r
+        scList.iterator().asScala.map(_.getFileName.toString).collect {
+          case n @ SidecarName(v) if !retainedSet.contains(v.toLong) => n
+        }.toSeq.foreach(n =>
+          Files.deleteIfExists(versionsDir(root).resolve(n)))
+      } finally scList.close()
       expiredFiles.toSeq.sorted.foreach { f =>
         Files.deleteIfExists(root.resolve(f))
       }

@@ -259,6 +259,62 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("sidecar blobs: blooms and large DVs leave the manifest lines, " +
+      "survive OPTIMIZE/RESTORE/vacuum, and still prune") {
+    val (cat, wh) = freshCatalog("sidecar")
+    try {
+      import org.apache.spark.sql.functions.col
+      docsRange(600).repartitionByRange(3, col("doc_id"))
+        .writeTo(s"$cat.t")
+        .tableProperty("versioned", "true")
+        .tableProperty("bloom.columns", "title")
+        .tableProperty("delete.mode", "merge-on-read").create()
+      val t = wh.resolve("t")
+      val vdir = t.resolve("_versions")
+      // a large MOR delete so the DV also crosses the inline threshold
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id % 2 = 0")
+
+      def manifestLines(v: Long) =
+        java.nio.file.Files.readAllLines(
+          vdir.resolve(f"v$v%05d.manifest")).toArray.map(_.toString)
+      // bounded lines: blob tokens are @offset:length refs, and no
+      // line carries a multi-KB base64 payload
+      val lines = manifestLines(2).drop(1)
+      assert(lines.forall(_.length < 300),
+        s"manifest lines must stay bounded: ${lines.map(_.length).toSeq}")
+      assert(lines.exists(_.contains("bloom=@")), lines.mkString("\n"))
+      assert(lines.exists(_.contains("dv=@")), lines.mkString("\n"))
+      assert(Files.isRegularFile(vdir.resolve("v00002.sidecar")))
+
+      // blobs read back: DV cardinality and bloom behavior intact
+      val v2 = GraftVersions.manifest(t, 2)
+      assert(v2.entries.flatMap(_.dv).map(_.cardinality).sum == 300)
+      val withBloom = v2.entries.filter(_.bloom.isDefined)
+      assert(withBloom.nonEmpty)
+      assert(withBloom.exists(_.mayContainValue("title", "doc-1")))
+      assert(withBloom.forall(!_.mayContainValue("title", "no-such-doc")))
+
+      // OPTIMIZE re-serializes blobs under the compacted names;
+      // RESTORE re-serializes the old snapshot's into a new sidecar
+      GraftVersions.compact(spark, t, targetFiles = 1) // v3
+      assert(GraftVersions.latest(t).get.entries.forall(_.bloom.isDefined))
+      GraftVersions.restore(t, 2) // v4
+      val restored = GraftVersions.latest(t).get
+      assert(restored.entries.flatMap(_.dv).map(_.cardinality).sum == 300)
+
+      // vacuum: expired manifests take their sidecars with them,
+      // retained snapshots keep working
+      GraftVersions.vacuum(t, keepLast = 2) // keeps v3, v4
+      assert(!Files.exists(vdir.resolve("v00002.sidecar")))
+      assert(!Files.exists(vdir.resolve("v00002.manifest")))
+      val live = spark.table(s"$cat.t").count()
+      assert(live == 300, s"post-vacuum live rows: $live")
+      assert(GraftVersions.latest(t).get.entries
+        .exists(_.bloom.exists(_.mightContain(
+          graft.sources.GraftBloom.key("title", "doc-1")))))
+    } finally dropCatalog(cat, wh)
+  }
+
   test("change data feed: row-exact images for MOR commits, loud " +
       "rejection for file-granular COW rewrites, evolved columns ride") {
     val (cat, wh) = freshCatalog("cdf")
