@@ -659,7 +659,9 @@ case class GraftManifestAggPartition(values: Seq[Any]) extends InputPartition
   * (`part-NNNNN[-b<k>]-<hex>.tsv`) so replacement files can land next
   * to retained ones without colliding. */
 object GraftFiles {
-  val partFileRegex = "part-\\d+(-b\\d+)?(-[0-9a-f]+)?\\.tsv"
+  // plain | bucketed (-b<k>) | z-fanned (-z<id>, compaction staging) |
+  // write-id-suffixed (row-level rewrites, versioned commits)
+  val partFileRegex = "part-\\d+(-b\\d+)?(-z\\d+)?(-[0-9a-f]+)?\\.tsv"
 }
 
 class GraftFilesScan(path: String, required: StructType,
@@ -1285,7 +1287,9 @@ class GraftDocsWriteBuilder(path: String, info: LogicalWriteInfo)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftDocsBatchWrite(path, info.queryId(), info.schema(), doTruncate,
-        opName = if (doTruncate) "overwrite" else "append")
+        opName = if (doTruncate) "overwrite" else "append",
+        zfan = Option(info.options.get("zorderFanout"))
+          .map(GraftVersions.GraftZOrderFan.parse))
     override def toStreaming: StreamingWrite = {
       if (!GraftVersions.isVersioned(Paths.get(path)))
         throw new UnsupportedOperationException(
@@ -1419,7 +1423,11 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
     // snapshot the planning scan resolved (row-level rewrites):
     // the commit's optimistic-concurrency readVersion; () => None for
     // plain appends/overwrites, which carry no stale-content risk
-    readVersion: () => Option[Long] = () => None) extends BatchWrite {
+    readVersion: () => Option[Long] = () => None,
+    // Z-ORDER compaction fan: split each task's rows into per-file-id
+    // staged files by the shared file-assignment function (the write
+    // option the compact rewrite sets — see GraftVersions.compact)
+    zfan: Option[GraftVersions.GraftZOrderFan] = None) extends BatchWrite {
   private def root = Paths.get(path)
   private def staging = root.resolve("_staging").resolve(queryId)
   private def versioned = GraftVersions.isVersioned(root)
@@ -1442,7 +1450,7 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
       .map(writeSchema.fieldIndex)
     new GraftDocsWriterFactory(staging.toString, idx, effSuffix,
       GraftWriteGuards.forTable(root, writeSchema),
-      GraftSchemas.writerAdded(root, writeSchema))
+      GraftSchemas.writerAdded(root, writeSchema), zfan)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1584,6 +1592,12 @@ object GraftWriteGuards {
 case class GraftBucketedCommitMessage(
     parts: Seq[(Int, GraftDocsCommitMessage)]) extends WriterCommitMessage
 
+/** One staged file per Z file id of a Z-ORDER compaction task — like
+  * the bucketed fan, but the ids are layout-free (no manifest bucket
+  * tag: Z files are a clustering, not a join layout). */
+case class GraftFanCommitMessage(
+    parts: Seq[GraftDocsCommitMessage]) extends WriterCommitMessage
+
 /** Driver-side landing shared by every commit path (batch, streaming,
   * delta): move a task's staged files into the table root and build
   * their manifest entries (bucket ids from nested bucketed messages). */
@@ -1598,6 +1612,8 @@ object GraftDocsCommits {
       parts.flatMap { case (b, msg) =>
         land(staging, root, msg).map(_.copy(bucket = Some(b)))
       }
+    case GraftFanCommitMessage(parts) =>
+      parts.flatMap(land(staging, root, _))
     case other => throw new IllegalStateException(
       s"unexpected commit message: $other")
   }
@@ -1610,10 +1626,44 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
     // schema, or -1 when the writer must NULL-fill). EVERY added column
     // is written for every row — TSV positions are registry positions,
     // so the cells must line up even when a query supplies only some
-    added: Seq[(String, String, Int)] = Nil)
+    added: Seq[(String, String, Int)] = Nil,
+    // Z-ORDER fan: split this task's rows into one staged file per
+    // Z file id (the exchange co-located each id here; recomputing the
+    // shared function row-side keeps every file quadrant-pure)
+    zfan: Option[GraftVersions.GraftZOrderFan] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     guards.bucketN match {
+      case None if zfan.isDefined => new DataWriter[InternalRow] {
+        private val fan = zfan.get
+        private val getters: Array[InternalRow => Long] =
+          fan.cols.map { case (c, _, _) =>
+            c match {
+              case "doc_id" => (r: InternalRow) => r.getLong(idx(0))
+              case "fp" => (r: InternalRow) => r.getLong(idx(2))
+              case "n_words" => (r: InternalRow) => r.getInt(idx(3)).toLong
+              case other => throw new IllegalArgumentException(
+                "Z-order clustering supports the numeric base columns " +
+                  s"(doc_id, fp, n_words); got '$other'")
+            }
+          }.toArray
+        private val vals = new Array[Long](fan.k)
+        private val inner =
+          scala.collection.mutable.Map.empty[Int, DataWriter[InternalRow]]
+        override def write(row: InternalRow): Unit = {
+          var j = 0
+          while (j < fan.k) { vals(j) = getters(j)(row); j += 1 }
+          val fid = fan.fileId(vals)
+          inner.getOrElseUpdate(fid,
+            fileWriter(partitionId, taskId, s"-z$fid")).write(row)
+        }
+        override def commit(): WriterCommitMessage =
+          GraftFanCommitMessage(inner.toSeq.sortBy(_._1).map {
+            case (_, w) => w.commit().asInstanceOf[GraftDocsCommitMessage]
+          })
+        override def abort(): Unit = inner.values.foreach(_.abort())
+        override def close(): Unit = inner.values.foreach(_.close())
+      }
       case None => fileWriter(partitionId, taskId, "")
       case Some(n) => new DataWriter[InternalRow] {
         private val inner =

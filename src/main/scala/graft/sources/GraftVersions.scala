@@ -557,10 +557,11 @@ object GraftVersions {
       throw new IllegalStateException(s"compact on empty version log: $root"))
     val df = spark.read.format("graft.sources.GraftDocsSource")
       .option("path", root.toString).load()
-    val live = clusterBy match {
-      case Nil => df.coalesce(n)
+    val (live, writeOpts): (org.apache.spark.sql.DataFrame,
+        Map[String, String]) = clusterBy match {
+      case Nil => (df.coalesce(n), Map.empty)
       case Seq(c) =>
-        df.repartitionByRange(n, col(c)).sortWithinPartitions(c)
+        (df.repartitionByRange(n, col(c)).sortWithinPartitions(c), Map.empty)
       case cols =>
         // global per-column bounds for the 16-bit scaling, from the live
         // manifest's file stats when every file carries them (a driver-
@@ -585,35 +586,28 @@ object GraftVersions {
         val z = zOrderValue(cols.map(c =>
           (col(c), bounds(c)._1, bounds(c)._2)))
         // Assign output files by the top ceil(log2 n) bits of the
-        // Z-value through an IDENTITY partitioner: file boundaries sit
-        // exactly on Z-quadrant corners, so every file's stats box is
-        // one tight hyper-rectangle. A repartitionByRange on z would
-        // cut wherever range-exchange SAMPLING landed — smearing a few
-        // rows of one quadrant into the next file widens that file's
-        // box to the union of both quadrants and can erase the
-        // skipping on one whole axis (observed, not hypothetical).
-        // The explicit RDD partitionBy is deliberate: Spark's public
-        // Dataset API offers hash and sampled-range exchanges only;
-        // bin = partition needs a custom partitioner. One shuffle
-        // either way.
-        val bits = (64 - java.lang.Long.numberOfLeadingZeros(
-          math.max(n - 1, 1).toLong)).toInt
-        val zbin = shiftright(z, math.max(16 * cols.length - bits, 0))
-        val withBin = df.withColumn("_zbin", zbin.cast("long"))
-          .withColumn("_z", z)
-        val schema = withBin.schema
-        val binDomain = bits
-        val parted = withBin.rdd
-          .map(r => (r.getAs[Long]("_zbin"), r))
-          .partitionBy(new org.apache.spark.Partitioner {
-            override def numPartitions: Int = n
-            override def getPartition(key: Any): Int =
-              ((key.asInstanceOf[Long] * n) >> binDomain).toInt
-          })
-          .map(_._2)
-        spark.createDataFrame(parted, schema)
-          .sortWithinPartitions("_z")
-          .drop("_zbin", "_z")
+        // Z-value: file boundaries sit exactly on Z-quadrant corners,
+        // so every file's stats box is one tight hyper-rectangle. A
+        // repartitionByRange on z would cut wherever range-exchange
+        // SAMPLING landed — smearing a few rows of one quadrant into
+        // the next file widens that file's box to the union of both
+        // quadrants and can erase the skipping on one whole axis
+        // (observed, not hypothetical). The exchange is therefore a
+        // plain HASH repartition on the (deterministic) file id — it
+        // only has to CO-LOCATE each file id in one task, not order
+        // the tasks — and the DSv2 writer splits its task by the same
+        // file-id function ([[GraftZOrderFan]], recomputed row-side
+        // with identical integer arithmetic), so bin = file without
+        // leaving the DataFrame/DSv2 write path. One shuffle, as
+        // before; rows sort by z within the task, and since the file
+        // id is the z-value's high bits, every file receives its rows
+        // as one contiguous sorted run.
+        val fan = GraftZOrderFan(
+          cols.map(c => (c, bounds(c)._1, bounds(c)._2)), n)
+        val fileId =
+          shiftright(shiftright(z, fan.shift) * n, fan.bits).cast("long")
+        (df.repartition(n, fileId).sortWithinPartitions(z),
+          Map("zorderFanout" -> fan.encode))
     }
     val tmp = Files.createTempDirectory(root, "_compact")
     try {
@@ -624,7 +618,8 @@ object GraftVersions {
       enable(tmp)
       GraftTableMeta.write(tmp, GraftTableMeta.read(root))
       live.write.format("graft.sources.GraftDocsSource")
-        .option("path", tmp.toString).mode("append").save()
+        .option("path", tmp.toString).options(writeOpts)
+        .mode("append").save()
       val staged = latest(tmp).map(_.entries).getOrElse(Nil)
       // land beside the originals under collision-free names
       val tag = java.util.UUID.randomUUID.toString.replace("-", "")
@@ -651,6 +646,70 @@ object GraftVersions {
     } finally {
       try org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** The Z-ORDER file-assignment function, shared by the exchange and
+    * the DSv2 writer: the compact rewrite hash-repartitions on
+    * `fileId` (co-locating each output file's rows in one task) and
+    * the writer splits its task into per-file-id staged files by
+    * recomputing the SAME function row-side — quadrant-pure files
+    * without leaving the DataFrame/DSv2 write path. The row-side
+    * arithmetic here mirrors [[zOrderValue]]'s Catalyst expression
+    * operation for operation (same clamps, same constant-folded
+    * divisors, same interleave positions), so the two can never
+    * disagree on a row's file.
+    *
+    * Travels to the writer as a write option (`encode`/`parse`):
+    * `n;col:min:max,col:min:max,...`. */
+  final case class GraftZOrderFan(cols: Seq[(String, Long, Long)], n: Int)
+      extends Serializable {
+    val k: Int = cols.length
+    /** ceil(log2 n): the z-value's top `bits` bits index 2^bits
+      * quadrant bins; `(bin * n) >> bits` maps them onto the n output
+      * files with boundaries exactly on quadrant corners. */
+    val bits: Int = (64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(n - 1, 1).toLong)).toInt
+    val shift: Int = math.max(16 * k - bits, 0)
+
+    def zValue(vals: Array[Long]): Long = {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        val (_, mn, mx) = cols(j)
+        val span = math.max(mx - mn, 1L)
+        val base = math.max(math.min(vals(j), mx), mn) - mn
+        val scaled =
+          if (span < 65536L) base * (65535L / span)
+          else base / (span / 65536L + 1L)
+        var i = 0
+        while (i < 16) {
+          acc += ((scaled >> i) & 1L) << (i * k + (k - 1 - j))
+          i += 1
+        }
+        j += 1
+      }
+      acc
+    }
+    def fileId(vals: Array[Long]): Int =
+      (((zValue(vals) >> shift) * n) >> bits).toInt
+
+    def encode: String =
+      s"$n;" + cols.map { case (c, mn, mx) => s"$c:$mn:$mx" }.mkString(",")
+  }
+  object GraftZOrderFan {
+    def parse(s: String): GraftZOrderFan = {
+      val i = s.indexOf(';')
+      require(i > 0, s"malformed zorderFanout spec '$s'")
+      val cols = s.substring(i + 1).split(",").toSeq.map { tok =>
+        tok.split(":") match {
+          case Array(c, mn, mx) => (c, mn.toLong, mx.toLong)
+          case _ =>
+            throw new IllegalArgumentException(
+              s"malformed zorderFanout column '$tok'")
+        }
+      }
+      GraftZOrderFan(cols, s.substring(0, i).toInt)
     }
   }
 
