@@ -4,18 +4,26 @@ import java.nio.file.Files
 
 import graft.sources.{GraftBucketFunction, GraftVersions}
 
-/** Round-14 wave 1: the advisor's change-feed and catalog findings.
+/** Round-14 specs, across the round's waves:
   *
-  *  - the feed's commit taxonomy: rewrite/update commits (adds AND
-  *    removes rows) demand `ignoreChanges` even when `ignoreDeletes`
-  *    is set; removal-only commits (file-dropping deletes) are
-  *    skippable with `ignoreDeletes` alone — Delta's contract on both
-  *    edges;
-  *  - `bucket()` uses floored mod so the V2 function agrees with the
-  *    writer's fan-out for NEGATIVE ids;
-  *  - table-property hygiene: unknown keys get a property error naming
-  *    the persistable keys, and row-level mode values are validated at
-  *    CREATE and ALTER.
+  *  - the advisor's findings: the feed's commit taxonomy
+  *    (rewrite/update commits — adds AND removes rows — demand
+  *    `ignoreChanges` even when `ignoreDeletes` is set; removal-only
+  *    delete commits skip under `ignoreDeletes` alone — Delta's
+  *    contract on both edges); `bucket()` floored mod so the V2
+  *    function agrees with the writer for NEGATIVE ids; property
+  *    hygiene (unknown keys error with the persistable-key list,
+  *    row-level mode values validated at CREATE and ALTER);
+  *  - ADD COLUMN schema evolution: NULL backfill without rewrites,
+  *    typed round-trips, pre-evolution time travel, append-only
+  *    rejections, and composition with COW/MOR/OPTIMIZE/the feed;
+  *  - the Change Data Feed: row-exact MOR images, COW rejection,
+  *    batch-read guard;
+  *  - optimistic concurrency: disjoint racers land, overlapping
+  *    scopes and stale overwrites fail with ConcurrentCommitException,
+  *    MOR deletes merge commutatively while MOR updates conflict;
+  *  - sidecar blobs: bounded manifest lines, @offset:length refs,
+  *    round-trips through OPTIMIZE/RESTORE/vacuum.
   */
 class Round14Spec extends SparkSpec {
 
