@@ -291,10 +291,106 @@ object Round14 {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q241: column RENAME/DROP by field id, audited through time travel
+  // ---------------------------------------------------------------------
+
+  /** The full column-mutation lifecycle as one verified query —
+    * Delta's column-mapping capability on the evolved tail, where a
+    * column's PERMANENT registry index (its field id, hence its TSV
+    * position) carries identity and the display name is metadata
+    * layered on top:
+    *
+    *  v0 enable, v1 append [0,12) (base schema), v2/v3 `ADD COLUMNS
+    *  (score BIGINT, lang STRING)`, v4 append [12,18) with both, v5
+    *  `RENAME COLUMN score TO quality` (metadata-only commit — no file
+    *  touched, old manifests stay valid), v6 append [18,24) under the
+    *  new name, v7 `DROP COLUMN lang` (the slot stays, the column goes
+    *  invisible), v8 `ADD COLUMNS (lang BIGINT)` — the SAME name
+    *  reused at a NEW position with a NEW type, the sharp edge that
+    *  proves addressing is by field id, not name — v9 append [24,27).
+    *
+    * One audit row per phase, each aggregated from an actual read:
+    * `VERSION AS OF 4` presents the pre-rename name and the STRING
+    * lang; `VERSION AS OF 6` the renamed column with values from both
+    * sides of the rename; `VERSION AS OF 7` the 5-column post-drop
+    * shape; the live read the reused name as BIGINT, with the dropped
+    * string column's cells unreachable. Scale shape: every mutation is
+    * one property write + one manifest line regardless of table size,
+    * and every phase read is a manifest-scoped scan + one
+    * map-side-combined aggregate. */
+  val q241SchemaMutation: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q241")
+    try {
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "12").load()
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (score BIGINT, lang STRING)")
+      def insert(lo: Int, hi: Int, q: org.apache.spark.sql.Column,
+          lang: org.apache.spark.sql.Column, qName: String): Unit = {
+        spark.read.format("graft.sources.GraftDocsSource")
+          .option("rows", hi.toString).load()
+          .filter(col("doc_id") >= lo)
+          .withColumn(qName, q).withColumn("lang", lang)
+          .createOrReplaceTempView(s"${cat}_ins")
+        spark.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_ins")
+        spark.catalog.dropTempView(s"${cat}_ins")
+      }
+      insert(12, 18, col("doc_id") * 2,
+        when(col("doc_id") % 2 === 0, "en").otherwise("fi"), "score")
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN score TO quality")
+      insert(18, 24, col("doc_id") * 5, lit("sv"), "quality")
+      spark.sql(s"ALTER TABLE $cat.t DROP COLUMN lang")
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (lang BIGINT)")
+      insert(24, 27, col("doc_id") * 7, col("doc_id"), "quality")
+
+      def snap(phase: String, df: DataFrame): DataFrame = {
+        val kinds = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        val qCol = Seq("score", "quality").find(kinds.contains)
+        val langKind = kinds.get("lang") match {
+          case Some(org.apache.spark.sql.types.StringType) => "str"
+          case Some(_) => "int"
+          case None => "absent"
+        }
+        df.agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          qCol.map(c => coalesce(sum(c), lit(0L)))
+            .getOrElse(lit(-1L)).cast("long").as("sum_q"),
+          (if (langKind == "str") countDistinct("lang") else lit(-1L))
+            .cast("long").as("lang_distinct"),
+          (if (langKind == "int") coalesce(sum("lang"), lit(0L))
+           else lit(-1L)).cast("long").as("lang_sum"))
+          .select(lit(phase).as("phase"),
+            lit(df.columns.length.toLong).as("n_cols"),
+            lit(qCol.getOrElse("absent")).as("q_name"),
+            lit(langKind).as("lang_kind"),
+            col("n_rows"), col("sum_q"), col("lang_distinct"),
+            col("lang_sum"))
+      }
+
+      val audit =
+        snap("a_pre_rename",
+          spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 4"))
+          .unionByName(snap("b_post_rename",
+            spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 6")))
+          .unionByName(snap("c_post_drop",
+            spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 7")))
+          .unionByName(snap("d_live", spark.table(s"$cat.t")))
+          .orderBy("phase")
+      // sanity: every mutation is its own metadata-only commit
+      val ops = GraftVersions.listVersions(wh.resolve("t")).map(_.op)
+      require(ops == Seq("enable", "append", "add-column", "add-column",
+        "append", "rename-column", "append", "drop-column", "add-column",
+        "append"), s"unexpected version log: $ops")
+      OpsUtil.driverLiteral(audit)
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
     "q238_schema_evolution" -> q238SchemaEvolution,
     "q239_decision_tree" -> q239DecisionTree,
-    "q240_change_feed_images" -> q240ChangeFeedImages)
+    "q240_change_feed_images" -> q240ChangeFeedImages,
+    "q241_schema_mutation" -> q241SchemaMutation)
 
   val oracle: Map[String, String] = Map(
     "q238_schema_evolution" ->
@@ -448,5 +544,27 @@ object Round14 {
         |  CAST(n_rows AS BIGINT) AS n_rows,
         |  CAST(sum_words AS BIGINT) AS sum_words,
         |  CAST(sum_doc_id AS BIGINT) AS sum_doc_id
-        |FROM v ORDER BY phase, commit_version, change_type""".stripMargin)
+        |FROM v ORDER BY phase, commit_version, change_type""".stripMargin,
+    "q241_schema_mutation" ->
+      """WITH s1 AS (SELECT SUM(i * 2) AS v FROM range(12, 18) t(i)),
+        |s2 AS (SELECT SUM(i * 5) AS v FROM range(18, 24) t(i)),
+        |s3 AS (SELECT SUM(i * 7) AS v FROM range(24, 27) t(i)),
+        |ls AS (SELECT SUM(i) AS v FROM range(24, 27) t(i)),
+        |v(phase, n_cols, q_name, lang_kind, n_rows, sum_q,
+        |  lang_distinct, lang_sum) AS (VALUES
+        |  ('a_pre_rename', 6, 'score', 'str', 18,
+        |    (SELECT v FROM s1), 2, -1),
+        |  ('b_post_rename', 6, 'quality', 'str', 24,
+        |    (SELECT s1.v + s2.v FROM s1, s2), 3, -1),
+        |  ('c_post_drop', 5, 'quality', 'absent', 24,
+        |    (SELECT s1.v + s2.v FROM s1, s2), -1, -1),
+        |  ('d_live', 6, 'quality', 'int', 27,
+        |    (SELECT s1.v + s2.v + s3.v FROM s1, s2, s3), -1,
+        |    (SELECT v FROM ls)))
+        |SELECT phase, CAST(n_cols AS BIGINT) AS n_cols, q_name,
+        |  lang_kind, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(sum_q AS BIGINT) AS sum_q,
+        |  CAST(lang_distinct AS BIGINT) AS lang_distinct,
+        |  CAST(lang_sum AS BIGINT) AS lang_sum
+        |FROM v ORDER BY phase""".stripMargin)
 }

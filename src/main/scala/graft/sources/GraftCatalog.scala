@@ -286,6 +286,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             s"ADD COLUMN supports top-level columns only; got " +
               a.fieldNames().mkString("."))
           val colName = a.fieldNames().head
+          require(colName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"added column name '$colName' must be a plain identifier " +
+              "(the registry encoding reserves ':' and ',')")
           val tpe = a.dataType() match {
             case org.apache.spark.sql.types.LongType => "long"
             case org.apache.spark.sql.types.IntegerType => "int"
@@ -299,7 +302,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
               s"added column '$colName' must be nullable: rows written " +
                 "before the evolution are NULL-backfilled")
           val taken = GraftSchemas.tableSchema(dir).fieldNames.toSet
-          if (taken(colName) || Set("_file", "_pos")(colName))
+          if (taken(colName) ||
+              Set("_file", "_pos", "_change_type", "_commit_version")(colName))
             throw new IllegalArgumentException(
               s"column '$colName' already exists on ${ident.name()}")
           val since =
@@ -313,12 +317,51 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           // re-read: appendAddedColumn persisted directly; keep the
           // fold's accumulator in sync for any subsequent change
           GraftTableMeta.read(dir)
-        case _: DeleteColumn | _: RenameColumn | _: UpdateColumnType |
-            _: UpdateColumnNullability | _: UpdateColumnPosition =>
+        case r: RenameColumn =>
+          // RENAME is metadata-only on an EVOLVED column: the column's
+          // registry index (its field id, hence its TSV position) is
+          // permanent — only the display name layered on top changes,
+          // so no file is touched and old manifests stay valid. Time
+          // travel below the rename commit presents the old name.
+          val idx = GraftCatalog.resolveEvolved(dir, ident.name(),
+            r.fieldNames(), "RENAME")
+          val newName = r.newName()
+          require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"renamed column name '$newName' must be a plain " +
+              "identifier (the registry encoding reserves ':' and ',')")
+          val taken = GraftSchemas.tableSchema(dir).fieldNames.toSet
+          if (taken(newName) ||
+              Set("_file", "_pos", "_change_type", "_commit_version")(newName))
+            throw new IllegalArgumentException(
+              s"column '$newName' already exists on ${ident.name()}")
+          GraftCatalog.rejectConstraintReference(dir,
+            r.fieldNames().head, "RENAME")
+          GraftTableMeta.appendMutation(dir, GraftSchemas.ColumnMutation(
+            "rename", idx, newName,
+            GraftCatalog.mutationCommit(dir, "rename-column")))
+          GraftTableMeta.read(dir)
+        case d: DeleteColumn =>
+          // DROP is metadata-only on an EVOLVED column: the registry
+          // slot stays (positions of later columns never move), the
+          // column just becomes invisible — live reads exclude it,
+          // writers NULL its cell, and time travel below the drop
+          // commit still presents it with its data intact. Its name
+          // returns to the pool (a later ADD COLUMN may reuse it at a
+          // NEW position).
+          val idx = GraftCatalog.resolveEvolved(dir, ident.name(),
+            d.fieldNames(), "DROP")
+          GraftCatalog.rejectConstraintReference(dir,
+            d.fieldNames().head, "DROP")
+          GraftTableMeta.appendMutation(dir, GraftSchemas.ColumnMutation(
+            "drop", idx, "",
+            GraftCatalog.mutationCommit(dir, "drop-column")))
+          GraftTableMeta.read(dir)
+        case _: UpdateColumnType | _: UpdateColumnNullability |
+            _: UpdateColumnPosition =>
           throw new UnsupportedOperationException(
-            "graft_docs schema evolution is append-only: ADD COLUMN " +
-              "(nullable bigint/int/string) is supported; drops, " +
-              "renames, type and nullability changes, and reordering " +
+            "graft_docs schema evolution supports ADD COLUMN (nullable " +
+              "bigint/int/string) plus RENAME/DROP of those evolved " +
+              "columns; type and nullability changes and reordering " +
               "are rejected — files written under the old schema would " +
               "be reinterpreted wrongly")
         case s: SetProperty =>
@@ -419,6 +462,65 @@ object GraftCatalog {
         s"cannot add CHECK constraint '$name' ($sqlText): $violations " +
           s"existing row(s) violate it")
   }
+
+  /** Resolve a RENAME/DROP target to its permanent registry index.
+    * Only EVOLVED columns mutate: the four base columns are the
+    * table's physical identity (the TSV codec, the row-id scheme, the
+    * stats and bloom machinery all address them by name — Delta
+    * without column mapping makes the same cut), and metadata columns
+    * are reserved. */
+  private[sources] def resolveEvolved(dir: java.nio.file.Path,
+      table: String, fieldNames: Array[String], verb: String): Int = {
+    require(fieldNames.length == 1,
+      s"$verb COLUMN supports top-level columns only; got " +
+        fieldNames.mkString("."))
+    val name = fieldNames.head
+    if (GraftDocsSourceSchema.base.fieldNames.contains(name))
+      throw new UnsupportedOperationException(
+        s"cannot $verb base column '$name' of $table: the base schema " +
+          "(doc_id, title, fp, n_words) is the table's physical " +
+          "identity; only columns added by ALTER TABLE ADD COLUMN " +
+          "can be renamed or dropped")
+    GraftSchemas.visibleAdded(dir, None).find(_.name == name) match {
+      case Some(c) => c.idx
+      case None => throw new IllegalArgumentException(
+        s"cannot $verb column '$name' of $table: no such evolved " +
+          "column (live evolved columns: " +
+          GraftSchemas.visibleAdded(dir, None).map(_.name)
+            .mkString(", ") + ")")
+    }
+  }
+
+  /** Refuse to mutate a column a CHECK constraint references: the
+    * constraint text would no longer resolve at the next write,
+    * breaking the table loudly but too late. Word-boundary match over
+    * the stored expressions — conservative (a false positive costs
+    * re-stating the constraint first, never a broken table). */
+  private[sources] def rejectConstraintReference(dir: java.nio.file.Path,
+      name: String, verb: String): Unit = {
+    val hits = GraftTableMeta.checkConstraints(dir).collect {
+      case (cName, sqlText)
+          if ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+            .findFirstIn(sqlText).isDefined => cName
+    }
+    if (hits.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot $verb column '$name': CHECK constraint(s) " +
+          s"${hits.mkString(", ")} reference it — drop or restate the " +
+          "constraint(s) first")
+  }
+
+  /** A rename/drop on a versioned table is its own metadata-only
+    * commit (dataChange=false — nothing for the change feed), whose
+    * version stamps the mutation's `since` so time travel below it
+    * replays the pre-mutation shape. Unversioned tables mutate in
+    * place (since=0). */
+  private[sources] def mutationCommit(dir: java.nio.file.Path,
+      op: String): Long =
+    if (GraftVersions.isVersioned(dir))
+      GraftVersions.advance(dir, op, removed = Some(Set.empty),
+        added = Nil, dataChange = false).version
+    else 0L
 }
 
 /** The `history` metadata table of a versioned warehouse table — the

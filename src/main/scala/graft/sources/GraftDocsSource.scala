@@ -890,7 +890,7 @@ class GraftFilesScan(path: String, required: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftFilesReaderFactory(required.fieldNames,
-      GraftSchemas.readerAdded(Paths.get(path)))
+      GraftSchemas.readerAdded(Paths.get(path), versionPin))
 
   /** Streaming personality of a VERSIONED warehouse table: the commit
     * log is the offset axis — see [[GraftVersionFeed]]. */
@@ -1172,14 +1172,15 @@ case class GraftBucketFilesPartition(bucket: Int,
 }
 
 class GraftFilesReaderFactory(cols: Array[String],
-    // schema-evolution tail in registry order: (name, type); the TSV
-    // position of entry i is 4 + i regardless of which columns the
-    // query reads — visibility prunes, position math never moves
-    added: Seq[(String, String)] = Nil)
+    // schema-evolution tail, already resolved to the scan's version
+    // pin: (display name, type, TSV position). Positions come from the
+    // permanent registry index — visibility and renames prune and
+    // relabel, position math never moves
+    added: Seq[(String, String, Int)] = Nil)
     extends PartitionReaderFactory {
-  // name -> (tsv position, type) for the evolved columns
+  // display name -> (tsv position, type) for the evolved columns
   private val addedAt: Map[String, (Int, String)] =
-    added.zipWithIndex.map { case ((n, t), i) => n -> (4 + i, t) }.toMap
+    added.map { case (n, t, at) => n -> (at, t) }.toMap
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val files: Seq[(String, Array[Long])] = p match {
       case fp: GraftFilePartition => Seq((fp.file, fp.dvPositions))

@@ -122,6 +122,35 @@ object GraftTableMeta {
     val joined = cur.get("schema.added").map(_ + "," + tok).getOrElse(tok)
     write(root, cur + ("schema.added" -> joined))
   }
+
+  /** Column-mutation registry: `schema.mutations = kind:idx:arg:since,
+    * ...` — the append-only log of RENAME/DROP operations on EVOLVED
+    * columns, each addressed by its permanent `schema.added` index
+    * (the column's field id — the TSV position never moves, only the
+    * name and visibility layered on top of it do). A rename's `arg` is
+    * the new display name; a drop's is empty. Time travel replays the
+    * log only up to the pinned version, so a `VERSION AS OF` below a
+    * rename presents the old name and below a drop still presents the
+    * column. Managed exclusively by the catalog's
+    * RenameColumn/DeleteColumn paths (the key is not ALTER-settable). */
+  def mutations(root: Path): Seq[GraftSchemas.ColumnMutation] =
+    read(root).get("schema.mutations").toSeq.flatMap(_.split(","))
+      .filter(_.nonEmpty).map { tok =>
+        tok.split(":", -1) match {
+          case Array(k, i, a, s) =>
+            GraftSchemas.ColumnMutation(k, i.toInt, a, s.toLong)
+          case _ => throw new IllegalStateException(
+            s"malformed schema.mutations token '$tok' at $root")
+        }
+      }
+
+  def appendMutation(root: Path, m: GraftSchemas.ColumnMutation): Unit = {
+    val cur = read(root)
+    val tok = s"${m.kind}:${m.idx}:${m.arg}:${m.since}"
+    val joined =
+      cur.get("schema.mutations").map(_ + "," + tok).getOrElse(tok)
+    write(root, cur + ("schema.mutations" -> joined))
+  }
 }
 
 /** The evolved-schema view of a warehouse table: fixed base columns
@@ -147,33 +176,69 @@ object GraftSchemas {
     def field: StructField = StructField(name, dataType, nullable = true)
   }
 
-  /** Added columns visible at `versionPin` (None = live shape). The
-    * FULL list keeps its indices — position math must never depend on
-    * the pin, only visibility does. */
-  def visibleAdded(root: Path, versionPin: Option[Long]): Seq[AddedColumn] =
-    GraftTableMeta.addedColumns(root)
-      .filter(c => versionPin.forall(_ >= c.since))
+  /** One RENAME or DROP of an evolved column, addressed by its
+    * permanent `schema.added` index (`idx` — the field id). */
+  final case class ColumnMutation(kind: String, idx: Int, arg: String,
+      since: Long)
+
+  /** The effective view of one `schema.added` entry at a version pin:
+    * its CURRENT display name (latest rename at or below the pin, else
+    * the ADD-time name), its permanent index, and whether it is
+    * visible (added at or below the pin and not yet dropped). The full
+    * registry keeps its indices — position math never depends on the
+    * pin, only names and visibility do. */
+  final case class EffectiveColumn(name: String, tpe: String, idx: Int,
+      visible: Boolean) {
+    def tsvPos: Int = 4 + idx
+    def field: StructField = AddedColumn(name, tpe, 0L).field
+  }
+
+  def effectiveAdded(root: Path,
+      versionPin: Option[Long] = None): Seq[EffectiveColumn] = {
+    val muts = GraftTableMeta.mutations(root)
+      .filter(m => versionPin.forall(_ >= m.since))
+    GraftTableMeta.addedColumns(root).zipWithIndex.map { case (c, i) =>
+      val mine = muts.filter(_.idx == i)
+      EffectiveColumn(
+        mine.filter(_.kind == "rename").lastOption.map(_.arg)
+          .getOrElse(c.name),
+        c.tpe, i,
+        visible = versionPin.forall(_ >= c.since) &&
+          !mine.exists(_.kind == "drop"))
+    }
+  }
+
+  /** Added columns visible at `versionPin` (None = live shape), under
+    * their pin-current display names. */
+  def visibleAdded(root: Path,
+      versionPin: Option[Long]): Seq[EffectiveColumn] =
+    effectiveAdded(root, versionPin).filter(_.visible)
 
   def tableSchema(root: Path, versionPin: Option[Long] = None): StructType =
     StructType(GraftDocsSourceSchema.base.fields.toSeq ++
       visibleAdded(root, versionPin).map(_.field))
 
-  /** Writer-side plan for the added tail: every added column is ALWAYS
-    * written (in registry order, so TSV positions stay stable); a
-    * column absent from the incoming write schema writes NULL. */
+  /** Writer-side plan for the added tail: every registry position is
+    * ALWAYS written (in registry order, so TSV positions stay stable —
+    * a DROPPED column keeps its slot and writes NULL forever); a live
+    * column is matched to the incoming write schema by its CURRENT
+    * display name, and one absent from the write schema writes NULL. */
   def writerAdded(root: Path,
       writeSchema: StructType): Seq[(String, String, Int)] =
-    GraftTableMeta.addedColumns(root).map { c =>
+    effectiveAdded(root).map { c =>
       (c.name, c.tpe,
-        if (writeSchema.fieldNames.contains(c.name))
+        if (c.visible && writeSchema.fieldNames.contains(c.name))
           writeSchema.fieldIndex(c.name)
         else -1)
     }
 
-  /** Reader-side plan: (name, type) in registry order; TSV position of
-    * entry i is 4 + i. */
-  def readerAdded(root: Path): Seq[(String, String)] =
-    GraftTableMeta.addedColumns(root).map(c => (c.name, c.tpe))
+  /** Reader-side plan at a version pin: (display name, type, TSV
+    * position) for each VISIBLE evolved column — a dropped column's
+    * name resolves to nothing (its cells are unreachable), a renamed
+    * column resolves under the pin-current name. */
+  def readerAdded(root: Path,
+      versionPin: Option[Long] = None): Seq[(String, String, Int)] =
+    visibleAdded(root, versionPin).map(c => (c.name, c.tpe, c.tsvPos))
 }
 
 /** Base schema indirection so this file stays import-light: the

@@ -197,8 +197,9 @@ class Round14Spec extends SparkSpec {
       assert(mid.columns.toSeq ==
         Seq("doc_id", "title", "fp", "n_words", "score"), mid.columns.toSeq)
 
-      // rejected evolutions: type change, rename, drop, non-nullable,
-      // duplicate, unsupported type
+      // rejected evolutions: type change, base-column mutation,
+      // non-nullable, duplicate, unsupported type (RENAME/DROP of
+      // EVOLVED columns are legal — covered by their own test)
       def rejects(sql: String, needle: String): Unit = {
         val e = intercept[Exception] { spark.sql(sql) }
         def causes(t: Throwable) =
@@ -208,10 +209,10 @@ class Round14Spec extends SparkSpec {
           s"$sql → ${causes(e).mkString(" | ")}")
       }
       rejects(s"ALTER TABLE $cat.t ALTER COLUMN n_words TYPE BIGINT",
-        "append-only")
-      rejects(s"ALTER TABLE $cat.t RENAME COLUMN score TO points",
-        "append-only")
-      rejects(s"ALTER TABLE $cat.t DROP COLUMN score", "append-only")
+        "reinterpreted wrongly")
+      rejects(s"ALTER TABLE $cat.t RENAME COLUMN title TO heading",
+        "physical identity")
+      rejects(s"ALTER TABLE $cat.t DROP COLUMN doc_id", "physical identity")
       rejects(s"ALTER TABLE $cat.t ADD COLUMNS (bad DOUBLE)",
         "evolvable types")
       rejects(s"ALTER TABLE $cat.t ADD COLUMNS (score BIGINT)",
@@ -265,6 +266,109 @@ class Round14Spec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(sink.toFile)
       org.apache.commons.io.FileUtils.deleteDirectory(cp.toFile)
     }
+  }
+
+  test("RENAME/DROP by field id: names relabel, slots never move, " +
+      "time travel replays the pre-mutation shape") {
+    val (cat, wh) = freshCatalog("mut")
+    try {
+      import org.apache.spark.sql.functions._
+      docsRange(6).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true").create()              // v0, v1
+      spark.sql(
+        s"ALTER TABLE $cat.t ADD COLUMNS (score BIGINT, lang STRING)") // v2, v3
+      spark.sql(s"INSERT INTO $cat.t VALUES (100, 'x', 1, 5, 7, 'fi')") // v4
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN score TO quality")   // v5
+      // the renamed column answers under its new name, values intact;
+      // the old name is gone
+      val renamed = spark.table(s"$cat.t").filter(col("doc_id") === 100)
+        .select("quality", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(renamed.toSeq == Seq((7L, "fi")), renamed.toSeq.toString)
+      assert(!spark.table(s"$cat.t").columns.contains("score"))
+      // writes address the new name
+      spark.sql(s"INSERT INTO $cat.t VALUES (101, 'y', 2, 6, 8, 'sv')") // v6
+      // DROP hides the column; its registry slot stays occupied
+      spark.sql(s"ALTER TABLE $cat.t DROP COLUMN lang")                 // v7
+      assert(spark.table(s"$cat.t").columns.toSeq ==
+        Seq("doc_id", "title", "fp", "n_words", "quality"))
+      // name reuse at a NEW position with a NEW type — field-id
+      // addressing means the dropped string cells stay unreachable
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (lang BIGINT)")        // v8
+      spark.sql(s"INSERT INTO $cat.t VALUES (102, 'z', 3, 7, 9, 42)")   // v9
+      val live = spark.table(s"$cat.t").filter(col("doc_id") >= 100)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getAs[java.lang.Long]("quality"),
+          Option(r.getAs[java.lang.Long]("lang"))))
+      assert(live.toSeq == Seq(
+        (100L, java.lang.Long.valueOf(7L), None),
+        (101L, java.lang.Long.valueOf(8L), None),
+        (102L, java.lang.Long.valueOf(9L), Some(java.lang.Long.valueOf(42L)))),
+        live.toSeq.toString)
+      // ...and the drop rewrote NOTHING: the raw file bytes still hold
+      // the dropped cells (time travel depends on them)
+      val t = wh.resolve("t")
+      val partText = {
+        val s = Files.list(t)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.getFileName.toString
+            .startsWith("part-")).map(p =>
+            new String(Files.readAllBytes(p))).mkString
+        } finally s.close()
+      }
+      assert(partText.contains("\tfi"), "dropped cells must stay on disk")
+
+      // time travel: the pre-rename NAME at v4, the pre-drop STRING
+      // column at v6 — the mutation log replays only up to the pin
+      val v4 = spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 4")
+      assert(v4.columns.toSeq ==
+        Seq("doc_id", "title", "fp", "n_words", "score", "lang"),
+        v4.columns.toSeq.toString)
+      val v4row = v4.filter(col("doc_id") === 100)
+        .select("score", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(v4row.toSeq == Seq((7L, "fi")))
+      val v6 = spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 6")
+      assert(v6.columns.contains("quality") &&
+        v6.schema("lang").dataType ==
+          org.apache.spark.sql.types.StringType)
+      assert(v6.select(countDistinct("lang")).collect().head.getLong(0) == 2L)
+
+      // guards: taken names, base columns, registry-unsafe identifiers,
+      // and CHECK-constraint references all refuse loudly
+      def rejects(sql: String, needle: String): Unit = {
+        val e = intercept[Exception] { spark.sql(sql) }
+        def causes(th: Throwable) =
+          Iterator.iterate(th)(_.getCause).takeWhile(_ != null)
+            .map(_.getMessage).filter(_ != null).toSeq
+        assert(causes(e).exists(_.contains(needle)),
+          s"$sql → ${causes(e).mkString(" | ")}")
+      }
+      rejects(s"ALTER TABLE $cat.t RENAME COLUMN lang TO quality",
+        "already exists")
+      rejects(s"ALTER TABLE $cat.t RENAME COLUMN doc_id TO id",
+        "physical identity")
+      rejects(s"ALTER TABLE $cat.t RENAME COLUMN lang TO `a:b`",
+        "plain identifier")
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES " +
+        "('check.qpos'='quality IS NULL OR quality > 0')")
+      rejects(s"ALTER TABLE $cat.t RENAME COLUMN quality TO grade",
+        "CHECK constraint")
+      rejects(s"ALTER TABLE $cat.t DROP COLUMN quality",
+        "CHECK constraint")
+      spark.sql(s"ALTER TABLE $cat.t UNSET TBLPROPERTIES ('check.qpos')")
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN quality TO grade")
+      assert(spark.table(s"$cat.t").columns.contains("grade"))
+
+      // every mutation is its own metadata-only commit with the right
+      // label, and none of them is a data change
+      val vs = GraftVersions.listVersions(t)
+      assert(vs.map(_.op).count(_ == "rename-column") == 2)
+      assert(vs.map(_.op).count(_ == "drop-column") == 1)
+      assert(vs.filter(v => v.op == "rename-column" ||
+        v.op == "drop-column").forall(!_.dataChange))
+    } finally dropCatalog(cat, wh)
   }
 
   test("sidecar blobs: blooms and large DVs leave the manifest lines, " +
