@@ -386,11 +386,76 @@ object Round14 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q242: INT -> BIGINT type widening, audited through time travel
+  // ---------------------------------------------------------------------
+
+  /** Value-preserving type widening as one verified query — the third
+    * mutation kind on the field-id registry (Delta 3.x's type-widening
+    * table feature, scoped to the one change the TSV codec makes
+    * trivially safe: every cell an INT writer produced parses as
+    * BIGINT):
+    *
+    *  v0 enable, v1 append [0,8) (base), v2 `ADD COLUMNS (hits INT)`,
+    *  v3 append [8,12) with int values, v4 `ALTER COLUMN hits TYPE
+    *  BIGINT` (metadata-only commit — no file touched), v5 append
+    *  [12,16) with values OUTSIDE int range.
+    *
+    * Audits: `VERSION AS OF 3` presents the INT type and the pre-widen
+    * sum; `VERSION AS OF 4` the BIGINT type over the same rows; the
+    * live read sums past 2³¹ — and a pre-widen pin can never misparse,
+    * because out-of-int-range cells only exist in files the widen
+    * postdates. Scale shape: like every mutation, cost is one property
+    * write + one manifest line regardless of table size. */
+  val q242TypeWidening: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q242")
+    try {
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "8").load()
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (hits INT)")
+      def insert(lo: Int, hi: Int, hits: org.apache.spark.sql.Column,
+          asInt: Boolean): Unit = {
+        spark.read.format("graft.sources.GraftDocsSource")
+          .option("rows", hi.toString).load()
+          .filter(col("doc_id") >= lo)
+          .withColumn("hits",
+            if (asInt) hits.cast("int") else hits.cast("long"))
+          .createOrReplaceTempView(s"${cat}_ins")
+        spark.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_ins")
+        spark.catalog.dropTempView(s"${cat}_ins")
+      }
+      insert(8, 12, col("doc_id") * 2, asInt = true)
+      spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN hits TYPE BIGINT")
+      insert(12, 16, col("doc_id") + lit(3000000000L), asInt = false)
+
+      def snap(phase: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).cast("long").as("n_rows"),
+          coalesce(sum("hits"), lit(0L)).cast("long").as("sum_hits"))
+          .select(lit(phase).as("phase"),
+            lit(df.schema("hits").dataType.simpleString).as("hits_type"),
+            col("n_rows"), col("sum_hits"))
+
+      val audit =
+        snap("a_pre_widen",
+          spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 3"))
+          .unionByName(snap("b_post_widen",
+            spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 4")))
+          .unionByName(snap("c_live", spark.table(s"$cat.t")))
+          .orderBy("phase")
+      val ops = GraftVersions.listVersions(wh.resolve("t")).map(_.op)
+      require(ops == Seq("enable", "append", "add-column", "append",
+        "widen-column", "append"), s"unexpected version log: $ops")
+      OpsUtil.driverLiteral(audit)
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
     "q238_schema_evolution" -> q238SchemaEvolution,
     "q239_decision_tree" -> q239DecisionTree,
     "q240_change_feed_images" -> q240ChangeFeedImages,
-    "q241_schema_mutation" -> q241SchemaMutation)
+    "q241_schema_mutation" -> q241SchemaMutation,
+    "q242_type_widening" -> q242TypeWidening)
 
   val oracle: Map[String, String] = Map(
     "q238_schema_evolution" ->
@@ -566,5 +631,15 @@ object Round14 {
         |  CAST(sum_q AS BIGINT) AS sum_q,
         |  CAST(lang_distinct AS BIGINT) AS lang_distinct,
         |  CAST(lang_sum AS BIGINT) AS lang_sum
+        |FROM v ORDER BY phase""".stripMargin,
+    "q242_type_widening" ->
+      """WITH s1 AS (SELECT SUM(i * 2) AS v FROM range(8, 12) t(i)),
+        |s2 AS (SELECT SUM(i + 3000000000) AS v FROM range(12, 16) t(i)),
+        |v(phase, hits_type, n_rows, sum_hits) AS (VALUES
+        |  ('a_pre_widen', 'int', 12, (SELECT v FROM s1)),
+        |  ('b_post_widen', 'bigint', 12, (SELECT v FROM s1)),
+        |  ('c_live', 'bigint', 16, (SELECT s1.v + s2.v FROM s1, s2)))
+        |SELECT phase, hits_type, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(sum_hits AS BIGINT) AS sum_hits
         |FROM v ORDER BY phase""".stripMargin)
 }

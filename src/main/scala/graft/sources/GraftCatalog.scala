@@ -258,6 +258,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       throw new UnsupportedOperationException(
         s"${ident.name()}: only warehouse tables support ALTER")
     import org.apache.spark.sql.connector.catalog.TableChange._
+    // The whole ALTER is one critical section under the table's commit
+    // lock: the registry appends (ADD/RENAME/DROP COLUMN) are
+    // read-modify-writes of `_table.properties`, and the final
+    // replaceAll below writes back the fold's accumulator — a
+    // concurrent DDL statement interleaving between our read and that
+    // write would be silently lost otherwise. Manifest advances nest
+    // fine (the lock is reentrant), so DDL serializes with data
+    // commits too.
+    GraftVersions.lockFor(dir).synchronized {
     val current = GraftTableMeta.read(dir)
     val updated = changes.foldLeft(current) { (props, change) =>
       change match {
@@ -356,14 +365,36 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             "drop", idx, "",
             GraftCatalog.mutationCommit(dir, "drop-column")))
           GraftTableMeta.read(dir)
-        case _: UpdateColumnType | _: UpdateColumnNullability |
-            _: UpdateColumnPosition =>
+        case u: UpdateColumnType =>
+          // Type WIDENING only, and only on evolved columns: INT →
+          // BIGINT is value-preserving in the TSV codec (every cell an
+          // int writer produced parses as long), so the change is
+          // metadata-only like rename/drop. Time travel below the
+          // widen commit presents the old type — safe, because cells
+          // outside int range can only live in files added after the
+          // widen, which a pre-widen snapshot never references.
+          val idx = GraftCatalog.resolveEvolved(dir, ident.name(),
+            u.fieldNames(), "WIDEN")
+          val cur = GraftSchemas.effectiveAdded(dir).find(_.idx == idx).get
+          (cur.tpe, u.newDataType()) match {
+            case ("int", org.apache.spark.sql.types.LongType) =>
+              GraftTableMeta.appendMutation(dir,
+                GraftSchemas.ColumnMutation("widen", idx, "long",
+                  GraftCatalog.mutationCommit(dir, "widen-column")))
+              GraftTableMeta.read(dir)
+            case (t, other) => throw new UnsupportedOperationException(
+              s"cannot change evolved column '${cur.name}' from $t to " +
+                s"${other.simpleString}: only the value-preserving " +
+                "widening INT -> BIGINT is supported — any other change " +
+                "would reinterpret files written under the old schema")
+          }
+        case _: UpdateColumnNullability | _: UpdateColumnPosition =>
           throw new UnsupportedOperationException(
             "graft_docs schema evolution supports ADD COLUMN (nullable " +
-              "bigint/int/string) plus RENAME/DROP of those evolved " +
-              "columns; type and nullability changes and reordering " +
-              "are rejected — files written under the old schema would " +
-              "be reinterpreted wrongly")
+              "bigint/int/string), RENAME/DROP of those evolved " +
+              "columns, and INT -> BIGINT widening; nullability changes " +
+              "and reordering are rejected — files written under the " +
+              "old schema would be reinterpreted wrongly")
         case s: SetProperty =>
           // a non-persisted key is a PROPERTY problem, not a schema one
           // — name the keys this store actually persists so the user
@@ -387,6 +418,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       }
     }
     GraftTableMeta.replaceAll(dir, updated)
+    }
     new GraftRlTable(dir.toString)
   }
 
@@ -480,7 +512,7 @@ object GraftCatalog {
         s"cannot $verb base column '$name' of $table: the base schema " +
           "(doc_id, title, fp, n_words) is the table's physical " +
           "identity; only columns added by ALTER TABLE ADD COLUMN " +
-          "can be renamed or dropped")
+          "can be renamed, dropped, or widened")
     GraftSchemas.visibleAdded(dir, None).find(_.name == name) match {
       case Some(c) => c.idx
       case None => throw new IllegalArgumentException(

@@ -124,15 +124,17 @@ object GraftTableMeta {
   }
 
   /** Column-mutation registry: `schema.mutations = kind:idx:arg:since,
-    * ...` — the append-only log of RENAME/DROP operations on EVOLVED
-    * columns, each addressed by its permanent `schema.added` index
-    * (the column's field id — the TSV position never moves, only the
-    * name and visibility layered on top of it do). A rename's `arg` is
-    * the new display name; a drop's is empty. Time travel replays the
-    * log only up to the pinned version, so a `VERSION AS OF` below a
-    * rename presents the old name and below a drop still presents the
-    * column. Managed exclusively by the catalog's
-    * RenameColumn/DeleteColumn paths (the key is not ALTER-settable). */
+    * ...` — the append-only log of RENAME/DROP/WIDEN operations on
+    * EVOLVED columns, each addressed by its permanent `schema.added`
+    * index (the column's field id — the TSV position never moves; the
+    * name, visibility, and read type layered on top of it do). A
+    * rename's `arg` is the new display name, a widen's the new type,
+    * a drop's is empty. Time travel replays the log only up to the
+    * pinned version, so a `VERSION AS OF` below a rename presents the
+    * old name, below a drop still presents the column, and below a
+    * widen the old type. Managed exclusively by the catalog's
+    * RenameColumn/DeleteColumn/UpdateColumnType paths (the key is not
+    * ALTER-settable). */
   def mutations(root: Path): Seq[GraftSchemas.ColumnMutation] =
     read(root).get("schema.mutations").toSeq.flatMap(_.split(","))
       .filter(_.nonEmpty).map { tok =>
@@ -202,7 +204,9 @@ object GraftSchemas {
       EffectiveColumn(
         mine.filter(_.kind == "rename").lastOption.map(_.arg)
           .getOrElse(c.name),
-        c.tpe, i,
+        mine.filter(_.kind == "widen").lastOption.map(_.arg)
+          .getOrElse(c.tpe),
+        i,
         visible = versionPin.forall(_ >= c.since) &&
           !mine.exists(_.kind == "drop"))
     }

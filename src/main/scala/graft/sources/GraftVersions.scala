@@ -129,8 +129,11 @@ object GraftVersions {
   def isVersioned(root: Path): Boolean = Files.isDirectory(versionsDir(root))
 
   /** Per-table commit lock (normalized absolute path, interned so every
-    * writer in this JVM synchronizes on the same object). */
-  private def lockFor(root: Path): AnyRef =
+    * writer in this JVM synchronizes on the same object). Exposed
+    * within the package so DDL's registry read-modify-writes (ADD/
+    * RENAME/DROP COLUMN appending to `_table.properties`) serialize
+    * with each other under the same lock as manifest commits. */
+  private[sources] def lockFor(root: Path): AnyRef =
     root.toAbsolutePath.normalize().toString.intern()
 
   /** Turn versioning on: snapshot the CURRENT directory contents as v0

@@ -209,7 +209,7 @@ class Round14Spec extends SparkSpec {
           s"$sql → ${causes(e).mkString(" | ")}")
       }
       rejects(s"ALTER TABLE $cat.t ALTER COLUMN n_words TYPE BIGINT",
-        "reinterpreted wrongly")
+        "physical identity")
       rejects(s"ALTER TABLE $cat.t RENAME COLUMN title TO heading",
         "physical identity")
       rejects(s"ALTER TABLE $cat.t DROP COLUMN doc_id", "physical identity")
@@ -368,6 +368,87 @@ class Round14Spec extends SparkSpec {
       assert(vs.map(_.op).count(_ == "drop-column") == 1)
       assert(vs.filter(v => v.op == "rename-column" ||
         v.op == "drop-column").forall(!_.dataChange))
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("INT -> BIGINT widening: metadata-only, time travel keeps the " +
+      "old type, non-widening changes refuse") {
+    val (cat, wh) = freshCatalog("widen")
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      docsRange(4).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true").create()               // v0, v1
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (hits INT, aux INT)") // v2, v3
+      spark.sql(s"INSERT INTO $cat.t VALUES (100, 'x', 1, 5, 7, 1)")   // v4
+      assert(spark.table(s"$cat.t").schema("hits").dataType == IntegerType)
+      spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN hits TYPE BIGINT")   // v5
+      assert(spark.table(s"$cat.t").schema("hits").dataType == LongType)
+      // a value outside int range now lands — only files AFTER the
+      // widen can hold one, so pre-widen pins never misparse
+      spark.sql(
+        s"INSERT INTO $cat.t VALUES (101, 'y', 2, 6, 5000000000, 2)")  // v6
+      val sums = spark.table(s"$cat.t")
+        .agg(sum("hits")).collect().head.getLong(0)
+      assert(sums == 5000000007L, sums.toString)
+      // time travel below the widen: the old INT shape, old cells intact
+      val pre = spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 4")
+      assert(pre.schema("hits").dataType == IntegerType)
+      assert(pre.filter(col("doc_id") === 100).select("hits")
+        .collect().head.getInt(0) == 7)
+      // widening composes with rename: the field id carries both
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN hits TO clicks")    // v7
+      assert(spark.table(s"$cat.t").schema("clicks").dataType == LongType)
+      assert(spark.table(s"$cat.t").agg(sum("clicks"))
+        .collect().head.getLong(0) == 5000000007L)
+
+      def rejects(sql: String, needle: String): Unit = {
+        val e = intercept[Exception] { spark.sql(sql) }
+        def causes(th: Throwable) =
+          Iterator.iterate(th)(_.getCause).takeWhile(_ != null)
+            .map(_.getMessage).filter(_ != null).toSeq
+        assert(causes(e).exists(_.contains(needle)),
+          s"$sql → ${causes(e).mkString(" | ")}")
+      }
+      // non-widening type change on an evolved column (int -> double
+      // IS a Spark upcast, so it reaches the catalog and must refuse)
+      rejects(s"ALTER TABLE $cat.t ALTER COLUMN aux TYPE DOUBLE",
+        "value-preserving")
+      // base columns stay immutable
+      rejects(s"ALTER TABLE $cat.t ALTER COLUMN n_words TYPE BIGINT",
+        "physical identity")
+      // narrowing is rejected (by Spark's upcast check or the catalog)
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN clicks TYPE INT")
+      }
+      val ops = GraftVersions.listVersions(wh.resolve("t")).map(_.op)
+      assert(ops.count(_ == "widen-column") == 1, ops.toString)
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("concurrent DDL serializes under the table lock: racing ADD " +
+      "COLUMNs both land") {
+    val (cat, wh) = freshCatalog("ddlrace")
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      docsRange(4).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true").create()
+      val adds = (1 to 4).map { i =>
+        Future { spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (c$i BIGINT)") }
+      }
+      Await.result(Future.sequence(adds), 60.seconds)
+      // all four registry appends survived the race (before the DDL
+      // lock, a read-modify-write interleave could drop one silently)
+      val cols = spark.table(s"$cat.t").columns.toSet
+      assert((1 to 4).forall(i => cols(s"c$i")), cols.toString)
+      val ops = GraftVersions.listVersions(wh.resolve("t")).map(_.op)
+      assert(ops.count(_ == "add-column") == 4, ops.toString)
+      // and the registry indices are distinct consecutive slots
+      val added = graft.sources.GraftSchemas
+        .effectiveAdded(wh.resolve("t"))
+      assert(added.map(_.idx).toSeq == (0 until 4), added.toString)
     } finally dropCatalog(cat, wh)
   }
 
