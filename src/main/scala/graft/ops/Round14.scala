@@ -450,12 +450,97 @@ object Round14 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q243: column DEFAULT values, audited through time travel
+  // ---------------------------------------------------------------------
+
+  /** Column DEFAULTs as one verified query — the catalog declares
+    * `SUPPORT_COLUMN_DEFAULT_VALUE`, persists the ADD-time literal in
+    * the field-id registry, and serves it back through the schema's
+    * CURRENT_DEFAULT/EXISTS_DEFAULT metadata, so Spark's analyzer
+    * fills INSERT omissions while the scan backfills pre-ADD rows:
+    *
+    *  v0 enable, v1 append [0,10) (base), v2/v3 `ADD COLUMNS (tier
+    *  STRING DEFAULT 'bronze', boost BIGINT DEFAULT 7)` — metadata-only
+    *  as ever, but old rows now read 'bronze'/7 instead of NULL (the
+    *  exists-default, re-read on every scan, never baked into files) —
+    *  v4 append [10,14) with explicit values, v5 a column-list INSERT
+    *  [14,16) omitting both (the analyzer fills the current default),
+    *  v6 one row with explicit NULLs (the `\N` sentinel in a
+    *  full-width row is never shadowed by the default).
+    *
+    * Audits: `VERSION AS OF 1` the pre-ADD shape; `VERSION AS OF 3`
+    * all-bronze backfill; the live read mixing backfill, explicit,
+    * filled, and NULL rows. Scale shape: the backfill costs nothing at
+    * any size — it is a read-side constant, which is why ADD COLUMN
+    * DEFAULT on a 100 TB table is instant where a COW backfill would
+    * rewrite the world. */
+  val q243ColumnDefaults: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q243")
+    try {
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "10").load()
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS " +
+        "(tier STRING DEFAULT 'bronze', boost BIGINT DEFAULT 7)")
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "14").load()
+        .filter(col("doc_id") >= 10)
+        .withColumn("tier", lit("gold"))
+        .withColumn("boost", col("doc_id"))
+        .createOrReplaceTempView(s"${cat}_ins")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_ins")
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "16").load()
+        .filter(col("doc_id") >= 14)
+        .createOrReplaceTempView(s"${cat}_omit")
+      spark.sql(s"INSERT INTO $cat.t (doc_id, title, fp, n_words) " +
+        s"SELECT * FROM ${cat}_omit")
+      spark.catalog.dropTempView(s"${cat}_ins")
+      spark.catalog.dropTempView(s"${cat}_omit")
+      spark.sql(s"INSERT INTO $cat.t VALUES (200, 'x', 1, 5, NULL, NULL)")
+
+      def snap(phase: String, df: DataFrame): DataFrame = {
+        val hasTier = df.columns.contains("tier")
+        def cnt(c: org.apache.spark.sql.Column) =
+          coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+        df.agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          (if (hasTier) cnt(col("tier") === "bronze") else lit(-1L))
+            .cast("long").as("n_bronze"),
+          (if (hasTier) cnt(col("tier") === "gold") else lit(-1L))
+            .cast("long").as("n_gold"),
+          (if (hasTier) cnt(col("tier").isNull) else lit(-1L))
+            .cast("long").as("n_null_tier"),
+          (if (hasTier) coalesce(sum("boost"), lit(0L)) else lit(-1L))
+            .cast("long").as("sum_boost"))
+          .select(lit(phase).as("phase"),
+            lit(df.columns.length.toLong).as("n_cols"),
+            col("n_rows"), col("n_bronze"), col("n_gold"),
+            col("n_null_tier"), col("sum_boost"))
+      }
+
+      val audit =
+        snap("a_pre_add",
+          spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1"))
+          .unionByName(snap("b_backfill",
+            spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 3")))
+          .unionByName(snap("c_live", spark.table(s"$cat.t")))
+          .orderBy("phase")
+      val ops = GraftVersions.listVersions(wh.resolve("t")).map(_.op)
+      require(ops == Seq("enable", "append", "add-column", "add-column",
+        "append", "append", "append"), s"unexpected version log: $ops")
+      OpsUtil.driverLiteral(audit)
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
     "q238_schema_evolution" -> q238SchemaEvolution,
     "q239_decision_tree" -> q239DecisionTree,
     "q240_change_feed_images" -> q240ChangeFeedImages,
     "q241_schema_mutation" -> q241SchemaMutation,
-    "q242_type_widening" -> q242TypeWidening)
+    "q242_type_widening" -> q242TypeWidening,
+    "q243_column_defaults" -> q243ColumnDefaults)
 
   val oracle: Map[String, String] = Map(
     "q238_schema_evolution" ->
@@ -641,5 +726,20 @@ object Round14 {
         |  ('c_live', 'bigint', 16, (SELECT s1.v + s2.v FROM s1, s2)))
         |SELECT phase, hits_type, CAST(n_rows AS BIGINT) AS n_rows,
         |  CAST(sum_hits AS BIGINT) AS sum_hits
+        |FROM v ORDER BY phase""".stripMargin,
+    "q243_column_defaults" ->
+      """WITH sb AS (SELECT SUM(i) AS v FROM range(10, 14) t(i)),
+        |v(phase, n_cols, n_rows, n_bronze, n_gold, n_null_tier,
+        |  sum_boost) AS (VALUES
+        |  ('a_pre_add', 4, 10, -1, -1, -1, -1),
+        |  ('b_backfill', 6, 10, 10, 0, 0, 70),
+        |  ('c_live', 6, 17, 12, 4, 1,
+        |    (SELECT 70 + v + 14 FROM sb)))
+        |SELECT phase, CAST(n_cols AS BIGINT) AS n_cols,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_bronze AS BIGINT) AS n_bronze,
+        |  CAST(n_gold AS BIGINT) AS n_gold,
+        |  CAST(n_null_tier AS BIGINT) AS n_null_tier,
+        |  CAST(sum_boost AS BIGINT) AS sum_boost
         |FROM v ORDER BY phase""".stripMargin)
 }

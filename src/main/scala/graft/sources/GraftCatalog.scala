@@ -47,6 +47,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   private var catalogName = "graft"
   private var warehouse: Option[java.nio.file.Path] = None
 
+  /** DDL-level capabilities: `DEFAULT` clauses on ADD COLUMN are
+    * accepted (the analyzer gates the syntax on this), persisted in
+    * the evolution registry, and served back through the schema's
+    * CURRENT_DEFAULT/EXISTS_DEFAULT field metadata. */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** `CALL <cat>.system.<proc>(...)` — the maintenance surface
     * ([[GraftProcedures]]: vacuum / optimize / restore), namespaced
     * `system` like Iceberg's. The table argument is a warehouse table
@@ -315,6 +325,19 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
               Set("_file", "_pos", "_change_type", "_commit_version")(colName))
             throw new IllegalArgumentException(
               s"column '$colName' already exists on ${ident.name()}")
+          // DEFAULT clause: the analyzer has already folded and cast
+          // the expression to the column type (the catalog declares
+          // SUPPORT_COLUMN_DEFAULT_VALUE), so only the literal VALUE
+          // is persisted — it becomes the exists-default short rows
+          // read AND the current-default the analyzer fills into
+          // INSERTs that omit the column. `DEFAULT NULL` is the same
+          // as no default on a nullable column.
+          val default = Option(a.defaultValue())
+            .flatMap(dv => Option(dv.getValue))
+            .flatMap(l => Option(l.value())).map {
+              case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+              case v => v.toString
+            }
           val since =
             if (GraftVersions.isVersioned(dir))
               GraftVersions.advance(dir, "add-column",
@@ -322,7 +345,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
                 dataChange = false).version
             else 0L
           GraftTableMeta.appendAddedColumn(dir,
-            GraftSchemas.AddedColumn(colName, tpe, since))
+            GraftSchemas.AddedColumn(colName, tpe, since, default))
           // re-read: appendAddedColumn persisted directly; keep the
           // fold's accumulator in sync for any subsequent change
           GraftTableMeta.read(dir)
@@ -388,13 +411,24 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
                 "widening INT -> BIGINT is supported — any other change " +
                 "would reinterpret files written under the old schema")
           }
+        case _: UpdateColumnDefaultValue =>
+          // The frozen literal is BOTH faces: pre-ADD rows re-read the
+          // exists-default on every scan (it is not baked into files),
+          // so changing it later would retroactively rewrite what old
+          // rows say. Delta freezes existsDefault the same way.
+          throw new UnsupportedOperationException(
+            "column defaults are frozen at ADD COLUMN time: pre-ADD " +
+              "rows read the default live from the registry, so " +
+              "changing it would rewrite history — add a fresh column " +
+              "with the new default instead")
         case _: UpdateColumnNullability | _: UpdateColumnPosition =>
           throw new UnsupportedOperationException(
             "graft_docs schema evolution supports ADD COLUMN (nullable " +
-              "bigint/int/string), RENAME/DROP of those evolved " +
-              "columns, and INT -> BIGINT widening; nullability changes " +
-              "and reordering are rejected — files written under the " +
-              "old schema would be reinterpreted wrongly")
+              "bigint/int/string, optional DEFAULT), RENAME/DROP of " +
+              "those evolved columns, and INT -> BIGINT widening; " +
+              "nullability changes and reordering are rejected — files " +
+              "written under the old schema would be reinterpreted " +
+              "wrongly")
         case s: SetProperty =>
           // a non-persisted key is a PROPERTY problem, not a schema one
           // — name the keys this store actually persists so the user

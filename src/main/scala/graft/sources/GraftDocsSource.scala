@@ -1173,14 +1173,22 @@ case class GraftBucketFilesPartition(bucket: Int,
 
 class GraftFilesReaderFactory(cols: Array[String],
     // schema-evolution tail, already resolved to the scan's version
-    // pin: (display name, type, TSV position). Positions come from the
-    // permanent registry index — visibility and renames prune and
-    // relabel, position math never moves
-    added: Seq[(String, String, Int)] = Nil)
+    // pin: (display name, type, TSV position, default). Positions come
+    // from the permanent registry index — visibility and renames prune
+    // and relabel, position math never moves
+    added: Seq[(String, String, Int, Option[String])] = Nil)
     extends PartitionReaderFactory {
-  // display name -> (tsv position, type) for the evolved columns
-  private val addedAt: Map[String, (Int, String)] =
-    added.map { case (n, t, at) => n -> (at, t) }.toMap
+  // display name -> (tsv position, type, exists-default) — the default
+  // pre-converted to its typed Catalyst value so the row path does no
+  // per-row parsing
+  private val addedAt: Map[String, (Int, String, Any)] =
+    added.map { case (n, t, at, d) =>
+      n -> (at, t, d.map {
+        case v if t == "long" => v.toLong
+        case v if t == "int" => v.toInt
+        case v => UTF8String.fromString(v)
+      }.orNull)
+    }.toMap
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val files: Seq[(String, Array[Long])] = p match {
       case fp: GraftFilePartition => Seq((fp.file, fp.dvPositions))
@@ -1248,11 +1256,15 @@ class GraftFilesReaderFactory(cols: Array[String],
           case evolved =>
             // ADD COLUMN tail: a file written before the column existed
             // is SHORTER than the current schema — the missing cell IS
-            // the NULL backfill (no rewrite ever happens); a present
-            // cell holding the `\N` sentinel is an explicitly-written
-            // NULL
-            val (at, tpe) = addedAt(evolved)
-            if (at >= cur.length || cur(at) == "\\N") null
+            // the backfill (the column's exists-default if one was
+            // declared, NULL otherwise; no rewrite ever happens). A
+            // present cell holding the `\N` sentinel is an
+            // explicitly-written NULL — post-ADD writers always pad to
+            // full registry width, so a declared default can never
+            // shadow a deliberate NULL.
+            val (at, tpe, dflt) = addedAt(evolved)
+            if (at >= cur.length) dflt
+            else if (cur(at) == "\\N") null
             else tpe match {
               case "long" => cur(at).toLong
               case "int" => cur(at).toInt

@@ -107,10 +107,17 @@ object GraftTableMeta {
     * reader NULL-backfills the missing tail. Managed exclusively by
     * the catalog's AddColumn path (the key is not ALTER-settable). */
   def addedColumns(root: Path): Seq[GraftSchemas.AddedColumn] =
-    read(root).get("schema.added").toSeq.flatMap(_.split(","))
+    read(root).get("schema.added").toSeq.flatMap(_.split(",", -1))
       .filter(_.nonEmpty).map { tok =>
-        tok.split(":") match {
+        tok.split(":", -1) match {
           case Array(n, t, s) => GraftSchemas.AddedColumn(n, t, s.toLong)
+          case Array(n, t, s, d) =>
+            // 4th segment: base64 of the column's DEFAULT value (the
+            // value itself, not SQL text — base64 keeps the registry's
+            // ':'/',' encoding safe for any string default)
+            GraftSchemas.AddedColumn(n, t, s.toLong,
+              Some(new String(Base64.getDecoder.decode(d),
+                StandardCharsets.UTF_8)))
           case _ => throw new IllegalStateException(
             s"malformed schema.added token '$tok' at $root")
         }
@@ -118,7 +125,9 @@ object GraftTableMeta {
 
   def appendAddedColumn(root: Path, c: GraftSchemas.AddedColumn): Unit = {
     val cur = read(root)
-    val tok = s"${c.name}:${c.tpe}:${c.since}"
+    val tok = s"${c.name}:${c.tpe}:${c.since}" +
+      c.default.map(d => ":" + Base64.getEncoder.encodeToString(
+        d.getBytes(StandardCharsets.UTF_8))).getOrElse("")
     val joined = cur.get("schema.added").map(_ + "," + tok).getOrElse(tok)
     write(root, cur + ("schema.added" -> joined))
   }
@@ -167,7 +176,8 @@ object GraftSchemas {
     * implemented for exactly these. */
   val Types: Set[String] = Set("long", "int", "string")
 
-  final case class AddedColumn(name: String, tpe: String, since: Long) {
+  final case class AddedColumn(name: String, tpe: String, since: Long,
+      default: Option[String] = None) {
     def dataType: DataType = tpe match {
       case "long" => LongType
       case "int" => IntegerType
@@ -178,6 +188,13 @@ object GraftSchemas {
     def field: StructField = StructField(name, dataType, nullable = true)
   }
 
+  /** The SQL-literal rendering of a stored default value — what rides
+    * in the `CURRENT_DEFAULT`/`EXISTS_DEFAULT` field metadata so
+    * Spark's analyzer fills omitted columns on INSERT and resolves the
+    * `DEFAULT` keyword. */
+  def defaultSql(tpe: String, value: String): String =
+    if (tpe == "string") "'" + value.replace("'", "''") + "'" else value
+
   /** One RENAME or DROP of an evolved column, addressed by its
     * permanent `schema.added` index (`idx` — the field id). */
   final case class ColumnMutation(kind: String, idx: Int, arg: String,
@@ -185,14 +202,27 @@ object GraftSchemas {
 
   /** The effective view of one `schema.added` entry at a version pin:
     * its CURRENT display name (latest rename at or below the pin, else
-    * the ADD-time name), its permanent index, and whether it is
-    * visible (added at or below the pin and not yet dropped). The full
-    * registry keeps its indices — position math never depends on the
-    * pin, only names and visibility do. */
+    * the ADD-time name), its permanent index, whether it is visible
+    * (added at or below the pin and not yet dropped), and its DEFAULT
+    * value (frozen at ADD time). The full registry keeps its indices —
+    * position math never depends on the pin, only names and visibility
+    * do. */
   final case class EffectiveColumn(name: String, tpe: String, idx: Int,
-      visible: Boolean) {
+      visible: Boolean, default: Option[String] = None) {
     def tsvPos: Int = 4 + idx
-    def field: StructField = AddedColumn(name, tpe, 0L).field
+    def field: StructField = {
+      val plain = AddedColumn(name, tpe, 0L).field
+      default.fold(plain) { d =>
+        // both metadata faces carry the same frozen literal: the
+        // analyzer fills INSERT omissions from CURRENT_DEFAULT, and
+        // EXISTS_DEFAULT documents what pre-ADD rows read as (the
+        // reader applies it to short rows itself)
+        val sql = GraftSchemas.defaultSql(tpe, d)
+        plain.copy(metadata = new MetadataBuilder()
+          .putString("CURRENT_DEFAULT", sql)
+          .putString("EXISTS_DEFAULT", sql).build())
+      }
+    }
   }
 
   def effectiveAdded(root: Path,
@@ -208,7 +238,8 @@ object GraftSchemas {
           .getOrElse(c.tpe),
         i,
         visible = versionPin.forall(_ >= c.since) &&
-          !mine.exists(_.kind == "drop"))
+          !mine.exists(_.kind == "drop"),
+        default = c.default)
     }
   }
 
@@ -237,12 +268,15 @@ object GraftSchemas {
     }
 
   /** Reader-side plan at a version pin: (display name, type, TSV
-    * position) for each VISIBLE evolved column — a dropped column's
-    * name resolves to nothing (its cells are unreachable), a renamed
-    * column resolves under the pin-current name. */
-  def readerAdded(root: Path,
-      versionPin: Option[Long] = None): Seq[(String, String, Int)] =
-    visibleAdded(root, versionPin).map(c => (c.name, c.tpe, c.tsvPos))
+    * position, default) for each VISIBLE evolved column — a dropped
+    * column's name resolves to nothing (its cells are unreachable), a
+    * renamed column resolves under the pin-current name, and a short
+    * row (written before the column existed) reads the default instead
+    * of NULL when one is declared. */
+  def readerAdded(root: Path, versionPin: Option[Long] = None)
+      : Seq[(String, String, Int, Option[String])] =
+    visibleAdded(root, versionPin)
+      .map(c => (c.name, c.tpe, c.tsvPos, c.default))
 }
 
 /** Base schema indirection so this file stays import-light: the

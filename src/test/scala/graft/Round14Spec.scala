@@ -426,6 +426,71 @@ class Round14Spec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("column DEFAULTs: pre-ADD rows read the exists-default, INSERT " +
+      "omissions fill the current default, explicit NULL survives") {
+    val (cat, wh) = freshCatalog("dflt")
+    try {
+      import org.apache.spark.sql.functions._
+      docsRange(6).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true").create()              // v0, v1
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS " +
+        "(tier STRING DEFAULT 'bronze', boost BIGINT DEFAULT 10)") // v2, v3
+      // exists-default: all pre-ADD rows read it (not NULL), with no
+      // rewrite — the part files still hold 4 cells per row
+      val old = spark.table(s"$cat.t")
+        .agg(sum(when(col("tier") === "bronze", 1).otherwise(0)),
+          sum("boost")).collect().head
+      assert(old.getLong(0) == 6L && old.getLong(1) == 60L, old.toString)
+      // current-default: a column-list INSERT omitting them fills both
+      spark.sql(s"INSERT INTO $cat.t (doc_id, title, fp, n_words) " +
+        "VALUES (100, 'x', 1, 5)")
+      // the DEFAULT keyword resolves too
+      spark.sql(
+        s"INSERT INTO $cat.t VALUES (101, 'y', 2, 6, DEFAULT, DEFAULT)")
+      // explicit NULL is NOT shadowed by the default (the \\N sentinel
+      // in a full-width row is a deliberate NULL)
+      spark.sql(s"INSERT INTO $cat.t VALUES (102, 'z', 3, 7, NULL, NULL)")
+      val got = spark.table(s"$cat.t").filter(col("doc_id") >= 100)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[String]("tier")),
+          Option(r.getAs[java.lang.Long]("boost"))))
+      assert(got.toSeq == Seq(
+        (100L, Some("bronze"), Some(java.lang.Long.valueOf(10L))),
+        (101L, Some("bronze"), Some(java.lang.Long.valueOf(10L))),
+        (102L, None, None)), got.toSeq.toString)
+      // a COW rewrite bakes the default into carried-over rows without
+      // changing what they say — and keeps the explicit NULL a NULL
+      spark.sql(s"UPDATE $cat.t SET n_words = 0 WHERE doc_id = 0")
+      val post = spark.table(s"$cat.t")
+        .filter(col("doc_id") === 0 || col("doc_id") === 102)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[String]("tier"))))
+      assert(post.toSeq == Seq((0L, Some("bronze")), (102L, None)),
+        post.toSeq.toString)
+      // DEFAULT NULL on a nullable column = no default
+      spark.sql(
+        s"ALTER TABLE $cat.t ADD COLUMNS (note STRING DEFAULT NULL)")
+      assert(spark.table(s"$cat.t").filter(col("note").isNotNull)
+        .collect().isEmpty)
+      // defaults are frozen at ADD time
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN tier SET DEFAULT 'x'")
+      }
+      def causes(th: Throwable) =
+        Iterator.iterate(th)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).filter(_ != null).toSeq
+      assert(causes(e).exists(_.contains("frozen")),
+        causes(e).mkString(" | "))
+      // rename keeps the default riding on the field id
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN tier TO grade")
+      assert(spark.table(s"$cat.t").filter(col("doc_id") === 1)
+        .select("grade").collect().head.getString(0) == "bronze")
+      // time travel below the ADD presents the pre-default shape
+      assert(!spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1")
+        .columns.contains("tier"))
+    } finally dropCatalog(cat, wh)
+  }
+
   test("concurrent DDL serializes under the table lock: racing ADD " +
       "COLUMNs both land") {
     val (cat, wh) = freshCatalog("ddlrace")
