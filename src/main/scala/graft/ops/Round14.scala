@@ -534,13 +534,151 @@ object Round14 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q244: zero-copy shallow clone
+  // ---------------------------------------------------------------------
+
+  /** Delta-style SHALLOW CLONE as one verified query: `CALL
+    * cat.system.clone('s','c',-1)` births table `c` whose v0 manifest
+    * references `s`'s files in place — 0 bytes copied, 0 part files in
+    * the clone dir (both asserted, and `bytes_copied` rides in the
+    * audit row). The tables then diverge freely: an INSERT lands local
+    * files in the clone, a MOR DELETE masks rows OF AN EXTERNAL file
+    * (the mask lives in the clone's manifest; the source's bytes are
+    * immutable), and the source never moves. The clone's vacuum
+    * deletes only clone-local files — external references are the
+    * source's lifecycle, never touched here.
+    *
+    * Scale shape: cloning a 100 TB table is ONE manifest write (#files
+    * lines, no data IO) — the dev/staging-fork and experiment-branch
+    * workflow Delta ships as SHALLOW CLONE. */
+  val q244ShallowClone: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q244")
+    try {
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "10").load()
+        .writeTo(s"$cat.s").tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "merge-on-read").create()
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "15").load().filter(col("doc_id") >= 10)
+        .createOrReplaceTempView(s"${cat}_i1")
+      spark.sql(s"INSERT INTO $cat.s SELECT * FROM ${cat}_i1")
+      val cloned =
+        spark.sql(s"CALL $cat.system.clone('s', 'c', -1)").head()
+      val bytesCopied = cloned.getLong(2)
+      val v0 = GraftVersions.manifest(wh.resolve("c"), 0L)
+      val localParts = {
+        val s = Files.list(wh.resolve("c"))
+        try s.toArray.map(_.toString).count(_.endsWith(".tsv"))
+        finally s.close()
+      }
+      require(v0.op == "clone" && v0.files.forall(_.contains("/")),
+        s"clone v0 must reference only external files: ${v0.files}")
+      // birth-time read, BEFORE divergence and retention touch the log
+      val birthRows =
+        spark.sql(s"SELECT * FROM $cat.c VERSION AS OF 0").count()
+
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "20").load().filter(col("doc_id") >= 15)
+        .createOrReplaceTempView(s"${cat}_i2")
+      spark.sql(s"INSERT INTO $cat.c SELECT * FROM ${cat}_i2")
+      spark.catalog.dropTempView(s"${cat}_i1")
+      spark.catalog.dropTempView(s"${cat}_i2")
+      spark.sql(s"DELETE FROM $cat.c WHERE doc_id < 3")
+      val stats = GraftVersions.vacuum(wh.resolve("c"), keepLast = 1)
+      val vacuumSafe = stats.deletedFiles.forall(!_.contains("/"))
+
+      def cnt(t: String): org.apache.spark.sql.Column =
+        lit(spark.table(s"$cat.$t").count())
+      val audit = spark.range(1).select(
+          lit("a_birth").as("phase"), lit(15L).as("src_rows"),
+          lit(birthRows).as("clone_rows"),
+          lit(if (bytesCopied == 0L && localParts == 0) 1L else 0L)
+            .as("ok"))
+        .unionByName(spark.range(1).select(
+          lit("b_diverged").as("phase"), cnt("s").as("src_rows"),
+          cnt("c").as("clone_rows"), lit(1L).as("ok")))
+        .unionByName(spark.range(1).select(
+          lit("c_vacuumed").as("phase"), cnt("s").as("src_rows"),
+          cnt("c").as("clone_rows"),
+          lit(if (vacuumSafe) 1L else 0L).as("ok")))
+        .orderBy("phase")
+      OpsUtil.driverLiteral(audit)
+    } finally teardown(spark, cat, wh)
+  }
+
+  // ---------------------------------------------------------------------
+  // q245: named snapshot tags
+  // ---------------------------------------------------------------------
+
+  /** Iceberg-style snapshot TAGS as one verified query: `CALL
+    * cat.system.tag('t','run-1',-1)` names the current snapshot;
+    * `VERSION AS OF 'run-1'` time-travels by name; and — the retention
+    * face — vacuum NEVER expires a tagged snapshot, however aggressive
+    * `keep_last` is, until `drop_tag` releases the pin. This is the
+    * reproducibility contract a training pipeline needs: "the exact
+    * corpus run X trained on" stays addressable by name, immune to
+    * nightly retention, for as long as the tag lives. */
+  val q245TableTags: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q245")
+    try {
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "10").load()
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "20").load().filter(col("doc_id") >= 10)
+        .createOrReplaceTempView(s"${cat}_ins")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_ins " +
+        "WHERE doc_id < 15")                                   // v2
+      val tagged =
+        spark.sql(s"CALL $cat.system.tag('t', 'run-1', -1)").head()
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_ins " +
+        "WHERE doc_id >= 15")                                  // v3
+      spark.catalog.dropTempView(s"${cat}_ins")
+      def tagCount(): Long =
+        spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'run-1'").count()
+      val t = wh.resolve("t")
+
+      val aRows = tagCount()
+      val aVers = GraftVersions.listVersionNumbers(t).length.toLong
+      val aOk = if (tagged.getLong(1) == 2L) 1L else 0L
+
+      val s1 = GraftVersions.vacuum(t, keepLast = 1)
+      val bRows = tagCount()
+      val bVers = GraftVersions.listVersionNumbers(t).length.toLong
+      val bOk = if (s1.expiredVersions == Seq(0L, 1L)) 1L else 0L
+
+      spark.sql(s"CALL $cat.system.drop_tag('t', 'run-1')").collect()
+      val s2 = GraftVersions.vacuum(t, keepLast = 1)
+      val cGone =
+        try { tagCount(); 0L } catch { case _: Exception => 1L }
+      val cRows = spark.table(s"$cat.t").count()
+      val cVers = GraftVersions.listVersionNumbers(t).length.toLong
+      val cOk = if (s2.expiredVersions == Seq(2L) && cGone == 1L) 1L else 0L
+
+      val audit = spark.range(1).select(
+          lit("a_tagged").as("phase"), lit(aRows).as("n_rows"),
+          lit(aVers).as("n_versions"), lit(aOk).as("ok"))
+        .unionByName(spark.range(1).select(
+          lit("b_vacuum_pinned").as("phase"), lit(bRows).as("n_rows"),
+          lit(bVers).as("n_versions"), lit(bOk).as("ok")))
+        .unionByName(spark.range(1).select(
+          lit("c_tag_dropped").as("phase"), lit(cRows).as("n_rows"),
+          lit(cVers).as("n_versions"), lit(cOk).as("ok")))
+        .orderBy("phase")
+      OpsUtil.driverLiteral(audit)
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
     "q238_schema_evolution" -> q238SchemaEvolution,
     "q239_decision_tree" -> q239DecisionTree,
     "q240_change_feed_images" -> q240ChangeFeedImages,
     "q241_schema_mutation" -> q241SchemaMutation,
     "q242_type_widening" -> q242TypeWidening,
-    "q243_column_defaults" -> q243ColumnDefaults)
+    "q243_column_defaults" -> q243ColumnDefaults,
+    "q244_shallow_clone" -> q244ShallowClone,
+    "q245_table_tags" -> q245TableTags)
 
   val oracle: Map[String, String] = Map(
     "q238_schema_evolution" ->
@@ -726,6 +864,24 @@ object Round14 {
         |  ('c_live', 'bigint', 16, (SELECT s1.v + s2.v FROM s1, s2)))
         |SELECT phase, hits_type, CAST(n_rows AS BIGINT) AS n_rows,
         |  CAST(sum_hits AS BIGINT) AS sum_hits
+        |FROM v ORDER BY phase""".stripMargin,
+    "q244_shallow_clone" ->
+      """WITH v(phase, src_rows, clone_rows, ok) AS (VALUES
+        |  ('a_birth', 15, 15, 1),
+        |  ('b_diverged', 15, 17, 1),
+        |  ('c_vacuumed', 15, 17, 1))
+        |SELECT phase, CAST(src_rows AS BIGINT) AS src_rows,
+        |  CAST(clone_rows AS BIGINT) AS clone_rows,
+        |  CAST(ok AS BIGINT) AS ok
+        |FROM v ORDER BY phase""".stripMargin,
+    "q245_table_tags" ->
+      """WITH v(phase, n_rows, n_versions, ok) AS (VALUES
+        |  ('a_tagged', 15, 4, 1),
+        |  ('b_vacuum_pinned', 15, 2, 1),
+        |  ('c_tag_dropped', 20, 1, 1))
+        |SELECT phase, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_versions AS BIGINT) AS n_versions,
+        |  CAST(ok AS BIGINT) AS ok
         |FROM v ORDER BY phase""".stripMargin,
     "q243_column_defaults" ->
       """WITH sb AS (SELECT SUM(i) AS v FROM range(10, 14) t(i)),

@@ -79,6 +79,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         throw new NoSuchTableException(
           Identifier.of(parts.init, parts.last))
       dir
+    }, tableName => {
+      // clone's TARGET: containment-checked like any ident, existence
+      // NOT required (the procedure creates it)
+      val parts = tableName.split('.')
+      dirFor(Identifier.of(parts.init, parts.last))
     })
   }
 
@@ -162,15 +167,26 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
 
   /** `VERSION AS OF <v>` — load a warehouse table pinned to snapshot v
     * (read-only). Spark routes SQL time-travel through this overload;
-    * the pin rides the Table into its ScanBuilder. */
+    * the pin rides the Table into its ScanBuilder. Non-numeric
+    * identifiers resolve through the table's TAG registry
+    * ([[GraftTableMeta.tags]]): `VERSION AS OF 'run-2026-08-14'` is the
+    * named-snapshot face of the same pin (Iceberg's ref syntax). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (isVirtual(ident.name()))
       throw new UnsupportedOperationException(
         s"${ident.name()}: the virtual docs tables keep no version history")
     val dir = dirFor(ident)
     if (!Files.isDirectory(dir)) throw new NoSuchTableException(ident)
-    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"graft_docs version identifiers are numeric; got '$version'"))
+    val v = version.toLongOption
+      .orElse(GraftTableMeta.tags(dir).get(version))
+      .getOrElse {
+        val have = GraftTableMeta.tags(dir).keys.toSeq.sorted
+        throw new IllegalArgumentException(
+          s"'$version' is neither a numeric version nor a tag of " +
+            s"${ident.name()}; tags: " +
+            (if (have.isEmpty) "none (CALL <cat>.system.tag to create one)"
+             else have.mkString(", ")))
+      }
     // resolve NOW for a load-time error on a bad/vacuumed version
     GraftVersions.manifest(dir, v)
     new GraftRlTable(dir.toString, Some(v))

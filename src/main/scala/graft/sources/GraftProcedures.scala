@@ -29,13 +29,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * side-effecting, hence `isDeterministic = false`.
   */
 object GraftProcedures {
-  val names: Seq[String] = Seq("vacuum", "optimize", "restore")
+  val names: Seq[String] =
+    Seq("vacuum", "optimize", "restore", "clone", "tag", "drop_tag")
 
-  def apply(name: String, resolve: String => Path): UnboundProcedure =
+  /** `resolve` maps a table name to its EXISTING directory (throws for
+    * absent tables); `resolveNew` maps a name to the directory it WOULD
+    * occupy (containment-checked, existence not required) — what
+    * clone's target needs. */
+  def apply(name: String, resolve: String => Path,
+      resolveNew: String => Path): UnboundProcedure =
     name match {
       case "vacuum" => vacuum(resolve)
       case "optimize" => optimize(resolve)
       case "restore" => restore(resolve)
+      case "clone" => clone(resolve, resolveNew)
+      case "tag" => tag(resolve)
+      case "drop_tag" => dropTag(resolve)
       case other => throw new IllegalArgumentException(
         s"unknown procedure '$other' (have: ${names.mkString(", ")})")
     }
@@ -103,6 +112,84 @@ object GraftProcedures {
           StructField("files_after", LongType, nullable = false),
           StructField("version", LongType, nullable = false))),
           before.toLong, info.entries.length.toLong, info.version)
+      }
+    }
+
+  private def clone(resolve: String => Path,
+      resolveNew: String => Path): UnboundProcedure =
+    new Proc("clone", Array(
+      param("source", StringType), param("target", StringType),
+      param("version", LongType))) {
+      override def description(): String =
+        "zero-copy SHALLOW CLONE: create `target` whose v0 references " +
+          "`source`'s snapshot files in place (version -1 = latest); " +
+          "the tables then diverge freely, and the clone's vacuum " +
+          "never touches source files"
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val src = resolve(input.getUTF8String(0).toString)
+        val dst = resolveNew(input.getUTF8String(1).toString)
+        val pin = Some(input.getLong(2)).filter(_ >= 0L)
+        val info = GraftVersions.cloneShallow(src, dst, pin)
+        result(StructType(Seq(
+          StructField("source_version", LongType, nullable = false),
+          StructField("files_referenced", LongType, nullable = false),
+          StructField("bytes_copied", LongType, nullable = false))),
+          pin.getOrElse(
+            GraftVersions.latest(src).map(_.version).getOrElse(-1L)),
+          info.entries.length.toLong, 0L)
+      }
+    }
+
+  private def tag(resolve: String => Path): UnboundProcedure =
+    new Proc("tag", Array(
+      param("table", StringType), param("name", StringType),
+      param("version", LongType))) {
+      override def description(): String =
+        "name snapshot `version` (-1 = latest): the tag resolves in " +
+          "VERSION AS OF '<name>' and pins the snapshot against vacuum"
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = resolve(input.getUTF8String(0).toString)
+        val name = input.getUTF8String(1).toString
+        // validate-and-set under the table lock so a racing vacuum
+        // cannot expire the version between the check and the pin
+        val v = GraftVersions.withTableLock(dir) {
+          val v0 = Some(input.getLong(2)).filter(_ >= 0L).getOrElse(
+            GraftVersions.latest(dir).map(_.version).getOrElse(
+              throw new IllegalStateException(
+                s"tag on unversioned table $dir")))
+          GraftVersions.manifest(dir, v0) // throws for absent/vacuumed
+          GraftTableMeta.setTag(dir, name, v0)
+          v0
+        }
+        result(StructType(Seq(
+          StructField("tag_name", StringType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+          UTF8String.fromString(name), v)
+      }
+    }
+
+  private def dropTag(resolve: String => Path): UnboundProcedure =
+    new Proc("drop_tag", Array(
+      param("table", StringType), param("name", StringType))) {
+      override def description(): String =
+        "remove a snapshot tag; the snapshot stays readable by number " +
+          "until retention expires it"
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = resolve(input.getUTF8String(0).toString)
+        val name = input.getUTF8String(1).toString
+        val existed = GraftVersions.withTableLock(dir) {
+          GraftTableMeta.dropTag(dir, name)
+        }
+        if (!existed) throw new IllegalArgumentException(
+          s"no tag '$name' on table at $dir; tags: " +
+            (GraftTableMeta.tags(dir).keys.toSeq.sorted match {
+              case Nil => "none"
+              case ts => ts.mkString(", ")
+            }))
+        result(StructType(Seq(
+          StructField("tag_name", StringType, nullable = false),
+          StructField("dropped", BooleanType, nullable = false))),
+          UTF8String.fromString(name), true)
       }
     }
 

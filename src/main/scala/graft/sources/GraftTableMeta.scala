@@ -87,6 +87,38 @@ object GraftTableMeta {
       (v.substring(0, i), v.substring(i + 1).toInt)
     }
 
+  /** Named snapshot refs (Iceberg-style TAGS): `ref.tag.<name> =
+    * <version>`. A tag is (a) a human-readable time-travel pin —
+    * `VERSION AS OF 'name'` resolves through here — and (b) a
+    * retention pin: [[GraftVersions.vacuum]] never expires a tagged
+    * snapshot. The reproducibility contract for a training run:
+    * `tag('corpus', 'run-2026-08-14', v)` makes "the exact bytes run X
+    * trained on" addressable forever, immune to retention. Managed by
+    * the `tag`/`drop_tag` procedures (not ALTER — a tag names a
+    * version, validation needs the log). */
+  def tags(root: Path): Map[String, Long] =
+    read(root).collect {
+      case (k, v) if k.startsWith("ref.tag.") =>
+        k.stripPrefix("ref.tag.") -> v.toLong
+    }
+
+  def setTag(root: Path, name: String, version: Long): Unit = {
+    require(name.nonEmpty && !name.exists(c =>
+      c == '=' || c == '\n' || c == '\t'),
+      s"tag name must be non-empty and free of '='/tabs/newlines: '$name'")
+    require(name.toLongOption.isEmpty,
+      s"tag name '$name' would shadow numeric version identifiers")
+    write(root, read(root) + (s"ref.tag.$name" -> version.toString))
+  }
+
+  /** Returns true if the tag existed. */
+  def dropTag(root: Path, name: String): Boolean = {
+    val cur = read(root)
+    val k = s"ref.tag.$name"
+    if (!cur.contains(k)) false
+    else { replaceAll(root, cur - k); true }
+  }
+
   /** Columns to build per-file blooms for (empty = blooms off). */
   def bloomColumns(root: Path): Seq[String] = {
     val p = read(root)

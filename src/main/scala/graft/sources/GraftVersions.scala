@@ -136,6 +136,13 @@ object GraftVersions {
   private[sources] def lockFor(root: Path): AnyRef =
     root.toAbsolutePath.normalize().toString.intern()
 
+  /** Run `body` under the table's commit lock — for callers outside
+    * this object composing a check with a metadata write (e.g. the tag
+    * procedure validating a version, then pinning it) that must not
+    * interleave with a commit or vacuum. */
+  private[sources] def withTableLock[A](root: Path)(body: => A): A =
+    lockFor(root).synchronized(body)
+
   /** Turn versioning on: snapshot the CURRENT directory contents as v0
     * (op `enable`). Idempotent — enabling an already-versioned table is
     * a no-op, so CREATE-with-property and a later explicit call
@@ -762,23 +769,74 @@ object GraftVersions {
     advance(root, "restore", removed = None, added = target.entries)
   }
 
+  /** Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`):
+    * `dst` is born as a fresh versioned table whose v0 manifest
+    * references `src`'s snapshot files BY RELATIVE PATH — no data byte
+    * moves, so cloning a 100 TB table costs one manifest write. The
+    * clone's history starts at v0 (op `clone`); subsequent commits
+    * (appends, MOR masks on the referenced files, OPTIMIZE) land in the
+    * clone's own log and directory and never touch the source — the two
+    * tables diverge freely from the shared base. Table properties
+    * (schema registry, constraints, blooms, row-level modes, bucket
+    * layout) copy over; `ref.tag.*` entries do NOT (they name versions
+    * of the SOURCE's history, which the clone does not have).
+    *
+    * Lifecycle contract (Delta's, documented): the clone's [[vacuum]]
+    * deletes only files the clone itself wrote — externally-referenced
+    * files are never touched (see the separator guard there). The
+    * converse hazard is real and inherited from Delta: vacuuming the
+    * SOURCE below the cloned snapshot strands the clone's references.
+    * Tag the source version and [[vacuum]]'s tag retention pins it. */
+  def cloneShallow(src: Path, dst: Path,
+      version: Option[Long] = None): VersionInfo = {
+    require(isVersioned(src), s"shallow clone needs a versioned source: $src")
+    require(!Files.exists(dst), s"clone target already exists: $dst")
+    val snap = version.map(manifest(src, _))
+      .getOrElse(latest(src).getOrElse(throw new IllegalStateException(
+        s"shallow clone of empty version log: $src")))
+    Files.createDirectories(dst)
+    val srcAbs = src.toAbsolutePath.normalize()
+    val dstAbs = dst.toAbsolutePath.normalize()
+    val external = snap.entries.map { e =>
+      // re-anchor each entry relative to the clone dir; an entry that
+      // is ITSELF external (clone of a clone) normalizes through the
+      // source dir to the original file — references never chain
+      e.copy(name = dstAbs.relativize(
+        srcAbs.resolve(e.name).normalize()).toString)
+    }
+    val props = GraftTableMeta.read(src)
+      .filterNot { case (k, _) => k.startsWith("ref.tag.") }
+    if (props.nonEmpty) GraftTableMeta.write(dst, props)
+    Files.createDirectories(versionsDir(dst))
+    writeManifest(dst, 0L, "clone", external)
+  }
+
   final case class VacuumStats(expiredVersions: Seq[Long],
       deletedFiles: Seq[String])
 
-  /** Snapshot retention: keep the newest `keepLast` snapshots, expire
-    * the rest, and delete exactly the part files no retained snapshot
+  /** Snapshot retention: keep the newest `keepLast` snapshots PLUS
+    * every tagged snapshot ([[GraftTableMeta.tags]] — a tag is a
+    * retention pin, Iceberg's ref-aware expiration), expire the rest,
+    * and delete exactly the part files no retained snapshot
     * references. Retained snapshots stay byte-identically readable;
-    * expired ones fail with the available-range error. */
+    * expired ones fail with the available-range error. Files referenced
+    * ACROSS table roots (a shallow clone's external entries, names
+    * carrying a path separator) belong to the source table's lifecycle
+    * and are never deleted here. */
   def vacuum(root: Path, keepLast: Int): VacuumStats =
     lockFor(root).synchronized {
       require(keepLast >= 1, s"vacuum must keep at least 1 snapshot")
       val versions = listVersionNumbers(root)
-      val (expire, retain) =
+      val tagged = GraftTableMeta.tags(root).values.toSet
+      val (expire0, retain0) =
         versions.splitAt(math.max(versions.length - keepLast, 0))
+      val expire = expire0.filterNot(tagged)
+      val retain = expire0.filter(tagged) ++ retain0
       val retainedFiles =
         retain.flatMap(readManifest(root, _).files).toSet
       val expiredFiles =
-        expire.flatMap(readManifest(root, _).files).toSet -- retainedFiles
+        (expire.flatMap(readManifest(root, _).files).toSet -- retainedFiles)
+          .filterNot(_.contains('/'))
       // delete manifests first: a crash mid-vacuum must never leave a
       // readable snapshot whose files are gone
       expire.foreach { v =>

@@ -776,4 +776,122 @@ class Round14Spec extends SparkSpec {
       assert(props.get("delete.mode").contains("merge-on-read"))
     } finally dropCatalog(cat, wh)
   }
+
+  test("shallow clone: zero-copy birth, free divergence, and a vacuum " +
+      "that never touches source files") {
+    val (cat, wh) = freshCatalog("clone")
+    try {
+      import org.apache.spark.sql.functions._
+      docsRange(10).writeTo(s"$cat.s")
+        .tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "merge-on-read").create()
+      val clone = spark.sql(
+        s"CALL $cat.system.clone('s', 'c', -1)").collect().head
+      assert(clone.getLong(2) == 0L, "bytes_copied must be 0")
+      // zero-copy: the clone dir holds NO part files, its v0 manifest
+      // references the source's in place
+      val local = Files.list(wh.resolve("c")).toArray.map(_.toString)
+        .count(_.endsWith(".tsv"))
+      assert(local == 0, s"clone copied $local data files")
+      val v0 = GraftVersions.manifest(wh.resolve("c"), 0L)
+      assert(v0.op == "clone" && v0.files.forall(_.contains("/")))
+      assert(spark.table(s"$cat.c").count() == 10)
+
+      // divergence: append + MOR delete on the clone (masking rows of
+      // an EXTERNAL file); the source never moves
+      docsRange(15).filter(col("doc_id") >= 10)
+        .createOrReplaceTempView("clone_ins")
+      spark.sql(s"INSERT INTO $cat.c SELECT * FROM clone_ins")
+      spark.catalog.dropTempView("clone_ins")
+      spark.sql(s"DELETE FROM $cat.c WHERE doc_id < 3")
+      assert(spark.table(s"$cat.c").count() == 12)
+      assert(spark.table(s"$cat.s").count() == 10,
+        "clone divergence must not touch the source")
+
+      // the clone's vacuum deletes only files the clone itself wrote;
+      // the externally-referenced source bytes survive every retention
+      val stats = GraftVersions.vacuum(wh.resolve("c"), keepLast = 1)
+      assert(stats.deletedFiles.forall(!_.contains("/")),
+        s"vacuum deleted external refs: ${stats.deletedFiles}")
+      assert(spark.table(s"$cat.s").count() == 10,
+        "source must stay fully readable after clone vacuum")
+      assert(spark.table(s"$cat.c").count() == 12)
+
+      // clone of a clone re-anchors to the ORIGINAL files (no chains)
+      spark.sql(s"CALL $cat.system.clone('c', 'cc', -1)")
+      val cc0 = GraftVersions.manifest(wh.resolve("cc"), 0L)
+      assert(cc0.files.forall(f => !f.contains("../c/../")),
+        s"chained external refs must normalize: ${cc0.files}")
+      assert(spark.table(s"$cat.cc").count() == 12)
+
+      // an existing target fails loudly
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.clone('s', 'c', -1)").collect()
+      }
+      def causes(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(causes(e).exists(_.contains("already exists")))
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("tags: named time travel, vacuum pinning, and drop_tag releasing " +
+      "the pin") {
+    val (cat, wh) = freshCatalog("tags")
+    try {
+      import org.apache.spark.sql.functions._
+      docsRange(10).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true").create()       // v0, v1
+      docsRange(15).filter(col("doc_id") >= 10)
+        .createOrReplaceTempView("tag_ins")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM tag_ins") // v2
+      val tagged = spark.sql(
+        s"CALL $cat.system.tag('t', 'run-1', -1)").collect().head
+      assert(tagged.getString(0) == "run-1" && tagged.getLong(1) == 2L)
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM tag_ins") // v3 (dups fine)
+      spark.catalog.dropTempView("tag_ins")
+
+      assert(spark.sql(
+        s"SELECT count(*) c FROM $cat.t VERSION AS OF 'run-1'")
+        .head().getLong(0) == 15L)
+
+      // retention: keep_last=1 would expire v0-v2, but the tag pins v2
+      val s1 = GraftVersions.vacuum(wh.resolve("t"), keepLast = 1)
+      assert(s1.expiredVersions == Seq(0L, 1L), s1.toString)
+      assert(GraftVersions.listVersionNumbers(wh.resolve("t")) == Seq(2L, 3L))
+      assert(spark.sql(
+        s"SELECT count(*) c FROM $cat.t VERSION AS OF 'run-1'")
+        .head().getLong(0) == 15L, "tagged snapshot must survive vacuum")
+
+      // an unknown ref names the available tags
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'nope'").collect()
+      }
+      def causes(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(causes(e).exists(m =>
+        m.contains("nope") && m.contains("run-1")), causes(e).mkString(" | "))
+
+      // numeric-shadow and malformed names are rejected at tag time
+      val eNum = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.tag('t', '7', -1)").collect()
+      }
+      assert(causes(eNum).exists(_.contains("shadow")))
+
+      // dropping the tag releases the pin: the next vacuum expires v2
+      spark.sql(s"CALL $cat.system.drop_tag('t', 'run-1')").collect()
+      val s2 = GraftVersions.vacuum(wh.resolve("t"), keepLast = 1)
+      assert(s2.expiredVersions == Seq(2L), s2.toString)
+      val eGone = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'run-1'").collect()
+      }
+      assert(causes(eGone).exists(_.contains("run-1")))
+      // dropping a tag twice errors with the remaining-tag list
+      val eTwice = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.drop_tag('t', 'run-1')").collect()
+      }
+      assert(causes(eTwice).exists(_.contains("no tag")))
+    } finally dropCatalog(cat, wh)
+  }
 }
