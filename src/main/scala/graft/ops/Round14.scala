@@ -670,6 +670,65 @@ object Round14 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q246: MERGE WITH SCHEMA EVOLUTION
+  // ---------------------------------------------------------------------
+
+  /** Spark 4's `MERGE ... WITH SCHEMA EVOLUTION` against the versioned
+    * warehouse: the source carries a column the target lacks (`score`),
+    * and the table's AUTOMATIC_SCHEMA_EVOLUTION capability routes it
+    * through the SAME AddColumn registry as ALTER TABLE (one
+    * dataChange=false add-column commit, then the MOR merge commit) —
+    * so the CDC-upsert pipeline that starts shipping a new quality
+    * score simply ships it, no out-of-band DDL step. Pre-merge rows
+    * read the NULL backfill; matched and inserted rows carry the
+    * source value; time travel below the evolution presents the
+    * 4-column shape. The registry's append-only rules still gate every
+    * change — a boolean source column fails the merge loudly. */
+  val q246MergeEvolution: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q246")
+    try {
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "10").load()
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("merge.mode", "merge-on-read").create()
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "15").load().filter(col("doc_id") >= 5)
+        .withColumn("score", col("doc_id") * 2)
+        .createOrReplaceTempView(s"${cat}_src")
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t AS t
+           |USING ${cat}_src AS s ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.catalog.dropTempView(s"${cat}_src")
+      val ops = GraftVersions.listVersions(wh.resolve("t")).map(_.op)
+      require(ops == Seq("enable", "append", "add-column", "merge"),
+        s"unexpected version log: $ops")
+
+      def snap(phase: String, df: DataFrame): DataFrame = {
+        val hasScore = df.columns.contains("score")
+        df.agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          (if (hasScore)
+             coalesce(sum(when(col("score").isNull, 1L).otherwise(0L)),
+               lit(0L))
+           else lit(-1L)).cast("long").as("n_null_score"),
+          (if (hasScore) coalesce(sum("score"), lit(0L)) else lit(-1L))
+            .cast("long").as("sum_score"))
+          .select(lit(phase).as("phase"),
+            lit(df.columns.length.toLong).as("n_cols"),
+            col("n_rows"), col("n_null_score"), col("sum_score"))
+      }
+      val audit =
+        snap("a_pre_merge",
+          spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1"))
+          .unionByName(snap("b_post_merge", spark.table(s"$cat.t")))
+          .orderBy("phase")
+      OpsUtil.driverLiteral(audit)
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
     "q238_schema_evolution" -> q238SchemaEvolution,
     "q239_decision_tree" -> q239DecisionTree,
@@ -678,7 +737,8 @@ object Round14 {
     "q242_type_widening" -> q242TypeWidening,
     "q243_column_defaults" -> q243ColumnDefaults,
     "q244_shallow_clone" -> q244ShallowClone,
-    "q245_table_tags" -> q245TableTags)
+    "q245_table_tags" -> q245TableTags,
+    "q246_merge_evolution" -> q246MergeEvolution)
 
   val oracle: Map[String, String] = Map(
     "q238_schema_evolution" ->
@@ -873,6 +933,16 @@ object Round14 {
         |SELECT phase, CAST(src_rows AS BIGINT) AS src_rows,
         |  CAST(clone_rows AS BIGINT) AS clone_rows,
         |  CAST(ok AS BIGINT) AS ok
+        |FROM v ORDER BY phase""".stripMargin,
+    "q246_merge_evolution" ->
+      """WITH s AS (SELECT SUM(2 * i) AS v FROM range(5, 15) t(i)),
+        |v(phase, n_cols, n_rows, n_null_score, sum_score) AS (VALUES
+        |  ('a_pre_merge', 4, 10, -1, -1),
+        |  ('b_post_merge', 5, 15, 5, (SELECT v FROM s)))
+        |SELECT phase, CAST(n_cols AS BIGINT) AS n_cols,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_null_score AS BIGINT) AS n_null_score,
+        |  CAST(sum_score AS BIGINT) AS sum_score
         |FROM v ORDER BY phase""".stripMargin,
     "q245_table_tags" ->
       """WITH v(phase, n_rows, n_versions, ok) AS (VALUES

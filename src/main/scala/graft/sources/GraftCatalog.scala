@@ -847,13 +847,21 @@ class GraftRlTable(path: String,
       // versioned tables additionally stream their commit log
       // (GraftVersionFeed): readStream.table(...) tails the history —
       // and accept streams (GraftDocsStreamingWrite): the same log is
-      // the sink's exactly-once txn ledger
+      // the sink's exactly-once txn ledger.
+      // AUTOMATIC_SCHEMA_EVOLUTION: `MERGE ... WITH SCHEMA EVOLUTION`
+      // routes source-only columns through the SAME AddColumn DDL as
+      // ALTER TABLE (Spark's ResolveMergeIntoSchemaEvolution calls
+      // alterTable, then reloads) — the registry's append-only rules
+      // still gate every change, so an unsupported type fails the
+      // MERGE loudly instead of evolving wrongly
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-        TableCapability.TRUNCATE)
+        TableCapability.TRUNCATE,
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     else util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
       override def name(): String = "_file"

@@ -835,6 +835,63 @@ class Round14Spec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns evolve the " +
+      "target through the AddColumn registry; unsupported types fail " +
+      "loudly") {
+    val (cat, wh) = freshCatalog("mevo")
+    try {
+      import org.apache.spark.sql.functions._
+      docsRange(10).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true")
+        .tableProperty("merge.mode", "merge-on-read").create()  // v0, v1
+      docsRange(15).filter(col("doc_id") >= 5)
+        .withColumn("score", col("doc_id") * 2)
+        .createOrReplaceTempView("mevo_src")
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t AS t
+           |USING mevo_src AS s ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.catalog.dropTempView("mevo_src")
+
+      val out = spark.table(s"$cat.t")
+      assert(out.columns.toSeq == Seq("doc_id", "title", "fp", "n_words",
+        "score"), out.columns.mkString(","))
+      assert(out.count() == 15)
+      // untouched pre-merge rows (doc_id<5) read NULL backfill; matched
+      // and inserted rows carry the source's score
+      assert(out.filter(col("doc_id") < 5 && col("score").isNull)
+        .count() == 5)
+      assert(out.filter(col("doc_id") >= 5)
+        .filter(col("score") === col("doc_id") * 2).count() == 10)
+      // the evolution rode through the SAME registry as ALTER: an
+      // add-column commit precedes the merge commit
+      val ops = GraftVersions.listVersions(wh.resolve("t")).map(_.op)
+      assert(ops.count(_ == "add-column") == 1 && ops.contains("merge"),
+        ops.mkString(","))
+      // time travel below the evolution still presents the 4-col shape
+      assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1")
+        .columns.length == 4)
+
+      // a source column of an unsupported type fails the merge loudly
+      docsRange(20).filter(col("doc_id") >= 15)
+        .withColumn("bad", col("doc_id") > 3)
+        .createOrReplaceTempView("mevo_bad")
+      val e = intercept[Exception] {
+        spark.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t AS t
+             |USING mevo_bad AS s ON t.doc_id = s.doc_id
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      spark.catalog.dropTempView("mevo_bad")
+      def causes(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(causes(e).exists(m => m.contains("bigint") ||
+        m.contains("boolean")), causes(e).mkString(" | "))
+    } finally dropCatalog(cat, wh)
+  }
+
   test("tags: named time travel, vacuum pinning, and drop_tag releasing " +
       "the pin") {
     val (cat, wh) = freshCatalog("tags")
