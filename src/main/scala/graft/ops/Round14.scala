@@ -729,6 +729,78 @@ object Round14 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q247: writable branches — write-audit-publish
+  // ---------------------------------------------------------------------
+
+  /** Iceberg's write-audit-publish on the versioned warehouse: `CALL
+    * cat.system.branch('t','audit',-1)` forks a WRITABLE branch (a
+    * shallow clone at `_branches/audit` — zero-copy, every table face
+    * works on it), DML lands on `cat.t.branch_audit` in full isolation,
+    * maintenance composes (`optimize('t.branch_audit', ...)`), and
+    * `fast_forward` publishes the branch as ONE commit — only while
+    * main still sits at the fork point (straight line; a diverged main
+    * rejects the publish loudly). Branch-local files promote by rename
+    * (no data copy), and the branch is consumed.
+    *
+    * Scale shape: the pipeline pattern this exists for — land tonight's
+    * crawl on a branch, run the quality audits against branch data,
+    * publish atomically iff they pass — costs one manifest write to
+    * fork and one rename-per-file to publish, regardless of table
+    * size. */
+  val q247BranchWap: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q247")
+    try {
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "10").load()
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "merge-on-read").create()
+      spark.sql(s"CALL $cat.system.branch('t', 'audit', -1)").collect()
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "15").load().filter(col("doc_id") >= 10)
+        .createOrReplaceTempView(s"${cat}_ins")
+      spark.sql(
+        s"INSERT INTO $cat.t.branch_audit SELECT * FROM ${cat}_ins")
+      spark.catalog.dropTempView(s"${cat}_ins")
+      spark.sql(s"DELETE FROM $cat.t.branch_audit WHERE doc_id < 2")
+      val aMain = spark.table(s"$cat.t").count()
+      val aBranch = spark.table(s"$cat.t.branch_audit").count()
+
+      spark.sql(s"CALL $cat.system.optimize('t.branch_audit', 1, '')")
+        .collect()
+      val ff = spark.sql(
+        s"CALL $cat.system.fast_forward('t', 'audit')").head()
+      val bMain = spark.table(s"$cat.t").count()
+      val live = GraftVersions.latest(wh.resolve("t")).get
+      val bOk = if (ff.getLong(1) == 2L &&
+        live.files.forall(!_.contains("/")) &&
+        GraftVersions.listBranches(wh.resolve("t")).isEmpty) 1L else 0L
+
+      spark.sql(s"CALL $cat.system.branch('t', 'b2', -1)").collect()
+      spark.sql(s"INSERT INTO $cat.t VALUES (100, 'x', 1, 5)")
+      val cOk =
+        try {
+          spark.sql(s"CALL $cat.system.fast_forward('t', 'b2')").collect()
+          0L
+        } catch { case _: Exception => 1L }
+      spark.sql(s"CALL $cat.system.drop_branch('t', 'b2')").collect()
+      val cMain = spark.table(s"$cat.t").count()
+
+      val audit = spark.range(1).select(
+          lit("a_isolated").as("phase"), lit(aMain).as("main_rows"),
+          lit(aBranch).as("branch_rows"), lit(1L).as("ok"))
+        .unionByName(spark.range(1).select(
+          lit("b_published").as("phase"), lit(bMain).as("main_rows"),
+          lit(-1L).as("branch_rows"), lit(bOk).as("ok")))
+        .unionByName(spark.range(1).select(
+          lit("c_diverged_rejected").as("phase"),
+          lit(cMain).as("main_rows"),
+          lit(-1L).as("branch_rows"), lit(cOk).as("ok")))
+        .orderBy("phase")
+      OpsUtil.driverLiteral(audit)
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
     "q238_schema_evolution" -> q238SchemaEvolution,
     "q239_decision_tree" -> q239DecisionTree,
@@ -738,7 +810,8 @@ object Round14 {
     "q243_column_defaults" -> q243ColumnDefaults,
     "q244_shallow_clone" -> q244ShallowClone,
     "q245_table_tags" -> q245TableTags,
-    "q246_merge_evolution" -> q246MergeEvolution)
+    "q246_merge_evolution" -> q246MergeEvolution,
+    "q247_branch_wap" -> q247BranchWap)
 
   val oracle: Map[String, String] = Map(
     "q238_schema_evolution" ->
@@ -932,6 +1005,15 @@ object Round14 {
         |  ('c_vacuumed', 15, 17, 1))
         |SELECT phase, CAST(src_rows AS BIGINT) AS src_rows,
         |  CAST(clone_rows AS BIGINT) AS clone_rows,
+        |  CAST(ok AS BIGINT) AS ok
+        |FROM v ORDER BY phase""".stripMargin,
+    "q247_branch_wap" ->
+      """WITH v(phase, main_rows, branch_rows, ok) AS (VALUES
+        |  ('a_isolated', 10, 13, 1),
+        |  ('b_published', 13, -1, 1),
+        |  ('c_diverged_rejected', 14, -1, 1))
+        |SELECT phase, CAST(main_rows AS BIGINT) AS main_rows,
+        |  CAST(branch_rows AS BIGINT) AS branch_rows,
         |  CAST(ok AS BIGINT) AS ok
         |FROM v ORDER BY phase""".stripMargin,
     "q246_merge_evolution" ->

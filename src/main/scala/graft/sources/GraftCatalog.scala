@@ -75,10 +75,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     GraftProcedures(ident.name(), tableName => {
       val parts = tableName.split('.')
       val dir = dirFor(Identifier.of(parts.init, parts.last))
-      if (!Files.isDirectory(dir))
+      // maintenance composes with branches: `optimize('t.branch_dev')`
+      // compacts the branch before its audit/publish
+      val resolved =
+        if (!Files.isDirectory(dir) && parts.last.startsWith("branch_") &&
+            parts.init.nonEmpty && Files.isDirectory(dir.getParent))
+          GraftVersions.branchDir(dir.getParent,
+            parts.last.stripPrefix("branch_"))
+        else dir
+      if (!Files.isDirectory(resolved))
         throw new NoSuchTableException(
           Identifier.of(parts.init, parts.last))
-      dir
+      resolved
     }, tableName => {
       // clone's TARGET: containment-checked like any ident, existence
       // NOT required (the procedure creates it)
@@ -159,6 +167,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         throw new NoSuchTableException(ident)
       if (meta == "history") new GraftHistoryTable(parent.toString)
       else new GraftFilesMetaTable(parent.toString)
+    case b if b.startsWith("branch_") && ident.namespace().nonEmpty &&
+        Files.isDirectory(dirFor(ident).getParent) &&
+        !Files.isDirectory(dirFor(ident)) =>
+      // BRANCH FACES: `cat.t.branch_dev` reads/writes branch `dev` of
+      // table `t` — a full table in its own right (DML, MOR masks,
+      // OPTIMIZE, constraints), isolated from main until fast_forward
+      // publishes it (the write-audit-publish workflow).
+      val bdir = GraftVersions.branchDir(dirFor(ident).getParent,
+        b.stripPrefix("branch_"))
+      if (!Files.isDirectory(bdir)) throw new NoSuchTableException(ident)
+      new GraftRlTable(bdir.toString)
     case _ =>
       val dir = dirFor(ident)
       if (!Files.isDirectory(dir)) throw new NoSuchTableException(ident)

@@ -30,7 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftProcedures {
   val names: Seq[String] =
-    Seq("vacuum", "optimize", "restore", "clone", "tag", "drop_tag")
+    Seq("vacuum", "optimize", "restore", "clone", "tag", "drop_tag",
+      "branch", "fast_forward", "drop_branch")
 
   /** `resolve` maps a table name to its EXISTING directory (throws for
     * absent tables); `resolveNew` maps a name to the directory it WOULD
@@ -45,6 +46,9 @@ object GraftProcedures {
       case "clone" => clone(resolve, resolveNew)
       case "tag" => tag(resolve)
       case "drop_tag" => dropTag(resolve)
+      case "branch" => branch(resolve)
+      case "fast_forward" => fastForward(resolve)
+      case "drop_branch" => dropBranch(resolve)
       case other => throw new IllegalArgumentException(
         s"unknown procedure '$other' (have: ${names.mkString(", ")})")
     }
@@ -188,6 +192,72 @@ object GraftProcedures {
             }))
         result(StructType(Seq(
           StructField("tag_name", StringType, nullable = false),
+          StructField("dropped", BooleanType, nullable = false))),
+          UTF8String.fromString(name), true)
+      }
+    }
+
+  private def branch(resolve: String => Path): UnboundProcedure =
+    new Proc("branch", Array(
+      param("table", StringType), param("name", StringType),
+      param("version", LongType))) {
+      override def description(): String =
+        "fork a writable branch at snapshot `version` (-1 = latest): " +
+          "DML lands on `<table>.branch_<name>` in full isolation " +
+          "until fast_forward publishes it (write-audit-publish)"
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = resolve(input.getUTF8String(0).toString)
+        val name = input.getUTF8String(1).toString
+        val pin = Some(input.getLong(2)).filter(_ >= 0L)
+        val info = GraftVersions.createBranch(dir, name, pin)
+        result(StructType(Seq(
+          StructField("branch_name", StringType, nullable = false),
+          StructField("forked_at", LongType, nullable = false),
+          StructField("files_referenced", LongType, nullable = false))),
+          UTF8String.fromString(name),
+          pin.getOrElse(GraftVersions.latest(dir)
+            .map(_.version).getOrElse(-1L)),
+          info.entries.length.toLong)
+      }
+    }
+
+  private def fastForward(resolve: String => Path): UnboundProcedure =
+    new Proc("fast_forward", Array(
+      param("table", StringType), param("name", StringType))) {
+      override def description(): String =
+        "publish branch `name` onto main as one commit — only while " +
+          "main still sits at the branch's fork point (straight line); " +
+          "branch-local files promote by rename, the branch is consumed"
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = resolve(input.getUTF8String(0).toString)
+        val name = input.getUTF8String(1).toString
+        val info = GraftVersions.fastForward(dir, name)
+        result(StructType(Seq(
+          StructField("branch_name", StringType, nullable = false),
+          StructField("published_version", LongType, nullable = false),
+          StructField("n_files", LongType, nullable = false))),
+          UTF8String.fromString(name), info.version,
+          info.entries.length.toLong)
+      }
+    }
+
+  private def dropBranch(resolve: String => Path): UnboundProcedure =
+    new Proc("drop_branch", Array(
+      param("table", StringType), param("name", StringType))) {
+      override def description(): String =
+        "delete a branch without publishing (abandon the audit)"
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = resolve(input.getUTF8String(0).toString)
+        val name = input.getUTF8String(1).toString
+        val existed = GraftVersions.dropBranch(dir, name)
+        if (!existed) throw new IllegalArgumentException(
+          s"no branch '$name' on table at $dir; branches: " +
+            (GraftVersions.listBranches(dir) match {
+              case Nil => "none"
+              case bs => bs.mkString(", ")
+            }))
+        result(StructType(Seq(
+          StructField("branch_name", StringType, nullable = false),
           StructField("dropped", BooleanType, nullable = false))),
           UTF8String.fromString(name), true)
       }

@@ -811,6 +811,107 @@ object GraftVersions {
     writeManifest(dst, 0L, "clone", external)
   }
 
+  /** Branch directory of table `root` for branch `name` — a branch IS
+    * a shallow clone living inside the table at a well-known path, so
+    * every face a table has (DML, MOR masks, OPTIMIZE, constraints,
+    * time travel of its own commits) works on a branch for free. */
+  private[sources] def branchDir(root: Path, name: String): Path = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+      c == '_' || c == '-'),
+      s"branch name must be [A-Za-z0-9_-]+: '$name'")
+    root.resolve("_branches").resolve(name)
+  }
+
+  /** Create branch `name` forked at `version` (None = latest): a
+    * shallow clone into `_branches/<name>` whose `branch.base` property
+    * records the fork point — [[fastForward]]'s straight-line check.
+    * The Iceberg write-audit-publish shape: write to the branch, audit
+    * it with real queries, publish by fast-forward; main never sees a
+    * row until the audit passes. */
+  def createBranch(root: Path, name: String,
+      version: Option[Long] = None): VersionInfo =
+    lockFor(root).synchronized {
+      val bdir = branchDir(root, name)
+      val v = version.getOrElse(latest(root).map(_.version).getOrElse(
+        throw new IllegalStateException(s"branch of unversioned table $root")))
+      val info = cloneShallow(root, bdir, Some(v))
+      GraftTableMeta.write(bdir,
+        GraftTableMeta.read(bdir) + ("branch.base" -> v.toString))
+      info
+    }
+
+  /** Publish branch `name` onto main — Iceberg's fast-forward: allowed
+    * ONLY when main still sits at the branch's fork point (a straight
+    * line; a diverged main fails loudly — recreate the branch from the
+    * current snapshot and replay). Branch-local part files MOVE up into
+    * the table root (a rename per file, no data copy; staged names are
+    * UUID-tagged so collisions cannot happen), external references
+    * re-anchor to plain root names, and the publish is ONE ordinary
+    * commit (op `fast-forward`) — time travel, the change feed's
+    * taxonomy, and retention all see a normal snapshot. The branch is
+    * consumed by the publish. */
+  def fastForward(root: Path, name: String): VersionInfo =
+    lockFor(root).synchronized {
+      val bdir = branchDir(root, name)
+      if (!Files.isDirectory(bdir))
+        throw new IllegalArgumentException(
+          s"no branch '$name' on table at $root")
+      val base = GraftTableMeta.read(bdir).get("branch.base")
+        .map(_.toLong).getOrElse(throw new IllegalStateException(
+          s"branch '$name' at $bdir has no recorded fork point"))
+      val cur = latest(root).map(_.version).getOrElse(
+        throw new IllegalStateException(s"fast-forward on empty log: $root"))
+      if (cur != base)
+        throw new ConcurrentCommitException(
+          s"branch '$name' forked at v$base but main is at v$cur: " +
+            "fast-forward must be a straight line — recreate the branch " +
+            "from the current snapshot and replay its changes")
+      val head = latest(bdir).getOrElse(throw new IllegalStateException(
+        s"branch '$name' has an empty version log"))
+      val rootAbs = root.toAbsolutePath.normalize()
+      val bAbs = bdir.toAbsolutePath.normalize()
+      val published = head.entries.map { e =>
+        val abs = bAbs.resolve(e.name).normalize()
+        if (abs.getParent == rootAbs)
+          // an original root file the branch still references
+          e.copy(name = abs.getFileName.toString)
+        else if (abs.startsWith(bAbs)) {
+          // branch-local: promote by rename (collision = loud failure,
+          // never silent replace)
+          Files.move(abs, rootAbs.resolve(abs.getFileName.toString))
+          e.copy(name = abs.getFileName.toString)
+        } else
+          // external elsewhere (branch of a clone): re-anchor to root
+          e.copy(name = rootAbs.relativize(abs).toString)
+      }
+      val info = advance(root, "fast-forward", removed = None,
+        added = published)
+      org.apache.commons.io.FileUtils.deleteDirectory(bdir.toFile)
+      info
+    }
+
+  /** Delete branch `name` without publishing (abandon the audit). */
+  def dropBranch(root: Path, name: String): Boolean =
+    lockFor(root).synchronized {
+      val bdir = branchDir(root, name)
+      if (!Files.isDirectory(bdir)) false
+      else {
+        org.apache.commons.io.FileUtils.deleteDirectory(bdir.toFile)
+        true
+      }
+    }
+
+  def listBranches(root: Path): Seq[String] = {
+    val bs = root.resolve("_branches")
+    if (!Files.isDirectory(bs)) return Nil
+    val s = Files.list(bs)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq.sorted
+    } finally s.close()
+  }
+
   final case class VacuumStats(expiredVersions: Seq[Long],
       deletedFiles: Seq[String])
 

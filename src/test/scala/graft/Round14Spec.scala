@@ -892,6 +892,68 @@ class Round14Spec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("branches: write-audit-publish — isolated DML on the branch " +
+      "face, straight-line fast_forward, diverged publish rejected") {
+    val (cat, wh) = freshCatalog("wap")
+    try {
+      import org.apache.spark.sql.functions._
+      docsRange(10).writeTo(s"$cat.t")
+        .tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "merge-on-read").create() // v0, v1
+      spark.sql(s"CALL $cat.system.branch('t', 'audit', -1)").collect()
+
+      // WRITE: DML lands on the branch face, fully isolated
+      docsRange(15).filter(col("doc_id") >= 10)
+        .createOrReplaceTempView("wap_ins")
+      spark.sql(s"INSERT INTO $cat.t.branch_audit SELECT * FROM wap_ins")
+      spark.catalog.dropTempView("wap_ins")
+      spark.sql(s"DELETE FROM $cat.t.branch_audit WHERE doc_id < 2")
+      assert(spark.table(s"$cat.t.branch_audit").count() == 13)
+      assert(spark.table(s"$cat.t").count() == 10,
+        "main must not see unpublished branch writes")
+
+      // AUDIT: maintenance composes with the branch face
+      spark.sql(s"CALL $cat.system.optimize('t.branch_audit', 1, '')")
+        .collect()
+      assert(spark.table(s"$cat.t.branch_audit").count() == 13)
+
+      // PUBLISH: one fast-forward commit; the branch is consumed
+      val ff = spark.sql(
+        s"CALL $cat.system.fast_forward('t', 'audit')").collect().head
+      assert(ff.getLong(1) == 2L, ff.toString)
+      assert(spark.table(s"$cat.t").count() == 13)
+      val ops = GraftVersions.listVersions(wh.resolve("t")).map(_.op)
+      assert(ops == Seq("enable", "append", "fast-forward"),
+        ops.mkString(","))
+      // published manifest references only root-local files (the
+      // optimize rewrote everything branch-side, then rename promoted)
+      val live = GraftVersions.latest(wh.resolve("t")).get
+      assert(live.files.forall(!_.contains("/")), live.files.mkString(","))
+      intercept[Exception] {
+        spark.table(s"$cat.t.branch_audit").collect()
+      }
+      // retention after publish holds the full row set
+      GraftVersions.vacuum(wh.resolve("t"), keepLast = 1)
+      assert(spark.table(s"$cat.t").count() == 13)
+
+      // DIVERGENCE: main moves after the fork -> publish fails loudly
+      spark.sql(s"CALL $cat.system.branch('t', 'b2', -1)").collect()
+      spark.sql(s"INSERT INTO $cat.t VALUES (100, 'x', 1, 5)")
+      def causes(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.fast_forward('t', 'b2')").collect()
+      }
+      assert(causes(e).exists(_.contains("straight line")),
+        causes(e).mkString(" | "))
+      // the un-publishable branch is still droppable; main unharmed
+      spark.sql(s"CALL $cat.system.drop_branch('t', 'b2')").collect()
+      assert(GraftVersions.listBranches(wh.resolve("t")).isEmpty)
+      assert(spark.table(s"$cat.t").count() == 14)
+    } finally dropCatalog(cat, wh)
+  }
+
   test("tags: named time travel, vacuum pinning, and drop_tag releasing " +
       "the pin") {
     val (cat, wh) = freshCatalog("tags")
