@@ -801,6 +801,72 @@ object Round14 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q248: age-based snapshot expiration
+  // ---------------------------------------------------------------------
+
+  /** The third retention axis, completing count (`vacuum keep_last`)
+    * and pins (tags): AGE. `CALL cat.system.expire_snapshots(t,
+    * cutoff_micros)` expires snapshots committed strictly before the
+    * cutoff — except the latest (a table never loses its live state)
+    * and every tagged snapshot (a pin outranks the calendar). This is
+    * the nightly policy a 100 TB log actually runs: "7 days of time
+    * travel, whatever the commit rate, but run-tagged corpora live
+    * forever". Cutoffs here are taken FROM the commit log's own
+    * strictly-increasing timestamps, so the audit is deterministic. */
+  val q248ExpireSnapshots: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q248")
+    try {
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "10").load()
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "16").load().filter(col("doc_id") >= 10)
+        .createOrReplaceTempView(s"${cat}_ins")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_ins " +
+        "WHERE doc_id < 12")                                    // v2
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_ins " +
+        "WHERE doc_id >= 12 AND doc_id < 14")                   // v3
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_ins " +
+        "WHERE doc_id >= 14")                                   // v4
+      spark.catalog.dropTempView(s"${cat}_ins")
+      spark.sql(s"CALL $cat.system.tag('t', 'pin', 1)").collect()
+      val t = wh.resolve("t")
+      def ts(v: Long): Long =
+        GraftVersions.listVersions(t).find(_.version == v).get.tsMicros
+      def tagRows(): Long =
+        spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'pin'").count()
+
+      // cutoff at v3's commit time: v0 and v2 expire (v1 is tagged,
+      // v3/v4 are not strictly older)
+      val s1 = spark.sql(
+        s"CALL $cat.system.expire_snapshots('t', ${ts(3L)})").head()
+      val aVers = GraftVersions.listVersionNumbers(t)
+      val aOk = if (aVers == Seq(1L, 3L, 4L)) 1L else 0L
+      val aTag = tagRows()
+
+      // cutoff past everything: only the latest and the tag survive
+      val s2 = spark.sql(
+        s"CALL $cat.system.expire_snapshots('t', ${ts(4L) + 1L})").head()
+      val bVers = GraftVersions.listVersionNumbers(t)
+      val bOk = if (bVers == Seq(1L, 4L)) 1L else 0L
+      val bTag = tagRows()
+
+      val audit = spark.range(1).select(
+          lit("a_cutoff_v3").as("phase"),
+          lit(s1.getLong(0)).as("n_expired"),
+          lit(aVers.length.toLong).as("n_versions"),
+          lit(aTag).as("tag_rows"), lit(aOk).as("ok"))
+        .unionByName(spark.range(1).select(
+          lit("b_cutoff_all").as("phase"),
+          lit(s2.getLong(0)).as("n_expired"),
+          lit(bVers.length.toLong).as("n_versions"),
+          lit(bTag).as("tag_rows"), lit(bOk).as("ok")))
+        .orderBy("phase")
+      OpsUtil.driverLiteral(audit)
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
     "q238_schema_evolution" -> q238SchemaEvolution,
     "q239_decision_tree" -> q239DecisionTree,
@@ -811,7 +877,8 @@ object Round14 {
     "q244_shallow_clone" -> q244ShallowClone,
     "q245_table_tags" -> q245TableTags,
     "q246_merge_evolution" -> q246MergeEvolution,
-    "q247_branch_wap" -> q247BranchWap)
+    "q247_branch_wap" -> q247BranchWap,
+    "q248_expire_snapshots" -> q248ExpireSnapshots)
 
   val oracle: Map[String, String] = Map(
     "q238_schema_evolution" ->
@@ -1005,6 +1072,15 @@ object Round14 {
         |  ('c_vacuumed', 15, 17, 1))
         |SELECT phase, CAST(src_rows AS BIGINT) AS src_rows,
         |  CAST(clone_rows AS BIGINT) AS clone_rows,
+        |  CAST(ok AS BIGINT) AS ok
+        |FROM v ORDER BY phase""".stripMargin,
+    "q248_expire_snapshots" ->
+      """WITH v(phase, n_expired, n_versions, tag_rows, ok) AS (VALUES
+        |  ('a_cutoff_v3', 2, 3, 10, 1),
+        |  ('b_cutoff_all', 1, 2, 10, 1))
+        |SELECT phase, CAST(n_expired AS BIGINT) AS n_expired,
+        |  CAST(n_versions AS BIGINT) AS n_versions,
+        |  CAST(tag_rows AS BIGINT) AS tag_rows,
         |  CAST(ok AS BIGINT) AS ok
         |FROM v ORDER BY phase""".stripMargin,
     "q247_branch_wap" ->

@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
   val names: Seq[String] =
     Seq("vacuum", "optimize", "restore", "clone", "tag", "drop_tag",
-      "branch", "fast_forward", "drop_branch")
+      "branch", "fast_forward", "drop_branch", "expire_snapshots")
 
   /** `resolve` maps a table name to its EXISTING directory (throws for
     * absent tables); `resolveNew` maps a name to the directory it WOULD
@@ -49,6 +49,7 @@ object GraftProcedures {
       case "branch" => branch(resolve)
       case "fast_forward" => fastForward(resolve)
       case "drop_branch" => dropBranch(resolve)
+      case "expire_snapshots" => expireSnapshots(resolve)
       case other => throw new IllegalArgumentException(
         s"unknown procedure '$other' (have: ${names.mkString(", ")})")
     }
@@ -194,6 +195,28 @@ object GraftProcedures {
           StructField("tag_name", StringType, nullable = false),
           StructField("dropped", BooleanType, nullable = false))),
           UTF8String.fromString(name), true)
+      }
+    }
+
+  private def expireSnapshots(resolve: String => Path): UnboundProcedure =
+    new Proc("expire_snapshots", Array(
+      param("table", StringType), param("older_than_micros", LongType))) {
+      override def description(): String =
+        "age-based retention (Iceberg's expire_snapshots): expire " +
+          "snapshots committed strictly before the cutoff — the " +
+          "latest snapshot and every tagged snapshot always survive — " +
+          "and reclaim files no retained snapshot references"
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = resolve(input.getUTF8String(0).toString)
+        val stats = GraftVersions.vacuum(dir, keepLast = 1,
+          olderThanMicros = Some(input.getLong(1)))
+        result(StructType(Seq(
+          StructField("expired_versions", LongType, nullable = false),
+          StructField("deleted_files", LongType, nullable = false),
+          StructField("oldest_retained", LongType, nullable = false))),
+          stats.expiredVersions.length.toLong,
+          stats.deletedFiles.length.toLong,
+          GraftVersions.listVersionNumbers(dir).headOption.getOrElse(-1L))
       }
     }
 

@@ -919,20 +919,28 @@ object GraftVersions {
     * every tagged snapshot ([[GraftTableMeta.tags]] — a tag is a
     * retention pin, Iceberg's ref-aware expiration), expire the rest,
     * and delete exactly the part files no retained snapshot
-    * references. Retained snapshots stay byte-identically readable;
-    * expired ones fail with the available-range error. Files referenced
-    * ACROSS table roots (a shallow clone's external entries, names
-    * carrying a path separator) belong to the source table's lifecycle
-    * and are never deleted here. */
-  def vacuum(root: Path, keepLast: Int): VacuumStats =
+    * references. `olderThanMicros` adds the AGE axis (Iceberg's
+    * expire_snapshots / Delta's retention window): only snapshots
+    * committed strictly before the cutoff expire — the nightly
+    * "expire everything older than 7 days, whatever the commit rate"
+    * policy, composable with the count floor and the tag pins.
+    * Retained snapshots stay byte-identically readable; expired ones
+    * fail with the available-range error. Files referenced ACROSS
+    * table roots (a shallow clone's external entries, names carrying a
+    * path separator) belong to the source table's lifecycle and are
+    * never deleted here. */
+  def vacuum(root: Path, keepLast: Int,
+      olderThanMicros: Option[Long] = None): VacuumStats =
     lockFor(root).synchronized {
       require(keepLast >= 1, s"vacuum must keep at least 1 snapshot")
       val versions = listVersionNumbers(root)
       val tagged = GraftTableMeta.tags(root).values.toSet
-      val (expire0, retain0) =
+      val (expire0, _) =
         versions.splitAt(math.max(versions.length - keepLast, 0))
-      val expire = expire0.filterNot(tagged)
-      val retain = expire0.filter(tagged) ++ retain0
+      val expire = expire0.filterNot(tagged).filter(v =>
+        olderThanMicros.forall(readManifest(root, v).tsMicros < _))
+      val expireSet = expire.toSet
+      val retain = versions.filterNot(expireSet)
       val retainedFiles =
         retain.flatMap(readManifest(root, _).files).toSet
       val expiredFiles =
