@@ -124,6 +124,7 @@ object Bench {
     // A bench that can't tell fast from dead hides regressions — so track
     // which queries threw and emit them in the JSON line.
     val erroredQueries = mutable.LinkedHashSet[String]()
+    val jvmStart = System.nanoTime()
     def timedOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
@@ -150,30 +151,35 @@ object Bench {
       // per-query noise figure summarized below.
       (ts(1), if (ts(1) > 0) (ts(2) - ts(0)) / ts(1) else 0.0)
     }
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => (name, fn, median3(name, fn)) }
-    val results = timed.map { case (name, _, (med, _)) => name -> med }
-    // Canary agreement: re-measure a pinned subset at the END of the
-    // session and compare medians against the main pass. The canaries
-    // span the suite's cost profiles (scan-agg q01, cached LSH dedup
-    // q41, ML fits q60, broadcast-probe decontam q121). Max relative
-    // deviation > ~10% marks the whole run as host-noise-dominated.
-    val canaryNames = Seq("q01_flagship_revenue", "q41_minhash_lsh",
-      "q60_ml_metrics", "q121_curation_pipeline")
-    val canaryDevs: Seq[(String, Double)] = {
-      val base = timed.collect {
-        case (n, fn, (med, _)) if canaryNames.contains(n) => (n, fn, med) }
-      base.map { case (n, fn, med1) =>
-        val med2 = median3(n, fn)._1
-        n -> (if (med1 > 0) math.abs(med2 - med1) / med1 else 0.0) }
+    /** One full timed pass over the suite: per-query median-of-3, then
+      * the end-of-session canary re-measurement. Returns everything the
+      * JSON line needs so the retry loop below can compare passes. */
+    case class Pass(results: Seq[(String, Double)],
+        canaryDevs: Seq[(String, Double)], canaryDev: Double,
+        spreads: Seq[Double])
+    def runPass(): Pass = {
+      val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) => (name, fn, median3(name, fn)) }
+      val results = timed.map { case (name, _, (med, _)) => name -> med }
+      // Canary agreement: re-measure a pinned subset at the END of the
+      // session and compare medians against the main pass. The canaries
+      // span the suite's cost profiles (scan-agg q01, cached LSH dedup
+      // q41, ML fits q60, broadcast-probe decontam q121). Max relative
+      // deviation > ~10% marks the whole run as host-noise-dominated.
+      val canaryNames = Seq("q01_flagship_revenue", "q41_minhash_lsh",
+        "q60_ml_metrics", "q121_curation_pipeline")
+      val canaryDevs: Seq[(String, Double)] = {
+        val base = timed.collect {
+          case (n, fn, (med, _)) if canaryNames.contains(n) => (n, fn, med) }
+        base.map { case (n, fn, med1) =>
+          val med2 = median3(n, fn)._1
+          n -> (if (med1 > 0) math.abs(med2 - med1) / med1 else 0.0) }
+      }
+      val canaryDev =
+        if (canaryDevs.isEmpty) 0.0 else canaryDevs.map(_._2).max
+      Pass(results, canaryDevs, canaryDev, timed.map(_._3._2).sorted)
     }
-    val canaryDev =
-      if (canaryDevs.isEmpty) 0.0 else canaryDevs.map(_._2).max
-    val spreads = timed.map(_._3._2).sorted
-    def pct(p: Double): Double =
-      if (spreads.isEmpty) 0.0
-      else spreads(math.min(spreads.size - 1, (p * spreads.size).toInt))
     // Keep the JSON line SHORT: the driver captures a bounded tail (~2.9 KB)
     // of this process's output. Round 3's full-precision doubles overflowed
     // it; round 4's 2-decimal line with full query names (~2.8 KB) STILL got
@@ -187,40 +193,83 @@ object Bench {
       val i = name.indexOf('_')
       if (i > 0) name.substring(0, i) else name
     }
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // "runs":3 = median-of-3 per query (see median3); "spread_med"/
-    // "spread_p90" = per-query (max-min)/median noise quantiles;
-    // "canary_dev" = max relative drift of the 4 canary medians
-    // re-measured at session end (>~0.10 → treat totals as noisy);
-    // "errors" = short keys of queries that threw in ANY timed run —
-    // their per-query numbers are throw-time, not query time, and the
-    // total is NOT comparable to a clean round's.
-    val errs = erroredQueries.toSeq.map(n => "\"" + shortKey(n) + "\"")
-      .mkString("[", ",", "]")
-    // Trend gate: compare this run's per-query medians to the checked-in
-    // clean-run trend file, but ONLY act on a clean run (canary_dev ≤
-    // 0.10) — a noise-flagged session would trip on host phases, not
-    // regressions. "over3x" is always emitted (empty when clean or gate
-    // off); SPARK_GRAFT_TREND_STRICT=1 (dev runs; the driver never sets
-    // it) additionally exits nonzero so a planted stall fails the run.
-    val trendPath = sys.env.getOrElse("SPARK_GRAFT_TREND",
-      "tools/bench_clean_medians.tsv")
-    val over3x =
-      if (canaryDev > 0.10) Seq.empty
-      else trendViolations(results.map { case (k, v) => shortKey(k) -> v },
-        recordedMedians(trendPath, sfDir))
-    val over = over3x.map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    // which canary moved: a flagged run should name its drifter (q60's
-    // r12 39s artifact took a round to diagnose for lack of exactly this)
-    val cdevs = canaryDevs
-      .map { case (n, d) => "\"" + shortKey(n) + "\":" + f3(d) }
-      .mkString("{", ",", "}")
-    println(s"""{"queries":$qs,"metric":"total","unit":"sec","runs":3,"spread_med":${f3(pct(0.5))},"spread_p90":${f3(pct(0.9))},"canary_dev":${f3(canaryDev)},"canary_devs":$cdevs,"errors":$errs,"over3x":$over,"sf":"$sfDir","value":${f3(total)}}""")
+    def jsonLine(p: Pass, attempts: Int): String = {
+      val qs = p.results
+        .map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      val total = p.results.map(_._2).sum
+      def pct(q: Double): Double =
+        if (p.spreads.isEmpty) 0.0
+        else p.spreads(math.min(p.spreads.size - 1, (q * p.spreads.size).toInt))
+      // "runs":3 = median-of-3 per query (see median3); "spread_med"/
+      // "spread_p90" = per-query (max-min)/median noise quantiles;
+      // "canary_dev" = max relative drift of the 4 canary medians
+      // re-measured at session end (>~0.10 → treat totals as noisy);
+      // "errors" = short keys of queries that threw in ANY timed run —
+      // their per-query numbers are throw-time, not query time, and the
+      // total is NOT comparable to a clean round's. "attempts" = how
+      // many full passes the retry loop below ran before this line.
+      val errs = erroredQueries.toSeq.map(n => "\"" + shortKey(n) + "\"")
+        .mkString("[", ",", "]")
+      // Trend gate: compare this run's per-query medians to the checked-in
+      // clean-run trend file, but ONLY act on a clean run (canary_dev ≤
+      // 0.10) — a noise-flagged session would trip on host phases, not
+      // regressions. "over3x" is always emitted (empty when clean or gate
+      // off); SPARK_GRAFT_TREND_STRICT=1 (dev runs; the driver never sets
+      // it) additionally exits nonzero so a planted stall fails the run.
+      val trendPath = sys.env.getOrElse("SPARK_GRAFT_TREND",
+        "tools/bench_clean_medians.tsv")
+      val over3x =
+        if (p.canaryDev > 0.10) Seq.empty
+        else trendViolations(p.results.map { case (k, v) => shortKey(k) -> v },
+          recordedMedians(trendPath, sfDir))
+      val over = over3x.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+      // which canary moved: a flagged run should name its drifter (q60's
+      // r12 39s artifact took a round to diagnose for lack of exactly this)
+      val cdevs = p.canaryDevs
+        .map { case (n, d) => "\"" + shortKey(n) + "\":" + f3(d) }
+        .mkString("{", ",", "}")
+      s"""{"queries":$qs,"metric":"total","unit":"sec","runs":3,"spread_med":${f3(pct(0.5))},"spread_p90":${f3(pct(0.9))},"canary_dev":${f3(p.canaryDev)},"canary_devs":$cdevs,"errors":$errs,"over3x":$over,"attempts":$attempts,"sf":"$sfDir","value":${f3(total)}}"""
+    }
+    // Self-cleaning retry: r12 (0.92), r13 (0.34) and three r14 hunts
+    // all handed the driver a canary-flagged artifact because a single
+    // pass races whatever the host happens to be doing. The protocol's
+    // fix ("re-run until canary ≤ 0.10") belongs INSIDE the bench: when
+    // the canary flags a pass, run another (warm-up amortized — retries
+    // reuse the JIT-hot JVM) and keep the cleanest. Two guards bound the
+    // cost: an attempt cap (default 3) and a wall-clock deadline since
+    // JVM start (default 1500 s) checked BEFORE each extra pass, so a
+    // driver with a tight timeout sees exactly today's single-pass cost.
+    // The best-so-far line is printed after EVERY attempt: the driver
+    // keeps a bounded tail of this output, so even a mid-retry kill
+    // leaves the last complete line standing, and each line carries its
+    // own canary_dev so a flagged artifact still self-describes.
+    val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
+      .flatMap(_.toIntOption).getOrElse(3).max(1)
+    val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC")
+      .flatMap(_.toDoubleOption).getOrElse(1500.0)
+    var best = runPass()
+    var attempts = 1
+    println(jsonLine(best, attempts))
+    while (best.canaryDev > 0.10 && attempts < maxAttempts &&
+        (System.nanoTime() - jvmStart) / 1e9 < deadlineSec) {
+      System.err.println(f"[bench] attempt $attempts canary_dev=" +
+        f"${best.canaryDev}%.2f > 0.10 - host noise suspected, retrying")
+      val next = runPass()
+      attempts += 1
+      if (next.canaryDev < best.canaryDev) best = next
+      println(jsonLine(best, attempts))
+    }
     spark.stop()
-    if (over3x.nonEmpty && sys.env.get("SPARK_GRAFT_TREND_STRICT").contains("1")) {
-      System.err.println(s"[bench] trend gate: ${over3x.mkString(", ")} " +
+    val strictOver =
+      if (best.canaryDev > 0.10) Seq.empty
+      else trendViolations(
+        best.results.map { case (k, v) => shortKey(k) -> v },
+        recordedMedians(sys.env.getOrElse("SPARK_GRAFT_TREND",
+          "tools/bench_clean_medians.tsv"), sfDir))
+    if (strictOver.nonEmpty &&
+        sys.env.get("SPARK_GRAFT_TREND_STRICT").contains("1")) {
+      System.err.println(s"[bench] trend gate: ${strictOver.mkString(", ")} " +
         "exceeded 3x their recorded clean medians on a clean run")
       sys.exit(2)
     }
