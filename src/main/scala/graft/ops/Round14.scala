@@ -867,6 +867,88 @@ object Round14 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q249: row lineage — stable row ids across delete / OPTIMIZE / update
+  // ---------------------------------------------------------------------
+
+  /** Delta-style ROW TRACKING as one verified lifecycle
+    * (`TBLPROPERTIES('row.tracking'='true')`): every row gets a stable
+    * id at its birth commit, exposed as the `_row_id` /
+    * `_row_commit_version` metadata columns. The design is pure
+    * manifest metadata — per-file lineage SEGMENTS `(base, rows,
+    * since)` allocated from a monotone high-water mark in the manifest
+    * header — so tracking costs ZERO per-row bytes and ids survive:
+    *
+    *  - MOR DELETE (v3): deletion vectors mask positions without
+    *    shifting them, so surviving ids are untouched by construction;
+    *  - bin-packing OPTIMIZE (v4): output files are byte CONCATENATIONS
+    *    of their members with spliced lineage segments — ids identical
+    *    before and after (require-audited via VERSION AS OF 3 vs 4);
+    *  - MOR UPDATE (v6): the preimage id dies with its mask and the
+    *    replacement row draws the next fresh id from the high-water
+    *    mark — an id is one immutable row VERSION, never recycled.
+    *
+    * Clustered/Z-order rewrites REORDER rows (no segment encoding can
+    * express the permutation), so on tracked tables they reject loudly
+    * (require-audited) instead of silently reassigning every id. Why a
+    * training pipeline wants this: "which exact rows changed since the
+    * last distillation run" becomes an id-level diff, robust to the
+    * nightly OPTIMIZE that rewrites every file name. Scale: id
+    * allocation is one manifest-header read per commit, lookup is a
+    * monotone per-file segment walk in the reader — nothing global,
+    * nothing per-row on disk. */
+  val q249RowLineage: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q249")
+    try {
+      val docs = spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "18").load()
+      // one sorted file per commit: ids are then doc_id-aligned, which
+      // lets the DuckDB oracle derive every expected id from first
+      // principles instead of trusting the engine under test
+      docs.filter(col("doc_id") < 10).orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("row.tracking", "true")
+        .tableProperty("delete.mode", "merge-on-read")
+        .tableProperty("update.mode", "merge-on-read")
+        .create()                                  // v0 enable, v1 append
+      docs.filter(col("doc_id") >= 10 && col("doc_id") < 15)
+        .orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").append()               // v2: ids 10-14
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (2, 11)") // v3: MOR
+      spark.sql(s"CALL $cat.system.optimize('t', 1, '')")      // v4: concat
+      docs.filter(col("doc_id") >= 15).orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").append()               // v5: ids 15-17
+      spark.sql(
+        s"UPDATE $cat.t SET n_words = n_words + 1000 WHERE doc_id = 5") // v6
+
+      val t = wh.resolve("t")
+      val live = GraftVersions.latest(t).get
+      require(live.rowHwm.contains(19L),
+        s"high-water mark should be 19 after 19 row versions: $live")
+      // preservation proof: the id an OPTIMIZE-survivor carries after
+      // the concat is the id it carried before
+      val pre = spark.sql(
+        s"SELECT doc_id, _row_id AS rid FROM $cat.t VERSION AS OF 3")
+      val post = spark.sql(
+        s"SELECT doc_id, _row_id AS rid FROM $cat.t VERSION AS OF 4")
+      require(pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty,
+        "bin-packing OPTIMIZE must preserve every row id")
+      // a clustered rewrite would reorder rows: reject, never reassign
+      val zorderRejected =
+        try { GraftVersions.compact(spark, t, 1,
+          clusterBy = Seq("doc_id", "n_words")); false }
+        catch { case _: UnsupportedOperationException => true }
+      require(zorderRejected,
+        "clustered OPTIMIZE on a row-tracked table must reject loudly")
+
+      val out = spark.table(s"$cat.t")
+        .select(col("doc_id"), col("_row_id").as("row_id"),
+          col("_row_commit_version").as("row_cv"))
+        .orderBy("doc_id")
+      OpsUtil.driverLiteral(out)
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
     "q238_schema_evolution" -> q238SchemaEvolution,
     "q239_decision_tree" -> q239DecisionTree,
@@ -878,7 +960,8 @@ object Round14 {
     "q245_table_tags" -> q245TableTags,
     "q246_merge_evolution" -> q246MergeEvolution,
     "q247_branch_wap" -> q247BranchWap,
-    "q248_expire_snapshots" -> q248ExpireSnapshots)
+    "q248_expire_snapshots" -> q248ExpireSnapshots,
+    "q249_row_lineage" -> q249RowLineage)
 
   val oracle: Map[String, String] = Map(
     "q238_schema_evolution" ->
@@ -1074,6 +1157,18 @@ object Round14 {
         |  CAST(clone_rows AS BIGINT) AS clone_rows,
         |  CAST(ok AS BIGINT) AS ok
         |FROM v ORDER BY phase""".stripMargin,
+    // every expected id derives from first principles: one sorted file
+    // per append means id = doc_id at birth; doc 5's update retires id 5
+    // and draws the next fresh id (18, the 19th row version); deletes
+    // and the OPTIMIZE between the appends must not disturb any of it
+    "q249_row_lineage" ->
+      """SELECT CAST(d AS BIGINT) AS doc_id,
+        |  CAST(CASE WHEN d = 5 THEN 18 ELSE d END AS BIGINT) AS row_id,
+        |  CAST(CASE WHEN d = 5 THEN 6 WHEN d < 10 THEN 1
+        |       WHEN d < 15 THEN 2 ELSE 5 END AS BIGINT) AS row_cv
+        |FROM range(0, 18) t(d)
+        |WHERE d NOT IN (2, 11)
+        |ORDER BY doc_id""".stripMargin,
     "q248_expire_snapshots" ->
       """WITH v(phase, n_expired, n_versions, tag_rows, ok) AS (VALUES
         |  ('a_cutoff_v3', 2, 3, 10, 1),

@@ -473,13 +473,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             s"table property '${s.property()}' is not persisted by " +
               "graft_docs tables; settable properties: check.<name>, " +
               "bloom.columns, bloom.bits, delete.mode, update.mode, " +
-              "merge.mode")
+              "merge.mode, row.tracking")
         case r: RemoveProperty =>
           throw new UnsupportedOperationException(
             s"table property '${r.property()}' is not persisted by " +
               "graft_docs tables; removable properties: check.<name>, " +
               "bloom.columns, bloom.bits, delete.mode, update.mode, " +
-              "merge.mode")
+              "merge.mode, row.tracking")
         case other =>
           throw new UnsupportedOperationException(
             s"graft_docs tables have a fixed schema; unsupported change: " +
@@ -529,7 +529,7 @@ object GraftCatalog {
     * delete strategy. */
   def isPersistedProperty(k: String): Boolean =
     k.startsWith("check.") || k.startsWith("bloom.") ||
-      RowLevelModeKeys(k)
+      RowLevelModeKeys(k) || k == "row.tracking"
 
   /** The three row-level strategy selectors, and their only legal
     * values. Validated at CREATE and ALTER: a typo like
@@ -539,11 +539,16 @@ object GraftCatalog {
     Set("delete.mode", "update.mode", "merge.mode")
   val RowLevelModeValues: Set[String] =
     Set("copy-on-write", "merge-on-read")
-  def validateProperty(k: String, v: String): Unit =
+  def validateProperty(k: String, v: String): Unit = {
     if (RowLevelModeKeys(k) && !RowLevelModeValues(v))
       throw new IllegalArgumentException(
         s"invalid value '$v' for table property '$k'; legal values: " +
           RowLevelModeValues.toSeq.sorted.mkString(", "))
+    if (k == "row.tracking" && v != "true" && v != "false")
+      throw new IllegalArgumentException(
+        s"invalid value '$v' for table property 'row.tracking'; legal " +
+          "values: true, false")
+  }
 
   /** ADD CONSTRAINT validation (Delta parity): a new CHECK must hold
     * on the rows already in the table, or it is rejected with the
@@ -895,6 +900,24 @@ class GraftRlTable(path: String,
       override def comment(): String =
         "physical row position within its part file — with _file, the " +
           "stable row id deletion vectors address"
+    },
+    new MetadataColumn {
+      override def name(): String = "_row_id"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "stable row id (row.tracking tables): assigned once at the " +
+          "row's birth commit from the table's id high-water mark, " +
+          "preserved across MOR deletes and bin-packing OPTIMIZE; " +
+          "NULL on untracked rows"
+    },
+    new MetadataColumn {
+      override def name(): String = "_row_commit_version"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "dataChange commit that created this row version (row.tracking " +
+          "tables); NULL on untracked rows"
     })
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftFilesScanBuilder(path, versionPin = versionPin,

@@ -878,13 +878,16 @@ class GraftFilesScan(path: String, required: StructType,
           GraftBucketFilesPartition(b,
             byBucket.getOrElse(b, Nil).map(e =>
               (dir.resolve(e.name).toString,
-                e.dv.map(_.positions).getOrElse(Array.empty[Long])))
+                e.dv.map(_.positions).getOrElse(Array.empty[Long]),
+                e.lineage.flatMap(t => Seq(t._1, t._2, t._3)).toArray))
           ): InputPartition
         }.toArray
       case None =>
         entries
           .map(e => GraftFilePartition(dir.resolve(e.name).toString,
-            e.dv.map(_.positions).getOrElse(Array.empty)): InputPartition)
+            e.dv.map(_.positions).getOrElse(Array.empty),
+            lineage = e.lineage.flatMap(t =>
+              Seq(t._1, t._2, t._3)).toArray): InputPartition)
           .toArray
     }
   }
@@ -1160,13 +1163,19 @@ case class GraftFilePartition(file: String,
     // true: dvPositions are the EXACT positions to emit — how delete
     // preimages and update preimages are read back out of immutable
     // base files (the positions a MOR commit newly masked)
-    emitOnlyPositions: Boolean = false) extends InputPartition
+    emitOnlyPositions: Boolean = false,
+    // row-lineage segments of this file, flattened as (base, physRows,
+    // sinceCommit) triples — the manifest fact the _row_id /
+    // _row_commit_version metadata columns are computed from. Empty =
+    // untracked file (both columns read NULL).
+    lineage: Array[Long] = Array.empty) extends InputPartition
 
 /** All live files of one bucket class of a bucketed table (possibly
   * none after pruning), carrying the class id as the partition key the
   * storage-partitioned join aligns on. */
 case class GraftBucketFilesPartition(bucket: Int,
-    files: Seq[(String, Array[Long])]) extends InputPartition
+    // per file: (path, dv skip mask, flattened lineage triples)
+    files: Seq[(String, Array[Long], Array[Long])]) extends InputPartition
     with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
@@ -1190,8 +1199,8 @@ class GraftFilesReaderFactory(cols: Array[String],
       }.orNull)
     }.toMap
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val files: Seq[(String, Array[Long])] = p match {
-      case fp: GraftFilePartition => Seq((fp.file, fp.dvPositions))
+    val files: Seq[(String, Array[Long], Array[Long])] = p match {
+      case fp: GraftFilePartition => Seq((fp.file, fp.dvPositions, fp.lineage))
       case bp: GraftBucketFilesPartition => bp.files
     }
     val (changeTypeU, commitVersion, emitOnly) = p match {
@@ -1212,15 +1221,38 @@ class GraftFilesReaderFactory(cols: Array[String],
       private var pos = -1L
       private var dv: Array[Long] = Array.empty
       private var dvIdx = 0
+      // lineage cursor: flattened (base, rows, since) triples of the
+      // CURRENT file plus the running segment index and its starting
+      // physical position — positions stream in order, so the lookup
+      // is a monotone advance, never a per-row search
+      private var lin: Array[Long] = Array.empty
+      private var linIdx = 0
+      private var linStart = 0L
+      private def linAdvance(): Unit =
+        while (linIdx * 3 < lin.length &&
+            pos >= linStart + lin(linIdx * 3 + 1)) {
+          linStart += lin(linIdx * 3 + 1); linIdx += 1
+        }
+      private def rowId: Any = {
+        linAdvance()
+        if (linIdx * 3 >= lin.length || lin(linIdx * 3) < 0) null
+        else java.lang.Long.valueOf(lin(linIdx * 3) + (pos - linStart))
+      }
+      private def rowCommit: Any = {
+        linAdvance()
+        if (linIdx * 3 >= lin.length || lin(linIdx * 3 + 2) < 0) null
+        else java.lang.Long.valueOf(lin(linIdx * 3 + 2))
+      }
       override def next(): Boolean = {
         while (true) {
           if (lines == null || !lines.hasNext) {
             if (!fileIt.hasNext) return false
-            val (f, d) = fileIt.next()
+            val (f, d, lg) = fileIt.next()
             lines = Files.readAllLines(Paths.get(f),
               StandardCharsets.UTF_8).iterator()
             curFileName = Paths.get(f).getFileName.toString
             dv = d; dvIdx = 0; pos = -1L
+            lin = lg; linIdx = 0; linStart = 0L
           }
           while (lines.hasNext) {
             val line = lines.next(); pos += 1
@@ -1253,6 +1285,8 @@ class GraftFilesReaderFactory(cols: Array[String],
           case "_pos" => pos
           case "_change_type" => changeTypeU
           case "_commit_version" => commitVersion
+          case "_row_id" => rowId
+          case "_row_commit_version" => rowCommit
           case evolved =>
             // ADD COLUMN tail: a file written before the column existed
             // is SHORTER than the current schema — the missing cell IS

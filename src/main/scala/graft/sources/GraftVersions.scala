@@ -80,7 +80,20 @@ object GraftVersions {
       // storage-partitioned joins. None = file predates the layout (or
       // the table has none): the scan then degrades to unknown
       // partitioning, never to a wrong grouping.
-      bucket: Option[Int] = None) {
+      bucket: Option[Int] = None,
+      // row lineage (Delta row-tracking shape): contiguous SEGMENTS of
+      // (baseRowId, physicalRows, sinceCommit) covering this file's
+      // physical positions in order — row id of position p in segment k
+      // is base_k + (p - segmentStart_k), and sinceCommit_k is the
+      // dataChange commit that created those rows. Fresh files carry ONE
+      // segment (assigned monotonically from the table's `rowhwm` header
+      // at commit time); bin-packing compaction SPLICES its members'
+      // segment lists, so ids survive OPTIMIZE without a single per-row
+      // byte. A base of -1 marks rows that predate tracking (id = NULL).
+      // Nil = untracked file: every row id reads NULL, never a made-up
+      // value. Deletion-vector masks never shift physical positions, so
+      // MOR deletes preserve surviving rows' ids by construction.
+      lineage: Seq[(Long, Long, Long)] = Nil) {
     /** Can a row with `col` in [lo, hi] possibly live in this file?
       * Stats bound ALL physical rows, so they stay conservative (may
       * overcount, never undercount) for DV-masked files too. */
@@ -96,6 +109,12 @@ object GraftVersions {
     /** Rows a scan of this file returns (physical minus masked). */
     def liveRows: Option[Long] =
       rows.map(_ - dv.map(_.cardinality.toLong).getOrElse(0L))
+    /** One past the highest row id any segment of this file covers —
+      * what the commit-time high-water mark must clear. */
+    def lineageEnd: Option[Long] = {
+      val ends = lineage.collect { case (b, r, _) if b >= 0 => b + r }
+      if (ends.isEmpty) None else Some(ends.max)
+    }
   }
   object FileEntry {
     val NoStats: Map[String, (Long, Long)] = Map.empty
@@ -114,7 +133,12 @@ object GraftVersions {
     * at-least-once replay into exactly-once. */
   final case class VersionInfo(version: Long, tsMicros: Long, op: String,
       entries: Seq[FileEntry], dataChange: Boolean = true,
-      txn: Option[(String, Long)] = None) {
+      txn: Option[(String, Long)] = None,
+      // row-id high-water mark AFTER this commit (row-tracked tables):
+      // the next commit's fresh ids start here. Carried monotonically in
+      // the manifest header so id allocation never re-derives from (and
+      // never collides with) vacuumed history.
+      rowHwm: Option[Long] = None) {
     def files: Seq[String] = entries.map(_.name)
   }
 
@@ -177,8 +201,41 @@ object GraftVersions {
       txn: Option[(String, Long)] = None): VersionInfo = {
     // strictly-increasing timestamps: TIMESTAMP AS OF floor semantics
     // need an unambiguous order even when two commits share a clock tick
-    val prevTs = latest(root).map(_.tsMicros).getOrElse(Long.MinValue)
+    val prev = latest(root)
+    val prevTs = prev.map(_.tsMicros).getOrElse(Long.MinValue)
     val ts = math.max(System.currentTimeMillis() * 1000L, prevTs + 1L)
+    // Row tracking (opt-in: TBLPROPERTIES('row.tracking'='true')): every
+    // entry that reaches a commit without lineage gets ONE fresh segment
+    // allocated from the running high-water mark — new files at their
+    // birth commit, and pre-tracking survivors backfilled at the first
+    // commit after the property lands (their `since` is the backfill
+    // commit, the Delta materialization-version semantics). Entries that
+    // arrive WITH lineage (kept snapshot files, compaction splices,
+    // restore/clone/fast_forward carries) pass through untouched — that
+    // is the whole preservation contract — and the mark only ever moves
+    // up past everything it has seen, so ids are never reissued.
+    val tracked =
+      GraftTableMeta.read(root).get("row.tracking").contains("true")
+    val trackedEntries =
+      if (!tracked) entries
+      else {
+        var hwm = prev.flatMap(_.rowHwm).getOrElse(
+          prev.map(_.entries.flatMap(_.lineageEnd).foldLeft(0L)(math.max))
+            .getOrElse(0L))
+        entries.map { e =>
+          if (e.lineage.nonEmpty) e
+          else e.rows match {
+            case Some(r) =>
+              val seg = (hwm, r, version); hwm += r
+              e.copy(lineage = Seq(seg))
+            case None => e // pre-stats entry: no physical count, no ids
+          }
+        }
+      }
+    val rowHwm =
+      if (!tracked) None
+      else Some(trackedEntries.flatMap(_.lineageEnd)
+        .foldLeft(prev.flatMap(_.rowHwm).getOrElse(0L))(math.max))
     // stats columns sorted for a canonical line; format per column is
     // `col=min:max`, then optional `rows=`/`bytes=` counters, an
     // optional `bloom=` token, and an optional `dv=` deletion vector.
@@ -207,13 +264,17 @@ object GraftVersions {
         sidecar.write(bytes, 0, bytes.length)
         s"$key=@$off:${bytes.length}"
       }
-    val lines = entries.map { e =>
+    val lines = trackedEntries.map { e =>
       (e.name +:
         (e.stats.toSeq.sortBy(_._1).map {
           case (c, (mn, mx)) => s"$c=$mn:$mx"
         } ++ e.rows.map(r => s"rows=$r").toSeq
           ++ e.bytes.map(b => s"bytes=$b").toSeq
           ++ e.bucket.map(b => s"bucket=$b").toSeq
+          ++ (if (e.lineage.isEmpty) Nil
+              else Seq("lineage=" + e.lineage.map {
+                case (b, r, s) => s"$b:$r:$s"
+              }.mkString(",")))
           ++ e.bloom.map(b => blobToken("bloom", b.toBase64)).toSeq
           ++ e.dv.filter(_.cardinality > 0)
             .map(d => blobToken("dv", d.toBase64)).toSeq)).mkString("\t")
@@ -223,8 +284,9 @@ object GraftVersions {
         s"txn appId must not contain tabs/newlines: '$app'")
       s"\ttxn=$app:$e"
     }.getOrElse("")
+    val hwmField = rowHwm.map(h => s"\trowhwm=$h").getOrElse("")
     val body =
-      (s"ts=$ts\top=$op\tdataChange=$dataChange$txnField" +: lines)
+      (s"ts=$ts\top=$op\tdataChange=$dataChange$txnField$hwmField" +: lines)
         .mkString("", "\n", "\n")
     val target = versionsDir(root).resolve(f"v$version%05d.manifest")
     if (Files.exists(target))
@@ -243,7 +305,7 @@ object GraftVersions {
     val tmp = Files.createTempFile(versionsDir(root), s"v$version-", ".tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    VersionInfo(version, ts, op, entries, dataChange, txn)
+    VersionInfo(version, ts, op, trackedEntries, dataChange, txn, rowHwm)
   }
 
   private def readManifest(root: Path, version: Long): VersionInfo = {
@@ -281,7 +343,8 @@ object GraftVersions {
         case arr =>
           def tok(prefix: String): Option[String] =
             arr.tail.find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
-          val reserved = Set("rows=", "bytes=", "bucket=", "bloom=", "dv=")
+          val reserved =
+            Set("rows=", "bytes=", "bucket=", "bloom=", "dv=", "lineage=")
           val statToks =
             arr.tail.filterNot(t => reserved.exists(t.startsWith))
           FileEntry(arr.head, statToks.map { tok =>
@@ -297,7 +360,14 @@ object GraftVersions {
             rows = tok("rows=").map(_.toLong),
             bytes = tok("bytes=").map(_.toLong),
             dv = tok("dv=").map(v => GraftDV.fromBase64(blob(v))),
-            bucket = tok("bucket=").map(_.toInt))
+            bucket = tok("bucket=").map(_.toInt),
+            lineage = tok("lineage=").map(_.split(",").toSeq.map { seg =>
+              seg.split(":") match {
+                case Array(b, r, s) => (b.toLong, r.toLong, s.toLong)
+                case _ => throw new IllegalStateException(
+                  s"malformed lineage segment '$seg' in $p")
+              }
+            }).getOrElse(Nil))
       }
     }
     val txn = header.get("txn").map { v =>
@@ -306,7 +376,8 @@ object GraftVersions {
       (v.substring(0, i), v.substring(i + 1).toLong)
     }
     VersionInfo(version, header("ts").toLong, header("op"), entries,
-      header.get("dataChange").forall(_.toBoolean), txn)
+      header.get("dataChange").forall(_.toBoolean), txn,
+      header.get("rowhwm").map(_.toLong))
   }
 
   def listVersionNumbers(root: Path): Seq[Long] = {
@@ -361,9 +432,9 @@ object GraftVersions {
     * always differ; this compares what the entry MEANS. */
   private def fingerprint(e: FileEntry): (String, Map[String, (Long, Long)],
       Option[Long], Option[Long], Option[Int], Option[Seq[Long]],
-      Option[String]) =
+      Option[String], Seq[(Long, Long, Long)]) =
     (e.name, e.stats, e.rows, e.bytes, e.bucket,
-      e.dv.map(_.positions.toSeq), e.bloom.map(_.toBase64))
+      e.dv.map(_.positions.toSeq), e.bloom.map(_.toBase64), e.lineage)
 
   class ConcurrentCommitException(msg: String)
       extends java.util.ConcurrentModificationException(msg)
@@ -561,6 +632,21 @@ object GraftVersions {
     import org.apache.spark.sql.functions._
     require(isVersioned(root), s"compact needs a versioned table: $root")
     val n = math.max(targetFiles, 1)
+    // Row-tracked tables: a clustered rewrite REORDERS rows, and an
+    // arbitrary permutation cannot be expressed as lineage segments —
+    // preserving ids there would need per-row materialization. Loud
+    // rejection beats silently reassigning every id under an operation
+    // whose dataChange=false contract promises rows (including their
+    // identity) did not change. Bin-packing OPTIMIZE (no clusterBy)
+    // takes the concat path below, which preserves ids exactly.
+    if (GraftTableMeta.read(root).get("row.tracking").contains("true")) {
+      if (clusterBy.nonEmpty) throw new UnsupportedOperationException(
+        s"OPTIMIZE ... ZORDER/clustered rewrite on row-tracked table " +
+          s"$root would reassign row ids; drop 'row.tracking' or run " +
+          "bin-packing OPTIMIZE (no cluster columns), which preserves " +
+          "row lineage")
+      return compactConcat(root, n, maxAttempts)
+    }
     // the snapshot this rewrite is OF — the commit below validates no
     // one advanced the table while the rewrite ran
     val readVersion = latest(root).map(_.version).getOrElse(
@@ -656,6 +742,116 @@ object GraftVersions {
     } finally {
       try org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Bin-packing OPTIMIZE for row-tracked tables: each output file is
+    * the BYTE CONCATENATION of its member files, so physical positions
+    * within a member never change — the output entry splices its
+    * members' lineage segments (and shifts their deletion-vector
+    * positions) and every surviving row keeps its id, without writing
+    * one per-row lineage byte. Per-file facts merge conservatively:
+    * stats only for columns EVERY member tracks (absence must widen),
+    * blooms by bitwise OR when every member carries one of the same
+    * size, bucket only when all members agree — and on a bucketed
+    * table bins never cross bucket classes, so the storage-partitioned
+    * join layout survives compaction. Masked rows ride along still
+    * masked (their bytes were immutable anyway); a rewrite that PURGES
+    * masks is exactly the clustered path, which row tracking rejects.
+    * At cluster scale the concatenation is an executor-side copy task
+    * per output file (bytes stream, nothing decodes); here it is the
+    * driver's NIO copy of the same bounded per-bin byte volume. */
+  private def compactConcat(root: Path, targetFiles: Int,
+      maxAttempts: Int): VersionInfo = {
+    val snap = latest(root).getOrElse(throw new IllegalStateException(
+      s"compact on empty version log: $root"))
+    val members = snap.entries.filter(_.rows.exists(_ > 0))
+    if (members.isEmpty)
+      return advance(root, "compact", removed = None, added = Nil,
+        dataChange = false, readVersion = Some(snap.version))
+    // bins: one per bucket class when the table declares a layout;
+    // otherwise sequential fill toward equal byte shares of n bins
+    val bins: Seq[Seq[FileEntry]] =
+      if (GraftTableMeta.bucketLayout(root).isDefined)
+        members.groupBy(_.bucket).toSeq
+          .sortBy(_._1.getOrElse(Int.MaxValue)).map(_._2.sortBy(_.name))
+      else {
+        val sorted = members.sortBy(_.name)
+        val total = sorted.map(e =>
+          e.bytes.getOrElse(Files.size(root.resolve(e.name)))).sum
+        val share = math.max(total / math.max(targetFiles, 1), 1L)
+        val out = Seq.newBuilder[Seq[FileEntry]]
+        var cur = Seq.newBuilder[FileEntry]; var acc = 0L; var used = 0
+        sorted.foreach { e =>
+          val sz = e.bytes.getOrElse(Files.size(root.resolve(e.name)))
+          if (acc > 0 && acc + sz > share && used < targetFiles - 1) {
+            out += cur.result(); cur = Seq.newBuilder; acc = 0L; used += 1
+          }
+          cur += e; acc += sz
+        }
+        out += cur.result()
+        out.result().filter(_.nonEmpty)
+      }
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+    val landed = bins.zipWithIndex.map { case (bin, i) =>
+      val name = f"part-$i%05d-$tag.tsv"
+      val tmp = Files.createTempFile(root, s"_concat-$i-", ".tmp")
+      val out = Files.newOutputStream(tmp)
+      val dvPositions = Seq.newBuilder[Long]
+      val lineage = Seq.newBuilder[(Long, Long, Long)]
+      var offset = 0L
+      try bin.foreach { e =>
+        val bytes = Files.readAllBytes(root.resolve(e.name))
+        out.write(bytes)
+        // writer rows are always newline-terminated; be defensive so a
+        // foreign file can never glue its last row onto the next member
+        if (bytes.nonEmpty && bytes.last != '\n') out.write('\n')
+        val r = e.rows.get
+        e.dv.foreach(d => d.positions.foreach(p => dvPositions += p + offset))
+        // a member whose segments do not cover its physical rows (or a
+        // pre-tracking member) contributes an id-less segment: NULL ids,
+        // never invented ones
+        if (e.lineage.nonEmpty && e.lineage.map(_._2).sum == r)
+          lineage ++= e.lineage
+        else lineage += ((-1L, r, -1L))
+        offset += r
+      } finally out.close()
+      Files.move(tmp, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      val statCols = bin.map(_.stats.keySet).reduce(_ intersect _)
+      val blooms = bin.map(_.bloom)
+      val mergedBloom =
+        if (blooms.forall(_.isDefined) &&
+            blooms.flatten.map(_.bits.length).distinct.size == 1) {
+          val acc = new Array[Long](blooms.head.get.bits.length)
+          blooms.flatten.foreach { b =>
+            var j = 0
+            while (j < acc.length) { acc(j) |= b.bits(j); j += 1 }
+          }
+          Some(new GraftBloom(acc))
+        } else None
+      val dvs = dvPositions.result()
+      FileEntry(name,
+        stats = statCols.map { c =>
+          val rs = bin.map(_.stats(c))
+          c -> (rs.map(_._1).min, rs.map(_._2).max)
+        }.toMap,
+        bloom = mergedBloom,
+        rows = Some(bin.map(_.rows.get).sum),
+        bytes = Some(Files.size(root.resolve(name))),
+        dv = if (dvs.isEmpty) None else Some(GraftDV.of(dvs)),
+        bucket = bin.map(_.bucket).distinct match {
+          case Seq(b) => b
+          case _ => None
+        },
+        lineage = lineage.result())
+    }
+    try advance(root, "compact", removed = None, added = landed,
+      dataChange = false, readVersion = Some(snap.version))
+    catch {
+      case _: ConcurrentCommitException if maxAttempts > 1 =>
+        // a writer advanced the table mid-concat: the landed files stay
+        // unreferenced (vacuum reclaims them); re-pack the new live set
+        compactConcat(root, targetFiles, maxAttempts - 1)
     }
   }
 

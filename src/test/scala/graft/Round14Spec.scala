@@ -1013,4 +1013,133 @@ class Round14Spec extends SparkSpec {
       assert(causes(eTwice).exists(_.contains("no tag")))
     } finally dropCatalog(cat, wh)
   }
+
+  // -------------------------------------------------------------------
+  // wave 4: row lineage (row.tracking) — stable ids as manifest metadata
+  // -------------------------------------------------------------------
+
+  private def idsOf(cat: String, table: String = "t")
+      : Map[Long, (Long, Long)] =
+    spark.sql(s"SELECT doc_id, _row_id, _row_commit_version " +
+        s"FROM $cat.$table").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("row lineage: ids survive delete + repeated OPTIMIZE (splice of " +
+      "splices), and a second OPTIMIZE is what re-packs, not re-ids") {
+    val (cat, wh) = freshCatalog("lin1")
+    try {
+      docsRange(12).orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("row.tracking", "true")
+        .tableProperty("delete.mode", "merge-on-read").create()
+      docsRange(20).filter("doc_id >= 12").orderBy("doc_id")
+        .repartition(3).writeTo(s"$cat.t").append()
+      val birth = idsOf(cat)
+      assert(birth.keySet == (0L until 20L).toSet)
+      assert(birth.values.map(_._1).toSeq.distinct.size == 20,
+        "ids must be unique")
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id % 5 = 1")
+      spark.sql(s"CALL $cat.system.optimize('t', 2, '')").collect()
+      val once = idsOf(cat)
+      assert(once == birth.filter { case (d, _) => d % 5 != 1 },
+        "first OPTIMIZE must preserve every surviving id")
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id % 5 = 2")
+      spark.sql(s"CALL $cat.system.optimize('t', 1, '')").collect()
+      val twice = idsOf(cat)
+      assert(twice == birth.filter { case (d, _) => d % 5 > 2 || d % 5 == 0 },
+        "re-compacting spliced segments must still preserve ids")
+      val live = GraftVersions.latest(wh.resolve("t")).get
+      assert(live.entries.length == 1 &&
+        live.entries.head.lineage.nonEmpty, live.entries.toString)
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("row lineage: late enablement backfills at the next commit, " +
+      "updates retire ids forever, restore keeps them") {
+    val (cat, wh) = freshCatalog("lin2")
+    try {
+      // born UNTRACKED: ids read NULL, never invented
+      docsRange(6).orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("update.mode", "merge-on-read").create()
+      val untracked = spark.sql(
+        s"SELECT _row_id FROM $cat.t WHERE _row_id IS NOT NULL").count()
+      assert(untracked == 0L, "untracked tables must read NULL ids")
+      spark.sql(
+        s"ALTER TABLE $cat.t SET TBLPROPERTIES('row.tracking'='true')")
+      // the property alone changes nothing until a commit backfills
+      docsRange(8).filter("doc_id >= 6").orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").append()
+      val after = idsOf(cat)
+      assert(after.keySet == (0L until 8L).toSet &&
+        after.values.map(_._1).toSeq.distinct.size == 8,
+        s"backfill must give every row a unique id: $after")
+      val hwm0 = GraftVersions.latest(wh.resolve("t")).get.rowHwm.get
+
+      // two MOR updates of one row: each rewrite is a NEW row version
+      // with a NEW id — ids are never recycled
+      spark.sql(s"UPDATE $cat.t SET n_words = 1 WHERE doc_id = 3")
+      val id1 = idsOf(cat)(3L)
+      spark.sql(s"UPDATE $cat.t SET n_words = 2 WHERE doc_id = 3")
+      val id2 = idsOf(cat)(3L)
+      assert(id1._1 >= hwm0 && id2._1 > id1._1,
+        s"update ids must be fresh and increasing: $id1 -> $id2")
+
+      // restore to the pre-update snapshot: the carried entries keep
+      // their lineage, and the mark never rewinds below what it saw
+      val preUpdate = GraftVersions.latest(wh.resolve("t")).get.version - 2
+      spark.sql(s"CALL $cat.system.restore('t', $preUpdate)").collect()
+      assert(idsOf(cat)(3L) == after(3L),
+        "restore must resurrect the original id")
+      assert(GraftVersions.latest(wh.resolve("t")).get.rowHwm.get
+        >= id2._1 + 1, "high-water mark must never rewind")
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("row lineage: bucketed tables compact WITHIN bucket classes — " +
+      "layout and ids both survive") {
+    val (cat, wh) = freshCatalog("lin3")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (doc_id BIGINT, title STRING, fp BIGINT,
+           |  n_words INT) PARTITIONED BY (bucket(3, doc_id))
+           |  TBLPROPERTIES('versioned'='true', 'row.tracking'='true',
+           |  'delete.mode'='merge-on-read')""".stripMargin)
+      docsRange(9).orderBy("doc_id")
+        .writeTo(s"$cat.t").append()
+      docsRange(18).filter("doc_id >= 9").orderBy("doc_id")
+        .writeTo(s"$cat.t").append()
+      val birth = idsOf(cat)
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id = 4")
+      spark.sql(s"CALL $cat.system.optimize('t', 1, '')").collect()
+      assert(idsOf(cat) == birth - 4L,
+        "bucketed concat must preserve surviving ids")
+      val entries = GraftVersions.latest(wh.resolve("t")).get.entries
+      assert(entries.length == 3 &&
+        entries.flatMap(_.bucket).sorted == Seq(0, 1, 2),
+        s"one compacted file per bucket class, each labeled: $entries")
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("row lineage: clustered OPTIMIZE rejects on tracked tables; " +
+      "dropping the property re-enables it") {
+    val (cat, wh) = freshCatalog("lin4")
+    try {
+      docsRange(10).orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("row.tracking", "true").create()
+      val e = intercept[UnsupportedOperationException] {
+        GraftVersions.compact(spark, wh.resolve("t"), 1,
+          clusterBy = Seq("doc_id"))
+      }
+      assert(e.getMessage.contains("row ids"), e.getMessage)
+      spark.sql(
+        s"ALTER TABLE $cat.t SET TBLPROPERTIES('row.tracking'='false')")
+      // untracked again: the clustered rewrite is legal (ids were a
+      // tracked-table contract; the property owner turned it off)
+      GraftVersions.compact(spark, wh.resolve("t"), 1,
+        clusterBy = Seq("doc_id"))
+      assert(spark.table(s"$cat.t").count() == 10L)
+    } finally dropCatalog(cat, wh)
+  }
 }
