@@ -949,6 +949,65 @@ object Round14 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q250: remove_orphan_files — the debris vacuum cannot see
+  // ---------------------------------------------------------------------
+
+  /** Iceberg's `remove_orphan_files` as one verified lifecycle. Vacuum
+    * walks the LOG: it reclaims files that expired manifests reference
+    * and nothing retained does. But a crash leaves debris the log never
+    * knew — a compaction that landed its output and died before the
+    * manifest advance, a concat temp, a staging directory whose job
+    * died between task commit and driver commit. This query plants all
+    * three shapes of debris beside a live table and audits the two
+    * contracts: the mtime CUTOFF protects anything newer (an in-flight
+    * writer's staged files are indistinguishable from debris by name,
+    * so a cutoff in the past removes nothing), and a permissive cutoff
+    * removes exactly the three planted orphans — while the live rows,
+    * the version log, and every referenced file stay untouched.
+    * Scale shape: one directory listing + one log read under the table
+    * lock; never a data scan. */
+  val q250RemoveOrphans: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q250")
+    try {
+      val docs = spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "12").load()
+      docs.filter(col("doc_id") < 8).orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      docs.filter(col("doc_id") >= 8).orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").append()
+      val t = wh.resolve("t")
+      // plant the three debris shapes a crash can leave
+      Files.write(t.resolve("part-99999-deadbeef.tsv"),
+        "999\tghost\t0\t7\n".getBytes("UTF-8"))
+      Files.write(t.resolve("_concat-0-dead.tmp"),
+        "tmp".getBytes("UTF-8"))
+      Files.createDirectories(t.resolve("_staging").resolve("deadjob"))
+      Files.write(t.resolve("_staging").resolve("deadjob")
+        .resolve("part-00000.tsv"), "998\tghost\t0\t7\n".getBytes("UTF-8"))
+
+      def phase(name: String, cutoffMicros: Long): DataFrame = {
+        val r = spark.sql(s"CALL $cat.system.remove_orphan_files(" +
+          s"'t', ${cutoffMicros}L)").head()
+        spark.range(1).select(lit(name).as("phase"),
+          lit(r.getLong(0)).as("removed"),
+          lit(spark.table(s"$cat.t").count()).as("live_rows"),
+          lit(GraftVersions.listVersionNumbers(t).length.toLong)
+            .as("n_versions"))
+      }
+      // cutoff in the past: everything is newer, nothing is eligible
+      val a = phase("a_cutoff_protects", 1000L)
+      // permissive cutoff: exactly the planted debris goes
+      val b = phase("b_orphans_removed",
+        System.currentTimeMillis() * 1000L + 3_600_000_000L)
+      require(!Files.exists(t.resolve("part-99999-deadbeef.tsv")) &&
+        !Files.exists(t.resolve("_staging").resolve("deadjob")),
+        "planted debris must be gone after the permissive sweep")
+      val audit = a.unionByName(b).orderBy("phase")
+      OpsUtil.driverLiteral(audit)
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
     "q238_schema_evolution" -> q238SchemaEvolution,
     "q239_decision_tree" -> q239DecisionTree,
@@ -961,7 +1020,8 @@ object Round14 {
     "q246_merge_evolution" -> q246MergeEvolution,
     "q247_branch_wap" -> q247BranchWap,
     "q248_expire_snapshots" -> q248ExpireSnapshots,
-    "q249_row_lineage" -> q249RowLineage)
+    "q249_row_lineage" -> q249RowLineage,
+    "q250_remove_orphans" -> q250RemoveOrphans)
 
   val oracle: Map[String, String] = Map(
     "q238_schema_evolution" ->
@@ -1161,6 +1221,14 @@ object Round14 {
     // per append means id = doc_id at birth; doc 5's update retires id 5
     // and draws the next fresh id (18, the 19th row version); deletes
     // and the OPTIMIZE between the appends must not disturb any of it
+    "q250_remove_orphans" ->
+      """WITH v(phase, removed, live_rows, n_versions) AS (VALUES
+        |  ('a_cutoff_protects', 0, 12, 3),
+        |  ('b_orphans_removed', 3, 12, 3))
+        |SELECT phase, CAST(removed AS BIGINT) AS removed,
+        |  CAST(live_rows AS BIGINT) AS live_rows,
+        |  CAST(n_versions AS BIGINT) AS n_versions
+        |FROM v ORDER BY phase""".stripMargin,
     "q249_row_lineage" ->
       """SELECT CAST(d AS BIGINT) AS doc_id,
         |  CAST(CASE WHEN d = 5 THEN 18 ELSE d END AS BIGINT) AS row_id,

@@ -31,7 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
   val names: Seq[String] =
     Seq("vacuum", "optimize", "restore", "clone", "tag", "drop_tag",
-      "branch", "fast_forward", "drop_branch", "expire_snapshots")
+      "branch", "fast_forward", "drop_branch", "expire_snapshots",
+      "remove_orphan_files")
 
   /** `resolve` maps a table name to its EXISTING directory (throws for
     * absent tables); `resolveNew` maps a name to the directory it WOULD
@@ -50,6 +51,7 @@ object GraftProcedures {
       case "fast_forward" => fastForward(resolve)
       case "drop_branch" => dropBranch(resolve)
       case "expire_snapshots" => expireSnapshots(resolve)
+      case "remove_orphan_files" => removeOrphanFiles(resolve)
       case other => throw new IllegalArgumentException(
         s"unknown procedure '$other' (have: ${names.mkString(", ")})")
     }
@@ -217,6 +219,25 @@ object GraftProcedures {
           stats.expiredVersions.length.toLong,
           stats.deletedFiles.length.toLong,
           GraftVersions.listVersionNumbers(dir).headOption.getOrElse(-1L))
+      }
+    }
+
+  private def removeOrphanFiles(resolve: String => Path): UnboundProcedure =
+    new Proc("remove_orphan_files", Array(
+      param("table", StringType), param("older_than_micros", LongType))) {
+      override def description(): String =
+        "reclaim files NO manifest references (crashed compactions, " +
+          "abandoned staging) whose mtime predates the cutoff — the " +
+          "debris vacuum cannot see because vacuum only walks the log; " +
+          "use a cutoff older than the longest running job, never " +
+          "'now', on a table with live writers"
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = resolve(input.getUTF8String(0).toString)
+        val stats = GraftVersions.removeOrphans(dir, input.getLong(1))
+        result(StructType(Seq(
+          StructField("removed_files", LongType, nullable = false),
+          StructField("removed_bytes", LongType, nullable = false))),
+          stats.removed.length.toLong, stats.bytes)
       }
     }
 

@@ -1167,4 +1167,67 @@ object GraftVersions {
       }
       VacuumStats(expire, expiredFiles.toSeq.sorted)
     }
+
+  final case class OrphanStats(removed: Seq[String], bytes: Long)
+
+  /** Iceberg-style `remove_orphan_files`: reclaim files under the table
+    * directory that NO manifest (of any retained version) references —
+    * the debris [[vacuum]] cannot see, because vacuum only walks the
+    * log: crashed compactions' landed-but-uncommitted part files,
+    * interrupted concat temps, and abandoned `_staging/<queryId>` dirs
+    * from jobs that died between task commit and driver commit.
+    *
+    * The `olderThanMicros` cutoff is the same safety valve Iceberg
+    * requires: an in-flight writer's staged files are indistinguishable
+    * from debris by name, so only files whose mtime predates the cutoff
+    * are eligible — run with a cutoff older than the longest possible
+    * job, never "now", on a table with live writers. Same caveat as
+    * Delta documents for shallow clones: a clone references its
+    * source's files through the CLONE's manifest, which this table's
+    * log knows nothing about — vacuuming/orphan-sweeping a clone SOURCE
+    * below the snapshots its clones were taken from can strand them.
+    * Never touches `_versions` (the log itself), `_table.properties`,
+    * `_branches` (each branch is its own versioned table with its own
+    * log), or `_SUCCESS`. Runs under the table lock so a concurrent
+    * commit cannot land files between the reference scan and the
+    * delete. */
+  def removeOrphans(root: Path, olderThanMicros: Long): OrphanStats =
+    lockFor(root).synchronized {
+      require(isVersioned(root),
+        s"remove_orphan_files needs a versioned table: $root")
+      import scala.jdk.CollectionConverters._
+      val referenced = listVersions(root).flatMap(_.files)
+        .filterNot(_.contains('/')).toSet
+      val removed = Seq.newBuilder[String]
+      var bytes = 0L
+      def eligible(p: Path): Boolean =
+        Files.getLastModifiedTime(p).toMillis * 1000L < olderThanMicros
+      val s = Files.list(root)
+      try s.iterator().asScala.toSeq.foreach { p =>
+        val n = p.getFileName.toString
+        val debris =
+          (n.matches(GraftFiles.partFileRegex) && !referenced(n)) ||
+            (n.startsWith("_concat-") && n.endsWith(".tmp"))
+        if (debris && eligible(p)) {
+          bytes += Files.size(p); Files.delete(p); removed += n
+        }
+      } finally s.close()
+      val stg = root.resolve("_staging")
+      if (Files.isDirectory(stg)) {
+        val sd = Files.list(stg)
+        try sd.iterator().asScala.toSeq.foreach { d =>
+          if (Files.isDirectory(d) && eligible(d)) {
+            val files = Files.walk(d)
+            val sz =
+              try files.iterator().asScala.toSeq
+                .filter(Files.isRegularFile(_)).map(Files.size).sum
+              finally files.close()
+            org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+            bytes += sz
+            removed += s"_staging/${d.getFileName}"
+          }
+        } finally sd.close()
+      }
+      OrphanStats(removed.result().sorted, bytes)
+    }
 }

@@ -1121,6 +1121,28 @@ class Round14Spec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("remove_orphan_files: referenced files are immune at ANY cutoff, " +
+      "and unversioned directories reject") {
+    val (cat, wh) = freshCatalog("orph")
+    try {
+      docsRange(10).orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      val t = wh.resolve("t")
+      val referenced = GraftVersions.latest(t).get.files
+      assert(referenced.nonEmpty)
+      val stats = GraftVersions.removeOrphans(t, Long.MaxValue)
+      assert(stats.removed.isEmpty,
+        s"nothing is orphaned here, nothing may go: $stats")
+      assert(referenced.forall(f => Files.exists(t.resolve(f))))
+      assert(spark.table(s"$cat.t").count() == 10L)
+      val plain = Files.createTempDirectory("graft_unversioned")
+      try intercept[IllegalArgumentException] {
+        GraftVersions.removeOrphans(plain, Long.MaxValue)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(plain.toFile)
+    } finally dropCatalog(cat, wh)
+  }
+
   test("row lineage: clustered OPTIMIZE rejects on tracked tables; " +
       "dropping the property re-enables it") {
     val (cat, wh) = freshCatalog("lin4")
