@@ -1008,6 +1008,155 @@ object Round14 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q251: BATCH change-feed reads — Delta's table_changes shape
+  // ---------------------------------------------------------------------
+
+  /** The change feed's BATCH face: `option("readChangeFeed", true)
+    * .option("startingVersion", v)` on a plain `spark.read` returns
+    * every commit of `[startingVersion, endingVersion]` diffed and
+    * labeled in ONE scan — Delta's `table_changes(t, v1, v2)`. The
+    * streaming face (q240) drains commits one micro-batch at a time
+    * through a checkpoint; the batch face is what an incremental
+    * consumer calls on its own schedule: "give me exactly what changed
+    * since the version I last processed". Same taxonomy, same
+    * row-exact MOR images, one shared implementation
+    * ([[graft.sources.GraftChangeFeed]]), so the two faces can never
+    * disagree about what a commit changed.
+    *
+    * The lifecycle covers all four labels (insert / delete /
+    * update_preimage / update_postimage) plus the range contract: a
+    * second read bounded at `endingVersion = 3` must see exactly the
+    * prefix. Scale: a batch CDF read plans one partition per touched
+    * file per commit — cost proportional to the CHANGES in the range,
+    * never to table size; this is the primitive incremental pipelines
+    * are built from at 100 TB. */
+  val q251BatchCdf: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q251")
+    try {
+      val docs = spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "14").load()
+      docs.filter(col("doc_id") < 8).orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "merge-on-read")
+        .tableProperty("update.mode", "merge-on-read")
+        .create()                                   // v0 enable, v1 append
+      docs.filter(col("doc_id") >= 8 && col("doc_id") < 12)
+        .orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").append()                // v2
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (1, 9)")      // v3
+      spark.sql(
+        s"UPDATE $cat.t SET n_words = n_words + 1000 WHERE doc_id = 3") // v4
+      docs.filter(col("doc_id") >= 12).orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").append()                // v5
+
+      def changes(opts: (String, String)*): DataFrame = {
+        var r = spark.read.format("graft.sources.GraftDocsSource")
+          .option("path", wh.resolve("t").toString)
+          .option("readChangeFeed", "true")
+        opts.foreach { case (k, v) => r = r.option(k, v) }
+        r.load().select(col("doc_id"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"), col("n_words"))
+      }
+      val out = changes("startingVersion" -> "2")
+          .withColumn("scope", lit("full"))
+        .unionByName(changes("startingVersion" -> "2",
+            "endingVersion" -> "3")
+          .withColumn("scope", lit("bounded")))
+        .select("scope", "doc_id", "change_type", "commit_version",
+          "n_words")
+        .orderBy("scope", "commit_version", "change_type", "doc_id")
+      OpsUtil.driverLiteral(out)
+    } finally teardown(spark, cat, wh)
+  }
+
+  // ---------------------------------------------------------------------
+  // q252: incremental materialized-aggregate refresh from the batch CDF
+  // ---------------------------------------------------------------------
+
+  /** The pipeline primitive the batch change feed exists for: a
+    * MATERIALIZED AGGREGATE kept current incrementally. A per-key
+    * (doc_id % 4) SUM/COUNT is materialized at snapshot v2; the source
+    * then takes a MOR delete, a MOR update, and an append; the refresh
+    * reads ONLY the batch CDF of `[3, latest]` and folds each change
+    * row into a signed delta — insert/update_postimage add, delete/
+    * update_preimage subtract (the preimage carries the OLD values,
+    * which is exactly why CDF emits it) — then merges deltas into the
+    * materialized state with one per-key aggregate. The query
+    * require()s the refreshed state equals the engine's own full
+    * recompute, and the ORACLE recomputes it from generator first
+    * principles — the incremental path is checked against both.
+    *
+    * Scale shape: refresh cost is proportional to the CHANGES since
+    * the last refresh plus the aggregate's key cardinality — never a
+    * rescan of a 100 TB source. This is Delta Live Tables /
+    * materialized-view incremental maintenance, expressed in plain
+    * DataFrame algebra over the connector's CDF. */
+  val q252IncrementalAgg: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q252")
+    try {
+      val docs = spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "18").load()
+      docs.filter(col("doc_id") < 10).orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "merge-on-read")
+        .tableProperty("update.mode", "merge-on-read")
+        .create()                                   // v0, v1
+      docs.filter(col("doc_id") >= 10 && col("doc_id") < 16)
+        .orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").append()                // v2
+
+      // materialize the aggregate AT snapshot v2 (the "last refresh")
+      val matVersion = 2L
+      val materialized = spark.sql(
+        s"SELECT * FROM $cat.t VERSION AS OF $matVersion")
+        .groupBy((col("doc_id") % 4).as("k"))
+        .agg(sum("n_words").cast("long").as("sum_words"),
+          count(lit(1)).cast("long").as("n_docs"))
+
+      // the source moves on
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (4, 13)")       // v3
+      spark.sql(
+        s"UPDATE $cat.t SET n_words = n_words + 1000 WHERE doc_id = 7") // v4
+      docs.filter(col("doc_id") >= 16).orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").append()                // v5
+
+      // refresh = materialized + signed CDF deltas since matVersion
+      val changes = spark.read
+        .format("graft.sources.GraftDocsSource")
+        .option("path", wh.resolve("t").toString)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", (matVersion + 1).toString).load()
+      val sign = when(col("_change_type")
+        .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+      val delta = changes
+        .select((col("doc_id") % 4).as("k"),
+          (sign * col("n_words")).as("sum_words"), sign.as("n_docs"))
+      val refreshed = materialized
+        .unionByName(delta.groupBy("k")
+          .agg(sum("sum_words").cast("long").as("sum_words"),
+            sum("n_docs").cast("long").as("n_docs")))
+        .groupBy("k")
+        .agg(sum("sum_words").cast("long").as("sum_words"),
+          sum("n_docs").cast("long").as("n_docs"))
+        .filter(col("n_docs") > 0)
+        .select(col("k").cast("long").as("k"), col("sum_words"),
+          col("n_docs"))
+        .orderBy("k")
+
+      // the incremental path must land exactly on a full recompute
+      val full = spark.table(s"$cat.t")
+        .groupBy((col("doc_id") % 4).cast("long").as("k"))
+        .agg(sum("n_words").cast("long").as("sum_words"),
+          count(lit(1)).cast("long").as("n_docs"))
+      require(refreshed.exceptAll(full).isEmpty &&
+        full.exceptAll(refreshed).isEmpty,
+        "incremental refresh must equal the full recompute")
+      OpsUtil.driverLiteral(refreshed)
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
     "q238_schema_evolution" -> q238SchemaEvolution,
     "q239_decision_tree" -> q239DecisionTree,
@@ -1021,7 +1170,9 @@ object Round14 {
     "q247_branch_wap" -> q247BranchWap,
     "q248_expire_snapshots" -> q248ExpireSnapshots,
     "q249_row_lineage" -> q249RowLineage,
-    "q250_remove_orphans" -> q250RemoveOrphans)
+    "q250_remove_orphans" -> q250RemoveOrphans,
+    "q251_batch_cdf" -> q251BatchCdf,
+    "q252_incremental_agg" -> q252IncrementalAgg)
 
   val oracle: Map[String, String] = Map(
     "q238_schema_evolution" ->
@@ -1221,6 +1372,41 @@ object Round14 {
     // per append means id = doc_id at birth; doc 5's update retires id 5
     // and draws the next fresh id (18, the 19th row version); deletes
     // and the OPTIMIZE between the appends must not disturb any of it
+    // full-recompute from generator first principles: live rows are
+    // 0..17 minus the deletes {4, 13}, with doc 7 carrying the +1000
+    // update — the incremental CDF path must land exactly here
+    "q252_incremental_agg" ->
+      """SELECT CAST(d % 4 AS BIGINT) AS k,
+        |  CAST(SUM(d % 91 + 9 +
+        |    CASE WHEN d = 7 THEN 1000 ELSE 0 END) AS BIGINT)
+        |    AS sum_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM range(0, 18) t(d)
+        |WHERE d NOT IN (4, 13)
+        |GROUP BY d % 4 ORDER BY k""".stripMargin,
+    // n_words derives from the generator (doc_id % 91 + 9); the update
+    // postimage adds the +1000 bump; the bounded scope is the exact
+    // [2, 3] prefix of the full [2, latest] read
+    "q251_batch_cdf" ->
+      """WITH r(doc_id, change_type, commit_version, bump, bounded) AS
+        |  (VALUES
+        |  (8, 'insert', 2, 0, 1), (9, 'insert', 2, 0, 1),
+        |  (10, 'insert', 2, 0, 1), (11, 'insert', 2, 0, 1),
+        |  (1, 'delete', 3, 0, 1), (9, 'delete', 3, 0, 1),
+        |  (3, 'update_preimage', 4, 0, 0),
+        |  (3, 'update_postimage', 4, 1000, 0),
+        |  (12, 'insert', 5, 0, 0), (13, 'insert', 5, 0, 0)),
+        |b AS (
+        |  SELECT 'full' AS scope, doc_id, change_type, commit_version,
+        |    doc_id % 91 + 9 + bump AS n_words FROM r
+        |  UNION ALL
+        |  SELECT 'bounded', doc_id, change_type, commit_version,
+        |    doc_id % 91 + 9 + bump FROM r WHERE bounded = 1)
+        |SELECT scope, CAST(doc_id AS BIGINT) AS doc_id, change_type,
+        |  CAST(commit_version AS BIGINT) AS commit_version,
+        |  CAST(n_words AS INT) AS n_words
+        |FROM b
+        |ORDER BY scope, commit_version, change_type, doc_id""".stripMargin,
     "q250_remove_orphans" ->
       """WITH v(phase, removed, live_rows, n_versions) AS (VALUES
         |  ('a_cutoff_protects', 0, 12, 3),

@@ -570,6 +570,9 @@ class GraftFilesScanBuilder(path: String,
     }
   /** Can the manifest answer these aggregates EXACTLY? */
   private def answerable(kinds: Seq[(String, String)]): Boolean =
+    // never answer aggregates from the LIVE manifest for a change-feed
+    // read: COUNT over changes is not COUNT over the table
+    !options.getBoolean("readChangeFeed", false) &&
     (accepted.isEmpty && lo.isEmpty && hi.isEmpty && eqLit.isEmpty) &&
       manifestEntries().exists { es =>
         es.forall(_.rows.isDefined) && kinds.forall {
@@ -613,6 +616,7 @@ class GraftFilesScanBuilder(path: String,
       ignoreChanges = options.getBoolean("ignoreChanges", false),
       ignoreDeletes = options.getBoolean("ignoreDeletes", false),
       startingVersion = Option(options.get("startingVersion")).map(_.toLong),
+      endingVersion = Option(options.get("endingVersion")).map(_.toLong),
       colRanges = ranges, eqLiterals = eqLit.toMap,
       onSnapshotResolved = onSnapshotResolved,
       cdf = options.getBoolean("readChangeFeed", false))
@@ -674,9 +678,13 @@ class GraftFilesScan(path: String, required: StructType,
     // streaming only: tolerate deletion-vector-only commits (MOR
     // deletes) — Delta's ignoreDeletes contract
     ignoreDeletes: Boolean = false,
-    // streaming only: start tailing AT this commit instead of taking
-    // the initial snapshot — Delta's startingVersion contract
+    // streaming: start tailing AT this commit instead of taking the
+    // initial snapshot — Delta's startingVersion contract. Batch CDF:
+    // the first commit whose changes are emitted (required there).
     startingVersion: Option[Long] = None,
+    // batch CDF only: the last commit whose changes are emitted
+    // (default: the latest commit at plan time)
+    endingVersion: Option[Long] = None,
     // pushed per-column bounds: prune files by manifest min/max stats
     colRanges: Map[String, (Long, Long)] = Map.empty,
     // pushed equality literals: prune files by their manifest blooms
@@ -684,9 +692,10 @@ class GraftFilesScan(path: String, required: StructType,
     // reports the snapshot version this scan resolved at plan time
     // (row-level operations' optimistic-concurrency readVersion)
     onSnapshotResolved: Option[Long => Unit] = None,
-    // change-feed personality: the micro-batch stream emits row-level
-    // CDC (insert/delete/update_preimage/update_postimage) instead of
-    // snapshot rows; batch reads reject the option
+    // change-feed personality: row-level CDC (insert/delete/
+    // update_preimage/update_postimage) instead of snapshot rows —
+    // streamed one commit per micro-batch, or BATCH-read over
+    // [startingVersion, endingVersion] (Delta's table_changes)
     cdf: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -862,10 +871,34 @@ class GraftFilesScan(path: String, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    if (cdf) throw new UnsupportedOperationException(
-      "readChangeFeed is a streaming read (the commit log is the " +
-        "offset axis); use spark.readStream, or time-travel snapshots " +
-        "for batch diffs")
+    if (cdf) {
+      // BATCH change feed — Delta's `table_changes(t, v1, v2)` shape:
+      // every commit of [startingVersion, endingVersion] diffed and
+      // labeled in ONE scan, same taxonomy and row-level images as the
+      // streaming face (GraftChangeFeed is the one implementation).
+      // startingVersion is required: an unbounded batch CDF read has no
+      // checkpoint to anchor "since when", so silence would mean "the
+      // whole history", which is what time travel is for.
+      val d = Paths.get(path)
+      if (!GraftVersions.isVersioned(d))
+        throw new UnsupportedOperationException(
+          s"readChangeFeed needs a versioned table: $path has no " +
+            "_versions commit log")
+      val sv = startingVersion.getOrElse(
+        throw new IllegalArgumentException(
+          "batch readChangeFeed needs option(\"startingVersion\", v): " +
+            "changes are emitted for commits [startingVersion, " +
+            "endingVersion] (endingVersion defaults to the latest " +
+            "commit); use spark.readStream to tail the feed instead"))
+      val latest = GraftVersions.latest(d).map(_.version).getOrElse(-1L)
+      val ev = endingVersion.getOrElse(latest)
+      require(sv >= 0 && sv <= ev && ev <= latest,
+        s"batch readChangeFeed range [$sv, $ev] must satisfy 0 <= " +
+          s"startingVersion <= endingVersion <= latest ($latest) for " +
+          path)
+      return GraftChangeFeed.partitions(path, sv - 1, ev, cdf = true,
+        ignoreChanges, ignoreDeletes).map(p => p: InputPartition).toArray
+    }
     val dir = Paths.get(path)
     val entries = liveEntries()
     bucketedLayout match {
@@ -1014,10 +1047,32 @@ class GraftVersionFeed(path: String, required: StructType,
     val s = start.asInstanceOf[GraftVersionOffset].v
     val e = end.asInstanceOf[GraftVersionOffset].v
     if (e <= s) return Array.empty
+    GraftChangeFeed.partitions(path, s, e, cdf, ignoreChanges,
+      ignoreDeletes).map(p => p: InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftFilesReaderFactory(required.fieldNames,
+      GraftSchemas.readerAdded(Paths.get(path)))
+}
+
+/** Commit-log diffing shared by the change feed's two faces: the
+  * streaming source above (one commit per micro-batch) and the BATCH
+  * `option("readChangeFeed", true).option("startingVersion", v)` read
+  * (Delta's `table_changes` shape — all commits of a version range in
+  * one scan). Identical taxonomy, identical row-level images, one
+  * implementation. */
+object GraftChangeFeed {
+  /** Partitions for the changes of commits (s, e] — `s` is the last
+    * ALREADY-CONSUMED version (-1 = nothing; the oldest retained
+    * snapshot then materializes whole as inserts). */
+  def partitions(path: String, s: Long, e: Long, cdf: Boolean,
+      ignoreChanges: Boolean, ignoreDeletes: Boolean)
+      : Seq[GraftFilePartition] = {
+    val dir = Paths.get(path)
     val retained = GraftVersions.listVersionNumbers(dir).toSet
     if (s >= 0 && !retained.contains(s) && s < e)
       throw new IllegalStateException(
-        s"stream checkpoint at version $s predates the retained history " +
+        s"change-feed start at version $s predates the retained history " +
           s"of $path after vacuum (oldest retained: " +
           s"v${retained.toSeq.sorted.headOption.getOrElse(-1L)}); restart " +
           "the stream from scratch to take a fresh initial snapshot")
@@ -1141,11 +1196,8 @@ class GraftVersionFeed(path: String, required: StructType,
             info.entries.map(fileRows(v, "insert", _))
         }
       }
-    parts.map(p => p: InputPartition).toArray
+    parts
   }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftFilesReaderFactory(required.fieldNames,
-      GraftSchemas.readerAdded(Paths.get(path)))
 }
 
 case class GraftFilePartition(file: String,

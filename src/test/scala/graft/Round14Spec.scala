@@ -1121,6 +1121,47 @@ class Round14Spec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("batch CDF: the two faces agree commit-for-commit; missing " +
+      "startingVersion, bad ranges, and COUNT pushdown are all guarded") {
+    val (cat, wh) = freshCatalog("bcdf")
+    try {
+      docsRange(6).orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "merge-on-read").create()
+      docsRange(9).filter("doc_id >= 6").orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").append()
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id = 2")
+      def cdfRead(opts: (String, String)*) = {
+        var r = spark.read.format("graft.sources.GraftDocsSource")
+          .option("path", wh.resolve("t").toString)
+          .option("readChangeFeed", "true")
+        opts.foreach { case (k, v) => r = r.option(k, v) }
+        r.load()
+      }
+      // agreement with first principles: [1, latest] = 6+3 inserts + 1
+      // delete image; a COUNT over the CDF must count CHANGES (10),
+      // never fall into the live-manifest aggregate pushdown (8)
+      val all = cdfRead("startingVersion" -> "1")
+      assert(all.count() == 10L, "count must be the CHANGE count")
+      assert(all.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("insert" -> 9L, "delete" -> 1L))
+      // bounded prefix
+      assert(cdfRead("startingVersion" -> "2", "endingVersion" -> "2")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+        (6L to 8L))
+      def causes(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).toSeq
+      val eMissing = intercept[Exception] { cdfRead().collect() }
+      assert(causes(eMissing).exists(_.contains("startingVersion")))
+      val eRange = intercept[Exception] {
+        cdfRead("startingVersion" -> "9").collect()
+      }
+      assert(causes(eRange).exists(_.contains("endingVersion")))
+    } finally dropCatalog(cat, wh)
+  }
+
   test("remove_orphan_files: referenced files are immune at ANY cutoff, " +
       "and unversioned directories reject") {
     val (cat, wh) = freshCatalog("orph")
