@@ -4,7 +4,7 @@ import java.util
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
@@ -83,6 +83,17 @@ object GraftDocsSource {
   val cdfFields: Seq[StructField] = Seq(
     StructField("_change_type", StringType, nullable = false),
     StructField("_commit_version", LongType, nullable = false))
+
+  private[sources] def metaCol(colName: String, colType: DataType,
+      nullable: Boolean, colComment: String): MetadataColumn = {
+    val n = nullable
+    new MetadataColumn {
+      override def name(): String = colName
+      override def dataType(): DataType = colType
+      override def isNullable: Boolean = n
+      override def comment(): String = colComment
+    }
+  }
 }
 
 /** Two personalities behind one provider, selected by the `path` option:
@@ -101,9 +112,26 @@ class GraftDocsTable(rows: Long, parts: Int, path: Option[String],
     // path-backed read): the schema gains _change_type/_commit_version
     // and the stream emits row-level CDC instead of snapshot rows
     cdf: Boolean = false)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns {
   override def name(): String =
     path.map(p => s"graft_docs(path=$p)").getOrElse(s"graft_docs(rows=$rows)")
+  /** Path-backed reads expose the same provenance/lineage metadata
+    * columns as the catalog face ([[GraftRlTable]]) — in CDF mode this
+    * is what makes a delete image name the exact row id it retires.
+    * The generative personality has no files, hence no metadata. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    if (path.isEmpty) Array.empty
+    else Array(
+      GraftDocsSource.metaCol("_file", StringType, nullable = false,
+        "part file this row was read from"),
+      GraftDocsSource.metaCol("_pos", LongType, nullable = false,
+        "physical row position within its part file"),
+      GraftDocsSource.metaCol("_row_id", LongType, nullable = true,
+        "stable row id (row.tracking tables); NULL on untracked rows"),
+      GraftDocsSource.metaCol("_row_commit_version", LongType,
+        nullable = true,
+        "dataChange commit that created this row version"))
   override def schema(): StructType = path match {
     // a file-backed table may have been evolved (ADD COLUMN) — its
     // shape is base + the registry tail; the generative personality
@@ -1077,16 +1105,23 @@ object GraftChangeFeed {
           s"v${retained.toSeq.sorted.headOption.getOrElse(-1L)}); restart " +
           "the stream from scratch to take a fresh initial snapshot")
     // partition builders: `fileRows` reads a file's rows minus a skip
-    // mask; `imageRows` reads EXACTLY the named positions (CDF images)
+    // mask; `imageRows` reads EXACTLY the named positions (CDF images).
+    // Both carry the file's row lineage so change rows on a tracked
+    // table are id-addressable — a delete image names the exact row id
+    // it retires.
+    def flatLineage(en: GraftVersions.FileEntry): Array[Long] =
+      en.lineage.flatMap(t => Seq(t._1, t._2, t._3)).toArray
     def fileRows(v: Long, label: String, en: GraftVersions.FileEntry)
         : GraftFilePartition =
       GraftFilePartition(dir.resolve(en.name).toString,
         en.dv.map(_.positions).getOrElse(Array.empty),
-        changeType = if (cdf) label else null, commitVersion = v)
-    def imageRows(v: Long, label: String, name: String,
+        changeType = if (cdf) label else null, commitVersion = v,
+        lineage = flatLineage(en))
+    def imageRows(v: Long, label: String, en: GraftVersions.FileEntry,
         positions: Array[Long]): GraftFilePartition =
-      GraftFilePartition(dir.resolve(name).toString, positions.sorted,
-        changeType = label, commitVersion = v, emitOnlyPositions = true)
+      GraftFilePartition(dir.resolve(en.name).toString, positions.sorted,
+        changeType = label, commitVersion = v, emitOnlyPositions = true,
+        lineage = flatLineage(en))
 
     val parts: Seq[GraftFilePartition] =
       (s + 1 to e).filter(retained.contains).flatMap { v =>
@@ -1150,7 +1185,7 @@ object GraftChangeFeed {
                 // (metadata delete, fully-masked drop) → their base-live
                 // rows (the base entry's mask skips already-dead rows)
                 grown.map { case (en, ps) =>
-                  imageRows(v, "delete", en.name, ps)
+                  imageRows(v, "delete", en, ps)
                 } ++ removedEntries.map(fileRows(v, "delete", _))
               else if (info.op == "update" && (grown.nonEmpty ||
                   GraftTableMeta.read(dir).get("update.mode")
@@ -1163,7 +1198,7 @@ object GraftChangeFeed {
                 // fully mask every file it touches, leaving no DV
                 // growth to witness the mechanism.
                 grown.map { case (en, ps) =>
-                  imageRows(v, "update_preimage", en.name, ps)
+                  imageRows(v, "update_preimage", en, ps)
                 } ++ removedEntries.map(fileRows(v, "update_preimage", _)) ++
                   addedEntries.map(fileRows(v, "update_postimage", _))
               else throw new IllegalStateException(

@@ -1162,6 +1162,28 @@ class Round14Spec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("CDF x row lineage: a delete image names the exact row id it " +
+      "retires; inserts carry their birth ids") {
+    val (cat, wh) = freshCatalog("cdflin")
+    try {
+      docsRange(6).orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("row.tracking", "true")
+        .tableProperty("delete.mode", "merge-on-read").create()
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id = 4")
+      val ch = spark.read.format("graft.sources.GraftDocsSource")
+        .option("path", wh.resolve("t").toString)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").load()
+        .select("doc_id", "_change_type", "_row_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(ch.filter(_._2 == "insert").map(c => c._1 -> c._3).toMap ==
+        (0L to 5L).map(d => d -> d).toMap, ch.mkString(", "))
+      assert(ch.filter(_._2 == "delete").toSeq == Seq((4L, "delete", 4L)),
+        ch.mkString(", "))
+    } finally dropCatalog(cat, wh)
+  }
+
   test("remove_orphan_files: referenced files are immune at ANY cutoff, " +
       "and unversioned directories reject") {
     val (cat, wh) = freshCatalog("orph")
