@@ -1157,6 +1157,69 @@ object Round14 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q253: partition-spec evolution — re-bucket without rewriting a byte
+  // ---------------------------------------------------------------------
+
+  /** Iceberg's PARTITION-SPEC EVOLUTION on the bucketed warehouse
+    * tables: `ALTER TABLE t SET TBLPROPERTIES('layout.bucket' =
+    * 'doc_id:4')` re-declares the bucket count as a metadata-only
+    * commit. Nothing is rewritten — new writes fan AND stamp under the
+    * new spec id, old files keep the spec they were written with
+    * (`spec=` manifest token), and the scan's layout gate reports
+    * `KeyGroupedPartitioning` only while every live file carries the
+    * CURRENT spec: a mixed-spec snapshot degrades to unknown
+    * partitioning (results stay correct, the storage-partitioned join
+    * just pays its exchange again) until an OPTIMIZE rewrite migrates
+    * every file to the new layout and the exchange-free join returns.
+    *
+    * Why a 100 TB corpus needs this: the right bucket count grows with
+    * the data, and re-bucketing by rewrite is a full-table pass you
+    * schedule, not a DDL you run — evolution makes the DDL instant and
+    * lets the rewrite happen opportunistically (the nightly OPTIMIZE),
+    * exactly Iceberg's model. The audit tracks rows / file count /
+    * distinct spec count through create → evolve+append → optimize. */
+  val q253PartitionEvolution: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q253")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (doc_id BIGINT, title STRING, fp BIGINT,
+           |  n_words INT) PARTITIONED BY (bucket(2, doc_id))
+           |  TBLPROPERTIES('versioned'='true')""".stripMargin)
+      val docs = spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "16").load()
+      docs.filter(col("doc_id") < 8).orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").append()                          // v1: spec 0
+      val t = wh.resolve("t")
+      def snap(phase: String): DataFrame = {
+        val entries = GraftVersions.latest(t).get.entries
+        spark.range(1).select(lit(phase).as("phase"),
+          lit(spark.table(s"$cat.t").count()).as("n_rows"),
+          lit(entries.length.toLong).as("n_files"),
+          lit(entries.map(_.spec.getOrElse(0)).distinct.size.toLong)
+            .as("n_specs"))
+      }
+      val a = snap("a_two_buckets")
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES(" +
+        "'layout.bucket'='doc_id:4')")                        // v2: DDL
+      docs.filter(col("doc_id") >= 8).orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").append()                          // v3: spec 1
+      val b = snap("b_evolved_mixed")
+      spark.sql(s"CALL $cat.system.optimize('t', 1, '')").collect() // v4
+      val c = snap("c_optimized_migrated")
+      // the migrated layout is real: every file holds one mod-4 class
+      val migrated = GraftVersions.latest(t).get.entries
+      require(migrated.forall(e => e.spec.contains(1) &&
+        e.bucket.exists(bk => bk >= 0 && bk < 4)),
+        s"OPTIMIZE must land every file on the current spec: $migrated")
+      val ops = GraftVersions.listVersions(t).map(_.op)
+      require(ops == Seq("enable", "append", "set-layout", "append",
+        "compact"), s"unexpected version log: $ops")
+      OpsUtil.driverLiteral(
+        a.unionByName(b).unionByName(c).orderBy("phase"))
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
     "q238_schema_evolution" -> q238SchemaEvolution,
     "q239_decision_tree" -> q239DecisionTree,
@@ -1172,7 +1235,8 @@ object Round14 {
     "q249_row_lineage" -> q249RowLineage,
     "q250_remove_orphans" -> q250RemoveOrphans,
     "q251_batch_cdf" -> q251BatchCdf,
-    "q252_incremental_agg" -> q252IncrementalAgg)
+    "q252_incremental_agg" -> q252IncrementalAgg,
+    "q253_partition_evolution" -> q253PartitionEvolution)
 
   val oracle: Map[String, String] = Map(
     "q238_schema_evolution" ->
@@ -1372,6 +1436,18 @@ object Round14 {
     // per append means id = doc_id at birth; doc 5's update retires id 5
     // and draws the next fresh id (18, the 19th row version); deletes
     // and the OPTIMIZE between the appends must not disturb any of it
+    // v1 lands 8 rows as 2 spec-0 files; the evolved append lands 8
+    // more as 4 spec-1 files (mixed snapshot: 6 files, 2 specs);
+    // OPTIMIZE migrates everything to 4 spec-1 files
+    "q253_partition_evolution" ->
+      """WITH v(phase, n_rows, n_files, n_specs) AS (VALUES
+        |  ('a_two_buckets', 8, 2, 1),
+        |  ('b_evolved_mixed', 16, 6, 2),
+        |  ('c_optimized_migrated', 16, 4, 1))
+        |SELECT phase, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_files AS BIGINT) AS n_files,
+        |  CAST(n_specs AS BIGINT) AS n_specs
+        |FROM v ORDER BY phase""".stripMargin,
     // full-recompute from generator first principles: live rows are
     // 0..17 minus the deletes {4, 13}, with doc 7 carrying the +1000
     // update — the incremental CDF path must land exactly here

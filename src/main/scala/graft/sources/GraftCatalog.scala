@@ -328,6 +328,44 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           throw new UnsupportedOperationException(
             "versioning cannot be toggled by ALTER; enable it at CREATE " +
               "(TBLPROPERTIES('versioned'='true')) or via GraftVersions.enable")
+        case s: SetProperty if s.property() == "layout.bucket" =>
+          // PARTITION-SPEC EVOLUTION (Iceberg's evolve-the-spec,
+          // surfaced through the layout property): re-declare
+          // bucket(n, doc_id) with a new n. Metadata-only — no file is
+          // rewritten; new writes fan and stamp under the new spec id,
+          // old files keep their old spec, and the scan's layout gate
+          // degrades mixed-spec snapshots to unknown partitioning
+          // until an OPTIMIZE rewrite migrates them. Versioned tables
+          // record the evolution as its own dataChange=false commit so
+          // the history shows WHEN the layout changed.
+          val (col, n) = {
+            val v = s.value(); val i = v.lastIndexOf(':')
+            if (i <= 0) throw new IllegalArgumentException(
+              s"layout.bucket takes '<col>:<n>'; got '$v'")
+            (v.substring(0, i), v.substring(i + 1).toIntOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"layout.bucket bucket count must be an int; got '$v'")))
+          }
+          if (col != "doc_id" || n <= 0)
+            throw new UnsupportedOperationException(
+              s"graft_docs bucket layouts take bucket(n, doc_id) with " +
+                s"n > 0; got '$col:$n'")
+          if (GraftTableMeta.bucketLayout(dir).contains((col, n)))
+            throw new IllegalArgumentException(
+              s"layout.bucket is already '$col:$n' — spec evolution " +
+                "needs a different bucket count")
+          if (!GraftVersions.isVersioned(dir))
+            throw new UnsupportedOperationException(
+              "partition-spec evolution needs a versioned table: old " +
+                "files' spec ids live in the manifest")
+          GraftTableMeta.evolveBucketLayout(dir, col, n)
+          GraftVersions.advance(dir, "set-layout",
+            removed = Some(Set.empty), added = Nil, dataChange = false)
+          // evolveBucketLayout already persisted; fold the new values
+          // into the accumulator so the final replaceAll keeps them
+          props + ("layout.bucket" -> s"$col:$n") +
+            ("layout.spec.history" ->
+              GraftTableMeta.read(dir)("layout.spec.history"))
         case a: AddColumn =>
           // Schema EVOLUTION, not schema change: strictly-appended
           // nullable columns of the codec-supported types. Old files

@@ -748,7 +748,13 @@ class GraftFilesScan(path: String, required: StructType,
     else GraftTableMeta.bucketLayout(dir).map(_._2).filter { n =>
       val entries = versionPin.map(GraftVersions.manifest(dir, _))
         .orElse(GraftVersions.latest(dir)).map(_.entries).getOrElse(Nil)
-      entries.forall(e => e.bucket.exists(b => b >= 0 && b < n))
+      // partition-spec evolution: a bucket id is only meaningful under
+      // the spec it was computed with, so every live file must carry
+      // the CURRENT spec (absent = spec 0) — a mixed-spec snapshot
+      // degrades to unknown partitioning until OPTIMIZE migrates it
+      val cur = GraftTableMeta.currentSpecId(dir)
+      entries.forall(e => e.bucket.exists(b => b >= 0 && b < n) &&
+        e.spec.getOrElse(0) == cur)
     }
   }
 
@@ -1743,8 +1749,13 @@ object GraftDocsCommits {
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       Seq(GraftVersions.FileEntry(name, stats, bloom, Some(rows), Some(bytes)))
     case GraftBucketedCommitMessage(parts) =>
+      // bucket ids are only meaningful under the layout the writer
+      // fanned with — stamp the file with the CURRENT spec id so an
+      // evolved table never confuses old-layout ids with new ones
+      val specId = GraftTableMeta.currentSpecId(root)
       parts.flatMap { case (b, msg) =>
-        land(staging, root, msg).map(_.copy(bucket = Some(b)))
+        land(staging, root, msg).map(_.copy(bucket = Some(b),
+          spec = if (specId > 0) Some(specId) else None))
       }
     case GraftFanCommitMessage(parts) =>
       parts.flatMap(land(staging, root, _))

@@ -75,17 +75,50 @@ object GraftTableMeta {
       case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
     }.sortBy(_._1)
 
-  /** Declared bucket layout, persisted at CREATE from a
+  /** Declared CURRENT bucket layout, persisted at CREATE from a
     * `PARTITIONED BY (bucket(n, col))` transform as
-    * `layout.bucket=<col>:<n>`. Physical layout is immutable — not an
-    * ALTERable property: files written under one layout would lie
-    * about their bucket ids under another. */
+    * `layout.bucket=<col>:<n>`, and evolvable by ALTER through
+    * [[evolveBucketLayout]] (Iceberg's partition-spec evolution): each
+    * evolution appends to `layout.spec.history`, whose INDEX is the
+    * spec id manifest entries record (`spec=` token; absent = spec 0).
+    * A file's bucket id is only meaningful under the spec it was
+    * written with, so the scan honors the layout only while every live
+    * file carries the CURRENT spec — mixed-spec snapshots degrade to
+    * unknown partitioning (never a wrong grouping), and a full
+    * OPTIMIZE rewrite migrates everything to the current spec. */
   def bucketLayout(root: Path): Option[(String, Int)] =
-    read(root).get("layout.bucket").map { v =>
-      val i = v.lastIndexOf(':')
-      require(i > 0, s"malformed layout.bucket '$v'")
-      (v.substring(0, i), v.substring(i + 1).toInt)
+    read(root).get("layout.bucket").map(parseLayout)
+
+  private def parseLayout(v: String): (String, Int) = {
+    val i = v.lastIndexOf(':')
+    require(i > 0, s"malformed bucket layout '$v'")
+    (v.substring(0, i), v.substring(i + 1).toInt)
+  }
+
+  /** Every layout this table has ever declared, indexed by spec id.
+    * A pre-evolution table (no history key) has its CREATE layout as
+    * spec 0; an unbucketed table has no specs at all. */
+  def specHistory(root: Path): Seq[(String, Int)] = {
+    val p = read(root)
+    p.get("layout.spec.history") match {
+      case Some(h) => h.split(";").toSeq.filter(_.nonEmpty).map(parseLayout)
+      case None => p.get("layout.bucket").map(parseLayout).toSeq
     }
+  }
+
+  /** Current spec id = the last index of the history. */
+  def currentSpecId(root: Path): Int = specHistory(root).length - 1
+
+  /** Append a new bucket layout as the next spec (ALTER-time; caller
+    * validates shape and holds the table lock). */
+  def evolveBucketLayout(root: Path, col: String, n: Int): Int = {
+    val hist = specHistory(root) :+ (col, n)
+    write(root, read(root) +
+      ("layout.bucket" -> s"$col:$n") +
+      ("layout.spec.history" ->
+        hist.map { case (c, b) => s"$c:$b" }.mkString(";")))
+    hist.length - 1
+  }
 
   /** Named snapshot refs (Iceberg-style TAGS): `ref.tag.<name> =
     * <version>`. A tag is (a) a human-readable time-travel pin —

@@ -93,7 +93,13 @@ object GraftVersions {
       // Nil = untracked file: every row id reads NULL, never a made-up
       // value. Deletion-vector masks never shift physical positions, so
       // MOR deletes preserve surviving rows' ids by construction.
-      lineage: Seq[(Long, Long, Long)] = Nil) {
+      lineage: Seq[(Long, Long, Long)] = Nil,
+      // partition-spec id the file's bucket id was computed under
+      // (index into GraftTableMeta.specHistory); None = spec 0, the
+      // CREATE-time layout. A bucket id is only meaningful under its
+      // own spec, so the scan's layout gate compares this against the
+      // current spec before reporting KeyGroupedPartitioning.
+      spec: Option[Int] = None) {
     /** Can a row with `col` in [lo, hi] possibly live in this file?
       * Stats bound ALL physical rows, so they stay conservative (may
       * overcount, never undercount) for DV-masked files too. */
@@ -271,6 +277,7 @@ object GraftVersions {
         } ++ e.rows.map(r => s"rows=$r").toSeq
           ++ e.bytes.map(b => s"bytes=$b").toSeq
           ++ e.bucket.map(b => s"bucket=$b").toSeq
+          ++ e.spec.filter(_ > 0).map(i => s"spec=$i").toSeq
           ++ (if (e.lineage.isEmpty) Nil
               else Seq("lineage=" + e.lineage.map {
                 case (b, r, s) => s"$b:$r:$s"
@@ -343,8 +350,8 @@ object GraftVersions {
         case arr =>
           def tok(prefix: String): Option[String] =
             arr.tail.find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
-          val reserved =
-            Set("rows=", "bytes=", "bucket=", "bloom=", "dv=", "lineage=")
+          val reserved = Set("rows=", "bytes=", "bucket=", "bloom=",
+            "dv=", "lineage=", "spec=")
           val statToks =
             arr.tail.filterNot(t => reserved.exists(t.startsWith))
           FileEntry(arr.head, statToks.map { tok =>
@@ -361,6 +368,7 @@ object GraftVersions {
             bytes = tok("bytes=").map(_.toLong),
             dv = tok("dv=").map(v => GraftDV.fromBase64(blob(v))),
             bucket = tok("bucket=").map(_.toInt),
+            spec = tok("spec=").map(_.toInt),
             lineage = tok("lineage=").map(_.split(",").toSeq.map { seg =>
               seg.split(":") match {
                 case Array(b, r, s) => (b.toLong, r.toLong, s.toLong)
@@ -432,9 +440,10 @@ object GraftVersions {
     * always differ; this compares what the entry MEANS. */
   private def fingerprint(e: FileEntry): (String, Map[String, (Long, Long)],
       Option[Long], Option[Long], Option[Int], Option[Seq[Long]],
-      Option[String], Seq[(Long, Long, Long)]) =
+      Option[String], Seq[(Long, Long, Long)], Option[Int]) =
     (e.name, e.stats, e.rows, e.bytes, e.bucket,
-      e.dv.map(_.positions.toSeq), e.bloom.map(_.toBase64), e.lineage)
+      e.dv.map(_.positions.toSeq), e.bloom.map(_.toBase64), e.lineage,
+      e.spec)
 
   class ConcurrentCommitException(msg: String)
       extends java.util.ConcurrentModificationException(msg)
@@ -773,8 +782,12 @@ object GraftVersions {
     // otherwise sequential fill toward equal byte shares of n bins
     val bins: Seq[Seq[FileEntry]] =
       if (GraftTableMeta.bucketLayout(root).isDefined)
-        members.groupBy(_.bucket).toSeq
-          .sortBy(_._1.getOrElse(Int.MaxValue)).map(_._2.sortBy(_.name))
+        // never merge across bucket classes OR partition specs: a
+        // concat of two specs' files has no single layout to report
+        members.groupBy(e => (e.bucket, e.spec)).toSeq
+          .sortBy { case ((b, sp), _) =>
+            (b.getOrElse(Int.MaxValue), sp.getOrElse(0)) }
+          .map(_._2.sortBy(_.name))
       else {
         val sorted = members.sortBy(_.name)
         val total = sorted.map(e =>
@@ -841,6 +854,10 @@ object GraftVersions {
         dv = if (dvs.isEmpty) None else Some(GraftDV.of(dvs)),
         bucket = bin.map(_.bucket).distinct match {
           case Seq(b) => b
+          case _ => None
+        },
+        spec = bin.map(_.spec).distinct match {
+          case Seq(sp) => sp
           case _ => None
         },
         lineage = lineage.result())

@@ -1162,6 +1162,56 @@ class Round14Spec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("partition-spec evolution: the layout gate degrades mixed-spec " +
+      "snapshots and OPTIMIZE restores bucket-aligned planning; bad " +
+      "evolutions reject") {
+    val (cat, wh) = freshCatalog("spec")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (doc_id BIGINT, title STRING, fp BIGINT,
+           |  n_words INT) PARTITIONED BY (bucket(2, doc_id))
+           |  TBLPROPERTIES('versioned'='true')""".stripMargin)
+      docsRange(8).orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").append()
+      // bucket-aligned planning: one input partition per bucket class
+      def scanParts(): Int = spark.table(s"$cat.t").rdd.getNumPartitions
+      assert(scanParts() == 2, "2-bucket layout plans 2 partitions")
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES(" +
+        "'layout.bucket'='doc_id:4')")
+      docsRange(16).filter("doc_id >= 8").orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.t").append()
+      // mixed specs: the gate must NOT group (grouping by stale bucket
+      // ids would be wrong) — per-file planning, correct results
+      assert(scanParts() == 6, "mixed specs degrade to per-file planning")
+      assert(spark.table(s"$cat.t")
+        .groupBy(org.apache.spark.sql.functions.expr("doc_id % 4"))
+        .count().collect().map(_.getLong(1)).sum == 16L)
+      spark.sql(s"CALL $cat.system.optimize('t', 1, '')").collect()
+      assert(scanParts() == 4, "migrated layout plans 4 partitions")
+
+      def causes(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).toSeq
+      val eSame = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES(" +
+          "'layout.bucket'='doc_id:4')")
+      }
+      assert(causes(eSame).exists(_.contains("different bucket count")))
+      val eCol = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES(" +
+          "'layout.bucket'='fp:8')")
+      }
+      assert(causes(eCol).exists(_.contains("doc_id")))
+      spark.sql(s"CREATE TABLE $cat.u (doc_id BIGINT, title STRING, " +
+        "fp BIGINT, n_words INT)")
+      val eUnv = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.u SET TBLPROPERTIES(" +
+          "'layout.bucket'='doc_id:4')")
+      }
+      assert(causes(eUnv).exists(_.contains("versioned")))
+    } finally dropCatalog(cat, wh)
+  }
+
   test("CDF x row lineage: a delete image names the exact row id it " +
       "retires; inserts carry their birth ids") {
     val (cat, wh) = freshCatalog("cdflin")
