@@ -648,7 +648,9 @@ class Round14Spec extends SparkSpec {
         org.apache.commons.io.FileUtils.deleteDirectory(cp2.toFile)
       }
 
-      // batch reads reject the option (the commit log is the offset axis)
+      // batch CDF needs an explicit anchor: without startingVersion
+      // the read rejects with guidance (a silent "whole history" would
+      // be what time travel is for)
       val eBatch = intercept[Exception] {
         // collect(), not count(): an unfiltered COUNT is answered from
         // the manifest by aggregate pushdown before partitions plan
@@ -659,7 +661,7 @@ class Round14Spec extends SparkSpec {
       def causes2(t: Throwable) =
         Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
           .map(_.getMessage).filter(_ != null).toSeq
-      assert(causes2(eBatch).exists(_.contains("streaming read")),
+      assert(causes2(eBatch).exists(_.contains("startingVersion")),
         causes2(eBatch).mkString(" | "))
     } finally {
       dropCatalog(cat, wh)
