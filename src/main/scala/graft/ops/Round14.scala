@@ -1220,6 +1220,47 @@ object Round14 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q254: the `partitions` metadata table — layout health per (spec, bucket)
+  // ---------------------------------------------------------------------
+
+  /** Iceberg's `t.partitions` as a DSv2 metadata table: the live
+    * manifest rolled up to one row per (partition-spec id, bucket),
+    * with file/row/mask counters — computed from manifest entries
+    * alone (#files work, zero data files opened at any table size).
+    * The face `t.files` can't give directly: after a partition-spec
+    * evolution, exactly how much data still sits on the OLD spec —
+    * the number an operator reads to decide when to run the OPTIMIZE
+    * migration that restores storage-partitioned joins.
+    *
+    * Lifecycle here: bucket(2) table, [0,20) lands as 2 spec-0 files;
+    * ALTER evolves the layout to bucket(4); [20,40) lands as 4 spec-1
+    * files; a scattered merge-on-read DELETE masks one row in three
+    * of the six files. The rollup pins all of it closed-form —
+    * per-group physical rows, DV masks, and live rows. */
+  val q254PartitionsTable: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q254")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (doc_id BIGINT, title STRING, fp BIGINT,
+           |  n_words INT) PARTITIONED BY (bucket(2, doc_id))
+           |  TBLPROPERTIES('versioned'='true',
+           |    'delete.mode'='merge-on-read')""".stripMargin)
+      val docs = spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "40").load()
+      docs.filter(col("doc_id") < 20).coalesce(1)
+        .writeTo(s"$cat.t").append()                          // v1: spec 0
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES(" +
+        "'layout.bucket'='doc_id:4')")                        // v2: DDL
+      docs.filter(col("doc_id") >= 20).coalesce(1)
+        .writeTo(s"$cat.t").append()                          // v3: spec 1
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (2, 21, 27)") // v4
+      OpsUtil.driverLiteral(spark.sql(
+        s"""SELECT spec, bucket, files, rows, masked, live_rows
+           |FROM $cat.t.partitions ORDER BY spec, bucket""".stripMargin))
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
     "q238_schema_evolution" -> q238SchemaEvolution,
     "q239_decision_tree" -> q239DecisionTree,
@@ -1236,7 +1277,8 @@ object Round14 {
     "q250_remove_orphans" -> q250RemoveOrphans,
     "q251_batch_cdf" -> q251BatchCdf,
     "q252_incremental_agg" -> q252IncrementalAgg,
-    "q253_partition_evolution" -> q253PartitionEvolution)
+    "q253_partition_evolution" -> q253PartitionEvolution,
+    "q254_partitions_table" -> q254PartitionsTable)
 
   val oracle: Map[String, String] = Map(
     "q238_schema_evolution" ->
@@ -1439,6 +1481,22 @@ object Round14 {
     // v1 lands 8 rows as 2 spec-0 files; the evolved append lands 8
     // more as 4 spec-1 files (mixed snapshot: 6 files, 2 specs);
     // OPTIMIZE migrates everything to 4 spec-1 files
+    // closed-form from the layout algebra: evens/odds under bucket(2)
+    // for [0,20), mod-4 classes of 5 for [20,40); masks at 2, 21, 27
+    "q254_partitions_table" ->
+      """WITH v(spec, bucket, files, rows, masked, live_rows) AS (VALUES
+        |  (0, 0, 1, 10, 1, 9),
+        |  (0, 1, 1, 10, 0, 10),
+        |  (1, 0, 1, 5, 0, 5),
+        |  (1, 1, 1, 5, 1, 4),
+        |  (1, 2, 1, 5, 0, 5),
+        |  (1, 3, 1, 5, 1, 4))
+        |SELECT CAST(spec AS INTEGER) AS spec,
+        |  CAST(bucket AS INTEGER) AS bucket,
+        |  CAST(files AS BIGINT) AS files, CAST(rows AS BIGINT) AS rows,
+        |  CAST(masked AS BIGINT) AS masked,
+        |  CAST(live_rows AS BIGINT) AS live_rows
+        |FROM v ORDER BY spec, bucket""".stripMargin,
     "q253_partition_evolution" ->
       """WITH v(phase, n_rows, n_files, n_specs) AS (VALUES
         |  ('a_two_buckets', 8, 2, 1),

@@ -154,7 +154,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           new GraftDocsTable(rows.toLong, 8, None, buckets.toInt)
         case _ => throw new NoSuchTableException(ident)
       }
-    case meta @ ("history" | "files") if ident.namespace().nonEmpty &&
+    case meta @ ("history" | "files" | "partitions")
+        if ident.namespace().nonEmpty &&
         Files.isDirectory(dirFor(ident).getParent) &&
         !Files.isDirectory(dirFor(ident)) =>
       // Iceberg-style METADATA TABLES: `SELECT * FROM cat.t.history`
@@ -165,8 +166,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       val parent = dirFor(ident).getParent
       if (!GraftVersions.isVersioned(parent))
         throw new NoSuchTableException(ident)
-      if (meta == "history") new GraftHistoryTable(parent.toString)
-      else new GraftFilesMetaTable(parent.toString)
+      meta match {
+        case "history" => new GraftHistoryTable(parent.toString)
+        case "files" => new GraftFilesMetaTable(parent.toString)
+        case _ => new GraftPartitionsMetaTable(parent.toString)
+      }
     case b if b.startsWith("branch_") && ident.namespace().nonEmpty &&
         Files.isDirectory(dirFor(ident).getParent) &&
         !Files.isDirectory(dirFor(ident)) =>
@@ -797,6 +801,95 @@ class GraftFilesMetaReaderFactory(cols: Array[String])
         case "max_doc_id" =>
           cur.stats.get("doc_id").map(s => Long.box(s._2)).orNull
         case "has_bloom" => cur.bloom.isDefined
+      })
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The `partitions` metadata table of a versioned warehouse table —
+  * Iceberg's `t.partitions`: the live manifest ROLLED UP to one row per
+  * (partition-spec id, bucket value), with file/row/mask counters. The
+  * layout-health face the per-file `t.files` relation can't give
+  * directly: bucket skew at a glance, and — because files are stamped
+  * with the spec they were written under — exactly how much of the
+  * table still sits on an OLD spec after a partition-spec evolution
+  * (the number an operator reads to decide when to run the OPTIMIZE
+  * migration that restores storage-partitioned joins). The rollup is
+  * computed from manifest entries alone: #files work, zero data files
+  * opened, regardless of table size. Read-only. */
+class GraftPartitionsMetaTable(tableDir: String) extends Table
+    with SupportsRead {
+  import org.apache.spark.sql.connector.read._
+  override def name(): String = s"graft_docs(path=$tableDir).partitions"
+  override def schema(): StructType = GraftPartitionsMetaTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required = GraftPartitionsMetaTable.schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = required
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"GraftDocs partitions rollup of $tableDir"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GraftHistoryPartition(tableDir))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new GraftPartitionsMetaReaderFactory(required.fieldNames)
+      }
+    }
+}
+
+object GraftPartitionsMetaTable {
+  val schema: StructType = StructType(Seq(
+    // spec id the group's files were written under (absent stamp =
+    // spec 0, the CREATE-time layout); bucket NULL = unbucketed files
+    StructField("spec", IntegerType, nullable = false),
+    StructField("bucket", IntegerType, nullable = true),
+    StructField("files", LongType, nullable = false),
+    // physical rows may be unknown for pre-stats manifest lines; the
+    // rollup reports NULL for a group containing any such file rather
+    // than a wrong number
+    StructField("rows", LongType, nullable = true),
+    StructField("masked", LongType, nullable = false),
+    StructField("live_rows", LongType, nullable = true)))
+}
+
+class GraftPartitionsMetaReaderFactory(cols: Array[String])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val dir = Paths.get(p.asInstanceOf[GraftHistoryPartition].tableDir)
+    // the rollup is #files-sized work over the in-memory manifest; the
+    // groups are emitted in (spec, bucket) order for a stable relation
+    val groups = GraftVersions.latest(dir)
+      .map(_.entries).getOrElse(Nil)
+      .groupBy(e => (e.spec.getOrElse(0), e.bucket))
+      .toSeq
+      .sortBy { case ((spec, bucket), _) => (spec, bucket.getOrElse(-1)) }
+      .map { case ((spec, bucket), es) =>
+        val rows: Option[Long] =
+          if (es.forall(_.rows.isDefined)) Some(es.flatMap(_.rows).sum)
+          else None
+        val masked = es.map(_.dv.map(_.cardinality.toLong).getOrElse(0L)).sum
+        (spec, bucket, es.length.toLong, rows, masked, rows.map(_ - masked))
+      }
+    new PartitionReader[InternalRow] {
+      private val it = groups.iterator
+      private var cur: (Int, Option[Int], Long, Option[Long], Long,
+        Option[Long]) = _
+      override def next(): Boolean =
+        { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = InternalRow.fromSeq(cols.toSeq.map {
+        case "spec" => cur._1
+        case "bucket" => cur._2.map(Int.box).orNull
+        case "files" => cur._3
+        case "rows" => cur._4.map(Long.box).orNull
+        case "masked" => cur._5
+        case "live_rows" => cur._6.map(Long.box).orNull
       })
       override def close(): Unit = ()
     }

@@ -1258,6 +1258,41 @@ class Round14Spec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("partitions metadata table: rollup groups by (spec, bucket), " +
+      "reports NULL bucket for unbucketed files, and empties post-delete") {
+    val (cat, wh) = freshCatalog("parts")
+    try {
+      // unbucketed table: one group per spec-0/NULL-bucket cohort
+      docsRange(10).coalesce(1)
+        .writeTo(s"$cat.u").tableProperty("versioned", "true").create()
+      val u = spark.sql(s"SELECT * FROM $cat.u.partitions").collect()
+      assert(u.length == 1, u.mkString(", "))
+      assert(u.head.getInt(0) == 0 && u.head.isNullAt(1) &&
+        u.head.getLong(2) == 1L && u.head.getLong(3) == 10L &&
+        u.head.getLong(4) == 0L && u.head.getLong(5) == 10L,
+        u.head.toString)
+      // bucketed: groups per bucket; a metadata DELETE that drops a
+      // whole file removes its group from the rollup
+      spark.sql(
+        s"""CREATE TABLE $cat.b (doc_id BIGINT, title STRING, fp BIGINT,
+           |  n_words INT) PARTITIONED BY (bucket(2, doc_id))
+           |  TBLPROPERTIES('versioned'='true')""".stripMargin)
+      docsRange(10).coalesce(1).writeTo(s"$cat.b").append()
+      assert(spark.sql(s"SELECT bucket, files, rows FROM $cat.b.partitions " +
+        "ORDER BY bucket").collect().map(r =>
+          (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq((0, 1L, 5L), (1, 1L, 5L)))
+      spark.sql(s"DELETE FROM $cat.b WHERE doc_id % 2 = 0")
+      assert(spark.sql(s"SELECT bucket FROM $cat.b.partitions").collect()
+        .map(_.getInt(0)).toSeq == Seq(1),
+        "the fully-deleted even bucket must leave the rollup")
+      // non-versioned parent: the metadata name does not resolve
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.nope.partitions").collect()
+      }
+    } finally dropCatalog(cat, wh)
+  }
+
   test("row lineage: clustered OPTIMIZE rejects on tracked tables; " +
       "dropping the property re-enables it") {
     val (cat, wh) = freshCatalog("lin4")
