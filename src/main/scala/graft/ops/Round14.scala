@@ -1261,6 +1261,113 @@ object Round14 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q255: the FULL five-branch MERGE matrix, COW ≡ MOR on the hash bar
+  // ---------------------------------------------------------------------
+
+  /** Delta's complete MERGE clause matrix in one statement — matched
+    * UPDATE, matched DELETE, not-matched INSERT, and the two
+    * `WHEN NOT MATCHED BY SOURCE` branches (UPDATE and DELETE on
+    * target rows the source never mentions) — run IDENTICALLY against
+    * a copy-on-write table and a merge-on-read table. Spark plans the
+    * NOT-MATCHED-BY-SOURCE branches by keeping unmatched target rows
+    * in the merge join (a full-outer shape instead of the usual
+    * right-outer), so the same one-shuffle rewrite covers all five
+    * verbs; on the MOR table every touched row becomes a mask (+ a
+    * reinsert for the two UPDATE branches) through the one delta
+    * writer, exactly like q234's three-branch form.
+    *
+    * Target [0,30) in 3 range files; source [15,40). Branch algebra:
+    * matched 15..29 split by %3 (0→n_words=0, 1→DELETE, 2→untouched);
+    * source-only 30..39 insert only below 35; target-only 0..14 split
+    * (<5→n_words=1, ≥10→DELETE, 5..9 untouched). The audit row per
+    * mode pins final rows / word sum / id sum plus the MOR mask count
+    * (20 = 5 per branch that touches rows; no file ever fully masks,
+    * so nothing drops), and a require asserts the two tables are
+    * row-for-row identical — COW≡MOR equivalence checked before the
+    * oracle ever sees the output. At 100 TB the NMBS branches are the
+    * retention/backfill shape (`DELETE target rows absent from
+    * today's feed`) and MOR turns that full-table verb into masks +
+    * changed bytes instead of a table rewrite. */
+  val q255MergeMatrix: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q255")
+    try {
+      val base = spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "30").load()
+        .repartitionByRange(3, col("doc_id"))
+      base.writeTo(s"$cat.cow").tableProperty("versioned", "true").create()
+      base.writeTo(s"$cat.mor").tableProperty("versioned", "true")
+        .tableProperty("merge.mode", "merge-on-read").create()
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "40").load().filter(col("doc_id") >= 15)
+        .createOrReplaceTempView(s"${cat}_src")
+      def run(t: String): Unit = spark.sql(
+        s"""MERGE INTO $cat.$t t USING ${cat}_src s ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.doc_id % 3 = 0 THEN UPDATE SET n_words = 0
+           |WHEN MATCHED AND s.doc_id % 3 = 1 THEN DELETE
+           |WHEN NOT MATCHED AND s.doc_id < 35 THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND t.doc_id < 5
+           |  THEN UPDATE SET n_words = 1
+           |WHEN NOT MATCHED BY SOURCE AND t.doc_id >= 10 THEN DELETE
+           |""".stripMargin)
+      run("cow"); run("mor")
+      spark.catalog.dropTempView(s"${cat}_src")
+      // COW ≡ MOR before anything is hashed: same rows, both ways
+      val cow = spark.table(s"$cat.cow")
+      val mor = spark.table(s"$cat.mor")
+      require(cow.exceptAll(mor).isEmpty && mor.exceptAll(cow).isEmpty,
+        "copy-on-write and merge-on-read MERGE diverged")
+      def masks(t: String): Long =
+        GraftVersions.latest(wh.resolve(t)).get.entries
+          .flatMap(_.dv).map(_.cardinality.toLong).sum
+      val audit = Seq("cow", "mor").map { t =>
+        spark.table(s"$cat.$t").agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          sum("n_words").cast("long").as("sum_words"),
+          sum("doc_id").cast("long").as("sum_doc_id"))
+          .select(lit(t).as("mode"), col("n_rows"), col("sum_words"),
+            col("sum_doc_id"), lit(masks(t)).as("masked_rows"))
+      }.reduce(_ unionByName _)
+      OpsUtil.driverLiteral(audit.orderBy("mode"))
+    } finally teardown(spark, cat, wh)
+  }
+
+  // ---------------------------------------------------------------------
+  // q256: the `refs` metadata table — every named ref as a relation
+  // ---------------------------------------------------------------------
+
+  /** Iceberg's `t.refs` joins `history`/`files`/`partitions` as the
+    * fourth metadata table: one row per NAMED REFERENCE into the
+    * snapshot log — `main` (the live head), each writable branch (its
+    * own head plus the main version it forked from, fast_forward's
+    * publish point), each tag (the version it pins, vacuum's retention
+    * input). The operator's "what can still be reached" face: which
+    * snapshots time travel, branch publishes, and retention pins can
+    * name — answered from properties + manifest headers, #refs-sized,
+    * zero data files opened.
+    *
+    * Lifecycle here: create+append puts main at v2, `tag('gold', 1)`
+    * pins the first append, `branch('dev')` forks at the head (the
+    * branch clone restarts its OWN log at v0), and one INSERT on the
+    * branch face advances dev to v1 while main stays at v2 — the refs
+    * relation must show all three with exactly those versions and
+    * dev's base_version = 2 (the main version fast_forward needs). */
+  val q256RefsTable: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q256")
+    try {
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "10").load()
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      spark.sql(s"INSERT INTO $cat.t VALUES (100, 'x', 1, 5)") // v2
+      spark.sql(s"CALL $cat.system.tag('t', 'gold', 1)").collect()
+      spark.sql(s"CALL $cat.system.branch('t', 'dev', -1)").collect()
+      spark.sql(s"INSERT INTO $cat.t.branch_dev VALUES (101, 'y', 2, 7)")
+      OpsUtil.driverLiteral(spark.sql(
+        s"""SELECT name, type, version, base_version
+           |FROM $cat.t.refs ORDER BY name""".stripMargin))
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
     "q238_schema_evolution" -> q238SchemaEvolution,
     "q239_decision_tree" -> q239DecisionTree,
@@ -1278,7 +1385,9 @@ object Round14 {
     "q251_batch_cdf" -> q251BatchCdf,
     "q252_incremental_agg" -> q252IncrementalAgg,
     "q253_partition_evolution" -> q253PartitionEvolution,
-    "q254_partitions_table" -> q254PartitionsTable)
+    "q254_partitions_table" -> q254PartitionsTable,
+    "q255_merge_matrix" -> q255MergeMatrix,
+    "q256_refs_table" -> q256RefsTable)
 
   val oracle: Map[String, String] = Map(
     "q238_schema_evolution" ->
@@ -1497,6 +1606,35 @@ object Round14 {
         |  CAST(masked AS BIGINT) AS masked,
         |  CAST(live_rows AS BIGINT) AS live_rows
         |FROM v ORDER BY spec, bucket""".stripMargin,
+    // the five-branch MERGE replayed from generator first principles
+    // (n_words = i % 91 + 9): survivors are 0..9 (0..4 with n_words=1),
+    // matched non-%3=1 rows of 15..29 (%3=0 zeroed), and inserts 30..34;
+    // the MOR mask count is 4 touching branches × 5 rows = 20
+    "q255_merge_matrix" ->
+      """WITH w AS (SELECT i, i % 91 + 9 AS nw FROM range(0, 40) t(i)),
+        |f AS (SELECT i, CASE WHEN i < 5 THEN 1
+        |                     WHEN i >= 15 AND i < 30 AND i % 3 = 0 THEN 0
+        |                     ELSE nw END AS nw
+        |      FROM w WHERE i < 10
+        |         OR (i >= 15 AND i < 30 AND i % 3 <> 1)
+        |         OR (i >= 30 AND i < 35)),
+        |m(mode, masked) AS (VALUES ('cow', 0), ('mor', 20))
+        |SELECT mode, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(nw) AS BIGINT) AS sum_words,
+        |  CAST(SUM(i) AS BIGINT) AS sum_doc_id,
+        |  CAST(masked AS BIGINT) AS masked_rows
+        |FROM f CROSS JOIN m GROUP BY mode, masked ORDER BY mode""".stripMargin,
+    // the refs lifecycle is fully deterministic: main create+insert →
+    // v2, tag pins v1, the branch forks at main v2 (its own clone log
+    // restarts at v0) and one insert puts its head at v1
+    "q256_refs_table" ->
+      """WITH v(name, type, version, base_version) AS (VALUES
+        |  ('dev', 'branch', 1, 2),
+        |  ('gold', 'tag', 1, NULL),
+        |  ('main', 'branch', 2, NULL))
+        |SELECT name, type, CAST(version AS BIGINT) AS version,
+        |  CAST(base_version AS BIGINT) AS base_version
+        |FROM v ORDER BY name""".stripMargin,
     "q253_partition_evolution" ->
       """WITH v(phase, n_rows, n_files, n_specs) AS (VALUES
         |  ('a_two_buckets', 8, 2, 1),

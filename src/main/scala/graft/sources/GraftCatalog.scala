@@ -154,7 +154,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           new GraftDocsTable(rows.toLong, 8, None, buckets.toInt)
         case _ => throw new NoSuchTableException(ident)
       }
-    case meta @ ("history" | "files" | "partitions")
+    case meta @ ("history" | "files" | "partitions" | "refs")
         if ident.namespace().nonEmpty &&
         Files.isDirectory(dirFor(ident).getParent) &&
         !Files.isDirectory(dirFor(ident)) =>
@@ -169,6 +169,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       meta match {
         case "history" => new GraftHistoryTable(parent.toString)
         case "files" => new GraftFilesMetaTable(parent.toString)
+        case "refs" => new GraftRefsMetaTable(parent.toString)
         case _ => new GraftPartitionsMetaTable(parent.toString)
       }
     case b if b.startsWith("branch_") && ident.namespace().nonEmpty &&
@@ -890,6 +891,86 @@ class GraftPartitionsMetaReaderFactory(cols: Array[String])
         case "rows" => cur._4.map(Long.box).orNull
         case "masked" => cur._5
         case "live_rows" => cur._6.map(Long.box).orNull
+      })
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The `refs` metadata table of a versioned warehouse table — Iceberg's
+  * `t.refs`: every NAMED REFERENCE into the snapshot log as a relation.
+  * One row for `main` (the table's own head), one per writable branch
+  * under `_branches/` (its own head plus the main version it forked
+  * from), one per tag (the version it pins). The face an operator reads
+  * to answer "what can time-travel or fast_forward still reach" — and
+  * the retention input: vacuum keeps every snapshot a ref names. All
+  * rows come from properties + manifest headers; #refs-sized, zero data
+  * files opened. Read-only. */
+class GraftRefsMetaTable(tableDir: String) extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read._
+  override def name(): String = s"graft_docs(path=$tableDir).refs"
+  override def schema(): StructType = GraftRefsMetaTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required = GraftRefsMetaTable.schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = required
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"GraftDocs refs of $tableDir"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GraftHistoryPartition(tableDir))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new GraftRefsMetaReaderFactory(required.fieldNames)
+      }
+    }
+}
+
+object GraftRefsMetaTable {
+  val schema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    // 'branch' (a writable head) or 'tag' (an immutable pin)
+    StructField("type", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    // for a branch: the MAIN version it forked from (fast_forward's
+    // required publish point); NULL for main itself and for tags
+    StructField("base_version", LongType, nullable = true)))
+}
+
+class GraftRefsMetaReaderFactory(cols: Array[String])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val dir = Paths.get(p.asInstanceOf[GraftHistoryPartition].tableDir)
+    val main = ("main", "branch",
+      GraftVersions.latest(dir).map(_.version).getOrElse(0L),
+      Option.empty[Long])
+    val branches = GraftVersions.listBranches(dir).map { b =>
+      val bdir = GraftVersions.branchDir(dir, b)
+      (b, "branch",
+        GraftVersions.latest(bdir).map(_.version).getOrElse(0L),
+        GraftTableMeta.read(bdir).get("branch.base").flatMap(_.toLongOption))
+    }
+    val tags = GraftTableMeta.tags(dir).toSeq.sortBy(_._1).map {
+      case (t, v) => (t, "tag", v, Option.empty[Long])
+    }
+    val refs = (main +: branches) ++ tags
+    new PartitionReader[InternalRow] {
+      private val it = refs.iterator
+      private var cur: (String, String, Long, Option[Long]) = _
+      override def next(): Boolean =
+        { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = InternalRow.fromSeq(cols.toSeq.map {
+        case "name" =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(cur._1)
+        case "type" =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(cur._2)
+        case "version" => cur._3
+        case "base_version" => cur._4.map(Long.box).orNull
       })
       override def close(): Unit = ()
     }

@@ -1314,4 +1314,68 @@ class Round14Spec extends SparkSpec {
       assert(spark.table(s"$cat.t").count() == 10L)
     } finally dropCatalog(cat, wh)
   }
+
+  test("refs metadata table: main + branches + tags with their heads; " +
+      "drops shrink the relation; unversioned parents do not resolve") {
+    val (cat, wh) = freshCatalog("refs")
+    try {
+      docsRange(10).coalesce(1)
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      def refs(): Seq[(String, String, Long, Option[Long])] =
+        spark.sql(s"SELECT * FROM $cat.t.refs ORDER BY name").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+      assert(refs() == Seq(("main", "branch", 1L, None)))
+      spark.sql(s"CALL $cat.system.tag('t', 'gold', 1)").collect()
+      spark.sql(s"CALL $cat.system.branch('t', 'dev', -1)").collect()
+      spark.sql(s"INSERT INTO $cat.t.branch_dev VALUES (50, 'z', 9, 3)")
+      // the branch clone restarts its own log at v0 ('clone'), so one
+      // insert puts its head at v1; base_version records the MAIN fork
+      assert(refs() == Seq(
+        ("dev", "branch", 1L, Some(1L)),
+        ("gold", "tag", 1L, None),
+        ("main", "branch", 1L, None)))
+      spark.sql(s"CALL $cat.system.drop_tag('t', 'gold')").collect()
+      spark.sql(s"CALL $cat.system.drop_branch('t', 'dev')").collect()
+      assert(refs() == Seq(("main", "branch", 1L, None)))
+      // a non-versioned parent directory has no refs face
+      docsRange(3).coalesce(1).writeTo(s"$cat.plain").create()
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.plain.refs").collect()
+      }
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE: unmatched target rows update and " +
+      "delete; MOR masks every touched row and preserves the rest") {
+    val (cat, wh) = freshCatalog("nmbs")
+    try {
+      // target [0,10); source names only 4..6 — rows 0..3 and 7..9 are
+      // NOT MATCHED BY SOURCE
+      docsRange(10).coalesce(1)
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("merge.mode", "merge-on-read").create()
+      docsRange(7).filter("doc_id >= 4")
+        .createOrReplaceTempView(s"${cat}_s")
+      spark.sql(
+        s"""MERGE INTO $cat.t t USING ${cat}_s s ON t.doc_id = s.doc_id
+           |WHEN NOT MATCHED BY SOURCE AND t.doc_id < 2
+           |  THEN UPDATE SET n_words = -1
+           |WHEN NOT MATCHED BY SOURCE AND t.doc_id >= 8 THEN DELETE
+           |""".stripMargin)
+      spark.catalog.dropTempView(s"${cat}_s")
+      val rows = spark.table(s"$cat.t")
+        .select("doc_id", "n_words").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(rows.keySet == (0L to 7L).toSet, rows.toString)
+      assert(rows(0L) == -1 && rows(1L) == -1, rows.toString)
+      // matched rows 4..6 and unmatched-but-unclaused 2,3,7 untouched
+      assert((2L to 7L).forall(i => rows(i) == (i % 91 + 9).toInt),
+        rows.toString)
+      // MOR: 2 update preimages + 2 deletes = 4 masks, zero rewrites
+      val v = GraftVersions.latest(wh.resolve("t")).get
+      assert(v.entries.flatMap(_.dv).map(_.cardinality.toLong).sum == 4L)
+      assert(v.op == "merge", v.op)
+    } finally dropCatalog(cat, wh)
+  }
 }
