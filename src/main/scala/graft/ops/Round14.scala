@@ -1368,6 +1368,81 @@ object Round14 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q257: CDC replication — a replica maintained purely from the CDF
+  // ---------------------------------------------------------------------
+
+  /** The end-to-end pipeline the change feed exists for: REPLICATION.
+    * A replica table is bootstrapped from the source's snapshot v1,
+    * the source then takes a MOR UPDATE (+1000 on doc_id%7=3), a MOR
+    * DELETE (doc_id%5=3 — key 3 is updated THEN deleted, so
+    * latest-image-wins logic is actually exercised), and a late
+    * append; the replica is brought current by ONE batch CDF read
+    * since the bootstrap, collapsed to the newest image per key (a
+    * key-partitioned window over the changes — changes-sized, never
+    * table-sized), applied with ONE MERGE (delete → DELETE, postimage
+    * → UPDATE, insert → INSERT). A require asserts replica ≡ source
+    * row-for-row before the audit is hashed.
+    *
+    * Scale shape: replication cost is |changes| + one merge shuffle on
+    * the key — the source is never rescanned. This is the Delta
+    * CDF-to-downstream pattern (`table_changes` → `MERGE`), composed
+    * entirely from this repo's own verified primitives (q251's batch
+    * feed, q255's merge matrix). */
+  val q257CdcReplication: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q257")
+    try {
+      val docs = spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "25").load()
+      docs.filter(col("doc_id") < 20).orderBy("doc_id").coalesce(2)
+        .writeTo(s"$cat.s").tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "merge-on-read")
+        .tableProperty("update.mode", "merge-on-read")
+        .create()                                 // v0 enable, v1 append
+      spark.sql(s"SELECT * FROM $cat.s VERSION AS OF 1")
+        .writeTo(s"$cat.r").tableProperty("versioned", "true").create()
+      spark.sql(
+        s"UPDATE $cat.s SET n_words = n_words + 1000 WHERE doc_id % 7 = 3")
+      spark.sql(s"DELETE FROM $cat.s WHERE doc_id % 5 = 3")          // v3
+      docs.filter(col("doc_id") >= 20).orderBy("doc_id").coalesce(1)
+        .writeTo(s"$cat.s").append()                                 // v4
+      // one CDF read since the bootstrap; newest image per key wins
+      // (preimages dropped — the replica needs the AFTER state)
+      val feed = spark.read.format("graft.sources.GraftDocsSource")
+        .option("path", wh.resolve("s").toString)
+        .option("readChangeFeed", "true").option("startingVersion", "2")
+        .load().filter(col("_change_type") =!= "update_preimage")
+      val latest = feed.withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(col("_commit_version").desc)))
+        .filter(col("rn") === 1).drop("rn")
+      latest.createOrReplaceTempView(s"${cat}_delta")
+      val applied = spark.table(s"${cat}_delta").count()
+      spark.sql(
+        s"""MERGE INTO $cat.r t USING ${cat}_delta s ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s._change_type = 'delete' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET
+           |  title = s.title, fp = s.fp, n_words = s.n_words
+           |WHEN NOT MATCHED AND s._change_type <> 'delete'
+           |  THEN INSERT (doc_id, title, fp, n_words)
+           |  VALUES (s.doc_id, s.title, s.fp, s.n_words)""".stripMargin)
+      spark.catalog.dropTempView(s"${cat}_delta")
+      val src = spark.table(s"$cat.s")
+      val rep = spark.table(s"$cat.r")
+      require(src.exceptAll(rep).isEmpty && rep.exceptAll(src).isEmpty,
+        "CDF replication diverged from the source")
+      val audit = Seq("replica" -> rep, "source" -> src).map {
+        case (m, df) =>
+          df.agg(count(lit(1)).cast("long").as("n_rows"),
+            sum("n_words").cast("long").as("sum_words"),
+            sum("doc_id").cast("long").as("sum_doc_id"))
+            .select(lit(m).as("mode"), col("n_rows"), col("sum_words"),
+              col("sum_doc_id"), lit(applied).as("changes_applied"))
+      }.reduce(_ unionByName _)
+      OpsUtil.driverLiteral(audit.orderBy("mode"))
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
     "q238_schema_evolution" -> q238SchemaEvolution,
     "q239_decision_tree" -> q239DecisionTree,
@@ -1387,7 +1462,8 @@ object Round14 {
     "q253_partition_evolution" -> q253PartitionEvolution,
     "q254_partitions_table" -> q254PartitionsTable,
     "q255_merge_matrix" -> q255MergeMatrix,
-    "q256_refs_table" -> q256RefsTable)
+    "q256_refs_table" -> q256RefsTable,
+    "q257_cdc_replication" -> q257CdcReplication)
 
   val oracle: Map[String, String] = Map(
     "q238_schema_evolution" ->
@@ -1635,6 +1711,22 @@ object Round14 {
         |SELECT name, type, CAST(version AS BIGINT) AS version,
         |  CAST(base_version AS BIGINT) AS base_version
         |FROM v ORDER BY name""".stripMargin,
+    // the replicated state from generator first principles: [0,20)
+    // minus the v3 deletes (i%5=3 among rows present then), +1000 for
+    // the v2 updates (i%7=3, i<20), plus the late appends 20..24; the
+    // applied delta is 11 latest-images (3 postimages + 4 deletes + 5
+    // inserts, with key 3's update superseded by its delete)
+    "q257_cdc_replication" ->
+      """WITH w AS (SELECT i, i % 91 + 9 AS nw FROM range(0, 25) t(i)),
+        |f AS (SELECT i, nw +
+        |        CASE WHEN i % 7 = 3 AND i < 20 THEN 1000 ELSE 0 END AS nw
+        |      FROM w WHERE i % 5 <> 3 OR i >= 20),
+        |m(mode) AS (VALUES ('replica'), ('source'))
+        |SELECT mode, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(nw) AS BIGINT) AS sum_words,
+        |  CAST(SUM(i) AS BIGINT) AS sum_doc_id,
+        |  CAST(11 AS BIGINT) AS changes_applied
+        |FROM f CROSS JOIN m GROUP BY mode ORDER BY mode""".stripMargin,
     "q253_partition_evolution" ->
       """WITH v(phase, n_rows, n_files, n_specs) AS (VALUES
         |  ('a_two_buckets', 8, 2, 1),

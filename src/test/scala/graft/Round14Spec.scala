@@ -1346,6 +1346,48 @@ class Round14Spec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("CDF replication: a key inserted AND deleted inside the window " +
+      "nets to a no-op on the replica (unmatched delete must not insert)") {
+    val (cat, wh) = freshCatalog("cdcrep")
+    try {
+      docsRange(5).coalesce(1)
+        .writeTo(s"$cat.s").tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "merge-on-read").create()   // v1
+      spark.sql(s"SELECT * FROM $cat.s VERSION AS OF 1")
+        .writeTo(s"$cat.r").create()
+      spark.sql(s"INSERT INTO $cat.s VALUES (50, 'x', 1, 7)")     // v2
+      spark.sql(s"DELETE FROM $cat.s WHERE doc_id = 50")          // v3
+      spark.sql(s"DELETE FROM $cat.s WHERE doc_id = 2")           // v4
+      val feed = spark.read.format("graft.sources.GraftDocsSource")
+        .option("path", wh.resolve("s").toString)
+        .option("readChangeFeed", "true").option("startingVersion", "2")
+        .load().filter(org.apache.spark.sql.functions.col("_change_type")
+          =!= "update_preimage")
+      val latest = feed.withColumn("rn",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+              .orderBy(org.apache.spark.sql.functions
+                .col("_commit_version").desc)))
+        .filter("rn = 1").drop("rn")
+      latest.createOrReplaceTempView(s"${cat}_d")
+      spark.sql(
+        s"""MERGE INTO $cat.r t USING ${cat}_d s ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s._change_type = 'delete' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET
+           |  title = s.title, fp = s.fp, n_words = s.n_words
+           |WHEN NOT MATCHED AND s._change_type <> 'delete'
+           |  THEN INSERT (doc_id, title, fp, n_words)
+           |  VALUES (s.doc_id, s.title, s.fp, s.n_words)""".stripMargin)
+      spark.catalog.dropTempView(s"${cat}_d")
+      val repIds = spark.table(s"$cat.r").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(repIds == Set(0L, 1L, 3L, 4L), repIds.toString)
+      val srcIds = spark.table(s"$cat.s").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(srcIds == repIds, s"source $srcIds vs replica $repIds")
+    } finally dropCatalog(cat, wh)
+  }
+
   test("MERGE NOT MATCHED BY SOURCE: unmatched target rows update and " +
       "delete; MOR masks every touched row and preserves the rest") {
     val (cat, wh) = freshCatalog("nmbs")
