@@ -1156,8 +1156,10 @@ object GraftVersions {
       val retain = versions.filterNot(expireSet)
       val retainedFiles =
         retain.flatMap(readManifest(root, _).files).toSet
+      val branchPinned = branchReferencedRootFiles(root)
       val expiredFiles =
-        (expire.flatMap(readManifest(root, _).files).toSet -- retainedFiles)
+        (expire.flatMap(readManifest(root, _).files).toSet
+          -- retainedFiles -- branchPinned)
           .filterNot(_.contains('/'))
       // delete manifests first: a crash mid-vacuum must never leave a
       // readable snapshot whose files are gone
@@ -1208,13 +1210,33 @@ object GraftVersions {
     * log), or `_SUCCESS`. Runs under the table lock so a concurrent
     * commit cannot land files between the reference scan and the
     * delete. */
+  /** Root files a LIVE BRANCH still references (ref-aware retention,
+    * Iceberg's expire_snapshots contract): a branch's manifests name
+    * root files through `../../`-relative entries, so every root file
+    * any branch version can still reach is pinned — without this, a
+    * COW rewrite on main followed by vacuum or an orphan sweep would
+    * delete bytes the branch's audit still reads. */
+  private def branchReferencedRootFiles(root: Path): Set[String] = {
+    val rootAbs = root.toAbsolutePath.normalize()
+    listBranches(root).flatMap { b =>
+      val bdir = branchDir(root, b)
+      listVersionNumbers(bdir).flatMap(readManifest(bdir, _).files)
+        .flatMap { n =>
+          val abs = bdir.toAbsolutePath.resolve(n).normalize()
+          if (abs.getParent == rootAbs) Some(abs.getFileName.toString)
+          else None
+        }
+    }.toSet
+  }
+
   def removeOrphans(root: Path, olderThanMicros: Long): OrphanStats =
     lockFor(root).synchronized {
       require(isVersioned(root),
         s"remove_orphan_files needs a versioned table: $root")
       import scala.jdk.CollectionConverters._
       val referenced = listVersions(root).flatMap(_.files)
-        .filterNot(_.contains('/')).toSet
+        .filterNot(_.contains('/')).toSet ++
+        branchReferencedRootFiles(root)
       val removed = Seq.newBuilder[String]
       var bytes = 0L
       def eligible(p: Path): Boolean =

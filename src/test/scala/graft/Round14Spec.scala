@@ -1346,6 +1346,36 @@ class Round14Spec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("vacuum is ref-aware: files only a live branch still references " +
+      "survive main's retention, and the branch stays readable") {
+    val (cat, wh) = freshCatalog("vacref")
+    try {
+      docsRange(10).coalesce(1)
+        .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
+      spark.sql(s"CALL $cat.system.branch('t', 'audit', -1)").collect()
+      // COW rewrite on main: the original file leaves main's live set
+      // (only the branch still references it), then retention drops
+      // every main snapshot that names it
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id < 9")
+      val stats = GraftVersions.vacuum(wh.resolve("t"), 1)
+      assert(stats.expiredVersions.nonEmpty)
+      assert(stats.deletedFiles.isEmpty,
+        s"vacuum deleted branch-referenced bytes: ${stats.deletedFiles}")
+      assert(spark.table(s"$cat.t.branch_audit").count() == 10L,
+        "the forked branch must still read its full fork-point state")
+      assert(spark.table(s"$cat.t").count() == 1L)
+      // dropping the branch releases the pin: the next vacuum reclaims
+      spark.sql(s"CALL $cat.system.drop_branch('t', 'audit')").collect()
+      // main must advance so a new expirable snapshot names the file…
+      // it already doesn't reference the original file; sweep orphans
+      val swept = GraftVersions.removeOrphans(wh.resolve("t"),
+        Long.MaxValue)
+      assert(swept.removed.nonEmpty,
+        "after the branch drops, the unreferenced original is orphaned")
+      assert(spark.table(s"$cat.t").count() == 1L)
+    } finally dropCatalog(cat, wh)
+  }
+
   test("CDF replication: a key inserted AND deleted inside the window " +
       "nets to a no-op on the replica (unmatched delete must not insert)") {
     val (cat, wh) = freshCatalog("cdcrep")
