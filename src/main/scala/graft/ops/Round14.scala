@@ -1443,6 +1443,65 @@ object Round14 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q258: equality deletes — the fourth delete tier, zero data IO
+  // ---------------------------------------------------------------------
+
+  /** Iceberg v2's EQUALITY DELETE as the fourth delete tier
+    * (`delete.mode=equality`), completing metadata-drop / deletion-
+    * vector / copy-on-write: `DELETE WHERE doc_id IN (...)` commits the
+    * VALUES into the manifest — positions unknown by design, ZERO data
+    * bytes read or written; per-file min/max stats prune the value
+    * attachment; readers drop matching rows as the file streams. The
+    * values bind only to entries live AT the delete, so a later
+    * re-insert of the same key is untouched — Iceberg's sequence-number
+    * semantics by construction, pinned here ON THE HASH BAR: v3
+    * re-inserts doc 8 and the audit shows it alive while the old file's
+    * value mask still lists it.
+    *
+    * Lifecycle: v1 append [0,30) as 3 range files; v2 `IN (3,8,13,28)`
+    * (4 values, stats-routed 2/1/1 across the files); v3 re-insert 8;
+    * v4 `doc_id = 27`. Every phase row aggregates an actual versioned
+    * read plus the manifest's value-mask total, with original bytes
+    * hash-checked immutable throughout.
+    *
+    * Scale shape: deleting a key from a 100 TB table costs one manifest
+    * line per may-contain file — no scan job at all, strictly cheaper
+    * than deletion vectors (which must read to find positions). The
+    * read-side cost is a per-row binary search against the file's value
+    * set, only on files the delete actually touched. */
+  val q258EqualityDelete: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q258")
+    try {
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "30").load()
+        .repartitionByRange(3, col("doc_id"))
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "equality").create()
+      val tdir = wh.resolve("t")
+      val originals = GraftVersions.latest(tdir).get.files
+      val bytesBefore = originals.map(n =>
+        n -> java.util.Arrays.hashCode(Files.readAllBytes(tdir.resolve(n)))).toMap
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (3, 8, 13, 28)") // v2
+      spark.sql(s"INSERT INTO $cat.t VALUES (8, 'back', 1, 5)")       // v3
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id = 27")              // v4
+      val audit = GraftVersions.listVersions(tdir).map { v =>
+        val eqTotal = v.entries.flatMap(_.eq).map(_.cardinality.toLong).sum
+        val immutable = originals.forall(n =>
+          java.util.Arrays.hashCode(Files.readAllBytes(tdir.resolve(n))) ==
+            bytesBefore(n))
+        spark.sql(
+          s"""SELECT ${v.version}L AS version, '${v.op}' AS op,
+             |  COUNT(*) AS n_rows,
+             |  COALESCE(SUM(n_words), 0L) AS sum_words,
+             |  COALESCE(SUM(doc_id), 0L) AS sum_doc_id,
+             |  ${eqTotal}L AS eq_values, $immutable AS bytes_immutable
+             |FROM $cat.t VERSION AS OF ${v.version}""".stripMargin)
+      }.reduce(_ unionByName _)
+      OpsUtil.driverLiteral(audit.orderBy("version"))
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
     "q238_schema_evolution" -> q238SchemaEvolution,
     "q239_decision_tree" -> q239DecisionTree,
@@ -1463,7 +1522,8 @@ object Round14 {
     "q254_partitions_table" -> q254PartitionsTable,
     "q255_merge_matrix" -> q255MergeMatrix,
     "q256_refs_table" -> q256RefsTable,
-    "q257_cdc_replication" -> q257CdcReplication)
+    "q257_cdc_replication" -> q257CdcReplication,
+    "q258_equality_delete" -> q258EqualityDelete)
 
   val oracle: Map[String, String] = Map(
     "q238_schema_evolution" ->
@@ -1727,6 +1787,36 @@ object Round14 {
         |  CAST(SUM(i) AS BIGINT) AS sum_doc_id,
         |  CAST(11 AS BIGINT) AS changes_applied
         |FROM f CROSS JOIN m GROUP BY mode ORDER BY mode""".stripMargin,
+    // the equality-delete lifecycle from generator first principles:
+    // n_words = i % 91 + 9; the 3 range files hold [0,10)/[10,20)/
+    // [20,30), so IN (3,8,13,28) attaches 2+1+1 = 4 values; the v3
+    // re-insert of 8 (n_words=5) is a FRESH entry the old value mask
+    // cannot touch; v4 adds one more value on the third file
+    "q258_equality_delete" ->
+      """WITH w AS (SELECT i, i % 91 + 9 AS nw FROM range(0, 30) t(i)),
+        |live1 AS (SELECT COUNT(*) c, SUM(nw) s, SUM(i) d FROM w),
+        |live2 AS (SELECT COUNT(*) c, SUM(nw) s, SUM(i) d FROM w
+        |          WHERE i NOT IN (3, 8, 13, 28)),
+        |v(version, op, n_rows, sum_words, sum_doc_id, eq_values,
+        |  bytes_immutable) AS (VALUES
+        |  (0, 'enable', 0, 0, 0, 0, TRUE),
+        |  (1, 'append', (SELECT c FROM live1), (SELECT s FROM live1),
+        |    (SELECT d FROM live1), 0, TRUE),
+        |  (2, 'delete-equality', (SELECT c FROM live2),
+        |    (SELECT s FROM live2), (SELECT d FROM live2), 4, TRUE),
+        |  (3, 'append', (SELECT c + 1 FROM live2),
+        |    (SELECT s + 5 FROM live2), (SELECT d + 8 FROM live2), 4,
+        |    TRUE),
+        |  (4, 'delete-equality', (SELECT c FROM live2),
+        |    (SELECT s + 5 - nw FROM live2, w WHERE w.i = 27),
+        |    (SELECT d + 8 - 27 FROM live2), 5, TRUE))
+        |SELECT CAST(version AS BIGINT) AS version, op,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(sum_words AS BIGINT) AS sum_words,
+        |  CAST(sum_doc_id AS BIGINT) AS sum_doc_id,
+        |  CAST(eq_values AS BIGINT) AS eq_values,
+        |  bytes_immutable
+        |FROM v ORDER BY version""".stripMargin,
     "q253_partition_evolution" ->
       """WITH v(phase, n_rows, n_files, n_specs) AS (VALUES
         |  ('a_two_buckets', 8, 2, 1),

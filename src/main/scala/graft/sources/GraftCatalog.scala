@@ -577,16 +577,23 @@ object GraftCatalog {
   /** The three row-level strategy selectors, and their only legal
     * values. Validated at CREATE and ALTER: a typo like
     * 'merge_on_read' must fail loudly THEN, not silently fall back to
-    * copy-on-write at the first MERGE. */
+    * copy-on-write at the first MERGE. `delete.mode` additionally
+    * accepts 'equality' — Iceberg v2's equality-delete format: a
+    * key-equality DELETE commits the VALUES into the manifest without
+    * reading a data byte; non-equality predicates under that mode fall
+    * back to copy-on-write. */
   val RowLevelModeKeys: Set[String] =
     Set("delete.mode", "update.mode", "merge.mode")
   val RowLevelModeValues: Set[String] =
     Set("copy-on-write", "merge-on-read")
   def validateProperty(k: String, v: String): Unit = {
-    if (RowLevelModeKeys(k) && !RowLevelModeValues(v))
+    val legal =
+      if (k == "delete.mode") RowLevelModeValues + "equality"
+      else RowLevelModeValues
+    if (RowLevelModeKeys(k) && !legal(v))
       throw new IllegalArgumentException(
         s"invalid value '$v' for table property '$k'; legal values: " +
-          RowLevelModeValues.toSeq.sorted.mkString(", "))
+          legal.toSeq.sorted.mkString(", "))
     if (k == "row.tracking" && v != "true" && v != "false")
       throw new IllegalArgumentException(
         s"invalid value '$v' for table property 'row.tracking'; legal " +
@@ -775,6 +782,10 @@ object GraftFilesMetaTable {
     StructField("rows", LongType, nullable = true),
     StructField("bytes", LongType, nullable = true),
     StructField("masked", LongType, nullable = false),
+    // equality-delete VALUES attached to this file (cardinality of the
+    // value set — how many physical rows they hide is not a manifest
+    // fact, which is why live-row math declines under it)
+    StructField("eq_deletes", LongType, nullable = false),
     StructField("min_doc_id", LongType, nullable = true),
     StructField("max_doc_id", LongType, nullable = true),
     StructField("has_bloom", BooleanType, nullable = false)))
@@ -797,6 +808,7 @@ class GraftFilesMetaReaderFactory(cols: Array[String])
         case "rows" => cur.rows.map(Long.box).orNull
         case "bytes" => cur.bytes.map(Long.box).orNull
         case "masked" => cur.dv.map(_.cardinality.toLong).getOrElse(0L)
+        case "eq_deletes" => cur.eq.map(_.cardinality.toLong).getOrElse(0L)
         case "min_doc_id" =>
           cur.stats.get("doc_id").map(s => Long.box(s._1)).orNull
         case "max_doc_id" =>
@@ -876,7 +888,13 @@ class GraftPartitionsMetaReaderFactory(cols: Array[String])
           if (es.forall(_.rows.isDefined)) Some(es.flatMap(_.rows).sum)
           else None
         val masked = es.map(_.dv.map(_.cardinality.toLong).getOrElse(0L)).sum
-        (spec, bucket, es.length.toLong, rows, masked, rows.map(_ - masked))
+        // equality deletes make the group's live count unknowable from
+        // the manifest (value masks hide an unknown number of rows) —
+        // NULL, never a wrong number
+        val live =
+          if (es.exists(_.eq.exists(_.cardinality > 0))) None
+          else rows.map(_ - masked)
+        (spec, bucket, es.length.toLong, rows, masked, live)
       }
     new PartitionReader[InternalRow] {
       private val it = groups.iterator
@@ -1174,8 +1192,12 @@ class GraftRlTable(path: String,
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean = {
     val dir = Paths.get(path)
     GraftVersions.isVersioned(dir) &&
-      GraftVersions.latest(dir).exists(v =>
-        GraftMetaDelete.provableScope(v.entries, predicates).isDefined)
+      (GraftVersions.latest(dir).exists(v =>
+        GraftMetaDelete.provableScope(v.entries, predicates).isDefined) ||
+        // equality-delete tier (delete.mode=equality): a key-equality
+        // predicate commits VALUES into the manifest — zero data IO
+        (GraftTableMeta.read(dir).get("delete.mode").contains("equality")
+          && GraftEqDelete.values(predicates).isDefined))
   }
 
   override def deleteWhere(predicates: Array[
@@ -1184,11 +1206,24 @@ class GraftRlTable(path: String,
     val live = GraftVersions.latest(dir).getOrElse(
       throw new IllegalStateException(
         s"metadata delete on unversioned table $path"))
-    val scope = GraftMetaDelete.provableScope(live.entries, predicates)
-      .getOrElse(throw new IllegalStateException(
-        s"deleteWhere called with unprovable predicates on $path — " +
-          "canDeleteWhere must gate this path"))
-    GraftVersions.advance(dir, "delete-metadata", Some(scope), Nil)
+    // cheapest provable tier first: whole-file drops (no mask at all);
+    // then the equality tier (value mask, zero data IO)
+    GraftMetaDelete.provableScope(live.entries, predicates) match {
+      case Some(scope) =>
+        GraftVersions.advance(dir, "delete-metadata", Some(scope), Nil)
+      case None =>
+        val vals =
+          if (GraftTableMeta.read(dir).get("delete.mode")
+              .contains("equality"))
+            GraftEqDelete.values(predicates)
+          else None
+        vals match {
+          case Some(vs) => GraftVersions.applyEqualityDelete(dir, vs)
+          case None => throw new IllegalStateException(
+            s"deleteWhere called with unprovable predicates on $path — " +
+              "canDeleteWhere must gate this path")
+        }
+    }
   }
 }
 

@@ -604,12 +604,16 @@ class GraftFilesScanBuilder(path: String,
     (accepted.isEmpty && lo.isEmpty && hi.isEmpty && eqLit.isEmpty) &&
       manifestEntries().exists { es =>
         es.forall(_.rows.isDefined) && kinds.forall {
-          case ("count", _) => true
+          // COUNT folds rows minus DV cardinality; an EQUALITY delete
+          // makes the live count unknowable from the manifest (how many
+          // rows match a VALUE is not a manifest fact) → decline
+          case ("count", _) => es.forall(_.eq.isEmpty)
           case (_, c) =>
-            // min/max: every non-empty file tracks c, none is masked,
-            // and at least one live row exists (else the answer is
-            // NULL — leave that to the ordinary aggregate)
-            es.forall(e => e.dv.isEmpty &&
+            // min/max: every non-empty file tracks c, none is masked
+            // (by positions OR values — either could hide the
+            // extremum), and at least one live row exists (else the
+            // answer is NULL — leave that to the ordinary aggregate)
+            es.forall(e => e.dv.isEmpty && e.eq.isEmpty &&
               (e.rows.contains(0L) || e.stats.contains(c))) &&
               es.exists(_.rows.exists(_ > 0L))
         }
@@ -946,7 +950,8 @@ class GraftFilesScan(path: String, required: StructType,
             byBucket.getOrElse(b, Nil).map(e =>
               (dir.resolve(e.name).toString,
                 e.dv.map(_.positions).getOrElse(Array.empty[Long]),
-                e.lineage.flatMap(t => Seq(t._1, t._2, t._3)).toArray))
+                e.lineage.flatMap(t => Seq(t._1, t._2, t._3)).toArray,
+                e.eq.map(_.positions).getOrElse(Array.empty[Long])))
           ): InputPartition
         }.toArray
       case None =>
@@ -954,7 +959,9 @@ class GraftFilesScan(path: String, required: StructType,
           .map(e => GraftFilePartition(dir.resolve(e.name).toString,
             e.dv.map(_.positions).getOrElse(Array.empty),
             lineage = e.lineage.flatMap(t =>
-              Seq(t._1, t._2, t._3)).toArray): InputPartition)
+              Seq(t._1, t._2, t._3)).toArray,
+            eqSkip = e.eq.map(_.positions)
+              .getOrElse(Array.empty)): InputPartition)
           .toArray
     }
   }
@@ -1122,12 +1129,24 @@ object GraftChangeFeed {
       GraftFilePartition(dir.resolve(en.name).toString,
         en.dv.map(_.positions).getOrElse(Array.empty),
         changeType = if (cdf) label else null, commitVersion = v,
-        lineage = flatLineage(en))
+        lineage = flatLineage(en),
+        eqSkip = en.eq.map(_.positions).getOrElse(Array.empty))
     def imageRows(v: Long, label: String, en: GraftVersions.FileEntry,
         positions: Array[Long]): GraftFilePartition =
       GraftFilePartition(dir.resolve(en.name).toString, positions.sorted,
         changeType = label, commitVersion = v, emitOnlyPositions = true,
         lineage = flatLineage(en))
+    // equality-delete images: rows matching the commit's NEW values
+    // that were live in the BASE entry (base dv + base eq skip)
+    def imageEqRows(v: Long, label: String,
+        base: GraftVersions.FileEntry, newValues: Array[Long])
+        : GraftFilePartition =
+      GraftFilePartition(dir.resolve(base.name).toString,
+        base.dv.map(_.positions).getOrElse(Array.empty),
+        changeType = label, commitVersion = v,
+        lineage = flatLineage(base),
+        eqSkip = base.eq.map(_.positions).getOrElse(Array.empty),
+        emitEqValues = newValues.sorted)
 
     val parts: Seq[GraftFilePartition] =
       (s + 1 to e).filter(retained.contains).flatMap { v =>
@@ -1180,18 +1199,37 @@ object GraftChangeFeed {
                   .getOrElse(Array.empty[Long])
               }
               .filter(_._2.nonEmpty)
-            val removesRows = removedEntries.nonEmpty || grown.nonEmpty
+            // equality-delete growth on retained files: (BASE entry,
+            // the values this commit newly attached)
+            val eqGrown = info.entries
+              .filter(en => bf.contains(en.name))
+              .flatMap { en =>
+                baseByName.get(en.name).map { be =>
+                  val before = be.eq.map(_.positions.toSet)
+                    .getOrElse(Set.empty[Long])
+                  be -> en.eq.map(_.positions.filterNot(before))
+                    .getOrElse(Array.empty[Long])
+                }
+              }
+              .filter(_._2.nonEmpty)
+            val removesRows = removedEntries.nonEmpty || grown.nonEmpty ||
+              eqGrown.nonEmpty
             if (cdf) {
               val isDelete =
-                info.op == "delete" || info.op == "delete-metadata"
+                info.op == "delete" || info.op == "delete-metadata" ||
+                  info.op == "delete-equality"
               if (!removesRows)
                 addedEntries.map(fileRows(v, "insert", _))
               else if (isDelete && addedEntries.isEmpty)
-                // mask growth → exactly the deleted rows; dropped files
-                // (metadata delete, fully-masked drop) → their base-live
-                // rows (the base entry's mask skips already-dead rows)
+                // mask growth → exactly the deleted rows; value-mask
+                // growth → the base-live rows matching the new values;
+                // dropped files (metadata delete, fully-masked drop) →
+                // their base-live rows (the base entry's masks skip
+                // already-dead rows)
                 grown.map { case (en, ps) =>
                   imageRows(v, "delete", en, ps)
+                } ++ eqGrown.map { case (be, vals) =>
+                  imageEqRows(v, "delete", be, vals)
                 } ++ removedEntries.map(fileRows(v, "delete", _))
               else if (info.op == "update" && (grown.nonEmpty ||
                   GraftTableMeta.read(dir).get("update.mode")
@@ -1261,15 +1299,25 @@ case class GraftFilePartition(file: String,
     // sinceCommit) triples — the manifest fact the _row_id /
     // _row_commit_version metadata columns are computed from. Empty =
     // untracked file (both columns read NULL).
-    lineage: Array[Long] = Array.empty) extends InputPartition
+    lineage: Array[Long] = Array.empty,
+    // EQUALITY-DELETE values (sorted doc_ids): rows matching one are
+    // dropped as the file streams — the value-mask complement of the
+    // positional dvPositions skip
+    eqSkip: Array[Long] = Array.empty,
+    // CDF image mode by VALUES: when non-empty, emit EXACTLY the rows
+    // whose doc_id is in this set and that were live BEFORE the commit
+    // (dvPositions/eqSkip then carry the BASE masks to skip) — how an
+    // equality-delete commit's delete images are read back
+    emitEqValues: Array[Long] = Array.empty) extends InputPartition
 
 /** All live files of one bucket class of a bucketed table (possibly
   * none after pruning), carrying the class id as the partition key the
   * storage-partitioned join aligns on. */
 case class GraftBucketFilesPartition(bucket: Int,
-    // per file: (path, dv skip mask, flattened lineage triples)
-    files: Seq[(String, Array[Long], Array[Long])]) extends InputPartition
-    with HasPartitionKey {
+    // per file: (path, dv skip mask, flattened lineage triples,
+    // equality-delete value skips)
+    files: Seq[(String, Array[Long], Array[Long], Array[Long])])
+    extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
 
@@ -1292,15 +1340,17 @@ class GraftFilesReaderFactory(cols: Array[String],
       }.orNull)
     }.toMap
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val files: Seq[(String, Array[Long], Array[Long])] = p match {
-      case fp: GraftFilePartition => Seq((fp.file, fp.dvPositions, fp.lineage))
-      case bp: GraftBucketFilesPartition => bp.files
-    }
-    val (changeTypeU, commitVersion, emitOnly) = p match {
+    val files: Seq[(String, Array[Long], Array[Long], Array[Long])] =
+      p match {
+        case fp: GraftFilePartition =>
+          Seq((fp.file, fp.dvPositions, fp.lineage, fp.eqSkip))
+        case bp: GraftBucketFilesPartition => bp.files
+      }
+    val (changeTypeU, commitVersion, emitOnly, emitEq) = p match {
       case fp: GraftFilePartition =>
         (Option(fp.changeType).map(UTF8String.fromString).orNull,
-          fp.commitVersion, fp.emitOnlyPositions)
-      case _ => (null: UTF8String, -1L, false)
+          fp.commitVersion, fp.emitOnlyPositions, fp.emitEqValues)
+      case _ => (null: UTF8String, -1L, false, Array.empty[Long])
     }
     new PartitionReader[InternalRow] {
       private val fileIt = files.iterator
@@ -1314,6 +1364,15 @@ class GraftFilesReaderFactory(cols: Array[String],
       private var pos = -1L
       private var dv: Array[Long] = Array.empty
       private var dvIdx = 0
+      // equality-delete value mask of the CURRENT file (sorted doc_ids)
+      private var eqv: Array[Long] = Array.empty
+      private def eqHit(vals: Array[Long], line: String): Boolean = {
+        // value masks need the row's doc_id regardless of the read
+        // schema; the TSV's first cell is doc_id by writer contract
+        val tab = line.indexOf('\t')
+        val id = (if (tab < 0) line else line.substring(0, tab)).toLong
+        java.util.Arrays.binarySearch(vals, id) >= 0
+      }
       // lineage cursor: flattened (base, rows, since) triples of the
       // CURRENT file plus the running segment index and its starting
       // physical position — positions stream in order, so the lookup
@@ -1340,22 +1399,36 @@ class GraftFilesReaderFactory(cols: Array[String],
         while (true) {
           if (lines == null || !lines.hasNext) {
             if (!fileIt.hasNext) return false
-            val (f, d, lg) = fileIt.next()
+            val (f, d, lg, ev) = fileIt.next()
             lines = Files.readAllLines(Paths.get(f),
               StandardCharsets.UTF_8).iterator()
             curFileName = Paths.get(f).getFileName.toString
             dv = d; dvIdx = 0; pos = -1L
+            eqv = ev
             lin = lg; linIdx = 0; linStart = 0L
           }
           while (lines.hasNext) {
             val line = lines.next(); pos += 1
-            if (emitOnly) {
+            if (emitEq.nonEmpty) {
+              // CDF image mode by VALUES (equality-delete commit): emit
+              // exactly the rows the commit newly deleted — matching a
+              // new value AND live before the commit (base dv/eq skip)
+              val baseDead = {
+                if (dvIdx < dv.length && dv(dvIdx) == pos) {
+                  dvIdx += 1; true
+                } else eqv.nonEmpty && eqHit(eqv, line)
+              }
+              if (!baseDead && eqHit(emitEq, line)) {
+                cur = line.split("\t", -1); return true
+              }
+            } else if (emitOnly) {
               // CDF image mode: dv holds the EXACT positions to emit
               // (sorted) — everything else streams past
               if (dvIdx < dv.length && dv(dvIdx) == pos) {
                 dvIdx += 1; cur = line.split("\t", -1); return true
               }
             } else if (dvIdx < dv.length && dv(dvIdx) == pos) dvIdx += 1 // masked
+            else if (eqv.nonEmpty && eqHit(eqv, line)) () // value-masked
             else { cur = line.split("\t", -1); return true }
           }
         }

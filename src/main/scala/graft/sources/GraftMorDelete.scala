@@ -274,3 +274,54 @@ object GraftMetaDelete {
     else Some(classified.collect { case (n, Some(true)) => n }.toSet)
   }
 }
+
+/** EQUALITY DELETE predicate recognition (Iceberg v2's second delete
+  * format, gated by `delete.mode=equality`): the whole predicate set
+  * must reduce to doc_id ∈ {values} — a single `doc_id = v`, a
+  * `doc_id IN (...)`, or a conjunction of such (intersected). Values
+  * must be non-negative longs ([[GraftDV]] is the value-set codec).
+  * Anything else → None → the ordinary row-level path. */
+object GraftEqDelete {
+  private def ref(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      Some(r.fieldNames.head)
+    case _ => None
+  }
+  private def lit(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[Long] = e match {
+    case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+      l.value() match {
+        case n: java.lang.Number => Some(n.longValue())
+        case _ => None
+      }
+    case _ => None
+  }
+  private def valueSet(p: V2Predicate): Option[Set[Long]] = p.name() match {
+    case "=" => p.children().toSeq match {
+      case Seq(a, b) =>
+        (ref(a), lit(b), ref(b), lit(a)) match {
+          case (Some("doc_id"), Some(v), _, _) => Some(Set(v))
+          case (_, _, Some("doc_id"), Some(v)) => Some(Set(v))
+          case _ => None
+        }
+      case _ => None
+    }
+    case "IN" => p.children().toSeq match {
+      case head +: rest if ref(head).contains("doc_id") && rest.nonEmpty =>
+        val vs = rest.map(lit)
+        if (vs.forall(_.isDefined)) Some(vs.flatten.toSet) else None
+      case _ => None
+    }
+    case _ => None
+  }
+  /** The doc_id values the conjunction deletes, if every conjunct is an
+    * equality shape on doc_id and all values are valid; None otherwise. */
+  def values(predicates: Array[V2Predicate]): Option[Seq[Long]] = {
+    if (predicates.isEmpty) return None
+    val sets = predicates.toSeq.map(valueSet)
+    if (sets.exists(_.isEmpty)) return None
+    val vs = sets.flatten.reduce(_ intersect _)
+    if (vs.nonEmpty && vs.forall(_ >= 0)) Some(vs.toSeq.sorted) else None
+  }
+}

@@ -99,7 +99,18 @@ object GraftVersions {
       // CREATE-time layout. A bucket id is only meaningful under its
       // own spec, so the scan's layout gate compares this against the
       // current spec before reporting KeyGroupedPartitioning.
-      spec: Option[Int] = None) {
+      spec: Option[Int] = None,
+      // EQUALITY DELETES (Iceberg v2's second delete format): doc_id
+      // VALUES masked out of this file — the reader drops any row whose
+      // doc_id is in the set. Written by `DELETE WHERE doc_id = v / IN
+      // (...)` on a delete.mode=equality table WITHOUT reading one data
+      // byte (positions unknown at write time — that is the point: the
+      // cheapest possible delete of a key from a 100 TB table). The set
+      // attaches only to entries LIVE at the delete commit, so a later
+      // re-insert of the same key lands in a fresh entry unaffected —
+      // the sequence-number semantics Iceberg gets from ordering, by
+      // construction. None = no equality deletes.
+      eq: Option[GraftDV] = None) {
     /** Can a row with `col` in [lo, hi] possibly live in this file?
       * Stats bound ALL physical rows, so they stay conservative (may
       * overcount, never undercount) for DV-masked files too. */
@@ -112,9 +123,13 @@ object GraftVersions {
       * (bloom miss = proof of absence; probe only bloom-enabled cols) */
     def mayContainValue(col: String, value: String): Boolean =
       bloom.forall(_.mightContain(GraftBloom.key(col, value)))
-    /** Rows a scan of this file returns (physical minus masked). */
+    /** Rows a scan of this file returns (physical minus masked).
+      * Unknowable under equality deletes — how many physical rows
+      * match a VALUE is not a manifest fact — so the answer degrades
+      * to None (never a wrong number). */
     def liveRows: Option[Long] =
-      rows.map(_ - dv.map(_.cardinality.toLong).getOrElse(0L))
+      if (eq.exists(_.cardinality > 0)) None
+      else rows.map(_ - dv.map(_.cardinality.toLong).getOrElse(0L))
     /** One past the highest row id any segment of this file covers —
       * what the commit-time high-water mark must clear. */
     def lineageEnd: Option[Long] = {
@@ -284,7 +299,9 @@ object GraftVersions {
               }.mkString(",")))
           ++ e.bloom.map(b => blobToken("bloom", b.toBase64)).toSeq
           ++ e.dv.filter(_.cardinality > 0)
-            .map(d => blobToken("dv", d.toBase64)).toSeq)).mkString("\t")
+            .map(d => blobToken("dv", d.toBase64)).toSeq
+          ++ e.eq.filter(_.cardinality > 0)
+            .map(d => blobToken("eqdel", d.toBase64)).toSeq)).mkString("\t")
     }
     val txnField = txn.map { case (app, e) =>
       require(!app.contains('\t') && !app.contains('\n'),
@@ -351,7 +368,7 @@ object GraftVersions {
           def tok(prefix: String): Option[String] =
             arr.tail.find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
           val reserved = Set("rows=", "bytes=", "bucket=", "bloom=",
-            "dv=", "lineage=", "spec=")
+            "dv=", "lineage=", "spec=", "eqdel=")
           val statToks =
             arr.tail.filterNot(t => reserved.exists(t.startsWith))
           FileEntry(arr.head, statToks.map { tok =>
@@ -367,6 +384,7 @@ object GraftVersions {
             rows = tok("rows=").map(_.toLong),
             bytes = tok("bytes=").map(_.toLong),
             dv = tok("dv=").map(v => GraftDV.fromBase64(blob(v))),
+            eq = tok("eqdel=").map(v => GraftDV.fromBase64(blob(v))),
             bucket = tok("bucket=").map(_.toInt),
             spec = tok("spec=").map(_.toInt),
             lineage = tok("lineage=").map(_.split(",").toSeq.map { seg =>
@@ -570,6 +588,41 @@ object GraftVersions {
       }
       writeManifest(root, base.version + 1, op,
         (updated ++ added).sortBy(_.name))
+    }
+
+  /** Commit an EQUALITY DELETE: attach the deleted doc_id VALUES to
+    * every live entry that might contain one — per-entry min/max stats
+    * and Bloom filters prune the attachment to may-contain files — and
+    * advance the log. ZERO data bytes are read or written: positions
+    * are unknown by design; the reader drops matching rows as it
+    * streams. The values land only on entries LIVE NOW, so re-inserts
+    * of the same key in later commits are untouched (Iceberg's
+    * sequence-number semantics by construction). Two concurrent
+    * equality deletes merge like MOR masks (value-set union under the
+    * table lock). A commit that can prove no file holds any value
+    * advances with dataChange=false (the feed skips it). */
+  def applyEqualityDelete(root: Path, values: Seq[Long]): VersionInfo =
+    lockFor(root).synchronized {
+      require(values.nonEmpty, "equality delete with no values")
+      require(values.forall(_ >= 0),
+        s"equality-delete values must be non-negative doc_ids: " +
+          values.filter(_ < 0).mkString(", "))
+      val base = latest(root).getOrElse(throw new IllegalStateException(
+        s"equality delete on unversioned table $root"))
+      var touched = false
+      val updated = base.entries.map { e =>
+        val hits = values.filter(v =>
+          e.mayContain("doc_id", v, v) &&
+            e.mayContainValue("doc_id", v.toString))
+        if (hits.isEmpty) e
+        else {
+          touched = true
+          e.copy(eq = Some(e.eq.map(_.union(hits)).getOrElse(
+            GraftDV.of(hits))))
+        }
+      }
+      writeManifest(root, base.version + 1, "delete-equality",
+        updated.sortBy(_.name), dataChange = touched)
     }
 
   /** Newest epoch recorded for a streaming appId across the RETAINED
@@ -778,15 +831,28 @@ object GraftVersions {
     if (members.isEmpty)
       return advance(root, "compact", removed = None, added = Nil,
         dataChange = false, readVersion = Some(snap.version))
+    // EQUALITY-DELETE constraint on concat: an eq set applies to every
+    // row of ITS file — concatenating files with different eq sets
+    // would extend one file's value mask over another's rows (and kill
+    // a legitimately re-inserted key). Files sharing an IDENTICAL eq
+    // set concat safely; others bin apart, keyed by the exact value set.
+    def eqKey(e: FileEntry): Seq[Long] =
+      e.eq.map(_.positions.toSeq).getOrElse(Nil)
     // bins: one per bucket class when the table declares a layout;
     // otherwise sequential fill toward equal byte shares of n bins
     val bins: Seq[Seq[FileEntry]] =
       if (GraftTableMeta.bucketLayout(root).isDefined)
         // never merge across bucket classes OR partition specs: a
         // concat of two specs' files has no single layout to report
-        members.groupBy(e => (e.bucket, e.spec)).toSeq
-          .sortBy { case ((b, sp), _) =>
-            (b.getOrElse(Int.MaxValue), sp.getOrElse(0)) }
+        members.groupBy(e => (e.bucket, e.spec, eqKey(e))).toSeq
+          .sortBy { case ((b, sp, eqk), _) =>
+            (b.getOrElse(Int.MaxValue), sp.getOrElse(0),
+              eqk.mkString(",")) }
+          .map(_._2.sortBy(_.name))
+      else if (members.exists(_.eq.exists(_.cardinality > 0)))
+        // eq-masked files present: bin per distinct eq set (eq-free
+        // files keep one shared sequential bin group below)
+        members.groupBy(eqKey).toSeq.sortBy(_._1.mkString(","))
           .map(_._2.sortBy(_.name))
       else {
         val sorted = members.sortBy(_.name)
@@ -852,6 +918,9 @@ object GraftVersions {
         rows = Some(bin.map(_.rows.get).sum),
         bytes = Some(Files.size(root.resolve(name))),
         dv = if (dvs.isEmpty) None else Some(GraftDV.of(dvs)),
+        // binning guarantees one shared eq set per bin — it rides along
+        // (values mask the same keys over the concatenated bytes)
+        eq = bin.head.eq,
         bucket = bin.map(_.bucket).distinct match {
           case Seq(b) => b
           case _ => None
