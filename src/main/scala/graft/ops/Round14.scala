@@ -1502,6 +1502,101 @@ object Round14 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q259: STREAMING CDC replication — the always-on face of q257
+  // ---------------------------------------------------------------------
+
+  /** q257's replication pipeline as a STREAM: the source's change feed
+    * (CDF mode — row-exact images) drives a `foreachBatch` MERGE into
+    * the replica, checkpointed so each drain RESUMES from the consumed
+    * commit instead of re-reading history. The stream admits exactly
+    * one commit per micro-batch, so keys are unique within a batch
+    * (preimages dropped) and cross-commit ordering is the stream's
+    * own; the MERGE's three verbs are idempotent on replay (same end
+    * state), which is what makes foreachBatch's at-least-once contract
+    * an exactly-once replica. Two drains with commits between them
+    * audit the checkpoint seam; a require proves replica ≡ source
+    * row-for-row at BOTH phases before anything is hashed.
+    *
+    * Scale shape: each micro-batch moves |one commit's changes| + one
+    * merge shuffle on the key — the 100 TB source is never rescanned
+    * after the bootstrap; this is the Delta streaming-CDF-to-replica
+    * pattern composed from this repo's own verified feed and merge. */
+  val q259StreamingReplication: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q259")
+    val ckpt = Files.createTempDirectory("graft_rep_q259")
+    try {
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "15").load().coalesce(1)
+        .writeTo(s"$cat.s").tableProperty("versioned", "true")
+        .tableProperty("update.mode", "merge-on-read")
+        .tableProperty("delete.mode", "merge-on-read").create()
+      spark.sql(s"SELECT * FROM $cat.s VERSION AS OF 1")
+        .writeTo(s"$cat.r").tableProperty("versioned", "true").create()
+      var applied = 0L
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft.sources.GraftDocsSource")
+          .option("path", wh.resolve("s").toString)
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "2").load()
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val b = batch.filter(col("_change_type") =!= "update_preimage")
+            b.createOrReplaceTempView(s"${cat}_b")
+            applied += b.count()
+            b.sparkSession.sql(
+              s"""MERGE INTO $cat.r t USING ${cat}_b s
+                 |ON t.doc_id = s.doc_id
+                 |WHEN MATCHED AND s._change_type = 'delete' THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET
+                 |  title = s.title, fp = s.fp, n_words = s.n_words
+                 |WHEN NOT MATCHED AND s._change_type <> 'delete'
+                 |  THEN INSERT (doc_id, title, fp, n_words)
+                 |  VALUES (s.doc_id, s.title, s.fp, s.n_words)
+                 |""".stripMargin)
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(180000)) { q.stop()
+          throw new IllegalStateException(
+            "q259: replication drain did not terminate under AvailableNow") }
+        q.exception.foreach(throw _)
+      }
+      def audit(phase: String): DataFrame = {
+        val src = spark.table(s"$cat.s")
+        val rep = spark.table(s"$cat.r")
+        require(src.exceptAll(rep).isEmpty && rep.exceptAll(src).isEmpty,
+          s"$phase: streaming replica diverged from the source")
+        OpsUtil.driverLiteral(rep.agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          sum("n_words").cast("long").as("sum_words"),
+          sum("doc_id").cast("long").as("sum_doc_id"))
+          .select(lit(phase).as("phase"), col("n_rows"),
+            col("sum_words"), col("sum_doc_id"),
+            lit(applied).as("changes_applied")))
+      }
+      spark.sql(
+        s"UPDATE $cat.s SET n_words = n_words + 1000 WHERE doc_id % 4 = 1")
+      spark.sql(s"DELETE FROM $cat.s WHERE doc_id % 6 = 2")
+      drain()
+      val a = audit("a_first_drain")
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "20").load().filter(col("doc_id") >= 15)
+        .coalesce(1).createOrReplaceTempView(s"${cat}_ins")
+      spark.sql(s"INSERT INTO $cat.s SELECT * FROM ${cat}_ins")
+      spark.catalog.dropTempView(s"${cat}_ins")
+      spark.sql(s"DELETE FROM $cat.s WHERE doc_id IN (1, 16)")
+      drain() // resumes from the checkpointed commit — no re-reads
+      val b = audit("b_second_drain")
+      a.unionByName(b).orderBy("phase")
+    } finally {
+      teardown(spark, cat, wh)
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q238_schema_evolution" -> q238SchemaEvolution,
     "q239_decision_tree" -> q239DecisionTree,
@@ -1523,7 +1618,8 @@ object Round14 {
     "q255_merge_matrix" -> q255MergeMatrix,
     "q256_refs_table" -> q256RefsTable,
     "q257_cdc_replication" -> q257CdcReplication,
-    "q258_equality_delete" -> q258EqualityDelete)
+    "q258_equality_delete" -> q258EqualityDelete,
+    "q259_streaming_replication" -> q259StreamingReplication)
 
   val oracle: Map[String, String] = Map(
     "q238_schema_evolution" ->
@@ -1817,6 +1913,30 @@ object Round14 {
         |  CAST(eq_values AS BIGINT) AS eq_values,
         |  bytes_immutable
         |FROM v ORDER BY version""".stripMargin,
+    // the replicated stream from generator first principles: phase a =
+    // [0,15) with +1000 on i%4=1 minus the i%6=2 deletes (applied = 4
+    // postimages + 3 deletes); phase b adds [15,20) and deletes {1,16}
+    // (applied += 5 inserts + 2 deletes)
+    "q259_streaming_replication" ->
+      """WITH w AS (SELECT i, i % 91 + 9 AS nw FROM range(0, 20) t(i)),
+        |a AS (SELECT i, nw +
+        |        CASE WHEN i % 4 = 1 THEN 1000 ELSE 0 END AS nw
+        |      FROM w WHERE i < 15 AND i % 6 <> 2),
+        |b AS (SELECT i, nw FROM a WHERE i <> 1
+        |      UNION ALL
+        |      SELECT i, nw FROM w WHERE i >= 15 AND i <> 16)
+        |SELECT 'a_first_drain' AS phase,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(nw) AS BIGINT) AS sum_words,
+        |  CAST(SUM(i) AS BIGINT) AS sum_doc_id,
+        |  CAST(7 AS BIGINT) AS changes_applied
+        |FROM a
+        |UNION ALL
+        |SELECT 'b_second_drain', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(nw) AS BIGINT), CAST(SUM(i) AS BIGINT),
+        |  CAST(14 AS BIGINT)
+        |FROM b
+        |ORDER BY phase""".stripMargin,
     "q253_partition_evolution" ->
       """WITH v(phase, n_rows, n_files, n_specs) AS (VALUES
         |  ('a_two_buckets', 8, 2, 1),

@@ -1418,6 +1418,63 @@ class Round14Spec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("streaming replication: a drain with no new commits is a no-op " +
+      "(checkpoint resume, no re-merge), and new commits still apply") {
+    val (cat, wh) = freshCatalog("srep")
+    val ckpt = Files.createTempDirectory("graft_srep_ckpt")
+    try {
+      docsRange(6).coalesce(1)
+        .writeTo(s"$cat.s").tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "merge-on-read").create()
+      spark.sql(s"SELECT * FROM $cat.s VERSION AS OF 1")
+        .writeTo(s"$cat.r").create()
+      var applied = 0L
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft.sources.GraftDocsSource")
+          .option("path", wh.resolve("s").toString)
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "2").load()
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              val b = batch.filter(
+                "_change_type <> 'update_preimage'")
+              b.createOrReplaceTempView(s"${cat}_b")
+              applied += b.count()
+              b.sparkSession.sql(
+                s"""MERGE INTO $cat.r t USING ${cat}_b s
+                   |ON t.doc_id = s.doc_id
+                   |WHEN MATCHED AND s._change_type = 'delete' THEN DELETE
+                   |WHEN MATCHED THEN UPDATE SET
+                   |  title = s.title, fp = s.fp, n_words = s.n_words
+                   |WHEN NOT MATCHED AND s._change_type <> 'delete'
+                   |  THEN INSERT (doc_id, title, fp, n_words)
+                   |  VALUES (s.doc_id, s.title, s.fp, s.n_words)
+                   |""".stripMargin)
+              ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        assert(q.awaitTermination(180000)); q.exception.foreach(throw _)
+      }
+      spark.sql(s"DELETE FROM $cat.s WHERE doc_id = 2")
+      drain()
+      assert(applied == 1L)
+      // no new commits: the checkpoint holds — nothing re-reads
+      drain()
+      assert(applied == 1L, "an empty drain must not re-merge history")
+      spark.sql(s"INSERT INTO $cat.s VALUES (50, 'x', 1, 7)")
+      drain()
+      assert(applied == 2L)
+      val src = spark.table(s"$cat.s"); val rep = spark.table(s"$cat.r")
+      assert(src.exceptAll(rep).isEmpty && rep.exceptAll(src).isEmpty)
+    } finally {
+      dropCatalog(cat, wh)
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    }
+  }
+
   test("MERGE NOT MATCHED BY SOURCE: unmatched target rows update and " +
       "delete; MOR masks every touched row and preserves the rest") {
     val (cat, wh) = freshCatalog("nmbs")
