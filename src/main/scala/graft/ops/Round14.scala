@@ -1597,6 +1597,60 @@ object Round14 {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q260: subquery predicates through the row-level DML paths
+  // ---------------------------------------------------------------------
+
+  /** DML whose WHERE is another QUERY — the anti-join/semi-join face
+    * of row-level operations: `DELETE ... WHERE doc_id IN (SELECT ...)`
+    * and a correlated `UPDATE ... WHERE EXISTS (...)`, both against a
+    * merge-on-read table. Catalyst decorrelates the subqueries into
+    * joins inside the row-level plan's scan side, so the MOR delta
+    * writer sees exactly the matched row ids — no new writer surface,
+    * the masks compose as always (7 delete masks, then 4 update
+    * preimage masks across the same two files; nothing fully masks, so
+    * nothing drops). This is the everyday production shape ("delete
+    * docs flagged by the quality table", "update rows the crawl
+    * re-fetched") that plain literal predicates never exercise.
+    *
+    * Scale shape: the subquery side is an ordinary broadcast/shuffle
+    * semi-join against the candidate files — manifest stats still
+    * prune the scan side, and the commit stays one manifest advance. */
+  val q260SubqueryDml: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q260")
+    try {
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "20").load().coalesce(2)
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "merge-on-read")
+        .tableProperty("update.mode", "merge-on-read").create()
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "30").load()
+        .createOrReplaceTempView(s"${cat}_aux")
+      spark.sql(
+        s"""DELETE FROM $cat.t WHERE doc_id IN
+           |  (SELECT doc_id FROM ${cat}_aux WHERE doc_id % 3 = 0)
+           |""".stripMargin)                                        // v2
+      spark.sql(
+        s"""UPDATE $cat.t SET n_words = 0 WHERE EXISTS
+           |  (SELECT 1 FROM ${cat}_aux a
+           |   WHERE a.doc_id = $cat.t.doc_id AND a.doc_id % 4 = 1)
+           |""".stripMargin)                                        // v3
+      spark.catalog.dropTempView(s"${cat}_aux")
+      val audit = GraftVersions.listVersions(wh.resolve("t")).map { v =>
+        val masked = v.entries.flatMap(_.dv).map(_.cardinality.toLong).sum
+        spark.sql(
+          s"""SELECT ${v.version}L AS version, '${v.op}' AS op,
+             |  COUNT(*) AS n_rows,
+             |  COALESCE(SUM(n_words), 0L) AS sum_words,
+             |  COALESCE(SUM(doc_id), 0L) AS sum_doc_id,
+             |  ${masked}L AS masked_rows
+             |FROM $cat.t VERSION AS OF ${v.version}""".stripMargin)
+      }.reduce(_ unionByName _)
+      OpsUtil.driverLiteral(audit.orderBy("version"))
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
     "q238_schema_evolution" -> q238SchemaEvolution,
     "q239_decision_tree" -> q239DecisionTree,
@@ -1619,7 +1673,8 @@ object Round14 {
     "q256_refs_table" -> q256RefsTable,
     "q257_cdc_replication" -> q257CdcReplication,
     "q258_equality_delete" -> q258EqualityDelete,
-    "q259_streaming_replication" -> q259StreamingReplication)
+    "q259_streaming_replication" -> q259StreamingReplication,
+    "q260_subquery_dml" -> q260SubqueryDml)
 
   val oracle: Map[String, String] = Map(
     "q238_schema_evolution" ->
@@ -1937,6 +1992,30 @@ object Round14 {
         |  CAST(14 AS BIGINT)
         |FROM b
         |ORDER BY phase""".stripMargin,
+    // subquery DML replayed from generator first principles: the IN
+    // subquery deletes i%3=0 (7 masks over [0,20)); the correlated
+    // EXISTS zeroes n_words on surviving i%4=1 rows (4 more masks —
+    // MOR update preimages)
+    "q260_subquery_dml" ->
+      """WITH w AS (SELECT i, i % 91 + 9 AS nw FROM range(0, 20) t(i)),
+        |d AS (SELECT i, nw FROM w WHERE i % 3 <> 0),
+        |u AS (SELECT i, CASE WHEN i % 4 = 1 THEN 0 ELSE nw END AS nw
+        |      FROM d),
+        |v(version, op, n_rows, sum_words, sum_doc_id, masked_rows) AS
+        |  (VALUES
+        |  (0, 'enable', 0, 0, 0, 0),
+        |  (1, 'append', (SELECT COUNT(*) FROM w), (SELECT SUM(nw) FROM w),
+        |    (SELECT SUM(i) FROM w), 0),
+        |  (2, 'delete', (SELECT COUNT(*) FROM d), (SELECT SUM(nw) FROM d),
+        |    (SELECT SUM(i) FROM d), 7),
+        |  (3, 'update', (SELECT COUNT(*) FROM u), (SELECT SUM(nw) FROM u),
+        |    (SELECT SUM(i) FROM d), 11))
+        |SELECT CAST(version AS BIGINT) AS version, op,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(sum_words AS BIGINT) AS sum_words,
+        |  CAST(sum_doc_id AS BIGINT) AS sum_doc_id,
+        |  CAST(masked_rows AS BIGINT) AS masked_rows
+        |FROM v ORDER BY version""".stripMargin,
     "q253_partition_evolution" ->
       """WITH v(phase, n_rows, n_files, n_specs) AS (VALUES
         |  ('a_two_buckets', 8, 2, 1),
