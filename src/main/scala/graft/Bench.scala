@@ -180,23 +180,38 @@ object Bench {
         if (canaryDevs.isEmpty) 0.0 else canaryDevs.map(_._2).max
       Pass(results, canaryDevs, canaryDev, timed.map(_._3._2).sorted)
     }
-    // Keep the JSON line SHORT: the driver captures a bounded tail (~2.9 KB)
-    // of this process's output. Round 3's full-precision doubles overflowed
-    // it; round 4's 2-decimal line with full query names (~2.8 KB) STILL got
-    // its head cut — losing the "metric":"total" field that led the line.
-    // Two fixes, both applied: (1) per-query keys are the short qNN prefix
-    // (the full names live in Verify/CORRECTNESS output), which brings the
-    // whole line to ~1.3 KB so it survives the tail intact; (2) the
-    // total/sf fields go LAST so even a truncated capture keeps them.
+    // Keep the JSON line SHORT: the driver captures a bounded tail —
+    // MEASURED at 2000 chars (BENCH_r13.json stores a 2000-char "tail"
+    // with parsed:null — the 237-query line at ~2.4 KB lost its head
+    // and json.loads failed; only the trailing "value" survived for a
+    // human to read). Round 3's full-precision doubles overflowed it;
+    // round 4's 2-decimal full-name line (~2.8 KB) got its head cut.
+    // Fixes, all applied: (1) per-query keys are the short qNN prefix;
+    // (2) total/sf/value go LAST so even a truncated capture keeps
+    // them; (3) at 260 queries even short keys overflow 2000, so the
+    // STDOUT line carries only the TOP-60 most expensive queries plus
+    // a "rest" aggregate (~1.1 KB, parses whole) while the FULL
+    // per-query map goes to stderr under a "[bench-full]" prefix for
+    // the builder's archive (tools/bench_r14_runs.jsonl).
     def f3(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def shortKey(name: String): String = {
       val i = name.indexOf('_')
       if (i > 0) name.substring(0, i) else name
     }
     def jsonLine(p: Pass, attempts: Int): String = {
-      val qs = p.results
-        .map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
-        .mkString("{", ",", "}")
+      val all = p.results.map { case (k, v) => shortKey(k) -> v }
+      // stdout carries the top-60 by cost + a "rest" aggregate so the
+      // whole line stays inside the driver's 2000-char tail; the full
+      // map rides stderr (prefixed, so it can never be mistaken for
+      // the bench line) for the builder archive
+      val top = all.sortBy { case (k, v) => (-v, k) }.take(60)
+      val restSum = all.map(_._2).sum - top.map(_._2).sum
+      System.err.println("[bench-full] " + all.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}"))
+      val qs = (top.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f3(v) } :+
+        ("\"rest\":" + f3(restSum))).mkString("{", ",", "}")
       val total = p.results.map(_._2).sum
       def pct(q: Double): Double =
         if (p.spreads.isEmpty) 0.0
@@ -229,7 +244,7 @@ object Bench {
       val cdevs = p.canaryDevs
         .map { case (n, d) => "\"" + shortKey(n) + "\":" + f3(d) }
         .mkString("{", ",", "}")
-      s"""{"queries":$qs,"metric":"total","unit":"sec","runs":3,"spread_med":${f3(pct(0.5))},"spread_p90":${f3(pct(0.9))},"canary_dev":${f3(p.canaryDev)},"canary_devs":$cdevs,"errors":$errs,"over3x":$over,"attempts":$attempts,"sf":"$sfDir","value":${f3(total)}}"""
+      s"""{"queries":$qs,"metric":"total","unit":"sec","runs":3,"nq":${all.size},"spread_med":${f3(pct(0.5))},"spread_p90":${f3(pct(0.9))},"canary_dev":${f3(p.canaryDev)},"canary_devs":$cdevs,"errors":$errs,"over3x":$over,"attempts":$attempts,"sf":"$sfDir","value":${f3(total)}}"""
     }
     // Self-cleaning retry: r12 (0.92), r13 (0.34) and three r14 hunts
     // all handed the driver a canary-flagged artifact because a single
