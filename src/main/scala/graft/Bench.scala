@@ -190,9 +190,25 @@ object Bench {
     // (2) total/sf/value go LAST so even a truncated capture keeps
     // them; (3) at 260 queries even short keys overflow 2000, so the
     // STDOUT line carries only the TOP-60 most expensive queries plus
-    // a "rest" aggregate (~1.1 KB, parses whole) while the FULL
-    // per-query map goes to stderr under a "[bench-full]" prefix for
-    // the builder's archive (tools/bench_r14_runs.jsonl).
+    // a "rest" aggregate (~1.1 KB, parses whole); (4) r14 lesson: the
+    // full per-query map used to ride STDERR, but sbt queues stdout
+    // while stderr passes through, so in the driver's combined tail
+    // the stderr dump landed AFTER the stdout line and truncated it
+    // out of the 2000-char window. Nothing diagnostic may share the
+    // streams: the full map and all retry notices now go to a FILE
+    // (tools/bench_full.jsonl) and stdout carries ONLY the compact
+    // line — printed once per attempt and once more after
+    // spark.stop() so it is the last bytes the tail can capture.
+    val diagPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIAG",
+      "tools/bench_full.jsonl")
+    def diag(msg: String): Unit =
+      try {
+        val p = java.nio.file.Paths.get(diagPath)
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(p, (msg + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case _: Throwable => () }
     def f3(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def shortKey(name: String): String = {
       val i = name.indexOf('_')
@@ -202,11 +218,10 @@ object Bench {
       val all = p.results.map { case (k, v) => shortKey(k) -> v }
       // stdout carries the top-60 by cost + a "rest" aggregate so the
       // whole line stays inside the driver's 2000-char tail; the full
-      // map rides stderr (prefixed, so it can never be mistaken for
-      // the bench line) for the builder archive
+      // map goes to the diag FILE (never a std stream — see above)
       val top = all.sortBy { case (k, v) => (-v, k) }.take(60)
       val restSum = all.map(_._2).sum - top.map(_._2).sum
-      System.err.println("[bench-full] " + all.sortBy(_._1)
+      diag("[bench-full] " + all.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}"))
       val qs = (top.sortBy(_._1)
@@ -268,7 +283,7 @@ object Bench {
     println(jsonLine(best, attempts))
     while (best.canaryDev > 0.10 && attempts < maxAttempts &&
         (System.nanoTime() - jvmStart) / 1e9 < deadlineSec) {
-      System.err.println(f"[bench] attempt $attempts canary_dev=" +
+      diag(f"[bench] attempt $attempts canary_dev=" +
         f"${best.canaryDev}%.2f > 0.10 - host noise suspected, retrying")
       val next = runPass()
       attempts += 1
@@ -276,6 +291,11 @@ object Bench {
       println(jsonLine(best, attempts))
     }
     spark.stop()
+    // Final guarantee: after spark.stop() nothing else in this JVM
+    // writes to stdout, so re-printing the best line here makes it the
+    // last complete line in any bounded tail (only sbt's [success]
+    // footer follows, well under the 2000-char budget).
+    println(jsonLine(best, attempts))
     val strictOver =
       if (best.canaryDev > 0.10) Seq.empty
       else trendViolations(
