@@ -400,7 +400,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
                 "before the evolution are NULL-backfilled")
           val taken = GraftSchemas.tableSchema(dir).fieldNames.toSet
           if (taken(colName) ||
-              Set("_file", "_pos", "_change_type", "_commit_version")(colName))
+              Set("_file", "_pos", "_change_type", "_commit_version",
+                "_row_id", "_row_commit_version")(colName))
             throw new IllegalArgumentException(
               s"column '$colName' already exists on ${ident.name()}")
           // DEFAULT clause: the analyzer has already folded and cast
@@ -441,7 +442,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
               "identifier (the registry encoding reserves ':' and ',')")
           val taken = GraftSchemas.tableSchema(dir).fieldNames.toSet
           if (taken(newName) ||
-              Set("_file", "_pos", "_change_type", "_commit_version")(newName))
+              Set("_file", "_pos", "_change_type", "_commit_version",
+                "_row_id", "_row_commit_version")(newName))
             throw new IllegalArgumentException(
               s"column '$newName' already exists on ${ident.name()}")
           GraftCatalog.rejectConstraintReference(dir,

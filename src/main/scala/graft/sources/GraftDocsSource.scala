@@ -1148,13 +1148,39 @@ object GraftChangeFeed {
         eqSkip = base.eq.map(_.positions).getOrElse(Array.empty),
         emitEqValues = newValues.sorted)
 
+    // Retention holes mid-range are NOT skippable: tag-pinning vacuum /
+    // expire_snapshots can retain a non-contiguous set (e.g. [1, 4]),
+    // and a consumer crossing the hole would both lose the expired
+    // commit's changes and (if the next commit's v-1 base is also gone)
+    // mis-read the full snapshot as fresh inserts at the wrong
+    // commit_version. Any missing version in the requested range — or a
+    // missing v-1 base anywhere but the fresh-stream entry point — fails
+    // with the same restart-from-scratch error as an expired start.
+    def expiredFail(v: Long): Nothing = throw new IllegalStateException(
+      s"change-feed range ($s, $e] of $path crosses version $v whose " +
+        "commit or base snapshot is no longer retained after vacuum/" +
+        "expire_snapshots (an expired commit's changes are " +
+        "unrecoverable); restart the stream from scratch to take a " +
+        "fresh initial snapshot")
+    // Fresh stream (s < 0): the initial snapshot materializes at the
+    // OLDEST retained version — versions below it are subsumed by that
+    // snapshot, so skipping them is correct, not a hole.
+    val startAt: Long =
+      if (s >= 0) s + 1
+      else if (retained.isEmpty) e + 1 // unversioned/empty: nothing to emit
+      else math.max(0L, retained.min)
     val parts: Seq[GraftFilePartition] =
-      (s + 1 to e).filter(retained.contains).flatMap { v =>
+      (startAt to e).flatMap { v =>
+        if (!retained.contains(v)) expiredFail(v)
         val info = GraftVersions.manifest(dir, v)
         val base: Option[GraftVersions.VersionInfo] =
           if (retained.contains(v - 1))
             Some(GraftVersions.manifest(dir, v - 1))
-          else None // fresh stream's initial batch: the full snapshot
+          else if (v == startAt && s < 0)
+            None // fresh stream's initial batch: the full snapshot
+          else if (v == 0)
+            None // v0 has no base by construction
+          else expiredFail(v)
         base match {
           // dataChange=false commits (compaction) rearranged files
           // without changing rows: nothing to emit, nothing to reject.

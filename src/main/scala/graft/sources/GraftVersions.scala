@@ -458,10 +458,17 @@ object GraftVersions {
     * always differ; this compares what the entry MEANS. */
   private def fingerprint(e: FileEntry): (String, Map[String, (Long, Long)],
       Option[Long], Option[Long], Option[Int], Option[Seq[Long]],
-      Option[String], Seq[(Long, Long, Long)], Option[Int]) =
+      Option[String], Seq[(Long, Long, Long)], Option[Int],
+      Option[Seq[Long]]) =
     (e.name, e.stats, e.rows, e.bytes, e.bucket,
       e.dv.map(_.positions.toSeq), e.bloom.map(_.toBase64), e.lineage,
-      e.spec)
+      e.spec,
+      // equality-delete value mask: a concurrent delete-equality commit
+      // grows e.eq without touching any other member, and a COW rewrite
+      // or MOR update planned against the pre-delete snapshot would
+      // re-materialize the masked rows — eq growth must count as a
+      // conflicting touch like dv growth does.
+      e.eq.map(_.positions.toSeq))
 
   class ConcurrentCommitException(msg: String)
       extends java.util.ConcurrentModificationException(msg)
@@ -849,27 +856,39 @@ object GraftVersions {
             (b.getOrElse(Int.MaxValue), sp.getOrElse(0),
               eqk.mkString(",")) }
           .map(_._2.sortBy(_.name))
-      else if (members.exists(_.eq.exists(_.cardinality > 0)))
-        // eq-masked files present: bin per distinct eq set (eq-free
-        // files keep one shared sequential bin group below)
-        members.groupBy(eqKey).toSeq.sortBy(_._1.mkString(","))
-          .map(_._2.sortBy(_.name))
       else {
-        val sorted = members.sortBy(_.name)
-        val total = sorted.map(e =>
-          e.bytes.getOrElse(Files.size(root.resolve(e.name)))).sum
-        val share = math.max(total / math.max(targetFiles, 1), 1L)
-        val out = Seq.newBuilder[Seq[FileEntry]]
-        var cur = Seq.newBuilder[FileEntry]; var acc = 0L; var used = 0
-        sorted.foreach { e =>
-          val sz = e.bytes.getOrElse(Files.size(root.resolve(e.name)))
-          if (acc > 0 && acc + sz > share && used < targetFiles - 1) {
-            out += cur.result(); cur = Seq.newBuilder; acc = 0L; used += 1
+        // sequential fill toward equal byte shares of `target` bins
+        def byteShareFill(group: Seq[FileEntry], target: Int)
+            : Seq[Seq[FileEntry]] = {
+          val sorted = group.sortBy(_.name)
+          val total = sorted.map(e =>
+            e.bytes.getOrElse(Files.size(root.resolve(e.name)))).sum
+          val share = math.max(total / math.max(target, 1), 1L)
+          val out = Seq.newBuilder[Seq[FileEntry]]
+          var cur = Seq.newBuilder[FileEntry]; var acc = 0L; var used = 0
+          sorted.foreach { e =>
+            val sz = e.bytes.getOrElse(Files.size(root.resolve(e.name)))
+            if (acc > 0 && acc + sz > share && used < target - 1) {
+              out += cur.result(); cur = Seq.newBuilder; acc = 0L; used += 1
+            }
+            cur += e; acc += sz
           }
-          cur += e; acc += sz
+          out += cur.result()
+          out.result().filter(_.nonEmpty)
         }
-        out += cur.result()
-        out.result().filter(_.nonEmpty)
+        val (eqMasked, eqFree) =
+          members.partition(_.eq.exists(_.cardinality > 0))
+        if (eqMasked.isEmpty) byteShareFill(eqFree, targetFiles)
+        else {
+          // eq-masked files bin per distinct value set (a concat across
+          // different sets would extend one mask over another's rows);
+          // eq-FREE files still honor targetFiles via the byte-share
+          // fill over whatever bin budget the masked groups left over.
+          val maskedBins = eqMasked.groupBy(eqKey).toSeq
+            .sortBy(_._1.mkString(",")).map(_._2.sortBy(_.name))
+          maskedBins ++ byteShareFill(eqFree,
+            math.max(1, targetFiles - maskedBins.size))
+        }
       }
     val tag = java.util.UUID.randomUUID.toString.replace("-", "")
     val landed = bins.zipWithIndex.map { case (bin, i) =>
@@ -1241,14 +1260,32 @@ object GraftVersions {
       // referenced ONLY by its same-version manifest, so the lifecycle
       // check is a name test
       val retainedSet = retain.toSet
+      // stale commit temps: a crash between createTempFile and the
+      // atomic move leaves `v<N>-*.tmp` (manifest) / `v<N>-sc-*.tmp`
+      // (sidecar) debris that nothing references — removeOrphans
+      // deliberately never touches _versions, so this sweep is their
+      // only reclaim path. The mtime guard (removeOrphans' safety
+      // valve) keeps a concurrent writer's in-flight temp safe: only
+      // temps older than the explicit cutoff — or 10 minutes, far
+      // beyond any commit's write-to-move window — are debris.
+      val tmpCutoffMicros = olderThanMicros.getOrElse(
+        System.currentTimeMillis() * 1000L - 10L * 60 * 1000 * 1000)
       val scList = Files.list(versionsDir(root))
       try {
         import scala.jdk.CollectionConverters._
         val SidecarName = "v(\\d{5,})\\.sidecar".r
-        scList.iterator().asScala.map(_.getFileName.toString).collect {
-          case n @ SidecarName(v) if !retainedSet.contains(v.toLong) => n
-        }.toSeq.foreach(n =>
-          Files.deleteIfExists(versionsDir(root).resolve(n)))
+        scList.iterator().asScala.toSeq.foreach { p =>
+          val n = p.getFileName.toString
+          n match {
+            case SidecarName(v) if !retainedSet.contains(v.toLong) =>
+              Files.deleteIfExists(p)
+            case _ if n.startsWith("v") && n.endsWith(".tmp") &&
+                Files.getLastModifiedTime(p).toMillis * 1000L <
+                  tmpCutoffMicros =>
+              Files.deleteIfExists(p)
+            case _ => ()
+          }
+        }
       } finally scList.close()
       expiredFiles.toSeq.sorted.foreach { f =>
         Files.deleteIfExists(root.resolve(f))
