@@ -54,8 +54,19 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   override def capabilities()
       : util.Set[org.apache.spark.sql.connector.catalog
         .TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // CREATE TABLE may declare extra columns beyond the fixed base
+      // schema when each is GENERATED ALWAYS AS (expr) or an IDENTITY
+      // column — the analyzer gates the syntax on these and hands the
+      // expression / identity spec through Column; the catalog
+      // registers them as evolved columns and the shared writer
+      // computes/enforces them (see the Column[] createTable below)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** `CALL <cat>.system.<proc>(...)` — the maintenance surface
     * ([[GraftProcedures]]: vacuum / optimize / restore), namespaced
@@ -226,6 +237,139 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     if (!Files.isDirectory(dir)) throw new NoSuchTableException(ident)
     val v = GraftVersions.asOfTimestamp(dir, timestamp).version
     new GraftRlTable(dir.toString, Some(v))
+  }
+
+  /** CREATE TABLE with generated / identity columns (Spark 4's
+    * SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS / _IDENTITY_COLUMNS
+    * contract — Delta's core idiom for derived partitioning columns
+    * and surrogate keys). The fixed 4-column base schema stays the
+    * physical truth; every EXTRA column must be
+    * `GENERATED ALWAYS AS (expr)` (expr over base columns only,
+    * deterministic) or `GENERATED ALWAYS / BY DEFAULT AS IDENTITY
+    * (START WITH s INCREMENT BY k)`, and registers as an evolved
+    * column (since=0, so it exists from birth) plus its
+    * generation/identity attribute in the registry. The shared writer
+    * then computes omitted cells and enforces explicit ones; identity
+    * values allocate block-wise from a high-water mark under the
+    * commit lock, so concurrent writers draw disjoint ranges.
+    *
+    * `PARTITIONED BY (<generated col>)` persists a VALUE layout
+    * (`layout.values`): the writer fans each task's rows into one file
+    * per distinct generated value and records min=max stats for it, so
+    * the existing manifest stats-skipping gives partition pruning —
+    * the Delta "partition by date(ts)" idiom, at manifest cost. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val baseNames = GraftDocsSource.schema.fieldNames.toSeq
+    val names = columns.map(_.name).toSeq
+    val extras: Seq[org.apache.spark.sql.connector.catalog.Column] =
+      if (names.length > 4 && names.take(4) == baseNames)
+        columns.toSeq.drop(4)
+      else Nil
+    val extraNames = extras.map(_.name)
+    // split PARTITIONED BY: a plain column reference naming an extra
+    // generated column declares the value layout; everything else
+    // (bucket transforms) goes through the base CREATE path untouched
+    val (valueParts, baseParts) = partitions.partition { t =>
+      t.name() == "identity" && t.references().length == 1 &&
+        t.references()(0).fieldNames().length == 1 &&
+        extraNames.contains(t.references()(0).fieldNames().head)
+    }
+    val baseSchema = StructType(columns.toSeq.take(
+        if (extras.nonEmpty) 4 else columns.length)
+      .map(c => StructField(c.name, c.dataType, c.nullable)))
+    val table = createTable(ident, baseSchema, baseParts, properties)
+    if (extras.isEmpty) return table
+    val dir = dirFor(ident)
+    try {
+      extras.zipWithIndex.foreach { case (c, i) =>
+        val isGen = c.generationExpression() != null
+        val isId = c.identityColumnSpec() != null
+        if (!isGen && !isId)
+          throw new UnsupportedOperationException(
+            s"graft_docs tables have the fixed base schema " +
+              s"(${baseNames.mkString(", ")}); extra column '${c.name}' " +
+              "must be GENERATED ALWAYS AS (...) or an IDENTITY column")
+        require(c.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"column name '${c.name}' must be a plain identifier " +
+            "(the registry encoding reserves ':' and ',')")
+        if (baseNames.contains(c.name) ||
+            extraNames.indexOf(c.name) != i ||
+            Set("_file", "_pos", "_change_type", "_commit_version",
+              "_row_id", "_row_commit_version")(c.name))
+          throw new IllegalArgumentException(
+            s"column '${c.name}' already exists on ${ident.name()}")
+        val tpe = c.dataType() match {
+          case LongType => "long"
+          case IntegerType => "int"
+          case StringType if isGen => "string"
+          case other => throw new UnsupportedOperationException(
+            s"column '${c.name}' type ${other.simpleString} " +
+              "unsupported; generated: bigint/int/string, " +
+              "identity: bigint/int")
+        }
+        GraftTableMeta.appendAddedColumn(dir,
+          GraftSchemas.AddedColumn(c.name, tpe, since = 0L))
+        if (isGen) {
+          val sql = c.generationExpression()
+          // analyze against the BASE schema only: generation
+          // expressions may reference base columns exclusively (base
+          // columns can never be renamed/dropped, so the persisted SQL
+          // text stays resolvable forever), must be deterministic, and
+          // must cast to the declared type
+          val spark = org.apache.spark.sql.SparkSession.active
+          val analyzed =
+            try spark.createDataFrame(
+                new java.util.ArrayList[org.apache.spark.sql.Row](),
+                GraftDocsSource.schema)
+              .select(org.apache.spark.sql.functions.expr(sql)
+                .cast(c.dataType()))
+              .queryExecution.analyzed
+            catch {
+              case e: org.apache.spark.sql.AnalysisException =>
+                throw new IllegalArgumentException(
+                  s"generation expression of '${c.name}' ($sql) must " +
+                    "resolve against the base columns " +
+                    s"(${baseNames.mkString(", ")}): ${e.getMessage}")
+            }
+          require(analyzed.expressions.forall(_.deterministic),
+            s"generation expression of '${c.name}' ($sql) must be " +
+              "deterministic")
+          GraftTableMeta.appendGenerated(dir, i, sql)
+        } else {
+          val spec = c.identityColumnSpec()
+          require(spec.getStep != 0,
+            s"identity column '${c.name}' INCREMENT must be nonzero")
+          GraftTableMeta.appendIdentity(dir, i, spec.getStart,
+            spec.getStep, spec.isAllowExplicitInsert)
+        }
+      }
+      valueParts.toSeq match {
+        case Nil => ()
+        case Seq(t) =>
+          val colName = t.references()(0).fieldNames().head
+          val i = extraNames.indexOf(colName)
+          if (extras(i).generationExpression() == null ||
+              extras(i).dataType() == StringType)
+            throw new UnsupportedOperationException(
+              s"PARTITIONED BY ($colName): value layouts need a " +
+                "numeric GENERATED column (the writer derives the " +
+                "partition value from the expression)")
+          GraftTableMeta.write(dir,
+            GraftTableMeta.read(dir) + ("layout.values" -> colName))
+        case many => throw new UnsupportedOperationException(
+          "at most one generated-column value partition is supported; " +
+            s"got ${many.mkString(", ")}")
+      }
+    } catch {
+      case e: Throwable =>
+        // CREATE is atomic: roll the half-registered table back
+        try dropTable(ident) catch { case _: Throwable => () }
+        throw e
+    }
+    loadTable(ident)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

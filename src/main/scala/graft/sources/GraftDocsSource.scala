@@ -500,8 +500,18 @@ class GraftFilesScanBuilder(path: String,
     else base
   }
   // per-column pushed bounds, intersected across filters; only columns
-  // present here can prune (the writer records stats for exactly these)
-  private val statCols = Set("doc_id", "fp", "n_words")
+  // present here can prune (the writer records stats for exactly
+  // these: the base numerics plus generated/identity numeric columns
+  // — the latter are what make a `layout.values` table's value
+  // predicates prune whole files, i.e. partition pruning)
+  private val statCols: Set[String] = Set("doc_id", "fp", "n_words") ++ {
+    val dir = Paths.get(path)
+    val computed = GraftTableMeta.generatedExprs(dir).keySet ++
+      GraftTableMeta.identitySpecs(dir).keySet
+    GraftSchemas.effectiveAdded(dir)
+      .filter(c => c.visible && computed(c.idx) && c.tpe != "string")
+      .map(_.name)
+  }
   private val lo = scala.collection.mutable.Map.empty[String, Long]
   private val hi = scala.collection.mutable.Map.empty[String, Long]
   // exact-equality literals (any column, incl. strings) for Bloom
@@ -1581,7 +1591,8 @@ class GraftDocsStreamingWrite(path: String, writeSchema: StructType,
       .map(writeSchema.fieldIndex)
     new GraftDocsStreamingWriterFactory(
       root.resolve("_staging").toString, appId, idx,
-      GraftWriteGuards.forTable(root, writeSchema),
+      GraftWriteGuards.forTable(root, writeSchema,
+        numPartitions = Option(info).map(_.numPartitions()).getOrElse(1)),
       GraftSchemas.writerAdded(root, writeSchema))
   }
 
@@ -1688,7 +1699,13 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
     val idx = Array("doc_id", "title", "fp", "n_words")
       .map(writeSchema.fieldIndex)
     new GraftDocsWriterFactory(staging.toString, idx, effSuffix,
-      GraftWriteGuards.forTable(root, writeSchema),
+      GraftWriteGuards.forTable(root, writeSchema,
+        // specs drive the writer lifecycle with a null info
+        numPartitions = Option(info).map(_.numPartitions()).getOrElse(1),
+        // row-level rewrites (update/merge/delete, compaction) carry
+        // existing rows: generated cells recompute, identity cells
+        // pass through; plain writes enforce/allocate instead
+        insertOp = Set("write", "append", "overwrite")(opName)),
       GraftSchemas.writerAdded(root, writeSchema), zfan)
   }
 
@@ -1714,6 +1731,7 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
       } finally s.close()
     }
     val added = messages.flatMap(GraftDocsCommits.land(staging, root, _))
+    GraftWriteGuards.catchUpIdentityHwm(root, added.toSeq)
     if (versioned) {
       val removed =
         if (!truncate) Some(Set.empty[String]) // append: remove nothing
@@ -1770,14 +1788,49 @@ case class GraftDocsCommitMessage(fileName: String,
 object GraftWriteGuards {
   import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Expression}
 
+  /** One generated column's write plan: the expression (bound to the
+    * write schema's ordinals), where the incoming write supplies the
+    * column (-1 = omitted), and whether an explicit value is ENFORCED
+    * against the expression (insert ops) or recomputed (row-level
+    * rewrites, where a SET on a base input legitimately changes the
+    * derived value — Delta's update semantics). The written cell is
+    * ALWAYS the computed value. */
+  final case class GenPlan(name: String, tpe: String, ordinal: Int,
+      expr: Expression, enforce: Boolean) extends Serializable
+
+  /** One identity column's write plan for THIS write: a block of
+    * values [base, base + numPartitions*stride*step) was reserved from
+    * the table's high-water mark under the commit lock at write
+    * planning, so concurrent writers draw disjoint ranges; task t
+    * allocates base + (t*stride + j)*step for its j-th computed row
+    * (loud overflow past stride rows — 2^33 rows per task). Explicit
+    * values: passed through on row-level rewrites (an UPDATE must
+    * preserve ids), accepted on inserts only when the column is
+    * GENERATED BY DEFAULT (`allowExplicit`). */
+  final case class IdPlan(name: String, tpe: String, ordinal: Int,
+      base: Long, step: Long, stride: Long, allowExplicit: Boolean,
+      passThrough: Boolean) extends Serializable
+
   final case class Guards(constraints: Seq[(String, Expression)],
       bloomCols: Seq[String], bloomBits: Int,
       // declared bucket layout (doc_id mod n): the writer fans rows
       // into per-bucket files so the scan can report the layout
-      bucketN: Option[Int] = None) extends Serializable
+      bucketN: Option[Int] = None,
+      generated: Seq[GenPlan] = Nil,
+      identity: Seq[IdPlan] = Nil,
+      // PARTITIONED BY (<generated col>): fan each task's rows into
+      // one file per distinct computed value (min=max stats make the
+      // manifest prune them — partition pruning at manifest cost)
+      valueFan: Option[String] = None) extends Serializable
   val none: Guards = Guards(Nil, Nil, 0)
 
-  def forTable(root: Path, writeSchema: StructType): Guards = {
+  /** Identity block size per (write, task): generous enough that no
+    * real task exhausts it, small enough that the hwm survives ~2^25
+    * writes before Long exhaustion. */
+  val IdentityStride: Long = 1L << 33
+
+  def forTable(root: Path, writeSchema: StructType,
+      numPartitions: Int = 1, insertOp: Boolean = true): Guards = {
     val cs = GraftTableMeta.checkConstraints(root)
     val compiled = if (cs.isEmpty) Nil else {
       val spark = org.apache.spark.sql.SparkSession.active
@@ -1817,9 +1870,119 @@ object GraftWriteGuards {
         name -> bound
       }
     }
+    // generated / identity columns (CREATE-time registry): compile the
+    // generation expressions exactly like constraints and bind them to
+    // the write schema; reserve identity blocks under the commit lock.
+    // A pure-DELETE write (empty schema) writes no rows: skip both.
+    val genSpecs = GraftTableMeta.generatedExprs(root)
+    val idSpecs = GraftTableMeta.identitySpecs(root)
+    val (gens, ids) =
+      if (writeSchema.isEmpty || (genSpecs.isEmpty && idSpecs.isEmpty))
+        (Nil, Nil)
+      else {
+        val eff = GraftSchemas.effectiveAdded(root)
+        def ordinalOf(name: String): Int =
+          if (writeSchema.fieldNames.contains(name))
+            writeSchema.fieldIndex(name)
+          else -1
+        val g = eff.filter(_.visible).flatMap { c =>
+          genSpecs.get(c.idx).map { sql =>
+            GenPlan(c.name, c.tpe, ordinalOf(c.name),
+              compileExpr(root, sql, writeSchema,
+                GraftSchemas.AddedColumn(c.name, c.tpe, 0L).dataType),
+              enforce = insertOp)
+          }
+        }
+        val i = eff.filter(_.visible).flatMap { c =>
+          idSpecs.get(c.idx).map { case (start, step, allowExplicit) =>
+            val block = IdentityStride * math.max(numPartitions, 1)
+            val base = GraftVersions.lockFor(root).synchronized {
+              val b = GraftTableMeta.identityHwm(root, c.idx)
+                .getOrElse(start)
+              GraftTableMeta.setIdentityHwm(root, c.idx,
+                b + block * step)
+              b
+            }
+            IdPlan(c.name, c.tpe, ordinalOf(c.name), base, step,
+              IdentityStride, allowExplicit, passThrough = !insertOp)
+          }
+        }
+        (g, i)
+      }
     Guards(compiled, GraftTableMeta.bloomColumns(root),
       GraftTableMeta.bloomBits(root),
-      GraftTableMeta.bucketLayout(root).map(_._2))
+      GraftTableMeta.bucketLayout(root).map(_._2),
+      generated = gens, identity = ids,
+      valueFan = GraftTableMeta.read(root).get("layout.values"))
+  }
+
+  /** Explicit-identity catch-up at commit (BY DEFAULT columns): move
+    * the high-water mark past any explicitly inserted value so later
+    * block reservations can never collide with it. The landed entries'
+    * min/max stats carry the per-file extremes; step sign decides
+    * which end matters. No-op when nothing exceeded the mark. */
+  def catchUpIdentityHwm(root: Path,
+      added: Seq[GraftVersions.FileEntry]): Unit = {
+    val specs = GraftTableMeta.identitySpecs(root)
+    if (specs.isEmpty || added.isEmpty) return
+    val eff = GraftSchemas.effectiveAdded(root)
+    GraftVersions.lockFor(root).synchronized {
+      specs.foreach { case (idx, (start, step, _)) =>
+        eff.lift(idx).foreach { c =>
+          val ext = added.flatMap(_.stats.get(c.name))
+            .filter { case (lo, hi) => lo <= hi } // skip empty sentinels
+          if (ext.nonEmpty) {
+            val cur = GraftTableMeta.identityHwm(root, idx).getOrElse(start)
+            val cand =
+              if (step > 0) ext.map(_._2).max + step
+              else ext.map(_._1).min + step
+            val next = if (step > 0) math.max(cur, cand)
+              else math.min(cur, cand)
+            if (next != cur) GraftTableMeta.setIdentityHwm(root, idx, next)
+          }
+        }
+      }
+    }
+  }
+
+  /** Analyze `sql` against the BASE schema (generation expressions may
+    * reference base columns only), normalize RuntimeReplaceable/With
+    * the same way constraints do, cast to the column type, and bind to
+    * `writeSchema` ordinals. */
+  private def compileExpr(root: Path, sql: String,
+      writeSchema: StructType,
+      target: org.apache.spark.sql.types.DataType): Expression = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val analyzed = spark
+      .createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        GraftDocsSource.schema)
+      .select(org.apache.spark.sql.functions.expr(sql).cast(target))
+      .queryExecution.analyzed
+    val projected = analyzed.collectFirst {
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        pr.projectList.head
+    }.getOrElse(throw new IllegalStateException(
+      s"generation expression '$sql' did not analyze to a projection"))
+    val child = projected match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+      case e => e
+    }
+    val runnable = child.transformUp {
+      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+        r.replacement
+    }.transformUp {
+      case w: org.apache.spark.sql.catalyst.expressions.With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformUp {
+          case ref: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+            defs(ref.id)
+        }
+    }
+    runnable.transform {
+      case a: AttributeReference =>
+        BoundReference(writeSchema.fieldIndex(a.name), a.dataType,
+          a.nullable)
+    }
   }
 }
 
@@ -1876,7 +2039,66 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
     // shared function row-side keeps every file quadrant-pure)
     zfan: Option[GraftVersions.GraftZOrderFan] = None)
     extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+
+  /** Per-TASK identity allocator (shared by every inner writer of a
+    * fan, so ids stay unique within the task): the j-th computed row
+    * gets base + (partitionId*stride + j)*step. Task retries replay
+    * the same sequence — only one attempt commits. */
+  final class IdAlloc(val plan: GraftWriteGuards.IdPlan,
+      partitionId: Int) {
+    private var used = 0L
+    def alloc(): Long = {
+      if (used >= plan.stride)
+        throw new IllegalStateException(
+          s"identity column '${plan.name}': task wrote more than " +
+            s"${plan.stride} rows — raise the identity block size")
+      val v = plan.base +
+        (partitionId.toLong * plan.stride + used) * plan.step
+      used += 1; v
+    }
+  }
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val idAlloc: Map[String, IdAlloc] =
+      guards.identity.map(p => p.name -> new IdAlloc(p, partitionId)).toMap
+    guards.valueFan match {
+      case Some(colName) if guards.bucketN.isEmpty && zfan.isEmpty =>
+        // PARTITIONED BY (<generated col>): one staged file per
+        // distinct computed value this task sees — with the column's
+        // min=max stats recorded, the manifest prunes whole files on
+        // value predicates (partition pruning at manifest cost)
+        val plan = guards.generated.find(_.name == colName).getOrElse(
+          throw new IllegalStateException(
+            s"value layout column '$colName' has no generation plan"))
+        return new DataWriter[InternalRow] {
+          private val inner = scala.collection.mutable.Map
+            .empty[Option[Long], DataWriter[InternalRow]]
+          override def write(row: InternalRow): Unit = {
+            val v: Option[Long] = plan.expr.eval(row) match {
+              case null => None
+              case n: java.lang.Long => Some(n.longValue)
+              case n: java.lang.Integer => Some(n.longValue)
+              case other => throw new IllegalStateException(
+                s"value layout column '$colName' computed non-numeric " +
+                  s"$other")
+            }
+            val tag = v.map(k =>
+              if (k < 0) s"m${k.abs}" else k.toString).getOrElse("null")
+            inner.getOrElseUpdate(v,
+              fileWriter(partitionId, taskId, s"-v$tag", idAlloc))
+              .write(row)
+          }
+          override def commit(): WriterCommitMessage =
+            GraftFanCommitMessage(inner.toSeq
+              .sortBy(_._1.getOrElse(Long.MinValue)).map {
+                case (_, w) =>
+                  w.commit().asInstanceOf[GraftDocsCommitMessage]
+              })
+          override def abort(): Unit = inner.values.foreach(_.abort())
+          override def close(): Unit = inner.values.foreach(_.close())
+        }
+      case _ => ()
+    }
     guards.bucketN match {
       case None if zfan.isDefined => new DataWriter[InternalRow] {
         private val fan = zfan.get
@@ -1899,7 +2121,7 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
           while (j < fan.k) { vals(j) = getters(j)(row); j += 1 }
           val fid = fan.fileId(vals)
           inner.getOrElseUpdate(fid,
-            fileWriter(partitionId, taskId, s"-z$fid")).write(row)
+            fileWriter(partitionId, taskId, s"-z$fid", idAlloc)).write(row)
         }
         override def commit(): WriterCommitMessage =
           GraftFanCommitMessage(inner.toSeq.sortBy(_._1).map {
@@ -1908,7 +2130,7 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
         override def abort(): Unit = inner.values.foreach(_.abort())
         override def close(): Unit = inner.values.foreach(_.close())
       }
-      case None => fileWriter(partitionId, taskId, "")
+      case None => fileWriter(partitionId, taskId, "", idAlloc)
       case Some(n) => new DataWriter[InternalRow] {
         private val inner =
           scala.collection.mutable.Map.empty[Int, DataWriter[InternalRow]]
@@ -1916,7 +2138,7 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
           val id = row.getLong(idx(0))
           val b = (((id % n) + n) % n).toInt
           inner.getOrElseUpdate(b,
-            fileWriter(partitionId, taskId, s"-b$b")).write(row)
+            fileWriter(partitionId, taskId, s"-b$b", idAlloc)).write(row)
         }
         override def commit(): WriterCommitMessage =
           GraftBucketedCommitMessage(inner.toSeq.sortBy(_._1).map {
@@ -1927,9 +2149,14 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
         override def close(): Unit = inner.values.foreach(_.close())
       }
     }
+  }
+
+  private val genByName: Map[String, GraftWriteGuards.GenPlan] =
+    guards.generated.map(g => g.name -> g).toMap
 
   private def fileWriter(partitionId: Int, taskId: Long,
-      nameInfix: String): DataWriter[InternalRow] =
+      nameInfix: String,
+      idAlloc: Map[String, IdAlloc]): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val finalName = f"part-$partitionId%05d$nameInfix$fileSuffix.tsv"
       private val attempt =
@@ -1943,6 +2170,17 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
         if (v < mins(slot)) mins(slot) = v
         if (v > maxs(slot)) maxs(slot) = v
       }
+      // min/max for generated/identity numeric columns: the manifest
+      // facts behind value-layout partition pruning and explicit-id
+      // hwm catch-up (base columns keep their fixed slots above)
+      private val extraStats =
+        scala.collection.mutable.Map.empty[String, (Long, Long)]
+      private def observeExtra(name: String, v: Long): Unit =
+        extraStats.get(name) match {
+          case Some((lo, hi)) =>
+            extraStats(name) = (math.min(lo, v), math.max(hi, v))
+          case None => extraStats(name) = (v, v)
+        }
       private val bloom =
         if (guards.bloomCols.isEmpty) None
         else Some(GraftBloom.empty(guards.bloomBits))
@@ -1967,19 +2205,67 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
         // encodes as the `\N` sentinel so the cell count stays equal to
         // the registry width; a string value that would collide with
         // the codec is rejected up front — silently corrupting it on
-        // read-back would be worse than a failed write
+        // read-back would be worse than a failed write. Generated
+        // columns always land their COMPUTED value (explicit inserts
+        // are enforced against it); identity columns allocate from the
+        // task's reserved block, pass rewritten rows' ids through, and
+        // gate explicit inserts on BY DEFAULT.
+        def encodeStr(name: String, v: String): String = {
+          if (v == "\\N" || v.contains('\t') || v.contains('\n'))
+            throw new IllegalStateException(
+              s"value of evolved column '$name' collides with the " +
+                s"TSV codec (tab/newline/literal \\N): '$v'")
+          v
+        }
         val addedVals = added.map { case (name, tpe, i) =>
-          if (i < 0 || row.isNullAt(i)) "\\N"
-          else tpe match {
-            case "long" => row.getLong(i).toString
-            case "int" => row.getInt(i).toString
-            case _ =>
-              val v = row.getUTF8String(i).toString
-              if (v == "\\N" || v.contains('\t') || v.contains('\n'))
-                throw new IllegalStateException(
-                  s"value of evolved column '$name' collides with the " +
-                    s"TSV codec (tab/newline/literal \\N): '$v'")
-              v
+          genByName.get(name) match {
+            case Some(g) =>
+              val computed = g.expr.eval(row)
+              if (g.enforce && i >= 0 && !row.isNullAt(i)) {
+                val ok = (computed, tpe) match {
+                  case (null, _) => false
+                  case (c: java.lang.Long, "long") =>
+                    row.getLong(i) == c.longValue
+                  case (c: java.lang.Integer, "int") =>
+                    row.getInt(i) == c.intValue
+                  case (c, "string") =>
+                    row.getUTF8String(i).toString == c.toString
+                  case _ => false
+                }
+                if (!ok) throw new IllegalStateException(
+                  s"generated column '$name': explicit value does not " +
+                    s"match its GENERATED ALWAYS AS expression " +
+                    s"(expected $computed); omit the column or supply " +
+                    "the expression's value")
+              }
+              computed match {
+                case null => "\\N"
+                case c: java.lang.Long =>
+                  observeExtra(name, c.longValue); c.toString
+                case c: java.lang.Integer =>
+                  observeExtra(name, c.longValue); c.toString
+                case c => encodeStr(name, c.toString)
+              }
+            case None if idAlloc.contains(name) =>
+              val a = idAlloc(name)
+              val v: Long =
+                if (i >= 0 && !row.isNullAt(i)) {
+                  if (!a.plan.passThrough && !a.plan.allowExplicit)
+                    throw new IllegalStateException(
+                      s"identity column '$name' is GENERATED ALWAYS: " +
+                        "explicit values are not allowed (omit the " +
+                        "column, or declare it GENERATED BY DEFAULT)")
+                  row.getLong(i)
+                } else a.alloc()
+              observeExtra(name, v)
+              v.toString
+            case None =>
+              if (i < 0 || row.isNullAt(i)) "\\N"
+              else tpe match {
+                case "long" => row.getLong(i).toString
+                case "int" => row.getInt(i).toString
+                case _ => encodeStr(name, row.getUTF8String(i).toString)
+              }
           }
         }
         observe(0, id); observe(1, fp); observe(2, nw.toLong)
@@ -2010,7 +2296,7 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
         val stats = cols.indices.map { s =>
           if (mins(s) > maxs(s)) cols(s) -> (0L, -1L) // empty file
           else cols(s) -> (mins(s), maxs(s))
-        }.toMap
+        }.toMap ++ extraStats
         GraftDocsCommitMessage(finalName, stats, bloom, nRows, nBytes)
       }
       override def abort(): Unit = { out.close(); Files.deleteIfExists(attempt) }

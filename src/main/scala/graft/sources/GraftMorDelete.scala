@@ -92,7 +92,12 @@ class GraftDvBatchWrite(path: String, queryId: String,
       if (writeSchema.isEmpty) Array.empty[Int] // pure DELETE: no data rows
       else Array("doc_id", "title", "fp", "n_words")
         .map(writeSchema.fieldIndex)
-    val guards = GraftWriteGuards.forTable(root, writeSchema)
+    val guards = GraftWriteGuards.forTable(root, writeSchema,
+      numPartitions = Option(info).map(_.numPartitions()).getOrElse(1),
+      // MOR row-level ops rewrite existing rows (plus MERGE inserts):
+      // generated cells recompute, identity cells pass through (fresh
+      // rows arrive with NULL identity cells and allocate normally)
+      insertOp = false)
     val added =
       if (writeSchema.isEmpty) Nil
       else GraftSchemas.writerAdded(root, writeSchema)
@@ -116,6 +121,7 @@ class GraftDvBatchWrite(path: String, queryId: String,
       }
       ins.foreach(m => entries ++= GraftDocsCommits.land(staging, root, m))
     }
+    GraftWriteGuards.catchUpIdentityHwm(root, entries.toSeq)
     // one atomic manifest advance for both halves: masks + replacements
     // (a no-op statement still commits an observable snapshot, matching
     // the COW path's empty replacement scope)

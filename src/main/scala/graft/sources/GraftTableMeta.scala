@@ -227,6 +227,68 @@ object GraftTableMeta {
       cur.get("schema.mutations").map(_ + "," + tok).getOrElse(tok)
     write(root, cur + ("schema.mutations" -> joined))
   }
+
+  /** Generated columns (`GENERATED ALWAYS AS (expr)`, CREATE-time
+    * only): `schema.generated = <idx>:<b64 sql>,...` — the generation
+    * expression SQL keyed by the column's permanent `schema.added`
+    * index. The writer computes the expression for omitted/NULL cells
+    * and enforces explicit values against it (Delta's contract);
+    * base64 keeps arbitrary SQL safe in the ':'/',' registry encoding.
+    * Managed exclusively by the catalog's CREATE path. */
+  def generatedExprs(root: Path): Map[Int, String] =
+    read(root).get("schema.generated").toSeq.flatMap(_.split(","))
+      .filter(_.nonEmpty).map { tok =>
+        val i = tok.indexOf(':')
+        require(i > 0, s"malformed schema.generated token '$tok' at $root")
+        tok.substring(0, i).toInt -> new String(
+          Base64.getDecoder.decode(tok.substring(i + 1)),
+          StandardCharsets.UTF_8)
+      }.toMap
+
+  def appendGenerated(root: Path, idx: Int, sql: String): Unit = {
+    val cur = read(root)
+    val tok = s"$idx:" + Base64.getEncoder.encodeToString(
+      sql.getBytes(StandardCharsets.UTF_8))
+    val joined =
+      cur.get("schema.generated").map(_ + "," + tok).getOrElse(tok)
+    write(root, cur + ("schema.generated" -> joined))
+  }
+
+  /** Identity columns (`GENERATED ALWAYS/BY DEFAULT AS IDENTITY`,
+    * CREATE-time only): `schema.identity = <idx>:<start>:<step>:<e>,
+    * ...` — e=1 allows explicit inserts (BY DEFAULT), e=0 rejects them
+    * (ALWAYS). Values are allocated block-wise from the high-water
+    * mark ([[identityHwm]]) under the table's commit lock. */
+  def identitySpecs(root: Path): Map[Int, (Long, Long, Boolean)] =
+    read(root).get("schema.identity").toSeq.flatMap(_.split(","))
+      .filter(_.nonEmpty).map { tok =>
+        tok.split(":", -1) match {
+          case Array(i, st, sp, e) =>
+            i.toInt -> ((st.toLong, sp.toLong, e == "1"))
+          case _ => throw new IllegalStateException(
+            s"malformed schema.identity token '$tok' at $root")
+        }
+      }.toMap
+
+  def appendIdentity(root: Path, idx: Int, start: Long, step: Long,
+      allowExplicit: Boolean): Unit = {
+    val cur = read(root)
+    val tok = s"$idx:$start:$step:${if (allowExplicit) 1 else 0}"
+    val joined =
+      cur.get("schema.identity").map(_ + "," + tok).getOrElse(tok)
+    write(root, cur + ("schema.identity" -> joined))
+  }
+
+  /** Identity high-water mark: the next UNUSED value of the column
+    * (in `start + k*step` units). Absent = nothing allocated yet —
+    * allocation starts at `start`. Written only under the table's
+    * commit lock (block reservation at write planning; explicit-value
+    * catch-up at commit). */
+  def identityHwm(root: Path, idx: Int): Option[Long] =
+    read(root).get(s"identity.hwm.$idx").map(_.toLong)
+
+  def setIdentityHwm(root: Path, idx: Int, v: Long): Unit =
+    write(root, read(root) + (s"identity.hwm.$idx" -> v.toString))
 }
 
 /** The evolved-schema view of a warehouse table: fixed base columns
@@ -273,19 +335,30 @@ object GraftSchemas {
     * position math never depends on the pin, only names and visibility
     * do. */
   final case class EffectiveColumn(name: String, tpe: String, idx: Int,
-      visible: Boolean, default: Option[String] = None) {
+      visible: Boolean, default: Option[String] = None,
+      // generated/identity columns: the analyzer fills INSERT
+      // omissions with NULL (the writer recognizes the NULL cell and
+      // computes the value), so users can INSERT without naming them
+      fillNull: Boolean = false) {
     def tsvPos: Int = 4 + idx
     def field: StructField = {
       val plain = AddedColumn(name, tpe, 0L).field
-      default.fold(plain) { d =>
-        // both metadata faces carry the same frozen literal: the
-        // analyzer fills INSERT omissions from CURRENT_DEFAULT, and
-        // EXISTS_DEFAULT documents what pre-ADD rows read as (the
-        // reader applies it to short rows itself)
-        val sql = GraftSchemas.defaultSql(tpe, d)
-        plain.copy(metadata = new MetadataBuilder()
-          .putString("CURRENT_DEFAULT", sql)
-          .putString("EXISTS_DEFAULT", sql).build())
+      default match {
+        case Some(d) =>
+          // both metadata faces carry the same frozen literal: the
+          // analyzer fills INSERT omissions from CURRENT_DEFAULT, and
+          // EXISTS_DEFAULT documents what pre-ADD rows read as (the
+          // reader applies it to short rows itself)
+          val sql = GraftSchemas.defaultSql(tpe, d)
+          plain.copy(metadata = new MetadataBuilder()
+            .putString("CURRENT_DEFAULT", sql)
+            .putString("EXISTS_DEFAULT", sql).build())
+        case None if fillNull =>
+          // CURRENT_DEFAULT only: generated/identity columns exist
+          // from CREATE, so no pre-existing short rows need a default
+          plain.copy(metadata = new MetadataBuilder()
+            .putString("CURRENT_DEFAULT", "NULL").build())
+        case None => plain
       }
     }
   }
@@ -294,6 +367,8 @@ object GraftSchemas {
       versionPin: Option[Long] = None): Seq[EffectiveColumn] = {
     val muts = GraftTableMeta.mutations(root)
       .filter(m => versionPin.forall(_ >= m.since))
+    val computed = GraftTableMeta.generatedExprs(root).keySet ++
+      GraftTableMeta.identitySpecs(root).keySet
     GraftTableMeta.addedColumns(root).zipWithIndex.map { case (c, i) =>
       val mine = muts.filter(_.idx == i)
       EffectiveColumn(
@@ -304,7 +379,8 @@ object GraftSchemas {
         i,
         visible = versionPin.forall(_ >= c.since) &&
           !mine.exists(_.kind == "drop"),
-        default = c.default)
+        default = c.default,
+        fillNull = computed(i))
     }
   }
 

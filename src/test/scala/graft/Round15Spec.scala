@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
+
 import graft.sources.{GraftDV, GraftVersions}
 
 /** Round-15 advisor fixes, each with the failure it closes:
@@ -202,6 +204,172 @@ class Round15Spec extends SparkSpec {
       // the metadata column still reads (nothing shadowed it)
       assert(spark.sql(s"SELECT _row_id FROM $cat.t").collect()
         .forall(!_.isNullAt(0)))
+    } finally dropCatalog(cat, wh)
+  }
+
+  private def scanPartitions(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def find(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case b: BatchScanExec => Some(b)
+      case other => other.children.view.flatMap(find).headOption
+    }
+    find(df.queryExecution.executedPlan).map(_.inputPartitions.size)
+      .getOrElse(fail("no BatchScanExec in plan"))
+  }
+
+  test("generated columns: explicit mismatching value fails the write; " +
+      "the value layout fans files with min=max stats and prunes") {
+    val (cat, wh) = freshCatalog("gencol")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  wc_bucket BIGINT GENERATED ALWAYS AS
+           |    (CAST(n_words AS BIGINT) % 10))
+           |PARTITIONED BY (wc_bucket)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      // Delta's enforcement contract: an explicit value that does not
+      // match the expression fails the WRITE (12 % 10 = 2, not 3)
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a', 1, 12, 3)")
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).toSeq
+      assert(msgs.exists(_.contains("does not match")),
+        msgs.mkString(" | "))
+      assert(spark.table(s"$cat.t").count() == 0L, "failed write landed")
+      // matching explicit value is fine; omission computes
+      spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a', 1, 12, 2)")
+      docsRange(20).coalesce(1).createOrReplaceTempView(s"${cat}_src")
+      spark.sql(s"""INSERT INTO $cat.t (doc_id, title, fp, n_words)
+        |SELECT doc_id, title, fp, n_words FROM ${cat}_src""".stripMargin)
+      spark.catalog.dropTempView(s"${cat}_src")
+      // value layout: every file is single-valued in wc_bucket
+      // (min == max) — the manifest fact partition pruning rides on
+      val entries = GraftVersions.latest(wh.resolve("t")).get.entries
+      assert(entries.nonEmpty)
+      assert(entries.forall(en => en.stats.get("wc_bucket")
+        .exists { case (lo, hi) => lo == hi }), entries.toString)
+      val values = entries.flatMap(_.stats.get("wc_bucket")).map(_._1).toSet
+      assert(values.size > 1, "expected multiple value partitions")
+      // a value predicate plans ONLY that value's files
+      val full = scanPartitions(spark.table(s"$cat.t"))
+      val one = scanPartitions(
+        spark.table(s"$cat.t").filter(col("wc_bucket") === 2))
+      assert(one < full, s"value predicate did not prune: $one vs $full")
+      assert(one == entries.count(_.stats.get("wc_bucket")
+        .exists { case (lo, _) => lo == 2 }))
+      // and the filtered read is correct (stats prune files, Spark
+      // filters rows)
+      assert(spark.table(s"$cat.t").filter(col("wc_bucket") === 2)
+        .count() ==
+        spark.table(s"$cat.t").collect()
+          .count(_.getAs[Long]("wc_bucket") == 2L))
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("generated columns: a COW UPDATE of a base input migrates rows " +
+      "to their recomputed value partition") {
+    val (cat, wh) = freshCatalog("genupd")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  wc_bucket BIGINT GENERATED ALWAYS AS
+           |    (CAST(n_words AS BIGINT) % 10))
+           |PARTITIONED BY (wc_bucket)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      docsRange(10).coalesce(1).createOrReplaceTempView(s"${cat}_src")
+      spark.sql(s"""INSERT INTO $cat.t (doc_id, title, fp, n_words)
+        |SELECT doc_id, title, fp, n_words FROM ${cat}_src""".stripMargin)
+      spark.catalog.dropTempView(s"${cat}_src")
+      spark.sql(s"UPDATE $cat.t SET n_words = 7 WHERE doc_id = 0")
+      val r = spark.table(s"$cat.t").filter(col("doc_id") === 0)
+        .select("wc_bucket").head()
+      assert(r.getLong(0) == 7L, s"recompute failed: $r")
+      // the rewritten file's stats reflect the NEW value
+      val entries = GraftVersions.latest(wh.resolve("t")).get.entries
+      assert(entries.forall(en => en.stats.get("wc_bucket")
+        .exists { case (lo, hi) => lo == hi }))
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("identity columns: ALWAYS rejects explicit inserts; BY DEFAULT " +
+      "accepts them and the hwm continues past the explicit max") {
+    val (cat, wh) = freshCatalog("idcol")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.a (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  rid BIGINT GENERATED ALWAYS AS IDENTITY)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.a VALUES (1, 'x', 1, 5, 99)")
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).toSeq
+      assert(msgs.exists(_.contains("GENERATED ALWAYS")),
+        msgs.mkString(" | "))
+      spark.sql(
+        s"""CREATE TABLE $cat.b (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  rid BIGINT GENERATED BY DEFAULT AS IDENTITY
+           |    (START WITH 10 INCREMENT BY 5))
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      // explicit value accepted; commit moves the hwm past it
+      spark.sql(s"INSERT INTO $cat.b VALUES (1, 'x', 1, 5, 1000000)")
+      spark.sql(s"INSERT INTO $cat.b (doc_id, title, fp, n_words) " +
+        "VALUES (2, 'y', 1, 5)")
+      val rids = spark.table(s"$cat.b").orderBy("doc_id")
+        .select("rid").collect().map(_.getLong(0))
+      assert(rids(0) == 1000000L)
+      assert(rids(1) > 1000000L,
+        s"computed id ${rids(1)} collided below the explicit max")
+      // an UPDATE preserves surrogate keys
+      spark.sql(s"UPDATE $cat.b SET n_words = 9 WHERE doc_id = 1")
+      assert(spark.table(s"$cat.b").filter(col("doc_id") === 1)
+        .head().getAs[Long]("rid") == 1000000L)
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("identity columns: two concurrent writers draw disjoint ranges") {
+    val (cat, wh) = freshCatalog("idrace")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  rid BIGINT GENERATED ALWAYS AS IDENTITY)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      // two racers append concurrently: block reservation under the
+      // commit lock must hand them non-overlapping value ranges
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val futs = (0 until 2).map { w =>
+          pool.submit(new java.util.concurrent.Callable[java.lang.Boolean] {
+            override def call(): java.lang.Boolean = {
+              docsRange(200).filter(col("doc_id") >= w * 100)
+                .filter(col("doc_id") < (w + 1) * 100)
+                .repartition(2)
+                .writeTo(s"$cat.t").append()
+              java.lang.Boolean.TRUE
+            }
+          })
+        }
+        futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdown()
+      val rids = spark.table(s"$cat.t").select("rid").collect()
+        .map(_.getLong(0))
+      assert(rids.length == 200)
+      assert(rids.distinct.length == 200,
+        s"identity collision across concurrent writers")
     } finally dropCatalog(cat, wh)
   }
 
