@@ -165,9 +165,51 @@ object Round15 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q263: the files table's partition-value face — layout health in SQL
+  // ---------------------------------------------------------------------
+
+  /** The operator's view of a value-partitioned table: `cat.t.files`
+    * exposes each file's single partition value (the generated
+    * column's min=max manifest stat), so layout health — files per
+    * partition, row balance, a partition that fragmented and wants an
+    * OPTIMIZE — is one #files-sized manifest query, zero data files
+    * opened. Three single-task inserts of the [0,24) corpus land one
+    * file per (insert, distinct n_words%4) pair; grouping the metadata
+    * relation by partition value pins file counts and row sums to
+    * their closed forms. */
+  val q263FilesPartitionFace: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q263")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  wb BIGINT GENERATED ALWAYS AS (CAST(n_words AS BIGINT) % 4))
+           |PARTITIONED BY (wb)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      (0 until 3).foreach { b =>
+        spark.read.format("graft.sources.GraftDocsSource")
+          .option("rows", ((b + 1) * 8).toString).load()
+          .filter(col("doc_id") >= b * 8).coalesce(1)
+          .createOrReplaceTempView(s"${cat}_b")
+        spark.sql(
+          s"""INSERT INTO $cat.t (doc_id, title, fp, n_words)
+             |SELECT doc_id, title, fp, n_words FROM ${cat}_b""".stripMargin)
+        spark.catalog.dropTempView(s"${cat}_b")
+      }
+      OpsUtil.driverLiteral(spark.sql(
+        s"""SELECT partition_value, COUNT(*) AS n_files,
+           |  SUM(rows) AS n_rows
+           |FROM $cat.t.files
+           |GROUP BY partition_value ORDER BY partition_value""".stripMargin))
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
     "q261_generated_columns" -> q261GeneratedColumns,
-    "q262_identity_columns" -> q262IdentityColumns)
+    "q262_identity_columns" -> q262IdentityColumns,
+    "q263_files_partition_face" -> q263FilesPartitionFace)
 
   val oracle: Map[String, String] = Map(
     "q261_generated_columns" ->
@@ -205,5 +247,20 @@ object Round15 {
         |u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
         |SELECT doc_id, rid,
         |  CASE WHEN doc_id = 3 THEN 0 ELSE nw END AS n_words
-        |FROM u ORDER BY doc_id""".stripMargin)
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "q263_files_partition_face" ->
+      // one file per (single-task insert, distinct n_words%4 value):
+      // batch b inserts rows [8b, 8b+8), so per-batch distinct values
+      // and per-(batch, value) row counts are closed-form
+      """WITH rows_ AS (
+        |  SELECT CAST(i // 8 AS BIGINT) AS batch,
+        |    (i % 91 + 9) % 4 AS pv
+        |  FROM range(0, 24) t(i)),
+        |per_file AS (
+        |  SELECT batch, pv, COUNT(*) AS file_rows
+        |  FROM rows_ GROUP BY batch, pv)
+        |SELECT pv AS partition_value,
+        |  CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(file_rows) AS BIGINT) AS n_rows
+        |FROM per_file GROUP BY pv ORDER BY pv""".stripMargin)
 }

@@ -662,13 +662,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             s"table property '${s.property()}' is not persisted by " +
               "graft_docs tables; settable properties: check.<name>, " +
               "bloom.columns, bloom.bits, delete.mode, update.mode, " +
-              "merge.mode, row.tracking")
+              "merge.mode, row.tracking, eq.materialize.threshold")
         case r: RemoveProperty =>
           throw new UnsupportedOperationException(
             s"table property '${r.property()}' is not persisted by " +
               "graft_docs tables; removable properties: check.<name>, " +
               "bloom.columns, bloom.bits, delete.mode, update.mode, " +
-              "merge.mode, row.tracking")
+              "merge.mode, row.tracking, eq.materialize.threshold")
         case other =>
           throw new UnsupportedOperationException(
             s"graft_docs tables have a fixed schema; unsupported change: " +
@@ -718,7 +718,8 @@ object GraftCatalog {
     * delete strategy. */
   def isPersistedProperty(k: String): Boolean =
     k.startsWith("check.") || k.startsWith("bloom.") ||
-      RowLevelModeKeys(k) || k == "row.tracking"
+      RowLevelModeKeys(k) || k == "row.tracking" ||
+      k == "eq.materialize.threshold"
 
   /** The three row-level strategy selectors, and their only legal
     * values. Validated at CREATE and ALTER: a typo like
@@ -744,6 +745,13 @@ object GraftCatalog {
       throw new IllegalArgumentException(
         s"invalid value '$v' for table property 'row.tracking'; legal " +
           "values: true, false")
+    if (k == "eq.materialize.threshold" &&
+        !v.toLongOption.exists(_ > 0))
+      throw new IllegalArgumentException(
+        s"invalid value '$v' for table property " +
+          "'eq.materialize.threshold'; expected a positive integer " +
+          "(pending equality-delete values that trigger auto-" +
+          "materialization)")
   }
 
   /** ADD CONSTRAINT validation (Delta parity): a new CHECK must hold
@@ -934,7 +942,11 @@ object GraftFilesMetaTable {
     StructField("eq_deletes", LongType, nullable = false),
     StructField("min_doc_id", LongType, nullable = true),
     StructField("max_doc_id", LongType, nullable = true),
-    StructField("has_bloom", BooleanType, nullable = false)))
+    StructField("has_bloom", BooleanType, nullable = false),
+    // value-layout tables (PARTITIONED BY a generated column): the
+    // file's single partition value — NULL when the table has no value
+    // layout or the file predates it / is not single-valued
+    StructField("partition_value", LongType, nullable = true)))
 }
 
 class GraftFilesMetaReaderFactory(cols: Array[String])
@@ -943,6 +955,7 @@ class GraftFilesMetaReaderFactory(cols: Array[String])
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val dir = Paths.get(p.asInstanceOf[GraftHistoryPartition].tableDir)
     new PartitionReader[InternalRow] {
+      private val valueCol = GraftTableMeta.read(dir).get("layout.values")
       private val it = GraftVersions.latest(dir)
         .map(_.entries).getOrElse(Nil).iterator
       private var cur: GraftVersions.FileEntry = _
@@ -960,6 +973,10 @@ class GraftFilesMetaReaderFactory(cols: Array[String])
         case "max_doc_id" =>
           cur.stats.get("doc_id").map(s => Long.box(s._2)).orNull
         case "has_bloom" => cur.bloom.isDefined
+        case "partition_value" =>
+          valueCol.flatMap(c => cur.stats.get(c))
+            .collect { case (lo, hi) if lo == hi => Long.box(lo) }
+            .orNull
       })
       override def close(): Unit = ()
     }
@@ -1364,7 +1381,15 @@ class GraftRlTable(path: String,
             GraftEqDelete.values(predicates)
           else None
         vals match {
-          case Some(vs) => GraftVersions.applyEqualityDelete(dir, vs)
+          case Some(vs) =>
+            GraftVersions.applyEqualityDelete(dir, vs)
+            // size-triggered mask materialization: value masks are
+            // cheap to WRITE but accumulate in every subsequent
+            // manifest and tax every read — past the table's pending
+            // threshold, fold them away with a rewrite scoped to the
+            // masked files only
+            GraftVersions.maybeMaterializeEq(
+              org.apache.spark.sql.SparkSession.active, dir)
           case None => throw new IllegalStateException(
             s"deleteWhere called with unprovable predicates on $path — " +
               "canDeleteWhere must gate this path")

@@ -37,12 +37,18 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   *
   * Manifest format (one text file per version, written once, never
   * rewritten): line 1 `ts=<epochMicros>\top=<operation>`, then one part
-  * file name per line. Commit protocol: version numbers are claimed
-  * under a per-table JVM lock (single-driver deployment, matching
-  * local[*]); the manifest lands via write-to-temp + ATOMIC_MOVE so a
-  * concurrent reader never observes a partial manifest. Cross-driver
-  * commits would need a CAS-capable catalog (Iceberg) or a LogStore
-  * with putIfAbsent (Delta) — documented out of scope, loudly.
+  * file name per line. Commit protocol, two layers: within one JVM a
+  * per-table lock serializes writers cheaply; ACROSS processes the
+  * version number itself is claimed create-new-fails-if-exists — the
+  * fully-written manifest temp is HARD-LINKED onto `v%05d.manifest`
+  * (POSIX link(2) is atomic and fails when the target exists, the same
+  * primitive Delta's putIfAbsent LogStores and Iceberg's CAS catalogs
+  * provide), so two drivers racing a version get exactly one winner;
+  * the loser re-reads the log, re-validates conflicts, and retries the
+  * next number (bounded). A contended commit's sidecar is written
+  * under a nonce-unique name referenced from the manifest header, so
+  * a losing or crashed attempt can never clobber the winner's bytes —
+  * its debris is unreferenced and vacuum's sweep reclaims it.
   */
 object GraftVersions {
   /** A data file in a snapshot, with optional per-file min/max stats
@@ -159,9 +165,18 @@ object GraftVersions {
       // the next commit's fresh ids start here. Carried monotonically in
       // the manifest header so id allocation never re-derives from (and
       // never collides with) vacuumed history.
-      rowHwm: Option[Long] = None) {
+      rowHwm: Option[Long] = None,
+      // this commit's sidecar file name under _versions (None = no
+      // sidecar payloads, or a pre-claim log using the legacy
+      // `v%05d.sidecar` default — readers fall back to it)
+      sidecarName: Option[String] = None) {
     def files: Seq[String] = entries.map(_.name)
   }
+
+  /** Another process claimed this version number first (cross-driver
+    * race): the caller re-reads the log and retries the next number. */
+  private[sources] class VersionContentionException(msg: String)
+      extends RuntimeException(msg)
 
   class NoSuchVersionException(msg: String)
       extends IllegalArgumentException(msg)
@@ -188,6 +203,30 @@ object GraftVersions {
   private[sources] def withTableLock[A](root: Path)(body: => A): A =
     lockFor(root).synchronized(body)
 
+  /** Run a commit body under the JVM table lock WITH cross-process
+    * contention retries: `body` re-reads the log on every attempt, so
+    * a version another driver claimed in between is absorbed by
+    * re-planning against the new head (optimistic-concurrency
+    * validation reruns inside the body too — a retry that discovers a
+    * REAL conflict still fails with [[ConcurrentCommitException]]).
+    * Bounded so a livelocked table fails loudly instead of spinning. */
+  private def commitWithRetry[A](root: Path, what: String)(body: => A): A =
+    lockFor(root).synchronized {
+      var attempt = 0
+      while (true) {
+        try return body
+        catch {
+          case e: VersionContentionException =>
+            attempt += 1
+            if (attempt >= 5) throw new ConcurrentCommitException(
+              s"$what on $root lost the version claim $attempt times to " +
+                s"concurrent writers (${e.getMessage}); retry the " +
+                "operation")
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
   /** Turn versioning on: snapshot the CURRENT directory contents as v0
     * (op `enable`). Idempotent — enabling an already-versioned table is
     * a no-op, so CREATE-with-property and a later explicit call
@@ -198,7 +237,12 @@ object GraftVersions {
     // pre-existing files enter the log without stats (never prunable —
     // absence of stats widens, it can't lose rows)
     val current = listPartFiles(root).map(FileEntry(_, FileEntry.NoStats))
-    writeManifest(root, 0L, "enable", current)
+    try writeManifest(root, 0L, "enable", current)
+    catch {
+      // another PROCESS claimed v0 in between: enable is idempotent,
+      // the table is versioned either way
+      case _: VersionContentionException => ()
+    }
   }
 
   private def listPartFiles(root: Path): Seq[String] = {
@@ -309,27 +353,52 @@ object GraftVersions {
       s"\ttxn=$app:$e"
     }.getOrElse("")
     val hwmField = rowHwm.map(h => s"\trowhwm=$h").getOrElse("")
-    val body =
-      (s"ts=$ts\top=$op\tdataChange=$dataChange$txnField$hwmField" +: lines)
-        .mkString("", "\n", "\n")
     val target = versionsDir(root).resolve(f"v$version%05d.manifest")
     if (Files.exists(target))
-      throw new IllegalStateException(
+      throw new VersionContentionException(
         s"version $version already committed at $target")
     // sidecar FIRST, manifest second: a crash in between leaves an
     // unreferenced sidecar (vacuum's sweep reclaims it), never a
-    // manifest pointing at missing bytes
-    if (sidecar.size() > 0) {
-      val scTarget = versionsDir(root).resolve(f"v$version%05d.sidecar")
-      val scTmp =
-        Files.createTempFile(versionsDir(root), s"v$version-sc-", ".tmp")
-      Files.write(scTmp, sidecar.toByteArray)
-      Files.move(scTmp, scTarget, StandardCopyOption.ATOMIC_MOVE)
-    }
+    // manifest pointing at missing bytes. The name carries a per-
+    // attempt nonce and rides the manifest header, so two drivers
+    // racing the same version number can never clobber each other's
+    // sidecar bytes — the loser's file is simply never referenced.
+    val scName: Option[String] =
+      if (sidecar.size() == 0) None
+      else {
+        val nonce = java.util.UUID.randomUUID.toString
+          .replace("-", "").take(8)
+        val name = f"v$version%05d-$nonce.sidecar"
+        val scTmp =
+          Files.createTempFile(versionsDir(root), s"v$version-sc-", ".tmp")
+        Files.write(scTmp, sidecar.toByteArray)
+        Files.move(scTmp, versionsDir(root).resolve(name),
+          StandardCopyOption.ATOMIC_MOVE)
+        Some(name)
+      }
+    val scField = scName.map(n => s"\tsidecar=$n").getOrElse("")
+    val body2 =
+      (s"ts=$ts\top=$op\tdataChange=$dataChange$txnField$hwmField$scField"
+        +: lines).mkString("", "\n", "\n")
     val tmp = Files.createTempFile(versionsDir(root), s"v$version-", ".tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    VersionInfo(version, ts, op, trackedEntries, dataChange, txn, rowHwm)
+    Files.write(tmp, body2.getBytes(StandardCharsets.UTF_8))
+    // CROSS-PROCESS CLAIM: hard-link the complete temp onto the final
+    // name — link(2) is atomic and fails if the target exists, so of
+    // two drivers racing this version exactly one wins; readers never
+    // observe a partial manifest (the temp was fully written first).
+    try {
+      Files.createLink(target, tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        scName.foreach(n =>
+          Files.deleteIfExists(versionsDir(root).resolve(n)))
+        throw new VersionContentionException(
+          s"version $version of $root claimed by a concurrent writer")
+    }
+    VersionInfo(version, ts, op, trackedEntries, dataChange, txn, rowHwm,
+      scName)
   }
 
   private def readManifest(root: Path, version: Long): VersionInfo = {
@@ -341,9 +410,13 @@ object GraftVersions {
     }.toMap
     import scala.jdk.CollectionConverters._
     // sidecar payloads: read once per manifest parse, sliced per token
-    // (`@<offset>:<length>` refs); absent file = no sidecar payloads
+    // (`@<offset>:<length>` refs); the header's `sidecar=` token names
+    // the nonce-unique file (claim-era commits), falling back to the
+    // legacy `v%05d.sidecar` default; absent file = no payloads
+    val scName = header.get("sidecar")
     lazy val sidecarBytes: Array[Byte] = {
-      val sc = versionsDir(root).resolve(f"v$version%05d.sidecar")
+      val sc = versionsDir(root).resolve(
+        scName.getOrElse(f"v$version%05d.sidecar"))
       if (Files.isRegularFile(sc)) Files.readAllBytes(sc)
       else Array.empty[Byte]
     }
@@ -403,7 +476,7 @@ object GraftVersions {
     }
     VersionInfo(version, header("ts").toLong, header("op"), entries,
       header.get("dataChange").forall(_.toBoolean), txn,
-      header.get("rowhwm").map(_.toLong))
+      header.get("rowhwm").map(_.toLong), scName)
   }
 
   def listVersionNumbers(root: Path): Seq[Long] = {
@@ -525,7 +598,7 @@ object GraftVersions {
   def advance(root: Path, op: String, removed: Option[Set[String]],
       added: Seq[FileEntry], dataChange: Boolean = true,
       readVersion: Option[Long] = None): VersionInfo =
-    lockFor(root).synchronized {
+    commitWithRetry(root, s"'$op' commit") {
       val base = latest(root).getOrElse(
         throw new IllegalStateException(s"advance on unversioned table $root"))
       readVersion.foreach(validateNoConflict(root, _, base, op, removed))
@@ -562,7 +635,7 @@ object GraftVersions {
   def applyDelta(root: Path, deletes: Map[String, Seq[Long]],
       added: Seq[FileEntry], op: String,
       readVersion: Option[Long] = None): VersionInfo =
-    lockFor(root).synchronized {
+    commitWithRetry(root, s"merge-on-read '$op'") {
       val base = latest(root).getOrElse(throw new IllegalStateException(
         s"merge-on-read $op on unversioned table $root"))
       // optimistic concurrency for the UPDATE/MERGE face: two MOR
@@ -609,7 +682,7 @@ object GraftVersions {
     * table lock). A commit that can prove no file holds any value
     * advances with dataChange=false (the feed skips it). */
   def applyEqualityDelete(root: Path, values: Seq[Long]): VersionInfo =
-    lockFor(root).synchronized {
+    commitWithRetry(root, "equality delete") {
       require(values.nonEmpty, "equality delete with no values")
       require(values.forall(_ >= 0),
         s"equality-delete values must be non-negative doc_ids: " +
@@ -651,7 +724,7 @@ object GraftVersions {
   def commitTxn(root: Path, op: String, removed: Option[Set[String]],
       added: Seq[FileEntry], appId: String, epoch: Long)
       : Option[VersionInfo] =
-    lockFor(root).synchronized {
+    commitWithRetry(root, s"streaming '$op' commit") {
       if (lastTxnEpoch(root, appId).exists(_ >= epoch)) None
       else {
         val base = latest(root).getOrElse(throw new IllegalStateException(
@@ -807,6 +880,80 @@ object GraftVersions {
           // of a stale snapshot. The landed files stay unreferenced
           // (vacuum reclaims them); re-run against the new live state.
           compact(spark, root, targetFiles, maxAttempts - 1, clusterBy)
+      }
+    } finally {
+      try org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Size-triggered equality-delete materialization: when the live
+    * snapshot's pending value-mask cardinality crosses the table's
+    * `eq.materialize.threshold` (default 1024 values), rewrite ONLY
+    * the masked files — their live rows land in clean replacements,
+    * the masks vanish from every future manifest, and untouched files
+    * are never read. This is the compaction-threshold policy Iceberg
+    * ships for delete files: equality deletes stay O(1) to WRITE, and
+    * this bound keeps them from taxing every subsequent read and
+    * manifest forever. dataChange=false (rows are identical); row-
+    * tracked tables skip it (dropping masked rows shifts positions,
+    * which segment lineage cannot express — their concat OPTIMIZE
+    * carries masks instead). */
+  def maybeMaterializeEq(spark: org.apache.spark.sql.SparkSession,
+      root: Path): Option[VersionInfo] = {
+    val threshold = GraftTableMeta.read(root)
+      .get("eq.materialize.threshold").flatMap(_.toLongOption)
+      .getOrElse(1024L)
+    val pending = latest(root).toSeq.flatMap(_.entries)
+      .flatMap(_.eq).map(_.cardinality.toLong).sum
+    if (pending < threshold) None
+    else materializeEqMasks(spark, root)
+  }
+
+  /** Rewrite the eq-masked files of the live snapshot into clean
+    * replacements (see [[maybeMaterializeEq]]); None when nothing is
+    * masked or the table is row-tracked. */
+  def materializeEqMasks(spark: org.apache.spark.sql.SparkSession,
+      root: Path, maxAttempts: Int = 3): Option[VersionInfo] = {
+    import org.apache.spark.sql.functions._
+    val snap = latest(root).getOrElse(return None)
+    if (GraftTableMeta.read(root).get("row.tracking").contains("true"))
+      return None
+    val masked = snap.entries.filter(_.eq.exists(_.cardinality > 0))
+    if (masked.isEmpty) return None
+    val names = masked.map(_.name)
+    val df = spark.read.format("graft.sources.GraftDocsSource")
+      .option("path", root.toString).load()
+    // scope the read to the masked files via the _file metadata column
+    // (the reader applies dv + eq masks, so exactly the LIVE rows
+    // survive), one output file per input file
+    val live = df.select((df.columns.map(col) :+ col("_file")): _*)
+      .filter(col("_file").isin(names: _*))
+      .drop("_file")
+      .coalesce(math.max(1, names.size))
+    val tmp = Files.createTempDirectory(root, "_eqmat")
+    try {
+      enable(tmp)
+      GraftTableMeta.write(tmp, GraftTableMeta.read(root))
+      live.write.format("graft.sources.GraftDocsSource")
+        .option("path", tmp.toString).mode("append").save()
+      val staged = latest(tmp).map(_.entries).getOrElse(Nil)
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+      val landed = staged.zipWithIndex.map { case (e, i) =>
+        val name = f"part-$i%05d-$tag.tsv"
+        Files.move(tmp.resolve(e.name), root.resolve(name),
+          StandardCopyOption.ATOMIC_MOVE)
+        e.copy(name = name)
+      }
+      try Some(advance(root, "eq-materialize", removed = Some(names.toSet),
+        added = landed, dataChange = false,
+        readVersion = Some(snap.version)))
+      catch {
+        case _: ConcurrentCommitException if maxAttempts > 1 =>
+          // a writer advanced the table mid-rewrite: the landed files
+          // stay unreferenced (vacuum reclaims them); re-run against
+          // the new live state
+          materializeEqMasks(spark, root, maxAttempts - 1)
       }
     } finally {
       try org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
@@ -1109,7 +1256,12 @@ object GraftVersions {
       .filterNot { case (k, _) => k.startsWith("ref.tag.") }
     if (props.nonEmpty) GraftTableMeta.write(dst, props)
     Files.createDirectories(versionsDir(dst))
-    writeManifest(dst, 0L, "clone", external)
+    try writeManifest(dst, 0L, "clone", external)
+    catch {
+      case _: VersionContentionException =>
+        throw new IllegalStateException(
+          s"clone target $dst was created concurrently")
+    }
   }
 
   /** Branch directory of table `root` for branch `name` — a branch IS
@@ -1249,42 +1401,54 @@ object GraftVersions {
         (expire.flatMap(readManifest(root, _).files).toSet
           -- retainedFiles -- branchPinned)
           .filterNot(_.contains('/'))
+      // sidecar lifecycle is reference-based: a sidecar is referenced
+      // ONLY by its manifest (the header's `sidecar=` token for
+      // claim-era commits; the legacy `v%05d.sidecar` default
+      // otherwise), so collect the retained references BEFORE deleting
+      // anything, then reclaim every .sidecar outside that set —
+      // expired commits' sidecars, crashed attempts' debris, and
+      // losing racers' leftovers all in one rule
+      val referencedSc: Set[String] = retain.map { v =>
+        val i = readManifest(root, v)
+        i.sidecarName.getOrElse(f"v${i.version}%05d.sidecar")
+      }.toSet
       // delete manifests first: a crash mid-vacuum must never leave a
-      // readable snapshot whose files are gone
+      // readable snapshot whose files are gone. Each expired commit's
+      // sidecar goes with it immediately (we just deleted its only
+      // reference, so no staleness window applies).
       expire.foreach { v =>
+        val sc =
+          try {
+            val i = readManifest(root, v)
+            Some(i.sidecarName.getOrElse(f"v${i.version}%05d.sidecar"))
+          } catch { case _: Exception => None }
         Files.deleteIfExists(versionsDir(root).resolve(f"v$v%05d.manifest"))
-        Files.deleteIfExists(versionsDir(root).resolve(f"v$v%05d.sidecar"))
+        sc.foreach(n =>
+          Files.deleteIfExists(versionsDir(root).resolve(n)))
       }
-      // sweep orphan sidecars: crash-between-sidecar-and-manifest
-      // leftovers, and sidecars whose manifest is gone — a sidecar is
-      // referenced ONLY by its same-version manifest, so the lifecycle
-      // check is a name test
-      val retainedSet = retain.toSet
       // stale commit temps: a crash between createTempFile and the
       // atomic move leaves `v<N>-*.tmp` (manifest) / `v<N>-sc-*.tmp`
       // (sidecar) debris that nothing references — removeOrphans
       // deliberately never touches _versions, so this sweep is their
       // only reclaim path. The mtime guard (removeOrphans' safety
-      // valve) keeps a concurrent writer's in-flight temp safe: only
-      // temps older than the explicit cutoff — or 10 minutes, far
-      // beyond any commit's write-to-move window — are debris.
+      // valve) keeps a CONCURRENT writer's in-flight temp and its
+      // just-landed (not-yet-referenced) sidecar safe: only files
+      // older than the explicit cutoff — or 10 minutes, far beyond any
+      // commit's write-to-claim window — are debris.
       val tmpCutoffMicros = olderThanMicros.getOrElse(
         System.currentTimeMillis() * 1000L - 10L * 60 * 1000 * 1000)
       val scList = Files.list(versionsDir(root))
       try {
         import scala.jdk.CollectionConverters._
-        val SidecarName = "v(\\d{5,})\\.sidecar".r
+        def stale(p: Path): Boolean =
+          Files.getLastModifiedTime(p).toMillis * 1000L < tmpCutoffMicros
         scList.iterator().asScala.toSeq.foreach { p =>
           val n = p.getFileName.toString
-          n match {
-            case SidecarName(v) if !retainedSet.contains(v.toLong) =>
-              Files.deleteIfExists(p)
-            case _ if n.startsWith("v") && n.endsWith(".tmp") &&
-                Files.getLastModifiedTime(p).toMillis * 1000L <
-                  tmpCutoffMicros =>
-              Files.deleteIfExists(p)
-            case _ => ()
-          }
+          if (n.endsWith(".sidecar") && !referencedSc.contains(n) &&
+              stale(p))
+            Files.deleteIfExists(p)
+          else if (n.startsWith("v") && n.endsWith(".tmp") && stale(p))
+            Files.deleteIfExists(p)
         }
       } finally scList.close()
       expiredFiles.toSeq.sorted.foreach { f =>

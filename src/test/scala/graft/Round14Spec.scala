@@ -542,7 +542,15 @@ class Round14Spec extends SparkSpec {
         s"manifest lines must stay bounded: ${lines.map(_.length).toSeq}")
       assert(lines.exists(_.contains("bloom=@")), lines.mkString("\n"))
       assert(lines.exists(_.contains("dv=@")), lines.mkString("\n"))
-      assert(Files.isRegularFile(vdir.resolve("v00002.sidecar")))
+      def sidecarsOf(v: String): Seq[String] = {
+        val l = Files.list(vdir)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.startsWith(v) && n.endsWith(".sidecar")).toSeq
+        } finally l.close()
+      }
+      assert(sidecarsOf("v00002").nonEmpty)
 
       // blobs read back: DV cardinality and bloom behavior intact
       val v2 = GraftVersions.manifest(t, 2)
@@ -563,7 +571,7 @@ class Round14Spec extends SparkSpec {
       // vacuum: expired manifests take their sidecars with them,
       // retained snapshots keep working
       GraftVersions.vacuum(t, keepLast = 2) // keeps v3, v4
-      assert(!Files.exists(vdir.resolve("v00002.sidecar")))
+      assert(sidecarsOf("v00002").isEmpty)
       assert(!Files.exists(vdir.resolve("v00002.manifest")))
       val live = spark.table(s"$cat.t").count()
       assert(live == 300, s"post-vacuum live rows: $live")

@@ -373,6 +373,105 @@ class Round15Spec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("equality deletes auto-materialize once pending values cross the " +
+      "table's threshold; below it masks stay metadata-only") {
+    val (cat, wh) = freshCatalog("eqmat")
+    try {
+      docsRange(30).repartitionByRange(3,
+          org.apache.spark.sql.functions.col("doc_id"))
+        .writeTo(s"$cat.t").tableProperty("versioned", "true")
+        .tableProperty("delete.mode", "equality")
+        .tableProperty("eq.materialize.threshold", "4").create()
+      val tdir = wh.resolve("t")
+      val beforeFiles = GraftVersions.latest(tdir).get.files.toSet
+      // 2 pending values < 4: metadata-only, masks stay
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (1, 2)")
+      val v2 = GraftVersions.latest(tdir).get
+      assert(v2.op == "delete-equality")
+      assert(v2.entries.flatMap(_.eq).map(_.cardinality).sum == 2)
+      assert(v2.files.toSet == beforeFiles, "no data file may move yet")
+      // +3 pending = 5 >= 4: the delete commits, then the masked files
+      // (and ONLY they) rewrite clean
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (11, 12, 13)")
+      val head = GraftVersions.latest(tdir).get
+      assert(head.op == "eq-materialize", head.op)
+      assert(!head.dataChange)
+      assert(head.entries.forall(_.eq.isEmpty),
+        "materialization must fold every value mask away")
+      // the file holding [20,30) was never masked — untouched
+      assert(head.files.exists(beforeFiles), head.files.toString)
+      assert(spark.table(s"$cat.t").count() == 25L)
+      // the pre-materialization snapshot still reads through its masks
+      val prior = head.version - 1
+      assert(spark.sql(
+        s"SELECT COUNT(*) FROM $cat.t VERSION AS OF $prior")
+        .head().getLong(0) == 25L)
+      // deleted keys are really gone
+      val ids = spark.table(s"$cat.t").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(!ids.exists(Set(1L, 2L, 11L, 12L, 13L)))
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("cross-driver commit claim: two uncoordinated writers race the " +
+      "log; every version has exactly one winner and no commit is lost") {
+    import GraftVersions.{ConcurrentCommitException, FileEntry}
+    // The per-table JVM lock interns the NORMALIZED path string; a
+    // symlink alias normalizes to a different string, so two threads
+    // advancing through root and alias hold DIFFERENT locks — the
+    // honest simulation of two driver processes. Serialization then
+    // rests solely on the cross-process claim (hard-link
+    // create-new-fails-if-exists), which is process-agnostic.
+    val base = Files.createTempDirectory("graft_r15_xdrv")
+    val root = base.resolve("t")
+    Files.createDirectories(root)
+    val alias = Files.createSymbolicLink(base.resolve("alias"), root)
+    try {
+      GraftVersions.enable(root)
+      // the lock interns the normalized absolute path STRING — the
+      // alias must produce a different one or the race tests nothing
+      assert(root.toAbsolutePath.normalize().toString !=
+        alias.toAbsolutePath.normalize().toString)
+      val perWriter = 8
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val futs = Seq(root, alias).zipWithIndex.map { case (dir, w) =>
+          pool.submit(new java.util.concurrent.Callable[java.lang.Boolean] {
+            override def call(): java.lang.Boolean = {
+              var i = 0
+              while (i < perWriter) {
+                val e = FileEntry(f"part-$w%05d-c$i-x.tsv",
+                  FileEntry.NoStats, rows = Some(1L), bytes = Some(10L))
+                try {
+                  GraftVersions.advance(dir, "append", Some(Set.empty),
+                    Seq(e))
+                  i += 1
+                } catch {
+                  // the bounded claim-retry gave up under a hot race:
+                  // retryable by contract, so the driver retries
+                  case _: ConcurrentCommitException => ()
+                }
+              }
+              java.lang.Boolean.TRUE
+            }
+          })
+        }
+        futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdown()
+      // every commit landed exactly once, the log is contiguous, and
+      // every manifest parses (no torn writes, no clobbered sidecars)
+      val versions = GraftVersions.listVersionNumbers(root)
+      assert(versions == (0L to 2L * perWriter).toSeq, versions.toString)
+      val head = GraftVersions.latest(root).get
+      assert(head.entries.size == 2 * perWriter)
+      assert(head.entries.map(_.name).distinct.size == 2 * perWriter)
+      GraftVersions.listVersions(root).foreach { v =>
+        assert(v.op == "enable" || v.op == "append")
+      }
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("vacuum sweeps stale v*-*.tmp commit temps under _versions, " +
       "mtime-guarded") {
     val root = Files.createTempDirectory("graft_r15_tmpsweep")
