@@ -1244,10 +1244,51 @@ class GraftRlTable(path: String,
     // evolved shape (base + ADD COLUMN tail); a version-pinned read
     // older than a column's `since` presents the PRE-evolution schema
     GraftSchemas.tableSchema(Paths.get(path), versionPin)
-  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    GraftTableMeta.bucketLayout(Paths.get(path)).map { case (c, n) =>
+
+  /** DESCRIBE / SHOW CREATE TABLE face: generated and identity columns
+    * surface their declared metadata back out through the V2 Column
+    * API — the derivation is inspectable, not write-only. Plain
+    * columns go through the standard StructType conversion (which
+    * preserves DEFAULT metadata). */
+  override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] = {
+    val dir = Paths.get(path)
+    // Table's default columns() runs the standard StructType
+    // conversion (DEFAULT metadata preserved)
+    val base = super.columns()
+    val gen = GraftTableMeta.generatedExprs(dir)
+    val ident = GraftTableMeta.identitySpecs(dir)
+    if (gen.isEmpty && ident.isEmpty) return base
+    val idxOf = GraftSchemas.visibleAdded(dir, versionPin)
+      .map(c => c.name -> c.idx).toMap
+    base.map { c =>
+      idxOf.get(c.name) match {
+        case Some(i) if gen.contains(i) =>
+          org.apache.spark.sql.connector.catalog.Column.create(
+            c.name, c.dataType, c.nullable, null, gen(i), null)
+        case Some(i) if ident.contains(i) =>
+          val (st, sp, e) = ident(i)
+          org.apache.spark.sql.connector.catalog.Column.create(
+            c.name, c.dataType, c.nullable, null,
+            new org.apache.spark.sql.connector.catalog
+              .IdentityColumnSpec(st, sp, e), null)
+        case _ => c
+      }
+    }
+  }
+
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val dir = Paths.get(path)
+    // the value layout (PARTITIONED BY a generated column) reports as
+    // an identity transform — DESCRIBE shows the declared partitioning
+    GraftTableMeta.bucketLayout(dir).map { case (c, n) =>
       org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
-    }.toArray
+        : org.apache.spark.sql.connector.expressions.Transform
+    }.toArray ++
+      GraftTableMeta.read(dir).get("layout.values").map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+          : org.apache.spark.sql.connector.expressions.Transform)
+  }
   /** `SHOW TBLPROPERTIES` / `DESCRIBE TABLE EXTENDED` surface: the
     * persisted property store plus the versioning state — table
     * metadata is INSPECTABLE, not just settable. */

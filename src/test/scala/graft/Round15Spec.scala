@@ -373,6 +373,107 @@ class Round15Spec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("DESCRIBE face: generated/identity columns and the value layout " +
+      "surface their declared metadata back out") {
+    val (cat, wh) = freshCatalog("descface")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  wb BIGINT GENERATED ALWAYS AS (CAST(n_words AS BIGINT) % 4),
+           |  rid BIGINT GENERATED BY DEFAULT AS IDENTITY
+           |    (START WITH 7 INCREMENT BY 3))
+           |PARTITIONED BY (wb)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      val desc = spark.sql(s"DESCRIBE TABLE $cat.t").collect()
+        .map(r => r.getString(0) -> r.getString(2)).toMap
+      assert(desc.contains("wb") && desc.contains("rid"), desc.toString)
+      // the V2 Column face carries the declarations (what SHOW CREATE
+      // TABLE and catalog tooling read)
+      val tbl = new graft.sources.GraftRlTable(wh.resolve("t").toString)
+      val byName = tbl.columns().map(c => c.name -> c).toMap
+      assert(byName("wb").generationExpression() ==
+        "CAST(n_words AS BIGINT) % 4")
+      val idSpec = byName("rid").identityColumnSpec()
+      assert(idSpec != null && idSpec.getStart == 7 &&
+        idSpec.getStep == 3 && idSpec.isAllowExplicitInsert)
+      assert(byName("doc_id").generationExpression() == null)
+      // partitioning reports the value layout as an identity transform
+      val parts = tbl.partitioning().map(_.toString)
+      assert(parts.exists(_.contains("wb")), parts.mkString(", "))
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("MERGE: NOT MATCHED inserts mint fresh identity values; matched " +
+      "updates preserve them") {
+    val (cat, wh) = freshCatalog("idmerge")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  rid BIGINT GENERATED ALWAYS AS IDENTITY)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      docsRange(5).coalesce(1).createOrReplaceTempView(s"${cat}_s0")
+      spark.sql(s"""INSERT INTO $cat.t (doc_id, title, fp, n_words)
+        |SELECT doc_id, title, fp, n_words FROM ${cat}_s0""".stripMargin)
+      val before = spark.table(s"$cat.t").select("doc_id", "rid")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      docsRange(8).filter(col("doc_id") >= 3)
+        .createOrReplaceTempView(s"${cat}_src")
+      spark.sql(
+        s"""MERGE INTO $cat.t t USING ${cat}_src s ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET n_words = s.n_words + 100
+           |WHEN NOT MATCHED THEN
+           |  INSERT (doc_id, title, fp, n_words)
+           |  VALUES (s.doc_id, s.title, s.fp, s.n_words)""".stripMargin)
+      spark.catalog.dropTempView(s"${cat}_src")
+      spark.catalog.dropTempView(s"${cat}_s0")
+      val after = spark.table(s"$cat.t").select("doc_id", "rid")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(after.size == 8)
+      // matched rows (3,4) kept their surrogate keys
+      assert(after(3L) == before(3L) && after(4L) == before(4L))
+      // inserted rows (5,6,7) minted fresh, non-colliding ids
+      assert(after.values.toSeq.distinct.size == 8, after.toString)
+      val fresh = Seq(5L, 6L, 7L).map(after)
+      assert(fresh.forall(id => !before.values.toSet.contains(id)))
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("OPTIMIZE on a value-layout table keeps every output file " +
+      "single-valued (the fan applies to the compaction rewrite too)") {
+    val (cat, wh) = freshCatalog("genopt")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  wb BIGINT GENERATED ALWAYS AS (CAST(n_words AS BIGINT) % 3))
+           |PARTITIONED BY (wb)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      // two fragmented inserts → ≥6 files
+      for (b <- 0 until 2) {
+        docsRange(12).filter(col("doc_id") >= b * 6)
+          .filter(col("doc_id") < (b + 1) * 6).coalesce(1)
+          .createOrReplaceTempView(s"${cat}_b")
+        spark.sql(s"""INSERT INTO $cat.t (doc_id, title, fp, n_words)
+          |SELECT doc_id, title, fp, n_words FROM ${cat}_b""".stripMargin)
+        spark.catalog.dropTempView(s"${cat}_b")
+      }
+      val tdir = wh.resolve("t")
+      val beforeN = GraftVersions.latest(tdir).get.entries.size
+      assert(beforeN >= 6)
+      GraftVersions.compact(spark, tdir, targetFiles = 1)
+      val after = GraftVersions.latest(tdir).get.entries
+      assert(after.size == 3, s"one file per live value: $after")
+      assert(after.forall(_.stats.get("wb")
+        .exists { case (lo, hi) => lo == hi }), after.toString)
+      assert(spark.table(s"$cat.t").count() == 12L)
+    } finally dropCatalog(cat, wh)
+  }
+
   test("equality deletes auto-materialize once pending values cross the " +
       "table's threshold; below it masks stay metadata-only") {
     val (cat, wh) = freshCatalog("eqmat")
