@@ -206,10 +206,60 @@ object Round15 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q264: mixture execution — apply a per-source sampling plan exactly
+  // ---------------------------------------------------------------------
+
+  /** The EXECUTION half of corpus mixing (q168 plans token budgets;
+    * this materializes a mixture): each source gets a deterministic
+    * per-row admission rate (here: equal char budget of
+    * total/(2·|sources|), capped at the source's own size — the same
+    * data-constrained shape as q168), and a row is admitted iff a
+    * stable 60-bit hash of its doc_id falls under the rate. Hash
+    * selection — not rand() — is what makes a 100 TB mixture
+    * reproducible, resumable, and auditable: the same row set falls
+    * out on every run, on every engine (the oracle recomputes the
+    * selection bit-for-bit in DuckDB via the same md5 arithmetic).
+    *
+    * Scale shape: one map-side-combined |sources|-row aggregate builds
+    * the plan (a config artifact); the plan broadcasts back onto the
+    * corpus (no fact-side shuffle) and the admission test is one
+    * row-local hash compare — the whole mixture materializes in a
+    * single scan. The audit output is one row per source. */
+  val q264MixtureExecute: Q = (spark, dir) => {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val per = docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("chars"))
+    val rows = per.collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = rows.map(_._2).sum
+    val cap = total / (2L * rows.length)
+    import spark.implicits._
+    val plan = rows.toSeq.map { case (src, chars) =>
+      (src, math.min(chars, cap) * 1000000L / chars)
+    }.toDF("source", "rate_ppm")
+    val hashPpm = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(1000000L))
+    val selected = docs.join(broadcast(plan), Seq("source"))
+      .filter(hashPpm < col("rate_ppm"))
+    val audit = plan.join(
+        broadcast(selected.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sel"),
+            sum(col("n_chars")).as("sel_chars"))),
+        Seq("source"), "left")
+      .select(col("source"), col("rate_ppm"),
+        coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+        coalesce(col("sel_chars"), lit(0L)).as("sel_chars"))
+      .orderBy("source")
+    audit
+  }
+
   val queries: Map[String, Q] = Map(
     "q261_generated_columns" -> q261GeneratedColumns,
     "q262_identity_columns" -> q262IdentityColumns,
-    "q263_files_partition_face" -> q263FilesPartitionFace)
+    "q263_files_partition_face" -> q263FilesPartitionFace,
+    "q264_mixture_execute" -> q264MixtureExecute)
 
   val oracle: Map[String, String] = Map(
     "q261_generated_columns" ->
@@ -262,5 +312,27 @@ object Round15 {
         |SELECT pv AS partition_value,
         |  CAST(COUNT(*) AS BIGINT) AS n_files,
         |  CAST(SUM(file_rows) AS BIGINT) AS n_rows
-        |FROM per_file GROUP BY pv ORDER BY pv""".stripMargin)
+        |FROM per_file GROUP BY pv ORDER BY pv""".stripMargin,
+    "q264_mixture_execute" ->
+      """WITH per AS (
+        |  SELECT source, SUM(n_chars) AS chars
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(chars) AS t, COUNT(*) AS s FROM per),
+        |plan AS (
+        |  SELECT source, chars,
+        |    LEAST(chars, (SELECT t // (2 * s) FROM tot))
+        |      * 1000000 // chars AS rate_ppm
+        |  FROM per),
+        |sel AS (
+        |  SELECT d.source, d.n_chars
+        |  FROM documents d JOIN plan p USING (source)
+        |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 1000000 < p.rate_ppm)
+        |SELECT p.source, CAST(p.rate_ppm AS BIGINT) AS rate_ppm,
+        |  CAST(COALESCE(q.cnt, 0) AS BIGINT) AS n_sel,
+        |  CAST(COALESCE(q.sc, 0) AS BIGINT) AS sel_chars
+        |FROM plan p LEFT JOIN (
+        |  SELECT source, COUNT(*) AS cnt, SUM(n_chars) AS sc
+        |  FROM sel GROUP BY source) q USING (source)
+        |ORDER BY p.source""".stripMargin)
 }

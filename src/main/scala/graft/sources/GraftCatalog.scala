@@ -818,6 +818,13 @@ object GraftCatalog {
         s"cannot $verb column '$name': CHECK constraint(s) " +
           s"${hits.mkString(", ")} reference it — drop or restate the " +
           "constraint(s) first")
+    // the value layout references its generated column by NAME: a
+    // rename would orphan the layout (every write fans through it) and
+    // a drop would leave the writer with no expression to fan by
+    if (GraftTableMeta.read(dir).get("layout.values").contains(name))
+      throw new IllegalStateException(
+        s"cannot $verb column '$name': it is the table's value-" +
+          "partitioning column (PARTITIONED BY at CREATE)")
   }
 
   /** A rename/drop on a versioned table is its own metadata-only

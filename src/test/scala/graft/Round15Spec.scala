@@ -405,6 +405,35 @@ class Round15Spec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("the value-partitioning column cannot be renamed or dropped " +
+      "(the layout references it by name)") {
+    val (cat, wh) = freshCatalog("genguard")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  wb BIGINT GENERATED ALWAYS AS (CAST(n_words AS BIGINT) % 4),
+           |  tag STRING GENERATED ALWAYS AS (concat(title, '!')))
+           |PARTITIONED BY (wb)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      for (ddl <- Seq(s"ALTER TABLE $cat.t RENAME COLUMN wb TO wb2",
+          s"ALTER TABLE $cat.t DROP COLUMN wb")) {
+        val e = intercept[Exception] { spark.sql(ddl) }
+        assert(e.getMessage.contains("value-partitioning"), e.getMessage)
+      }
+      // a generated column OUTSIDE the layout still drops fine
+      spark.sql(s"ALTER TABLE $cat.t DROP COLUMN tag")
+      assert(!spark.table(s"$cat.t").columns.contains("tag"))
+      // and writes keep working after the drop (the slot NULLs)
+      docsRange(4).coalesce(1).createOrReplaceTempView(s"${cat}_src")
+      spark.sql(s"""INSERT INTO $cat.t (doc_id, title, fp, n_words)
+        |SELECT doc_id, title, fp, n_words FROM ${cat}_src""".stripMargin)
+      spark.catalog.dropTempView(s"${cat}_src")
+      assert(spark.table(s"$cat.t").count() == 4L)
+    } finally dropCatalog(cat, wh)
+  }
+
   test("MERGE: NOT MATCHED inserts mint fresh identity values; matched " +
       "updates preserve them") {
     val (cat, wh) = freshCatalog("idmerge")
@@ -472,6 +501,52 @@ class Round15Spec extends SparkSpec {
         .exists { case (lo, hi) => lo == hi }), after.toString)
       assert(spark.table(s"$cat.t").count() == 12L)
     } finally dropCatalog(cat, wh)
+  }
+
+  test("streaming writes compute generated cells and mint identity " +
+      "values (the fourth writer path, same one shared implementation)") {
+    val (cat, wh) = freshCatalog("sgen")
+    val cp = Files.createTempDirectory("graft_r15_sgen_cp")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.dst (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  wb BIGINT GENERATED ALWAYS AS (CAST(n_words AS BIGINT) % 4),
+           |  rid BIGINT GENERATED ALWAYS AS IDENTITY
+           |    (START WITH 50 INCREMENT BY 1))
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      docsRange(6).coalesce(1)
+        .writeTo(s"$cat.src").tableProperty("versioned", "true").create()
+      def drain(): Unit = {
+        val q = spark.readStream.table(s"$cat.src")
+          .writeStream.format("graft.sources.GraftDocsSource")
+          .option("path", wh.resolve("dst").toString)
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      drain()
+      val r1 = spark.table(s"$cat.dst")
+        .select("doc_id", "n_words", "wb", "rid").collect()
+      assert(r1.length == 6)
+      assert(r1.forall(r => r.getLong(2) == (r.getInt(1).toLong % 4)),
+        "streamed rows must carry computed generated cells")
+      val ids1 = r1.map(_.getLong(3))
+      assert(ids1.distinct.length == 6 && ids1.forall(_ >= 50L))
+      // a second micro-batch continues with disjoint identity values
+      spark.sql(s"INSERT INTO $cat.src VALUES (90, 'doc-90', 1, 7)")
+      drain()
+      val r2 = spark.table(s"$cat.dst")
+        .select("doc_id", "rid").collect()
+      assert(r2.length == 7)
+      assert(r2.map(_.getLong(1)).distinct.length == 7,
+        "identity values must stay unique across micro-batches")
+    } finally {
+      dropCatalog(cat, wh)
+      org.apache.commons.io.FileUtils.deleteDirectory(cp.toFile)
+    }
   }
 
   test("equality deletes auto-materialize once pending values cross the " +
