@@ -274,10 +274,16 @@ object Bench {
     // keeps a bounded tail of this output, so even a mid-retry kill
     // leaves the last complete line standing, and each line carries its
     // own canary_dev so a flagged artifact still self-describes.
+    // r15 post-mortem: the driver-visible run stopped at 2 attempts
+    // (deadline-bounded) with canary 0.39 while a clean run existed 20
+    // minutes later — the bounds, not the protocol, were the limit.
+    // Retries reuse the JIT-hot JVM (~40% the cost of a cold pass), and
+    // a mid-retry kill still leaves the last complete line standing, so
+    // a larger budget is pure upside when the driver's timeout allows.
     val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
-      .flatMap(_.toIntOption).getOrElse(3).max(1)
+      .flatMap(_.toIntOption).getOrElse(5).max(1)
     val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC")
-      .flatMap(_.toDoubleOption).getOrElse(1500.0)
+      .flatMap(_.toDoubleOption).getOrElse(3000.0)
     var best = runPass()
     var attempts = 1
     println(jsonLine(best, attempts))

@@ -303,12 +303,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             s"column '${c.name}' already exists on ${ident.name()}")
         val tpe = c.dataType() match {
           case LongType => "long"
+          // Identity allocation is block-wise (IdentityStride = 2^33
+          // units per task): the FIRST reserved block already exceeds
+          // Int.MaxValue, so an INT identity column would mint values
+          // its own type cannot hold after one write. Delta has the
+          // same rule: identity columns must be BIGINT.
+          case IntegerType if isId =>
+            throw new UnsupportedOperationException(
+              s"identity column '${c.name}' must be BIGINT: block-wise " +
+                "allocation (2^33 values per task) overflows INT after " +
+                "the first write")
           case IntegerType => "int"
           case StringType if isGen => "string"
           case other => throw new UnsupportedOperationException(
             s"column '${c.name}' type ${other.simpleString} " +
               "unsupported; generated: bigint/int/string, " +
-              "identity: bigint/int")
+              "identity: bigint")
         }
         GraftTableMeta.appendAddedColumn(dir,
           GraftSchemas.AddedColumn(c.name, tpe, since = 0L))
@@ -662,13 +672,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             s"table property '${s.property()}' is not persisted by " +
               "graft_docs tables; settable properties: check.<name>, " +
               "bloom.columns, bloom.bits, delete.mode, update.mode, " +
-              "merge.mode, row.tracking, eq.materialize.threshold")
+              "merge.mode, row.tracking, eq.materialize.threshold, " +
+              "compact.threshold, ndv.columns")
         case r: RemoveProperty =>
           throw new UnsupportedOperationException(
             s"table property '${r.property()}' is not persisted by " +
               "graft_docs tables; removable properties: check.<name>, " +
               "bloom.columns, bloom.bits, delete.mode, update.mode, " +
-              "merge.mode, row.tracking, eq.materialize.threshold")
+              "merge.mode, row.tracking, eq.materialize.threshold, " +
+              "compact.threshold, ndv.columns")
         case other =>
           throw new UnsupportedOperationException(
             s"graft_docs tables have a fixed schema; unsupported change: " +
@@ -719,7 +731,8 @@ object GraftCatalog {
   def isPersistedProperty(k: String): Boolean =
     k.startsWith("check.") || k.startsWith("bloom.") ||
       RowLevelModeKeys(k) || k == "row.tracking" ||
-      k == "eq.materialize.threshold"
+      k == "eq.materialize.threshold" ||
+      k == "compact.threshold" || k == "ndv.columns"
 
   /** The three row-level strategy selectors, and their only legal
     * values. Validated at CREATE and ALTER: a typo like
@@ -752,6 +765,16 @@ object GraftCatalog {
           "'eq.materialize.threshold'; expected a positive integer " +
           "(pending equality-delete values that trigger auto-" +
           "materialization)")
+    if (k == "compact.threshold" && !v.toIntOption.exists(_ >= 1))
+      throw new IllegalArgumentException(
+        s"invalid value '$v' for table property 'compact.threshold'; " +
+          "expected a positive integer (max live files before a data " +
+          "commit triggers bin-packing auto-compaction)")
+    if (k == "ndv.columns" && v.split(",").map(_.trim).exists(c =>
+        !c.matches("[A-Za-z_][A-Za-z0-9_]*")))
+      throw new IllegalArgumentException(
+        s"invalid value '$v' for table property 'ndv.columns'; " +
+          "expected a comma-separated list of column identifiers")
   }
 
   /** ADD CONSTRAINT validation (Delta parity): a new CHECK must hold

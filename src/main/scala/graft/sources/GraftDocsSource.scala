@@ -708,6 +708,19 @@ object GraftFiles {
   // plain | bucketed (-b<k>) | z-fanned (-z<id>, compaction staging) |
   // write-id-suffixed (row-level rewrites, versioned commits)
   val partFileRegex = "part-\\d+(-b\\d+)?(-z\\d+)?(-[0-9a-f]+)?\\.tsv"
+
+  /** A manifest entry's FILE-IDENTITY key. Branch manifests reference
+    * their fork's root files through `../../`-relative names while the
+    * `_file` metadata column (hence every runtime group filter, COW
+    * replace scope, and MOR delete target derived from it) carries the
+    * bare file name — matching on anything but the basename silently
+    * no-ops row-level operations against fork-referenced files.
+    * Basenames are unique within a snapshot: versioned writes suffix
+    * every file with the commit's UUID. */
+  def baseName(n: String): String = {
+    val i = n.lastIndexOf('/')
+    if (i < 0) n else n.substring(i + 1)
+  }
 }
 
 class GraftFilesScan(path: String, required: StructType,
@@ -816,10 +829,48 @@ class GraftFilesScan(path: String, required: StructType,
       if (entries.forall(_.rows.isDefined))
         java.util.OptionalLong.of(entries.flatMap(_.liveRows).sum)
       else java.util.OptionalLong.empty()
+    // Column-level NDV (ndv.columns tables): fold the live entries'
+    // per-file distinct sketches — exact under the per-file cap, HLL
+    // beyond — into DSv2 ColumnStatistics. All-or-nothing per scan: a
+    // single sketch-less live file (pre-property writes) withholds the
+    // map rather than reporting a count that can undercount. Physical-
+    // row sketches may OVERCOUNT live distinct on masked files — the
+    // safe direction for planning, same as the byte overcount above.
+    val ndvStats: Map[String, Long] =
+      if (entries.isEmpty || entries.exists(_.ndv.isEmpty)) Map.empty
+      else entries.flatMap(_.ndv).reduce(_ merge _).cols
+        .filter { case (c, _) => required.fieldNames.contains(c) }
+        .map { case (c, s) => c -> s.estimate }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong = rows
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        ndvStats.foreach { case (c, n) =>
+          // nullCount rides along for the NOT NULL base columns (a
+          // schema fact, no counter needed) — Catalyst's aggregate/join
+          // estimation only uses a column's NDV when BOTH counts are
+          // known (ColumnStat.hasCountStats); evolved columns keep
+          // distinctCount alone
+          val nonNullBySchema = Set("doc_id", "fp", "n_words")(c)
+          m.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            new org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(n)
+              override def nullCount(): java.util.OptionalLong =
+                if (nonNullBySchema) java.util.OptionalLong.of(0L)
+                else java.util.OptionalLong.empty()
+            })
+        }
+        m
+      }
     }
   }
 
@@ -915,7 +966,10 @@ class GraftFilesScan(path: String, required: StructType,
           .map(GraftVersions.FileEntry(_, GraftVersions.FileEntry.NoStats))
         finally s.close()
       }
-    entries.filter(e => keep.forall(_.contains(e.name)))
+    // match by basename: `_file` (the group filter's source) carries
+    // bare names, branch manifests carry `../../`-relative ones
+    entries.filter(e =>
+      keep.forall(_.contains(GraftFiles.baseName(e.name))))
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -1536,7 +1590,16 @@ class GraftDocsWriteBuilder(path: String, info: LogicalWriteInfo)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftDocsBatchWrite(path, info.queryId(), info.schema(), doTruncate,
-        opName = if (doTruncate) "overwrite" else "append",
+        // graftRewrite: the write CARRIES existing rows (OPTIMIZE /
+        // eq-mask materialization landing a scratch copy) — generated
+        // cells recompute and identity cells pass through instead of
+        // enforcing/allocating, exactly like the MOR row-level writers.
+        // Without it a rewrite of a GENERATED ALWAYS AS IDENTITY table
+        // would trip the explicit-values guard on its own rows.
+        opName =
+          if (Option(info.options.get("graftRewrite")).contains("true"))
+            "rewrite"
+          else if (doTruncate) "overwrite" else "append",
         zfan = Option(info.options.get("zorderFanout"))
           .map(GraftVersions.GraftZOrderFan.parse))
     override def toStreaming: StreamingWrite = {
@@ -1736,7 +1799,14 @@ class GraftDocsBatchWrite(path: String, queryId: String, writeSchema: StructType
       val removed =
         if (!truncate) Some(Set.empty[String]) // append: remove nothing
         else replaceScope() match {
-          case Some(scope) => Some(scope) // COW rewrite: its file scope
+          // COW rewrite: its file scope — resolved from `_file`
+          // BASENAMES to the snapshot's entry names (a branch
+          // references fork files as `../../name`; dropping the raw
+          // basename from such a manifest would silently no-op)
+          case Some(scope) =>
+            val live = GraftVersions.latest(root)
+              .map(_.entries.map(_.name)).getOrElse(Nil)
+            Some(live.filter(n => scope(GraftFiles.baseName(n))).toSet)
           case None => None               // overwrite: remove-all
         }
       GraftVersions.advance(root, opName, removed, added.toSeq,
@@ -1770,7 +1840,9 @@ case class GraftDocsCommitMessage(fileName: String,
     bloom: Option[GraftBloom] = None,
     // physical row/byte counts for the manifest (scan statistics and
     // the fully-deleted-file drop in the MOR delete path)
-    rows: Long = 0L, bytes: Long = 0L) extends WriterCommitMessage
+    rows: Long = 0L, bytes: Long = 0L,
+    // per-column distinct sketches (ndv.columns tables)
+    ndv: Option[GraftNdv] = None) extends WriterCommitMessage
 
 /** Driver-side preparation of the write-time quality guards persisted
   * in `_table.properties` ([[GraftTableMeta]]):
@@ -1821,7 +1893,9 @@ object GraftWriteGuards {
       // PARTITIONED BY (<generated col>): fan each task's rows into
       // one file per distinct computed value (min=max stats make the
       // manifest prune them — partition pruning at manifest cost)
-      valueFan: Option[String] = None) extends Serializable
+      valueFan: Option[String] = None,
+      // ndv.columns: per-file distinct sketches for CBO column stats
+      ndvCols: Seq[String] = Nil) extends Serializable
   val none: Guards = Guards(Nil, Nil, 0)
 
   /** Identity block size per (write, task): generous enough that no
@@ -1896,13 +1970,7 @@ object GraftWriteGuards {
         val i = eff.filter(_.visible).flatMap { c =>
           idSpecs.get(c.idx).map { case (start, step, allowExplicit) =>
             val block = IdentityStride * math.max(numPartitions, 1)
-            val base = GraftVersions.lockFor(root).synchronized {
-              val b = GraftTableMeta.identityHwm(root, c.idx)
-                .getOrElse(start)
-              GraftTableMeta.setIdentityHwm(root, c.idx,
-                b + block * step)
-              b
-            }
+            val base = reserveIdentityBlock(root, c.idx, start, step, block)
             IdPlan(c.name, c.tpe, ordinalOf(c.name), base, step,
               IdentityStride, allowExplicit, passThrough = !insertOp)
           }
@@ -1913,14 +1981,105 @@ object GraftWriteGuards {
       GraftTableMeta.bloomBits(root),
       GraftTableMeta.bucketLayout(root).map(_._2),
       generated = gens, identity = ids,
-      valueFan = GraftTableMeta.read(root).get("layout.values"))
+      valueFan = GraftTableMeta.read(root).get("layout.values"),
+      ndvCols = GraftTableMeta.ndvColumns(root))
   }
 
-  /** Explicit-identity catch-up at commit (BY DEFAULT columns): move
-    * the high-water mark past any explicitly inserted value so later
-    * block reservations can never collide with it. The landed entries'
-    * min/max stats carry the per-file extremes; step sign decides
-    * which end matters. No-op when nothing exceeded the mark. */
+  // -------------------------------------------------------------------
+  // Identity block claims: CROSS-PROCESS-safe allocation. The ground
+  // truth is a set of per-block claim files under `<table>/_identity`
+  // (name `c<idx>-<base>`, content the exclusive end value), each
+  // created with the same hard-link create-new primitive the manifest
+  // commit claim uses — two drivers that race the same base value get
+  // exactly one winner, the loser rescans and claims the next block.
+  // The `identity.hwm.<idx>` table property survives as a best-effort
+  // HINT only (it seeds the scan on legacy tables and rides clones,
+  // which copy properties but not claim files); losing a property
+  // update can no longer mint duplicate keys. Claim files are one per
+  // write JOB (tiny); vacuum folds old ones, always keeping each
+  // column's furthest claim (see GraftVersions.vacuum).
+  // -------------------------------------------------------------------
+
+  private[sources] def identityClaimDir(root: Path): Path =
+    root.resolve("_identity")
+
+  /** Parse every claim of column `idx`: (base, exclusive end). */
+  private[sources] def listIdentityClaims(root: Path, idx: Int)
+      : Seq[(Long, Long)] = {
+    val dir = identityClaimDir(root)
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      val prefix = s"c$idx-"
+      s.iterator().asScala.toSeq.flatMap { p =>
+        val n = p.getFileName.toString
+        if (!n.startsWith(prefix) || n.endsWith(".tmp")) None
+        else {
+          val base = n.substring(prefix.length).toLong
+          val end = new String(Files.readAllBytes(p),
+            StandardCharsets.UTF_8).trim.toLong
+          Some((base, end))
+        }
+      }
+    } finally s.close()
+  }
+
+  /** Atomically create the claim `[base, end)` for column `idx`;
+    * false when another writer (any process) already claimed `base`.
+    * Content lands via temp-file + hard link, so a visible claim is
+    * never torn. */
+  private def tryIdentityClaim(root: Path, idx: Int, base: Long,
+      end: Long): Boolean = {
+    val dir = identityClaimDir(root)
+    Files.createDirectories(dir)
+    val target = dir.resolve(s"c$idx-$base")
+    if (Files.exists(target)) return false
+    val tmp = Files.createTempFile(dir, "claim-", ".tmp")
+    try {
+      Files.write(tmp, end.toString.getBytes(StandardCharsets.UTF_8))
+      try { Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Reserve `units` identity values for column `idx`: returns the
+    * block base; the caller owns `[base, base + units*step)` (in step
+    * direction). Safe across drivers in different processes. */
+  private[sources] def reserveIdentityBlock(root: Path, idx: Int,
+      start: Long, step: Long, units: Long): Long =
+    GraftVersions.lockFor(root).synchronized {
+      var attempts = 0
+      while (attempts < 64) {
+        val frontier = identityFrontier(root, idx, start, step)
+        val end = frontier + units * step
+        if (tryIdentityClaim(root, idx, frontier, end)) {
+          GraftTableMeta.setIdentityHwm(root, idx, end) // hint only
+          return frontier
+        }
+        attempts += 1
+      }
+      throw new IllegalStateException(
+        s"identity column #$idx of $root: lost the block claim 64 " +
+          "times to concurrent writers; retry the write")
+    }
+
+  /** The furthest allocated value frontier: max (step>0) / min (step<0)
+    * over the claim ends and the legacy/clone property hint. */
+  private def identityFrontier(root: Path, idx: Int, start: Long,
+      step: Long): Long = {
+    val ends = listIdentityClaims(root, idx).map(_._2) :+
+      GraftTableMeta.identityHwm(root, idx).getOrElse(start)
+    if (step > 0) ends.max else ends.min
+  }
+
+  /** Explicit-identity catch-up at commit (BY DEFAULT columns): claim
+    * past any explicitly inserted value so later block reservations
+    * can never collide with it. The landed entries' min/max stats
+    * carry the per-file extremes; step sign decides which end matters.
+    * No-op when nothing exceeded the frontier (in particular, values
+    * the writer allocated from its own block never trigger a claim —
+    * their block's end is already at or past them). */
   def catchUpIdentityHwm(root: Path,
       added: Seq[GraftVersions.FileEntry]): Unit = {
     val specs = GraftTableMeta.identitySpecs(root)
@@ -1932,13 +2091,24 @@ object GraftWriteGuards {
           val ext = added.flatMap(_.stats.get(c.name))
             .filter { case (lo, hi) => lo <= hi } // skip empty sentinels
           if (ext.nonEmpty) {
-            val cur = GraftTableMeta.identityHwm(root, idx).getOrElse(start)
             val cand =
               if (step > 0) ext.map(_._2).max + step
               else ext.map(_._1).min + step
-            val next = if (step > 0) math.max(cur, cand)
-              else math.min(cur, cand)
-            if (next != cur) GraftTableMeta.setIdentityHwm(root, idx, next)
+            var attempts = 0
+            var done = false
+            while (!done && attempts < 64) {
+              val frontier = identityFrontier(root, idx, start, step)
+              val covered =
+                if (step > 0) frontier >= cand else frontier <= cand
+              if (covered) done = true
+              else if (tryIdentityClaim(root, idx, frontier, cand)) {
+                GraftTableMeta.setIdentityHwm(root, idx, cand)
+                done = true
+              } else attempts += 1
+            }
+            if (!done) throw new IllegalStateException(
+              s"identity column #$idx of $root: explicit-value " +
+                "catch-up lost the claim 64 times; retry the write")
           }
         }
       }
@@ -2006,10 +2176,11 @@ case class GraftFanCommitMessage(
 object GraftDocsCommits {
   def land(staging: Path, root: Path,
       m: WriterCommitMessage): Seq[GraftVersions.FileEntry] = m match {
-    case GraftDocsCommitMessage(name, stats, bloom, rows, bytes) =>
+    case GraftDocsCommitMessage(name, stats, bloom, rows, bytes, ndv) =>
       Files.move(staging.resolve(name), root.resolve(name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      Seq(GraftVersions.FileEntry(name, stats, bloom, Some(rows), Some(bytes)))
+      Seq(GraftVersions.FileEntry(name, stats, bloom, Some(rows),
+        Some(bytes), ndv = ndv))
     case GraftBucketedCommitMessage(parts) =>
       // bucket ids are only meaningful under the layout the writer
       // fanned with — stamp the file with the CURRENT spec id so an
@@ -2166,21 +2337,30 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
       // file-skipping stats (all three numeric columns of the schema)
       private val mins = Array.fill(3)(Long.MaxValue)
       private val maxs = Array.fill(3)(Long.MinValue)
+      // per-column distinct sketches (ndv.columns, opt-in): fed from
+      // the same single-call observation points as min/max — one
+      // bounded-memory sketch per (file, tracked column)
+      private val ndvAcc: Map[String, GraftNdvSketch] =
+        guards.ndvCols.map(c => c -> GraftNdvSketch.empty).toMap
+      private val slotNames = Array("doc_id", "fp", "n_words")
       private def observe(slot: Int, v: Long): Unit = {
         if (v < mins(slot)) mins(slot) = v
         if (v > maxs(slot)) maxs(slot) = v
+        if (ndvAcc.nonEmpty) ndvAcc.get(slotNames(slot)).foreach(_.add(v))
       }
       // min/max for generated/identity numeric columns: the manifest
       // facts behind value-layout partition pruning and explicit-id
       // hwm catch-up (base columns keep their fixed slots above)
       private val extraStats =
         scala.collection.mutable.Map.empty[String, (Long, Long)]
-      private def observeExtra(name: String, v: Long): Unit =
+      private def observeExtra(name: String, v: Long): Unit = {
         extraStats.get(name) match {
           case Some((lo, hi)) =>
             extraStats(name) = (math.min(lo, v), math.max(hi, v))
           case None => extraStats(name) = (v, v)
         }
+        if (ndvAcc.nonEmpty) ndvAcc.get(name).foreach(_.add(v))
+      }
       private val bloom =
         if (guards.bloomCols.isEmpty) None
         else Some(GraftBloom.empty(guards.bloomBits))
@@ -2297,7 +2477,8 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
           if (mins(s) > maxs(s)) cols(s) -> (0L, -1L) // empty file
           else cols(s) -> (mins(s), maxs(s))
         }.toMap ++ extraStats
-        GraftDocsCommitMessage(finalName, stats, bloom, nRows, nBytes)
+        GraftDocsCommitMessage(finalName, stats, bloom, nRows, nBytes,
+          ndv = if (ndvAcc.isEmpty) None else Some(GraftNdv(ndvAcc)))
       }
       override def abort(): Unit = { out.close(); Files.deleteIfExists(attempt) }
       override def close(): Unit = ()

@@ -122,11 +122,20 @@ class GraftDvBatchWrite(path: String, queryId: String,
       ins.foreach(m => entries ++= GraftDocsCommits.land(staging, root, m))
     }
     GraftWriteGuards.catchUpIdentityHwm(root, entries.toSeq)
+    // delete targets arrive as `_file` BASENAMES; the live manifest may
+    // reference fork files as `../../name` (branches) — resolve each
+    // target to its entry name so the mask lands instead of failing the
+    // live-snapshot membership check
+    val liveByBase = GraftVersions.latest(root)
+      .map(_.entries.map(_.name)).getOrElse(Nil)
+      .map(n => GraftFiles.baseName(n) -> n).toMap
+    val resolved = merged.map { case (f, ps) =>
+      liveByBase.getOrElse(GraftFiles.baseName(f), f) -> ps.toSeq
+    }.toMap
     // one atomic manifest advance for both halves: masks + replacements
     // (a no-op statement still commits an observable snapshot, matching
     // the COW path's empty replacement scope)
-    GraftVersions.applyDelta(root,
-      merged.view.mapValues(_.toSeq).toMap, entries.toSeq, opName,
+    GraftVersions.applyDelta(root, resolved, entries.toSeq, opName,
       readVersion = readVersion())
     cleanupStaging()
   }

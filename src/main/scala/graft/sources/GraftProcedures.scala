@@ -31,8 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
   val names: Seq[String] =
     Seq("vacuum", "optimize", "restore", "clone", "tag", "drop_tag",
-      "branch", "fast_forward", "drop_branch", "expire_snapshots",
-      "remove_orphan_files")
+      "branch", "fast_forward", "merge_branch", "drop_branch",
+      "expire_snapshots", "remove_orphan_files")
 
   /** `resolve` maps a table name to its EXISTING directory (throws for
     * absent tables); `resolveNew` maps a name to the directory it WOULD
@@ -49,6 +49,7 @@ object GraftProcedures {
       case "drop_tag" => dropTag(resolve)
       case "branch" => branch(resolve)
       case "fast_forward" => fastForward(resolve)
+      case "merge_branch" => mergeBranch(resolve)
       case "drop_branch" => dropBranch(resolve)
       case "expire_snapshots" => expireSnapshots(resolve)
       case "remove_orphan_files" => removeOrphanFiles(resolve)
@@ -276,6 +277,27 @@ object GraftProcedures {
         val dir = resolve(input.getUTF8String(0).toString)
         val name = input.getUTF8String(1).toString
         val info = GraftVersions.fastForward(dir, name)
+        result(StructType(Seq(
+          StructField("branch_name", StringType, nullable = false),
+          StructField("published_version", LongType, nullable = false),
+          StructField("n_files", LongType, nullable = false))),
+          UTF8String.fromString(name), info.version,
+          info.entries.length.toLong)
+      }
+    }
+
+  private def mergeBranch(resolve: String => Path): UnboundProcedure =
+    new Proc("merge_branch", Array(
+      param("table", StringType), param("name", StringType))) {
+      override def description(): String =
+        "publish branch `name` onto a main that MOVED since the fork: " +
+          "metadata three-way merge with file-granular conflict " +
+          "detection — disjoint scopes compose into one merge-branch " +
+          "commit, overlapping-scope divergence rejects loudly"
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = resolve(input.getUTF8String(0).toString)
+        val name = input.getUTF8String(1).toString
+        val info = GraftVersions.mergeBranch(dir, name)
         result(StructType(Seq(
           StructField("branch_name", StringType, nullable = false),
           StructField("published_version", LongType, nullable = false),

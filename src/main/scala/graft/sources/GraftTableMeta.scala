@@ -161,6 +161,17 @@ object GraftTableMeta {
   def bloomBits(root: Path): Int =
     read(root).get("bloom.bits").flatMap(_.toIntOption).getOrElse(32768)
 
+  /** NDV statistics columns (`ndv.columns = a,b,c`): the writers keep
+    * a per-file distinct sketch ([[GraftNdvSketch]]) for each listed
+    * numeric column, and the scan folds them into DSv2 column
+    * statistics for the cost-based optimizer. Opt-in like blooms —
+    * write-path work must be asked for. */
+  def ndvColumns(root: Path): Seq[String] = {
+    val p = read(root)
+    p.get("ndv.columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Schema-evolution registry: `schema.added = name:type:since,...` —
     * the ordered list of columns appended to the base schema by
     * `ALTER TABLE ... ADD COLUMN`, each stamped with the table version

@@ -116,7 +116,13 @@ object GraftVersions {
       // re-insert of the same key lands in a fresh entry unaffected —
       // the sequence-number semantics Iceberg gets from ordering, by
       // construction. None = no equality deletes.
-      eq: Option[GraftDV] = None) {
+      eq: Option[GraftDV] = None,
+      // per-column DISTINCT sketches (ndv.columns tables): manifest-
+      // resident NDV for DSv2 column statistics — the CBO's join/agg
+      // cardinality input. Physical-row sketches (masks don't shrink
+      // them): may overcount live distinct, never undercount. None =
+      // untracked file (statistics omit the column, never guess).
+      ndv: Option[GraftNdv] = None) {
     /** Can a row with `col` in [lo, hi] possibly live in this file?
       * Stats bound ALL physical rows, so they stay conservative (may
       * overcount, never undercount) for DV-masked files too. */
@@ -342,6 +348,8 @@ object GraftVersions {
                 case (b, r, s) => s"$b:$r:$s"
               }.mkString(",")))
           ++ e.bloom.map(b => blobToken("bloom", b.toBase64)).toSeq
+          ++ e.ndv.filter(_.cols.nonEmpty)
+            .map(n => blobToken("ndv", n.toBase64)).toSeq
           ++ e.dv.filter(_.cardinality > 0)
             .map(d => blobToken("dv", d.toBase64)).toSeq
           ++ e.eq.filter(_.cardinality > 0)
@@ -441,7 +449,7 @@ object GraftVersions {
           def tok(prefix: String): Option[String] =
             arr.tail.find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
           val reserved = Set("rows=", "bytes=", "bucket=", "bloom=",
-            "dv=", "lineage=", "spec=", "eqdel=")
+            "dv=", "lineage=", "spec=", "eqdel=", "ndv=")
           val statToks =
             arr.tail.filterNot(t => reserved.exists(t.startsWith))
           FileEntry(arr.head, statToks.map { tok =>
@@ -454,6 +462,7 @@ object GraftVersions {
                 tok.substring(colon + 1).toLong)
           }.toMap,
             bloom = tok("bloom=").map(v => GraftBloom.fromBase64(blob(v))),
+            ndv = tok("ndv=").map(v => GraftNdv.fromBase64(blob(v))),
             rows = tok("rows=").map(_.toLong),
             bytes = tok("bytes=").map(_.toLong),
             dv = tok("dv=").map(v => GraftDV.fromBase64(blob(v))),
@@ -597,8 +606,8 @@ object GraftVersions {
     * [[ConcurrentCommitException]] instead of losing updates. */
   def advance(root: Path, op: String, removed: Option[Set[String]],
       added: Seq[FileEntry], dataChange: Boolean = true,
-      readVersion: Option[Long] = None): VersionInfo =
-    commitWithRetry(root, s"'$op' commit") {
+      readVersion: Option[Long] = None): VersionInfo = {
+    val v = commitWithRetry(root, s"'$op' commit") {
       val base = latest(root).getOrElse(
         throw new IllegalStateException(s"advance on unversioned table $root"))
       readVersion.foreach(validateNoConflict(root, _, base, op, removed))
@@ -609,6 +618,36 @@ object GraftVersions {
       writeManifest(root, base.version + 1, op,
         (kept ++ added).sortBy(_.name), dataChange)
     }
+    // auto-compaction (Delta autoOptimize semantics): when a data
+    // commit leaves more live files than the table's opted-in bound,
+    // the COMMITTING writer pays for a follow-on bin-packing concat
+    // (dataChange=false — rows identical, feed skips it; lineage
+    // splices on row-tracked tables). Guarded on dataChange so the
+    // compaction's own commit, restores, and other metadata advances
+    // never recurse.
+    if (dataChange) maybeAutoCompact(root)
+    v
+  }
+
+  /** Run the size-triggered compaction policy: with
+    * `compact.threshold = N` set, a live snapshot holding more than N
+    * part files concats down to max(1, N/2) (per bucket class /
+    * equality-delete set / partition value — layout-preserving). At
+    * cluster scale the trigger check is one manifest read (#files),
+    * and the concat itself streams bytes without decoding rows. */
+  def maybeAutoCompact(root: Path): Option[VersionInfo] = {
+    val threshold = GraftTableMeta.read(root)
+      .get("compact.threshold").flatMap(_.toIntOption)
+      .getOrElse(return None)
+    require(threshold >= 1, s"compact.threshold must be >= 1 on $root")
+    val entries = latest(root).map(_.entries).getOrElse(Nil)
+    // pre-stats entries (enable() over existing files) have no recorded
+    // row count: the concat rewrite cannot carry them — skip the policy
+    // rather than drop them from the snapshot
+    if (entries.size <= threshold || entries.exists(_.rows.isEmpty)) None
+    else Some(compactConcat(root, math.max(1, threshold / 2),
+      maxAttempts = 3))
+  }
 
   /** Commit a merge-on-read DELETE: fold per-file deleted row
     * POSITIONS into the live snapshot's deletion vectors — no data
@@ -857,6 +896,10 @@ object GraftVersions {
       GraftTableMeta.write(tmp, GraftTableMeta.read(root))
       live.write.format("graft.sources.GraftDocsSource")
         .option("path", tmp.toString).options(writeOpts)
+        // rewrite semantics: identity cells pass through, generated
+        // cells recompute — a GENERATED ALWAYS AS IDENTITY table's own
+        // rows must not trip the explicit-values guard
+        .option("graftRewrite", "true")
         .mode("append").save()
       val staged = latest(tmp).map(_.entries).getOrElse(Nil)
       // land beside the originals under collision-free names
@@ -926,9 +969,11 @@ object GraftVersions {
       .option("path", root.toString).load()
     // scope the read to the masked files via the _file metadata column
     // (the reader applies dv + eq masks, so exactly the LIVE rows
-    // survive), one output file per input file
+    // survive), one output file per input file. _file carries BASENAMES
+    // (a branch's fork references are ../../-relative manifest names)
     val live = df.select((df.columns.map(col) :+ col("_file")): _*)
-      .filter(col("_file").isin(names: _*))
+      .filter(col("_file").isin(
+        names.map(n => GraftFiles.baseName(n)): _*))
       .drop("_file")
       .coalesce(math.max(1, names.size))
     val tmp = Files.createTempDirectory(root, "_eqmat")
@@ -936,7 +981,11 @@ object GraftVersions {
       enable(tmp)
       GraftTableMeta.write(tmp, GraftTableMeta.read(root))
       live.write.format("graft.sources.GraftDocsSource")
-        .option("path", tmp.toString).mode("append").save()
+        .option("path", tmp.toString)
+        // rewrite semantics (see compact): existing identity values
+        // pass through rather than tripping the GENERATED ALWAYS guard
+        .option("graftRewrite", "true")
+        .mode("append").save()
       val staged = latest(tmp).map(_.entries).getOrElse(Nil)
       val tag = java.util.UUID.randomUUID.toString.replace("-", "")
       val landed = staged.zipWithIndex.map { case (e, i) =>
@@ -992,16 +1041,22 @@ object GraftVersions {
     // set concat safely; others bin apart, keyed by the exact value set.
     def eqKey(e: FileEntry): Seq[Long] =
       e.eq.map(_.positions.toSeq).getOrElse(Nil)
+    // value-partitioned tables: a concat across partition values would
+    // widen the layout column's min=max stat to a range and erase the
+    // manifest's partition pruning — bin within one value only
+    val valueCol = GraftTableMeta.read(root).get("layout.values")
+    def pvKey(e: FileEntry): Option[(Long, Long)] =
+      valueCol.flatMap(e.stats.get)
     // bins: one per bucket class when the table declares a layout;
     // otherwise sequential fill toward equal byte shares of n bins
     val bins: Seq[Seq[FileEntry]] =
       if (GraftTableMeta.bucketLayout(root).isDefined)
         // never merge across bucket classes OR partition specs: a
         // concat of two specs' files has no single layout to report
-        members.groupBy(e => (e.bucket, e.spec, eqKey(e))).toSeq
-          .sortBy { case ((b, sp, eqk), _) =>
+        members.groupBy(e => (e.bucket, e.spec, eqKey(e), pvKey(e))).toSeq
+          .sortBy { case ((b, sp, eqk, pv), _) =>
             (b.getOrElse(Int.MaxValue), sp.getOrElse(0),
-              eqk.mkString(",")) }
+              eqk.mkString(","), pv.map(_._1).getOrElse(Long.MinValue)) }
           .map(_._2.sortBy(_.name))
       else {
         // sequential fill toward equal byte shares of `target` bins
@@ -1025,19 +1080,31 @@ object GraftVersions {
         }
         val (eqMasked, eqFree) =
           members.partition(_.eq.exists(_.cardinality > 0))
-        if (eqMasked.isEmpty) byteShareFill(eqFree, targetFiles)
+        if (eqMasked.isEmpty && valueCol.isEmpty)
+          byteShareFill(eqFree, targetFiles)
         else {
           // eq-masked files bin per distinct value set (a concat across
           // different sets would extend one mask over another's rows);
-          // eq-FREE files still honor targetFiles via the byte-share
-          // fill over whatever bin budget the masked groups left over.
-          val maskedBins = eqMasked.groupBy(eqKey).toSeq
-            .sortBy(_._1.mkString(",")).map(_._2.sortBy(_.name))
-          maskedBins ++ byteShareFill(eqFree,
-            math.max(1, targetFiles - maskedBins.size))
+          // value-partitioned files bin per partition value. eq-FREE,
+          // value-free files still honor targetFiles via the byte-share
+          // fill over whatever bin budget the keyed groups left over.
+          val (keyed, free) =
+            eqFree.partition(e => valueCol.isDefined && pvKey(e).isDefined)
+          val keyedBins = (eqMasked ++ keyed)
+            .groupBy(e => (eqKey(e), pvKey(e))).toSeq
+            .sortBy { case ((eqk, pv), _) =>
+              (eqk.mkString(","), pv.map(_._1).getOrElse(Long.MinValue)) }
+            .map(_._2.sortBy(_.name))
+          keyedBins ++ byteShareFill(free,
+            math.max(1, targetFiles - keyedBins.size))
         }
       }
     val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+    // lineage splicing is a row-tracked concern: on an untracked table
+    // (auto-compaction runs concat everywhere) the entries carry no
+    // segments and must not gain synthetic ones
+    val tracked =
+      GraftTableMeta.read(root).get("row.tracking").contains("true")
     val landed = bins.zipWithIndex.map { case (bin, i) =>
       val name = f"part-$i%05d-$tag.tsv"
       val tmp = Files.createTempFile(root, s"_concat-$i-", ".tmp")
@@ -1056,9 +1123,11 @@ object GraftVersions {
         // a member whose segments do not cover its physical rows (or a
         // pre-tracking member) contributes an id-less segment: NULL ids,
         // never invented ones
-        if (e.lineage.nonEmpty && e.lineage.map(_._2).sum == r)
-          lineage ++= e.lineage
-        else lineage += ((-1L, r, -1L))
+        if (tracked) {
+          if (e.lineage.nonEmpty && e.lineage.map(_._2).sum == r)
+            lineage ++= e.lineage
+          else lineage += ((-1L, r, -1L))
+        }
         offset += r
       } finally out.close()
       Files.move(tmp, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
@@ -1081,6 +1150,13 @@ object GraftVersions {
           c -> (rs.map(_._1).min, rs.map(_._2).max)
         }.toMap,
         bloom = mergedBloom,
+        // NDV sketches union losslessly; a member without one widens
+        // the concat to "unknown" (never a wrong count)
+        ndv =
+          if (bin.forall(_.ndv.isDefined))
+            bin.flatMap(_.ndv).reduceOption(_ merge _)
+              .filter(_.cols.nonEmpty)
+          else None,
         rows = Some(bin.map(_.rows.get).sum),
         bytes = Some(Files.size(root.resolve(name))),
         dv = if (dvs.isEmpty) None else Some(GraftDV.of(dvs)),
@@ -1343,6 +1419,121 @@ object GraftVersions {
       info
     }
 
+  /** Publish branch `name` onto a main that has MOVED since the fork —
+    * the diverged case [[fastForward]] rejects — as one metadata
+    * three-way merge commit, with FILE-granular conflict detection
+    * (the Iceberg/Delta optimistic-concurrency unit):
+    *
+    *  - each side's changes since the fork are read off its manifests:
+    *    fork-point files it removed or grew masks on (dv/eq), plus the
+    *    files it added;
+    *  - a fork file BOTH sides touched is an overlapping-scope
+    *    divergence → loud [[ConcurrentCommitException]] (rebase the
+    *    branch by hand; silently merging masks would reorder two
+    *    writers' intents);
+    *  - disjoint scopes compose: main's current snapshot, minus fork
+    *    files the branch removed, with the branch's mask growth
+    *    swapped in, plus the branch's local files promoted by rename —
+    *    one `merge-branch` commit, zero data bytes read or written.
+    *
+    * Row-tracked tables reject: both sides allocate row ids from the
+    * same fork hwm, so a merge could alias ids — the straight-line
+    * [[fastForward]] (which carries ONE side's ids) is the supported
+    * path there. A main that was COMPACTED since the fork also rejects
+    * (its fork files were rewritten: file-granular diffing can no
+    * longer prove the scopes disjoint). */
+  def mergeBranch(root: Path, name: String): VersionInfo =
+    lockFor(root).synchronized {
+      val bdir = branchDir(root, name)
+      if (!Files.isDirectory(bdir))
+        throw new IllegalArgumentException(
+          s"no branch '$name' on table at $root")
+      if (GraftTableMeta.read(root).get("row.tracking").contains("true"))
+        throw new UnsupportedOperationException(
+          s"merge_branch on row-tracked table $root could alias row " +
+            "ids (both sides allocate from the fork's high-water " +
+            "mark); use fast_forward from an unmoved main instead")
+      val base = GraftTableMeta.read(bdir).get("branch.base")
+        .map(_.toLong).getOrElse(throw new IllegalStateException(
+          s"branch '$name' at $bdir has no recorded fork point"))
+      val cur = latest(root).getOrElse(throw new IllegalStateException(
+        s"merge_branch on empty log: $root"))
+      if (cur.version == base) return fastForward(root, name)
+      if (!listVersionNumbers(root).contains(base))
+        throw new IllegalStateException(
+          s"fork snapshot v$base of $root was expired by vacuum: " +
+            "merge_branch needs it to diff both sides' changes")
+      val fork = manifest(root, base)
+      val head = latest(bdir).getOrElse(throw new IllegalStateException(
+        s"branch '$name' has an empty version log"))
+      val rootAbs = root.toAbsolutePath.normalize()
+      val bAbs = bdir.toAbsolutePath.normalize()
+      // resolve a branch entry to (root-relative name, entry) when it
+      // references a fork-point root file; None = branch-local
+      def asRootFile(e: FileEntry): Option[(String, FileEntry)] = {
+        val abs = bAbs.resolve(e.name).normalize()
+        if (abs.getParent == rootAbs) Some(abs.getFileName.toString -> e)
+        else None
+      }
+      val forkByName = fork.entries.map(e => e.name -> e).toMap
+      val forkNames = forkByName.keySet
+      def masksOf(e: FileEntry): (Long, Long) =
+        (e.dv.map(_.cardinality.toLong).getOrElse(0L),
+          e.eq.map(_.cardinality.toLong).getOrElse(0L))
+      // ----- branch side: survivors, mask growth, locals -----
+      val branchRootFiles = head.entries.flatMap(asRootFile).toMap
+      val branchLocals = head.entries.filter(asRootFile(_).isEmpty)
+      val branchRemoved = forkNames -- branchRootFiles.keySet
+      val branchMasked = branchRootFiles.filter { case (n, e) =>
+        forkByName.get(n).exists(f => masksOf(e) != masksOf(f))
+      }
+      // ----- main side since the fork -----
+      val curNames = cur.entries.map(_.name).toSet
+      val mainRemoved = forkNames -- curNames
+      val mainMasked = cur.entries.filter(e =>
+        forkByName.get(e.name).exists(f => masksOf(e) != masksOf(f)))
+        .map(_.name).toSet
+      // a compaction/fast-forward since the fork rewrote fork files
+      // without row change — file diffing can't attribute those, reject
+      val mainRewrote = ((base + 1) to cur.version).exists { v =>
+        listVersionNumbers(root).contains(v) && {
+          val i = manifest(root, v)
+          !i.dataChange && i.entries.map(_.name).toSet != (
+            if (listVersionNumbers(root).contains(v - 1))
+              manifest(root, v - 1).entries.map(_.name).toSet
+            else Set.empty[String])
+        }
+      }
+      if (mainRewrote) throw new ConcurrentCommitException(
+        s"main of $root was compacted/rewritten since fork v$base: " +
+          "file-granular merge cannot prove the scopes disjoint; " +
+          "recreate the branch from the current snapshot")
+      val branchTouched = branchRemoved ++ branchMasked.keySet
+      val mainTouched = mainRemoved ++ mainMasked
+      val overlap = branchTouched intersect mainTouched
+      if (overlap.nonEmpty) throw new ConcurrentCommitException(
+        s"branch '$name' and main both modified fork files since " +
+          s"v$base (${overlap.toSeq.sorted.take(5).mkString(", ")}" +
+          s"${if (overlap.size > 5) ", …" else ""}): overlapping-scope " +
+          "divergence — rebase the branch (recreate from the current " +
+          "snapshot and replay) instead of merging blind")
+      // ----- compose: main's snapshot + the branch's disjoint edits ---
+      val promoted = branchLocals.map { e =>
+        val abs = bAbs.resolve(e.name).normalize()
+        require(abs.startsWith(bAbs), s"branch entry escapes its dir: " +
+          s"${e.name}")
+        Files.move(abs, rootAbs.resolve(abs.getFileName.toString))
+        e.copy(name = abs.getFileName.toString)
+      }
+      val swapped = branchMasked.map { case (n, e) => e.copy(name = n) }
+      val info = advance(root, "merge-branch",
+        removed = Some(branchRemoved ++ branchMasked.keySet),
+        added = (swapped ++ promoted).toSeq,
+        readVersion = Some(cur.version))
+      org.apache.commons.io.FileUtils.deleteDirectory(bdir.toFile)
+      info
+    }
+
   /** Delete branch `name` without publishing (abandon the audit). */
   def dropBranch(root: Path, name: String): Boolean =
     lockFor(root).synchronized {
@@ -1434,9 +1625,17 @@ object GraftVersions {
       // valve) keeps a CONCURRENT writer's in-flight temp and its
       // just-landed (not-yet-referenced) sidecar safe: only files
       // older than the explicit cutoff — or 10 minutes, far beyond any
-      // commit's write-to-claim window — are debris.
-      val tmpCutoffMicros = olderThanMicros.getOrElse(
-        System.currentTimeMillis() * 1000L - 10L * 60 * 1000 * 1000)
+      // commit's write-to-claim window — are debris. The caller's
+      // cutoff NEVER relaxes the grace: an aggressive retention
+      // argument (~now, legitimate for expiring SNAPSHOTS fast) must
+      // not delete a concurrent cross-process writer's just-landed
+      // sidecar before its manifest hard-links — that would leave a
+      // committed manifest referencing missing sidecar bytes. The
+      // sweep cutoff is therefore min(argument, now - grace).
+      val graceMicros =
+        System.currentTimeMillis() * 1000L - 10L * 60 * 1000 * 1000
+      val tmpCutoffMicros =
+        math.min(olderThanMicros.getOrElse(Long.MaxValue), graceMicros)
       val scList = Files.list(versionsDir(root))
       try {
         import scala.jdk.CollectionConverters._
@@ -1451,6 +1650,44 @@ object GraftVersions {
             Files.deleteIfExists(p)
         }
       } finally scList.close()
+      // Identity claim folding: claims are monotone (every new claim's
+      // end is the furthest seen), so once a column has a newer claim,
+      // older ones are redundant to the allocator's max/min scan.
+      // Deleting ONLY claims past the grace window keeps the race-free
+      // invariant: an allocator's scan-to-create window is milliseconds,
+      // so no in-flight scan can still see (and re-choose the base of)
+      // a claim old enough to fold — the same mtime reasoning as the
+      // temp sweep above. The furthest claim per column ALWAYS stays:
+      // it alone carries the frontier.
+      val idDir = root.resolve("_identity")
+      if (Files.isDirectory(idDir)) {
+        import scala.jdk.CollectionConverters._
+        def staleId(p: Path): Boolean =
+          Files.getLastModifiedTime(p).toMillis * 1000L < graceMicros
+        val specs = GraftTableMeta.identitySpecs(root)
+        val idList = Files.list(idDir)
+        val all = try idList.iterator().asScala.toSeq finally idList.close()
+        all.filter(p => p.getFileName.toString.endsWith(".tmp"))
+          .filter(staleId).foreach(Files.deleteIfExists(_))
+        specs.foreach { case (idx, (_, step, _)) =>
+          val prefix = s"c$idx-"
+          val claims = all.flatMap { p =>
+            val n = p.getFileName.toString
+            if (!n.startsWith(prefix) || n.endsWith(".tmp")) None
+            else try {
+              val end = new String(Files.readAllBytes(p),
+                java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+              Some((p, end))
+            } catch { case _: Exception => None }
+          }
+          if (claims.size > 1) {
+            val keep =
+              (if (step > 0) claims.maxBy(_._2) else claims.minBy(_._2))._1
+            claims.filter(_._1 != keep).map(_._1)
+              .filter(staleId).foreach(Files.deleteIfExists(_))
+          }
+        }
+      }
       expiredFiles.toSeq.sorted.foreach { f =>
         Files.deleteIfExists(root.resolve(f))
       }

