@@ -298,11 +298,151 @@ object Round16 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q269: ANALYZE — statistics backfill for files that predate them
+  // ---------------------------------------------------------------------
+
+  /** Statistics adoption on an EXISTING table: two files land before
+    * `ndv.columns` exists, the property arrives by ALTER, and
+    * `CALL cat.system.analyze('t')` backfills both files' sketches in
+    * one distributed pass over exactly the needy files (a static
+    * `_file IN (...)` predicate prunes the rest at plan time) + one
+    * dataChange=false commit. The audit reads the NDV off the
+    * optimizer's own attribute statistics (as q266) and pins the
+    * procedure's contract: first call analyzes 2 files, second call is
+    * the idempotent no-op (0 files, no commit). */
+  val q269Analyze: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q269")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      insertRange(spark, cat, 0, 60)
+      insertRange(spark, cat, 60, 120)
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES " +
+        "('ndv.columns' = 'doc_id,n_words')")
+      val first = spark.sql(s"CALL $cat.system.analyze('t')").head()
+      val second = spark.sql(s"CALL $cat.system.analyze('t')").head()
+      val rel = spark.read.format("graft.sources.GraftDocsSource")
+        .option("path", wh.resolve("t").toString).load()
+        .select("doc_id", "n_words")
+      val stats = rel.queryExecution.optimizedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => s.stats
+      }.getOrElse(throw new IllegalStateException(
+        "no DSv2 scan relation in the optimized plan"))
+      val byName = stats.attributeStats.toSeq.map { case (a, cs) =>
+        a.name -> cs.distinctCount.map(_.toLong)
+      }.toMap
+      import spark.implicits._
+      val rows = Seq(
+        ("_analyzed", first.getLong(0)),
+        ("_analyzed_again", second.getLong(0)),
+        ("_rows", stats.rowCount.map(_.toLong).getOrElse(-1L)),
+        ("doc_id", byName.getOrElse("doc_id", None).getOrElse(-1L)),
+        ("n_words", byName.getOrElse("n_words", None).getOrElse(-1L)))
+      rows.toDF("col_name", "ndv").orderBy("col_name")
+    } finally teardown(spark, cat, wh)
+  }
+
+  // ---------------------------------------------------------------------
+  // q270: retention.versions — self-expiring snapshot history
+  // ---------------------------------------------------------------------
+
+  /** The third self-maintenance policy: `retention.versions = 3` makes
+    * every data commit that grows the log past 3 retained snapshots
+    * vacuum down to the newest 3 — bounded history without a
+    * maintenance job, the version-count (clock-free, deterministic)
+    * face of Delta's log retention. Six single-file appends leave
+    * exactly versions {4, 5, 6} retained; every append's files are
+    * still referenced by the surviving snapshots, so the LIVE rows are
+    * untouched — which the audit pins alongside the history window. */
+  val q270Retention: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q270")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'retention.versions' = '3')""".stripMargin)
+      (0 until 6).foreach(b => insertRange(spark, cat, 4 * b, 4 * b + 4))
+      val hist = spark.sql(
+        s"""SELECT COUNT(*) AS n, MIN(version) AS lo, MAX(version) AS hi
+           |FROM $cat.t.history""".stripMargin).head()
+      val out = spark.sql(
+        s"""SELECT COUNT(*) AS n_rows, SUM(doc_id) AS sum_doc_id,
+           |  SUM(CAST(n_words AS BIGINT)) AS sum_words
+           |FROM $cat.t""".stripMargin)
+        .withColumn("n_history", lit(hist.getLong(0)))
+        .withColumn("min_version", lit(hist.getLong(1)))
+        .withColumn("max_version", lit(hist.getLong(2)))
+      OpsUtil.driverLiteral(out)
+    } finally teardown(spark, cat, wh)
+  }
+
+  // ---------------------------------------------------------------------
+  // q271: dynamic partition pruning on the value layout
+  // ---------------------------------------------------------------------
+
+  /** DPP against the manifest: the fact table is value-partitioned by
+    * a generated column (`wb = n_words % 6`, one file per distinct
+    * value per insert task), the dimension is a 2-row driver frame
+    * selecting wb ∈ {1, 3} — the scan advertises `wb` as a runtime-
+    * filter attribute, Spark's dynamic-partition-pruning rule runs the
+    * broadcast dim first and hands the fact scan `wb IN (1, 3)`, and
+    * the min=max partition stats drop every other partition's files
+    * before a fact byte is read. The classic star-join pruning, at
+    * manifest cost with no directory tree. (The file-count proof lives
+    * in Round16Spec; this audit pins the joined result.) */
+  val q271ValueDpp: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q271")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  wb BIGINT GENERATED ALWAYS AS
+           |    (CAST(n_words AS BIGINT) % 6))
+           |PARTITIONED BY (wb)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      insertRange(spark, cat, 0, 48)
+      insertRange(spark, cat, 48, 96)
+      // the dim is a FILE-BACKED table (manifest statistics make it
+      // the broadcast build side — DPP only reuses a broadcast) with a
+      // SURVIVING selective filter (a driver-local frame's filter
+      // constant-folds away before the pruning rule runs, and an
+      // unfiltered dim is never a pruning candidate)
+      spark.sql(
+        s"""CREATE TABLE $cat.d (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "8").load().coalesce(1)
+        .createOrReplaceTempView(s"${cat}_dsrc")
+      spark.sql(s"INSERT INTO $cat.d SELECT * FROM ${cat}_dsrc")
+      spark.catalog.dropTempView(s"${cat}_dsrc")
+      val out = spark.sql(
+        s"""SELECT d.title AS tag, f.wb, COUNT(*) AS n_rows,
+           |  SUM(f.doc_id) AS sum_doc_id
+           |FROM $cat.t f JOIN $cat.d d ON f.wb = d.doc_id
+           |WHERE d.doc_id IN (1, 3)
+           |GROUP BY d.title, f.wb ORDER BY f.wb""".stripMargin)
+      OpsUtil.driverLiteral(out)
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
     "q265_auto_compact" -> q265AutoCompact,
     "q266_ndv_stats" -> q266NdvStats,
     "q267_cdf_evolution" -> q267CdfEvolution,
-    "q268_merge_branch" -> q268MergeBranch)
+    "q268_merge_branch" -> q268MergeBranch,
+    "q269_analyze" -> q269Analyze,
+    "q270_retention" -> q270Retention,
+    "q271_value_dpp" -> q271ValueDpp)
 
   val oracle: Map[String, String] = Map(
     // v0 enable(0) · v1..v5 append (1..5 files) · v6 compact (2) ·
@@ -354,6 +494,42 @@ object Round16 {
         |  CAST(COUNT(label) AS BIGINT) AS n_labeled,
         |  CAST(SUM(label) AS BIGINT) AS sum_label
         |FROM rows_ GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // first analyze backfills both files, second is a no-op; NDV is
+    // exact under the cap: doc_id 120 distinct, n_words wraps i%91+9
+    "q269_analyze" ->
+      """SELECT col_name, ndv FROM (
+        |  SELECT '_analyzed' AS col_name, CAST(2 AS BIGINT) AS ndv
+        |  UNION ALL SELECT '_analyzed_again', 0
+        |  UNION ALL SELECT '_rows', 120
+        |  UNION ALL
+        |  SELECT 'doc_id', (SELECT COUNT(DISTINCT i) FROM range(0,120) t(i))
+        |  UNION ALL
+        |  SELECT 'n_words', (SELECT COUNT(DISTINCT i % 91 + 9)
+        |    FROM range(0, 120) t(i)))
+        |ORDER BY col_name""".stripMargin,
+    // v0 enable + v1..v6 appends; retention 3 fires after v3/v4/v5/v6,
+    // each keeping the newest 3 → final history {4,5,6}; rows intact
+    "q270_retention" ->
+      """SELECT CAST(24 AS BIGINT) AS n_rows,
+        |  (SELECT CAST(SUM(i) AS BIGINT) FROM range(0, 24) t(i))
+        |    AS sum_doc_id,
+        |  (SELECT CAST(SUM(i % 91 + 9) AS BIGINT) FROM range(0, 24) t(i))
+        |    AS sum_words,
+        |  CAST(3 AS BIGINT) AS n_history,
+        |  CAST(4 AS BIGINT) AS min_version,
+        |  CAST(6 AS BIGINT) AS max_version""".stripMargin,
+    // wb = (i%91+9) % 6 over [0,96); dim = docs rows {1, 3} renamed
+    // (wb = doc_id, tag = title)
+    "q271_value_dpp" ->
+      """WITH f AS (
+        |  SELECT i AS doc_id, (i % 91 + 9) % 6 AS wb
+        |  FROM range(0, 96) t(i)),
+        |d(wb, tag) AS (VALUES (1, 'doc-1'), (3, 'doc-3'))
+        |SELECT d.tag, CAST(f.wb AS BIGINT) AS wb,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(f.doc_id) AS BIGINT) AS sum_doc_id
+        |FROM f JOIN d ON f.wb = d.wb
+        |GROUP BY d.tag, f.wb ORDER BY f.wb""".stripMargin,
     // final rows [0,10)\{3} ∪ [10,14) ∪ [20,24); merge lands at main
     // v3 (v0 enable · v1 append · v2 append · v3 merge-branch)
     "q268_merge_branch" ->

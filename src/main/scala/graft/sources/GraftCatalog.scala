@@ -673,14 +673,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
               "graft_docs tables; settable properties: check.<name>, " +
               "bloom.columns, bloom.bits, delete.mode, update.mode, " +
               "merge.mode, row.tracking, eq.materialize.threshold, " +
-              "compact.threshold, ndv.columns")
+              "compact.threshold, ndv.columns, retention.versions")
         case r: RemoveProperty =>
           throw new UnsupportedOperationException(
             s"table property '${r.property()}' is not persisted by " +
               "graft_docs tables; removable properties: check.<name>, " +
               "bloom.columns, bloom.bits, delete.mode, update.mode, " +
               "merge.mode, row.tracking, eq.materialize.threshold, " +
-              "compact.threshold, ndv.columns")
+              "compact.threshold, ndv.columns, retention.versions")
         case other =>
           throw new UnsupportedOperationException(
             s"graft_docs tables have a fixed schema; unsupported change: " +
@@ -732,7 +732,8 @@ object GraftCatalog {
     k.startsWith("check.") || k.startsWith("bloom.") ||
       RowLevelModeKeys(k) || k == "row.tracking" ||
       k == "eq.materialize.threshold" ||
-      k == "compact.threshold" || k == "ndv.columns"
+      k == "compact.threshold" || k == "ndv.columns" ||
+      k == "retention.versions"
 
   /** The three row-level strategy selectors, and their only legal
     * values. Validated at CREATE and ALTER: a typo like
@@ -775,6 +776,11 @@ object GraftCatalog {
       throw new IllegalArgumentException(
         s"invalid value '$v' for table property 'ndv.columns'; " +
           "expected a comma-separated list of column identifiers")
+    if (k == "retention.versions" && !v.toIntOption.exists(_ >= 1))
+      throw new IllegalArgumentException(
+        s"invalid value '$v' for table property 'retention.versions'; " +
+          "expected a positive integer (snapshots retained after each " +
+          "data commit)")
   }
 
   /** ADD CONSTRAINT validation (Delta parity): a new CHECK must hold

@@ -522,6 +522,9 @@ class GraftFilesScanBuilder(path: String,
   private def tightenHi(c: String, v: Long): Unit =
     hi(c) = math.min(hi.getOrElse(c, Long.MaxValue), v)
   private var accepted = Array.empty[Filter]
+  // static `_file` whitelist (basenames) from IN/= predicates: plan-
+  // time file pruning for self-scoping maintenance passes
+  private var fileList: Option[Set[String]] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -551,6 +554,20 @@ class GraftFilesScanBuilder(path: String,
       case EqualTo(c, v: Number) => eqLit(c) = v.longValue.toString
       case EqualTo(c, v: String) => eqLit(c) = v
       case EqualTo(c, v: UTF8String) => eqLit(c) = v.toString
+      case _ => ()
+    }
+    // STATIC `_file` predicates prune at plan time (the maintenance
+    // pattern: analyze/repair passes scope themselves to the needy
+    // files — the scan must not open the rest of a 100 TB table). The
+    // filter stays residual; Spark re-applies it row-wise.
+    filters.foreach {
+      case In("_file", vs) =>
+        fileList = Some(fileList.getOrElse(
+          vs.map(String.valueOf(_)).toSet)
+          .intersect(vs.map(String.valueOf(_)).toSet))
+      case EqualTo("_file", v) =>
+        val s = Set(String.valueOf(v))
+        fileList = Some(fileList.map(_.intersect(s)).getOrElse(s))
       case _ => ()
     }
     accepted = filters.filter {
@@ -661,7 +678,8 @@ class GraftFilesScanBuilder(path: String,
       endingVersion = Option(options.get("endingVersion")).map(_.toLong),
       colRanges = ranges, eqLiterals = eqLit.toMap,
       onSnapshotResolved = onSnapshotResolved,
-      cdf = options.getBoolean("readChangeFeed", false))
+      cdf = options.getBoolean("readChangeFeed", false),
+      fileWhitelist = fileList)
   }
 }
 
@@ -751,13 +769,18 @@ class GraftFilesScan(path: String, required: StructType,
     // update_preimage/update_postimage) instead of snapshot rows —
     // streamed one commit per micro-batch, or BATCH-read over
     // [startingVersion, endingVersion] (Delta's table_changes)
-    cdf: Boolean = false)
+    cdf: Boolean = false,
+    // static `_file IN (...)` whitelist (basenames): plan-time file
+    // pruning for maintenance passes that scope themselves
+    fileWhitelist: Option[Set[String]] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with SupportsReportPartitioning {
   // files surviving runtime group filtering; None = no filter arrived
   @volatile private var keep: Option[Set[String]] = None
+  // value-partition whitelist from a DPP runtime filter; None = none
+  @volatile private var keepValues: Option[Set[Long]] = None
 
   /** The declared bucket layout IF this scan can honor it: the table
     * persists `layout.bucket` (bucketed CREATE), the resolved snapshot's
@@ -886,22 +909,46 @@ class GraftFilesScan(path: String, required: StructType,
     * therefore only they are replaced — see [[GraftCowOperation]]).
     * Unrecognized predicate shapes are ignored: reading more than
     * necessary is correct, just not minimal. */
-  override def filterAttributes(): Array[NamedReference] =
-    // advertise `_file` ONLY when this scan actually produces it (the
-    // row-level operations always request it): Spark's dynamic-pruning
-    // rule resolves filterAttributes against the relation OUTPUT and
-    // throws on a miss — a plain query's scan (no metadata columns)
-    // must therefore advertise nothing, or any broadcast-join plan
-    // over this table fails analysis (surfaced when manifest
-    // statistics made these tables broadcast-able)
-    if (required.fieldNames.contains("_file"))
-      Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
-    else Array.empty
+  /** The table's value-partition column (PARTITIONED BY a generated
+    * column), eligible for DYNAMIC PARTITION PRUNING: a join against a
+    * filtered dimension on this column makes Spark run the dim side
+    * first and hand this scan an `IN (values)` runtime predicate — the
+    * manifest's min=max stats then drop whole partitions before a fact
+    * byte is read (Spark's DPP, at manifest cost instead of a
+    * directory tree). */
+  private lazy val valuePartitionCol: Option[String] = {
+    val dir = Paths.get(path)
+    if (!GraftVersions.isVersioned(dir)) None
+    else GraftTableMeta.read(dir).get("layout.values")
+      .filter(required.fieldNames.contains)
+  }
+
+  override def filterAttributes(): Array[NamedReference] = {
+    // advertise `_file` (row-level group filtering) or the value-
+    // partition column (DPP) ONLY when this scan actually produces
+    // them: Spark's dynamic-pruning rule resolves filterAttributes
+    // against the relation OUTPUT and throws on a miss — a plain
+    // query's scan (no metadata columns) must therefore advertise
+    // nothing, or any broadcast-join plan over this table fails
+    // analysis (surfaced when manifest statistics made these tables
+    // broadcast-able). The two are EXCLUSIVE by design: a scan that
+    // produces `_file` is a row-level operation's, and its group
+    // filter must arrive as `_file IN (...)` — advertising the value
+    // column too made Spark build the group filter on IT instead,
+    // which pruned the scan correctly but never delivered the replace
+    // SCOPE, so the COW commit degraded to remove-all (caught as a
+    // 10-row data loss in q261's lifecycle; plain DPP queries never
+    // request `_file`).
+    val col =
+      if (required.fieldNames.contains("_file")) Some("_file")
+      else valuePartitionCol
+    col.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  }
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-    val fileRef = Seq("_file")
-    def refMatches(e: V2Expression): Boolean = e match {
-      case r: NamedReference => r.fieldNames.toSeq == fileRef
+    def refTo(col: String)(e: V2Expression): Boolean = e match {
+      case r: NamedReference => r.fieldNames.toSeq == Seq(col)
       case _ => false
     }
     def litString(e: V2Expression): Option[String] = e match {
@@ -909,22 +956,39 @@ class GraftFilesScan(path: String, required: StructType,
         Option(l.value()).map(_.toString)
       case _ => None
     }
-    val matched: Seq[Set[String]] = predicates.toSeq.flatMap { p =>
-      (p.name(), p.children().toSeq) match {
-        case ("IN", ref +: vals) if refMatches(ref) && vals.forall(litString(_).isDefined) =>
-          Some(vals.flatMap(litString).toSet)
-        case ("=", Seq(a, b)) if refMatches(a) && litString(b).isDefined =>
-          Some(litString(b).toSet)
-        case ("=", Seq(a, b)) if refMatches(b) && litString(a).isDefined =>
-          Some(litString(a).toSet)
-        case _ => None
+    // IN / = sets per runtime-filterable attribute; unrecognized
+    // predicate shapes are ignored (reading more than necessary is
+    // correct, just not minimal)
+    def matchedSets(col: String): Seq[Set[String]] =
+      predicates.toSeq.flatMap { p =>
+        (p.name(), p.children().toSeq) match {
+          case ("IN", ref +: vals) if refTo(col)(ref) &&
+              vals.forall(litString(_).isDefined) =>
+            Some(vals.flatMap(litString).toSet)
+          case ("=", Seq(a, b)) if refTo(col)(a) &&
+              litString(b).isDefined =>
+            Some(litString(b).toSet)
+          case ("=", Seq(a, b)) if refTo(col)(b) &&
+              litString(a).isDefined =>
+            Some(litString(a).toSet)
+          case _ => None
+        }
       }
-    }
-    if (matched.nonEmpty) {
+    val fileSets = matchedSets("_file")
+    if (fileSets.nonEmpty) {
       // multiple predicates on _file intersect
-      val files = matched.reduce(_ intersect _)
+      val files = fileSets.reduce(_ intersect _)
       keep = Some(files)
       onGroupFilter.foreach(_(files))
+    }
+    // DPP on the value-partition column: the runtime values intersect
+    // into a partition whitelist applied against each file's min=max
+    // stat in liveEntries (a file without the stat is never pruned)
+    valuePartitionCol.foreach { c =>
+      val vs = matchedSets(c)
+      if (vs.nonEmpty)
+        keepValues =
+          Some(vs.reduce(_ intersect _).flatMap(_.toLongOption))
     }
   }
 
@@ -970,6 +1034,19 @@ class GraftFilesScan(path: String, required: StructType,
     // bare names, branch manifests carry `../../`-relative ones
     entries.filter(e =>
       keep.forall(_.contains(GraftFiles.baseName(e.name))))
+      .filter(e =>
+        fileWhitelist.forall(_.contains(GraftFiles.baseName(e.name))))
+      .filter { e =>
+        // DPP partition whitelist: prune a file only when its value-
+        // partition stat PROVES a single value outside the set — a
+        // missing or widened stat keeps the file (never lose rows)
+        keepValues.forall { vs =>
+          valuePartitionCol.flatMap(e.stats.get) match {
+            case Some((lo, hi)) if lo == hi => vs.contains(lo)
+            case _ => true
+          }
+        }
+      }
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

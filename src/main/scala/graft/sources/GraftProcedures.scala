@@ -32,7 +32,7 @@ object GraftProcedures {
   val names: Seq[String] =
     Seq("vacuum", "optimize", "restore", "clone", "tag", "drop_tag",
       "branch", "fast_forward", "merge_branch", "drop_branch",
-      "expire_snapshots", "remove_orphan_files")
+      "expire_snapshots", "remove_orphan_files", "analyze")
 
   /** `resolve` maps a table name to its EXISTING directory (throws for
     * absent tables); `resolveNew` maps a name to the directory it WOULD
@@ -51,6 +51,7 @@ object GraftProcedures {
       case "fast_forward" => fastForward(resolve)
       case "merge_branch" => mergeBranch(resolve)
       case "drop_branch" => dropBranch(resolve)
+      case "analyze" => analyzeTable(resolve)
       case "expire_snapshots" => expireSnapshots(resolve)
       case "remove_orphan_files" => removeOrphanFiles(resolve)
       case other => throw new IllegalArgumentException(
@@ -283,6 +284,25 @@ object GraftProcedures {
           StructField("n_files", LongType, nullable = false))),
           UTF8String.fromString(name), info.version,
           info.entries.length.toLong)
+      }
+    }
+
+  private def analyzeTable(resolve: String => Path): UnboundProcedure =
+    new Proc("analyze", Array(param("table", StringType))) {
+      override def description(): String =
+        "backfill manifest statistics for files that predate them: " +
+          "min/max envelopes + row counts for pre-stats entries, NDV " +
+          "sketches for files written before ndv.columns — one " +
+          "distributed pass over exactly the needy files, one " +
+          "dataChange=false commit; idempotent"
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = resolve(input.getUTF8String(0).toString)
+        val r = GraftAnalyze.analyze(
+          org.apache.spark.sql.SparkSession.active, dir)
+        result(StructType(Seq(
+          StructField("analyzed_files", LongType, nullable = false),
+          StructField("new_version", LongType, nullable = false))),
+          r.analyzedFiles.toLong, r.newVersion.getOrElse(-1L))
       }
     }
 

@@ -624,8 +624,12 @@ object GraftVersions {
     // (dataChange=false — rows identical, feed skips it; lineage
     // splices on row-tracked tables). Guarded on dataChange so the
     // compaction's own commit, restores, and other metadata advances
-    // never recurse.
-    if (dataChange) maybeAutoCompact(root)
+    // never recurse. Retention runs after compaction (the concat adds
+    // a version the retention window must count).
+    if (dataChange) {
+      maybeAutoCompact(root)
+      maybeAutoExpire(root)
+    }
     v
   }
 
@@ -647,6 +651,21 @@ object GraftVersions {
     if (entries.size <= threshold || entries.exists(_.rows.isEmpty)) None
     else Some(compactConcat(root, math.max(1, threshold / 2),
       maxAttempts = 3))
+  }
+
+  /** Run the snapshot-retention policy: with `retention.versions = N`
+    * set, a data commit that grows the log past N retained snapshots
+    * vacuums down to the newest N — Delta's
+    * `delta.logRetentionDuration` idea with a version-count window
+    * (deterministic, clock-free). Tag-pinned and branch-referenced
+    * history survives exactly as in a manual vacuum; the temp/sidecar
+    * grace window applies unchanged. */
+  def maybeAutoExpire(root: Path): Unit = {
+    val keep = GraftTableMeta.read(root)
+      .get("retention.versions").flatMap(_.toIntOption)
+      .getOrElse(return)
+    require(keep >= 1, s"retention.versions must be >= 1 on $root")
+    if (listVersionNumbers(root).size > keep) vacuum(root, keepLast = keep)
   }
 
   /** Commit a merge-on-read DELETE: fold per-file deleted row

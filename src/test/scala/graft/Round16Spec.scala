@@ -530,6 +530,187 @@ class Round16Spec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  // -------------------------------------------------------------------
+  // q269 machinery: ANALYZE backfill + static _file pruning
+  // -------------------------------------------------------------------
+
+  test("analyze backfills pre-stats entries (enable over existing " +
+      "files): stats, rows, bytes land; skipping works; idempotent") {
+    val root = Files.createTempDirectory("graft_r16_anpre")
+    try {
+      // a raw pre-versioning file: enable() imports it stats-less
+      Files.write(root.resolve("part-00000.tsv"),
+        (0 until 10).map(i =>
+          s"$i\tdoc-$i\t${i * 7}\t${i % 91 + 9}").mkString("", "\n", "\n")
+          .getBytes("UTF-8"))
+      GraftVersions.enable(root)
+      val pre = GraftVersions.latest(root).get.entries.head
+      assert(pre.stats.isEmpty && pre.rows.isEmpty)
+      val r = graft.sources.GraftAnalyze.analyze(spark, root)
+      assert(r.analyzedFiles == 1 && r.newVersion.isDefined)
+      val post = GraftVersions.latest(root).get.entries.head
+      assert(post.rows.contains(10L) && post.bytes.isDefined)
+      assert(post.stats("doc_id") == (0L, 9L))
+      assert(post.stats("n_words") == (9L, 18L))
+      // stats now prune: a disjoint range plans zero partitions
+      val df = spark.read.format("graft.sources.GraftDocsSource")
+        .option("path", root.toString).load()
+        .filter(col("doc_id") > 1000)
+      assert(df.count() == 0)
+      // idempotent: nothing left to analyze
+      val r2 = graft.sources.GraftAnalyze.analyze(spark, root)
+      assert(r2.analyzedFiles == 0 && r2.newVersion.isEmpty)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
+  test("static _file IN (...) predicates prune at plan time — the " +
+      "scoped maintenance pass never opens the rest of the table") {
+    val (cat, wh) = freshCatalog("fstatic")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      (0 until 4).foreach(b => insertRange(cat, "t", 4 * b, 4 * b + 4))
+      val names = GraftVersions.latest(wh.resolve("t")).get
+        .entries.map(_.name)
+      assert(names.size == 4)
+      val one = spark.read.format("graft.sources.GraftDocsSource")
+        .option("path", wh.resolve("t").toString).load()
+        .select(col("doc_id"), col("_file"))
+        .filter(col("_file").isin(names.head))
+      assert(scanPartitions(one) == 1, "whitelist must prune to 1 file")
+      assert(one.count() == 4)
+    } finally dropCatalog(cat, wh)
+  }
+
+  // -------------------------------------------------------------------
+  // q270 machinery: retention.versions auto-expire
+  // -------------------------------------------------------------------
+
+  test("retention.versions expires old snapshots on commit, but a tag " +
+      "pins its version through the policy") {
+    val (cat, wh) = freshCatalog("reten")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'retention.versions' = '2')""".stripMargin)
+      insertRange(cat, "t", 0, 2)  // v1
+      spark.sql(s"CALL $cat.system.tag('t', 'keepme', 1)")
+      insertRange(cat, "t", 2, 4)  // v2 → expire to {1, 2}; v1 tagged
+      insertRange(cat, "t", 4, 6)  // v3 → {1 pinned, 2, 3}
+      insertRange(cat, "t", 6, 8)  // v4 → {1 pinned, 3, 4}
+      val kept = GraftVersions.listVersionNumbers(wh.resolve("t"))
+      assert(kept.contains(1L), s"tagged v1 must survive: $kept")
+      assert(kept.takeRight(2) == Seq(3L, 4L), kept.toString)
+      // expired versions are gone for time travel
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 2").collect()
+      }
+      // the tagged snapshot still reads
+      assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1")
+        .count() == 2)
+      assert(spark.table(s"$cat.t").count() == 8)
+    } finally dropCatalog(cat, wh)
+  }
+
+  // -------------------------------------------------------------------
+  // q271 machinery: DPP on the value layout
+  // -------------------------------------------------------------------
+
+  private def scanPartitions(df: org.apache.spark.sql.DataFrame,
+      marker: String = "GraftDocsFiles"): Int = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    df.collect() // force execution so runtime filters have fired
+    def find(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        find(q.plan) // AQE stages are leaf-like: recurse into the stage
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        find(r.child)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(find)
+    }
+    val scans = find(df.queryExecution.executedPlan)
+    // pick the FILE-BACKED warehouse scan (a join may also carry the
+    // generative docs scan as its dim side)
+    scans.find(_.scan.description().contains(marker))
+      .orElse(scans.headOption)
+      // partitions() reflects RUNTIME filters too (inputPartitions is
+      // the pre-DPP plan-time list)
+      .map(_.partitions.flatten.size)
+      .getOrElse(fail("no BatchScanExec in plan"))
+  }
+
+  test("dynamic partition pruning on the value layout: a broadcast dim " +
+      "join plans only the matching partitions' files") {
+    val (cat, wh) = freshCatalog("vdpp")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  wb BIGINT GENERATED ALWAYS AS
+           |    (CAST(n_words AS BIGINT) % 6))
+           |PARTITIONED BY (wb)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      insertRange(cat, "t", 0, 48)
+      insertRange(cat, "t", 48, 96)
+      val total = GraftVersions.latest(wh.resolve("t")).get.entries.size
+      assert(total == 12, s"6 values x 2 inserts: $total")
+      // FILE-BACKED dim (manifest stats → the broadcast build side;
+      // DPP only reuses a broadcast) with a SURVIVING selective filter
+      spark.sql(
+        s"""CREATE TABLE $cat.d (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      insertRange(cat, "d", 0, 8)
+      val joined = spark.sql(
+        s"""SELECT f.wb, COUNT(*) AS n
+           |FROM $cat.t f JOIN $cat.d d ON f.wb = d.doc_id
+           |WHERE d.doc_id IN (1, 3)
+           |GROUP BY f.wb""".stripMargin)
+      val byWb = joined.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      val expect = (0 until 96).map(i => ((i % 91 + 9) % 6).toLong)
+        .filter(w => w == 1L || w == 3L)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(byWb == expect, s"$byWb vs $expect")
+      // the DPP proof is the EXECUTED fact scan's row metric: only the
+      // matching partitions' files were opened, so the scan emitted
+      // exactly their rows (96 without pruning). The walked plan node
+      // re-plans without the runtime filter's state, so partition
+      // counts on it are the unpruned view — metrics are the truth.
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[BatchScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case q: QueryStageExec => scansOf(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          scansOf(r.child)
+        case b: BatchScanExec => Seq(b)
+        case other => other.children.flatMap(scansOf)
+      }
+      val fact = scansOf(joined.queryExecution.executedPlan)
+        .find(_.scan.description().contains(s"path=${wh.resolve("t")} "))
+        .getOrElse(fail("no fact BatchScanExec"))
+      assert(fact.runtimeFilters.nonEmpty,
+        "DPP must attach a runtime filter to the fact scan")
+      val emitted = fact.metrics("numOutputRows").value
+      assert(emitted == expect.values.sum,
+        s"DPP must read only wb in {1,3}'s files: emitted $emitted of 96")
+    } finally dropCatalog(cat, wh)
+  }
+
   test("merge_branch on an unmoved main degrades to fast_forward") {
     val (cat, wh) = freshCatalog("mbff")
     try {
