@@ -435,7 +435,72 @@ object Round16 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q272: streaming sinks under the self-maintenance policies
+  // ---------------------------------------------------------------------
+
+  /** Micro-batch sinks are the small-append pattern the maintenance
+    * policies exist for: a 6-commit source drains AvailableNow (one
+    * commit per epoch) into a sink with `compact.threshold = 3` and
+    * `retention.versions = 2` — each epoch commit runs the policies,
+    * so files concat down whenever an epoch leaves more than 3 and old
+    * snapshots expire as the log grows, while each appId's LATEST txn
+    * record is PINNED through vacuum (expiring it would let a
+    * checkpoint replay land a micro-batch twice). The audit pins the
+    * closed-form outcome: 24 rows exactly once, the epoch-by-epoch
+    * file-count trace ending at 3 (1·2·3·4→concat→1·2·3), and a full
+    * re-drain from the same checkpoint adding nothing. */
+  val q272StreamMaintenance: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q272")
+    val cp = Files.createTempDirectory("graft_q272_cp")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.src (doc_id BIGINT, title STRING,
+           |  fp BIGINT, n_words INT)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      (0 until 6).foreach { b =>
+        spark.read.format("graft.sources.GraftDocsSource")
+          .option("rows", (4 * b + 4).toString).load()
+          .filter(col("doc_id") >= 4 * b)
+          .repartition(1).sortWithinPartitions("doc_id")
+          .createOrReplaceTempView(s"${cat}_b")
+        spark.sql(s"INSERT INTO $cat.src SELECT * FROM ${cat}_b")
+        spark.catalog.dropTempView(s"${cat}_b")
+      }
+      spark.sql(
+        s"""CREATE TABLE $cat.sink (doc_id BIGINT, title STRING,
+           |  fp BIGINT, n_words INT)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'compact.threshold' = '3', 'retention.versions' = '2')"""
+          .stripMargin)
+      def drain(): Unit = {
+        val q = spark.readStream.table(s"$cat.src")
+          .writeStream.option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.sink")
+        require(q.awaitTermination(120000), "drain did not terminate")
+      }
+      drain()
+      val nFiles = spark.sql(
+        s"SELECT COUNT(*) FROM $cat.sink.files").head().getLong(0)
+      drain() // checkpoint replay: exactly-once across retention
+      val replayFiles = spark.sql(
+        s"SELECT COUNT(*) FROM $cat.sink.files").head().getLong(0)
+      val out = spark.sql(
+        s"""SELECT COUNT(*) AS n_rows, SUM(doc_id) AS sum_doc_id,
+           |  SUM(CAST(n_words AS BIGINT)) AS sum_words
+           |FROM $cat.sink""".stripMargin)
+        .withColumn("n_files", lit(nFiles))
+        .withColumn("n_files_after_replay", lit(replayFiles))
+      OpsUtil.driverLiteral(out)
+    } finally {
+      teardown(spark, cat, wh)
+      org.apache.commons.io.FileUtils.deleteDirectory(cp.toFile)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "q272_stream_maintenance" -> q272StreamMaintenance,
     "q265_auto_compact" -> q265AutoCompact,
     "q266_ndv_stats" -> q266NdvStats,
     "q267_cdf_evolution" -> q267CdfEvolution,
@@ -445,6 +510,20 @@ object Round16 {
     "q271_value_dpp" -> q271ValueDpp)
 
   val oracle: Map[String, String] = Map(
+    // AvailableNow drains the 6 source commits as 6 data epochs plus
+    // the fresh-stream initial batch (v0's empty snapshot); the file
+    // trace under threshold 3 (concat target 3/2 = 1) runs
+    // 1·2·3·4→1·2·3·4→1: the LAST data epoch crosses the bound, so the
+    // final live set is ONE concatenated file. The replay drains
+    // nothing (same checkpoint, no new commits).
+    "q272_stream_maintenance" ->
+      """SELECT CAST(24 AS BIGINT) AS n_rows,
+        |  (SELECT CAST(SUM(i) AS BIGINT) FROM range(0, 24) t(i))
+        |    AS sum_doc_id,
+        |  (SELECT CAST(SUM(i % 91 + 9) AS BIGINT) FROM range(0, 24) t(i))
+        |    AS sum_words,
+        |  CAST(1 AS BIGINT) AS n_files,
+        |  CAST(1 AS BIGINT) AS n_files_after_replay""".stripMargin,
     // v0 enable(0) · v1..v5 append (1..5 files) · v6 compact (2) ·
     // v7 append (3): max live = 5, compacts = 1, final files = 3;
     // rows [0,24) intact with row ids 0..23 (insert order = doc order)

@@ -781,8 +781,8 @@ object GraftVersions {
     * racing replays of the same epoch can't both land. */
   def commitTxn(root: Path, op: String, removed: Option[Set[String]],
       added: Seq[FileEntry], appId: String, epoch: Long)
-      : Option[VersionInfo] =
-    commitWithRetry(root, s"streaming '$op' commit") {
+      : Option[VersionInfo] = {
+    val v = commitWithRetry(root, s"streaming '$op' commit") {
       if (lastTxnEpoch(root, appId).exists(_ >= epoch)) None
       else {
         val base = latest(root).getOrElse(throw new IllegalStateException(
@@ -796,6 +796,17 @@ object GraftVersions {
           txn = Some((appId, epoch))))
       }
     }
+    // self-maintenance fires on STREAMING data commits too — a
+    // micro-batch sink is exactly the small-append pattern the file
+    // bound exists for (Delta runs autoOptimize on streaming writes).
+    // The concat/vacuum commits are dataChange=false with no txn tag,
+    // so epoch idempotence and the change feed are untouched.
+    if (v.isDefined) {
+      maybeAutoCompact(root)
+      maybeAutoExpire(root)
+    }
+    v
+  }
 
   /** OPTIMIZE-style small-file compaction: rewrite the LIVE snapshot's
     * rows into `targetFiles` part files and commit them as a
@@ -1598,10 +1609,28 @@ object GraftVersions {
       require(keepLast >= 1, s"vacuum must keep at least 1 snapshot")
       val versions = listVersionNumbers(root)
       val tagged = GraftTableMeta.tags(root).values.toSet
+      // streaming-epoch pins: each appId's LATEST (max-epoch) commit
+      // must stay retained — the idempotent-replay check reads the
+      // epoch ledger off the retained manifests, so expiring an
+      // appId's last txn record would let a checkpoint replay land the
+      // same micro-batch twice. One pinned manifest per appId, so the
+      // bound is #distinct-writers, not history length.
+      val txnPinned: Set[Long] = {
+        val latestByApp =
+          scala.collection.mutable.Map.empty[String, (Long, Long)]
+        versions.foreach { v =>
+          readManifest(root, v).txn.foreach { case (a, e) =>
+            if (latestByApp.get(a).forall(_._1 < e))
+              latestByApp(a) = (e, v)
+          }
+        }
+        latestByApp.values.map(_._2).toSet
+      }
       val (expire0, _) =
         versions.splitAt(math.max(versions.length - keepLast, 0))
-      val expire = expire0.filterNot(tagged).filter(v =>
-        olderThanMicros.forall(readManifest(root, v).tsMicros < _))
+      val expire = expire0.filterNot(tagged).filterNot(txnPinned)
+        .filter(v =>
+          olderThanMicros.forall(readManifest(root, v).tsMicros < _))
       val expireSet = expire.toSet
       val retain = versions.filterNot(expireSet)
       val retainedFiles =

@@ -711,6 +711,54 @@ class Round16Spec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("streaming sinks run the self-maintenance policies per epoch, " +
+      "and retention never expires an appId's last txn record") {
+    val (cat, wh) = freshCatalog("strmnt")
+    val cp = Files.createTempDirectory("graft_r16_strmnt_cp")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.src (doc_id BIGINT, title STRING,
+           |  fp BIGINT, n_words INT)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      (0 until 6).foreach(b => insertRange(cat, "src", 4 * b, 4 * b + 4))
+      spark.sql(
+        s"""CREATE TABLE $cat.sink (doc_id BIGINT, title STRING,
+           |  fp BIGINT, n_words INT)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'compact.threshold' = '3', 'retention.versions' = '2')"""
+          .stripMargin)
+      def drain(): Unit = {
+        val q = spark.readStream.table(s"$cat.src")
+          .writeStream.option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.sink")
+        assert(q.awaitTermination(120000), "drain did not terminate")
+      }
+      drain()
+      val dir = wh.resolve("sink")
+      assert(spark.table(s"$cat.sink").count() == 24)
+      val live = GraftVersions.latest(dir).get.entries
+      assert(live.size <= 3,
+        s"compact.threshold must bound the micro-batch files: $live")
+      // retention kept a bounded log, but the txn pin survived it
+      val retained = GraftVersions.listVersionNumbers(dir)
+      assert(retained.size <= 4, // keepLast 2 + txn pin (+1 slack)
+        s"retention must bound the log: $retained")
+      // a checkpoint replay after history expired lands NOTHING twice
+      drain()
+      assert(spark.table(s"$cat.sink").count() == 24,
+        "replayed epochs must stay idempotent across retention")
+      // new source data still streams through
+      insertRange(cat, "src", 24, 28)
+      drain()
+      assert(spark.table(s"$cat.sink").count() == 28)
+      assert(GraftVersions.latest(dir).get.entries.size <= 3)
+    } finally {
+      dropCatalog(cat, wh)
+      org.apache.commons.io.FileUtils.deleteDirectory(cp.toFile)
+    }
+  }
+
   test("merge_branch on an unmoved main degrades to fast_forward") {
     val (cat, wh) = freshCatalog("mbff")
     try {
