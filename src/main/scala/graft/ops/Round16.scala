@@ -499,7 +499,283 @@ object Round16 {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q273: incrementally-maintained materialized view (CDF-fed)
+  // ---------------------------------------------------------------------
+
+  /** MATERIALIZED VIEW lifecycle: `create_mv` seeds
+    * `SELECT doc_id % 5, SUM(n_words), COUNT(*) GROUP BY 1` at source
+    * v2 and ledgers the watermark as a txn record (atomic with the
+    * seed data); the source then takes a MOR DELETE, a MOR UPDATE and
+    * an append; `refresh_mv` folds exactly those 16 change images
+    * (2 delete + 4 pre + 4 post + 6 insert) into the view through the
+    * change feed — no source scan — and a second refresh is the
+    * watermark no-op. At 100 TB the refresh reads only the commits
+    * since the watermark: cost tracks what CHANGED, not what exists;
+    * exactly-once falls out of the streaming sink's txn-record
+    * idempotence (a replayed refresh finds its epoch ledgered and
+    * lands nothing). The audit pins the final view rows AND the
+    * lifecycle numbers (seed watermark/groups, refreshed-to version,
+    * applied image count, the no-op's zero). */
+  val q273MaterializedView: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q273")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'delete.mode' = 'merge-on-read',
+           |  'update.mode' = 'merge-on-read')""".stripMargin)
+      insertRange(spark, cat, 0, 12)                                // v1
+      insertRange(spark, cat, 12, 24)                               // v2
+      val created = spark.sql(s"CALL $cat.system.create_mv(" +
+        "'t_by_k', 't', 'doc_id % 5', 'n_words', false)").head()
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (5, 17)")      // v3
+      spark.sql(
+        s"UPDATE $cat.t SET n_words = n_words + 100 WHERE doc_id < 4") // v4
+      insertRange(spark, cat, 24, 30)                               // v5
+      val r1 = spark.sql(s"CALL $cat.system.refresh_mv('t_by_k')").head()
+      val r2 = spark.sql(s"CALL $cat.system.refresh_mv('t_by_k')").head()
+      val out = spark.sql(
+        s"""SELECT doc_id AS k, title AS mv, fp AS sum_words,
+           |  CAST(n_words AS BIGINT) AS n_docs
+           |FROM $cat.t_by_k ORDER BY k""".stripMargin)
+        .withColumn("created_at", lit(created.getLong(0)))
+        .withColumn("seed_groups", lit(created.getLong(1)))
+        .withColumn("refreshed_to", lit(r1.getLong(0)))
+        .withColumn("applied", lit(r1.getLong(1)))
+        .withColumn("noop_applied", lit(r2.getLong(1)))
+      OpsUtil.driverLiteral(out)
+    } finally teardown(spark, cat, wh)
+  }
+
+  // ---------------------------------------------------------------------
+  // q274: auto-maintained materialized view (refresh on source commit)
+  // ---------------------------------------------------------------------
+
+  /** The self-maintenance face of q273: `create_mv(..., auto => true)`
+    * registers the view on the source's `mv.dependents` list, and from
+    * then on EVERY source data commit — the append at v2 and the MOR
+    * DELETE at v3 alike — pays an inline CDF-fed refresh before it
+    * returns (Delta autoOptimize semantics applied to view
+    * maintenance: the committing writer pays, readers always see a
+    * fresh view). No refresh is ever called by hand here; the audit
+    * reads the view cold and pins exactly two `mv-refresh` commits on
+    * its history face — one per source data commit, each folding only
+    * that commit's change slice. */
+  val q274MvAuto: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q274")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'delete.mode' = 'merge-on-read')""".stripMargin)
+      insertRange(spark, cat, 0, 12)                                 // v1
+      spark.sql(s"CALL $cat.system.create_mv(" +
+        "'v', 't', 'doc_id % 4', 'n_words', true)")
+      insertRange(spark, cat, 12, 20)                                // v2
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (3, 13)")       // v3
+      val refreshes = spark.sql(
+        s"SELECT COUNT(*) FROM $cat.v.history WHERE op = 'mv-refresh'")
+        .head().getLong(0)
+      val out = spark.sql(
+        s"""SELECT doc_id AS k, fp AS sum_words,
+           |  CAST(n_words AS BIGINT) AS n_docs
+           |FROM $cat.v ORDER BY k""".stripMargin)
+        .withColumn("n_auto_refreshes", lit(refreshes))
+      OpsUtil.driverLiteral(out)
+    } finally teardown(spark, cat, wh)
+  }
+
+  // ---------------------------------------------------------------------
+  // q275: column MIN/MAX statistics — filter estimation for the CBO
+  // ---------------------------------------------------------------------
+
+  /** The third face of the manifest-statistics story (q266 NDV for
+    * join/aggregate cardinality, q269 backfill, now RANGE bounds for
+    * filter selectivity): the per-file min/max envelopes that already
+    * drive data skipping fold into table-level column bounds and ride
+    * DSv2 `ColumnStatistics.min/max` into Catalyst's `attributeStats`
+    * — FilterEstimation then shrinks a range predicate's row estimate
+    * by linear interpolation over [min, max], which is what lets a
+    * filtered build side prove itself broadcast-small BEFORE the join
+    * strategy is chosen (the plan-flip proof lives in Round16Spec).
+    * All-or-nothing per column: one pre-stats live file withholds the
+    * bound rather than narrowing it wrongly; masked files only widen —
+    * the safe direction. The audit reads the bounds off the
+    * optimizer's own statistics, never the manifest, so it pins the
+    * whole pipeline: writer envelope → manifest token → DSv2 fold →
+    * Catalyst ColumnStat. */
+  val q275MinMaxStats: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q275")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      insertRange(spark, cat, 0, 80)
+      insertRange(spark, cat, 80, 160)
+      val rel = spark.read.format("graft.sources.GraftDocsSource")
+        .option("path", wh.resolve("t").toString).load()
+        .select("doc_id", "fp", "n_words")
+      val stats = rel.queryExecution.optimizedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => s.stats
+      }.getOrElse(throw new IllegalStateException(
+        "no DSv2 scan relation in the optimized plan"))
+      val byName = stats.attributeStats.toSeq.map { case (a, cs) =>
+        a.name -> (cs.min.map(_.toString.toLong),
+          cs.max.map(_.toString.toLong))
+      }.toMap
+      import spark.implicits._
+      Seq("doc_id", "fp", "n_words").map { c =>
+        val (lo, hi) = byName.getOrElse(c, (None, None))
+        (c, lo.getOrElse(-1L), hi.getOrElse(-1L))
+      }.toDF("col_name", "lo", "hi").orderBy("col_name")
+    } finally teardown(spark, cat, wh)
+  }
+
+  // ---------------------------------------------------------------------
+  // q276: streaming ingest with an always-fresh materialized view
+  // ---------------------------------------------------------------------
+
+  /** The streaming composition of the MV story: a 6-commit source
+    * drains AvailableNow into a versioned sink that carries an
+    * auto-registered MV — every micro-batch epoch commit runs the
+    * refresh hook before it returns, so the aggregate view is fresh
+    * after EVERY epoch without any scheduler (the pattern a 100 TB
+    * ingest pipeline wants: the landing stream maintains its own
+    * serving aggregate, refresh cost per epoch = that epoch's rows).
+    * A full re-drain from the same checkpoint replays nothing (epoch
+    * idempotence), so the view takes no extra refresh either. The
+    * audit reads the view cold and pins the refresh count off the
+    * view's history face: one `mv-refresh` per sink data epoch. */
+  val q276StreamMv: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q276")
+    val cp = Files.createTempDirectory("graft_q276_cp")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.src (doc_id BIGINT, title STRING,
+           |  fp BIGINT, n_words INT)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      (0 until 6).foreach { b =>
+        spark.read.format("graft.sources.GraftDocsSource")
+          .option("rows", (4 * b + 4).toString).load()
+          .filter(col("doc_id") >= 4 * b)
+          .repartition(1).sortWithinPartitions("doc_id")
+          .createOrReplaceTempView(s"${cat}_b")
+        spark.sql(s"INSERT INTO $cat.src SELECT * FROM ${cat}_b")
+        spark.catalog.dropTempView(s"${cat}_b")
+      }
+      spark.sql(
+        s"""CREATE TABLE $cat.sink (doc_id BIGINT, title STRING,
+           |  fp BIGINT, n_words INT)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      spark.sql(s"CALL $cat.system.create_mv(" +
+        "'v', 'sink', 'doc_id % 3', 'n_words', true)")
+      def drain(): Unit = {
+        val q = spark.readStream.table(s"$cat.src")
+          .writeStream.option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.sink")
+        require(q.awaitTermination(120000), "drain did not terminate")
+      }
+      drain()
+      val refreshes = spark.sql(
+        s"SELECT COUNT(*) FROM $cat.v.history WHERE op = 'mv-refresh'")
+        .head().getLong(0)
+      drain() // checkpoint replay: no new epochs, no extra refresh
+      val refreshesAfterReplay = spark.sql(
+        s"SELECT COUNT(*) FROM $cat.v.history WHERE op = 'mv-refresh'")
+        .head().getLong(0)
+      val out = spark.sql(
+        s"""SELECT doc_id AS k, fp AS sum_words,
+           |  CAST(n_words AS BIGINT) AS n_docs
+           |FROM $cat.v ORDER BY k""".stripMargin)
+        .withColumn("n_refreshes", lit(refreshes))
+        .withColumn("n_refreshes_after_replay", lit(refreshesAfterReplay))
+      OpsUtil.driverLiteral(out)
+    } finally {
+      teardown(spark, cat, wh)
+      org.apache.commons.io.FileUtils.deleteDirectory(cp.toFile)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // q277: materialized-view query rewrite — answer from the view
+  // ---------------------------------------------------------------------
+
+  /** The optimizer face of the MV story ([[graft.plans.MvRewriteRule]]):
+    * the EXACT aggregate a fresh auto-registered view maintains,
+    * written against the SOURCE table, plans as a projection over the
+    * \|groups\|-row view — no corpus scan, no shuffle, no Aggregate
+    * node at all. At 100 TB this is the rewrite that turns a reporting
+    * query from a cluster job into a metadata read. The audit runs the
+    * same SQL twice — rule on and rule off (`spark.graft.mv.rewrite`)
+    * — verifies INSIDE the query that both plans return identical rows
+    * (the rewrite's soundness contract), and pins the plan facts: the
+    * enabled run scans the view and carries no aggregate, the disabled
+    * run aggregates the source. */
+  val q277MvRewrite: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q277")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'delete.mode' = 'merge-on-read')""".stripMargin)
+      insertRange(spark, cat, 0, 30)                                 // v1
+      spark.sql(s"CALL $cat.system.create_mv(" +
+        "'v', 't', 'doc_id % 5', 'n_words', true)")
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (4, 11)")       // v2
+      org.apache.spark.sql.GraftBridge.addOptimization(spark,
+        graft.plans.MvRewriteRule(spark))
+      def run() = spark.sql(
+        s"""SELECT doc_id % 5 AS k, SUM(n_words) AS sum_words,
+           |  COUNT(*) AS n_docs
+           |FROM $cat.t GROUP BY doc_id % 5""".stripMargin)
+      def facts(df: DataFrame): (Boolean, Boolean) = {
+        val plan = df.queryExecution.optimizedPlan
+        val scansMv = plan.collect {
+          case s: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation
+              if s.scan.description.contains(wh.resolve("v").toString) => s
+        }.nonEmpty
+        val aggregates = plan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.nonEmpty
+        (scansMv, aggregates)
+      }
+      val viaMv = run()
+      val (mvScanned, mvAggregated) = facts(viaMv)
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      val viaSource = run()
+      val (offScanned, offAggregated) = facts(viaSource)
+      spark.conf.unset("spark.graft.mv.rewrite")
+      // soundness: the rewrite must be invisible in the RESULT
+      require(viaMv.exceptAll(viaSource).isEmpty &&
+        viaSource.exceptAll(viaMv).isEmpty,
+        "mv rewrite changed the query result")
+      val out = viaMv.orderBy("k")
+        .withColumn("rewrite_scans_view", lit(mvScanned))
+        .withColumn("rewrite_keeps_aggregate", lit(mvAggregated))
+        .withColumn("fallback_scans_view", lit(offScanned))
+        .withColumn("fallback_keeps_aggregate", lit(offAggregated))
+      OpsUtil.driverLiteral(out)
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q273_materialized_view" -> q273MaterializedView,
+    "q274_mv_auto" -> q274MvAuto,
+    "q275_minmax_stats" -> q275MinMaxStats,
+    "q276_stream_mv" -> q276StreamMv,
+    "q277_mv_rewrite" -> q277MvRewrite,
     "q272_stream_maintenance" -> q272StreamMaintenance,
     "q265_auto_compact" -> q265AutoCompact,
     "q266_ndv_stats" -> q266NdvStats,
@@ -510,6 +786,72 @@ object Round16 {
     "q271_value_dpp" -> q271ValueDpp)
 
   val oracle: Map[String, String] = Map(
+    // the final view over live rows [0,30) \ {5,17} with the +100
+    // update on doc_id<4 folded in; lifecycle: seed at v2 (5 groups),
+    // refresh to v5 applying 16 images (2 del + 4 pre + 4 post +
+    // 6 ins), second refresh a 0-image no-op
+    "q273_materialized_view" ->
+      """WITH src AS (
+        |  SELECT i AS doc_id,
+        |    (i % 91 + 9) + CASE WHEN i < 4 THEN 100 ELSE 0 END AS n_words
+        |  FROM range(0, 30) t(i) WHERE i NOT IN (5, 17))
+        |SELECT doc_id % 5 AS k, 't_by_k' AS mv,
+        |  CAST(SUM(n_words) AS BIGINT) AS sum_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(2 AS BIGINT) AS created_at,
+        |  CAST(5 AS BIGINT) AS seed_groups,
+        |  CAST(5 AS BIGINT) AS refreshed_to,
+        |  CAST(16 AS BIGINT) AS applied,
+        |  CAST(0 AS BIGINT) AS noop_applied
+        |FROM src GROUP BY doc_id % 5 ORDER BY k""".stripMargin,
+    // auto-refresh: view over live rows [0,20) \ {3,13}, k = doc_id%4,
+    // exactly one mv-refresh commit per source data commit (v2 append,
+    // v3 MOR delete) — never refreshed by hand
+    "q274_mv_auto" ->
+      """SELECT i % 4 AS k,
+        |  CAST(SUM(i % 91 + 9) AS BIGINT) AS sum_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(2 AS BIGINT) AS n_auto_refreshes
+        |FROM range(0, 20) t(i) WHERE i NOT IN (3, 13)
+        |GROUP BY i % 4 ORDER BY k""".stripMargin,
+    // table-level bounds over [0,160): doc_id 0..159, n_words wraps
+    // i%91+9 covering 9..99, fp is the md5-prefix fingerprint
+    "q275_minmax_stats" ->
+      """SELECT col_name, lo, hi FROM (
+        |  SELECT 'doc_id' AS col_name, CAST(0 AS BIGINT) AS lo,
+        |    CAST(159 AS BIGINT) AS hi
+        |  UNION ALL
+        |  SELECT 'fp',
+        |    (SELECT MIN(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))
+        |      ::BIGINT) FROM range(0, 160) t(i)),
+        |    (SELECT MAX(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))
+        |      ::BIGINT) FROM range(0, 160) t(i))
+        |  UNION ALL SELECT 'n_words', 9, 99)
+        |ORDER BY col_name""".stripMargin,
+    // view over [0,24) after the drain, k = doc_id % 3; one mv-refresh
+    // per sink data epoch — the fresh stream's initial (empty) batch
+    // commits an epoch too, so 6 data epochs + 1 zero-delta watermark
+    // advance = 7 — and the checkpoint replay adds none
+    "q276_stream_mv" ->
+      """SELECT i % 3 AS k,
+        |  CAST(SUM(i % 91 + 9) AS BIGINT) AS sum_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(7 AS BIGINT) AS n_refreshes,
+        |  CAST(7 AS BIGINT) AS n_refreshes_after_replay
+        |FROM range(0, 24) t(i) GROUP BY i % 3 ORDER BY k""".stripMargin,
+    // aggregate over live rows [0,30) \ {4,11}; with the rule on the
+    // plan scans the view and keeps no Aggregate, with it off the
+    // inverse — and both return exactly these rows
+    "q277_mv_rewrite" ->
+      """SELECT i % 5 AS k,
+        |  CAST(SUM(i % 91 + 9) AS BIGINT) AS sum_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  TRUE AS rewrite_scans_view,
+        |  FALSE AS rewrite_keeps_aggregate,
+        |  FALSE AS fallback_scans_view,
+        |  TRUE AS fallback_keeps_aggregate
+        |FROM range(0, 30) t(i) WHERE i NOT IN (4, 11)
+        |GROUP BY i % 5 ORDER BY k""".stripMargin,
     // AvailableNow drains the 6 source commits as 6 data epochs plus
     // the fresh-stream initial batch (v0's empty snapshot); the file
     // trace under threshold 3 (concat target 3/2 = 1) runs

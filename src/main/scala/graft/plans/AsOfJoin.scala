@@ -195,6 +195,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.functions.CosineFusionRule)
+    ext.injectOptimizerRule(session => MvRewriteRule(session))
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("dot_long"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -1,0 +1,198 @@
+package graft.plans
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.optimizer.ConstantFolding
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.{GraftFilesScan, GraftMv, GraftTableMeta, GraftVersions}
+
+/** MATERIALIZED-VIEW QUERY REWRITE: an aggregate a registered view
+  * already maintains is answered from the view, never from the corpus.
+  *
+  *   SELECT <key>, SUM(<sum>), COUNT(*) FROM src GROUP BY <key>
+  *
+  * becomes a projection over the |groups|-row view table — at 100 TB
+  * the difference between a full corpus scan + shuffle and a
+  * metadata-sized read. This is the classic Calcite/Databricks MV
+  * rewrite, scoped to what [[GraftMv]] maintains exactly.
+  *
+  * Soundness gates, every one mandatory:
+  *
+  *  - the aggregate's child is a BARE LIVE scan of the source
+  *    ([[GraftFilesScan.isBareLiveSnapshot]]): a pushed-down filter,
+  *    time-travel pin, change-feed read, or file whitelist changes the
+  *    row set the view was declared over — any of them disqualifies;
+  *  - the grouping expression and every aggregate expression match the
+  *    view's declared key/sum CANONICALLY (the view's persisted SQL is
+  *    re-analyzed against the query's own relation, so type coercion
+  *    and constant folding land on both sides before comparison);
+  *    only `SUM(<sum>)` (non-distinct, unfiltered), `COUNT(*)` /
+  *    `COUNT(1)`, and the key itself are recognized;
+  *  - the view is FRESH: its refresh ledger holds exactly the source's
+  *    current version. Auto-registered views (`create_mv(..., auto =
+  *    true)`) maintain this on every source commit, but the rule
+  *    re-checks the ledger rather than trusting the registration — a
+  *    stale view silently answering is the one unacceptable failure.
+  *    (Freshness is read at PLAN time; a source commit racing query
+  *    execution lands after this query's snapshot either way.)
+  *
+  * Registered per session via [[org.apache.spark.sql.GraftBridge
+  * .addOptimization]] (runtime) or `spark.sql.extensions =
+  * graft.plans.GraftExtensions` (config-time); `spark.graft.mv.rewrite
+  * = false` disables it. The rule runs in the user-rule batch AFTER
+  * DSv2 pushdown, so the substituted view subtree is pre-optimized
+  * through its own mini-pipeline (yielding a ready
+  * [[DataSourceV2ScanRelation]], which the planner accepts directly).
+  */
+case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf.get("spark.graft.mv.rewrite", "true").toBoolean)
+      return plan
+    plan.transformUp {
+      case agg @ Aggregate(Seq(groupE), aggExprs, child, _) =>
+        tryRewrite(agg, groupE, aggExprs, child).getOrElse(agg)
+    }
+  }
+
+  /** The aggregate's child as (scan relation, source table dir,
+    * alias-inliner) — only when it is a bare live graft scan under
+    * projections that merely prune columns or name expressions (the
+    * optimizer's PullOutGroupingExpressions puts the grouping
+    * expression in exactly such a Project; the inliner folds those
+    * aliases back so the comparison sees the original expression over
+    * the relation's own attributes). */
+  private def bareSource(plan: LogicalPlan): Option[
+      (DataSourceV2ScanRelation, Path, Expression => Expression)] =
+    plan match {
+      case Project(ps, inner) if ps.forall(pe =>
+          pe.isInstanceOf[AttributeReference] || pe.isInstanceOf[Alias]) =>
+        bareSource(inner).map { case (rel, dir, inlineInner) =>
+          val aliasMap: Map[ExprId, Expression] =
+            ps.collect { case a: Alias => a.exprId -> a.child }.toMap
+          val inline: Expression => Expression = e =>
+            inlineInner(e.transformUp {
+              case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
+                aliasMap(ar.exprId)
+            })
+          (rel, dir, inline)
+        }
+      case r: DataSourceV2ScanRelation => r.scan match {
+        case s: GraftFilesScan if s.isBareLiveSnapshot =>
+          Some((r, Paths.get(s.tablePath), identity[Expression] _))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** Re-analyze a persisted view expression against the QUERY's own
+    * relation (same attribute ids), apply coercion + folding — the two
+    * sides are then canonically comparable. */
+  private def resolveAgainst(sql: String, rel: LogicalPlan)
+      : Option[Expression] =
+    try {
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      val analyzed = spark.sessionState.analyzer.execute(
+        Project(Seq(Alias(parsed, "__mv_probe")()), rel))
+      ConstantFolding(analyzed).collectFirst {
+        case Project(Seq(a: Alias), _) => a.child
+      }
+    } catch { case NonFatal(_) => None }
+
+  private sealed trait MvCol
+  private case object KeyCol extends MvCol
+  private case object SumCol extends MvCol
+  private case object CntCol extends MvCol
+
+  /** Map one aggregate-list expression onto a view column, or refuse. */
+  private def classify(e: Expression, keyE: Expression,
+      sumE: Expression): Option[MvCol] = e match {
+    case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case s: Sum if s.child.canonicalized == sumE.canonicalized =>
+          Some(SumCol)
+        case c: Count if c.children.length == 1 &&
+            c.children.head.foldable && !c.children.head.nullable =>
+          Some(CntCol)
+        case _ => None
+      }
+    case _ if e.canonicalized == keyE.canonicalized => Some(KeyCol)
+    case _ => None
+  }
+
+  private def tryRewrite(agg: Aggregate, groupRaw: Expression,
+      aggExprs: Seq[NamedExpression], child: LogicalPlan)
+      : Option[LogicalPlan] = {
+    val (rel, srcDir, inline) = bareSource(child).getOrElse(return None)
+    val groupE = inline(groupRaw)
+    if (groupE.dataType != LongType) return None // view keys are BIGINT
+    val srcName = srcDir.getFileName.toString
+    val srcVersion = GraftVersions.latest(srcDir).map(_.version)
+      .getOrElse(return None)
+    val candidates = GraftTableMeta.read(srcDir).get("mv.dependents")
+      .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).distinct
+    candidates.iterator.map(srcDir.resolveSibling(_)).flatMap { mvDir =>
+      if (!Files.isDirectory(mvDir)) None
+      else {
+        val props = GraftTableMeta.read(mvDir)
+        for {
+          _ <- props.get("mv.name")
+          src <- props.get("mv.source") if src == srcName
+          keyE <- resolveAgainst(props("mv.key"), rel)
+          if keyE.canonicalized == groupE.canonicalized
+          sumE <- resolveAgainst(props("mv.sum"), rel)
+          cols <- traverse(aggExprs.map { ne =>
+            classify(inline(stripAlias(ne)), keyE, sumE).map(ne -> _)
+          })
+          // FRESH means the ledger is exactly at the source's version
+          w <- GraftVersions.lastTxnEpoch(mvDir, GraftMv.AppId)
+          if w == srcVersion
+          rewritten <- substitute(mvDir, cols)
+        } yield rewritten
+      }
+    }.nextOption()
+  }
+
+  private def stripAlias(ne: NamedExpression): Expression = ne match {
+    case Alias(c, _) => c
+    case other => other
+  }
+
+  private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.flatten) else None
+
+  /** Build the replacement: a pre-optimized scan of the view plus a
+    * projection that re-binds every original output attribute id —
+    * consumers above the aggregate never notice the swap. */
+  private def substitute(mvDir: Path,
+      cols: Seq[(NamedExpression, MvCol)]): Option[LogicalPlan] = {
+    val mvPlan = spark.read.format("graft.sources.GraftDocsSource")
+      .option("path", mvDir.toString).load()
+      .select("doc_id", "fp", "n_words")
+      .queryExecution.optimizedPlan
+    val scanRel = mvPlan.collectFirst {
+      case s: DataSourceV2ScanRelation => s
+    }.getOrElse(return None)
+    val byName = scanRel.output.map(a => a.name -> a).toMap
+    if (!Seq("doc_id", "fp", "n_words").forall(byName.contains)) return None
+    val projections = cols.map { case (ne, col) =>
+      val replacement: Expression = col match {
+        case KeyCol => byName("doc_id")
+        case SumCol => byName("fp")
+        case CntCol => Cast(byName("n_words"), LongType, None)
+      }
+      if (replacement.dataType != ne.dataType) return None
+      Alias(replacement, ne.name)(exprId = ne.exprId)
+    }
+    Some(Project(projections, scanRel))
+  }
+}

@@ -1243,11 +1243,11 @@ object GraftBucketFunction extends UnboundFunction {
   * dump: leading word constant 6 = `RowDeltaUtils
   * .WRITE_WITH_METADATA_OPERATION`); the connector therefore always
   * requests `_file` for row-level operations. */
-class GraftRlTable(path: String,
+class GraftRlTable(val path: String,
     // Some(v): a `VERSION/TIMESTAMP AS OF` load — a READ-ONLY view of
     // snapshot v (Spark rejects writes to time-travel relations at
     // analysis; the capability set makes the contract explicit)
-    versionPin: Option[Long] = None) extends Table
+    val versionPin: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations
     with SupportsMetadataColumns with SupportsDeleteV2 {
   override def name(): String =

@@ -106,7 +106,7 @@ object GraftDocsSource {
   *    storage system plugs in through, plus the read path back over the
   *    committed files (q94 round-trips through both).
   */
-class GraftDocsTable(rows: Long, parts: Int, path: Option[String],
+class GraftDocsTable(rows: Long, parts: Int, val path: Option[String],
     buckets: Int = 0, streamBatchRows: Long = 32L,
     // change-feed personality (`option("readChangeFeed", true)` on a
     // path-backed read): the schema gains _change_type/_commit_version
@@ -777,6 +777,17 @@ class GraftFilesScan(path: String, required: StructType,
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with SupportsReportPartitioning {
+  /** The table directory this scan reads (materialized-view rewrite
+    * uses it to locate the source's registered views). */
+  def tablePath: String = path
+  /** True when this scan is the plain LIVE snapshot — no time-travel
+    * pin, no pushed predicates, no CDC personality, no file scoping.
+    * The ONLY shape a materialized-view rewrite may substitute: any of
+    * these would change the row set the aggregate was declared over. */
+  def isBareLiveSnapshot: Boolean =
+    versionPin.isEmpty && startingVersion.isEmpty &&
+      endingVersion.isEmpty && colRanges.isEmpty && eqLiterals.isEmpty &&
+      !cdf && fileWhitelist.isEmpty
   // files surviving runtime group filtering; None = no filter arrived
   @volatile private var keep: Option[Set[String]] = None
   // value-partition whitelist from a DPP runtime filter; None = none
@@ -864,6 +875,35 @@ class GraftFilesScan(path: String, required: StructType,
       else entries.flatMap(_.ndv).reduce(_ merge _).cols
         .filter { case (c, _) => required.fieldNames.contains(c) }
         .map { case (c, s) => c -> s.estimate }
+    // Column MIN/MAX: the same per-file envelopes that drive manifest
+    // pruning fold into table-level bounds for Catalyst's FILTER
+    // estimation — a selective range predicate then shrinks the
+    // estimated row count BEFORE join planning, which is what flips a
+    // filtered build side to broadcast. All-or-nothing per column (a
+    // pre-stats file withholds the bound rather than narrowing it
+    // wrongly); DV/eq-masked files can only WIDEN the range — the safe
+    // direction for planning. Empty-file markers (lo > hi) constrain
+    // nothing and are skipped, not failed.
+    val minMax: Map[String, (Long, Long)] =
+      if (entries.isEmpty) Map.empty
+      else required.fields.toSeq.collect {
+        case f if f.dataType == org.apache.spark.sql.types.LongType ||
+            f.dataType == org.apache.spark.sql.types.IntegerType => f.name
+      }.flatMap { c =>
+        val perFile = entries.map(_.stats.get(c))
+        if (perFile.contains(None)) None
+        else {
+          val boxes = perFile.flatten.filter { case (lo, hi) => lo <= hi }
+          if (boxes.isEmpty) None
+          else Some(c -> (boxes.map(_._1).min, boxes.map(_._2).max))
+        }
+      }.toMap
+    def boxed(c: String, v: Long): AnyRef =
+      required.fields.find(_.name == c).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.IntegerType) =>
+          java.lang.Integer.valueOf(v.toInt)
+        case _ => java.lang.Long.valueOf(v)
+      }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -874,19 +914,27 @@ class GraftFilesScan(path: String, required: StructType,
         val m = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-        ndvStats.foreach { case (c, n) =>
+        (ndvStats.keySet ++ minMax.keySet).foreach { c =>
           // nullCount rides along for the NOT NULL base columns (a
           // schema fact, no counter needed) — Catalyst's aggregate/join
           // estimation only uses a column's NDV when BOTH counts are
-          // known (ColumnStat.hasCountStats); evolved columns keep
-          // distinctCount alone
+          // known (ColumnStat.hasCountStats), and filter range
+          // estimation similarly keys off hasMinMaxStats; evolved
+          // columns keep distinctCount alone
           val nonNullBySchema = Set("doc_id", "fp", "n_words")(c)
           m.put(
             org.apache.spark.sql.connector.expressions.Expressions.column(c),
             new org.apache.spark.sql.connector.read.colstats
                 .ColumnStatistics {
               override def distinctCount(): java.util.OptionalLong =
-                java.util.OptionalLong.of(n)
+                ndvStats.get(c).map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+              override def min(): java.util.Optional[Object] =
+                minMax.get(c).map(b => java.util.Optional.of(
+                  boxed(c, b._1))).getOrElse(java.util.Optional.empty())
+              override def max(): java.util.Optional[Object] =
+                minMax.get(c).map(b => java.util.Optional.of(
+                  boxed(c, b._2))).getOrElse(java.util.Optional.empty())
               override def nullCount(): java.util.OptionalLong =
                 if (nonNullBySchema) java.util.OptionalLong.of(0L)
                 else java.util.OptionalLong.empty()

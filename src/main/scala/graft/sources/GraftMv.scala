@@ -1,0 +1,337 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained MATERIALIZED VIEWS over the versioned
+  * warehouse — Databricks' materialized view / Snowflake's dynamic
+  * table, built from three pieces the engine already has:
+  *
+  *  - the CHANGE FEED supplies the deltas: a refresh reads only the
+  *    source commits since the last refresh (insert/delete/update
+  *    images), never the source table itself — at 100 TB the refresh
+  *    cost is proportional to what CHANGED, not to what exists;
+  *  - SIGNED folding turns those images into aggregate deltas:
+  *    insert/update_postimage contribute +1, delete/update_preimage
+  *    contribute -1 — which is exactly why the maintained aggregates
+  *    are SUM and COUNT (self-maintainable under deletion; MIN/MAX
+  *    would need a full rescan when the extremum row dies, so they are
+  *    rejected loudly at CREATE);
+  *  - the TXN-RECORD machinery (the streaming sink's exactly-once
+  *    ledger) stores the refresh WATERMARK: each refresh commits the
+  *    new MV state tagged `txn = (mv-refresh, sourceVersion)`, so the
+  *    watermark is atomic with the data it describes — a crashed or
+  *    replayed refresh can never double-apply a delta
+  *    ([[GraftVersions.commitTxn]] refuses an epoch the ledger already
+  *    holds), and vacuum pins each appId's latest txn record.
+  *
+  * The MV lands in the substrate's fixed base schema: the grouping
+  * key in `doc_id`, the maintained sum in `fp`, the group's live row
+  * count in `n_words`, and the MV's name in `title` — i.e. a graft MV
+  * maintains
+  *
+  *   SELECT <key> AS doc_id, '<name>' AS title,
+  *          SUM(<sum>) AS fp, COUNT(*) AS n_words
+  *   FROM <source> GROUP BY <key>
+  *
+  * with `<key>`/`<sum>` deterministic BIGINT expressions over the
+  * base columns (validated at CREATE exactly like generation
+  * expressions). Groups whose count reaches zero are DELETED from the
+  * MV — the view never carries tombstones.
+  *
+  * Scale shape: the CDF scan is pruned to the refresh range, the
+  * delta aggregation shuffles only changed rows, and the rewrite cost
+  * is |MV| (the aggregate, not the corpus). The rewrite is a full
+  * swap of the MV's (small) file set rather than a keyed merge — the
+  * MV's own history face therefore shows one compact commit per
+  * refresh, and time travel over the MV replays refresh states.
+  *
+  * Capability extension beyond the reference: the notebook
+  * (/root/reference/Assignment-python.py:61) caches its one reused
+  * aggregate per run; an MV is that same instinct made durable,
+  * versioned, and incrementally maintained across runs.
+  */
+object GraftMv {
+
+  /** One ledger per MV table: the txn appId under which every
+    * create/refresh commit records the source version it folded. */
+  val AppId = "graft-mv-refresh"
+
+  final case class MvInfo(sourceVersion: Long, groups: Long,
+      applied: Long, mvVersion: Long, refreshed: Boolean)
+
+  /** Validate a CREATE-time expression the same way generated columns
+    * are validated (GraftCatalog): resolves against the BASE schema
+    * only (base columns can never be renamed/dropped, so the persisted
+    * text stays resolvable forever), deterministic, casts to BIGINT.
+    * Null SAFETY is a runtime guard instead ([[guarded]]): Spark marks
+    * every `%`/`/` nullable (null-on-zero-divisor in non-ANSI mode),
+    * so a static non-null proof would reject `doc_id % 5` — the guard
+    * raises on an actual null rather than silently merging groups or
+    * corrupting the signed fold. */
+  private def validated(spark: SparkSession, what: String, sql: String)
+      : Unit = {
+    val analyzed =
+      try spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          GraftDocsSource.schema)
+        .select(expr(sql).cast("long").as("x"))
+        .queryExecution.analyzed
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"mv $what expression ($sql) must resolve against the base " +
+              s"columns (${GraftDocsSource.schema.fieldNames.mkString(", ")})" +
+              s": ${e.getMessage}")
+      }
+    require(analyzed.expressions.forall(_.deterministic),
+      s"mv $what expression ($sql) must be deterministic")
+  }
+
+  /** Fail a refresh loudly when a key/sum expression evaluates to
+    * NULL on a real row — the alternatives (merging null keys into
+    * one group, dropping the addend) are both silent corruption. */
+  private def guarded(e: org.apache.spark.sql.Column, what: String)
+      : org.apache.spark.sql.Column =
+    when(e.isNull, raise_error(lit(
+      s"mv $what expression evaluated to NULL; materialized views " +
+        "require non-null keys and addends"))).otherwise(e)
+
+  /** Reject the aggregates incremental maintenance cannot carry. The
+    * procedure surface only OFFERS sum+count, but a user pasting
+    * `min(n_words)` into the sum slot must fail loudly, not fold
+    * garbage. */
+  private def rejectNonMaintainable(sql: String): Unit = {
+    val lowered = sql.toLowerCase(java.util.Locale.ROOT)
+    Seq("min(", "max(", "avg(", "count(", "sum(", "first(", "last(",
+        "percentile", "stddev", "variance").foreach { agg =>
+      require(!lowered.contains(agg),
+        s"mv expressions are per-row (the engine applies SUM/COUNT " +
+          s"itself); '$sql' contains an aggregate — MIN/MAX and " +
+          "friends are not incrementally maintainable under deletes")
+    }
+  }
+
+  /** The signed per-row delta frame for a CDF slice: +1 for rows
+    * entering the view, -1 for rows leaving it. */
+  private def signedDeltas(changes: DataFrame, keyExpr: String,
+      sumExpr: String): DataFrame = {
+    val sign = when(col("_change_type")
+      .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+    changes.select(
+      guarded(expr(keyExpr).cast("long"), "key").as("k"),
+      (sign * guarded(expr(sumExpr).cast("long"), "sum")).as("s"),
+      sign.as("c"))
+  }
+
+  /** Aggregate a (k, s, c) delta frame into final MV rows, dropping
+    * dead groups. */
+  private def fold(name: String, deltas: DataFrame): DataFrame =
+    deltas.groupBy("k")
+      .agg(sum("s").as("s"), sum("c").as("c"))
+      .filter(col("c") > 0L)
+      .select(col("k").as("doc_id"), lit(name).as("title"),
+        col("s").as("fp"), col("c").cast("int").as("n_words"))
+
+  /** Land `rows` as the MV's new live snapshot in ONE commit tagged
+    * with the source watermark; returns the commit plus the landed
+    * group count (read off the manifest's own row counters — no extra
+    * job). Returns None when the ledger already holds `epoch` (a
+    * replayed refresh) — the staged files are then unreferenced and
+    * vacuum reclaims them, exactly the compact crash story. */
+  private def swapIn(root: Path, rows: DataFrame, op: String,
+      epoch: Long): Option[(GraftVersions.VersionInfo, Long)] = {
+    val tmp = Files.createTempDirectory(root, "_mv")
+    try {
+      // a VERSIONED scratch dir (with the MV's quality properties
+      // mirrored in) records per-file stats/blooms that ride into the
+      // final manifest — same pattern as the OPTIMIZE rewrite
+      GraftVersions.enable(tmp)
+      GraftTableMeta.write(tmp, GraftTableMeta.read(root))
+      rows.orderBy("doc_id").coalesce(1)
+        .write.format("graft.sources.GraftDocsSource")
+        .option("path", tmp.toString).mode("append").save()
+      val staged = GraftVersions.latest(tmp).map(_.entries).getOrElse(Nil)
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+      val landed = staged.zipWithIndex.map { case (e, i) =>
+        val name = f"part-$i%05d-$tag.tsv"
+        Files.move(tmp.resolve(e.name), root.resolve(name),
+          StandardCopyOption.ATOMIC_MOVE)
+        e.copy(name = name)
+      }
+      // REPLACE-ALL (removed = None): each refresh lands the COMPLETE
+      // view state for its epoch, so two racing refreshes targeting
+      // different source versions are both safe — the later one's fold
+      // already contains the earlier one's delta range, and keeping the
+      // earlier one's files (a stale removed-set) would double-count.
+      // Epoch idempotence still rejects true replays of the same range.
+      GraftVersions.commitTxn(root, op,
+        removed = None, added = landed,
+        appId = AppId, epoch = epoch)
+        .map(v => (v, landed.flatMap(_.rows).sum))
+    } finally {
+      try org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private def pathReader(spark: SparkSession, dir: Path) =
+    spark.read.format("graft.sources.GraftDocsSource")
+      .option("path", dir.toString)
+
+  /** CREATE MATERIALIZED VIEW: seed the aggregate at the source's
+    * current version and open the refresh ledger at that watermark.
+    *
+    * The seed is computed from the LIVE snapshot (not the change feed,
+    * so a source whose early history was vacuumed can still seed), and
+    * races with concurrent source commits are closed optimistically:
+    * the source version is read before AND after the aggregate
+    * materializes, and a moved source re-runs the seed — the same
+    * read-validate loop OPTIMIZE uses. With `auto = true` the MV
+    * registers itself on the source's `mv.dependents` list and every
+    * subsequent source data commit pays an inline refresh
+    * ([[maybeAutoRefresh]]) — Delta autoOptimize semantics applied to
+    * view maintenance. */
+  def create(spark: SparkSession, srcName: String, src: Path, mv: Path,
+      name: String, keyExpr: String, sumExpr: String,
+      auto: Boolean = false, maxAttempts: Int = 3): MvInfo = {
+    require(GraftVersions.latest(src).isDefined,
+      s"mv source $src must be a versioned table (the change feed is " +
+        "the refresh input)")
+    require(!Files.exists(mv), s"mv target $mv already exists")
+    rejectNonMaintainable(keyExpr); rejectNonMaintainable(sumExpr)
+    validated(spark, "key", keyExpr); validated(spark, "sum", sumExpr)
+    val before = GraftVersions.latest(src).get.version
+    // seed = signed fold of the live snapshot (every live row enters)
+    val seed = fold(name, pathReader(spark, src).load()
+      .select(guarded(expr(keyExpr).cast("long"), "key").as("k"),
+        guarded(expr(sumExpr).cast("long"), "sum").as("s"),
+        lit(1L).as("c")))
+      .cache()
+    val groups = seed.count()
+    val after = GraftVersions.latest(src).get.version
+    if (after != before) {
+      seed.unpersist()
+      require(maxAttempts > 1,
+        s"mv create raced source commits $maxAttempts times; giving up")
+      return create(spark, srcName, src, mv, name, keyExpr, sumExpr,
+        auto, maxAttempts - 1)
+    }
+    Files.createDirectories(mv)
+    GraftVersions.enable(mv)
+    GraftTableMeta.write(mv, Map(
+      "mv.name" -> name, "mv.source" -> srcName,
+      "mv.key" -> keyExpr, "mv.sum" -> sumExpr))
+    val (info, _) = swapIn(mv, seed, "mv-create", epoch = before)
+      .getOrElse(throw new IllegalStateException(
+        s"fresh mv ledger at $mv already held epoch $before"))
+    seed.unpersist()
+    if (auto) {
+      val props = GraftTableMeta.read(src)
+      val joined = props.get("mv.dependents")
+        .map(_ + "," + name).getOrElse(name)
+      GraftTableMeta.write(src, props + ("mv.dependents" -> joined))
+    }
+    MvInfo(before, groups, applied = groups, info.version,
+      refreshed = true)
+  }
+
+  /** REFRESH: fold the source commits since the recorded watermark
+    * into the view — exactly-once, catch-up, no source scan.
+    *
+    * Reads the ledger's watermark W and the source's current version
+    * S; when S > W the change feed is read PINNED to [W+1, S]
+    * (`endingVersion` — a source commit landing mid-refresh cannot
+    * leak in; the next refresh picks it up), signed-folded together
+    * with the current MV rows, and swapped in under `txn = (appId,
+    * S)`. A replayed refresh (crash recovery, two racing callers)
+    * finds the ledger already at S and lands nothing. A source
+    * vacuumed past W+1 fails loudly on the feed read (the expired-
+    * range guard) rather than silently skipping deltas — re-create
+    * the MV in that case. */
+  def refresh(spark: SparkSession, mv: Path,
+      resolveSource: String => Path): MvInfo = {
+    val props = GraftTableMeta.read(mv)
+    val name = props.getOrElse("mv.name", throw new IllegalStateException(
+      s"$mv is not a materialized view (no mv.name property)"))
+    val src = resolveSource(props("mv.source"))
+    val keyExpr = props("mv.key"); val sumExpr = props("mv.sum")
+    val w = GraftVersions.lastTxnEpoch(mv, AppId)
+      .getOrElse(throw new IllegalStateException(
+        s"mv $mv has no refresh ledger (vacuumed past every txn " +
+          "record?); re-create the view"))
+    val s = GraftVersions.latest(src).map(_.version)
+      .getOrElse(throw new IllegalStateException(
+        s"mv source $src is no longer a versioned table"))
+    val mvVersion = GraftVersions.latest(mv).map(_.version).getOrElse(0L)
+    def liveGroups: Long = GraftVersions.latest(mv)
+      .map(_.entries.flatMap(_.liveRows).sum).getOrElse(0L)
+    if (s <= w)
+      return MvInfo(w, liveGroups, applied = 0L, mvVersion,
+        refreshed = false)
+    val changes = pathReader(spark, src)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", (w + 1).toString)
+      .option("endingVersion", s.toString).load()
+    val applied = changes.count()
+    if (applied == 0L) {
+      // the range held only no-row commits (pruned eq-deletes, empty
+      // epochs): advance the watermark as a METADATA-only commit —
+      // keep every file, ledger the new epoch, write no data
+      val v = GraftVersions.commitTxn(mv, "mv-refresh",
+        removed = Some(Set.empty), added = Nil, appId = AppId, epoch = s)
+      return MvInfo(s, liveGroups, applied = 0L,
+        v.map(_.version).getOrElse(mvVersion),
+        refreshed = v.isDefined)
+    }
+    val current = pathReader(spark, mv).load()
+      .select(col("doc_id").as("k"), col("fp").as("s"),
+        col("n_words").cast("long").as("c"))
+    val refreshed = fold(name,
+      current.unionByName(signedDeltas(changes, keyExpr, sumExpr)))
+    swapIn(mv, refreshed, "mv-refresh", epoch = s) match {
+      case Some((info, groups)) =>
+        MvInfo(s, groups, applied, info.version, refreshed = true)
+      case None => // replayed epoch: the ledger moved under us
+        MvInfo(s, liveGroups, applied = 0L,
+          GraftVersions.latest(mv).map(_.version).getOrElse(mvVersion),
+          refreshed = false)
+    }
+  }
+
+  /** Auto-refresh guard: a cyclic dependents graph (an MV registered
+    * as a dependent of itself, directly or through a chain) would
+    * refresh forever — track the roots on the current commit path. */
+  private val refreshing: ThreadLocal[Set[Path]] =
+    ThreadLocal.withInitial(() => Set.empty[Path])
+
+  /** Self-maintenance hook ([[GraftVersions.advance]]/`commitTxn`):
+    * after a data commit on a table carrying `mv.dependents`, the
+    * committing writer pays an inline refresh of each registered view
+    * (dependent MVs live beside their source in the same warehouse, so
+    * `sibling` resolution needs no catalog). Idempotent and ordered by
+    * the ledger, so a hook crash just leaves the view one refresh
+    * behind — the next commit (or a manual `refresh_mv`) catches up. */
+  def maybeAutoRefresh(src: Path): Unit = {
+    val dependents = GraftTableMeta.read(src).get("mv.dependents")
+      .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).distinct
+    if (dependents.isEmpty) return
+    val spark = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        s"auto-refresh of ${dependents.mkString(", ")} needs an active " +
+          "SparkSession"))
+    val inFlight = refreshing.get()
+    require(!inFlight.contains(src.toAbsolutePath),
+      s"cyclic mv.dependents chain through $src")
+    refreshing.set(inFlight + src.toAbsolutePath)
+    try dependents.foreach { dep =>
+      val dir = src.resolveSibling(dep)
+      if (Files.isDirectory(dir) &&
+          GraftTableMeta.read(dir).contains("mv.name"))
+        refresh(spark, dir, n => src.resolveSibling(n))
+    } finally refreshing.set(inFlight)
+  }
+}

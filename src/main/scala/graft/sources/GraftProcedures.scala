@@ -32,7 +32,8 @@ object GraftProcedures {
   val names: Seq[String] =
     Seq("vacuum", "optimize", "restore", "clone", "tag", "drop_tag",
       "branch", "fast_forward", "merge_branch", "drop_branch",
-      "expire_snapshots", "remove_orphan_files", "analyze")
+      "expire_snapshots", "remove_orphan_files", "analyze",
+      "create_mv", "refresh_mv")
 
   /** `resolve` maps a table name to its EXISTING directory (throws for
     * absent tables); `resolveNew` maps a name to the directory it WOULD
@@ -52,6 +53,8 @@ object GraftProcedures {
       case "merge_branch" => mergeBranch(resolve)
       case "drop_branch" => dropBranch(resolve)
       case "analyze" => analyzeTable(resolve)
+      case "create_mv" => createMv(resolve, resolveNew)
+      case "refresh_mv" => refreshMv(resolve)
       case "expire_snapshots" => expireSnapshots(resolve)
       case "remove_orphan_files" => removeOrphanFiles(resolve)
       case other => throw new IllegalArgumentException(
@@ -303,6 +306,58 @@ object GraftProcedures {
           StructField("analyzed_files", LongType, nullable = false),
           StructField("new_version", LongType, nullable = false))),
           r.analyzedFiles.toLong, r.newVersion.getOrElse(-1L))
+      }
+    }
+
+  private def createMv(resolve: String => Path,
+      resolveNew: String => Path): UnboundProcedure =
+    new Proc("create_mv", Array(
+      param("view", StringType), param("source", StringType),
+      param("key_expr", StringType), param("sum_expr", StringType),
+      param("auto", BooleanType))) {
+      override def description(): String =
+        "CREATE MATERIALIZED VIEW: seed `view` with SELECT key_expr, " +
+          "SUM(sum_expr), COUNT(*) FROM source GROUP BY key_expr at " +
+          "the source's current version, ledger the watermark as a " +
+          "txn record; auto=true registers the view for inline " +
+          "refresh on every source data commit"
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val view = input.getUTF8String(0).toString
+        val srcName = input.getUTF8String(1).toString
+        val info = GraftMv.create(
+          org.apache.spark.sql.SparkSession.active,
+          srcName, resolve(srcName), resolveNew(view), view,
+          input.getUTF8String(2).toString,
+          input.getUTF8String(3).toString,
+          auto = input.getBoolean(4))
+        result(StructType(Seq(
+          StructField("source_version", LongType, nullable = false),
+          StructField("groups", LongType, nullable = false),
+          StructField("mv_version", LongType, nullable = false))),
+          info.sourceVersion, info.groups, info.mvVersion)
+      }
+    }
+
+  private def refreshMv(resolve: String => Path): UnboundProcedure =
+    new Proc("refresh_mv", Array(param("view", StringType))) {
+      override def description(): String =
+        "REFRESH MATERIALIZED VIEW: fold the source commits since the " +
+          "ledgered watermark into the view via the change feed — " +
+          "exactly-once (txn-record idempotence), cost proportional " +
+          "to the changed rows, no source scan; already-fresh views " +
+          "no-op"
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = resolve(input.getUTF8String(0).toString)
+        val info = GraftMv.refresh(
+          org.apache.spark.sql.SparkSession.active, dir, resolve)
+        result(StructType(Seq(
+          StructField("source_version", LongType, nullable = false),
+          StructField("applied_changes", LongType, nullable = false),
+          StructField("groups", LongType, nullable = false),
+          StructField("mv_version", LongType, nullable = false),
+          StructField("refreshed", BooleanType, nullable = false))),
+          info.sourceVersion, info.applied, info.groups, info.mvVersion,
+          info.refreshed)
       }
     }
 

@@ -624,10 +624,14 @@ object GraftVersions {
     // (dataChange=false — rows identical, feed skips it; lineage
     // splices on row-tracked tables). Guarded on dataChange so the
     // compaction's own commit, restores, and other metadata advances
-    // never recurse. Retention runs after compaction (the concat adds
-    // a version the retention window must count).
+    // never recurse. Dependent materialized views refresh BEFORE
+    // retention runs (the refresh reads this commit's change-feed
+    // slice — expiring it first would orphan the watermark), and
+    // retention runs last (the concat adds a version the retention
+    // window must count).
     if (dataChange) {
       maybeAutoCompact(root)
+      GraftMv.maybeAutoRefresh(root)
       maybeAutoExpire(root)
     }
     v
@@ -692,8 +696,8 @@ object GraftVersions {
     * time travel; vacuum reclaims them). */
   def applyDelta(root: Path, deletes: Map[String, Seq[Long]],
       added: Seq[FileEntry], op: String,
-      readVersion: Option[Long] = None): VersionInfo =
-    commitWithRetry(root, s"merge-on-read '$op'") {
+      readVersion: Option[Long] = None): VersionInfo = {
+    val v = commitWithRetry(root, s"merge-on-read '$op'") {
       val base = latest(root).getOrElse(throw new IllegalStateException(
         s"merge-on-read $op on unversioned table $root"))
       // optimistic concurrency for the UPDATE/MERGE face: two MOR
@@ -727,6 +731,11 @@ object GraftVersions {
       writeManifest(root, base.version + 1, op,
         (updated ++ added).sortBy(_.name))
     }
+    // row-level commits are data changes the maintenance policies (and
+    // dependent materialized views) must see, same as appends
+    GraftMv.maybeAutoRefresh(root)
+    v
+  }
 
   /** Commit an EQUALITY DELETE: attach the deleted doc_id VALUES to
     * every live entry that might contain one — per-entry min/max stats
@@ -739,8 +748,8 @@ object GraftVersions {
     * equality deletes merge like MOR masks (value-set union under the
     * table lock). A commit that can prove no file holds any value
     * advances with dataChange=false (the feed skips it). */
-  def applyEqualityDelete(root: Path, values: Seq[Long]): VersionInfo =
-    commitWithRetry(root, "equality delete") {
+  def applyEqualityDelete(root: Path, values: Seq[Long]): VersionInfo = {
+    val v = commitWithRetry(root, "equality delete") {
       require(values.nonEmpty, "equality delete with no values")
       require(values.forall(_ >= 0),
         s"equality-delete values must be non-negative doc_ids: " +
@@ -762,6 +771,9 @@ object GraftVersions {
       writeManifest(root, base.version + 1, "delete-equality",
         updated.sortBy(_.name), dataChange = touched)
     }
+    if (v.dataChange) GraftMv.maybeAutoRefresh(root)
+    v
+  }
 
   /** Newest epoch recorded for a streaming appId across the RETAINED
     * manifests. Caveat shared with Delta's SetTransaction retention:
@@ -801,8 +813,13 @@ object GraftVersions {
     // bound exists for (Delta runs autoOptimize on streaming writes).
     // The concat/vacuum commits are dataChange=false with no txn tag,
     // so epoch idempotence and the change feed are untouched.
+    // Dependent materialized views refresh per epoch too — a streaming
+    // sink with registered views keeps them fresh micro-batch by
+    // micro-batch (and before retention, which could expire the slice
+    // the refresh needs).
     if (v.isDefined) {
       maybeAutoCompact(root)
+      GraftMv.maybeAutoRefresh(root)
       maybeAutoExpire(root)
     }
     v

@@ -777,4 +777,331 @@ class Round16Spec extends SparkSpec {
       assert(GraftVersions.listBranches(wh.resolve("t")).isEmpty)
     } finally dropCatalog(cat, wh)
   }
+
+  // -------------------------------------------------------------------
+  // q275: min/max column statistics → filter estimation
+  // -------------------------------------------------------------------
+
+  test("min/max column statistics shrink a range filter's estimate: " +
+      "the filtered side proves itself broadcast-small under CBO") {
+    val (cat, wh) = freshCatalog("mmcbo")
+    val oldCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    val oldThresh =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'ndv.columns' = 'doc_id,fp,n_words')""".stripMargin)
+      insertRange(cat, "t", 0, 600)
+      val path = wh.resolve("t").toString
+      def table() = spark.read.format("graft.sources.GraftDocsSource")
+        .option("path", path).load()
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // the optimizer carries the manifest's fold: doc_id ∈ [0, 599]
+      val stats = table().select("doc_id", "n_words")
+        .queryExecution.optimizedPlan.stats
+      val mm = stats.attributeStats.toSeq.map { case (attr, cs) =>
+        attr.name -> (cs.min.map(_.toString.toLong),
+          cs.max.map(_.toString.toLong))
+      }.toMap
+      assert(mm.get("doc_id").contains((Some(0L), Some(599L))), mm.toString)
+      assert(mm.get("n_words").contains((Some(9L), Some(99L))), mm.toString)
+
+      // a threshold between the 40-row filtered estimate and the
+      // 600-row base relation: only range interpolation over [min,max]
+      // can prove the filtered side broadcastable
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+      val filtered = table().filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          col("n_words").as("nw_small"))
+      val joined = table().join(filtered, Seq("doc_id"))
+      val plan = joined.queryExecution.sparkPlan
+      val hasBroadcast = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          b
+      }.nonEmpty
+      assert(hasBroadcast,
+        s"range-estimated 40-row filter must broadcast:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", oldCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      dropCatalog(cat, wh)
+    }
+  }
+
+  test("min/max bounds are all-or-nothing per column: a pre-stats live " +
+      "file withholds the bound instead of narrowing it wrongly") {
+    val (cat, wh) = freshCatalog("mmpre")
+    try {
+      mvFixture(cat)
+      insertRange(cat, "t", 0, 40)
+      val root = wh.resolve("t")
+      // forge a pre-stats manifest line: strip one entry's stats map
+      val snap = GraftVersions.latest(root).get
+      val stripped = snap.entries.map(_.copy(stats = Map.empty))
+      GraftVersions.advance(root, "forge-prestats",
+        removed = Some(snap.entries.map(_.name).toSet), added = stripped,
+        dataChange = false)
+      val stats = spark.read.format("graft.sources.GraftDocsSource")
+        .option("path", root.toString).load().select("doc_id")
+        .queryExecution.optimizedPlan.collectFirst {
+          case s: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => s.stats
+        }.get
+      val mins = stats.attributeStats.toSeq
+        .map { case (a, cs) => a.name -> cs.min }.toMap
+      assert(!mins.get("doc_id").exists(_.isDefined),
+        s"stripped stats must withhold the bound: $mins")
+    } finally dropCatalog(cat, wh)
+  }
+
+  // -------------------------------------------------------------------
+  // q273: incrementally-maintained materialized views
+  // -------------------------------------------------------------------
+
+  private def mvFixture(cat: String): Unit = {
+    spark.sql(
+      s"""CREATE TABLE $cat.t (
+         |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+         |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+         |TBLPROPERTIES ('versioned' = 'true',
+         |  'delete.mode' = 'merge-on-read',
+         |  'update.mode' = 'merge-on-read')""".stripMargin)
+  }
+
+  private def mvRows(cat: String, view: String): Set[(Long, Long, Long)] =
+    spark.table(s"$cat.$view")
+      .select("doc_id", "fp", "n_words").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+
+  private def fullRecompute(cat: String): Set[(Long, Long, Long)] =
+    spark.sql(
+      s"""SELECT doc_id % 5 AS k, CAST(SUM(n_words) AS BIGINT) s,
+         |  COUNT(*) c FROM $cat.t GROUP BY doc_id % 5""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("mv: refresh equals a full recompute and is exactly-once — " +
+      "a second refresh finds its watermark ledgered and lands nothing") {
+    val (cat, wh) = freshCatalog("mv1")
+    try {
+      mvFixture(cat)
+      insertRange(cat, "t", 0, 12)
+      spark.sql(s"CALL $cat.system.create_mv(" +
+        "'v', 't', 'doc_id % 5', 'n_words', false)")
+      assert(mvRows(cat, "v") == fullRecompute(cat))
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (2, 7)")
+      spark.sql(s"UPDATE $cat.t SET n_words = n_words + 50 WHERE doc_id = 3")
+      insertRange(cat, "t", 12, 20)
+      val r1 = spark.sql(s"CALL $cat.system.refresh_mv('v')").head()
+      assert(r1.getBoolean(4), "first refresh must apply")
+      assert(mvRows(cat, "v") == fullRecompute(cat))
+      val v1 = GraftVersions.latest(wh.resolve("v")).get.version
+      val r2 = spark.sql(s"CALL $cat.system.refresh_mv('v')").head()
+      assert(!r2.getBoolean(4) && r2.getLong(1) == 0L,
+        "watermark no-op must land nothing")
+      assert(GraftVersions.latest(wh.resolve("v")).get.version == v1)
+      // the idempotence primitive itself: a replayed epoch refuses
+      assert(GraftVersions.commitTxn(wh.resolve("v"), "mv-refresh",
+        None, Nil, graft.sources.GraftMv.AppId,
+        GraftVersions.lastTxnEpoch(wh.resolve("v"),
+          graft.sources.GraftMv.AppId).get).isEmpty)
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("mv: a group whose live count reaches zero is deleted from the " +
+      "view, never tombstoned") {
+    val (cat, wh) = freshCatalog("mv2")
+    try {
+      mvFixture(cat)
+      insertRange(cat, "t", 0, 10)
+      spark.sql(s"CALL $cat.system.create_mv(" +
+        "'v', 't', 'doc_id % 5', 'n_words', false)")
+      // kill group 2 entirely (doc_ids 2 and 7)
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id % 5 = 2")
+      spark.sql(s"CALL $cat.system.refresh_mv('v')")
+      val keys = mvRows(cat, "v").map(_._1)
+      assert(keys == Set(0L, 1L, 3L, 4L), keys.toString)
+      assert(mvRows(cat, "v") == fullRecompute(cat))
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("mv: create rejects aggregates in the expression slots, " +
+      "nondeterminism, and unresolvable columns — each loudly") {
+    val (cat, wh) = freshCatalog("mv3")
+    try {
+      mvFixture(cat)
+      insertRange(cat, "t", 0, 4)
+      val agg = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.create_mv(" +
+          "'v1', 't', 'doc_id % 5', 'min(n_words)', false)")
+      }
+      assert(agg.getMessage.contains("not incrementally maintainable"),
+        agg.getMessage)
+      val rand = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.create_mv(" +
+          "'v2', 't', 'doc_id % 5', 'n_words * rand()', false)")
+      }
+      assert(rand.getMessage.contains("deterministic"), rand.getMessage)
+      val unres = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.create_mv(" +
+          "'v3', 't', 'no_such_col', 'n_words', false)")
+      }
+      assert(unres.getMessage.contains("resolve against the base"),
+        unres.getMessage)
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("mv: auto=true keeps the view fresh on every source data " +
+      "commit — the committing writer pays the inline refresh") {
+    val (cat, wh) = freshCatalog("mv4")
+    try {
+      mvFixture(cat)
+      insertRange(cat, "t", 0, 8)
+      spark.sql(s"CALL $cat.system.create_mv(" +
+        "'v', 't', 'doc_id % 5', 'n_words', true)")
+      insertRange(cat, "t", 8, 16)                    // append refreshes
+      assert(mvRows(cat, "v") == fullRecompute(cat),
+        "append must have refreshed the view inline")
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id < 3") // MOR delete too
+      assert(mvRows(cat, "v") == fullRecompute(cat),
+        "delete must have refreshed the view inline")
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("mv: the watermark survives MV vacuum (txn pinning); a source " +
+      "vacuumed past the watermark fails the refresh loudly") {
+    val (cat, wh) = freshCatalog("mv5")
+    try {
+      mvFixture(cat)
+      insertRange(cat, "t", 0, 8)
+      spark.sql(s"CALL $cat.system.create_mv(" +
+        "'v', 't', 'doc_id % 5', 'n_words', false)")
+      insertRange(cat, "t", 8, 12)
+      spark.sql(s"CALL $cat.system.refresh_mv('v')")
+      spark.sql(s"CALL $cat.system.vacuum('v', 1)")
+      // ledger intact after vacuum: refresh still knows it's fresh
+      val noop = spark.sql(s"CALL $cat.system.refresh_mv('v')").head()
+      assert(!noop.getBoolean(4) && noop.getLong(1) == 0L)
+      // expire the source's history past the NEXT refresh's range:
+      // new commits, then vacuum down to the latest snapshot only
+      insertRange(cat, "t", 12, 16)
+      insertRange(cat, "t", 16, 20)
+      spark.sql(s"CALL $cat.system.vacuum('t', 1)")
+      val gone = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.refresh_mv('v')")
+      }
+      assert(gone.getMessage != null, "expired feed must fail loudly")
+    } finally dropCatalog(cat, wh)
+  }
+
+  private def mvRewriteFacts(df: org.apache.spark.sql.DataFrame,
+      mvPath: String): (Boolean, Boolean) = {
+    val plan = df.queryExecution.optimizedPlan
+    val scansMv = plan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation
+          if s.scan.description.contains(mvPath) => s
+    }.nonEmpty
+    val aggregates = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty
+    (scansMv, aggregates)
+  }
+
+  test("mv rewrite: answers the declared aggregate from the view only " +
+      "while FRESH; a stale ledger or a refresh restores/blocks it") {
+    val (cat, wh) = freshCatalog("mvrw1")
+    try {
+      mvFixture(cat)
+      insertRange(cat, "t", 0, 12)
+      // manual (auto=false) view: later source commits leave it stale
+      spark.sql(s"CALL $cat.system.create_mv(" +
+        "'v', 't', 'doc_id % 5', 'n_words', false)")
+      insertRange(cat, "t", 12, 20) // source moves; view stays at v1
+      // register for rewrite discovery WITHOUT refreshing
+      val root = wh.resolve("t")
+      GraftTableMeta.write(root,
+        GraftTableMeta.read(root) + ("mv.dependents" -> "v"))
+      org.apache.spark.sql.GraftBridge.addOptimization(spark,
+        graft.plans.MvRewriteRule(spark))
+      def run() = spark.sql(
+        s"""SELECT doc_id % 5 AS k, SUM(n_words) AS s, COUNT(*) AS c
+           |FROM $cat.t GROUP BY doc_id % 5""".stripMargin)
+      val mvPath = wh.resolve("v").toString
+      val (staleScans, staleAggs) = mvRewriteFacts(run(), mvPath)
+      assert(!staleScans && staleAggs,
+        "a STALE view must never answer the query")
+      spark.sql(s"CALL $cat.system.refresh_mv('v')")
+      val fresh = run()
+      val (freshScans, freshAggs) = mvRewriteFacts(fresh, mvPath)
+      assert(freshScans && !freshAggs,
+        "a fresh view must answer without an Aggregate")
+      // soundness: identical rows to the real aggregate
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      val real = run()
+      assert(fresh.exceptAll(real).isEmpty && real.exceptAll(fresh).isEmpty)
+      spark.conf.unset("spark.graft.mv.rewrite")
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("mv rewrite: a pushed-down filter, a different aggregate, or a " +
+      "time-travel read each disqualify the substitution") {
+    val (cat, wh) = freshCatalog("mvrw2")
+    try {
+      mvFixture(cat)
+      insertRange(cat, "t", 0, 12)
+      spark.sql(s"CALL $cat.system.create_mv(" +
+        "'v', 't', 'doc_id % 5', 'n_words', true)")
+      org.apache.spark.sql.GraftBridge.addOptimization(spark,
+        graft.plans.MvRewriteRule(spark))
+      val mvPath = wh.resolve("v").toString
+      val filtered = spark.sql(
+        s"""SELECT doc_id % 5 AS k, SUM(n_words) AS s, COUNT(*) AS c
+           |FROM $cat.t WHERE doc_id < 6 GROUP BY doc_id % 5""".stripMargin)
+      assert(!mvRewriteFacts(filtered, mvPath)._1,
+        "a filtered aggregate must not be answered from the view")
+      val minAgg = spark.sql(
+        s"""SELECT doc_id % 5 AS k, MIN(n_words) AS m
+           |FROM $cat.t GROUP BY doc_id % 5""".stripMargin)
+      assert(!mvRewriteFacts(minAgg, mvPath)._1,
+        "MIN is not view-maintained and must not rewrite")
+      val distinctSum = spark.sql(
+        s"""SELECT doc_id % 5 AS k, SUM(DISTINCT n_words) AS s
+           |FROM $cat.t GROUP BY doc_id % 5""".stripMargin)
+      assert(!mvRewriteFacts(distinctSum, mvPath)._1,
+        "SUM(DISTINCT) must not rewrite")
+      val timeTravel = spark.sql(
+        s"""SELECT doc_id % 5 AS k, SUM(n_words) AS s, COUNT(*) AS c
+           |FROM $cat.t VERSION AS OF 1 GROUP BY doc_id % 5""".stripMargin)
+      assert(!mvRewriteFacts(timeTravel, mvPath)._1,
+        "a time-travel read must not be answered from the live view")
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("mv: a cyclic mv.dependents chain is rejected by the refresh " +
+      "guard instead of refreshing forever") {
+    val (cat, wh) = freshCatalog("mv6")
+    try {
+      mvFixture(cat)
+      insertRange(cat, "t", 0, 4)
+      // hand-craft a self-cycle: t registered as its own dependent MV
+      // (removed=Some(empty) keeps every file — a pure ledger commit)
+      val root = wh.resolve("t")
+      GraftVersions.commitTxn(root, "seed-ledger", Some(Set.empty), Nil,
+        graft.sources.GraftMv.AppId, 0L)
+      GraftTableMeta.write(root, GraftTableMeta.read(root) ++ Map(
+        "mv.name" -> "t", "mv.source" -> "t",
+        "mv.key" -> "doc_id % 5", "mv.sum" -> "n_words",
+        "mv.dependents" -> "t"))
+      val cyc = intercept[Exception] { insertRange(cat, "t", 4, 8) }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(cyc).exists(_.contains("cyclic")),
+        messages(cyc).mkString(" | "))
+    } finally dropCatalog(cat, wh)
+  }
 }
