@@ -770,12 +770,141 @@ object Round16 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q278: write distribution — the table demands clustered input
+  // ---------------------------------------------------------------------
+
+  /** Iceberg's `write.distribution-mode = hash` via DSv2
+    * `RequiresDistributionAndOrdering`: a bucketed table with
+    * `write.distribution = 'hash'` DEMANDS that the engine cluster
+    * incoming rows by the declared bucket function (the same V2
+    * `bucket` UDF the scan's KeyGroupedPartitioning reports) and sort
+    * them by doc_id, BEFORE any writer task runs. Each bucket's rows
+    * then arrive in exactly one task, so an 8-partition unsorted
+    * INSERT lands exactly ONE file per bucket instead of up to
+    * 8×buckets fragments — at 1000 executors this is the difference
+    * between `buckets` files per write and a small-file explosion the
+    * compactor must clean up after every job. Two inserts → exactly
+    * 2×buckets files, rows intact, and the audit pins both faces. */
+  val q278WriteDistribution: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q278")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |PARTITIONED BY (bucket(4, doc_id))
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'write.distribution' = 'hash')""".stripMargin)
+      // deliberately UNSORTED, 8-partition input — the table's demand,
+      // not the writer, produces the layout
+      def insert(lo: Int, hi: Int): Unit = {
+        spark.read.format("graft.sources.GraftDocsSource")
+          .option("rows", hi.toString).option("partitions", "8").load()
+          .filter(col("doc_id") >= lo)
+          .createOrReplaceTempView(s"${cat}_b")
+        spark.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_b")
+        spark.catalog.dropTempView(s"${cat}_b")
+      }
+      insert(0, 64)
+      val filesFirst = spark.sql(
+        s"SELECT COUNT(*) FROM $cat.t.files").head().getLong(0)
+      insert(64, 96)
+      val filesTotal = spark.sql(
+        s"SELECT COUNT(*) FROM $cat.t.files").head().getLong(0)
+      val out = spark.sql(
+        s"""SELECT COUNT(*) AS n_rows, SUM(doc_id) AS sum_doc_id,
+           |  SUM(CAST(n_words AS BIGINT)) AS sum_words
+           |FROM $cat.t""".stripMargin)
+        .withColumn("files_after_first", lit(filesFirst))
+        .withColumn("files_total", lit(filesTotal))
+      OpsUtil.driverLiteral(out)
+    } finally teardown(spark, cat, wh)
+  }
+
+  // ---------------------------------------------------------------------
+  // q279: sorted scans — exchange-free AND sort-free merge joins
+  // ---------------------------------------------------------------------
+
+  /** The read-side payoff of q278: the writer OBSERVES per-file doc_id
+    * monotonicity and records `sorted=` in the manifest; a scan whose
+    * every planned partition is one sorted file reports that order
+    * (`SupportsReportOrdering`), so a sort-merge join between two such
+    * tables plans with NO exchange (storage-partitioned on the shared
+    * bucket layout) and NO sort — Hive's sorted-bucket-merge join,
+    * derived entirely from manifest facts. At 100 TB the join becomes
+    * a streaming zipper over pre-sorted bucket files: zero shuffle
+    * bytes, zero sort memory, spill-proof by construction. The audit
+    * runs the join with broadcast disabled and pins the three plan
+    * facts alongside the joined aggregate. */
+  val q279SortedScan: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q279")
+    val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Seq(("a", 48), ("b", 32)).foreach { case (t, n) =>
+        spark.sql(
+          s"""CREATE TABLE $cat.$t (
+             |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+             |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+             |PARTITIONED BY (bucket(4, doc_id))
+             |TBLPROPERTIES ('versioned' = 'true',
+             |  'write.distribution' = 'hash')""".stripMargin)
+        spark.read.format("graft.sources.GraftDocsSource")
+          .option("rows", n.toString).option("partitions", "8").load()
+          .createOrReplaceTempView(s"${cat}_src")
+        spark.sql(s"INSERT INTO $cat.$t SELECT * FROM ${cat}_src")
+        spark.catalog.dropTempView(s"${cat}_src")
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.sql(
+        s"""SELECT a.doc_id,
+           |  CAST(a.n_words AS BIGINT) + b.n_words AS words2
+           |FROM $cat.a a JOIN $cat.b b ON a.doc_id = b.doc_id""".stripMargin)
+      // sweep THROUGH the AQE wrapper — its subtree hides from a plain
+      // collect until unwrapped
+      def sweep[A](p: org.apache.spark.sql.execution.SparkPlan)(
+          f: PartialFunction[org.apache.spark.sql.execution.SparkPlan, A])
+          : Seq[A] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        p.collect {
+          case a: AdaptiveSparkPlanExec => sweep(a.executedPlan)(f)
+          case q: QueryStageExec => sweep(q.plan)(f)
+          case n if f.isDefinedAt(n) => Seq(f(n))
+        }.flatten
+      }
+      val plan = joined.queryExecution.executedPlan
+      val smj = sweep(plan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.nonEmpty
+      val exchanges = sweep(plan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e
+      }.nonEmpty
+      val sorts = sweep(plan) {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.nonEmpty
+      val out = joined
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("words2")).as("sum_words2"))
+        .withColumn("merge_join", lit(smj))
+        .withColumn("shuffles", lit(exchanges))
+        .withColumn("sorts", lit(sorts))
+      OpsUtil.driverLiteral(out)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      teardown(spark, cat, wh)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q273_materialized_view" -> q273MaterializedView,
     "q274_mv_auto" -> q274MvAuto,
     "q275_minmax_stats" -> q275MinMaxStats,
     "q276_stream_mv" -> q276StreamMv,
     "q277_mv_rewrite" -> q277MvRewrite,
+    "q278_write_distribution" -> q278WriteDistribution,
+    "q279_sorted_scan" -> q279SortedScan,
     "q272_stream_maintenance" -> q272StreamMaintenance,
     "q265_auto_compact" -> q265AutoCompact,
     "q266_ndv_stats" -> q266NdvStats,
@@ -852,6 +981,26 @@ object Round16 {
         |  TRUE AS fallback_keeps_aggregate
         |FROM range(0, 30) t(i) WHERE i NOT IN (4, 11)
         |GROUP BY i % 5 ORDER BY k""".stripMargin,
+    // the distribution demand bounds files at exactly one per bucket
+    // per write: 4 after the first insert, 8 after the second
+    "q278_write_distribution" ->
+      """SELECT CAST(96 AS BIGINT) AS n_rows,
+        |  (SELECT CAST(SUM(i) AS BIGINT) FROM range(0, 96) t(i))
+        |    AS sum_doc_id,
+        |  (SELECT CAST(SUM(i % 91 + 9) AS BIGINT) FROM range(0, 96) t(i))
+        |    AS sum_words,
+        |  CAST(4 AS BIGINT) AS files_after_first,
+        |  CAST(8 AS BIGINT) AS files_total""".stripMargin,
+    // join [0,48) ⋈ [0,32) on doc_id → rows [0,32), words2 = 2·(i%91+9);
+    // the plan is a sort-merge join with zero exchanges and zero sorts
+    "q279_sorted_scan" ->
+      """SELECT CAST(32 AS BIGINT) AS n_rows,
+        |  (SELECT CAST(SUM(i) AS BIGINT) FROM range(0, 32) t(i))
+        |    AS sum_doc_id,
+        |  (SELECT CAST(SUM(2 * (i % 91 + 9)) AS BIGINT)
+        |    FROM range(0, 32) t(i)) AS sum_words2,
+        |  TRUE AS merge_join, FALSE AS shuffles, FALSE AS sorts"""
+        .stripMargin,
     // AvailableNow drains the 6 source commits as 6 data epochs plus
     // the fresh-stream initial batch (v0's empty snapshot); the file
     // trace under threshold 3 (concat target 3/2 = 1) runs

@@ -733,7 +733,7 @@ object GraftCatalog {
       RowLevelModeKeys(k) || k == "row.tracking" ||
       k == "eq.materialize.threshold" ||
       k == "compact.threshold" || k == "ndv.columns" ||
-      k == "retention.versions"
+      k == "retention.versions" || k == "write.distribution"
 
   /** The three row-level strategy selectors, and their only legal
     * values. Validated at CREATE and ALTER: a typo like
@@ -771,6 +771,11 @@ object GraftCatalog {
         s"invalid value '$v' for table property 'compact.threshold'; " +
           "expected a positive integer (max live files before a data " +
           "commit triggers bin-packing auto-compaction)")
+    if (k == "write.distribution" && v != "hash" && v != "none")
+      throw new IllegalArgumentException(
+        s"invalid value '$v' for table property 'write.distribution'; " +
+          "legal values: hash (demand bucket-clustered, doc_id-sorted " +
+          "input from the engine — one file per bucket per write), none")
     if (k == "ndv.columns" && v.split(",").map(_.trim).exists(c =>
         !c.matches("[A-Za-z_][A-Za-z0-9_]*")))
       throw new IllegalArgumentException(

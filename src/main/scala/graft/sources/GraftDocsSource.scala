@@ -776,10 +776,41 @@ class GraftFilesScan(path: String, required: StructType,
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with SupportsReportPartitioning {
   /** The table directory this scan reads (materialized-view rewrite
     * uses it to locate the source's registered views). */
   def tablePath: String = path
+
+  /** Per-partition SORT ORDER, reported only when the manifest PROVES
+    * it: every planned file carries the writer-observed `sorted=`
+    * fact, and each input partition emits a single such file — one
+    * file per partition on unbucketed tables by construction, one
+    * SORTED file per bucket class on bucketed ones (two sorted files
+    * concatenated are not sorted, so a multi-file class withholds the
+    * claim). With `write.distribution = 'hash'` every write lands
+    * exactly that shape, and a sort-merge join over two such tables
+    * plans with NO exchange and NO sort — the full sorted-bucket-merge
+    * story at manifest cost. Masks only drop rows (order survives MOR
+    * and equality deletes); CDF reads interleave commits and never
+    * claim an order. False claims are worse than no claims: every
+    * gate here defaults to withholding. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val provable = !cdf && required.fieldNames.contains("doc_id") && {
+      val entries = liveEntries()
+      entries.nonEmpty && entries.forall(_.sorted) &&
+        (bucketedLayout.isEmpty ||
+          entries.groupBy(_.bucket).forall(_._2.size == 1))
+    }
+    if (!provable) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions
+      .sort(
+        org.apache.spark.sql.connector.expressions.Expressions
+          .column("doc_id"),
+        org.apache.spark.sql.connector.expressions.SortDirection
+          .ASCENDING))
+  }
   /** True when this scan is the plain LIVE snapshot — no time-travel
     * pin, no pushed predicates, no CDC personality, no file scoping.
     * The ONLY shape a materialized-view rewrite may substitute: any of
@@ -1712,7 +1743,57 @@ class GraftDocsWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new Write {
+
+  /** `write.distribution = 'hash'` on a bucketed table: DEMAND the
+    * engine cluster the incoming rows by the declared bucket function
+    * and sort them by doc_id within tasks, BEFORE any writer runs —
+    * Iceberg's `write.distribution-mode = hash`. Each bucket's rows
+    * then land in exactly one task, so a write produces ONE file per
+    * bucket (sorted, tight min/max envelope) no matter how the input
+    * was partitioned; without the demand a W-task write fans up to
+    * W×buckets small files and immediately leans on auto-compaction.
+    * The clustering expression is the same V2 `bucket` function the
+    * scan's KeyGroupedPartitioning reports ([[GraftBucketFunction]] —
+    * floored mod), resolved through the catalog, so read and write
+    * layouts agree by construction. Rewrites are exempt: OPTIMIZE
+    * plans its own layout (z-order fan / concat bins). */
+  private def clusteredBuckets: Option[Int] = {
+    val dir = Paths.get(path)
+    if (Option(info.options.get("graftRewrite")).contains("true")) None
+    else GraftTableMeta.read(dir).get("write.distribution") match {
+      case Some("hash") => GraftTableMeta.bucketLayout(dir).map(_._2)
+      case _ => None
+    }
+  }
+
+  override def build(): Write = clusteredBuckets match {
+    case Some(n) =>
+      new GraftDocsWrite(path, info, doTruncate)
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(Array(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .bucket(n, "doc_id")))
+        // one task per bucket-hash slot: bounds files at exactly the
+        // bucket count and pins AQE coalescing out of the exchange
+        override def requiredNumPartitions(): Int = n
+        override def requiredOrdering(): Array[
+            org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .sort(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column("doc_id"),
+              org.apache.spark.sql.connector.expressions.SortDirection
+                .ASCENDING))
+      }
+    case None => new GraftDocsWrite(path, info, doTruncate)
+  }
+}
+
+class GraftDocsWrite(path: String, info: LogicalWriteInfo,
+    doTruncate: Boolean) extends Write {
     override def toBatch: BatchWrite =
       new GraftDocsBatchWrite(path, info.queryId(), info.schema(), doTruncate,
         // graftRewrite: the write CARRIES existing rows (OPTIMIZE /
@@ -1743,7 +1824,6 @@ class GraftDocsWriteBuilder(path: String, info: LogicalWriteInfo)
       val appId = Option(info.options.get("txnAppId")).getOrElse(info.queryId())
       new GraftDocsStreamingWrite(path, info.schema(), doTruncate, appId)
     }
-  }
 }
 
 /** Streaming personality of the warehouse write path — exactly-once by
@@ -1967,7 +2047,9 @@ case class GraftDocsCommitMessage(fileName: String,
     // the fully-deleted-file drop in the MOR delete path)
     rows: Long = 0L, bytes: Long = 0L,
     // per-column distinct sketches (ndv.columns tables)
-    ndv: Option[GraftNdv] = None) extends WriterCommitMessage
+    ndv: Option[GraftNdv] = None,
+    // rows arrived non-decreasing by doc_id (observed per row)
+    sorted: Boolean = false) extends WriterCommitMessage
 
 /** Driver-side preparation of the write-time quality guards persisted
   * in `_table.properties` ([[GraftTableMeta]]):
@@ -2301,11 +2383,12 @@ case class GraftFanCommitMessage(
 object GraftDocsCommits {
   def land(staging: Path, root: Path,
       m: WriterCommitMessage): Seq[GraftVersions.FileEntry] = m match {
-    case GraftDocsCommitMessage(name, stats, bloom, rows, bytes, ndv) =>
+    case GraftDocsCommitMessage(name, stats, bloom, rows, bytes, ndv,
+        sorted) =>
       Files.move(staging.resolve(name), root.resolve(name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       Seq(GraftVersions.FileEntry(name, stats, bloom, Some(rows),
-        Some(bytes), ndv = ndv))
+        Some(bytes), ndv = ndv, sorted = sorted))
     case GraftBucketedCommitMessage(parts) =>
       // bucket ids are only meaningful under the layout the writer
       // fanned with — stamp the file with the CURRENT spec id so an
@@ -2491,6 +2574,9 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
         else Some(GraftBloom.empty(guards.bloomBits))
       private var nRows = 0L
       private var nBytes = 0L
+      // observed doc_id monotonicity → the manifest's `sorted=` fact
+      private var lastId = Long.MinValue
+      private var monotonic = true
       override def write(row: InternalRow): Unit = {
         // CHECK constraints gate the row BEFORE any bytes land: a
         // violating write fails the task, the job aborts, and the
@@ -2503,6 +2589,8 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
                 s"(doc_id=${row.getLong(idx(0))})")
         }
         val id = row.getLong(idx(0))
+        if (id < lastId) monotonic = false
+        lastId = id
         val title = row.getUTF8String(idx(1)).toString
         val fp = row.getLong(idx(2))
         val nw = row.getInt(idx(3))
@@ -2603,7 +2691,8 @@ class GraftDocsWriterFactory(stagingDir: String, idx: Array[Int],
           else cols(s) -> (mins(s), maxs(s))
         }.toMap ++ extraStats
         GraftDocsCommitMessage(finalName, stats, bloom, nRows, nBytes,
-          ndv = if (ndvAcc.isEmpty) None else Some(GraftNdv(ndvAcc)))
+          ndv = if (ndvAcc.isEmpty) None else Some(GraftNdv(ndvAcc)),
+          sorted = monotonic)
       }
       override def abort(): Unit = { out.close(); Files.deleteIfExists(attempt) }
       override def close(): Unit = ()

@@ -122,7 +122,15 @@ object GraftVersions {
       // cardinality input. Physical-row sketches (masks don't shrink
       // them): may overcount live distinct, never undercount. None =
       // untracked file (statistics omit the column, never guess).
-      ndv: Option[GraftNdv] = None) {
+      ndv: Option[GraftNdv] = None,
+      // rows in this file are non-decreasing by doc_id — OBSERVED by
+      // the writer (a per-row monotonicity check beside the min/max
+      // fold), never assumed from the plan. What lets the scan report
+      // a per-partition sort order (SupportsReportOrdering) and a
+      // sort-merge join skip its Sort entirely. Masks only drop rows,
+      // so the flag survives MOR/equality deletes; false = unknown,
+      // the scan then reports nothing (never a wrong order).
+      sorted: Boolean = false) {
     /** Can a row with `col` in [lo, hi] possibly live in this file?
       * Stats bound ALL physical rows, so they stay conservative (may
       * overcount, never undercount) for DV-masked files too. */
@@ -342,6 +350,7 @@ object GraftVersions {
         } ++ e.rows.map(r => s"rows=$r").toSeq
           ++ e.bytes.map(b => s"bytes=$b").toSeq
           ++ e.bucket.map(b => s"bucket=$b").toSeq
+          ++ (if (e.sorted) Seq("sorted=1") else Nil)
           ++ e.spec.filter(_ > 0).map(i => s"spec=$i").toSeq
           ++ (if (e.lineage.isEmpty) Nil
               else Seq("lineage=" + e.lineage.map {
@@ -449,7 +458,7 @@ object GraftVersions {
           def tok(prefix: String): Option[String] =
             arr.tail.find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
           val reserved = Set("rows=", "bytes=", "bucket=", "bloom=",
-            "dv=", "lineage=", "spec=", "eqdel=", "ndv=")
+            "dv=", "lineage=", "spec=", "eqdel=", "ndv=", "sorted=")
           val statToks =
             arr.tail.filterNot(t => reserved.exists(t.startsWith))
           FileEntry(arr.head, statToks.map { tok =>
@@ -468,6 +477,7 @@ object GraftVersions {
             dv = tok("dv=").map(v => GraftDV.fromBase64(blob(v))),
             eq = tok("eqdel=").map(v => GraftDV.fromBase64(blob(v))),
             bucket = tok("bucket=").map(_.toInt),
+            sorted = tok("sorted=").contains("1"),
             spec = tok("spec=").map(_.toInt),
             lineage = tok("lineage=").map(_.split(",").toSeq.map { seg =>
               seg.split(":") match {

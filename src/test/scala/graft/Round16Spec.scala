@@ -859,6 +859,152 @@ class Round16Spec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // q278: write distribution (RequiresDistributionAndOrdering)
+  // -------------------------------------------------------------------
+
+  test("write.distribution=hash bounds a multi-partition insert to one " +
+      "file per bucket; without it the same insert fans per task") {
+    val (cat, wh) = freshCatalog("wdist")
+    try {
+      Seq(("demand", ", 'write.distribution' = 'hash'"), ("fan", ""))
+        .foreach { case (t, prop) =>
+          spark.sql(
+            s"""CREATE TABLE $cat.$t (
+               |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+               |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+               |PARTITIONED BY (bucket(4, doc_id))
+               |TBLPROPERTIES ('versioned' = 'true'$prop)""".stripMargin)
+          spark.read.format("graft.sources.GraftDocsSource")
+            .option("rows", "64").option("partitions", "8").load()
+            .createOrReplaceTempView(s"${cat}_src")
+          spark.sql(s"INSERT INTO $cat.$t SELECT * FROM ${cat}_src")
+          spark.catalog.dropTempView(s"${cat}_src")
+        }
+      val demanded = spark.sql(
+        s"SELECT COUNT(*) FROM $cat.demand.files").head().getLong(0)
+      val fanned = spark.sql(
+        s"SELECT COUNT(*) FROM $cat.fan.files").head().getLong(0)
+      assert(demanded == 4L, s"demanded layout must be 1 file/bucket: $demanded")
+      assert(fanned > 4L,
+        s"control table should fan per (task, bucket): $fanned")
+      // rows identical either way
+      val a = spark.table(s"$cat.demand").orderBy("doc_id").collect().toSeq
+      val b = spark.table(s"$cat.fan").orderBy("doc_id").collect().toSeq
+      assert(a == b)
+      // the demanded layout still storage-partition-joins exchange-free
+      // (sweep through the AQE wrapper — a plain collect is vacuous)
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        p.collect {
+          case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+          case q: QueryStageExec => shuffles(q.plan)
+          case e: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeExec => Seq(e)
+        }.flatten
+      }
+      val joined = spark.table(s"$cat.demand").as("l")
+        .join(spark.table(s"$cat.fan").as("r"), "doc_id")
+      assert(shuffles(joined.queryExecution.executedPlan).isEmpty,
+        s"bucketed join must stay exchange-free:\n${joined.queryExecution}")
+      // per-file envelopes are bucket-tight AND sorted input landed:
+      // every demanded file's (min,max) doc_id range holds only ids of
+      // its own bucket class
+      val root = wh.resolve("demand")
+      GraftVersions.latest(root).get.entries.foreach { e =>
+        val (lo, hi) = e.stats("doc_id")
+        assert(lo % 4 == hi % 4 || (hi - lo) >= 4,
+          s"${e.name}: [$lo,$hi]")
+        assert(e.bucket.isDefined, s"${e.name} must carry its bucket id")
+      }
+    } finally dropCatalog(cat, wh)
+  }
+
+  // -------------------------------------------------------------------
+  // q279: manifest-proven sort order (SupportsReportOrdering)
+  // -------------------------------------------------------------------
+
+  test("sorted-scan ordering is manifest-PROVEN: withheld for unsorted " +
+      "writes, multi-file bucket classes, and post-concat files") {
+    val (cat, wh) = freshCatalog("sorder")
+    try {
+      def ordering(t: String): Int = {
+        val df = spark.read.format("graft.sources.GraftDocsSource")
+          .option("path", wh.resolve(t).toString).load()
+        df.queryExecution.optimizedPlan.collectFirst {
+          case s: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation =>
+            s.ordering.map(_.size).getOrElse(0)
+        }.getOrElse(-1)
+      }
+      // demanded write: one sorted file per bucket → order reported
+      spark.sql(
+        s"""CREATE TABLE $cat.good (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |PARTITIONED BY (bucket(4, doc_id))
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'write.distribution' = 'hash')""".stripMargin)
+      insertRange(cat, "good", 0, 32)
+      assert(ordering("good") == 1, "demanded layout must report order")
+      // second insert → two sorted files per class → withheld
+      insertRange(cat, "good", 32, 64)
+      assert(ordering("good") == 0,
+        "two files per bucket class cannot claim a concatenated order: " +
+          GraftVersions.latest(wh.resolve("good")).get.entries
+            .map(e => s"${e.name} b=${e.bucket} sorted=${e.sorted}")
+            .mkString(", "))
+      // OPTIMIZE's DSv2 rewrite RE-OBSERVES: it read each bucket's two
+      // non-overlapping sorted runs in order, so the 4 rewritten files
+      // are genuinely sorted and the claim honestly RETURNS
+      spark.sql(s"CALL $cat.system.optimize('good', 4, '')")
+      val entriesAfter = GraftVersions.latest(wh.resolve("good")).get.entries
+      assert(ordering("good") ==
+        (if (entriesAfter.forall(_.sorted) &&
+            entriesAfter.groupBy(_.bucket).forall(_._2.size == 1)) 1
+         else 0),
+        "reported order must exactly match the manifest facts")
+      // byte-streaming CONCAT (row-tracked tables) cannot observe —
+      // its fresh entries default to unsorted and the claim stays
+      // withheld even when the concatenated runs happen to be ordered
+      spark.sql(
+        s"""CREATE TABLE $cat.tracked (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |PARTITIONED BY (bucket(4, doc_id))
+           |TBLPROPERTIES ('versioned' = 'true', 'row.tracking' = 'true',
+           |  'write.distribution' = 'hash')""".stripMargin)
+      insertRange(cat, "tracked", 0, 32)
+      insertRange(cat, "tracked", 32, 64)
+      spark.sql(s"CALL $cat.system.optimize('tracked', 4, '')")
+      val tracked = GraftVersions.latest(wh.resolve("tracked")).get.entries
+      assert(tracked.forall(!_.sorted),
+        "concat entries must not inherit their members' sorted flags")
+      assert(ordering("tracked") == 0,
+        "unobserved concat output must withhold the order claim")
+      // plain unbucketed table, deliberately unsorted input → withheld;
+      // then a sorted rewrite via OPTIMIZE... stays withheld (observed
+      // facts only ride DSv2 writes, concat streams bytes)
+      spark.sql(
+        s"""CREATE TABLE $cat.plain (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "64").option("partitions", "1").load()
+        .orderBy(col("doc_id").desc)
+        .coalesce(1).createOrReplaceTempView(s"${cat}_desc")
+      spark.sql(s"INSERT INTO $cat.plain SELECT * FROM ${cat}_desc")
+      spark.catalog.dropTempView(s"${cat}_desc")
+      assert(ordering("plain") == 0,
+        "descending input must be observed as unsorted")
+      // per-file flags in the manifest match the observation
+      val plain = GraftVersions.latest(wh.resolve("plain")).get.entries
+      assert(plain.forall(!_.sorted))
+    } finally dropCatalog(cat, wh)
+  }
+
+  // -------------------------------------------------------------------
   // q273: incrementally-maintained materialized views
   // -------------------------------------------------------------------
 
