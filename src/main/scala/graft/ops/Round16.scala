@@ -897,7 +897,112 @@ object Round16 {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q280: vacuum dry run — preflight the destructive command
+  // ---------------------------------------------------------------------
+
+  /** `CALL cat.system.vacuum_dry_run(t, keep_last)` — Delta's VACUUM
+    * DRY RUN: the exact expire/delete sets the real vacuum would act
+    * on (same retention math, same tag/txn/branch pins), computed and
+    * reported with NOTHING touched. The operational contract a 100 TB
+    * table needs before any destructive maintenance: the numbers the
+    * preflight reports are the numbers the real run then produces.
+    * Lifecycle here: 6 single-file appends, v3 tag-pinned, OPTIMIZE
+    * to one file (v7) — a keep-1 vacuum must expire the 6 unpinned
+    * old snapshots and delete exactly the 3 files only they reference
+    * (f4,f5,f6: the tag retains f1-f3, the live concat retains its own
+    * file). The audit pins the dry run's numbers, that it changed
+    * nothing (history length, files on disk), the real run's EQUALITY
+    * with the preflight, and the live rows surviving untouched. */
+  val q280VacuumDryRun: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q280")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      (0 until 6).foreach(b => insertRange(spark, cat, 4 * b, 4 * b + 4))
+      spark.sql(s"CALL $cat.system.tag('t', 'pin', 3)")
+      spark.sql(s"CALL $cat.system.optimize('t', 1, '')")       // v7
+      def diskParts: Long = {
+        val s = java.nio.file.Files.list(wh.resolve("t"))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.count(p =>
+            p.getFileName.toString.endsWith(".tsv")).toLong
+        } finally s.close()
+      }
+      val dry = spark.sql(
+        s"CALL $cat.system.vacuum_dry_run('t', 1)").head()
+      val historyAfterDry = spark.sql(
+        s"SELECT COUNT(*) FROM $cat.t.history").head().getLong(0)
+      val diskAfterDry = diskParts
+      val real = spark.sql(s"CALL $cat.system.vacuum('t', 1)").head()
+      val out = spark.sql(
+        s"""SELECT COUNT(*) AS n_rows, SUM(doc_id) AS sum_doc_id
+           |FROM $cat.t""".stripMargin)
+        .withColumn("would_expire", lit(dry.getLong(0)))
+        .withColumn("would_delete", lit(dry.getLong(1)))
+        .withColumn("reclaims_bytes", lit(dry.getLong(2) > 0L))
+        .withColumn("history_after_dry", lit(historyAfterDry))
+        .withColumn("disk_files_after_dry", lit(diskAfterDry))
+        .withColumn("real_expired", lit(real.getLong(0)))
+        .withColumn("real_deleted", lit(real.getLong(1)))
+        .withColumn("disk_files_after_real", lit(diskParts))
+      OpsUtil.driverLiteral(out)
+    } finally teardown(spark, cat, wh)
+  }
+
+  // ---------------------------------------------------------------------
+  // q281: scoped OPTIMIZE — partition-granular compaction
+  // ---------------------------------------------------------------------
+
+  /** `CALL cat.system.optimize_where(t, col, value, n)` — Iceberg's
+    * `rewrite_data_files(filter)`: compact ONLY the files provably
+    * single-valued at `col = value` (manifest min == max == value, the
+    * shape every value-partitioned write produces). At 100 TB this is
+    * how maintenance actually runs — per partition, on the partitions
+    * that fragmented, never a whole-table pass; the scoped scan reads
+    * exactly those files (static `_file IN` whitelist at plan time)
+    * and the commit swaps them alone. Two inserts leave 2 files per
+    * value; scoping value 3 to one file compacts exactly those 2 and
+    * provably touches none of the other 10. The audit pins the scoped
+    * counts, the untouched count, and the rows surviving bit-intact. */
+  val q281OptimizeWhere: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q281")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  wb BIGINT GENERATED ALWAYS AS
+           |    (CAST(n_words AS BIGINT) % 6))
+           |PARTITIONED BY (wb)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      insertRange(spark, cat, 0, 48)
+      insertRange(spark, cat, 48, 96)
+      val r = spark.sql(
+        s"CALL $cat.system.optimize_where('t', 'wb', 3, 1)").head()
+      val entries = graft.sources.GraftVersions
+        .latest(wh.resolve("t")).get.entries
+      val out = spark.sql(
+        s"""SELECT COUNT(*) AS n_rows, SUM(doc_id) AS sum_doc_id,
+           |  SUM(CAST(n_words AS BIGINT)) AS sum_words
+           |FROM $cat.t""".stripMargin)
+        .withColumn("scoped_before", lit(r.getLong(0)))
+        .withColumn("scoped_after", lit(r.getLong(1)))
+        .withColumn("untouched", lit(r.getLong(2)))
+        .withColumn("files_total_after", lit(entries.length.toLong))
+        .withColumn("value3_files", lit(entries.count(
+          _.stats.get("wb").contains((3L, 3L))).toLong))
+      OpsUtil.driverLiteral(out)
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q281_optimize_where" -> q281OptimizeWhere,
+    "q280_vacuum_dry_run" -> q280VacuumDryRun,
     "q273_materialized_view" -> q273MaterializedView,
     "q274_mv_auto" -> q274MvAuto,
     "q275_minmax_stats" -> q275MinMaxStats,
@@ -915,6 +1020,35 @@ object Round16 {
     "q271_value_dpp" -> q271ValueDpp)
 
   val oracle: Map[String, String] = Map(
+    // v0 enable · v1..v6 append f1..f6 · tag v3 · v7 concat c:
+    // keep-1 retains {v7} + tagged v3 → expire 6; delete {f4,f5,f6}
+    // (tag holds f1-f3, live holds c); dry run touches nothing
+    // (8 manifests, 7 part files intact), real run equals preflight
+    "q280_vacuum_dry_run" ->
+      """SELECT CAST(24 AS BIGINT) AS n_rows,
+        |  (SELECT CAST(SUM(i) AS BIGINT) FROM range(0, 24) t(i))
+        |    AS sum_doc_id,
+        |  CAST(6 AS BIGINT) AS would_expire,
+        |  CAST(3 AS BIGINT) AS would_delete,
+        |  TRUE AS reclaims_bytes,
+        |  CAST(8 AS BIGINT) AS history_after_dry,
+        |  CAST(7 AS BIGINT) AS disk_files_after_dry,
+        |  CAST(6 AS BIGINT) AS real_expired,
+        |  CAST(3 AS BIGINT) AS real_deleted,
+        |  CAST(4 AS BIGINT) AS disk_files_after_real""".stripMargin,
+    // 2 inserts × 6 values = 12 files; scoping wb=3 to one file leaves
+    // 11 total, 1 at value 3, 10 untouched; rows [0,96) intact
+    "q281_optimize_where" ->
+      """SELECT CAST(96 AS BIGINT) AS n_rows,
+        |  (SELECT CAST(SUM(i) AS BIGINT) FROM range(0, 96) t(i))
+        |    AS sum_doc_id,
+        |  (SELECT CAST(SUM(i % 91 + 9) AS BIGINT) FROM range(0, 96) t(i))
+        |    AS sum_words,
+        |  CAST(2 AS BIGINT) AS scoped_before,
+        |  CAST(1 AS BIGINT) AS scoped_after,
+        |  CAST(10 AS BIGINT) AS untouched,
+        |  CAST(11 AS BIGINT) AS files_total_after,
+        |  CAST(1 AS BIGINT) AS value3_files""".stripMargin,
     // the final view over live rows [0,30) \ {5,17} with the +100
     // update on doc_id<4 folded in; lifecycle: seed at v2 (5 groups),
     // refresh to v5 applying 16 images (2 del + 4 pre + 4 post +

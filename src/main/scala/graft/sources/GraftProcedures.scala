@@ -33,7 +33,7 @@ object GraftProcedures {
     Seq("vacuum", "optimize", "restore", "clone", "tag", "drop_tag",
       "branch", "fast_forward", "merge_branch", "drop_branch",
       "expire_snapshots", "remove_orphan_files", "analyze",
-      "create_mv", "refresh_mv")
+      "create_mv", "refresh_mv", "vacuum_dry_run", "optimize_where")
 
   /** `resolve` maps a table name to its EXISTING directory (throws for
     * absent tables); `resolveNew` maps a name to the directory it WOULD
@@ -43,7 +43,9 @@ object GraftProcedures {
       resolveNew: String => Path): UnboundProcedure =
     name match {
       case "vacuum" => vacuum(resolve)
+      case "vacuum_dry_run" => vacuumDryRun(resolve)
       case "optimize" => optimize(resolve)
+      case "optimize_where" => optimizeWhere(resolve)
       case "restore" => restore(resolve)
       case "clone" => clone(resolve, resolveNew)
       case "tag" => tag(resolve)
@@ -103,6 +105,31 @@ object GraftProcedures {
       }
     }
 
+  private def vacuumDryRun(resolve: String => Path): UnboundProcedure =
+    new Proc("vacuum_dry_run", Array(
+      param("table", StringType), param("keep_last", IntegerType))) {
+      override def description(): String =
+        "preflight a vacuum: report the versions it would expire, the " +
+          "files it would delete, and the bytes it would reclaim — " +
+          "same retention math and pins as the real run, nothing " +
+          "touched"
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = resolve(input.getUTF8String(0).toString)
+        val stats =
+          GraftVersions.vacuum(dir, input.getInt(1), dryRun = true)
+        val bytes = stats.deletedFiles.map { f =>
+          try java.nio.file.Files.size(dir.resolve(f))
+          catch { case _: java.io.IOException => 0L }
+        }.sum
+        result(StructType(Seq(
+          StructField("would_expire_versions", LongType, nullable = false),
+          StructField("would_delete_files", LongType, nullable = false),
+          StructField("would_reclaim_bytes", LongType, nullable = false))),
+          stats.expiredVersions.length.toLong,
+          stats.deletedFiles.length.toLong, bytes)
+      }
+    }
+
   private def optimize(resolve: String => Path): UnboundProcedure =
     new Proc("optimize", Array(
       param("table", StringType), param("target_files", IntegerType),
@@ -124,6 +151,38 @@ object GraftProcedures {
           StructField("files_after", LongType, nullable = false),
           StructField("version", LongType, nullable = false))),
           before.toLong, info.entries.length.toLong, info.version)
+      }
+    }
+
+
+  private def optimizeWhere(resolve: String => Path): UnboundProcedure =
+    new Proc("optimize_where", Array(
+      param("table", StringType), param("column", StringType),
+      param("value", LongType), param("target_files", IntegerType))) {
+      override def description(): String =
+        "scoped compaction (Iceberg rewrite_data_files with a filter): " +
+          "rewrite ONLY the live files provably single-valued at " +
+          "column = value into target_files files; every other file " +
+          "is untouched — partition-granular maintenance"
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = resolve(input.getUTF8String(0).toString)
+        val column = input.getUTF8String(1).toString
+        val value = input.getLong(2)
+        def scopedCount: Long = GraftVersions.latest(dir)
+          .map(_.entries.count(_.stats.get(column)
+            .contains((value, value))).toLong).getOrElse(0L)
+        val before = scopedCount
+        val total = GraftVersions.latest(dir)
+          .map(_.entries.length.toLong).getOrElse(0L)
+        val info = GraftVersions.compactScoped(
+          org.apache.spark.sql.SparkSession.active, dir, column, value,
+          targetFiles = input.getInt(3))
+        result(StructType(Seq(
+          StructField("scoped_before", LongType, nullable = false),
+          StructField("scoped_after", LongType, nullable = false),
+          StructField("untouched", LongType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+          before, scopedCount, total - before, info.version)
       }
     }
 

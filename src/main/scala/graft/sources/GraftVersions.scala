@@ -1083,6 +1083,71 @@ object GraftVersions {
     * At cluster scale the concatenation is an executor-side copy task
     * per output file (bytes stream, nothing decodes); here it is the
     * driver's NIO copy of the same bounded per-bin byte volume. */
+  /** SCOPED OPTIMIZE — Iceberg's `rewrite_data_files(filter => ...)`:
+    * compact ONLY the live files PROVABLY single-valued at
+    * `col = value` (manifest min == max == value — the shape every
+    * value-partitioned write produces), leaving every other file
+    * untouched. At 100 TB maintenance runs per PARTITION, never per
+    * table: the rewrite reads exactly the scoped files (a static
+    * `_file IN (...)` whitelist prunes the scan at plan time, same as
+    * the ANALYZE backfill), and the commit is a PARTIAL swap —
+    * removed = the scoped members, added = their rewrite — validated
+    * against the snapshot the rewrite read (a concurrent commit
+    * re-runs the scoped pass, never loses either side). May-contain
+    * files (wide ranges that merely overlap the value) are NOT scoped:
+    * rewriting them would drag foreign partitions' rows through a
+    * maintenance pass scoped to one. */
+  def compactScoped(spark: org.apache.spark.sql.SparkSession, root: Path,
+      column: String, value: Long, targetFiles: Int = 1,
+      maxAttempts: Int = 3): VersionInfo = {
+    import org.apache.spark.sql.functions.col
+    require(isVersioned(root), s"scoped compact needs a versioned table: $root")
+    if (GraftTableMeta.read(root).get("row.tracking").contains("true"))
+      throw new UnsupportedOperationException(
+        s"scoped OPTIMIZE on row-tracked table $root would reassign the " +
+          "scoped rows' ids; run bin-packing OPTIMIZE (concat preserves " +
+          "lineage) or drop 'row.tracking'")
+    val snap = latest(root).getOrElse(throw new IllegalStateException(
+      s"scoped compact on empty version log: $root"))
+    val members = snap.entries.filter(e => e.rows.exists(_ > 0) &&
+      e.stats.get(column).contains((value, value)))
+    if (members.length <= math.max(targetFiles, 1)) return snap
+    val names = members.map(e => GraftFiles.baseName(e.name))
+    val live = spark.read.format("graft.sources.GraftDocsSource")
+      .option("path", root.toString).load()
+    val scoped = live.select(live.col("*"), col("_file"))
+      .filter(col("_file").isin(names: _*)).drop("_file")
+      .coalesce(math.max(targetFiles, 1))
+    val tmp = Files.createTempDirectory(root, "_compact")
+    try {
+      GraftVersions.enable(tmp)
+      GraftTableMeta.write(tmp, GraftTableMeta.read(root))
+      scoped.write.format("graft.sources.GraftDocsSource")
+        .option("path", tmp.toString)
+        .option("graftRewrite", "true")
+        .mode("append").save()
+      val staged = latest(tmp).map(_.entries).getOrElse(Nil)
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+      val landed = staged.zipWithIndex.map { case (e, i) =>
+        val name = f"part-$i%05d-$tag.tsv"
+        Files.move(tmp.resolve(e.name), root.resolve(name),
+          StandardCopyOption.ATOMIC_MOVE)
+        e.copy(name = name)
+      }
+      try advance(root, "compact", removed = Some(members.map(_.name).toSet),
+        added = landed, dataChange = false,
+        readVersion = Some(snap.version))
+      catch {
+        case _: ConcurrentCommitException if maxAttempts > 1 =>
+          compactScoped(spark, root, column, value, targetFiles,
+            maxAttempts - 1)
+      }
+    } finally {
+      try org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   private def compactConcat(root: Path, targetFiles: Int,
       maxAttempts: Int): VersionInfo = {
     val snap = latest(root).getOrElse(throw new IllegalStateException(
@@ -1164,12 +1229,29 @@ object GraftVersions {
       GraftTableMeta.read(root).get("row.tracking").contains("true")
     val landed = bins.zipWithIndex.map { case (bin, i) =>
       val name = f"part-$i%05d-$tag.tsv"
+      // ORDER-PRESERVING concat: when every member is observed-sorted
+      // and their doc_id envelopes do not interleave, concatenating in
+      // range order yields a file that is itself sorted — the manifest
+      // `sorted=` fact (and the sort-free merge joins it enables) then
+      // SURVIVES auto-compaction instead of resetting on every policy
+      // run. Any doubt (unsorted member, missing envelope, overlapping
+      // ranges) falls back to name order with the flag withheld.
+      val orderable = bin.forall(e =>
+        e.sorted && e.stats.contains("doc_id"))
+      val ranged =
+        if (orderable) bin.sortBy(e => (e.stats("doc_id")._1, e.name))
+        else bin
+      val staysSorted = orderable && ranged.sliding(2).forall {
+        case Seq(a, b) => a.stats("doc_id")._2 <= b.stats("doc_id")._1
+        case _ => true
+      }
+      val ordered = if (staysSorted) ranged else bin
       val tmp = Files.createTempFile(root, s"_concat-$i-", ".tmp")
       val out = Files.newOutputStream(tmp)
       val dvPositions = Seq.newBuilder[Long]
       val lineage = Seq.newBuilder[(Long, Long, Long)]
       var offset = 0L
-      try bin.foreach { e =>
+      try ordered.foreach { e =>
         val bytes = Files.readAllBytes(root.resolve(e.name))
         out.write(bytes)
         // writer rows are always newline-terminated; be defensive so a
@@ -1228,6 +1310,7 @@ object GraftVersions {
           case Seq(sp) => sp
           case _ => None
         },
+        sorted = staysSorted,
         lineage = lineage.result())
     }
     try advance(root, "compact", removed = None, added = landed,
@@ -1631,7 +1714,14 @@ object GraftVersions {
     * path separator) belong to the source table's lifecycle and are
     * never deleted here. */
   def vacuum(root: Path, keepLast: Int,
-      olderThanMicros: Option[Long] = None): VacuumStats =
+      olderThanMicros: Option[Long] = None,
+      // dry run: compute the exact expire/delete sets the real vacuum
+      // would act on — same pins (tags, txn ledgers, branches), same
+      // retention math — and touch NOTHING. The operational preflight
+      // every destructive maintenance command needs (Delta's VACUUM
+      // DRY RUN): the numbers it reports are the numbers a real run
+      // then produces, spec-pinned.
+      dryRun: Boolean = false): VacuumStats =
     lockFor(root).synchronized {
       require(keepLast >= 1, s"vacuum must keep at least 1 snapshot")
       val versions = listVersionNumbers(root)
@@ -1667,6 +1757,7 @@ object GraftVersions {
         (expire.flatMap(readManifest(root, _).files).toSet
           -- retainedFiles -- branchPinned)
           .filterNot(_.contains('/'))
+      if (dryRun) return VacuumStats(expire, expiredFiles.toSeq.sorted)
       // sidecar lifecycle is reference-based: a sidecar is referenced
       // ONLY by its manifest (the header's `sidecar=` token for
       // claim-era commits; the legacy `v%05d.sidecar` default

@@ -964,9 +964,11 @@ class Round16Spec extends SparkSpec {
             entriesAfter.groupBy(_.bucket).forall(_._2.size == 1)) 1
          else 0),
         "reported order must exactly match the manifest facts")
-      // byte-streaming CONCAT (row-tracked tables) cannot observe —
-      // its fresh entries default to unsorted and the claim stays
-      // withheld even when the concatenated runs happen to be ordered
+      // byte-streaming CONCAT (row-tracked tables): PROVABLY ordered
+      // bins (all members sorted, non-interleaving doc_id envelopes)
+      // concatenate in range order and KEEP the flag — the sort-free
+      // join property survives auto-compaction; interleaving ranges
+      // withhold it
       spark.sql(
         s"""CREATE TABLE $cat.tracked (
            |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
@@ -975,13 +977,31 @@ class Round16Spec extends SparkSpec {
            |TBLPROPERTIES ('versioned' = 'true', 'row.tracking' = 'true',
            |  'write.distribution' = 'hash')""".stripMargin)
       insertRange(cat, "tracked", 0, 32)
-      insertRange(cat, "tracked", 32, 64)
+      insertRange(cat, "tracked", 32, 64)                // disjoint runs
       spark.sql(s"CALL $cat.system.optimize('tracked', 4, '')")
       val tracked = GraftVersions.latest(wh.resolve("tracked")).get.entries
-      assert(tracked.forall(!_.sorted),
-        "concat entries must not inherit their members' sorted flags")
+      assert(tracked.forall(_.sorted),
+        "range-ordered concat of sorted members must keep the flag")
+      assert(ordering("tracked") == 1,
+        "the sort-free join property must survive compaction")
+      // interleaving runs: split [64,128) into mod-8 halves — within
+      // EVERY bucket class the two files' doc_id envelopes overlap
+      // (stride-8 combs offset by 4), so the next concat cannot order
+      // them and the claim drops
+      Seq(true, false).foreach { firstHalf =>
+        spark.read.format("graft.sources.GraftDocsSource")
+          .option("rows", "128").load()
+          .filter(col("doc_id") >= 64 &&
+            (if (firstHalf) col("doc_id") % 8 < 4
+             else col("doc_id") % 8 >= 4))
+          .repartition(1).sortWithinPartitions("doc_id")
+          .createOrReplaceTempView(s"${cat}_par")
+        spark.sql(s"INSERT INTO $cat.tracked SELECT * FROM ${cat}_par")
+        spark.catalog.dropTempView(s"${cat}_par")
+      }
+      spark.sql(s"CALL $cat.system.optimize('tracked', 4, '')")
       assert(ordering("tracked") == 0,
-        "unobserved concat output must withhold the order claim")
+        "interleaving member envelopes must withhold the order claim")
       // plain unbucketed table, deliberately unsorted input → withheld;
       // then a sorted rewrite via OPTIMIZE... stays withheld (observed
       // facts only ride DSv2 writes, concat streams bytes)
@@ -1001,6 +1021,68 @@ class Round16Spec extends SparkSpec {
       // per-file flags in the manifest match the observation
       val plain = GraftVersions.latest(wh.resolve("plain")).get.entries
       assert(plain.forall(!_.sorted))
+    } finally dropCatalog(cat, wh)
+  }
+
+  // -------------------------------------------------------------------
+  // q281: scoped OPTIMIZE (partition-granular compaction)
+  // -------------------------------------------------------------------
+
+  test("optimize_where rewrites exactly the scoped partition's files — " +
+      "untouched files keep their names; row-tracked tables reject") {
+    val (cat, wh) = freshCatalog("scopt")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  wb BIGINT GENERATED ALWAYS AS
+           |    (CAST(n_words AS BIGINT) % 6))
+           |PARTITIONED BY (wb)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      insertRange(cat, "t", 0, 48)
+      insertRange(cat, "t", 48, 96)
+      val root = wh.resolve("t")
+      def byValue(v: Long): Set[String] =
+        GraftVersions.latest(root).get.entries
+          .filter(_.stats.get("wb").contains((v, v))).map(_.name).toSet
+      val othersBefore = (0L until 6L).filter(_ != 3L)
+        .map(v => v -> byValue(v)).toMap
+      val threeBefore = byValue(3L)
+      assert(threeBefore.size == 2)
+      spark.sql(s"CALL $cat.system.optimize_where('t', 'wb', 3, 1)")
+      // untouched values keep the SAME file names; value 3 was swapped
+      (0L until 6L).filter(_ != 3L).foreach { v =>
+        assert(byValue(v) == othersBefore(v), s"value $v files changed")
+      }
+      assert(byValue(3L).size == 1 &&
+        byValue(3L).intersect(threeBefore).isEmpty)
+      // rows identical, and the rewritten file still prunes by value
+      assert(spark.table(s"$cat.t").count() == 96)
+      assert(spark.table(s"$cat.t").filter(col("wb") === 3)
+        .count() == spark.range(0, 96)
+          .filter((col("id") % 91 + 9) % 6 === 3).count())
+      // a second scoped pass is a no-op (already at target)
+      val v1 = GraftVersions.latest(root).get.version
+      spark.sql(s"CALL $cat.system.optimize_where('t', 'wb', 3, 1)")
+      assert(GraftVersions.latest(root).get.version == v1,
+        "an already-compacted scope must not commit")
+      // row-tracked tables reject loudly (a scoped rewrite would
+      // reassign the scoped rows' ids)
+      spark.sql(
+        s"""CREATE TABLE $cat.rt (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'row.tracking' = 'true')""".stripMargin)
+      insertRange(cat, "rt", 0, 8)
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.optimize_where('rt', 'doc_id', 1, 1)")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("row-tracked")), msgs(e).mkString("|"))
     } finally dropCatalog(cat, wh)
   }
 
