@@ -76,7 +76,22 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // r16 post-mortem: the driver's 2000-char combined tail was 100%
+    // per-execution `ResolveWriteToStream` WARN spam from the streaming
+    // queries — stderr passes through sbt in real time, so minutes of
+    // WARN lines evicted the best-so-far stdout line printed after each
+    // attempt. The bench prints nothing it needs at WARN: run the whole
+    // session at ERROR, and pin the two known spammers explicitly in
+    // case anything resets the root level mid-run.
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      import org.apache.logging.log4j.{Level, LogManager}
+      import org.apache.logging.log4j.core.config.Configurator
+      Seq("org.apache.spark.sql.catalyst.analysis.ResolveWriteToStream",
+        "org.apache.spark.sql.execution.window.WindowExec")
+        .foreach(Configurator.setLevel(_, Level.ERROR))
+      LogManager.getLogger(getClass) // force log4j init before timing
+    } catch { case _: Throwable => () }
     // Warm up the JVM before timing. Two passes, both deliberate and
     // visible: (1) every query once at the SMALLEST scale factor — this
     // compiles the generated (janino) classes and lets HotSpot JIT them;
@@ -131,18 +146,21 @@ object Bench {
         case _: Throwable => erroredQueries += name
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Queries that .cache() intermediates would otherwise leak blocks
-      // into every later query's heap — isolate them.
+      // Queries that .cache()/.persist() intermediates would otherwise
+      // leak blocks into every later query's heap — isolate them.
+      // Per-query GC settle, SCOPED (r16 verdict item 3): clearCache
+      // frees references but the DEAD cache blocks still occupy the heap
+      // until a collection, so queries right after the cache-heavy dedup
+      // block were paying its young-GC pressure (round 4: q44-q51
+      // measured 2.2-3.2x slower in-suite than in isolation, identical
+      // plans). But an unconditional System.gc() ran ~900x/pass and most
+      // queries cache nothing — collect ONLY when this query actually
+      // left persisted blocks behind (the exact case the round-4 fix was
+      // for). getPersistentRDDs sees both rdd.persist() and materialized
+      // DataFrame caches, so the trigger matches the leak.
+      val leftCachedBlocks = spark.sparkContext.getPersistentRDDs.nonEmpty
       spark.catalog.clearCache()
-      // Per-query GC settle: clearCache frees references but the DEAD cache
-      // blocks still occupy the heap until a collection, so the queries
-      // that happen to run right after the cache-heavy dedup block were
-      // paying its young-GC pressure (round 4: q44-q51 measured 2.2-3.2x
-      // slower in-suite than in isolation, with identical plans). One
-      // collection between timed queries restores per-query isolation —
-      // the cluster analog is fresh executors per job, so this is the
-      // faithful measurement, not a benchmark trick.
-      System.gc()
+      if (leftCachedBlocks) System.gc()
       dt
     }
     def median3(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
@@ -274,16 +292,20 @@ object Bench {
     // keeps a bounded tail of this output, so even a mid-retry kill
     // leaves the last complete line standing, and each line carries its
     // own canary_dev so a flagged artifact still self-describes.
-    // r15 post-mortem: the driver-visible run stopped at 2 attempts
-    // (deadline-bounded) with canary 0.39 while a clean run existed 20
-    // minutes later — the bounds, not the protocol, were the limit.
-    // Retries reuse the JIT-hot JVM (~40% the cost of a cold pass), and
-    // a mid-retry kill still leaves the last complete line standing, so
-    // a larger budget is pure upside when the driver's timeout allows.
+    // r16 post-mortem: raising this default to 3000 s made the retry
+    // loop outlive the DRIVER's own timeout — sbt was killed mid-attempt
+    // (rc 124) and the guaranteed after-stop() line never printed. The
+    // deadline must leave attempt-start + spark.stop() + final print
+    // safely inside the driver's observed window: a full pass is ~7-8
+    // min at 281 queries, so 1200 s admits a retry after a bad first
+    // pass while keeping the worst case (deadline check passes at
+    // 1199 s, one more ~8 min pass) well under the driver's ~55 min
+    // kill. Completing WITH a noise-flagged canary beats being killed
+    // mid-retry every time — the line self-describes its noise.
     val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
       .flatMap(_.toIntOption).getOrElse(5).max(1)
     val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC")
-      .flatMap(_.toDoubleOption).getOrElse(3000.0)
+      .flatMap(_.toDoubleOption).getOrElse(1200.0)
     var best = runPass()
     var attempts = 1
     println(jsonLine(best, attempts))
