@@ -1000,7 +1000,178 @@ object Round16 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q282: materialized-view ROLL-UP rewrite — coarser grain, view-only
+  // ---------------------------------------------------------------------
+
+  /** The production face of the MV rewrite ([[graft.plans
+    * .MvRewriteRule]], roll-up form): a query that aggregates at a
+    * COARSER grain than the view — its group key a function of the
+    * view's key, here `(doc_id % 6) % 2`, plus the global no-GROUP-BY
+    * case — is answered by RE-AGGREGATING the \|groups\|-row view
+    * (sum-of-sums, sum-of-counts) instead of scanning the corpus.
+    * This mirrors the reference's re-aggregation instinct (the
+    * notebook re-groups an already-grouped frame at
+    * /root/reference/Assignment-python.py:425-434) and is the classic
+    * Calcite roll-up match. The audit runs each query rule-on and
+    * rule-off, verifies identical rows, and pins the plan facts: the
+    * rewritten plans scan the VIEW and never the source, and — unlike
+    * q277's exact match, which drops the Aggregate entirely — the
+    * roll-up KEEPS one (re-aggregation over view rows is the point). */
+  val q282MvRollup: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q282")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'delete.mode' = 'merge-on-read')""".stripMargin)
+      insertRange(spark, cat, 0, 36)                                 // v1
+      spark.sql(s"CALL $cat.system.create_mv(" +
+        "'v', 't', 'doc_id % 6', 'n_words', true)")
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (7, 22)")       // v2
+      org.apache.spark.sql.GraftBridge.addOptimization(spark,
+        graft.plans.MvRewriteRule(spark))
+      def rollup() = spark.sql(
+        s"""SELECT (doc_id % 6) % 2 AS k2, SUM(n_words) AS sum_words,
+           |  COUNT(*) AS n_docs
+           |FROM $cat.t GROUP BY (doc_id % 6) % 2""".stripMargin)
+      def global() = spark.sql(
+        s"SELECT SUM(n_words) AS sum_words, COUNT(*) AS n_docs " +
+          s"FROM $cat.t")
+      def facts(df: DataFrame): (Boolean, Boolean, Boolean) = {
+        val plan = df.queryExecution.optimizedPlan
+        def scans(dir: java.nio.file.Path) = plan.collect {
+          case s: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation
+              if s.scan.description.contains(dir.toString) => s
+        }.nonEmpty
+        val aggregates = plan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.nonEmpty
+        (scans(wh.resolve("v")), scans(wh.resolve("t")), aggregates)
+      }
+      val viaMv = rollup()
+      val (mvScansView, mvScansSrc, mvAggregated) = facts(viaMv)
+      val globalViaMv = global()
+      val (gScansView, gScansSrc, _) = facts(globalViaMv)
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      val viaSource = rollup()
+      val (offScansView, offScansSrc, _) = facts(viaSource)
+      val globalViaSource = global()
+      spark.conf.unset("spark.graft.mv.rewrite")
+      // soundness: the roll-up must be invisible in the RESULT
+      require(viaMv.exceptAll(viaSource).isEmpty &&
+        viaSource.exceptAll(viaMv).isEmpty,
+        "mv roll-up rewrite changed the grouped query result")
+      require(globalViaMv.exceptAll(globalViaSource).isEmpty &&
+        globalViaSource.exceptAll(globalViaMv).isEmpty,
+        "mv roll-up rewrite changed the global aggregate result")
+      val g = globalViaMv.head()
+      val out = viaMv.orderBy("k2")
+        .withColumn("rollup_scans_view", lit(mvScansView))
+        .withColumn("rollup_scans_source", lit(mvScansSrc))
+        .withColumn("rollup_keeps_aggregate", lit(mvAggregated))
+        .withColumn("global_scans_view", lit(gScansView))
+        .withColumn("global_scans_source", lit(gScansSrc))
+        .withColumn("fallback_scans_view", lit(offScansView))
+        .withColumn("fallback_scans_source", lit(offScansSrc))
+        .withColumn("global_sum_words", lit(g.getLong(0)))
+        .withColumn("global_n_docs", lit(g.getLong(1)))
+      OpsUtil.driverLiteral(out)
+    } finally teardown(spark, cat, wh)
+  }
+
+  // ---------------------------------------------------------------------
+  // q283: DPP × partition-spec evolution — mixed-generation pruning
+  // ---------------------------------------------------------------------
+
+  /** The composition q271 (value DPP) and q253 (spec evolution) left
+    * untested: dynamic partition pruning over a snapshot whose files
+    * span TWO layout generations. The table starts UNPARTITIONED (its
+    * first insert lands one file whose generated `wb` column spans all
+    * six values), then `ALTER TABLE ... SET TBLPROPERTIES
+    * ('layout.values' = 'wb')` evolves the value layout as a
+    * metadata-only commit, and the second insert fans six min=max
+    * files. The DPP join then proves the per-FILE pruning contract:
+    * the runtime `wb IN (1, 3)` whitelist prunes post-evolution files
+    * exactly (2 of 6 read) while the pre-evolution file degrades to a
+    * scan (read in full — never wrong, just unpruned), so the fact
+    * scan emits exactly oldgen-rows + matching-newgen-rows. At 100 TB
+    * this is how layout changes actually roll out: declare the new
+    * spec instantly, let DPP benefits arrive write-by-write, migrate
+    * stragglers with OPTIMIZE later. */
+  val q283MixedSpecDpp: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q283")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  wb BIGINT GENERATED ALWAYS AS
+           |    (CAST(n_words AS BIGINT) % 6))
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      insertRange(spark, cat, 0, 48)                          // v1: 1 file
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES(" +
+        "'layout.values'='wb')")                              // v2: DDL
+      insertRange(spark, cat, 48, 96)                         // v3: 6 files
+      val t = wh.resolve("t")
+      val ops = graft.sources.GraftVersions.listVersions(t).map(_.op)
+      require(ops == Seq("enable", "append", "set-layout", "append"),
+        s"unexpected version log: $ops")
+      val entries = graft.sources.GraftVersions.latest(t).get.entries
+      val (newGen, oldGen) = entries.partition(
+        _.stats.get("wb").exists { case (lo, hi) => lo == hi })
+      val matchingNewGen = newGen.count(
+        _.stats.get("wb").exists { case (lo, _) => lo == 1L || lo == 3L })
+      spark.sql(
+        s"""CREATE TABLE $cat.d (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "8").load().coalesce(1)
+        .createOrReplaceTempView(s"${cat}_dsrc")
+      spark.sql(s"INSERT INTO $cat.d SELECT * FROM ${cat}_dsrc")
+      spark.catalog.dropTempView(s"${cat}_dsrc")
+      val joined = spark.sql(
+        s"""SELECT f.wb, COUNT(*) AS n_rows, SUM(f.doc_id) AS sum_doc_id
+           |FROM $cat.t f JOIN $cat.d d ON f.wb = d.doc_id
+           |WHERE d.doc_id IN (1, 3)
+           |GROUP BY f.wb""".stripMargin)
+      joined.collect() // force execution so the runtime filter fires
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[BatchScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case q: QueryStageExec => scansOf(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          scansOf(r.child)
+        case b: BatchScanExec => Seq(b)
+        case other => other.children.flatMap(scansOf)
+      }
+      val fact = scansOf(joined.queryExecution.executedPlan)
+        .find(_.scan.description().contains(s"path=$t "))
+        .getOrElse(throw new IllegalStateException("no fact scan"))
+      require(fact.runtimeFilters.nonEmpty,
+        "DPP must attach a runtime filter to the mixed-spec fact scan")
+      val emitted = fact.metrics("numOutputRows").value
+      val out = joined
+        .withColumn("runtime_filtered", lit(true))
+        .withColumn("files_oldgen", lit(oldGen.size.toLong))
+        .withColumn("files_newgen", lit(newGen.size.toLong))
+        .withColumn("newgen_files_matching", lit(matchingNewGen.toLong))
+        .withColumn("scan_emitted_rows", lit(emitted))
+        .orderBy("wb")
+      OpsUtil.driverLiteral(out)
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q283_mixed_spec_dpp" -> q283MixedSpecDpp,
+    "q282_mv_rollup" -> q282MvRollup,
     "q281_optimize_where" -> q281OptimizeWhere,
     "q280_vacuum_dry_run" -> q280VacuumDryRun,
     "q273_materialized_view" -> q273MaterializedView,
@@ -1102,6 +1273,39 @@ object Round16 {
         |  CAST(7 AS BIGINT) AS n_refreshes,
         |  CAST(7 AS BIGINT) AS n_refreshes_after_replay
         |FROM range(0, 24) t(i) GROUP BY i % 3 ORDER BY k""".stripMargin,
+    // mixed-generation DPP: [0,96) joined to dim values {1,3} on
+    // wb = (i%91+9)%6; the pre-evolution file (rows [0,48)) is read in
+    // full, the six post-evolution value files prune to 2 — so the
+    // fact scan emits 48 + |matching rows in [48,96)| = 65
+    "q283_mixed_spec_dpp" ->
+      """SELECT (i % 91 + 9) % 6 AS wb,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(i) AS BIGINT) AS sum_doc_id,
+        |  TRUE AS runtime_filtered,
+        |  CAST(1 AS BIGINT) AS files_oldgen,
+        |  CAST(6 AS BIGINT) AS files_newgen,
+        |  CAST(2 AS BIGINT) AS newgen_files_matching,
+        |  (SELECT CAST(48 + COUNT(*) AS BIGINT) FROM range(48, 96) t(i)
+        |    WHERE (i % 91 + 9) % 6 IN (1, 3)) AS scan_emitted_rows
+        |FROM range(0, 96) t(i) WHERE (i % 91 + 9) % 6 IN (1, 3)
+        |GROUP BY (i % 91 + 9) % 6 ORDER BY wb""".stripMargin,
+    // roll-up over live rows [0,36) \ {7,22} at grain (doc_id%6)%2 —
+    // coarser than the view's doc_id%6 — plus the global aggregate;
+    // rewritten plans scan ONLY the view and keep an Aggregate
+    // (re-aggregation), the rule-off fallback scans only the source
+    "q282_mv_rollup" ->
+      """SELECT (i % 6) % 2 AS k2,
+        |  CAST(SUM(i % 91 + 9) AS BIGINT) AS sum_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  TRUE AS rollup_scans_view, FALSE AS rollup_scans_source,
+        |  TRUE AS rollup_keeps_aggregate,
+        |  TRUE AS global_scans_view, FALSE AS global_scans_source,
+        |  FALSE AS fallback_scans_view, TRUE AS fallback_scans_source,
+        |  (SELECT CAST(SUM(i % 91 + 9) AS BIGINT) FROM range(0, 36) t(i)
+        |    WHERE i NOT IN (7, 22)) AS global_sum_words,
+        |  CAST(34 AS BIGINT) AS global_n_docs
+        |FROM range(0, 36) t(i) WHERE i NOT IN (7, 22)
+        |GROUP BY (i % 6) % 2 ORDER BY k2""".stripMargin,
     // aggregate over live rows [0,30) \ {4,11}; with the rule on the
     // plan scans the view and keeps no Aggregate, with it off the
     // inverse — and both return exactly these rows

@@ -6,7 +6,7 @@ import scala.util.control.NonFatal
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.optimizer.ConstantFolding
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -60,7 +60,11 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       return plan
     plan.transformUp {
       case agg @ Aggregate(Seq(groupE), aggExprs, child, _) =>
-        tryRewrite(agg, groupE, aggExprs, child).getOrElse(agg)
+        tryRewrite(agg, Some(groupE), aggExprs, child).getOrElse(agg)
+      // global aggregate (no GROUP BY): SUM/COUNT over the whole source
+      // roll up to SUM(fp)/SUM(n_words) over the whole view
+      case agg @ Aggregate(Seq(), aggExprs, child, _) =>
+        tryRewrite(agg, None, aggExprs, child).getOrElse(agg)
     }
   }
 
@@ -129,12 +133,11 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def tryRewrite(agg: Aggregate, groupRaw: Expression,
+  private def tryRewrite(agg: Aggregate, groupRaw: Option[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan)
       : Option[LogicalPlan] = {
     val (rel, srcDir, inline) = bareSource(child).getOrElse(return None)
-    val groupE = inline(groupRaw)
-    if (groupE.dataType != LongType) return None // view keys are BIGINT
+    val groupE = groupRaw.map(inline)
     val srcName = srcDir.getFileName.toString
     val srcVersion = GraftVersions.latest(srcDir).map(_.version)
       .getOrElse(return None)
@@ -148,18 +151,48 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           _ <- props.get("mv.name")
           src <- props.get("mv.source") if src == srcName
           keyE <- resolveAgainst(props("mv.key"), rel)
-          if keyE.canonicalized == groupE.canonicalized
           sumE <- resolveAgainst(props("mv.sum"), rel)
-          cols <- traverse(aggExprs.map { ne =>
-            classify(inline(stripAlias(ne)), keyE, sumE).map(ne -> _)
-          })
           // FRESH means the ledger is exactly at the source's version
           w <- GraftVersions.lastTxnEpoch(mvDir, GraftMv.AppId)
           if w == srcVersion
-          rewritten <- substitute(mvDir, cols)
+          rewritten <- groupE match {
+            // exact match: the view's rows ARE the answer — pure
+            // projection, no aggregate at all
+            case Some(g) if g.dataType == LongType &&
+                keyE.canonicalized == g.canonicalized =>
+              traverse(aggExprs.map { ne =>
+                classify(inline(stripAlias(ne)), keyE, sumE).map(ne -> _)
+              }).flatMap(substitute(mvDir, _))
+            // roll-up: the query groups COARSER than the view (its key
+            // is a function of the view's key, incl. the global "no
+            // group" case) — re-aggregate the |groups|-row view
+            case _ =>
+              traverse(aggExprs.map { ne =>
+                classifyRollup(inline(stripAlias(ne)), groupE, sumE)
+                  .map(ne -> _)
+              }).flatMap(substituteRollup(mvDir, groupE, keyE, _))
+          }
         } yield rewritten
       }
     }.nextOption()
+  }
+
+  /** Roll-up classification: aggregates map like [[classify]], and any
+    * non-aggregate output must BE the (coarse) grouping expression. */
+  private def classifyRollup(e: Expression, groupE: Option[Expression],
+      sumE: Expression): Option[MvCol] = e match {
+    case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case s: Sum if s.child.canonicalized == sumE.canonicalized =>
+          Some(SumCol)
+        case c: Count if c.children.length == 1 &&
+            c.children.head.foldable && !c.children.head.nullable =>
+          Some(CntCol)
+        case _ => None
+      }
+    case _ if groupE.exists(_.canonicalized == e.canonicalized) =>
+      Some(KeyCol)
+    case _ => None
   }
 
   private def stripAlias(ne: NamedExpression): Expression = ne match {
@@ -170,11 +203,10 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
     if (xs.forall(_.isDefined)) Some(xs.flatten) else None
 
-  /** Build the replacement: a pre-optimized scan of the view plus a
-    * projection that re-binds every original output attribute id —
-    * consumers above the aggregate never notice the swap. */
-  private def substitute(mvDir: Path,
-      cols: Seq[(NamedExpression, MvCol)]): Option[LogicalPlan] = {
+  /** Pre-optimized scan of the view's three value columns, keyed by
+    * name — the building block both substitution shapes share. */
+  private def viewScan(mvDir: Path)
+      : Option[(DataSourceV2ScanRelation, Map[String, Attribute])] = {
     val mvPlan = spark.read.format("graft.sources.GraftDocsSource")
       .option("path", mvDir.toString).load()
       .select("doc_id", "fp", "n_words")
@@ -182,8 +214,18 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val scanRel = mvPlan.collectFirst {
       case s: DataSourceV2ScanRelation => s
     }.getOrElse(return None)
-    val byName = scanRel.output.map(a => a.name -> a).toMap
-    if (!Seq("doc_id", "fp", "n_words").forall(byName.contains)) return None
+    val byName: Map[String, Attribute] =
+      scanRel.output.map(a => a.name -> (a: Attribute)).toMap
+    if (!Seq("doc_id", "fp", "n_words").forall(byName.contains)) None
+    else Some((scanRel, byName))
+  }
+
+  /** Build the replacement: a pre-optimized scan of the view plus a
+    * projection that re-binds every original output attribute id —
+    * consumers above the aggregate never notice the swap. */
+  private def substitute(mvDir: Path,
+      cols: Seq[(NamedExpression, MvCol)]): Option[LogicalPlan] = {
+    val (scanRel, byName) = viewScan(mvDir).getOrElse(return None)
     val projections = cols.map { case (ne, col) =>
       val replacement: Expression = col match {
         case KeyCol => byName("doc_id")
@@ -194,5 +236,64 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Alias(replacement, ne.name)(exprId = ne.exprId)
     }
     Some(Project(projections, scanRel))
+  }
+
+  /** Rewrite `e` as an expression over the view's key column: every
+    * maximal subtree canonically equal to the view's key expression
+    * becomes `keyAttr`; valid only when NO source attribute survives
+    * outside such a subtree (then the query's group is a pure function
+    * of the view's group — each query group is a disjoint union of
+    * view groups, so SUM re-aggregates and COUNT(*) sums the view's
+    * counts). */
+  private def overKey(e: Expression, keyE: Expression,
+      keyAttr: Attribute): Option[Expression] = {
+    val rewritten = e.transformDown {
+      case sub if sub.canonicalized == keyE.canonicalized => keyAttr
+    }
+    if (rewritten.deterministic &&
+        rewritten.references.forall(_.exprId == keyAttr.exprId))
+      Some(rewritten)
+    else None
+  }
+
+  /** Build the ROLL-UP replacement: re-aggregate the \|groups\|-row
+    * view at the query's coarser grain —
+    *
+    *   SELECT f(doc_id), SUM(fp), SUM(n_words)
+    *   FROM view GROUP BY f(doc_id)
+    *
+    * (sum-of-sums / sum-of-counts; `groupE = None` is the global
+    * aggregate). Emitted in the planner-normal shape (grouping key
+    * pulled into a Project below the Aggregate), so no later
+    * normalization pass is needed. COUNT(*) is non-nullable while
+    * SUM is nullable — the coalesce restores the exact type, and its
+    * 0 branch is unreachable (a view group exists only with c > 0). */
+  private def substituteRollup(mvDir: Path, groupE: Option[Expression],
+      keyE: Expression, cols: Seq[(NamedExpression, MvCol)])
+      : Option[LogicalPlan] = {
+    val (scanRel, byName) = viewScan(mvDir).getOrElse(return None)
+    val keyAttr = byName("doc_id")
+    val fp = byName("fp"); val nw = byName("n_words")
+    val coarseAlias = groupE match {
+      case Some(g) =>
+        val coarse = overKey(g, keyE, keyAttr).getOrElse(return None)
+        Some(Alias(coarse, "_mv_rollup_key")())
+      case None => None
+    }
+    val pre = Project(coarseAlias.toSeq ++ Seq(fp, nw), scanRel)
+    val ck = coarseAlias.map(_.toAttribute)
+    def agg(f: Expression): Expression =
+      AggregateExpression(Sum(f), Complete, isDistinct = false)
+    val projections = cols.map { case (ne, col) =>
+      val replacement: Expression = col match {
+        case KeyCol => ck.getOrElse(return None)
+        case SumCol => agg(fp)
+        case CntCol =>
+          Coalesce(Seq(agg(Cast(nw, LongType, None)), Literal(0L)))
+      }
+      if (replacement.dataType != ne.dataType) return None
+      Alias(replacement, ne.name)(exprId = ne.exprId)
+    }
+    Some(Aggregate(ck.toSeq, projections, pre))
   }
 }

@@ -525,6 +525,41 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           props + ("layout.bucket" -> s"$col:$n") +
             ("layout.spec.history" ->
               GraftTableMeta.read(dir)("layout.spec.history"))
+        case s: SetProperty if s.property() == "layout.values" =>
+          // VALUE-PARTITION SPEC EVOLUTION: declare (or re-declare)
+          // the value layout on a live table as a metadata-only
+          // commit, mirroring layout.bucket's evolution story. No file
+          // is rewritten — FUTURE writes fan one file per distinct
+          // value of the generated column (min = max stats), files
+          // written before the evolution keep their multi-value stat
+          // envelope. Dynamic partition pruning composes per FILE, not
+          // per spec: a runtime value whitelist prunes via each file's
+          // own min=max stat, so post-evolution files prune exactly
+          // while pre-evolution files degrade to a scan (read, never
+          // wrong) until an OPTIMIZE rewrite migrates them — the same
+          // old-spec-degrades / new-spec-prunes contract as bucket
+          // evolution, on the DPP axis.
+          val colName = s.value()
+          val generated = GraftTableMeta.generatedExprs(dir).keySet
+          val ok = GraftSchemas.effectiveAdded(dir).exists(c =>
+            c.visible && c.name == colName && generated(c.idx) &&
+              c.tpe != "string")
+          if (!ok) throw new UnsupportedOperationException(
+            s"layout.values needs a live numeric GENERATED column " +
+              s"(the writer derives the partition value from the " +
+              s"expression); '$colName' is not one")
+          if (GraftTableMeta.read(dir).get("layout.values")
+              .contains(colName))
+            throw new IllegalArgumentException(
+              s"layout.values is already '$colName' — spec evolution " +
+                "needs a different column")
+          if (!GraftVersions.isVersioned(dir))
+            throw new UnsupportedOperationException(
+              "partition-spec evolution needs a versioned table: value " +
+                "pruning reads per-file stats from the manifest")
+          GraftVersions.advance(dir, "set-layout",
+            removed = Some(Set.empty), added = Nil, dataChange = false)
+          props + ("layout.values" -> colName)
         case a: AddColumn =>
           // Schema EVOLUTION, not schema change: strictly-appended
           // nullable columns of the codec-supported types. Old files

@@ -40,7 +40,8 @@ class GraftDocsSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     Option(options.get("path")) match {
       case Some(p) =>
-        val base = GraftSchemas.tableSchema(Paths.get(p))
+        val base = GraftSchemas.tableSchema(Paths.get(p),
+          Option(options.get("versionAsOf")).map(_.toLong))
         if (options.getBoolean("readChangeFeed", false))
           StructType(base.fields.toSeq ++ GraftDocsSource.cdfFields)
         else base
@@ -55,7 +56,8 @@ class GraftDocsSource extends TableProvider {
       properties.getOrDefault("buckets", "0").toInt,
       properties.getOrDefault("streamBatchRows", "32").toLong,
       cdf = "true".equalsIgnoreCase(
-        properties.getOrDefault("readChangeFeed", "false")))
+        properties.getOrDefault("readChangeFeed", "false")),
+      versionAsOf = Option(properties.get("versionAsOf")).map(_.toLong))
 }
 
 object GraftDocsSource {
@@ -111,9 +113,16 @@ class GraftDocsTable(rows: Long, parts: Int, val path: Option[String],
     // change-feed personality (`option("readChangeFeed", true)` on a
     // path-backed read): the schema gains _change_type/_commit_version
     // and the stream emits row-level CDC instead of snapshot rows
-    cdf: Boolean = false)
+    cdf: Boolean = false,
+    // DataFrame-API time travel (`option("versionAsOf", v)` — Delta's
+    // reader option): pins schema AND file set to snapshot v; the SQL
+    // face routes the same pin through the catalog ([[GraftRlTable]])
+    versionAsOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns {
+  require(versionAsOf.isEmpty || !cdf,
+    "versionAsOf pins one snapshot; the change feed is a version RANGE " +
+      "read — use startingVersion/endingVersion instead")
   override def name(): String =
     path.map(p => s"graft_docs(path=$p)").getOrElse(s"graft_docs(rows=$rows)")
   /** Path-backed reads expose the same provenance/lineage metadata
@@ -137,7 +146,7 @@ class GraftDocsTable(rows: Long, parts: Int, val path: Option[String],
     // shape is base + the registry tail; the generative personality
     // is always the fixed base
     case Some(p) =>
-      val base = GraftSchemas.tableSchema(Paths.get(p))
+      val base = GraftSchemas.tableSchema(Paths.get(p), versionAsOf)
       if (cdf) StructType(base.fields.toSeq ++ GraftDocsSource.cdfFields)
       else base
     case None => GraftDocsSource.schema
@@ -159,13 +168,16 @@ class GraftDocsTable(rows: Long, parts: Int, val path: Option[String],
         TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     path match {
-      case Some(p) => new GraftFilesScanBuilder(p, options = options)
+      case Some(p) => new GraftFilesScanBuilder(p, options = options,
+        versionPin = versionAsOf)
       case None    => new GraftDocsScanBuilder(rows, parts, buckets,
         streamBatchRows)
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val p = path.getOrElse(throw new IllegalArgumentException(
       "graft_docs: writes need the 'path' option (the generative table is read-only)"))
+    require(versionAsOf.isEmpty,
+      "cannot write to a versionAsOf-pinned read (time travel is read-only)")
     new GraftDocsWriteBuilder(p, info)
   }
 }

@@ -127,13 +127,22 @@ object GraftMv {
   }
 
   /** Aggregate a (k, s, c) delta frame into final MV rows, dropping
-    * dead groups. */
+    * dead groups. The substrate's `n_words` column is INT: a group
+    * whose live count exceeds Int.MaxValue would wrap silently under a
+    * bare cast (the `c > 0` filter runs on the LONG, so the negative
+    * wrap survives it) — reachable at the 100TB scale the view
+    * targets, so raise instead of truncating (r16 ADVICE). */
   private def fold(name: String, deltas: DataFrame): DataFrame =
     deltas.groupBy("k")
       .agg(sum("s").as("s"), sum("c").as("c"))
       .filter(col("c") > 0L)
       .select(col("k").as("doc_id"), lit(name).as("title"),
-        col("s").as("fp"), col("c").cast("int").as("n_words"))
+        col("s").as("fp"),
+        when(col("c") > Int.MaxValue.toLong,
+          raise_error(concat(lit("mv group count overflows the INT " +
+            "n_words column for key "), col("k").cast("string")))
+            .cast("int"))
+          .otherwise(col("c").cast("int")).as("n_words"))
 
   /** Land `rows` as the MV's new live snapshot in ONE commit tagged
     * with the source watermark; returns the commit plus the landed
@@ -142,7 +151,8 @@ object GraftMv {
     * replayed refresh) — the staged files are then unreferenced and
     * vacuum reclaims them, exactly the compact crash story. */
   private def swapIn(root: Path, rows: DataFrame, op: String,
-      epoch: Long): Option[(GraftVersions.VersionInfo, Long)] = {
+      epoch: Long, expectWatermark: Option[Option[Long]])
+      : Option[(GraftVersions.VersionInfo, Long)] = {
     val tmp = Files.createTempDirectory(root, "_mv")
     try {
       // a VERSIONED scratch dir (with the MV's quality properties
@@ -161,15 +171,19 @@ object GraftMv {
           StandardCopyOption.ATOMIC_MOVE)
         e.copy(name = name)
       }
-      // REPLACE-ALL (removed = None): each refresh lands the COMPLETE
-      // view state for its epoch, so two racing refreshes targeting
-      // different source versions are both safe — the later one's fold
-      // already contains the earlier one's delta range, and keeping the
-      // earlier one's files (a stale removed-set) would double-count.
-      // Epoch idempotence still rejects true replays of the same range.
+      // REPLACE-ALL (removed = None) under a WATERMARK CAS: each
+      // refresh lands the COMPLETE view state for its epoch, computed
+      // from (state-at-watermark-W + deltas (W, epoch]). That is only
+      // the complete state if W is STILL the ledger head when the
+      // commit lands — a racing refresh that moved the watermark in
+      // between already folded part of our delta range, and replacing
+      // its state with ours would double-apply that range (r16 ADVICE
+      // high). `expectLastEpoch` makes commitTxn reject exactly that
+      // interleaving (ConcurrentCommitException → caller re-plans);
+      // epoch idempotence still absorbs true replays of the same range.
       GraftVersions.commitTxn(root, op,
         removed = None, added = landed,
-        appId = AppId, epoch = epoch)
+        appId = AppId, epoch = epoch, expectLastEpoch = expectWatermark)
         .map(v => (v, landed.flatMap(_.rows).sum))
     } finally {
       try org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
@@ -224,15 +238,22 @@ object GraftMv {
     GraftTableMeta.write(mv, Map(
       "mv.name" -> name, "mv.source" -> srcName,
       "mv.key" -> keyExpr, "mv.sum" -> sumExpr))
-    val (info, _) = swapIn(mv, seed, "mv-create", epoch = before)
+    val (info, _) = swapIn(mv, seed, "mv-create", epoch = before,
+      expectWatermark = Some(None))
       .getOrElse(throw new IllegalStateException(
         s"fresh mv ledger at $mv already held epoch $before"))
     seed.unpersist()
     if (auto) {
-      val props = GraftTableMeta.read(src)
-      val joined = props.get("mv.dependents")
-        .map(_ + "," + name).getOrElse(name)
-      GraftTableMeta.write(src, props + ("mv.dependents" -> joined))
+      // registration is a read-modify-write of the SOURCE's property
+      // file: run it under the source's commit lock so two concurrent
+      // create_mv(auto=true) on the same source can't lose each
+      // other's mv.dependents entry (r16 ADVICE low)
+      GraftVersions.withTableLock(src) {
+        val props = GraftTableMeta.read(src)
+        val joined = props.get("mv.dependents")
+          .map(_ + "," + name).getOrElse(name)
+        GraftTableMeta.write(src, props + ("mv.dependents" -> joined))
+      }
     }
     MvInfo(before, groups, applied = groups, info.version,
       refreshed = true)
@@ -252,22 +273,35 @@ object GraftMv {
     * range guard) rather than silently skipping deltas — re-create
     * the MV in that case. */
   def refresh(spark: SparkSession, mv: Path,
-      resolveSource: String => Path): MvInfo = {
+      resolveSource: String => Path, maxAttempts: Int = 3): MvInfo = {
     val props = GraftTableMeta.read(mv)
     val name = props.getOrElse("mv.name", throw new IllegalStateException(
       s"$mv is not a materialized view (no mv.name property)"))
     val src = resolveSource(props("mv.source"))
     val keyExpr = props("mv.key"); val sumExpr = props("mv.sum")
-    val w = GraftVersions.lastTxnEpoch(mv, AppId)
-      .getOrElse(throw new IllegalStateException(
-        s"mv $mv has no refresh ledger (vacuumed past every txn " +
-          "record?); re-create the view"))
+    // (watermark, mv snapshot) must be a CONSISTENT pair: the fold
+    // below reads "state as of W" + "deltas (W, S]", so reading the
+    // ledger and the snapshot version non-atomically (a racing refresh
+    // committing in between) would pair W with a state that already
+    // folded part of (W, S]. One lock acquisition makes the pair
+    // coherent; the commit-time CAS in swapIn covers every race AFTER
+    // this point (r16 ADVICE high).
+    val (w, mvVersion) = GraftVersions.withTableLock(mv) {
+      (GraftVersions.lastTxnEpoch(mv, AppId)
+        .getOrElse(throw new IllegalStateException(
+          s"mv $mv has no refresh ledger (vacuumed past every txn " +
+            "record?); re-create the view")),
+        GraftVersions.latest(mv).map(_.version).getOrElse(0L))
+    }
     val s = GraftVersions.latest(src).map(_.version)
       .getOrElse(throw new IllegalStateException(
         s"mv source $src is no longer a versioned table"))
-    val mvVersion = GraftVersions.latest(mv).map(_.version).getOrElse(0L)
     def liveGroups: Long = GraftVersions.latest(mv)
       .map(_.entries.flatMap(_.liveRows).sum).getOrElse(0L)
+    def retryOnRace(e: GraftVersions.ConcurrentCommitException): MvInfo = {
+      if (maxAttempts <= 1) throw e
+      refresh(spark, mv, resolveSource, maxAttempts - 1)
+    }
     if (s <= w)
       return MvInfo(w, liveGroups, applied = 0L, mvVersion,
         refreshed = false)
@@ -279,19 +313,35 @@ object GraftMv {
     if (applied == 0L) {
       // the range held only no-row commits (pruned eq-deletes, empty
       // epochs): advance the watermark as a METADATA-only commit —
-      // keep every file, ledger the new epoch, write no data
-      val v = GraftVersions.commitTxn(mv, "mv-refresh",
-        removed = Some(Set.empty), added = Nil, appId = AppId, epoch = s)
+      // keep every file, ledger the new epoch, write no data. The CAS
+      // still applies: "keep every file" is only right if no racer
+      // replaced the file set after we read W.
+      val v =
+        try GraftVersions.commitTxn(mv, "mv-refresh",
+          removed = Some(Set.empty), added = Nil, appId = AppId,
+          epoch = s, expectLastEpoch = Some(Some(w)))
+        catch { case e: GraftVersions.ConcurrentCommitException =>
+          return retryOnRace(e) }
       return MvInfo(s, liveGroups, applied = 0L,
         v.map(_.version).getOrElse(mvVersion),
         refreshed = v.isDefined)
     }
-    val current = pathReader(spark, mv).load()
+    // current state PINNED to the snapshot observed with W: the frame
+    // is lazy and executes inside swapIn's write job — an unpinned
+    // read would see whatever state a racing refresh lands in between,
+    // double-applying its delta range even though W was read first
+    val current = pathReader(spark, mv)
+      .option("versionAsOf", mvVersion.toString).load()
       .select(col("doc_id").as("k"), col("fp").as("s"),
         col("n_words").cast("long").as("c"))
     val refreshed = fold(name,
       current.unionByName(signedDeltas(changes, keyExpr, sumExpr)))
-    swapIn(mv, refreshed, "mv-refresh", epoch = s) match {
+    val swapped =
+      try swapIn(mv, refreshed, "mv-refresh", epoch = s,
+        expectWatermark = Some(Some(w)))
+      catch { case e: GraftVersions.ConcurrentCommitException =>
+        return retryOnRace(e) }
+    swapped match {
       case Some((info, groups)) =>
         MvInfo(s, groups, applied, info.version, refreshed = true)
       case None => // replayed epoch: the ledger moved under us
@@ -300,6 +350,15 @@ object GraftMv {
           refreshed = false)
     }
   }
+
+  /** Last swallowed auto-refresh failure in this process (and a count)
+    * — the observable face of the catch-and-log policy below, so ops
+    * (and tests) can see that a view went stale without grepping logs.
+    * Process-local by design: the durable signal is the view's
+    * watermark lagging its source, which any process can read. */
+  val lastAutoRefreshError =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  val autoRefreshFailures = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Auto-refresh guard: a cyclic dependents graph (an MV registered
     * as a dependent of itself, directly or through a chain) would
@@ -327,11 +386,30 @@ object GraftMv {
     require(!inFlight.contains(src.toAbsolutePath),
       s"cyclic mv.dependents chain through $src")
     refreshing.set(inFlight + src.toAbsolutePath)
+    // Failure isolation (r16 ADVICE medium): this hook runs AFTER the
+    // source commit is durable — a refresh failure (runtime NULL key,
+    // CDF range vacuumed past the watermark, cyclic dependents deeper
+    // in the chain) must NOT propagate to the writer, or the caller
+    // sees a LANDED commit as a failed write (a retry then duplicates
+    // data) and every later source commit keeps failing until the view
+    // is dropped. Catch, log, leave the view stale — the ledger makes
+    // the next manual refresh_mv (or commit) catch up or surface the
+    // real error to someone who can act on it.
     try dependents.foreach { dep =>
       val dir = src.resolveSibling(dep)
       if (Files.isDirectory(dir) &&
           GraftTableMeta.read(dir).contains("mv.name"))
-        refresh(spark, dir, n => src.resolveSibling(n))
+        try refresh(spark, dir, n => src.resolveSibling(n))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            val msg = s"auto-refresh of mv '$dep' after a commit on " +
+              s"$src failed; the view is STALE until a manual " +
+              s"refresh_mv succeeds: ${e.getMessage}"
+            autoRefreshFailures.incrementAndGet()
+            lastAutoRefreshError.set(msg)
+            org.apache.logging.log4j.LogManager.getLogger(getClass)
+              .error(msg)
+        }
     } finally refreshing.set(inFlight)
   }
 }

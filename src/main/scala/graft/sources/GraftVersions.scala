@@ -800,12 +800,31 @@ object GraftVersions {
   /** Idempotent streaming commit: advance IF epoch is new for appId,
     * else None (replayed micro-batch — the sink already holds these
     * rows). Check and advance run under the one table lock, so two
-    * racing replays of the same epoch can't both land. */
+    * racing replays of the same epoch can't both land.
+    *
+    * `expectLastEpoch = Some(w)` turns the idempotence check into a
+    * full CAS on the ledger (r16 ADVICE, the MV refresh race): the
+    * commit lands ONLY if the appId's watermark is still exactly `w`
+    * (`Some(Some(e))` = that epoch, `Some(None)` = no record yet);
+    * any other value means a racing writer advanced the ledger after
+    * the caller planned, and a replace-all commit computed against the
+    * stale state would double-apply its delta range — the commit fails
+    * with [[ConcurrentCommitException]] so the caller re-plans,
+    * mirroring validateNoConflict's removed=None rule for `advance`. */
   def commitTxn(root: Path, op: String, removed: Option[Set[String]],
-      added: Seq[FileEntry], appId: String, epoch: Long)
+      added: Seq[FileEntry], appId: String, epoch: Long,
+      expectLastEpoch: Option[Option[Long]] = None)
       : Option[VersionInfo] = {
     val v = commitWithRetry(root, s"streaming '$op' commit") {
-      if (lastTxnEpoch(root, appId).exists(_ >= epoch)) None
+      val last = lastTxnEpoch(root, appId)
+      expectLastEpoch.foreach { expected =>
+        if (last != expected && !last.exists(_ >= epoch))
+          throw new ConcurrentCommitException(
+            s"'$op' on $root planned against $appId watermark " +
+              s"$expected but the ledger now holds $last — a racing " +
+              "writer advanced it; re-plan against the new state")
+      }
+      if (last.exists(_ >= epoch)) None
       else {
         val base = latest(root).getOrElse(throw new IllegalStateException(
           s"streaming commit on unversioned table $root"))
