@@ -1169,7 +1169,82 @@ object Round16 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q284: MV rewrite of AVG and COUNT(DISTINCT key) — derived aggregates
+  // ---------------------------------------------------------------------
+
+  /** Two aggregate shapes the view does not store but fully DETERMINES
+    * ([[graft.plans.MvRewriteRule]]): AVG(<sum>) = SUM(fp) /
+    * SUM(n_words) (one IEEE division of two exact integer sums —
+    * bit-identical to Average's own sum/count), and COUNT(DISTINCT
+    * <key>) = the number of view rows (each row is one distinct key),
+    * per coarse group and globally. The NDV case is the one a corpus
+    * dashboard actually runs ("how many distinct buckets per shard?")
+    * — answered at \|groups\| cost instead of a corpus-wide
+    * distinct-shuffle, the most expensive aggregate Spark plans. The
+    * audit pins plan facts (view-only scan both grains) and rule-off
+    * row equality inside the query, then hash-checks the values. */
+  val q284MvDerivedAggs: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q284")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'delete.mode' = 'merge-on-read')""".stripMargin)
+      insertRange(spark, cat, 0, 36)                                 // v1
+      spark.sql(s"CALL $cat.system.create_mv(" +
+        "'v', 't', 'doc_id % 6', 'n_words', true)")
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (9, 28)")       // v2
+      org.apache.spark.sql.GraftBridge.addOptimization(spark,
+        graft.plans.MvRewriteRule(spark))
+      def grouped() = spark.sql(
+        s"""SELECT (doc_id % 6) % 3 AS k3,
+           |  AVG(n_words) AS avg_words,
+           |  COUNT(DISTINCT doc_id % 6) AS n_keys,
+           |  SUM(n_words) AS sum_words, COUNT(*) AS n_docs
+           |FROM $cat.t GROUP BY (doc_id % 6) % 3""".stripMargin)
+      def global() = spark.sql(
+        s"SELECT AVG(n_words) AS avg_words, " +
+          s"COUNT(DISTINCT doc_id % 6) AS n_keys FROM $cat.t")
+      def facts(df: DataFrame): (Boolean, Boolean) = {
+        val plan = df.queryExecution.optimizedPlan
+        def scans(p: java.nio.file.Path) = plan.collect {
+          case s: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation
+              if s.scan.description.contains(p.toString) => s
+        }.nonEmpty
+        (scans(wh.resolve("v")), scans(wh.resolve("t")))
+      }
+      val viaMv = grouped()
+      val (gScansView, gScansSrc) = facts(viaMv)
+      val globalViaMv = global()
+      val (ggScansView, ggScansSrc) = facts(globalViaMv)
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      val viaSource = grouped()
+      val globalViaSource = global()
+      spark.conf.unset("spark.graft.mv.rewrite")
+      require(viaMv.exceptAll(viaSource).isEmpty &&
+        viaSource.exceptAll(viaMv).isEmpty,
+        "derived-aggregate rewrite changed the grouped result")
+      require(globalViaMv.exceptAll(globalViaSource).isEmpty &&
+        globalViaSource.exceptAll(globalViaMv).isEmpty,
+        "derived-aggregate rewrite changed the global result")
+      val g = globalViaMv.head()
+      val out = viaMv.orderBy("k3")
+        .withColumn("grouped_scans_view", lit(gScansView))
+        .withColumn("grouped_scans_source", lit(gScansSrc))
+        .withColumn("global_scans_view", lit(ggScansView))
+        .withColumn("global_scans_source", lit(ggScansSrc))
+        .withColumn("global_avg_words", lit(g.getDouble(0)))
+        .withColumn("global_n_keys", lit(g.getLong(1)))
+      OpsUtil.driverLiteral(out)
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q284_mv_derived_aggs" -> q284MvDerivedAggs,
     "q283_mixed_spec_dpp" -> q283MixedSpecDpp,
     "q282_mv_rollup" -> q282MvRollup,
     "q281_optimize_where" -> q281OptimizeWhere,
@@ -1273,6 +1348,24 @@ object Round16 {
         |  CAST(7 AS BIGINT) AS n_refreshes,
         |  CAST(7 AS BIGINT) AS n_refreshes_after_replay
         |FROM range(0, 24) t(i) GROUP BY i % 3 ORDER BY k""".stripMargin,
+    // derived aggregates over live rows [0,36) \ {9,28}: AVG as one
+    // IEEE division of exact integer sums, COUNT(DISTINCT key) as the
+    // view's group count — both at coarse grain (i%6)%3 and globally,
+    // all four rewritten plans scanning only the view
+    "q284_mv_derived_aggs" ->
+      """SELECT (i % 6) % 3 AS k3,
+        |  CAST(SUM(i % 91 + 9) AS DOUBLE) / COUNT(*) AS avg_words,
+        |  CAST(COUNT(DISTINCT i % 6) AS BIGINT) AS n_keys,
+        |  CAST(SUM(i % 91 + 9) AS BIGINT) AS sum_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  TRUE AS grouped_scans_view, FALSE AS grouped_scans_source,
+        |  TRUE AS global_scans_view, FALSE AS global_scans_source,
+        |  (SELECT CAST(SUM(i % 91 + 9) AS DOUBLE) / COUNT(*)
+        |    FROM range(0, 36) t(i) WHERE i NOT IN (9, 28))
+        |    AS global_avg_words,
+        |  CAST(6 AS BIGINT) AS global_n_keys
+        |FROM range(0, 36) t(i) WHERE i NOT IN (9, 28)
+        |GROUP BY (i % 6) % 3 ORDER BY k3""".stripMargin,
     // mixed-generation DPP: [0,96) joined to dim values {1,3} on
     // wb = (i%91+9)%6; the pre-evolution file (rows [0,48)) is read in
     // full, the six post-evolution value files prune to 2 — so the

@@ -6,12 +6,12 @@ import scala.util.control.NonFatal
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.optimizer.ConstantFolding
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.sources.{GraftFilesScan, GraftMv, GraftTableMeta, GraftVersions}
 
@@ -116,17 +116,30 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private case object KeyCol extends MvCol
   private case object SumCol extends MvCol
   private case object CntCol extends MvCol
+  // AVG(<sum>) = SUM(fp) / SUM(n_words) — one IEEE division of two
+  // exact integer sums, bit-identical to Average's own sum/count
+  private case object AvgCol extends MvCol
+  // COUNT(DISTINCT <key>) = the number of view GROUPS (each view row
+  // is one distinct key value) — COUNT(*) over view rows
+  private case object DistinctKeyCol extends MvCol
 
   /** Map one aggregate-list expression onto a view column, or refuse. */
   private def classify(e: Expression, keyE: Expression,
       sumE: Expression): Option[MvCol] = e match {
-    case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+    case ae: AggregateExpression if ae.filter.isEmpty =>
       ae.aggregateFunction match {
-        case s: Sum if s.child.canonicalized == sumE.canonicalized =>
+        case s: Sum if !ae.isDistinct &&
+            s.child.canonicalized == sumE.canonicalized =>
           Some(SumCol)
-        case c: Count if c.children.length == 1 &&
+        case c: Count if !ae.isDistinct && c.children.length == 1 &&
             c.children.head.foldable && !c.children.head.nullable =>
           Some(CntCol)
+        case a: Average if !ae.isDistinct &&
+            a.child.canonicalized == sumE.canonicalized =>
+          Some(AvgCol)
+        case c: Count if ae.isDistinct && c.children.length == 1 &&
+            c.children.head.canonicalized == keyE.canonicalized =>
+          Some(DistinctKeyCol)
         case _ => None
       }
     case _ if e.canonicalized == keyE.canonicalized => Some(KeyCol)
@@ -168,7 +181,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // group" case) — re-aggregate the |groups|-row view
             case _ =>
               traverse(aggExprs.map { ne =>
-                classifyRollup(inline(stripAlias(ne)), groupE, sumE)
+                classifyRollup(inline(stripAlias(ne)), groupE, keyE, sumE)
                   .map(ne -> _)
               }).flatMap(substituteRollup(mvDir, groupE, keyE, _))
           }
@@ -177,17 +190,26 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }.nextOption()
   }
 
-  /** Roll-up classification: aggregates map like [[classify]], and any
-    * non-aggregate output must BE the (coarse) grouping expression. */
+  /** Roll-up classification: aggregates map like [[classify]] (with
+    * the distinct-key count additionally legal — per coarse group it
+    * is the number of VIEW rows in that group), and any non-aggregate
+    * output must BE the (coarse) grouping expression. */
   private def classifyRollup(e: Expression, groupE: Option[Expression],
-      sumE: Expression): Option[MvCol] = e match {
-    case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+      keyE: Expression, sumE: Expression): Option[MvCol] = e match {
+    case ae: AggregateExpression if ae.filter.isEmpty =>
       ae.aggregateFunction match {
-        case s: Sum if s.child.canonicalized == sumE.canonicalized =>
+        case s: Sum if !ae.isDistinct &&
+            s.child.canonicalized == sumE.canonicalized =>
           Some(SumCol)
-        case c: Count if c.children.length == 1 &&
+        case c: Count if !ae.isDistinct && c.children.length == 1 &&
             c.children.head.foldable && !c.children.head.nullable =>
           Some(CntCol)
+        case a: Average if !ae.isDistinct &&
+            a.child.canonicalized == sumE.canonicalized =>
+          Some(AvgCol)
+        case c: Count if ae.isDistinct && c.children.length == 1 &&
+            c.children.head.canonicalized == keyE.canonicalized =>
+          Some(DistinctKeyCol)
         case _ => None
       }
     case _ if groupE.exists(_.canonicalized == e.canonicalized) =>
@@ -231,6 +253,13 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case KeyCol => byName("doc_id")
         case SumCol => byName("fp")
         case CntCol => Cast(byName("n_words"), LongType, None)
+        // AVG at the view's own grain is the per-row ratio — the same
+        // single IEEE division Average performs on its (sum, count)
+        case AvgCol => Divide(
+          Cast(byName("fp"), DoubleType, None),
+          Cast(byName("n_words"), DoubleType, None))
+        // COUNT(DISTINCT key) grouped by key is identically 1
+        case DistinctKeyCol => Literal(1L)
       }
       if (replacement.dataType != ne.dataType) return None
       Alias(replacement, ne.name)(exprId = ne.exprId)
@@ -290,6 +319,18 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case SumCol => agg(fp)
         case CntCol =>
           Coalesce(Seq(agg(Cast(nw, LongType, None)), Literal(0L)))
+        // AVG over source rows = total/count from the view's exact
+        // integer sums — one IEEE division, bit-identical to Average's
+        // own sum/count evaluation (NULL/NULL on an empty global
+        // aggregate, exactly like Average on zero rows)
+        case AvgCol => Divide(
+          Cast(agg(fp), DoubleType, None),
+          Cast(agg(Cast(nw, LongType, None)), DoubleType, None))
+        // COUNT(DISTINCT key) per coarse group = #view rows in it
+        case DistinctKeyCol =>
+          Coalesce(Seq(
+            AggregateExpression(Count(Seq(Literal(1))), Complete,
+              isDistinct = false), Literal(0L)))
       }
       if (replacement.dataType != ne.dataType) return None
       Alias(replacement, ne.name)(exprId = ne.exprId)

@@ -1338,6 +1338,71 @@ class Round16Spec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("value-layout spec evolution: pre-evolution files degrade to a " +
+      "full read under DPP; an OPTIMIZE rewrite migrates them and " +
+      "restores exact pruning") {
+    val (cat, wh) = freshCatalog("vevo")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL,
+           |  wb BIGINT GENERATED ALWAYS AS
+           |    (CAST(n_words AS BIGINT) % 6))
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      insertRange(cat, "t", 0, 48)          // 1 mixed-value file
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES(" +
+        "'layout.values'='wb')")            // metadata-only evolution
+      insertRange(cat, "t", 48, 96)         // 6 min=max value files
+      spark.sql(
+        s"""CREATE TABLE $cat.d (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      insertRange(cat, "d", 0, 8)
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def emittedByFactScan(): Long = {
+        val joined = spark.sql(
+          s"""SELECT f.wb, COUNT(*) AS n
+             |FROM $cat.t f JOIN $cat.d d ON f.wb = d.doc_id
+             |WHERE d.doc_id IN (1, 3) GROUP BY f.wb""".stripMargin)
+        joined.collect()
+        def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[BatchScanExec] = p match {
+          case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+          case q: QueryStageExec => scansOf(q.plan)
+          case r: org.apache.spark.sql.execution.exchange
+              .ReusedExchangeExec => scansOf(r.child)
+          case b: BatchScanExec => Seq(b)
+          case other => other.children.flatMap(scansOf)
+        }
+        val fact = scansOf(joined.queryExecution.executedPlan)
+          .find(_.scan.description()
+            .contains(s"path=${wh.resolve("t")} "))
+          .getOrElse(fail("no fact scan"))
+        assert(fact.runtimeFilters.nonEmpty, "DPP filter must attach")
+        fact.metrics("numOutputRows").value
+      }
+      val matching = (0 until 96)
+        .count(i => Set(1, 3)((i % 91 + 9) % 6)).toLong
+      val newGenMatching = (48 until 96)
+        .count(i => Set(1, 3)((i % 91 + 9) % 6)).toLong
+      // mixed snapshot: the old file reads in full, new files prune
+      assert(emittedByFactScan() == 48L + newGenMatching)
+      // migrate: the OPTIMIZE rewrite decodes rows through the writer,
+      // which fans by the (now-declared) value layout — every landed
+      // file is single-valued
+      spark.sql(s"CALL $cat.system.optimize('t', 1, '')").collect()
+      val entries = GraftVersions.latest(wh.resolve("t")).get.entries
+      assert(entries.nonEmpty && entries.forall(
+        _.stats.get("wb").exists { case (lo, hi) => lo == hi }),
+        s"every migrated file must be single-valued: $entries")
+      // fully-migrated snapshot: DPP is exact again
+      assert(emittedByFactScan() == matching)
+    } finally dropCatalog(cat, wh)
+  }
+
   test("mv: concurrent committers and manual refreshes never tear or " +
       "double-apply the view (watermark CAS + pinned state read)") {
     val (cat, wh) = freshCatalog("mv7")
