@@ -1243,7 +1243,82 @@ object Round16 {
     } finally teardown(spark, cat, wh)
   }
 
+  // ---------------------------------------------------------------------
+  // q285: historical MV rewrite — time travel answered from view history
+  // ---------------------------------------------------------------------
+
+  /** Time travel composed with the MV rewrite: `... FROM t VERSION AS
+    * OF v GROUP BY <key>` is answered from the MV's OWN history — the
+    * refresh commit whose ledgered watermark is exactly v folded
+    * precisely the source state at v (replace-all refresh semantics),
+    * so the view's snapshot at that commit IS the historical
+    * aggregate. Auto-refresh guarantees one such commit per source
+    * data version. At 100 TB this turns "how did the corpus look last
+    * Tuesday, by shard" from a historical corpus scan into a
+    * \|groups\|-row read — the reporting query a versioned warehouse
+    * exists for. Pinned at v2 (post-delete) at the view's grain and
+    * at v1 (pre-delete) as a global roll-up; both plans are asserted
+    * view-only, and both match the rule-off time-travel scan. */
+  val q285MvTimeTravel: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q285")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'delete.mode' = 'merge-on-read')""".stripMargin)
+      insertRange(spark, cat, 0, 30)                                 // v1
+      spark.sql(s"CALL $cat.system.create_mv(" +
+        "'v', 't', 'doc_id % 5', 'n_words', true)")   // watermark 1
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (4, 17)")       // v2
+      insertRange(spark, cat, 30, 40)                                // v3
+      org.apache.spark.sql.GraftBridge.addOptimization(spark,
+        graft.plans.MvRewriteRule(spark))
+      def pinned() = spark.sql(
+        s"""SELECT doc_id % 5 AS k, SUM(n_words) AS sum_words,
+           |  COUNT(*) AS n_docs
+           |FROM $cat.t VERSION AS OF 2 GROUP BY doc_id % 5""".stripMargin)
+      def pinnedGlobal() = spark.sql(
+        s"SELECT SUM(n_words) AS sum_words, COUNT(*) AS n_docs " +
+          s"FROM $cat.t VERSION AS OF 1")
+      def facts(df: DataFrame): (Boolean, Boolean) = {
+        val plan = df.queryExecution.optimizedPlan
+        def scans(p: java.nio.file.Path) = plan.collect {
+          case s: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation
+              if s.scan.description.contains(p.toString) => s
+        }.nonEmpty
+        (scans(wh.resolve("v")), scans(wh.resolve("t")))
+      }
+      val viaMv = pinned()
+      val (pScansView, pScansSrc) = facts(viaMv)
+      val globalViaMv = pinnedGlobal()
+      val (gScansView, gScansSrc) = facts(globalViaMv)
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      val viaSource = pinned()
+      val globalViaSource = pinnedGlobal()
+      spark.conf.unset("spark.graft.mv.rewrite")
+      require(viaMv.exceptAll(viaSource).isEmpty &&
+        viaSource.exceptAll(viaMv).isEmpty,
+        "historical rewrite changed the pinned grouped result")
+      require(globalViaMv.exceptAll(globalViaSource).isEmpty &&
+        globalViaSource.exceptAll(globalViaMv).isEmpty,
+        "historical rewrite changed the pinned global result")
+      val g = globalViaMv.head()
+      val out = viaMv.orderBy("k")
+        .withColumn("pinned_scans_view", lit(pScansView))
+        .withColumn("pinned_scans_source", lit(pScansSrc))
+        .withColumn("global_scans_view", lit(gScansView))
+        .withColumn("global_scans_source", lit(gScansSrc))
+        .withColumn("v1_sum_words", lit(g.getLong(0)))
+        .withColumn("v1_n_docs", lit(g.getLong(1)))
+      OpsUtil.driverLiteral(out)
+    } finally teardown(spark, cat, wh)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q285_mv_time_travel" -> q285MvTimeTravel,
     "q284_mv_derived_aggs" -> q284MvDerivedAggs,
     "q283_mixed_spec_dpp" -> q283MixedSpecDpp,
     "q282_mv_rollup" -> q282MvRollup,
@@ -1348,6 +1423,21 @@ object Round16 {
         |  CAST(7 AS BIGINT) AS n_refreshes,
         |  CAST(7 AS BIGINT) AS n_refreshes_after_replay
         |FROM range(0, 24) t(i) GROUP BY i % 3 ORDER BY k""".stripMargin,
+    // time travel from view history: at v2 the live state is
+    // [0,30) \ {4,17} (grouped by doc_id % 5 from the MV commit whose
+    // watermark is 2); at v1 it is all of [0,30) (global roll-up from
+    // the seed commit); both rewritten plans scan only the view
+    "q285_mv_time_travel" ->
+      """SELECT i % 5 AS k,
+        |  CAST(SUM(i % 91 + 9) AS BIGINT) AS sum_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  TRUE AS pinned_scans_view, FALSE AS pinned_scans_source,
+        |  TRUE AS global_scans_view, FALSE AS global_scans_source,
+        |  (SELECT CAST(SUM(i % 91 + 9) AS BIGINT) FROM range(0, 30) t(i))
+        |    AS v1_sum_words,
+        |  CAST(30 AS BIGINT) AS v1_n_docs
+        |FROM range(0, 30) t(i) WHERE i NOT IN (4, 17)
+        |GROUP BY i % 5 ORDER BY k""".stripMargin,
     // derived aggregates over live rows [0,36) \ {9,28}: AVG as one
     // IEEE division of exact integer sums, COUNT(DISTINCT key) as the
     // view's group count — both at coarse grain (i%6)%3 and globally,

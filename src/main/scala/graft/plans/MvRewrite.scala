@@ -27,23 +27,31 @@ import graft.sources.{GraftFilesScan, GraftMv, GraftTableMeta, GraftVersions}
   *
   * Soundness gates, every one mandatory:
   *
-  *  - the aggregate's child is a BARE LIVE scan of the source
-  *    ([[GraftFilesScan.isBareLiveSnapshot]]): a pushed-down filter,
-  *    time-travel pin, change-feed read, or file whitelist changes the
-  *    row set the view was declared over — any of them disqualifies;
+  *  - the aggregate's child is a BARE scan of the source
+  *    ([[GraftFilesScan.bareSnapshotPin]]): a pushed-down filter,
+  *    change-feed read, or file whitelist changes the row set the
+  *    view was declared over — any of them disqualifies. A bare
+  *    TIME-TRAVEL pin `VERSION AS OF v` is admitted: it substitutes
+  *    the MV's OWN historical snapshot whose refresh watermark is
+  *    exactly v (replace-all refresh semantics make that commit the
+  *    complete aggregate of the source at v);
   *  - the grouping expression and every aggregate expression match the
   *    view's declared key/sum CANONICALLY (the view's persisted SQL is
   *    re-analyzed against the query's own relation, so type coercion
   *    and constant folding land on both sides before comparison);
-  *    only `SUM(<sum>)` (non-distinct, unfiltered), `COUNT(*)` /
-  *    `COUNT(1)`, and the key itself are recognized;
-  *  - the view is FRESH: its refresh ledger holds exactly the source's
-  *    current version. Auto-registered views (`create_mv(..., auto =
-  *    true)`) maintain this on every source commit, but the rule
-  *    re-checks the ledger rather than trusting the registration — a
-  *    stale view silently answering is the one unacceptable failure.
-  *    (Freshness is read at PLAN time; a source commit racing query
-  *    execution lands after this query's snapshot either way.)
+  *    recognized shapes: the key itself (or, in ROLL-UP form, any
+  *    deterministic function of it, including the global aggregate),
+  *    `SUM(<sum>)` (non-distinct, unfiltered), `COUNT(*)`/`COUNT(1)`,
+  *    `AVG(<sum>)` (= SUM(fp)/SUM(n_words)), and
+  *    `COUNT(DISTINCT <key>)` (= the view's group count);
+  *  - the view is FRESH for live scans: its refresh ledger holds
+  *    exactly the source's current version. Auto-registered views
+  *    (`create_mv(..., auto = true)`) maintain this on every source
+  *    commit, but the rule re-checks the ledger rather than trusting
+  *    the registration — a stale view silently answering is the one
+  *    unacceptable failure. (Freshness is read at PLAN time; a source
+  *    commit racing query execution lands after this query's snapshot
+  *    either way.)
   *
   * Registered per session via [[org.apache.spark.sql.GraftBridge
   * .addOptimization]] (runtime) or `spark.sql.extensions =
@@ -69,18 +77,20 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The aggregate's child as (scan relation, source table dir,
-    * alias-inliner) — only when it is a bare live graft scan under
+    * alias-inliner, time-travel pin) — only when it is a bare graft
+    * scan (live, or version-pinned with nothing else pushed) under
     * projections that merely prune columns or name expressions (the
     * optimizer's PullOutGroupingExpressions puts the grouping
     * expression in exactly such a Project; the inliner folds those
     * aliases back so the comparison sees the original expression over
     * the relation's own attributes). */
   private def bareSource(plan: LogicalPlan): Option[
-      (DataSourceV2ScanRelation, Path, Expression => Expression)] =
+      (DataSourceV2ScanRelation, Path, Expression => Expression,
+        Option[Long])] =
     plan match {
       case Project(ps, inner) if ps.forall(pe =>
           pe.isInstanceOf[AttributeReference] || pe.isInstanceOf[Alias]) =>
-        bareSource(inner).map { case (rel, dir, inlineInner) =>
+        bareSource(inner).map { case (rel, dir, inlineInner, pin) =>
           val aliasMap: Map[ExprId, Expression] =
             ps.collect { case a: Alias => a.exprId -> a.child }.toMap
           val inline: Expression => Expression = e =>
@@ -88,11 +98,12 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
                 aliasMap(ar.exprId)
             })
-          (rel, dir, inline)
+          (rel, dir, inline, pin)
         }
       case r: DataSourceV2ScanRelation => r.scan match {
-        case s: GraftFilesScan if s.isBareLiveSnapshot =>
-          Some((r, Paths.get(s.tablePath), identity[Expression] _))
+        case s: GraftFilesScan =>
+          s.bareSnapshotPin.map(pin =>
+            (r, Paths.get(s.tablePath), identity[Expression] _, pin))
         case _ => None
       }
       case _ => None
@@ -149,7 +160,8 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryRewrite(agg: Aggregate, groupRaw: Option[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan)
       : Option[LogicalPlan] = {
-    val (rel, srcDir, inline) = bareSource(child).getOrElse(return None)
+    val (rel, srcDir, inline, srcPin) =
+      bareSource(child).getOrElse(return None)
     val groupE = groupRaw.map(inline)
     val srcName = srcDir.getFileName.toString
     val srcVersion = GraftVersions.latest(srcDir).map(_.version)
@@ -165,9 +177,24 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           src <- props.get("mv.source") if src == srcName
           keyE <- resolveAgainst(props("mv.key"), rel)
           sumE <- resolveAgainst(props("mv.sum"), rel)
-          // FRESH means the ledger is exactly at the source's version
-          w <- GraftVersions.lastTxnEpoch(mvDir, GraftMv.AppId)
-          if w == srcVersion
+          // Which MV snapshot answers this scan's row set?
+          //  - live scan: the view must be FRESH (ledger exactly at
+          //    the source's current version) and is read live;
+          //  - time-travel scan `VERSION AS OF v`: the MV commit whose
+          //    refresh watermark is EXACTLY v folded precisely the
+          //    source state at v (replace-all refresh semantics), so
+          //    the view's own history answers the historical
+          //    aggregate at |groups| cost — no match, no rewrite
+          //    (vacuumed MV history falls back to the corpus scan).
+          mvPin <- srcPin match {
+            case None =>
+              GraftVersions.lastTxnEpoch(mvDir, GraftMv.AppId)
+                .filter(_ == srcVersion).map(_ => Option.empty[Long])
+            case Some(v) =>
+              GraftVersions.listVersions(mvDir)
+                .find(_.txn.contains((GraftMv.AppId, v)))
+                .map(m => Some(m.version))
+          }
           rewritten <- groupE match {
             // exact match: the view's rows ARE the answer — pure
             // projection, no aggregate at all
@@ -175,7 +202,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 keyE.canonicalized == g.canonicalized =>
               traverse(aggExprs.map { ne =>
                 classify(inline(stripAlias(ne)), keyE, sumE).map(ne -> _)
-              }).flatMap(substitute(mvDir, _))
+              }).flatMap(substitute(mvDir, mvPin, _))
             // roll-up: the query groups COARSER than the view (its key
             // is a function of the view's key, incl. the global "no
             // group" case) — re-aggregate the |groups|-row view
@@ -183,7 +210,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               traverse(aggExprs.map { ne =>
                 classifyRollup(inline(stripAlias(ne)), groupE, keyE, sumE)
                   .map(ne -> _)
-              }).flatMap(substituteRollup(mvDir, groupE, keyE, _))
+              }).flatMap(substituteRollup(mvDir, mvPin, groupE, keyE, _))
           }
         } yield rewritten
       }
@@ -226,11 +253,15 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (xs.forall(_.isDefined)) Some(xs.flatten) else None
 
   /** Pre-optimized scan of the view's three value columns, keyed by
-    * name — the building block both substitution shapes share. */
-  private def viewScan(mvDir: Path)
+    * name — the building block both substitution shapes share.
+    * `pin = Some(m)` reads the MV's OWN snapshot m (the historical
+    * substitution); None reads it live. */
+  private def viewScan(mvDir: Path, pin: Option[Long])
       : Option[(DataSourceV2ScanRelation, Map[String, Attribute])] = {
-    val mvPlan = spark.read.format("graft.sources.GraftDocsSource")
-      .option("path", mvDir.toString).load()
+    val reader = spark.read.format("graft.sources.GraftDocsSource")
+      .option("path", mvDir.toString)
+    val mvPlan = pin.fold(reader)(m =>
+        reader.option("versionAsOf", m.toString)).load()
       .select("doc_id", "fp", "n_words")
       .queryExecution.optimizedPlan
     val scanRel = mvPlan.collectFirst {
@@ -245,9 +276,9 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Build the replacement: a pre-optimized scan of the view plus a
     * projection that re-binds every original output attribute id —
     * consumers above the aggregate never notice the swap. */
-  private def substitute(mvDir: Path,
+  private def substitute(mvDir: Path, pin: Option[Long],
       cols: Seq[(NamedExpression, MvCol)]): Option[LogicalPlan] = {
-    val (scanRel, byName) = viewScan(mvDir).getOrElse(return None)
+    val (scanRel, byName) = viewScan(mvDir, pin).getOrElse(return None)
     val projections = cols.map { case (ne, col) =>
       val replacement: Expression = col match {
         case KeyCol => byName("doc_id")
@@ -297,10 +328,11 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * normalization pass is needed. COUNT(*) is non-nullable while
     * SUM is nullable — the coalesce restores the exact type, and its
     * 0 branch is unreachable (a view group exists only with c > 0). */
-  private def substituteRollup(mvDir: Path, groupE: Option[Expression],
-      keyE: Expression, cols: Seq[(NamedExpression, MvCol)])
+  private def substituteRollup(mvDir: Path, pin: Option[Long],
+      groupE: Option[Expression], keyE: Expression,
+      cols: Seq[(NamedExpression, MvCol)])
       : Option[LogicalPlan] = {
-    val (scanRel, byName) = viewScan(mvDir).getOrElse(return None)
+    val (scanRel, byName) = viewScan(mvDir, pin).getOrElse(return None)
     val keyAttr = byName("doc_id")
     val fp = byName("fp"); val nw = byName("n_words")
     val coarseAlias = groupE match {

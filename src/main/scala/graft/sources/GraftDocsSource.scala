@@ -828,9 +828,18 @@ class GraftFilesScan(path: String, required: StructType,
     * The ONLY shape a materialized-view rewrite may substitute: any of
     * these would change the row set the aggregate was declared over. */
   def isBareLiveSnapshot: Boolean =
-    versionPin.isEmpty && startingVersion.isEmpty &&
-      endingVersion.isEmpty && colRanges.isEmpty && eqLiterals.isEmpty &&
-      !cdf && fileWhitelist.isEmpty
+    versionPin.isEmpty && bareSnapshotPin.isDefined
+  /** Like [[isBareLiveSnapshot]] but ADMITTING a time-travel pin:
+    * Some(pin) when the scan is bare apart from an optional version
+    * pin. This is the shape the materialized-view rewrite's HISTORICAL
+    * substitution accepts — a pinned aggregate can be answered from
+    * the MV state whose refresh watermark equals the pinned source
+    * version (the MV's own history replays refresh states). */
+  def bareSnapshotPin: Option[Option[Long]] =
+    if (startingVersion.isEmpty && endingVersion.isEmpty &&
+        colRanges.isEmpty && eqLiterals.isEmpty && !cdf &&
+        fileWhitelist.isEmpty) Some(versionPin)
+    else None
   // files surviving runtime group filtering; None = no filter arrived
   @volatile private var keep: Option[Set[String]] = None
   // value-partition whitelist from a DPP runtime filter; None = none

@@ -1301,11 +1301,36 @@ class Round16Spec extends SparkSpec {
            |FROM $cat.t GROUP BY doc_id % 5""".stripMargin)
       assert(!mvRewriteFacts(distinctSum, mvPath)._1,
         "SUM(DISTINCT) must not rewrite")
+      // a time-travel pin WITH a matching refresh watermark (v1 = the
+      // seed) IS answered — from the view's own history, never its
+      // live state (r17: historical substitution)
       val timeTravel = spark.sql(
         s"""SELECT doc_id % 5 AS k, SUM(n_words) AS s, COUNT(*) AS c
            |FROM $cat.t VERSION AS OF 1 GROUP BY doc_id % 5""".stripMargin)
-      assert(!mvRewriteFacts(timeTravel, mvPath)._1,
-        "a time-travel read must not be answered from the live view")
+      assert(mvRewriteFacts(timeTravel, mvPath)._1,
+        "a pinned read whose version IS a ledgered watermark must be " +
+          "answered from the view's history")
+      // ... and stays CORRECT after the view's live state moves on
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (2, 7)") // v2
+      val expect = spark.sql(
+        s"""SELECT i % 5 AS k, CAST(SUM(i % 91 + 9) AS BIGINT) AS s,
+           |  COUNT(*) AS c
+           |FROM range(0, 12) r(i) GROUP BY i % 5""".stripMargin)
+      val pinnedAgain = spark.sql(
+        s"""SELECT doc_id % 5 AS k, SUM(n_words) AS s, COUNT(*) AS c
+           |FROM $cat.t VERSION AS OF 1 GROUP BY doc_id % 5""".stripMargin)
+      assert(mvRewriteFacts(pinnedAgain, mvPath)._1)
+      assert(pinnedAgain.exceptAll(expect).isEmpty &&
+        expect.exceptAll(pinnedAgain).isEmpty,
+        "the historical substitution must serve the v1 state, not live")
+      // a pin with NO matching watermark (v0 = enable, before the
+      // seed) still disqualifies — the corpus scan answers it
+      val preSeed = spark.sql(
+        s"""SELECT doc_id % 5 AS k, SUM(n_words) AS s, COUNT(*) AS c
+           |FROM $cat.t VERSION AS OF 0 GROUP BY doc_id % 5""".stripMargin)
+      assert(!mvRewriteFacts(preSeed, mvPath)._1,
+        "a pin with no ledgered watermark must fall back to the scan")
+      assert(preSeed.count() == 0L) // v0 is the empty enable snapshot
     } finally dropCatalog(cat, wh)
   }
 
