@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.optimizer.ConstantFolding
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -27,14 +27,18 @@ import graft.sources.{GraftFilesScan, GraftMv, GraftTableMeta, GraftVersions}
   *
   * Soundness gates, every one mandatory:
   *
-  *  - the aggregate's child is a BARE scan of the source
-  *    ([[GraftFilesScan.bareSnapshotPin]]): a pushed-down filter,
-  *    change-feed read, or file whitelist changes the row set the
-  *    view was declared over — any of them disqualifies. A bare
-  *    TIME-TRAVEL pin `VERSION AS OF v` is admitted: it substitutes
-  *    the MV's OWN historical snapshot whose refresh watermark is
-  *    exactly v (replace-all refresh semantics make that commit the
-  *    complete aggregate of the source at v);
+  *  - the aggregate's child is a scan of the source that is bare up
+  *    to RESIDUAL predicates ([[GraftFilesScan.residualSnapshotPin]]):
+  *    a WHERE whose every conjunct is a deterministic function of the
+  *    view KEY is re-applied over view rows (a key-only predicate
+  *    admits or rejects each group wholesale — the reference's own
+  *    filter-then-aggregate shape, Assignment-python.py:312→:314);
+  *    any predicate touching a non-key column, a change-feed read, or
+  *    a file whitelist disqualifies. A bare TIME-TRAVEL pin
+  *    `VERSION AS OF v` is admitted: it substitutes the MV's OWN
+  *    historical snapshot whose refresh watermark is exactly v
+  *    (replace-all refresh semantics make that commit the complete
+  *    aggregate of the source at v);
   *  - the grouping expression and every aggregate expression match the
   *    view's declared key/sum CANONICALLY (the view's persisted SQL is
   *    re-analyzed against the query's own relation, so type coercion
@@ -77,20 +81,24 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The aggregate's child as (scan relation, source table dir,
-    * alias-inliner, time-travel pin) — only when it is a bare graft
-    * scan (live, or version-pinned with nothing else pushed) under
+    * alias-inliner, time-travel pin, residual predicates) — only when
+    * it is a graft scan (live, or version-pinned; pushed FILE-pruning
+    * state is admitted because this source keeps every pushed filter
+    * residual, see [[GraftFilesScan.residualSnapshotPin]]) under
     * projections that merely prune columns or name expressions (the
     * optimizer's PullOutGroupingExpressions puts the grouping
     * expression in exactly such a Project; the inliner folds those
     * aliases back so the comparison sees the original expression over
-    * the relation's own attributes). */
+    * the relation's own attributes) and Filters whose predicates are
+    * collected — already inlined to scan attributes — for the caller
+    * to prove key-only and re-apply over view rows. */
   private def bareSource(plan: LogicalPlan): Option[
       (DataSourceV2ScanRelation, Path, Expression => Expression,
-        Option[Long])] =
+        Option[Long], Seq[Expression])] =
     plan match {
       case Project(ps, inner) if ps.forall(pe =>
           pe.isInstanceOf[AttributeReference] || pe.isInstanceOf[Alias]) =>
-        bareSource(inner).map { case (rel, dir, inlineInner, pin) =>
+        bareSource(inner).map { case (rel, dir, inlineInner, pin, preds) =>
           val aliasMap: Map[ExprId, Expression] =
             ps.collect { case a: Alias => a.exprId -> a.child }.toMap
           val inline: Expression => Expression = e =>
@@ -98,12 +106,17 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
                 aliasMap(ar.exprId)
             })
-          (rel, dir, inline, pin)
+          (rel, dir, inline, pin, preds)
+        }
+      case Filter(cond, inner) =>
+        bareSource(inner).map { case (rel, dir, inlineInner, pin, preds) =>
+          (rel, dir, inlineInner, pin, preds :+ inlineInner(cond))
         }
       case r: DataSourceV2ScanRelation => r.scan match {
         case s: GraftFilesScan =>
-          s.bareSnapshotPin.map(pin =>
-            (r, Paths.get(s.tablePath), identity[Expression] _, pin))
+          s.residualSnapshotPin.map(pin =>
+            (r, Paths.get(s.tablePath), identity[Expression] _, pin,
+              Seq.empty[Expression]))
         case _ => None
       }
       case _ => None
@@ -128,7 +141,14 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private case object SumCol extends MvCol
   private case object CntCol extends MvCol
   // AVG(<sum>) = SUM(fp) / SUM(n_words) — one IEEE division of two
-  // exact integer sums, bit-identical to Average's own sum/count
+  // EXACT integer sums. Spark's Average over integral input instead
+  // accumulates its numerator in DOUBLE (per-addition rounding), so
+  // once a group's sum exceeds 2^53 the rewritten value can differ
+  // from the unrewritten plan in the last ulp — in that regime the
+  // exact-sum division is the MORE accurate of the two. The rewrite
+  // contract accepts that ulp-level divergence explicitly (identical
+  // below 2^53, ≤1 ulp above); a caller needing bit-replay of
+  // Average's rounding must disable the rule.
   private case object AvgCol extends MvCol
   // COUNT(DISTINCT <key>) = the number of view GROUPS (each view row
   // is one distinct key value) — COUNT(*) over view rows
@@ -160,15 +180,21 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryRewrite(agg: Aggregate, groupRaw: Option[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan)
       : Option[LogicalPlan] = {
-    val (rel, srcDir, inline, srcPin) =
+    val (rel, srcDir, inline, srcPin, preds) =
       bareSource(child).getOrElse(return None)
+    // pushed pruning state with NO retained predicate collected means
+    // the optimizer removed a (therefore semantically-true) filter —
+    // harmless in principle, but refuse conservatively: a bare scan is
+    // the only no-predicate shape this rule vouches for
+    if (preds.isEmpty && rel.scan.asInstanceOf[GraftFilesScan]
+        .bareSnapshotPin.isEmpty) return None
     val groupE = groupRaw.map(inline)
     val srcName = srcDir.getFileName.toString
     val srcVersion = GraftVersions.latest(srcDir).map(_.version)
       .getOrElse(return None)
     val candidates = GraftTableMeta.read(srcDir).get("mv.dependents")
       .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).distinct
-    candidates.iterator.map(srcDir.resolveSibling(_)).flatMap { mvDir =>
+    val rewrites = candidates.map(srcDir.resolveSibling(_)).flatMap { mvDir =>
       if (!Files.isDirectory(mvDir)) None
       else {
         val props = GraftTableMeta.read(mvDir)
@@ -202,7 +228,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 keyE.canonicalized == g.canonicalized =>
               traverse(aggExprs.map { ne =>
                 classify(inline(stripAlias(ne)), keyE, sumE).map(ne -> _)
-              }).flatMap(substitute(mvDir, mvPin, _))
+              }).flatMap(substitute(mvDir, mvPin, _, preds, keyE))
             // roll-up: the query groups COARSER than the view (its key
             // is a function of the view's key, incl. the global "no
             // group" case) — re-aggregate the |groups|-row view
@@ -210,12 +236,30 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               traverse(aggExprs.map { ne =>
                 classifyRollup(inline(stripAlias(ne)), groupE, keyE, sumE)
                   .map(ne -> _)
-              }).flatMap(substituteRollup(mvDir, mvPin, groupE, keyE, _))
+              }).flatMap(
+                substituteRollup(mvDir, mvPin, groupE, keyE, _, preds))
           }
-        } yield rewritten
+        } yield (rewritten, viewRows(mvDir, mvPin))
       }
-    }.nextOption()
+    }
+    // COST CHOICE among matching views: with roll-ups several
+    // registered views can answer the same query (a finer view always
+    // also matches what its own roll-up matches) — pick the one with
+    // the fewest live rows, read off its manifest row counters (the
+    // same numbers SupportsReportStatistics serves the CBO), i.e. the
+    // cheapest scan-and-reaggregate. Ties keep registration order.
+    rewrites.minByOption(_._2).map(_._1)
   }
+
+  /** A view snapshot's live row count from its manifest counters —
+    * zero data files opened; Long.MaxValue (never preferred) when the
+    * manifest is unreadable. */
+  private def viewRows(mvDir: Path, pin: Option[Long]): Long =
+    try pin.map(m => Some(GraftVersions.manifest(mvDir, m)))
+      .getOrElse(GraftVersions.latest(mvDir))
+      .map(_.entries.flatMap(_.liveRows).sum)
+      .getOrElse(Long.MaxValue)
+    catch { case NonFatal(_) => Long.MaxValue }
 
   /** Roll-up classification: aggregates map like [[classify]] (with
     * the distinct-key count additionally legal — per coarse group it
@@ -273,19 +317,41 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     else Some((scanRel, byName))
   }
 
-  /** Build the replacement: a pre-optimized scan of the view plus a
+  /** The query's residual predicates re-applied over VIEW rows: each
+    * predicate must rewrite through [[overKey]] (a deterministic
+    * function of the view key alone), which is exactly the soundness
+    * condition — a key-only predicate passes or fails each GROUP
+    * wholesale, so filtering the \|groups\|-row view selects precisely
+    * the groups whose source rows all survived the original WHERE.
+    * Any predicate referencing a non-key column refuses (per-row
+    * filters change group contents; the corpus plan stands). */
+  private def filtered(scanRel: DataSourceV2ScanRelation,
+      keyAttr: Attribute, preds: Seq[Expression], keyE: Expression)
+      : Option[LogicalPlan] =
+    if (preds.isEmpty) Some(scanRel)
+    else {
+      val rewritten = preds.map(p => overKey(p, keyE, keyAttr))
+      if (rewritten.exists(_.isEmpty)) None
+      else Some(Filter(rewritten.flatten.reduce(And), scanRel))
+    }
+
+  /** Build the replacement: a pre-optimized scan of the view (behind
+    * the query's own key-predicate when one was present) plus a
     * projection that re-binds every original output attribute id —
     * consumers above the aggregate never notice the swap. */
   private def substitute(mvDir: Path, pin: Option[Long],
-      cols: Seq[(NamedExpression, MvCol)]): Option[LogicalPlan] = {
+      cols: Seq[(NamedExpression, MvCol)], preds: Seq[Expression],
+      keyE: Expression): Option[LogicalPlan] = {
     val (scanRel, byName) = viewScan(mvDir, pin).getOrElse(return None)
+    val base = filtered(scanRel, byName("doc_id"), preds, keyE)
+      .getOrElse(return None)
     val projections = cols.map { case (ne, col) =>
       val replacement: Expression = col match {
         case KeyCol => byName("doc_id")
         case SumCol => byName("fp")
         case CntCol => Cast(byName("n_words"), LongType, None)
-        // AVG at the view's own grain is the per-row ratio — the same
-        // single IEEE division Average performs on its (sum, count)
+        // AVG at the view's own grain is the per-row ratio of the
+        // exact integer sums (see AvgCol for the ulp contract)
         case AvgCol => Divide(
           Cast(byName("fp"), DoubleType, None),
           Cast(byName("n_words"), DoubleType, None))
@@ -295,7 +361,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (replacement.dataType != ne.dataType) return None
       Alias(replacement, ne.name)(exprId = ne.exprId)
     }
-    Some(Project(projections, scanRel))
+    Some(Project(projections, base))
   }
 
   /** Rewrite `e` as an expression over the view's key column: every
@@ -304,9 +370,15 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * outside such a subtree (then the query's group is a pure function
     * of the view's group — each query group is a disjoint union of
     * view groups, so SUM re-aggregates and COUNT(*) sums the view's
-    * counts). */
+    * counts). The substitution is only type-preserving when the key
+    * expression already IS BIGINT (the view's doc_id type): a narrower
+    * key nested inside wider arithmetic (`CAST(int_key * 2 AS STRING)`)
+    * would change evaluation semantics even though the final output
+    * type check still passes — so a non-BIGINT key refuses here, same
+    * gate as the exact-match branch. */
   private def overKey(e: Expression, keyE: Expression,
       keyAttr: Attribute): Option[Expression] = {
+    if (keyE.dataType != LongType) return None
     val rewritten = e.transformDown {
       case sub if sub.canonicalized == keyE.canonicalized => keyAttr
     }
@@ -330,18 +402,20 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * 0 branch is unreachable (a view group exists only with c > 0). */
   private def substituteRollup(mvDir: Path, pin: Option[Long],
       groupE: Option[Expression], keyE: Expression,
-      cols: Seq[(NamedExpression, MvCol)])
+      cols: Seq[(NamedExpression, MvCol)], preds: Seq[Expression])
       : Option[LogicalPlan] = {
     val (scanRel, byName) = viewScan(mvDir, pin).getOrElse(return None)
     val keyAttr = byName("doc_id")
     val fp = byName("fp"); val nw = byName("n_words")
+    val base = filtered(scanRel, keyAttr, preds, keyE)
+      .getOrElse(return None)
     val coarseAlias = groupE match {
       case Some(g) =>
         val coarse = overKey(g, keyE, keyAttr).getOrElse(return None)
         Some(Alias(coarse, "_mv_rollup_key")())
       case None => None
     }
-    val pre = Project(coarseAlias.toSeq ++ Seq(fp, nw), scanRel)
+    val pre = Project(coarseAlias.toSeq ++ Seq(fp, nw), base)
     val ck = coarseAlias.map(_.toAttribute)
     def agg(f: Expression): Expression =
       AggregateExpression(Sum(f), Complete, isDistinct = false)
@@ -352,9 +426,9 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case CntCol =>
           Coalesce(Seq(agg(Cast(nw, LongType, None)), Literal(0L)))
         // AVG over source rows = total/count from the view's exact
-        // integer sums — one IEEE division, bit-identical to Average's
-        // own sum/count evaluation (NULL/NULL on an empty global
-        // aggregate, exactly like Average on zero rows)
+        // integer sums — one IEEE division (NULL/NULL on an empty
+        // global aggregate, exactly like Average on zero rows; see
+        // AvgCol for the >2^53 ulp contract)
         case AvgCol => Divide(
           Cast(agg(fp), DoubleType, None),
           Cast(agg(Cast(nw, LongType, None)), DoubleType, None))

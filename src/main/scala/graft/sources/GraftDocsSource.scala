@@ -840,6 +840,21 @@ class GraftFilesScan(path: String, required: StructType,
         colRanges.isEmpty && eqLiterals.isEmpty && !cdf &&
         fileWhitelist.isEmpty) Some(versionPin)
     else None
+  /** Like [[bareSnapshotPin]] but ADMITTING pushed file-pruning state
+    * (colRanges / eqLiterals / fileWhitelist). Every pushed filter in
+    * this source is RESIDUAL — `pushFilters` returns its whole input,
+    * so Spark always re-evaluates the full predicate in a retained
+    * Filter above the scan — which means the pruning state only
+    * narrows which FILES are opened, never which rows survive the
+    * plan's own predicate. A consumer that accounts for that retained
+    * Filter (the MV rewrite's FILTERED substitution) therefore sees
+    * the same row set as a bare snapshot + the predicate. CDC
+    * personalities and streaming offsets still disqualify: they change
+    * the row set itself, not just the files opened. */
+  def residualSnapshotPin: Option[Option[Long]] =
+    if (startingVersion.isEmpty && endingVersion.isEmpty && !cdf)
+      Some(versionPin)
+    else None
   // files surviving runtime group filtering; None = no filter arrived
   @volatile private var keep: Option[Set[String]] = None
   // value-partition whitelist from a DPP runtime filter; None = none

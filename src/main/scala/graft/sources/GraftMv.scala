@@ -322,9 +322,12 @@ object GraftMv {
           epoch = s, expectLastEpoch = Some(Some(w)))
         catch { case e: GraftVersions.ConcurrentCommitException =>
           return retryOnRace(e) }
-      return MvInfo(s, liveGroups, applied = 0L,
-        v.map(_.version).getOrElse(mvVersion),
-        refreshed = v.isDefined)
+      return v match {
+        case Some(info) =>
+          MvInfo(s, liveGroups, applied = 0L, info.version,
+            refreshed = true)
+        case None => replayedInfo(mv, s, mvVersion, liveGroups)
+      }
     }
     // current state PINNED to the snapshot observed with W: the frame
     // is lazy and executes inside swapIn's write job — an unpinned
@@ -345,10 +348,24 @@ object GraftMv {
       case Some((info, groups)) =>
         MvInfo(s, groups, applied, info.version, refreshed = true)
       case None => // replayed epoch: the ledger moved under us
-        MvInfo(s, liveGroups, applied = 0L,
-          GraftVersions.latest(mv).map(_.version).getOrElse(mvVersion),
-          refreshed = false)
+        replayedInfo(mv, s, mvVersion, liveGroups)
     }
+  }
+
+  /** The MvInfo a refresh reports when the ledger already held its
+    * epoch: the no-op path means SOMEONE ELSE advanced the view, so
+    * the returned (watermark, version) pair must be re-read from the
+    * ledger — the racer may have moved PAST our target epoch, and
+    * reporting our stale `s` would pair a lagging watermark with the
+    * racer's newer state (r17 ADVICE). The lock makes the re-read pair
+    * coherent. */
+  private def replayedInfo(mv: Path, epoch: Long, seenVersion: Long,
+      liveGroups: => Long): MvInfo = {
+    val (w2, v2) = GraftVersions.withTableLock(mv) {
+      (GraftVersions.lastTxnEpoch(mv, AppId).getOrElse(epoch),
+        GraftVersions.latest(mv).map(_.version).getOrElse(seenVersion))
+    }
+    MvInfo(w2, liveGroups, applied = 0L, v2, refreshed = false)
   }
 
   /** Last swallowed auto-refresh failure in this process (and a count)
