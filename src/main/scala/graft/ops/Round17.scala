@@ -175,6 +175,213 @@ object Round17 {
   }
 
   // ---------------------------------------------------------------------
+  // q287: MIN/MAX materialized views — insert fast path, delete fallback
+  // ---------------------------------------------------------------------
+
+  /** The non-distributive-aggregate contract: MIN/MAX views
+    * (`create_mv(..., agg='min'/'max')`) fold extremum-of-extrema
+    * while a refresh window holds only INSERTS, and recompute exactly
+    * the delete-touched groups from the source when a delete may have
+    * retired the extremum row. The audit drives both paths through
+    * the refresh procedure's own output —
+    *
+    *   insert 12 rows → refresh: applied=12, recomputed_groups=0
+    *   delete 2 rows  → refresh: applied=2,  recomputed_groups=2
+    *
+    * — then answers MIN at the view grain (exact rewrite: no
+    * aggregate in the plan), global MIN and coarse MAX by roll-up
+    * (extremum-of-extrema), while SUM correctly refuses to read an
+    * extremum view (the negative control). All plan facts and both
+    * refresh audits ride in the hashed row. */
+  val q287MvMinMax: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q287")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'delete.mode' = 'merge-on-read')""".stripMargin)
+      insertRange(spark, cat, 0, 36)                                 // v1
+      spark.sql(s"CALL $cat.system.create_mv(" +
+        "'vmin', 't', 'doc_id % 6', 'n_words', false, 'min')")
+      spark.sql(s"CALL $cat.system.create_mv(" +
+        "'vmax', 't', 'doc_id % 6', 'n_words', false, 'max')")
+      // manual refreshes so each path's audit numbers are observable
+      def refresh(view: String) = spark.sql(
+        s"CALL $cat.system.refresh_mv('$view')")
+        .select("applied_changes", "recomputed_groups").head()
+      insertRange(spark, cat, 36, 48)                                // v2
+      val fast = refresh("vmin"); refresh("vmax")
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (0, 7)")        // v3
+      val del = refresh("vmin"); refresh("vmax")
+      // rewrite discovery without auto-refresh: register the views
+      // (no concurrent writers here, so the plain property write the
+      // create_mv(auto=true) path locks for is race-free)
+      graft.sources.GraftTableMeta.write(wh.resolve("t"),
+        graft.sources.GraftTableMeta.read(wh.resolve("t")) +
+          ("mv.dependents" -> "vmin,vmax"))
+      org.apache.spark.sql.GraftBridge.addOptimization(spark,
+        graft.plans.MvRewriteRule(spark))
+      def minQ() = spark.sql(
+        s"""SELECT doc_id % 6 AS k, MIN(n_words) AS min_words,
+           |  COUNT(*) AS n_docs
+           |FROM $cat.t GROUP BY doc_id % 6""".stripMargin)
+      def globalMinQ() = spark.sql(
+        s"SELECT MIN(n_words) AS m FROM $cat.t")
+      def maxQ() = spark.sql(
+        s"""SELECT (doc_id % 6) % 2 AS k2, MAX(n_words) AS max_words
+           |FROM $cat.t GROUP BY (doc_id % 6) % 2""".stripMargin)
+      def sumQ() = spark.sql(
+        s"SELECT SUM(n_words) AS s FROM $cat.t")
+      val vmin = wh.resolve("vmin"); val vmax = wh.resolve("vmax")
+      val t = wh.resolve("t")
+      val mn = minQ()
+      val (mnScans, mnAgg) = planFacts(mn)
+      val gm = globalMinQ()
+      val (gmScans, _) = planFacts(gm)
+      val mx = maxQ()
+      val (mxScans, mxAgg) = planFacts(mx)
+      val sm = sumQ()
+      val (smScans, _) = planFacts(sm)
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      requireSameResult(mn, minQ(), "min exact")
+      requireSameResult(gm, globalMinQ(), "min global roll-up")
+      requireSameResult(mx, maxQ(), "max roll-up")
+      spark.conf.unset("spark.graft.mv.rewrite")
+      val maxRows = mx.orderBy("k2").collect()
+      val out = mn.orderBy("k")
+        .withColumn("min_scans_view", lit(mnScans(vmin)))
+        .withColumn("min_scans_source", lit(mnScans(t)))
+        .withColumn("min_no_aggregate", lit(!mnAgg))
+        .withColumn("global_min", lit(gm.head().getInt(0)))
+        .withColumn("global_scans_view", lit(gmScans(vmin)))
+        .withColumn("max_even", lit(maxRows(0).getInt(1)))
+        .withColumn("max_odd", lit(maxRows(1).getInt(1)))
+        .withColumn("max_scans_view", lit(mxScans(vmax)))
+        .withColumn("max_keeps_aggregate", lit(mxAgg))
+        .withColumn("sum_scans_view",
+          lit(smScans(vmin) || smScans(vmax)))
+        .withColumn("sum_scans_source", lit(smScans(t)))
+        .withColumn("fast_applied", lit(fast.getLong(0)))
+        .withColumn("fast_recomputed", lit(fast.getLong(1)))
+        .withColumn("del_applied", lit(del.getLong(0)))
+        .withColumn("del_recomputed", lit(del.getLong(1)))
+      OpsUtil.driverLiteral(out)
+    } finally teardown(spark, cat, wh)
+  }
+
+  // ---------------------------------------------------------------------
+  // q288: JOIN (SPJG) materialized view — aggregate-over-join rewrite
+  // ---------------------------------------------------------------------
+
+  /** The Calcite SPJG class, on the league-table shape the reference
+    * aggregates over a join (orders⋈customer⋈nation,
+    * /root/reference/Assignment-python.py:183-185 → :257): a view
+    * maintains `SELECT d.doc_id, SUM(f.n_words), COUNT(*) FROM fact f
+    * JOIN dim d ON f.doc_id % 6 = d.doc_id GROUP BY d.doc_id`, and
+    * the query's join-aggregate plans as a view-only scan — no join,
+    * no aggregate, no corpus pass. Maintenance contract exercised
+    * end-to-end:
+    *
+    *  - fact INSERT and DELETE commits fold incrementally (auto
+    *    refresh: the fact CDF slice joins the PINNED dim state);
+    *  - a DIM delete leaves the view honest-stale: the rewrite's dim
+    *    watermark check refuses (plan falls back to the real join)
+    *    until `refresh_mv` RESEEDS from the pinned (fact, dim) pair —
+    *    loud via recomputed_groups = |view|;
+    *  - post-reseed the rewrite fires again and the dropped dim key's
+    *    group is gone.
+    *
+    * All plan facts (view-only, no Join node, stale fallback) and the
+    * reseed audit ride in the hashed row. */
+  val q288MvJoinView: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q288")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'delete.mode' = 'merge-on-read')""".stripMargin)
+      spark.sql(
+        s"""CREATE TABLE $cat.d (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'delete.mode' = 'merge-on-read')""".stripMargin)
+      insertRange(spark, cat, 0, 36)                            // t v1
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "6").load()
+        .repartition(1).sortWithinPartitions("doc_id")
+        .createOrReplaceTempView(s"${cat}_dim")
+      spark.sql(
+        s"""INSERT INTO $cat.d (doc_id, title, fp, n_words)
+           |SELECT doc_id, title, fp, n_words FROM ${cat}_dim"""
+          .stripMargin)                                         // d v1
+      spark.catalog.dropTempView(s"${cat}_dim")
+      spark.sql(s"CALL $cat.system.create_join_mv('vj', 't', 'd', " +
+        "'f.doc_id % 6', 'd.doc_id', 'd.doc_id', 'f.n_words', true)")
+      insertRange(spark, cat, 36, 48)                  // t v2 → delta
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (3, 10)")
+                                                       // t v3 → signed
+      org.apache.spark.sql.GraftBridge.addOptimization(spark,
+        graft.plans.MvRewriteRule(spark))
+      def joinQ() = spark.sql(
+        s"""SELECT d.doc_id AS k, SUM(f.n_words) AS sum_words,
+           |  COUNT(*) AS n_docs
+           |FROM $cat.t f JOIN $cat.d d ON f.doc_id % 6 = d.doc_id
+           |GROUP BY d.doc_id""".stripMargin)
+      def globalQ() = spark.sql(
+        s"""SELECT SUM(f.n_words) AS gs, COUNT(*) AS gc
+           |FROM $cat.t f JOIN $cat.d d ON f.doc_id % 6 = d.doc_id"""
+          .stripMargin)
+      def hasJoin(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.nonEmpty
+      val vj = wh.resolve("vj"); val t = wh.resolve("t")
+      val dTbl = wh.resolve("d")
+      val pre = joinQ()
+      val (preScans, _) = planFacts(pre)
+      val preScansView = preScans(vj)
+      spark.sql(s"DELETE FROM $cat.d WHERE doc_id = 5")        // d v2
+      val stale = joinQ()
+      val (staleScans, _) = planFacts(stale)
+      val rs = spark.sql(s"CALL $cat.system.refresh_mv('vj')")
+        .select("applied_changes", "recomputed_groups", "refreshed")
+        .head()
+      val post = joinQ()
+      val (postScans, postAgg) = planFacts(post)
+      val g = globalQ()
+      val (gScans, _) = planFacts(g)
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      requireSameResult(post, joinQ(), "join-view aggregate")
+      requireSameResult(g, globalQ(), "join-view global roll-up")
+      spark.conf.unset("spark.graft.mv.rewrite")
+      val gr = g.head()
+      val out = post.orderBy("k")
+        .withColumn("pre_scans_view", lit(preScansView))
+        .withColumn("stale_scans_view", lit(staleScans(vj)))
+        .withColumn("stale_scans_fact", lit(staleScans(t)))
+        .withColumn("stale_keeps_join", lit(hasJoin(stale)))
+        .withColumn("post_scans_view", lit(postScans(vj)))
+        .withColumn("post_scans_fact", lit(postScans(t)))
+        .withColumn("post_scans_dim", lit(postScans(dTbl)))
+        .withColumn("post_no_aggregate", lit(!postAgg))
+        .withColumn("post_no_join", lit(!hasJoin(post)))
+        .withColumn("global_scans_view", lit(gScans(vj)))
+        .withColumn("global_no_join", lit(!hasJoin(g)))
+        .withColumn("global_sum", lit(gr.getLong(0)))
+        .withColumn("global_docs", lit(gr.getLong(1)))
+        .withColumn("reseed_applied", lit(rs.getLong(0)))
+        .withColumn("reseed_recomputed", lit(rs.getLong(1)))
+        .withColumn("reseed_refreshed", lit(rs.getBoolean(2)))
+      OpsUtil.driverLiteral(out)
+    } finally teardown(spark, cat, wh)
+  }
+
+  // ---------------------------------------------------------------------
   // q289: multi-view cost choice — cheapest satisfying view wins
   // ---------------------------------------------------------------------
 
@@ -244,6 +451,8 @@ object Round17 {
 
   val queries: Map[String, Q] = Map(
     "q286_mv_filtered_rewrite" -> q286MvFilteredRewrite,
+    "q287_mv_minmax" -> q287MvMinMax,
+    "q288_mv_join_view" -> q288MvJoinView,
     "q289_mv_cost_choice" -> q289MvCostChoice)
 
   val oracle: Map[String, String] = Map(
@@ -269,6 +478,61 @@ object Round17 {
         |FROM range(0, 36) t(i)
         |WHERE i NOT IN (8, 21) AND i % 6 = 2
         |GROUP BY i % 6""".stripMargin,
+    // corpus [0,48) minus deleted {0,7}; n_words(i) = i+9 here. The
+    // insert-only refresh recomputed nothing (12 applied / 0 groups);
+    // the delete refresh recomputed exactly classes {0,1} (2 applied /
+    // 2 groups). MIN at the view grain plans with no aggregate;
+    // global MIN and coarse MAX re-aggregate view rows; SUM refuses
+    // both extremum views.
+    "q287_mv_minmax" ->
+      """WITH live AS (
+        |  SELECT i, i % 91 + 9 AS w FROM range(0, 48) t(i)
+        |  WHERE i NOT IN (0, 7))
+        |SELECT i % 6 AS k, CAST(MIN(w) AS INT) AS min_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  TRUE AS min_scans_view, FALSE AS min_scans_source,
+        |  TRUE AS min_no_aggregate,
+        |  (SELECT CAST(MIN(w) AS INT) FROM live) AS global_min,
+        |  TRUE AS global_scans_view,
+        |  (SELECT CAST(MAX(w) AS INT) FROM live WHERE (i % 6) % 2 = 0)
+        |    AS max_even,
+        |  (SELECT CAST(MAX(w) AS INT) FROM live WHERE (i % 6) % 2 = 1)
+        |    AS max_odd,
+        |  TRUE AS max_scans_view, TRUE AS max_keeps_aggregate,
+        |  FALSE AS sum_scans_view, TRUE AS sum_scans_source,
+        |  CAST(12 AS BIGINT) AS fast_applied,
+        |  CAST(0 AS BIGINT) AS fast_recomputed,
+        |  CAST(2 AS BIGINT) AS del_applied,
+        |  CAST(2 AS BIGINT) AS del_recomputed
+        |FROM live GROUP BY i % 6 ORDER BY k""".stripMargin,
+    // fact [0,48) minus deleted {3,10}; dim keys {0..4} after its
+    // delete of 5 (each fact class k joins dim row k). The pre- and
+    // post-reseed plans are view-only (no Join, no Aggregate for the
+    // exact match); the stale window correctly falls back to the real
+    // join; the reseed recomputes all 5 surviving groups.
+    "q288_mv_join_view" ->
+      """WITH fact AS (
+        |  SELECT i, i % 91 + 9 AS w FROM range(0, 48) t(i)
+        |  WHERE i NOT IN (3, 10)),
+        |dim AS (SELECT i AS k FROM range(0, 6) t(i) WHERE i <> 5)
+        |SELECT d.k AS k, CAST(SUM(f.w) AS BIGINT) AS sum_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  TRUE AS pre_scans_view,
+        |  FALSE AS stale_scans_view, TRUE AS stale_scans_fact,
+        |  TRUE AS stale_keeps_join,
+        |  TRUE AS post_scans_view, FALSE AS post_scans_fact,
+        |  FALSE AS post_scans_dim, TRUE AS post_no_aggregate,
+        |  TRUE AS post_no_join,
+        |  TRUE AS global_scans_view, TRUE AS global_no_join,
+        |  (SELECT CAST(SUM(f.w) AS BIGINT) FROM fact f
+        |    JOIN dim d ON f.i % 6 = d.k) AS global_sum,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fact f
+        |    JOIN dim d ON f.i % 6 = d.k) AS global_docs,
+        |  CAST(0 AS BIGINT) AS reseed_applied,
+        |  CAST(5 AS BIGINT) AS reseed_recomputed,
+        |  TRUE AS reseed_refreshed
+        |FROM fact f JOIN dim d ON f.i % 6 = d.k
+        |GROUP BY d.k ORDER BY k""".stripMargin,
     // corpus [0,48): roll-up classes (i%6)%3 over all 48 docs; the
     // cost choice reads va (6 rows), never vb (48) or the source
     "q289_mv_cost_choice" ->

@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   *    cost is proportional to what CHANGED, not to what exists;
   *  - SIGNED folding turns those images into aggregate deltas:
   *    insert/update_postimage contribute +1, delete/update_preimage
-  *    contribute -1 — which is exactly why the maintained aggregates
-  *    are SUM and COUNT (self-maintainable under deletion; MIN/MAX
-  *    would need a full rescan when the extremum row dies, so they are
-  *    rejected loudly at CREATE);
+  *    contribute -1 — the default SUM+COUNT kind is fully
+  *    self-maintainable under deletion this way. MIN/MAX views
+  *    (`agg = 'min'/'max'`) fold extremum-of-extrema while a refresh
+  *    window holds only inserts, and recompute exactly the
+  *    delete-touched groups from the source otherwise (the extremum
+  *    row may have died) — partial, loud (`MvInfo.recomputed`), never
+  *    silently wrong;
   *  - the TXN-RECORD machinery (the streaming sink's exactly-once
   *    ledger) stores the refresh WATERMARK: each refresh commits the
   *    new MV state tagged `txn = (mv-refresh, sourceVersion)`, so the
@@ -60,7 +63,18 @@ object GraftMv {
   val AppId = "graft-mv-refresh"
 
   final case class MvInfo(sourceVersion: Long, groups: Long,
-      applied: Long, mvVersion: Long, refreshed: Boolean)
+      applied: Long, mvVersion: Long, refreshed: Boolean,
+      // MIN/MAX views only: groups a delete forced to recompute from
+      // the source this refresh (0 on the append-only fast path)
+      recomputed: Long = 0L)
+
+  /** The aggregate kinds the substrate maintains. SUM folds signed
+    * deltas and is fully self-maintainable; MIN/MAX fold incrementally
+    * while a refresh window holds only INSERTS (extremum-of-extrema)
+    * and fall back to recomputing exactly the DELETE-TOUCHED groups
+    * from the source (loud, partial, never silently wrong) — the
+    * standard non-distributive-aggregate contract. */
+  val AggKinds: Set[String] = Set("sum", "min", "max")
 
   /** Validate a CREATE-time expression the same way generated columns
     * are validated (GraftCatalog): resolves against the BASE schema
@@ -99,20 +113,25 @@ object GraftMv {
       s"mv $what expression evaluated to NULL; materialized views " +
         "require non-null keys and addends"))).otherwise(e)
 
-  /** Reject the aggregates incremental maintenance cannot carry. The
-    * procedure surface only OFFERS sum+count, but a user pasting
-    * `min(n_words)` into the sum slot must fail loudly, not fold
+  /** Reject aggregates nested inside the key/value EXPRESSIONS. The
+    * expressions are per-row; the engine applies the declared
+    * aggregate kind (sum/min/max + count) itself — a user pasting
+    * `min(n_words)` into the value slot must fail loudly, not fold
     * garbage. */
   private def rejectNonMaintainable(sql: String): Unit = {
     val lowered = sql.toLowerCase(java.util.Locale.ROOT)
     Seq("min(", "max(", "avg(", "count(", "sum(", "first(", "last(",
         "percentile", "stddev", "variance").foreach { agg =>
       require(!lowered.contains(agg),
-        s"mv expressions are per-row (the engine applies SUM/COUNT " +
-          s"itself); '$sql' contains an aggregate — MIN/MAX and " +
-          "friends are not incrementally maintainable under deletes")
+        s"mv expressions are per-row (the engine applies the declared " +
+          s"aggregate itself); '$sql' contains an aggregate — declare " +
+          "the kind via create_mv's agg parameter instead")
     }
   }
+
+  private def extremum(agg: String)(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    if (agg == "min") min(c) else max(c)
 
   /** The signed per-row delta frame for a CDF slice: +1 for rows
     * entering the view, -1 for rows leaving it. */
@@ -126,16 +145,14 @@ object GraftMv {
       sign.as("c"))
   }
 
-  /** Aggregate a (k, s, c) delta frame into final MV rows, dropping
+  /** Shape a grouped (k, s, c) frame into final MV rows, dropping
     * dead groups. The substrate's `n_words` column is INT: a group
     * whose live count exceeds Int.MaxValue would wrap silently under a
     * bare cast (the `c > 0` filter runs on the LONG, so the negative
     * wrap survives it) — reachable at the 100TB scale the view
     * targets, so raise instead of truncating (r16 ADVICE). */
-  private def fold(name: String, deltas: DataFrame): DataFrame =
-    deltas.groupBy("k")
-      .agg(sum("s").as("s"), sum("c").as("c"))
-      .filter(col("c") > 0L)
+  private def finalizeRows(name: String, grouped: DataFrame): DataFrame =
+    grouped.filter(col("c") > 0L)
       .select(col("k").as("doc_id"), lit(name).as("title"),
         col("s").as("fp"),
         when(col("c") > Int.MaxValue.toLong,
@@ -144,20 +161,22 @@ object GraftMv {
             .cast("int"))
           .otherwise(col("c").cast("int")).as("n_words"))
 
-  /** Land `rows` as the MV's new live snapshot in ONE commit tagged
-    * with the source watermark; returns the commit plus the landed
-    * group count (read off the manifest's own row counters — no extra
-    * job). Returns None when the ledger already holds `epoch` (a
-    * replayed refresh) — the staged files are then unreferenced and
-    * vacuum reclaims them, exactly the compact crash story. */
-  private def swapIn(root: Path, rows: DataFrame, op: String,
-      epoch: Long, expectWatermark: Option[Option[Long]])
-      : Option[(GraftVersions.VersionInfo, Long)] = {
+  /** Aggregate a SIGNED (k, s, c) delta frame into final MV rows —
+    * the SUM kind's fold. */
+  private def fold(name: String, deltas: DataFrame): DataFrame =
+    finalizeRows(name,
+      deltas.groupBy("k").agg(sum("s").as("s"), sum("c").as("c")))
+
+  /** Materialize `rows` as data files INSIDE `root` (not yet
+    * committed): written through a VERSIONED scratch dir (with the
+    * MV's quality properties mirrored in) so per-file stats/blooms
+    * ride into the final manifest — same pattern as the OPTIMIZE
+    * rewrite. Files a failed commit leaves behind are unreferenced
+    * and vacuum reclaims them — exactly the compact crash story. */
+  private def stageRows(root: Path, rows: DataFrame)
+      : Seq[GraftVersions.FileEntry] = {
     val tmp = Files.createTempDirectory(root, "_mv")
     try {
-      // a VERSIONED scratch dir (with the MV's quality properties
-      // mirrored in) records per-file stats/blooms that ride into the
-      // final manifest — same pattern as the OPTIMIZE rewrite
       GraftVersions.enable(tmp)
       GraftTableMeta.write(tmp, GraftTableMeta.read(root))
       rows.orderBy("doc_id").coalesce(1)
@@ -165,30 +184,41 @@ object GraftMv {
         .option("path", tmp.toString).mode("append").save()
       val staged = GraftVersions.latest(tmp).map(_.entries).getOrElse(Nil)
       val tag = java.util.UUID.randomUUID.toString.replace("-", "")
-      val landed = staged.zipWithIndex.map { case (e, i) =>
+      staged.zipWithIndex.map { case (e, i) =>
         val name = f"part-$i%05d-$tag.tsv"
         Files.move(tmp.resolve(e.name), root.resolve(name),
           StandardCopyOption.ATOMIC_MOVE)
         e.copy(name = name)
       }
-      // REPLACE-ALL (removed = None) under a WATERMARK CAS: each
-      // refresh lands the COMPLETE view state for its epoch, computed
-      // from (state-at-watermark-W + deltas (W, epoch]). That is only
-      // the complete state if W is STILL the ledger head when the
-      // commit lands — a racing refresh that moved the watermark in
-      // between already folded part of our delta range, and replacing
-      // its state with ours would double-apply that range (r16 ADVICE
-      // high). `expectLastEpoch` makes commitTxn reject exactly that
-      // interleaving (ConcurrentCommitException → caller re-plans);
-      // epoch idempotence still absorbs true replays of the same range.
-      GraftVersions.commitTxn(root, op,
-        removed = None, added = landed,
-        appId = AppId, epoch = epoch, expectLastEpoch = expectWatermark)
-        .map(v => (v, landed.flatMap(_.rows).sum))
     } finally {
       try org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       catch { case _: java.io.IOException => () }
     }
+  }
+
+  /** Land `rows` as the MV's new live snapshot in ONE commit tagged
+    * with the source watermark; returns the commit plus the landed
+    * group count (read off the manifest's own row counters — no extra
+    * job). Returns None when the ledger already holds `epoch` (a
+    * replayed refresh). */
+  private def swapIn(root: Path, rows: DataFrame, op: String,
+      epoch: Long, expectWatermark: Option[Option[Long]])
+      : Option[(GraftVersions.VersionInfo, Long)] = {
+    val landed = stageRows(root, rows)
+    // REPLACE-ALL (removed = None) under a WATERMARK CAS: each
+    // refresh lands the COMPLETE view state for its epoch, computed
+    // from (state-at-watermark-W + deltas (W, epoch]). That is only
+    // the complete state if W is STILL the ledger head when the
+    // commit lands — a racing refresh that moved the watermark in
+    // between already folded part of our delta range, and replacing
+    // its state with ours would double-apply that range (r16 ADVICE
+    // high). `expectLastEpoch` makes commitTxn reject exactly that
+    // interleaving (ConcurrentCommitException → caller re-plans);
+    // epoch idempotence still absorbs true replays of the same range.
+    GraftVersions.commitTxn(root, op,
+      removed = None, added = landed,
+      appId = AppId, epoch = epoch, expectLastEpoch = expectWatermark)
+      .map(v => (v, landed.flatMap(_.rows).sum))
   }
 
   private def pathReader(spark: SparkSession, dir: Path) =
@@ -210,19 +240,28 @@ object GraftMv {
     * view maintenance. */
   def create(spark: SparkSession, srcName: String, src: Path, mv: Path,
       name: String, keyExpr: String, sumExpr: String,
-      auto: Boolean = false, maxAttempts: Int = 3): MvInfo = {
+      auto: Boolean = false, agg: String = "sum",
+      maxAttempts: Int = 3): MvInfo = {
     require(GraftVersions.latest(src).isDefined,
       s"mv source $src must be a versioned table (the change feed is " +
         "the refresh input)")
     require(!Files.exists(mv), s"mv target $mv already exists")
+    require(AggKinds(agg),
+      s"mv aggregate kind '$agg' not supported (have: " +
+        s"${AggKinds.mkString(", ")})")
     rejectNonMaintainable(keyExpr); rejectNonMaintainable(sumExpr)
     validated(spark, "key", keyExpr); validated(spark, "sum", sumExpr)
     val before = GraftVersions.latest(src).get.version
-    // seed = signed fold of the live snapshot (every live row enters)
-    val seed = fold(name, pathReader(spark, src).load()
+    // seed from the live snapshot: every live row enters the view
+    val base = pathReader(spark, src).load()
       .select(guarded(expr(keyExpr).cast("long"), "key").as("k"),
-        guarded(expr(sumExpr).cast("long"), "sum").as("s"),
-        lit(1L).as("c")))
+        guarded(expr(sumExpr).cast("long"), "sum").as("s"))
+    val seed = finalizeRows(name,
+      if (agg == "sum")
+        base.groupBy("k").agg(sum("s").as("s"), count(lit(1)).as("c"))
+      else
+        base.groupBy("k")
+          .agg(extremum(agg)(col("s")).as("s"), count(lit(1)).as("c")))
       .cache()
     val groups = seed.count()
     val after = GraftVersions.latest(src).get.version
@@ -231,13 +270,13 @@ object GraftMv {
       require(maxAttempts > 1,
         s"mv create raced source commits $maxAttempts times; giving up")
       return create(spark, srcName, src, mv, name, keyExpr, sumExpr,
-        auto, maxAttempts - 1)
+        auto, agg, maxAttempts - 1)
     }
     Files.createDirectories(mv)
     GraftVersions.enable(mv)
     GraftTableMeta.write(mv, Map(
       "mv.name" -> name, "mv.source" -> srcName,
-      "mv.key" -> keyExpr, "mv.sum" -> sumExpr))
+      "mv.key" -> keyExpr, "mv.sum" -> sumExpr, "mv.agg" -> agg))
     val (info, _) = swapIn(mv, seed, "mv-create", epoch = before,
       expectWatermark = Some(None))
       .getOrElse(throw new IllegalStateException(
@@ -277,6 +316,8 @@ object GraftMv {
     val props = GraftTableMeta.read(mv)
     val name = props.getOrElse("mv.name", throw new IllegalStateException(
       s"$mv is not a materialized view (no mv.name property)"))
+    if (props.contains("mv.dim"))
+      return refreshJoin(spark, mv, resolveSource, maxAttempts)
     val src = resolveSource(props("mv.source"))
     val keyExpr = props("mv.key"); val sumExpr = props("mv.sum")
     // (watermark, mv snapshot) must be a CONSISTENT pair: the fold
@@ -337,8 +378,42 @@ object GraftMv {
       .option("versionAsOf", mvVersion.toString).load()
       .select(col("doc_id").as("k"), col("fp").as("s"),
         col("n_words").cast("long").as("c"))
-    val refreshed = fold(name,
-      current.unionByName(signedDeltas(changes, keyExpr, sumExpr)))
+    val aggKind = props.getOrElse("mv.agg", "sum")
+    val (refreshed, nRecomputed) =
+      if (aggKind == "sum")
+        (fold(name,
+          current.unionByName(signedDeltas(changes, keyExpr, sumExpr))),
+          0L)
+      else {
+        // MIN/MAX: extremum-of-extrema folds INSERTS incrementally;
+        // a delete can retire the extremum row itself, so every
+        // delete-touched group is recomputed from the SOURCE pinned
+        // at s — partial (only those groups), loud (count reported),
+        // never silently wrong. Dead groups simply produce no source
+        // rows and drop out of the view.
+        val keyed = changes.select(
+          guarded(expr(keyExpr).cast("long"), "key").as("k"),
+          guarded(expr(sumExpr).cast("long"), "sum").as("s"),
+          col("_change_type").isin("delete", "update_preimage").as("neg"))
+        val affected = keyed.filter(col("neg")).select("k").distinct()
+        val nAffected = affected.count()
+        val insAgg = keyed.filter(!col("neg")).select("k", "s")
+          .groupBy("k")
+          .agg(extremum(aggKind)(col("s")).as("s"), count(lit(1)).as("c"))
+        val unaffected = current.unionByName(insAgg)
+          .join(affected, Seq("k"), "left_anti")
+          .groupBy("k")
+          .agg(extremum(aggKind)(col("s")).as("s"), sum("c").as("c"))
+        val recomputed = pathReader(spark, src)
+          .option("versionAsOf", s.toString).load()
+          .select(guarded(expr(keyExpr).cast("long"), "key").as("k"),
+            guarded(expr(sumExpr).cast("long"), "sum").as("s"))
+          .join(affected, Seq("k"), "left_semi")
+          .groupBy("k")
+          .agg(extremum(aggKind)(col("s")).as("s"), count(lit(1)).as("c"))
+        (finalizeRows(name, unaffected.unionByName(recomputed)),
+          nAffected)
+      }
     val swapped =
       try swapIn(mv, refreshed, "mv-refresh", epoch = s,
         expectWatermark = Some(Some(w)))
@@ -346,7 +421,8 @@ object GraftMv {
         return retryOnRace(e) }
     swapped match {
       case Some((info, groups)) =>
-        MvInfo(s, groups, applied, info.version, refreshed = true)
+        MvInfo(s, groups, applied, info.version, refreshed = true,
+          recomputed = nRecomputed)
       case None => // replayed epoch: the ledger moved under us
         replayedInfo(mv, s, mvVersion, liveGroups)
     }
@@ -366,6 +442,230 @@ object GraftMv {
         GraftVersions.latest(mv).map(_.version).getOrElse(seenVersion))
     }
     MvInfo(w2, liveGroups, applied = 0L, v2, refreshed = false)
+  }
+
+  // ------------------------------------------------------------------
+  // JOIN (SPJG) views: aggregate over fact INNER-JOIN dim
+  // ------------------------------------------------------------------
+
+  /** Validate a join-view expression against the two-sided schema:
+    * resolves against `f`/`d` aliases of the BASE schema (every
+    * expression MUST qualify its columns — the sides share column
+    * names), deterministic, casts to BIGINT. */
+  private def validatedJoin(spark: SparkSession, what: String,
+      sql: String): Unit = {
+    def empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      GraftDocsSource.schema)
+    val analyzed =
+      try empty.alias("f").crossJoin(empty.alias("d"))
+        .select(expr(sql).cast("long").as("x"))
+        .queryExecution.analyzed
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"join-mv $what expression ($sql) must resolve against " +
+              "f.<col> / d.<col> over the base columns (" +
+              s"${GraftDocsSource.schema.fieldNames.mkString(", ")})" +
+              s": ${e.getMessage}")
+      }
+    require(analyzed.expressions.forall(_.deterministic),
+      s"join-mv $what expression ($sql) must be deterministic")
+  }
+
+  /** The join view's per-row (k, s, c) frame: fact rows (or fact CDF
+    * images) inner-joined to the dim snapshot, keyed/valued by the
+    * persisted f./d.-qualified expressions, signed by `sign`. The dim
+    * side is always PINNED by the caller — insert and delete images
+    * must join against the identical dim state or the signed fold
+    * would not cancel. */
+  private def joinedRows(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, keyExpr: String, sumExpr: String,
+      sign: org.apache.spark.sql.Column): DataFrame =
+    fact.alias("f").join(dim.alias("d"),
+      expr(s"($factKey) = ($dimKey)"), "inner")
+      .select(
+        guarded(expr(keyExpr).cast("long"), "key").as("k"),
+        (sign * guarded(expr(sumExpr).cast("long"), "sum")).as("s"),
+        sign.as("c"))
+
+  private def cdfSign: org.apache.spark.sql.Column =
+    when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+
+  /** CREATE a JOIN MATERIALIZED VIEW (the SPJG class — the league
+    * table's aggregate-over-join shape): maintains
+    *
+    *   SELECT <key> AS doc_id, '<name>' AS title,
+    *          SUM(<sum>) AS fp, COUNT(*) AS n_words
+    *   FROM <fact> f INNER JOIN <dim> d ON <factKey> = <dimKey>
+    *   GROUP BY <key>
+    *
+    * with all four expressions f./d.-qualified SQL over the base
+    * columns. Maintenance contract: FACT deltas fold incrementally
+    * (the fact CDF slice inner-joined to the dim state the view was
+    * built against — cost ∝ fact delta); any DIM movement triggers a
+    * full RESEED at the next refresh (a dim row can rewrite every
+    * joined row it touches — loud via `MvInfo.recomputed`, never
+    * silently wrong). The fact watermark rides the txn ledger; the
+    * dim watermark rides the `mv.dim.watermark` property, written
+    * only AFTER its state commits (a crash between the two leaves the
+    * property stale → the next refresh reseeds again: wasteful, not
+    * wrong). */
+  def createJoin(spark: SparkSession, factName: String, fact: Path,
+      dimName: String, dim: Path, mv: Path, name: String,
+      factKey: String, dimKey: String, keyExpr: String, sumExpr: String,
+      auto: Boolean = false, maxAttempts: Int = 3): MvInfo = {
+    require(GraftVersions.latest(fact).isDefined,
+      s"join-mv fact $fact must be a versioned table")
+    require(GraftVersions.latest(dim).isDefined,
+      s"join-mv dim $dim must be a versioned table")
+    require(!Files.exists(mv), s"mv target $mv already exists")
+    Seq("fact-key" -> factKey, "dim-key" -> dimKey, "key" -> keyExpr,
+      "sum" -> sumExpr).foreach { case (what, sql) =>
+      rejectNonMaintainable(sql); validatedJoin(spark, what, sql)
+    }
+    val fBefore = GraftVersions.latest(fact).get.version
+    val dBefore = GraftVersions.latest(dim).get.version
+    val seed = fold(name, joinedRows(
+      pathReader(spark, fact).load(), pathReader(spark, dim).load(),
+      factKey, dimKey, keyExpr, sumExpr, lit(1L))).cache()
+    val groups = seed.count()
+    val moved = GraftVersions.latest(fact).get.version != fBefore ||
+      GraftVersions.latest(dim).get.version != dBefore
+    if (moved) {
+      seed.unpersist()
+      require(maxAttempts > 1,
+        s"join-mv create raced source commits; giving up")
+      return createJoin(spark, factName, fact, dimName, dim, mv, name,
+        factKey, dimKey, keyExpr, sumExpr, auto, maxAttempts - 1)
+    }
+    Files.createDirectories(mv)
+    GraftVersions.enable(mv)
+    GraftTableMeta.write(mv, Map(
+      "mv.name" -> name, "mv.source" -> factName, "mv.dim" -> dimName,
+      "mv.factkey" -> factKey, "mv.dimkey" -> dimKey,
+      "mv.key" -> keyExpr, "mv.sum" -> sumExpr,
+      "mv.dim.watermark" -> dBefore.toString))
+    val (info, _) = swapIn(mv, seed, "mv-create", epoch = fBefore,
+      expectWatermark = Some(None))
+      .getOrElse(throw new IllegalStateException(
+        s"fresh mv ledger at $mv already held epoch $fBefore"))
+    seed.unpersist()
+    if (auto) GraftVersions.withTableLock(fact) {
+      val p = GraftTableMeta.read(fact)
+      val joined = p.get("mv.dependents")
+        .map(_ + "," + name).getOrElse(name)
+      GraftTableMeta.write(fact, p + ("mv.dependents" -> joined))
+    }
+    MvInfo(fBefore, groups, applied = groups, info.version,
+      refreshed = true)
+  }
+
+  /** REFRESH a join view: fact deltas fold incrementally against the
+    * pinned dim watermark; a moved dim triggers the full reseed. */
+  private def refreshJoin(spark: SparkSession, mv: Path,
+      resolveSource: String => Path, maxAttempts: Int): MvInfo = {
+    val props0 = GraftTableMeta.read(mv)
+    val name = props0("mv.name")
+    val fact = resolveSource(props0("mv.source"))
+    val dim = resolveSource(props0("mv.dim"))
+    val factKey = props0("mv.factkey"); val dimKey = props0("mv.dimkey")
+    val keyExpr = props0("mv.key"); val sumExpr = props0("mv.sum")
+    // one lock acquisition → coherent (fact watermark, dim watermark,
+    // view snapshot) triple, same reasoning as the single-table path
+    val (w, dimW, mvVersion) = GraftVersions.withTableLock(mv) {
+      (GraftVersions.lastTxnEpoch(mv, AppId)
+        .getOrElse(throw new IllegalStateException(
+          s"join-mv $mv has no refresh ledger; re-create the view")),
+        GraftTableMeta.read(mv)("mv.dim.watermark").toLong,
+        GraftVersions.latest(mv).map(_.version).getOrElse(0L))
+    }
+    val s = GraftVersions.latest(fact).map(_.version)
+      .getOrElse(throw new IllegalStateException(
+        s"join-mv fact $fact is no longer a versioned table"))
+    val dv = GraftVersions.latest(dim).map(_.version)
+      .getOrElse(throw new IllegalStateException(
+        s"join-mv dim $dim is no longer a versioned table"))
+    def liveGroups: Long = GraftVersions.latest(mv)
+      .map(_.entries.flatMap(_.liveRows).sum).getOrElse(0L)
+    def retryOnRace(e: GraftVersions.ConcurrentCommitException): MvInfo = {
+      if (maxAttempts <= 1) throw e
+      refreshJoin(spark, mv, resolveSource, maxAttempts - 1)
+    }
+    if (dv != dimW) {
+      // RESEED: the dim moved — recompute the whole view from the
+      // PINNED pair (fact@s ⋈ dim@dv). s may equal w (a dim-only
+      // change): then the txn ledger stays put and the swap commits
+      // through the plain optimistic path instead.
+      val rows = fold(name, joinedRows(
+        pathReader(spark, fact).option("versionAsOf", s.toString).load(),
+        pathReader(spark, dim).option("versionAsOf", dv.toString).load(),
+        factKey, dimKey, keyExpr, sumExpr, lit(1L)))
+      val committed =
+        try {
+          if (s > w) swapIn(mv, rows, "mv-reseed", epoch = s,
+            expectWatermark = Some(Some(w)))
+          else {
+            val landed = stageRows(mv, rows)
+            Some((GraftVersions.advance(mv, "mv-reseed",
+              removed = None, added = landed,
+              readVersion = Some(mvVersion)),
+              landed.flatMap(_.rows).sum))
+          }
+        } catch { case e: GraftVersions.ConcurrentCommitException =>
+          return retryOnRace(e) }
+      committed match {
+        case Some((info, groups)) =>
+          GraftVersions.withTableLock(mv) {
+            GraftTableMeta.write(mv, GraftTableMeta.read(mv) +
+              ("mv.dim.watermark" -> dv.toString))
+          }
+          MvInfo(s, groups, applied = 0L, info.version,
+            refreshed = true, recomputed = groups)
+        case None => replayedInfo(mv, s, mvVersion, liveGroups)
+      }
+    } else if (s <= w) {
+      MvInfo(w, liveGroups, applied = 0L, mvVersion, refreshed = false)
+    } else {
+      val changes = pathReader(spark, fact)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", (w + 1).toString)
+        .option("endingVersion", s.toString).load()
+      val applied = changes.count()
+      if (applied == 0L) {
+        val v =
+          try GraftVersions.commitTxn(mv, "mv-refresh",
+            removed = Some(Set.empty), added = Nil, appId = AppId,
+            epoch = s, expectLastEpoch = Some(Some(w)))
+          catch { case e: GraftVersions.ConcurrentCommitException =>
+            return retryOnRace(e) }
+        return v match {
+          case Some(info) =>
+            MvInfo(s, liveGroups, applied = 0L, info.version,
+              refreshed = true)
+          case None => replayedInfo(mv, s, mvVersion, liveGroups)
+        }
+      }
+      val current = pathReader(spark, mv)
+        .option("versionAsOf", mvVersion.toString).load()
+        .select(col("doc_id").as("k"), col("fp").as("s"),
+          col("n_words").cast("long").as("c"))
+      val deltas = joinedRows(changes,
+        pathReader(spark, dim).option("versionAsOf", dimW.toString).load(),
+        factKey, dimKey, keyExpr, sumExpr, cdfSign)
+      val refreshed = fold(name, current.unionByName(deltas))
+      val swapped =
+        try swapIn(mv, refreshed, "mv-refresh", epoch = s,
+          expectWatermark = Some(Some(w)))
+        catch { case e: GraftVersions.ConcurrentCommitException =>
+          return retryOnRace(e) }
+      swapped match {
+        case Some((info, groups)) =>
+          MvInfo(s, groups, applied, info.version, refreshed = true)
+        case None => replayedInfo(mv, s, mvVersion, liveGroups)
+      }
+    }
   }
 
   /** Last swallowed auto-refresh failure in this process (and a count)

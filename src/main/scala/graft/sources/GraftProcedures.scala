@@ -33,7 +33,8 @@ object GraftProcedures {
     Seq("vacuum", "optimize", "restore", "clone", "tag", "drop_tag",
       "branch", "fast_forward", "merge_branch", "drop_branch",
       "expire_snapshots", "remove_orphan_files", "analyze",
-      "create_mv", "refresh_mv", "vacuum_dry_run", "optimize_where")
+      "create_mv", "create_join_mv", "refresh_mv", "vacuum_dry_run",
+      "optimize_where")
 
   /** `resolve` maps a table name to its EXISTING directory (throws for
     * absent tables); `resolveNew` maps a name to the directory it WOULD
@@ -56,6 +57,7 @@ object GraftProcedures {
       case "drop_branch" => dropBranch(resolve)
       case "analyze" => analyzeTable(resolve)
       case "create_mv" => createMv(resolve, resolveNew)
+      case "create_join_mv" => createJoinMv(resolve, resolveNew)
       case "refresh_mv" => refreshMv(resolve)
       case "expire_snapshots" => expireSnapshots(resolve)
       case "remove_orphan_files" => removeOrphanFiles(resolve)
@@ -373,13 +375,17 @@ object GraftProcedures {
     new Proc("create_mv", Array(
       param("view", StringType), param("source", StringType),
       param("key_expr", StringType), param("sum_expr", StringType),
-      param("auto", BooleanType))) {
+      param("auto", BooleanType),
+      // aggregate kind: 'sum' (default; signed-fold maintained),
+      // 'min'/'max' (insert fast path + delete-scoped group recompute)
+      ProcedureParameter.in("agg", StringType)
+        .defaultValue("'sum'").build())) {
       override def description(): String =
         "CREATE MATERIALIZED VIEW: seed `view` with SELECT key_expr, " +
-          "SUM(sum_expr), COUNT(*) FROM source GROUP BY key_expr at " +
-          "the source's current version, ledger the watermark as a " +
-          "txn record; auto=true registers the view for inline " +
-          "refresh on every source data commit"
+          "AGG(sum_expr), COUNT(*) FROM source GROUP BY key_expr at " +
+          "the source's current version (agg: sum|min|max), ledger " +
+          "the watermark as a txn record; auto=true registers the " +
+          "view for inline refresh on every source data commit"
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val view = input.getUTF8String(0).toString
         val srcName = input.getUTF8String(1).toString
@@ -388,9 +394,45 @@ object GraftProcedures {
           srcName, resolve(srcName), resolveNew(view), view,
           input.getUTF8String(2).toString,
           input.getUTF8String(3).toString,
-          auto = input.getBoolean(4))
+          auto = input.getBoolean(4),
+          agg = input.getUTF8String(5).toString)
         result(StructType(Seq(
           StructField("source_version", LongType, nullable = false),
+          StructField("groups", LongType, nullable = false),
+          StructField("mv_version", LongType, nullable = false))),
+          info.sourceVersion, info.groups, info.mvVersion)
+      }
+    }
+
+  private def createJoinMv(resolve: String => Path,
+      resolveNew: String => Path): UnboundProcedure =
+    new Proc("create_join_mv", Array(
+      param("view", StringType), param("fact", StringType),
+      param("dim", StringType), param("fact_key", StringType),
+      param("dim_key", StringType), param("key_expr", StringType),
+      param("sum_expr", StringType), param("auto", BooleanType))) {
+      override def description(): String =
+        "CREATE JOIN MATERIALIZED VIEW (SPJG): seed `view` with " +
+          "SELECT key_expr, SUM(sum_expr), COUNT(*) FROM fact f " +
+          "JOIN dim d ON fact_key = dim_key GROUP BY key_expr; all " +
+          "expressions f./d.-qualified. Fact deltas fold " +
+          "incrementally; dim movement triggers a full reseed at the " +
+          "next refresh. auto=true refreshes inline on fact commits"
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val view = input.getUTF8String(0).toString
+        val factName = input.getUTF8String(1).toString
+        val dimName = input.getUTF8String(2).toString
+        val info = GraftMv.createJoin(
+          org.apache.spark.sql.SparkSession.active,
+          factName, resolve(factName), dimName, resolve(dimName),
+          resolveNew(view), view,
+          input.getUTF8String(3).toString,
+          input.getUTF8String(4).toString,
+          input.getUTF8String(5).toString,
+          input.getUTF8String(6).toString,
+          auto = input.getBoolean(7))
+        result(StructType(Seq(
+          StructField("fact_version", LongType, nullable = false),
           StructField("groups", LongType, nullable = false),
           StructField("mv_version", LongType, nullable = false))),
           info.sourceVersion, info.groups, info.mvVersion)
@@ -414,9 +456,12 @@ object GraftProcedures {
           StructField("applied_changes", LongType, nullable = false),
           StructField("groups", LongType, nullable = false),
           StructField("mv_version", LongType, nullable = false),
-          StructField("refreshed", BooleanType, nullable = false))),
+          StructField("refreshed", BooleanType, nullable = false),
+          // MIN/MAX views: delete-touched groups recomputed from the
+          // source this refresh (0 on the append-only fast path)
+          StructField("recomputed_groups", LongType, nullable = false))),
           info.sourceVersion, info.applied, info.groups, info.mvVersion,
-          info.refreshed)
+          info.refreshed, info.recomputed)
       }
     }
 

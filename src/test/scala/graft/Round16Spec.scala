@@ -1166,7 +1166,7 @@ class Round16Spec extends SparkSpec {
         spark.sql(s"CALL $cat.system.create_mv(" +
           "'v1', 't', 'doc_id % 5', 'min(n_words)', false)")
       }
-      assert(agg.getMessage.contains("not incrementally maintainable"),
+      assert(agg.getMessage.contains("mv expressions are per-row"),
         agg.getMessage)
       val rand = intercept[Exception] {
         spark.sql(s"CALL $cat.system.create_mv(" +

@@ -147,6 +147,135 @@ class Round17Spec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("min/max mv maintenance: updates recompute the touched group, " +
+      "a fully-deleted group drops, and the wrong extremum refuses") {
+    val (cat, wh) = freshCatalog("fmv5")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true',
+           |  'delete.mode' = 'merge-on-read',
+           |  'update.mode' = 'merge-on-read')""".stripMargin)
+      insertRange(cat, 0, 12)      // classes 0..3 (doc_id % 4), w = i+9
+      spark.sql(s"CALL $cat.system.create_mv(" +
+        "'vmin', 't', 'doc_id % 4', 'n_words', false, 'min')")
+      // UPDATE raises class 1's minimum row (doc 1: w 10 → 99): the
+      // preimage marks the group affected, so it recomputes to doc 5's
+      // w=14 — an insert-only fold would have kept the dead 10
+      spark.sql(s"UPDATE $cat.t SET n_words = 99 WHERE doc_id = 1")
+      val up = spark.sql(s"CALL $cat.system.refresh_mv('vmin')").head()
+      assert(up.getAs[Long]("recomputed_groups") == 1L)
+      val afterUpdate = spark.table(s"$cat.vmin")
+        .select("doc_id", "fp").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(afterUpdate(1L) == 14L,
+        s"class 1 min must recompute to 14, got ${afterUpdate(1L)}")
+      // deleting ALL of class 2 (docs 2, 6, 10) drops the group
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id % 4 = 2")
+      val del = spark.sql(s"CALL $cat.system.refresh_mv('vmin')").head()
+      assert(del.getAs[Long]("recomputed_groups") == 1L)
+      val keys = spark.table(s"$cat.vmin").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(keys == Set(0L, 1L, 3L), s"dead group must drop: $keys")
+      // a MAX query must refuse a MIN view
+      graft.sources.GraftTableMeta.write(wh.resolve("t"),
+        graft.sources.GraftTableMeta.read(wh.resolve("t")) +
+          ("mv.dependents" -> "vmin"))
+      org.apache.spark.sql.GraftBridge.addOptimization(spark,
+        graft.plans.MvRewriteRule(spark))
+      val mx = spark.sql(
+        s"""SELECT doc_id % 4 AS k, MAX(n_words) AS m
+           |FROM $cat.t GROUP BY doc_id % 4""".stripMargin)
+      assert(!scansPath(mx, wh.resolve("vmin")),
+        "MAX must not be answered from a MIN view")
+      val mn = spark.sql(
+        s"""SELECT doc_id % 4 AS k, MIN(n_words) AS m
+           |FROM $cat.t GROUP BY doc_id % 4""".stripMargin)
+      assert(scansPath(mn, wh.resolve("vmin")))
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      val real = spark.sql(
+        s"""SELECT doc_id % 4 AS k, MIN(n_words) AS m
+           |FROM $cat.t GROUP BY doc_id % 4""".stripMargin)
+      assert(mn.exceptAll(real).isEmpty && real.exceptAll(mn).isEmpty)
+      spark.conf.unset("spark.graft.mv.rewrite")
+    } finally dropCatalog(cat, wh)
+  }
+
+  test("join-mv rewrite: only the declared equi-join matches — a " +
+      "different condition, an extra WHERE, or a foreign dim refuse") {
+    val (cat, wh) = freshCatalog("fmv6")
+    try {
+      mkTable(cat)
+      spark.sql(
+        s"""CREATE TABLE $cat.d (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      spark.sql(
+        s"""CREATE TABLE $cat.e (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      insertRange(cat, 0, 24)
+      Seq("d", "e").foreach { tbl =>
+        spark.read.format("graft.sources.GraftDocsSource")
+          .option("rows", "4").load()
+          .repartition(1).createOrReplaceTempView(s"${cat}_x")
+        spark.sql(s"INSERT INTO $cat.$tbl (doc_id, title, fp, n_words) " +
+          s"SELECT doc_id, title, fp, n_words FROM ${cat}_x")
+        spark.catalog.dropTempView(s"${cat}_x")
+      }
+      spark.sql(s"CALL $cat.system.create_join_mv('vj', 't', 'd', " +
+        "'f.doc_id % 4', 'd.doc_id', 'd.doc_id', 'f.n_words', true)")
+      org.apache.spark.sql.GraftBridge.addOptimization(spark,
+        graft.plans.MvRewriteRule(spark))
+      val vj = wh.resolve("vj")
+      def q(sql: String) = spark.sql(sql)
+      val hit = q(
+        s"""SELECT d.doc_id AS k, SUM(f.n_words) AS s FROM $cat.t f
+           |JOIN $cat.d d ON f.doc_id % 4 = d.doc_id
+           |GROUP BY d.doc_id""".stripMargin)
+      assert(scansPath(hit, vj), "the declared join-aggregate must hit")
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      val real = q(
+        s"""SELECT d.doc_id AS k, SUM(f.n_words) AS s FROM $cat.t f
+           |JOIN $cat.d d ON f.doc_id % 4 = d.doc_id
+           |GROUP BY d.doc_id""".stripMargin)
+      assert(hit.exceptAll(real).isEmpty && real.exceptAll(hit).isEmpty)
+      spark.conf.unset("spark.graft.mv.rewrite")
+      // a DIFFERENT equi-join key is a different row set
+      val wrongCond = q(
+        s"""SELECT d.doc_id AS k, SUM(f.n_words) AS s FROM $cat.t f
+           |JOIN $cat.d d ON f.doc_id % 2 = d.doc_id
+           |GROUP BY d.doc_id""".stripMargin)
+      assert(!scansPath(wrongCond, vj),
+        "a different join condition must refuse")
+      // a residual WHERE above/below the join is out of scope
+      val filtered = q(
+        s"""SELECT d.doc_id AS k, SUM(f.n_words) AS s FROM $cat.t f
+           |JOIN $cat.d d ON f.doc_id % 4 = d.doc_id
+           |WHERE f.n_words > 12 GROUP BY d.doc_id""".stripMargin)
+      assert(!scansPath(filtered, vj),
+        "a WHERE on the join must refuse")
+      // joining a DIFFERENT dim table is a different row set even
+      // with an identical-looking condition
+      val foreignDim = q(
+        s"""SELECT e.doc_id AS k, SUM(f.n_words) AS s FROM $cat.t f
+           |JOIN $cat.e e ON f.doc_id % 4 = e.doc_id
+           |GROUP BY e.doc_id""".stripMargin)
+      assert(!scansPath(foreignDim, vj),
+        "a different dim table must refuse")
+      // an outer join keeps unmatched rows the view never saw
+      val outer = q(
+        s"""SELECT d.doc_id AS k, SUM(f.n_words) AS s FROM $cat.t f
+           |LEFT JOIN $cat.d d ON f.doc_id % 4 = d.doc_id
+           |GROUP BY d.doc_id""".stripMargin)
+      assert(!scansPath(outer, vj), "an outer join must refuse")
+    } finally dropCatalog(cat, wh)
+  }
+
   test("filtered mv rewrite: historical pin + key predicate compose " +
       "(time travel answered from view history behind the filter)") {
     val (cat, wh) = freshCatalog("fmv4")
