@@ -279,6 +279,52 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"queries":$qs,"metric":"total","unit":"sec","runs":3,"nq":${all.size},"spread_med":${f3(pct(0.5))},"spread_p90":${f3(pct(0.9))},"canary_dev":${f3(p.canaryDev)},"canary_devs":$cdevs,"errors":$errs,"over3x":$over,"attempts":$attempts,"sf":"$sfDir","value":${f3(total)}}"""
     }
+    // QUIET-WINDOW PROBE (r17 verdict item 4): all five archived r17
+    // passes were canary-flagged because each ~8-minute pass RACED a
+    // host-noise phase — the retry loop kept paying full passes during
+    // windows a 30-second probe would have rejected. Before each full
+    // pass, re-measure the 4 canaries twice (median-of-3 each) and
+    // compare: drift > 0.10 means the host is mid-phase, so SLEEP and
+    // reprobe instead of burning a pass. The loop is budgeted inside
+    // the deadline: it only waits while (now + sleep + probe + the
+    // estimated pass + stop/print margin) still fits, so the
+    // guaranteed final line always lands — on a host that never
+    // quiets, the probe gives up and the pass runs flagged exactly as
+    // before (completing flagged beats dying mid-retry).
+    val canaryNames = Seq("q01_flagship_revenue", "q41_minhash_lsh",
+      "q60_ml_metrics", "q121_curation_pipeline")
+    lazy val canaryFns = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => canaryNames.contains(n) &&
+        only.forall(_.contains(n)) }
+    def probeDev(): Double = {
+      val devs = canaryFns.map { case (n, fn) =>
+        val a = median3(n, fn)._1
+        val b = median3(n, fn)._1
+        if (a > 0) math.abs(b - a) / a else 0.0
+      }
+      if (devs.isEmpty) 0.0 else devs.max
+    }
+    def elapsedSec: Double = (System.nanoTime() - jvmStart) / 1e9
+    def awaitQuietWindow(passEstimateSec: Double,
+        deadlineSec: Double): Unit = {
+      val sleepSec = 45.0
+      val t0 = elapsedSec
+      var dev = probeDev()
+      var probeCost = elapsedSec - t0
+      diag(f"[bench] pre-pass probe dev=$dev%.2f (cost ${probeCost}%.0f s)")
+      while (dev > 0.10 && elapsedSec + sleepSec + probeCost +
+          passEstimateSec + 90.0 < deadlineSec) {
+        diag(f"[bench] probe dev=$dev%.2f > 0.10 - sleeping " +
+          f"${sleepSec}%.0f s for a quiet host window")
+        Thread.sleep((sleepSec * 1000).toLong)
+        val t1 = elapsedSec
+        dev = probeDev()
+        probeCost = elapsedSec - t1
+      }
+      if (dev > 0.10)
+        diag(f"[bench] probe still dev=$dev%.2f but budget requires " +
+          "starting the pass now")
+    }
     // Self-cleaning retry: r12 (0.92), r13 (0.34) and three r14 hunts
     // all handed the driver a canary-flagged artifact because a single
     // pass races whatever the host happens to be doing. The protocol's
@@ -296,24 +342,33 @@ object Bench {
     // loop outlive the DRIVER's own timeout — sbt was killed mid-attempt
     // (rc 124) and the guaranteed after-stop() line never printed. The
     // deadline must leave attempt-start + spark.stop() + final print
-    // safely inside the driver's observed window: a full pass is ~7-8
-    // min at 281 queries, so 1200 s admits a retry after a bad first
-    // pass while keeping the worst case (deadline check passes at
-    // 1199 s, one more ~8 min pass) well under the driver's ~55 min
-    // kill. Completing WITH a noise-flagged canary beats being killed
-    // mid-retry every time — the line self-describes its noise.
+    // safely inside the driver's observed window: a full pass is ~8
+    // min at 289 queries, so 1200 s admits a retry after a bad first
+    // pass. Since r18 the retry check budgets the MEASURED pass cost
+    // (+90 s margin) before starting another attempt, so no pass can
+    // begin that would cross the deadline mid-flight. Completing WITH
+    // a noise-flagged canary beats being killed mid-retry every time —
+    // the line self-describes its noise.
     val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
       .flatMap(_.toIntOption).getOrElse(5).max(1)
     val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC")
       .flatMap(_.toDoubleOption).getOrElse(1200.0)
+    // pass estimate before any measured pass: ~8.5 min at 289 queries
+    awaitQuietWindow(passEstimateSec = 510.0, deadlineSec = deadlineSec)
+    val firstPassStart = elapsedSec
     var best = runPass()
+    var passCost = elapsedSec - firstPassStart
     var attempts = 1
     println(jsonLine(best, attempts))
     while (best.canaryDev > 0.10 && attempts < maxAttempts &&
-        (System.nanoTime() - jvmStart) / 1e9 < deadlineSec) {
+        elapsedSec + passCost + 90.0 < deadlineSec) {
       diag(f"[bench] attempt $attempts canary_dev=" +
         f"${best.canaryDev}%.2f > 0.10 - host noise suspected, retrying")
+      awaitQuietWindow(passEstimateSec = passCost,
+        deadlineSec = deadlineSec)
+      val retryStart = elapsedSec
       val next = runPass()
+      passCost = (passCost + (elapsedSec - retryStart)) / 2
       attempts += 1
       if (next.canaryDev < best.canaryDev) best = next
       println(jsonLine(best, attempts))
