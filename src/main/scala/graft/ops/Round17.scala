@@ -382,6 +382,104 @@ object Round17 {
   }
 
   // ---------------------------------------------------------------------
+  // q290: filtered JOIN-view rewrite — key predicates over the join
+  // ---------------------------------------------------------------------
+
+  /** The closure of q286 × q288: a WHERE over the join-view's KEY
+    * composes with the join-aggregate rewrite. The optimizer pushes a
+    * dim-key predicate below the join onto the dim side and MIRRORS
+    * it onto the fact side through the equi-join
+    * (InferFiltersFromConstraints) — both copies rewrite over the view
+    * key's EQUIVALENCE CLASS (the two equi-join sides are equal on
+    * every joined row), so the plan is still a view-only scan behind
+    * a Filter. The same equivalence lets `GROUP BY <fact-side join
+    * key>` hit the view exactly. A non-key predicate refuses — the
+    * real join plans. */
+  val q290MvJoinFiltered: Q = (spark, dir) => {
+    val (cat, wh) = freshCatalog(spark, "q290")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      spark.sql(
+        s"""CREATE TABLE $cat.d (
+           |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+           |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+           |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+      insertRange(spark, cat, 0, 48)                            // t v1
+      spark.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "6").load()
+        .repartition(1).sortWithinPartitions("doc_id")
+        .createOrReplaceTempView(s"${cat}_dim")
+      spark.sql(
+        s"""INSERT INTO $cat.d (doc_id, title, fp, n_words)
+           |SELECT doc_id, title, fp, n_words FROM ${cat}_dim"""
+          .stripMargin)                                         // d v1
+      spark.catalog.dropTempView(s"${cat}_dim")
+      spark.sql(s"CALL $cat.system.create_join_mv('vj', 't', 'd', " +
+        "'f.doc_id % 6', 'd.doc_id', 'd.doc_id', 'f.n_words', true)")
+      org.apache.spark.sql.GraftBridge.addOptimization(spark,
+        graft.plans.MvRewriteRule(spark))
+      def eqQ() = spark.sql(
+        s"""SELECT d.doc_id AS k, SUM(f.n_words) AS sum_words,
+           |  COUNT(*) AS n_docs
+           |FROM $cat.t f JOIN $cat.d d ON f.doc_id % 6 = d.doc_id
+           |WHERE d.doc_id IN (1, 3) GROUP BY d.doc_id""".stripMargin)
+      def coarseQ() = spark.sql(
+        s"""SELECT SUM(f.n_words) AS cs, COUNT(*) AS cd
+           |FROM $cat.t f JOIN $cat.d d ON f.doc_id % 6 = d.doc_id
+           |WHERE d.doc_id % 2 = 0""".stripMargin)
+      def factKeyQ() = spark.sql(
+        s"""SELECT f.doc_id % 6 AS k, SUM(f.n_words) AS s
+           |FROM $cat.t f JOIN $cat.d d ON f.doc_id % 6 = d.doc_id
+           |GROUP BY f.doc_id % 6""".stripMargin)
+      def nonkeyQ() = spark.sql(
+        s"""SELECT d.doc_id AS k, SUM(f.n_words) AS s
+           |FROM $cat.t f JOIN $cat.d d ON f.doc_id % 6 = d.doc_id
+           |WHERE f.n_words > 20 GROUP BY d.doc_id""".stripMargin)
+      def hasJoin(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.nonEmpty
+      val vj = wh.resolve("vj"); val t = wh.resolve("t")
+      val dTbl = wh.resolve("d")
+      val eq = eqQ()
+      val (eqScans, eqAgg) = planFacts(eq)
+      val coarse = coarseQ()
+      val (cScans, cAgg) = planFacts(coarse)
+      val fk = factKeyQ()
+      val (fkScans, fkAgg) = planFacts(fk)
+      val nk = nonkeyQ()
+      val (nkScans, _) = planFacts(nk)
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      requireSameResult(eq, eqQ(), "filtered join-view equality")
+      requireSameResult(coarse, coarseQ(), "filtered join-view coarse")
+      requireSameResult(fk, factKeyQ(), "fact-side-key grouping")
+      spark.conf.unset("spark.graft.mv.rewrite")
+      val c = coarse.head()
+      val fkSum = fk.agg(sum("s")).head().getLong(0)
+      val out = eq.orderBy("k")
+        .withColumn("eq_scans_view", lit(eqScans(vj)))
+        .withColumn("eq_scans_fact", lit(eqScans(t)))
+        .withColumn("eq_scans_dim", lit(eqScans(dTbl)))
+        .withColumn("eq_no_join", lit(!hasJoin(eq)))
+        .withColumn("eq_no_aggregate", lit(!eqAgg))
+        .withColumn("coarse_sum", lit(c.getLong(0)))
+        .withColumn("coarse_docs", lit(c.getLong(1)))
+        .withColumn("coarse_scans_view", lit(cScans(vj)))
+        .withColumn("coarse_keeps_aggregate", lit(cAgg))
+        .withColumn("factkey_scans_view", lit(fkScans(vj)))
+        .withColumn("factkey_no_aggregate", lit(!fkAgg))
+        .withColumn("factkey_total", lit(fkSum))
+        .withColumn("nonkey_scans_view", lit(nkScans(vj)))
+        .withColumn("nonkey_scans_fact", lit(nkScans(t)))
+      OpsUtil.driverLiteral(out)
+    } finally teardown(spark, cat, wh)
+  }
+
+  // ---------------------------------------------------------------------
   // q289: multi-view cost choice — cheapest satisfying view wins
   // ---------------------------------------------------------------------
 
@@ -453,7 +551,8 @@ object Round17 {
     "q286_mv_filtered_rewrite" -> q286MvFilteredRewrite,
     "q287_mv_minmax" -> q287MvMinMax,
     "q288_mv_join_view" -> q288MvJoinView,
-    "q289_mv_cost_choice" -> q289MvCostChoice)
+    "q289_mv_cost_choice" -> q289MvCostChoice,
+    "q290_mv_join_filtered" -> q290MvJoinFiltered)
 
   val oracle: Map[String, String] = Map(
     // corpus [0,36) minus deleted {8,21}; n_words(i) = i%91+9 = i+9
@@ -533,6 +632,33 @@ object Round17 {
         |  TRUE AS reseed_refreshed
         |FROM fact f JOIN dim d ON f.i % 6 = d.k
         |GROUP BY d.k ORDER BY k""".stripMargin,
+    // fact [0,48) joined to dim keys 0..5 on i%6 (no deletes — q288
+    // covers deltas): the dim-key IN-list and the coarse key%2
+    // predicate both plan view-only behind a Filter; grouping by the
+    // FACT-side join key hits the view exactly through the equi-join
+    // equivalence; the n_words predicate correctly falls back.
+    "q290_mv_join_filtered" ->
+      """WITH fact AS (
+        |  SELECT i, i % 91 + 9 AS w FROM range(0, 48) t(i)),
+        |dim AS (SELECT i AS k FROM range(0, 6) t(i))
+        |SELECT d.k AS k, CAST(SUM(f.w) AS BIGINT) AS sum_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  TRUE AS eq_scans_view, FALSE AS eq_scans_fact,
+        |  FALSE AS eq_scans_dim, TRUE AS eq_no_join,
+        |  TRUE AS eq_no_aggregate,
+        |  (SELECT CAST(SUM(f.w) AS BIGINT) FROM fact f
+        |    JOIN dim d ON f.i % 6 = d.k WHERE d.k % 2 = 0)
+        |    AS coarse_sum,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fact f
+        |    JOIN dim d ON f.i % 6 = d.k WHERE d.k % 2 = 0)
+        |    AS coarse_docs,
+        |  TRUE AS coarse_scans_view, TRUE AS coarse_keeps_aggregate,
+        |  TRUE AS factkey_scans_view, TRUE AS factkey_no_aggregate,
+        |  (SELECT CAST(SUM(f.w) AS BIGINT) FROM fact f
+        |    JOIN dim d ON f.i % 6 = d.k) AS factkey_total,
+        |  FALSE AS nonkey_scans_view, TRUE AS nonkey_scans_fact
+        |FROM fact f JOIN dim d ON f.i % 6 = d.k
+        |WHERE d.k IN (1, 3) GROUP BY d.k ORDER BY k""".stripMargin,
     // corpus [0,48): roll-up classes (i%6)%3 over all 48 docs; the
     // cost choice reads va (6 rows), never vb (48) or the source
     "q289_mv_cost_choice" ->

@@ -180,8 +180,11 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * `aggKind` is the view's maintained aggregate: SUM/AVG shapes
     * match only a sum view, MIN/MAX only the matching extremum view;
     * COUNT shapes match every kind (n_words is always the live
-    * count). */
-  private def classify(e: Expression, keyE: Expression,
+    * count). `keyEs` is the view key's EQUIVALENCE CLASS: just the
+    * key expression for single-table views; for join views, when the
+    * key IS one of the equi-join sides, both sides (they are equal on
+    * every joined row, hence on every row the view aggregates). */
+  private def classify(e: Expression, keyEs: Seq[Expression],
       sumE: Expression, aggKind: String): Option[MvCol] = e match {
     case ae: AggregateExpression if ae.filter.isEmpty =>
       ae.aggregateFunction match {
@@ -203,11 +206,13 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             integral(sumE.dataType) =>
           Some(ExtCol)
         case c: Count if ae.isDistinct && c.children.length == 1 &&
-            c.children.head.canonicalized == keyE.canonicalized =>
+            keyEs.exists(_.canonicalized ==
+              c.children.head.canonicalized) =>
           Some(DistinctKeyCol)
         case _ => None
       }
-    case _ if e.canonicalized == keyE.canonicalized => Some(KeyCol)
+    case _ if keyEs.exists(_.canonicalized == e.canonicalized) =>
+      Some(KeyCol)
     case _ => None
   }
 
@@ -262,18 +267,18 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case Some(g) if g.dataType == LongType &&
                 keyE.canonicalized == g.canonicalized =>
               traverse(aggExprs.map { ne =>
-                classify(inline(stripAlias(ne)), keyE, sumE, aggKind)
-                  .map(ne -> _)
-              }).flatMap(substitute(mvDir, mvPin, _, preds, keyE))
+                classify(inline(stripAlias(ne)), Seq(keyE), sumE,
+                  aggKind).map(ne -> _)
+              }).flatMap(substitute(mvDir, mvPin, _, preds, Seq(keyE)))
             // roll-up: the query groups COARSER than the view (its key
             // is a function of the view's key, incl. the global "no
             // group" case) — re-aggregate the |groups|-row view
             case _ =>
               traverse(aggExprs.map { ne =>
-                classifyRollup(inline(stripAlias(ne)), groupE, keyE,
-                  sumE, aggKind).map(ne -> _)
+                classifyRollup(inline(stripAlias(ne)), groupE,
+                  Seq(keyE), sumE, aggKind).map(ne -> _)
               }).flatMap(substituteRollup(
-                mvDir, mvPin, groupE, keyE, _, preds, aggKind))
+                mvDir, mvPin, groupE, Seq(keyE), _, preds, aggKind))
           }
         } yield (rewritten, viewRows(mvDir, mvPin))
       }
@@ -303,9 +308,9 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * extremum-of-extrema), and any non-aggregate output must BE the
     * (coarse) grouping expression. */
   private def classifyRollup(e: Expression, groupE: Option[Expression],
-      keyE: Expression, sumE: Expression, aggKind: String)
+      keyEs: Seq[Expression], sumE: Expression, aggKind: String)
       : Option[MvCol] = e match {
-    case _: AggregateExpression => classify(e, keyE, sumE, aggKind)
+    case _: AggregateExpression => classify(e, keyEs, sumE, aggKind)
     case _ if groupE.exists(_.canonicalized == e.canonicalized) =>
       Some(KeyCol)
     case _ => None
@@ -349,11 +354,11 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * Any predicate referencing a non-key column refuses (per-row
     * filters change group contents; the corpus plan stands). */
   private def filtered(scanRel: DataSourceV2ScanRelation,
-      keyAttr: Attribute, preds: Seq[Expression], keyE: Expression)
-      : Option[LogicalPlan] =
+      keyAttr: Attribute, preds: Seq[Expression],
+      keyEs: Seq[Expression]): Option[LogicalPlan] =
     if (preds.isEmpty) Some(scanRel)
     else {
-      val rewritten = preds.map(p => overKey(p, keyE, keyAttr))
+      val rewritten = preds.map(p => overKey(p, keyEs, keyAttr))
       if (rewritten.exists(_.isEmpty)) None
       else Some(Filter(rewritten.flatten.reduce(And), scanRel))
     }
@@ -364,9 +369,9 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * consumers above the aggregate never notice the swap. */
   private def substitute(mvDir: Path, pin: Option[Long],
       cols: Seq[(NamedExpression, MvCol)], preds: Seq[Expression],
-      keyE: Expression): Option[LogicalPlan] = {
+      keyEs: Seq[Expression]): Option[LogicalPlan] = {
     val (scanRel, byName) = viewScan(mvDir, pin).getOrElse(return None)
-    val base = filtered(scanRel, byName("doc_id"), preds, keyE)
+    val base = filtered(scanRel, byName("doc_id"), preds, keyEs)
       .getOrElse(return None)
     val projections = cols.map { case (ne, col) =>
       val replacement: Expression = col match {
@@ -404,12 +409,14 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * key nested inside wider arithmetic (`CAST(int_key * 2 AS STRING)`)
     * would change evaluation semantics even though the final output
     * type check still passes — so a non-BIGINT key refuses here, same
-    * gate as the exact-match branch. */
-  private def overKey(e: Expression, keyE: Expression,
+    * gate as the exact-match branch. `keyEs` is the key's equivalence
+    * class (see [[classify]]) — any member substitutes. */
+  private def overKey(e: Expression, keyEs: Seq[Expression],
       keyAttr: Attribute): Option[Expression] = {
-    if (keyE.dataType != LongType) return None
+    if (!keyEs.forall(_.dataType == LongType)) return None
     val rewritten = e.transformDown {
-      case sub if sub.canonicalized == keyE.canonicalized => keyAttr
+      case sub if keyEs.exists(_.canonicalized == sub.canonicalized) =>
+        keyAttr
     }
     if (rewritten.deterministic &&
         rewritten.references.forall(_.exprId == keyAttr.exprId))
@@ -430,17 +437,17 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * SUM is nullable — the coalesce restores the exact type, and its
     * 0 branch is unreachable (a view group exists only with c > 0). */
   private def substituteRollup(mvDir: Path, pin: Option[Long],
-      groupE: Option[Expression], keyE: Expression,
+      groupE: Option[Expression], keyEs: Seq[Expression],
       cols: Seq[(NamedExpression, MvCol)], preds: Seq[Expression],
       aggKind: String): Option[LogicalPlan] = {
     val (scanRel, byName) = viewScan(mvDir, pin).getOrElse(return None)
     val keyAttr = byName("doc_id")
     val fp = byName("fp"); val nw = byName("n_words")
-    val base = filtered(scanRel, keyAttr, preds, keyE)
+    val base = filtered(scanRel, keyAttr, preds, keyEs)
       .getOrElse(return None)
     val coarseAlias = groupE match {
       case Some(g) =>
-        val coarse = overKey(g, keyE, keyAttr).getOrElse(return None)
+        val coarse = overKey(g, keyEs, keyAttr).getOrElse(return None)
         Some(Alias(coarse, "_mv_rollup_key")())
       case None => None
     }
@@ -490,27 +497,34 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   // ------------------------------------------------------------------
 
   /** The aggregate's child as an INNER equi-join of two graft scans,
-    * with the alias-inliner for expressions above the join. Only
-    * column-pruning/naming Projects are admitted between the
-    * Aggregate and the Join (a Filter above the join is out of scope
-    * for the join rewrite — corpus plan stands). */
+    * with the alias-inliner for expressions above the join and any
+    * Filter predicates collected between the Aggregate and the Join
+    * (already inlined) — the caller proves them key-only and
+    * re-applies them over view rows, exactly like the single-table
+    * filtered substitution. */
   private def joinedSource(plan: LogicalPlan)
-      : Option[(Join, Expression => Expression)] = plan match {
-    case Project(ps, inner) if ps.forall(pe =>
-        pe.isInstanceOf[AttributeReference] || pe.isInstanceOf[Alias]) =>
-      joinedSource(inner).map { case (j, inlineInner) =>
-        val aliasMap: Map[ExprId, Expression] =
-          ps.collect { case a: Alias => a.exprId -> a.child }.toMap
-        val inline: Expression => Expression = e =>
-          inlineInner(e.transformUp {
-            case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
-              aliasMap(ar.exprId)
-          })
-        (j, inline)
-      }
-    case j: Join => Some((j, identity[Expression] _))
-    case _ => None
-  }
+      : Option[(Join, Expression => Expression, Seq[Expression])] =
+    plan match {
+      case Project(ps, inner) if ps.forall(pe =>
+          pe.isInstanceOf[AttributeReference] || pe.isInstanceOf[Alias]) =>
+        joinedSource(inner).map { case (j, inlineInner, preds) =>
+          val aliasMap: Map[ExprId, Expression] =
+            ps.collect { case a: Alias => a.exprId -> a.child }.toMap
+          val inline: Expression => Expression = e =>
+            inlineInner(e.transformUp {
+              case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
+                aliasMap(ar.exprId)
+            })
+          (j, inline, preds)
+        }
+      case Filter(cond, inner) =>
+        joinedSource(inner).map { case (j, inlineInner, preds) =>
+          (j, inlineInner, preds :+ inlineInner(cond))
+        }
+      case j: Join => Some((j, identity[Expression] _,
+        Seq.empty[Expression]))
+      case _ => None
+    }
 
   /** Re-analyze a persisted f./d.-qualified view expression against
     * the QUERY's own two relations (same attribute ids) — the probe
@@ -521,14 +535,17 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     resolveAgainst(sql, Join(SubqueryAlias("f", factRel),
       SubqueryAlias("d", dimRel), Inner, None, JoinHint.NONE))
 
-  /** A join side's residual predicates are admissible only when every
-    * one is the join-inferred `IsNotNull(<that side's join key>)` —
-    * semantically implied by the inner join itself (null keys never
-    * join), so the view already accounts for it. Anything else is a
-    * real filter and refuses the rewrite. */
-  private def joinSidePredsOk(preds: Seq[Expression], keyE: Expression)
-      : Boolean =
-    preds.forall {
+  /** A join side's join-inferred `IsNotNull(<that side's join key>)`
+    * predicates are dropped — semantically implied by the inner join
+    * itself (null keys never join), so the view already accounts for
+    * them. Everything else is a REAL predicate the caller must prove
+    * key-only (the optimizer pushes a dim-key WHERE below the join
+    * onto the dim side, and InferFiltersFromConstraints mirrors it
+    * onto the fact side through the equi-join — both shapes rewrite
+    * over the view key's equivalence class). */
+  private def realSidePreds(preds: Seq[Expression], keyE: Expression)
+      : Seq[Expression] =
+    preds.filterNot {
       case IsNotNull(c) => c.canonicalized == keyE.canonicalized
       case _ => false
     }
@@ -536,7 +553,8 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryRewriteJoin(groupRaw: Option[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan)
       : Option[LogicalPlan] = {
-    val (join, inline) = joinedSource(child).getOrElse(return None)
+    val (join, inline, abovePreds) =
+      joinedSource(child).getOrElse(return None)
     val (l, r, cond) = join match {
       case Join(jl, jr, Inner, Some(c), _) => (jl, jr, c)
       case _ => return None
@@ -588,9 +606,6 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               Some(())
             case _ => None
           }
-          // residual predicates: only join-implied IsNotNull survives
-          _ <- if (joinSidePredsOk(factSrc._5, factKeyE) &&
-              joinSidePredsOk(dimSrc._5, dimKeyE)) Some(()) else None
           // FRESH on both axes: fact ledger == fact current version,
           // dim property watermark == dim current version
           factVersion <- GraftVersions.latest(factSrc._2).map(_.version)
@@ -603,19 +618,29 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             dimSrc._1)
           sumE <- resolveAgainstJoin(props("mv.sum"), factSrc._1,
             dimSrc._1)
+          // the view key's equivalence class: when the key IS one of
+          // the equi-join sides, both sides are equal on every joined
+          // row — a predicate or grouping over EITHER rewrites over
+          // view rows (covers the optimizer pushing a dim-key WHERE
+          // to the dim side and mirroring it onto the fact side)
+          keyEs = if (keyE.canonicalized == factKeyE.canonicalized ||
+              keyE.canonicalized == dimKeyE.canonicalized)
+            Seq(factKeyE, dimKeyE) else Seq(keyE)
+          preds = abovePreds ++ realSidePreds(factSrc._5, factKeyE) ++
+            realSidePreds(dimSrc._5, dimKeyE)
           rewritten <- groupE match {
             case Some(g) if g.dataType == LongType &&
-                keyE.canonicalized == g.canonicalized =>
+                keyEs.exists(_.canonicalized == g.canonicalized) =>
               traverse(aggExprs.map { ne =>
-                classify(inline(stripAlias(ne)), keyE, sumE, "sum")
+                classify(inline(stripAlias(ne)), keyEs, sumE, "sum")
                   .map(ne -> _)
-              }).flatMap(substitute(mvDir, None, _, Nil, keyE))
+              }).flatMap(substitute(mvDir, None, _, preds, keyEs))
             case _ =>
               traverse(aggExprs.map { ne =>
-                classifyRollup(inline(stripAlias(ne)), groupE, keyE,
+                classifyRollup(inline(stripAlias(ne)), groupE, keyEs,
                   sumE, "sum").map(ne -> _)
               }).flatMap(substituteRollup(
-                mvDir, None, groupE, keyE, _, Nil, "sum"))
+                mvDir, None, groupE, keyEs, _, preds, "sum"))
           }
         } yield (rewritten, viewRows(mvDir, None))
       }

@@ -276,6 +276,32 @@ class Round17Spec extends SparkSpec {
     } finally dropCatalog(cat, wh)
   }
 
+  test("filtered rewrite composes with a MIN view: key predicate over " +
+      "the extremum aggregate stays view-only, rule-off parity holds") {
+    val (cat, wh) = freshCatalog("fmv7")
+    try {
+      mkTable(cat)
+      insertRange(cat, 0, 20)
+      spark.sql(s"CALL $cat.system.create_mv(" +
+        "'vmin', 't', 'doc_id % 5', 'n_words', true, 'min')")
+      org.apache.spark.sql.GraftBridge.addOptimization(spark,
+        graft.plans.MvRewriteRule(spark))
+      def q() = spark.sql(
+        s"""SELECT doc_id % 5 AS k, MIN(n_words) AS m, COUNT(*) AS c
+           |FROM $cat.t WHERE doc_id % 5 IN (0, 2)
+           |GROUP BY doc_id % 5""".stripMargin)
+      val viaMv = q()
+      assert(scansPath(viaMv, wh.resolve("vmin")) &&
+        !scansPath(viaMv, wh.resolve("t")),
+        "key-filtered MIN must answer from the extremum view")
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      val real = q()
+      assert(viaMv.exceptAll(real).isEmpty &&
+        real.exceptAll(viaMv).isEmpty)
+      spark.conf.unset("spark.graft.mv.rewrite")
+    } finally dropCatalog(cat, wh)
+  }
+
   test("filtered mv rewrite: historical pin + key predicate compose " +
       "(time travel answered from view history behind the filter)") {
     val (cat, wh) = freshCatalog("fmv4")

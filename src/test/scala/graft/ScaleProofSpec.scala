@@ -273,4 +273,55 @@ class ScaleProofSpec extends SparkSpec {
       s"refresh shuffle grew $small -> $big across a 10x corpus — the " +
         "refresh is reading the table instead of the change feed")
   }
+
+  test("join-mv refresh: shuffle follows the fact delta, not the fact " +
+      "corpus — the CDF slice joins the pinned dim, never the table") {
+    // GraftMv.refreshJoin's delta path: the fact CDF slice since the
+    // watermark inner-joins the PINNED dim snapshot and folds with the
+    // |view| rows. Measured: the same 4-row fact delta refreshed
+    // against a 2k-row and a 20k-row fact corpus must shuffle the same
+    // records; a reseed-style refresh would scale with the fact table.
+    def refreshShuffle(tag: String, corpusRows: Int): Long = {
+      val wh = java.nio.file.Files.createTempDirectory(s"graft_sp_$tag")
+      val cat = tag + wh.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "")
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      try {
+        Seq("t", "d").foreach { tbl =>
+          spark.sql(
+            s"""CREATE TABLE $cat.$tbl (
+               |  doc_id BIGINT NOT NULL, title STRING NOT NULL,
+               |  fp BIGINT NOT NULL, n_words INT NOT NULL)
+               |TBLPROPERTIES ('versioned' = 'true')""".stripMargin)
+        }
+        spark.read.format("graft.sources.GraftDocsSource")
+          .option("rows", corpusRows.toString).load()
+          .repartition(1).createOrReplaceTempView(s"${cat}_b")
+        spark.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_b")
+        spark.catalog.dropTempView(s"${cat}_b")
+        spark.read.format("graft.sources.GraftDocsSource")
+          .option("rows", "6").load()
+          .repartition(1).createOrReplaceTempView(s"${cat}_d")
+        spark.sql(s"INSERT INTO $cat.d SELECT * FROM ${cat}_d")
+        spark.catalog.dropTempView(s"${cat}_d")
+        spark.sql(s"CALL $cat.system.create_join_mv('vj', 't', 'd', " +
+          "'f.doc_id % 6', 'd.doc_id', 'd.doc_id', 'f.n_words', false)")
+        (0 until 4).foreach(i => spark.sql(
+          s"INSERT INTO $cat.t VALUES (${corpusRows + i}, 'x', 1, 7)"))
+        shuffleRecords(
+          spark.sql(s"CALL $cat.system.refresh_mv('vj')").collect())
+      } finally {
+        spark.conf.unset(s"spark.sql.catalog.$cat")
+        spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+        org.apache.commons.io.FileUtils.deleteDirectory(wh.toFile)
+      }
+    }
+    val small = refreshShuffle("jvs", 2000)
+    val big = refreshShuffle("jvb", 20000)
+    assert(small > 0, "the join-view refresh fold must actually shuffle")
+    assert(big <= small * 3 + 64,
+      s"join-view refresh shuffle grew $small -> $big across a 10x " +
+        "fact corpus — the refresh is reseeding instead of folding " +
+        "the change feed")
+  }
 }
