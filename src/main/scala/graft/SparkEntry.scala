@@ -27,7 +27,7 @@ object SparkEntry {
       ops.Round8.queries ++ ops.Round9.queries ++ ops.Round10.queries ++
       ops.Round11.queries ++ ops.Round12.queries ++ ops.Round13.queries ++
       ops.Round14.queries ++ ops.Round15.queries ++ ops.Round16.queries ++
-      ops.Round17.queries ++
+      ops.Round17.queries ++ ops.Round18.queries ++
       ml.Pipelines.queries ++ multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,6 +42,6 @@ object SparkEntry {
       ops.Round8.oracle ++ ops.Round9.oracle ++ ops.Round10.oracle ++
       ops.Round11.oracle ++ ops.Round12.oracle ++ ops.Round13.oracle ++
       ops.Round14.oracle ++ ops.Round15.oracle ++ ops.Round16.oracle ++
-      ops.Round17.oracle ++
+      ops.Round17.oracle ++ ops.Round18.oracle ++
       ml.Pipelines.oracle ++ multimodal.Multimodal.oracle
 }

@@ -286,15 +286,20 @@ object Round17 {
     *
     *  - fact INSERT and DELETE commits fold incrementally (auto
     *    refresh: the fact CDF slice joins the PINNED dim state);
-    *  - a DIM delete leaves the view honest-stale: the rewrite's dim
-    *    watermark check refuses (plan falls back to the real join)
-    *    until `refresh_mv` RESEEDS from the pinned (fact, dim) pair —
-    *    loud via recomputed_groups = |view|;
-    *  - post-reseed the rewrite fires again and the dropped dim key's
-    *    group is gone.
+    *  - `auto = true` registers on BOTH sides, so a DIM delete pays
+    *    its reseed INLINE: the very next query is already view-only
+    *    and a manual `refresh_mv` finds nothing to do (the no-op
+    *    audit rides in the row);
+    *  - with the dim-side registration REMOVED (simulating the
+    *    r18-era fact-only registration), a dim delete leaves the view
+    *    honest-stale: the rewrite's dim watermark check refuses (plan
+    *    falls back to the real join) until `refresh_mv` RESEEDS from
+    *    the pinned (fact, dim) pair — loud via recomputed_groups;
+    *  - post-reseed the rewrite fires again and the dropped dim keys'
+    *    groups are gone.
     *
-    * All plan facts (view-only, no Join node, stale fallback) and the
-    * reseed audit ride in the hashed row. */
+    * All plan facts (view-only, no Join node, stale fallback) and
+    * both refresh audits ride in the hashed row. */
   val q288MvJoinView: Q = (spark, dir) => {
     val (cat, wh) = freshCatalog(spark, "q288")
     try {
@@ -345,7 +350,20 @@ object Round17 {
       val pre = joinQ()
       val (preScans, _) = planFacts(pre)
       val preScansView = preScans(vj)
+      // dim delete #1 WITH dual registration: the reseed runs inline
+      // in the delete's commit hook — no stale window at all
       spark.sql(s"DELETE FROM $cat.d WHERE doc_id = 5")        // d v2
+      val autoQ = joinQ()
+      val (autoScans, _) = planFacts(autoQ)
+      val noop = spark.sql(s"CALL $cat.system.refresh_mv('vj')")
+        .select("applied_changes", "recomputed_groups", "refreshed")
+        .head()
+      // drop the dim-side registration (the fact-only shape): the
+      // next dim delete now leaves the view honest-stale
+      graft.sources.GraftTableMeta.write(wh.resolve("d"),
+        graft.sources.GraftTableMeta.read(wh.resolve("d"))
+          - "mv.dependents")
+      spark.sql(s"DELETE FROM $cat.d WHERE doc_id = 4")        // d v3
       val stale = joinQ()
       val (staleScans, _) = planFacts(stale)
       val rs = spark.sql(s"CALL $cat.system.refresh_mv('vj')")
@@ -362,6 +380,12 @@ object Round17 {
       val gr = g.head()
       val out = post.orderBy("k")
         .withColumn("pre_scans_view", lit(preScansView))
+        .withColumn("auto_scans_view", lit(autoScans(vj)))
+        .withColumn("auto_scans_fact", lit(autoScans(t)))
+        .withColumn("auto_no_join", lit(!hasJoin(autoQ)))
+        .withColumn("noop_applied", lit(noop.getLong(0)))
+        .withColumn("noop_recomputed", lit(noop.getLong(1)))
+        .withColumn("noop_refreshed", lit(noop.getBoolean(2)))
         .withColumn("stale_scans_view", lit(staleScans(vj)))
         .withColumn("stale_scans_fact", lit(staleScans(t)))
         .withColumn("stale_keeps_join", lit(hasJoin(stale)))
@@ -604,19 +628,25 @@ object Round17 {
         |  CAST(2 AS BIGINT) AS del_applied,
         |  CAST(2 AS BIGINT) AS del_recomputed
         |FROM live GROUP BY i % 6 ORDER BY k""".stripMargin,
-    // fact [0,48) minus deleted {3,10}; dim keys {0..4} after its
-    // delete of 5 (each fact class k joins dim row k). The pre- and
-    // post-reseed plans are view-only (no Join, no Aggregate for the
-    // exact match); the stale window correctly falls back to the real
-    // join; the reseed recomputes all 5 surviving groups.
+    // fact [0,48) minus deleted {3,10}; dim keys {0..3} after its
+    // deletes of 5 (auto-reseeded inline via the dual registration —
+    // no stale window, manual refresh a no-op) and 4 (deregistered →
+    // honest-stale fallback until the manual reseed recomputes the 4
+    // surviving groups). Each fact class k joins dim row k.
     "q288_mv_join_view" ->
       """WITH fact AS (
         |  SELECT i, i % 91 + 9 AS w FROM range(0, 48) t(i)
         |  WHERE i NOT IN (3, 10)),
-        |dim AS (SELECT i AS k FROM range(0, 6) t(i) WHERE i <> 5)
+        |dim AS (SELECT i AS k FROM range(0, 6) t(i)
+        |  WHERE i NOT IN (4, 5))
         |SELECT d.k AS k, CAST(SUM(f.w) AS BIGINT) AS sum_words,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  TRUE AS pre_scans_view,
+        |  TRUE AS auto_scans_view, FALSE AS auto_scans_fact,
+        |  TRUE AS auto_no_join,
+        |  CAST(0 AS BIGINT) AS noop_applied,
+        |  CAST(0 AS BIGINT) AS noop_recomputed,
+        |  FALSE AS noop_refreshed,
         |  FALSE AS stale_scans_view, TRUE AS stale_scans_fact,
         |  TRUE AS stale_keeps_join,
         |  TRUE AS post_scans_view, FALSE AS post_scans_fact,
@@ -628,7 +658,7 @@ object Round17 {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fact f
         |    JOIN dim d ON f.i % 6 = d.k) AS global_docs,
         |  CAST(0 AS BIGINT) AS reseed_applied,
-        |  CAST(5 AS BIGINT) AS reseed_recomputed,
+        |  CAST(4 AS BIGINT) AS reseed_recomputed,
         |  TRUE AS reseed_refreshed
         |FROM fact f JOIN dim d ON f.i % 6 = d.k
         |GROUP BY d.k ORDER BY k""".stripMargin,

@@ -41,8 +41,14 @@ import org.apache.spark.sql.functions._
   *
   * with `<key>`/`<sum>` deterministic BIGINT expressions over the
   * base columns (validated at CREATE exactly like generation
-  * expressions). Groups whose count reaches zero are DELETED from the
-  * MV — the view never carries tombstones.
+  * expressions). COMPOSITE keys (`key2Expr`) put the second key
+  * column in `title` as its canonical decimal string — GROUP BY
+  * <key>, <key2>. DECIMAL(p ≤ 18, s) sum expressions are maintained
+  * EXACTLY: `fp` stores the unscaled value (× 10^s) and the rewrite
+  * re-scales through MakeDecimal, with the fold raising loudly if a
+  * group's unscaled sum ever leaves the BIGINT range. Groups whose
+  * count reaches zero are DELETED from the MV — the view never
+  * carries tombstones.
   *
   * Scale shape: the CDF scan is pruned to the refresh range, the
   * delta aggregation shuffles only changed rows, and the rewrite cost
@@ -86,12 +92,12 @@ object GraftMv {
     * raises on an actual null rather than silently merging groups or
     * corrupting the signed fold. */
   private def validated(spark: SparkSession, what: String, sql: String)
-      : Unit = {
+      : org.apache.spark.sql.types.DataType = {
     val analyzed =
       try spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           GraftDocsSource.schema)
-        .select(expr(sql).cast("long").as("x"))
+        .select(expr(sql).cast("long").as("x"), expr(sql).as("t"))
         .queryExecution.analyzed
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
@@ -102,6 +108,9 @@ object GraftMv {
       }
     require(analyzed.expressions.forall(_.deterministic),
       s"mv $what expression ($sql) must be deterministic")
+    // the expression's OWN analyzed type (pre-cast) — DECIMAL sums
+    // switch the substrate to exact unscaled storage off this
+    analyzed.schema("t").dataType
   }
 
   /** Fail a refresh loudly when a key/sum expression evaluates to
@@ -133,27 +142,59 @@ object GraftMv {
       : org.apache.spark.sql.Column =
     if (agg == "min") min(c) else max(c)
 
+  /** The internal key column names: composite views key on (k, k2). */
+  private def keyCols(composite: Boolean): Seq[String] =
+    if (composite) Seq("k", "k2") else Seq("k")
+
+  /** The per-row addend as a BIGINT: integral (and legacy
+    * castable-to-long) sums cast directly; DECIMAL(p ≤ 18, s) sums
+    * store the exact UNSCALED value — value × 10^s through a decimal
+    * multiply (exact: the product's fraction is zero, so the final
+    * cast truncates nothing, and p ≤ 18 keeps it inside BIGINT). */
+  private def sumCol(sumExpr: String, scale: Option[Int])
+      : org.apache.spark.sql.Column =
+    guarded(scale match {
+      case None => expr(sumExpr).cast("long")
+      case Some(s) =>
+        (expr(sumExpr) * lit(java.math.BigDecimal.ONE.movePointRight(s)))
+          .cast("long")
+    }, "sum")
+
+  /** The per-row key columns (guarded non-null BIGINT). */
+  private def keySelect(keyExpr: String, key2Expr: Option[String])
+      : Seq[org.apache.spark.sql.Column] =
+    Seq(guarded(expr(keyExpr).cast("long"), "key").as("k")) ++
+      key2Expr.map(k2 =>
+        guarded(expr(k2).cast("long"), "key2").as("k2")).toSeq
+
   /** The signed per-row delta frame for a CDF slice: +1 for rows
     * entering the view, -1 for rows leaving it. */
   private def signedDeltas(changes: DataFrame, keyExpr: String,
-      sumExpr: String): DataFrame = {
+      key2Expr: Option[String], sumExpr: String,
+      sumScale: Option[Int]): DataFrame = {
     val sign = when(col("_change_type")
       .isin("insert", "update_postimage"), 1L).otherwise(-1L)
-    changes.select(
-      guarded(expr(keyExpr).cast("long"), "key").as("k"),
-      (sign * guarded(expr(sumExpr).cast("long"), "sum")).as("s"),
-      sign.as("c"))
+    changes.select(keySelect(keyExpr, key2Expr) ++ Seq(
+      (sign * sumCol(sumExpr, sumScale)).as("s"),
+      sign.as("c")): _*)
   }
 
-  /** Shape a grouped (k, s, c) frame into final MV rows, dropping
-    * dead groups. The substrate's `n_words` column is INT: a group
-    * whose live count exceeds Int.MaxValue would wrap silently under a
-    * bare cast (the `c > 0` filter runs on the LONG, so the negative
-    * wrap survives it) — reachable at the 100TB scale the view
-    * targets, so raise instead of truncating (r16 ADVICE). */
-  private def finalizeRows(name: String, grouped: DataFrame): DataFrame =
+  /** Shape a grouped (k[, k2], s, c) frame into final MV rows,
+    * dropping dead groups. Composite views store the SECOND key in
+    * `title` as its canonical decimal string (the substrate schema is
+    * fixed; the string render of a guarded-non-null BIGINT inverts
+    * exactly); single-key views keep the MV name there. The
+    * substrate's `n_words` column is INT: a group whose live count
+    * exceeds Int.MaxValue would wrap silently under a bare cast (the
+    * `c > 0` filter runs on the LONG, so the negative wrap survives
+    * it) — reachable at the 100TB scale the view targets, so raise
+    * instead of truncating (r16 ADVICE). */
+  private def finalizeRows(name: String, composite: Boolean,
+      grouped: DataFrame): DataFrame =
     grouped.filter(col("c") > 0L)
-      .select(col("k").as("doc_id"), lit(name).as("title"),
+      .select(col("k").as("doc_id"),
+        (if (composite) col("k2").cast("string")
+         else lit(name)).as("title"),
         col("s").as("fp"),
         when(col("c") > Int.MaxValue.toLong,
           raise_error(concat(lit("mv group count overflows the INT " +
@@ -161,11 +202,36 @@ object GraftMv {
             .cast("int"))
           .otherwise(col("c").cast("int")).as("n_words"))
 
-  /** Aggregate a SIGNED (k, s, c) delta frame into final MV rows —
-    * the SUM kind's fold. */
-  private def fold(name: String, deltas: DataFrame): DataFrame =
-    finalizeRows(name,
-      deltas.groupBy("k").agg(sum("s").as("s"), sum("c").as("c")))
+  /** SUM of the signed addends per group. DECIMAL views accumulate in
+    * DECIMAL(38,0) and RAISE when a group's unscaled sum leaves the
+    * BIGINT storage range — silent wraparound would corrupt the exact
+    * contract (same policy as the INT count guard). Integral views
+    * keep the plain BIGINT sum (the pre-existing contract). */
+  private def summed(deltas: DataFrame, composite: Boolean,
+      decimalSum: Boolean): DataFrame = {
+    val kc = keyCols(composite)
+    if (!decimalSum)
+      deltas.groupBy(kc.head, kc.tail: _*)
+        .agg(sum("s").as("s"), sum("c").as("c"))
+    else
+      deltas.groupBy(kc.head, kc.tail: _*)
+        .agg(sum(col("s").cast("decimal(38,0)")).as("sd"),
+          sum("c").as("c"))
+        .select(kc.map(col) ++ Seq(
+          when(abs(col("sd")) > lit(Long.MaxValue),
+            raise_error(concat(lit("mv decimal sum overflows the " +
+              "BIGINT unscaled storage for key "),
+              col("k").cast("string"))).cast("decimal(38,0)"))
+            .otherwise(col("sd")).cast("long").as("s"),
+          col("c")): _*)
+  }
+
+  /** Aggregate a SIGNED (k[, k2], s, c) delta frame into final MV
+    * rows — the SUM kind's fold. */
+  private def fold(name: String, deltas: DataFrame,
+      composite: Boolean = false, decimalSum: Boolean = false)
+      : DataFrame =
+    finalizeRows(name, composite, summed(deltas, composite, decimalSum))
 
   /** Materialize `rows` as data files INSIDE `root` (not yet
     * committed): written through a VERSIONED scratch dir (with the
@@ -241,7 +307,7 @@ object GraftMv {
   def create(spark: SparkSession, srcName: String, src: Path, mv: Path,
       name: String, keyExpr: String, sumExpr: String,
       auto: Boolean = false, agg: String = "sum",
-      maxAttempts: Int = 3): MvInfo = {
+      key2Expr: Option[String] = None, maxAttempts: Int = 3): MvInfo = {
     require(GraftVersions.latest(src).isDefined,
       s"mv source $src must be a versioned table (the change feed is " +
         "the refresh input)")
@@ -250,17 +316,37 @@ object GraftMv {
       s"mv aggregate kind '$agg' not supported (have: " +
         s"${AggKinds.mkString(", ")})")
     rejectNonMaintainable(keyExpr); rejectNonMaintainable(sumExpr)
-    validated(spark, "key", keyExpr); validated(spark, "sum", sumExpr)
+    key2Expr.foreach(rejectNonMaintainable)
+    validated(spark, "key", keyExpr)
+    key2Expr.foreach(validated(spark, "key2", _))
+    // a DECIMAL sum switches the substrate to exact unscaled storage;
+    // precision must fit BIGINT or the view cannot round-trip exactly
+    val sumScale = validated(spark, "sum", sumExpr) match {
+      case d: org.apache.spark.sql.types.DecimalType =>
+        require(d.precision <= 18,
+          s"mv decimal sum ($sumExpr) has precision ${d.precision} > " +
+            "18 — its unscaled values cannot round-trip through the " +
+            "view's BIGINT storage exactly; cast to a narrower DECIMAL")
+        require(agg == "sum",
+          "decimal sum expressions support agg='sum' only")
+        Some(d.scale)
+      case _ => None
+    }
+    val composite = key2Expr.isDefined
+    require(!composite || agg == "sum",
+      "composite-key views support agg='sum' only")
     val before = GraftVersions.latest(src).get.version
     // seed from the live snapshot: every live row enters the view
+    val kc = keyCols(composite)
     val base = pathReader(spark, src).load()
-      .select(guarded(expr(keyExpr).cast("long"), "key").as("k"),
-        guarded(expr(sumExpr).cast("long"), "sum").as("s"))
-    val seed = finalizeRows(name,
+      .select(keySelect(keyExpr, key2Expr) :+
+        sumCol(sumExpr, sumScale).as("s"): _*)
+    val seed = finalizeRows(name, composite,
       if (agg == "sum")
-        base.groupBy("k").agg(sum("s").as("s"), count(lit(1)).as("c"))
+        summed(base.withColumn("c", lit(1L)), composite,
+          sumScale.isDefined)
       else
-        base.groupBy("k")
+        base.groupBy(kc.head, kc.tail: _*)
           .agg(extremum(agg)(col("s")).as("s"), count(lit(1)).as("c")))
       .cache()
     val groups = seed.count()
@@ -270,13 +356,15 @@ object GraftMv {
       require(maxAttempts > 1,
         s"mv create raced source commits $maxAttempts times; giving up")
       return create(spark, srcName, src, mv, name, keyExpr, sumExpr,
-        auto, agg, maxAttempts - 1)
+        auto, agg, key2Expr, maxAttempts - 1)
     }
     Files.createDirectories(mv)
     GraftVersions.enable(mv)
     GraftTableMeta.write(mv, Map(
       "mv.name" -> name, "mv.source" -> srcName,
-      "mv.key" -> keyExpr, "mv.sum" -> sumExpr, "mv.agg" -> agg))
+      "mv.key" -> keyExpr, "mv.sum" -> sumExpr, "mv.agg" -> agg) ++
+      key2Expr.map("mv.key2" -> _).toMap ++
+      sumScale.map(s => "mv.sum.scale" -> s.toString).toMap)
     val (info, _) = swapIn(mv, seed, "mv-create", epoch = before,
       expectWatermark = Some(None))
       .getOrElse(throw new IllegalStateException(
@@ -316,10 +404,13 @@ object GraftMv {
     val props = GraftTableMeta.read(mv)
     val name = props.getOrElse("mv.name", throw new IllegalStateException(
       s"$mv is not a materialized view (no mv.name property)"))
-    if (props.contains("mv.dim"))
+    if (props.contains("mv.dim") || props.contains("mv.dims"))
       return refreshJoin(spark, mv, resolveSource, maxAttempts)
     val src = resolveSource(props("mv.source"))
     val keyExpr = props("mv.key"); val sumExpr = props("mv.sum")
+    val key2Expr = props.get("mv.key2")
+    val sumScale = props.get("mv.sum.scale").map(_.toInt)
+    val composite = key2Expr.isDefined
     // (watermark, mv snapshot) must be a CONSISTENT pair: the fold
     // below reads "state as of W" + "deltas (W, S]", so reading the
     // ledger and the snapshot version non-atomically (a racing refresh
@@ -376,13 +467,16 @@ object GraftMv {
     // double-applying its delta range even though W was read first
     val current = pathReader(spark, mv)
       .option("versionAsOf", mvVersion.toString).load()
-      .select(col("doc_id").as("k"), col("fp").as("s"),
-        col("n_words").cast("long").as("c"))
+      .select(Seq(col("doc_id").as("k")) ++
+        (if (composite) Seq(col("title").cast("long").as("k2"))
+         else Nil) ++ Seq(col("fp").as("s"),
+        col("n_words").cast("long").as("c")): _*)
     val aggKind = props.getOrElse("mv.agg", "sum")
     val (refreshed, nRecomputed) =
       if (aggKind == "sum")
-        (fold(name,
-          current.unionByName(signedDeltas(changes, keyExpr, sumExpr))),
+        (fold(name, current.unionByName(
+          signedDeltas(changes, keyExpr, key2Expr, sumExpr, sumScale)),
+          composite, sumScale.isDefined),
           0L)
       else {
         // MIN/MAX: extremum-of-extrema folds INSERTS incrementally;
@@ -390,7 +484,8 @@ object GraftMv {
         // delete-touched group is recomputed from the SOURCE pinned
         // at s — partial (only those groups), loud (count reported),
         // never silently wrong. Dead groups simply produce no source
-        // rows and drop out of the view.
+        // rows and drop out of the view. (MIN/MAX views are
+        // single-key integral by the create contract.)
         val keyed = changes.select(
           guarded(expr(keyExpr).cast("long"), "key").as("k"),
           guarded(expr(sumExpr).cast("long"), "sum").as("s"),
@@ -411,7 +506,8 @@ object GraftMv {
           .join(affected, Seq("k"), "left_semi")
           .groupBy("k")
           .agg(extremum(aggKind)(col("s")).as("s"), count(lit(1)).as("c"))
-        (finalizeRows(name, unaffected.unionByName(recomputed)),
+        (finalizeRows(name, composite = false,
+          unaffected.unionByName(recomputed)),
           nAffected)
       }
     val swapped =
@@ -448,24 +544,53 @@ object GraftMv {
   // JOIN (SPJG) views: aggregate over fact INNER-JOIN dim
   // ------------------------------------------------------------------
 
-  /** Validate a join-view expression against the two-sided schema:
-    * resolves against `f`/`d` aliases of the BASE schema (every
+  /** A join view's normalized shape, decoded from its persisted
+    * properties — one code path serves both the legacy two-table
+    * format (`mv.dim`, alias `d`) and the N-dim chain format
+    * (`mv.dims` csv, aliases `d1..dN`, per-index join conditions and
+    * watermark keys). Shared with the rewrite rule. */
+  private[graft] final case class JoinViewSpec(factName: String,
+      dims: Seq[String], aliases: Seq[String],
+      conds: Seq[(String, String)], watermarkKeys: Seq[String])
+
+  private[graft] def joinViewSpec(props: Map[String, String])
+      : Option[JoinViewSpec] =
+    if (props.contains("mv.dims")) {
+      val dims = props("mv.dims").split(",").toSeq.map(_.trim)
+      Some(JoinViewSpec(props("mv.source"), dims,
+        dims.indices.map(i => s"d${i + 1}"),
+        dims.indices.map(i => (props(s"mv.join.${i + 1}.left"),
+          props(s"mv.join.${i + 1}.right"))),
+        dims.indices.map(i => s"mv.dim.${i + 1}.watermark")))
+    } else props.get("mv.dim").map { d =>
+      JoinViewSpec(props("mv.source"), Seq(d), Seq("d"),
+        Seq((props("mv.factkey"), props("mv.dimkey"))),
+        Seq("mv.dim.watermark"))
+    }
+
+  /** Validate a join-view expression against the multi-sided schema:
+    * resolves against the given aliases of the BASE schema (every
     * expression MUST qualify its columns — the sides share column
-    * names), deterministic, casts to BIGINT. */
+    * names), deterministic, casts to BIGINT. Join condition i is
+    * validated against the PREFIX f, d1..di only, so a condition
+    * reaching forward to a later dim fails at CREATE, not at the
+    * first refresh. */
   private def validatedJoin(spark: SparkSession, what: String,
-      sql: String): Unit = {
+      sql: String, aliases: Seq[String]): Unit = {
     def empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       GraftDocsSource.schema)
+    val probe = aliases.tail.foldLeft(empty.alias(aliases.head))(
+      (acc, a) => acc.crossJoin(empty.alias(a)))
     val analyzed =
-      try empty.alias("f").crossJoin(empty.alias("d"))
-        .select(expr(sql).cast("long").as("x"))
+      try probe.select(expr(sql).cast("long").as("x"))
         .queryExecution.analyzed
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
           throw new IllegalArgumentException(
             s"join-mv $what expression ($sql) must resolve against " +
-              "f.<col> / d.<col> over the base columns (" +
+              s"${aliases.map(_ + ".<col>").mkString(" / ")} over the " +
+              "base columns (" +
               s"${GraftDocsSource.schema.fieldNames.mkString(", ")})" +
               s": ${e.getMessage}")
       }
@@ -474,20 +599,25 @@ object GraftMv {
   }
 
   /** The join view's per-row (k, s, c) frame: fact rows (or fact CDF
-    * images) inner-joined to the dim snapshot, keyed/valued by the
-    * persisted f./d.-qualified expressions, signed by `sign`. The dim
-    * side is always PINNED by the caller — insert and delete images
-    * must join against the identical dim state or the signed fold
-    * would not cancel. */
-  private def joinedRows(fact: DataFrame, dim: DataFrame,
-      factKey: String, dimKey: String, keyExpr: String, sumExpr: String,
-      sign: org.apache.spark.sql.Column): DataFrame =
-    fact.alias("f").join(dim.alias("d"),
-      expr(s"($factKey) = ($dimKey)"), "inner")
-      .select(
-        guarded(expr(keyExpr).cast("long"), "key").as("k"),
-        (sign * guarded(expr(sumExpr).cast("long"), "sum")).as("s"),
-        sign.as("c"))
+    * images) inner-joined left-deep through every dim snapshot,
+    * keyed/valued by the persisted alias-qualified expressions,
+    * signed by `sign`. The dim sides are always PINNED by the
+    * caller — insert and delete images must join against identical
+    * dim state or the signed fold would not cancel. */
+  private def joinedRows(fact: DataFrame, dims: Seq[DataFrame],
+      aliases: Seq[String], conds: Seq[(String, String)],
+      keyExpr: String, sumExpr: String,
+      sign: org.apache.spark.sql.Column): DataFrame = {
+    val joined = dims.zipWithIndex.foldLeft(fact.alias("f")) {
+      case (acc, (d, i)) =>
+        acc.join(d.alias(aliases(i)),
+          expr(s"(${conds(i)._1}) = (${conds(i)._2})"), "inner")
+    }
+    joined.select(
+      guarded(expr(keyExpr).cast("long"), "key").as("k"),
+      (sign * guarded(expr(sumExpr).cast("long"), "sum")).as("s"),
+      sign.as("c"))
+  }
 
   private def cdfSign: org.apache.spark.sql.Column =
     when(col("_change_type").isin("insert", "update_postimage"), 1L)
@@ -507,7 +637,10 @@ object GraftMv {
     * built against — cost ∝ fact delta); any DIM movement triggers a
     * full RESEED at the next refresh (a dim row can rewrite every
     * joined row it touches — loud via `MvInfo.recomputed`, never
-    * silently wrong). The fact watermark rides the txn ledger; the
+    * silently wrong). With `auto = true` the view registers on BOTH
+    * tables' `mv.dependents`, so fact commits pay the fold and dim
+    * commits pay the reseed inline — no stale window on either axis.
+    * The fact watermark rides the txn ledger; the
     * dim watermark rides the `mv.dim.watermark` property, written
     * only AFTER its state commits (a crash between the two leaves the
     * property stale → the next refresh reseeds again: wasteful, not
@@ -523,13 +656,15 @@ object GraftMv {
     require(!Files.exists(mv), s"mv target $mv already exists")
     Seq("fact-key" -> factKey, "dim-key" -> dimKey, "key" -> keyExpr,
       "sum" -> sumExpr).foreach { case (what, sql) =>
-      rejectNonMaintainable(sql); validatedJoin(spark, what, sql)
+      rejectNonMaintainable(sql)
+      validatedJoin(spark, what, sql, Seq("f", "d"))
     }
     val fBefore = GraftVersions.latest(fact).get.version
     val dBefore = GraftVersions.latest(dim).get.version
     val seed = fold(name, joinedRows(
-      pathReader(spark, fact).load(), pathReader(spark, dim).load(),
-      factKey, dimKey, keyExpr, sumExpr, lit(1L))).cache()
+      pathReader(spark, fact).load(), Seq(pathReader(spark, dim).load()),
+      Seq("d"), Seq((factKey, dimKey)), keyExpr, sumExpr, lit(1L)))
+      .cache()
     val groups = seed.count()
     val moved = GraftVersions.latest(fact).get.version != fBefore ||
       GraftVersions.latest(dim).get.version != dBefore
@@ -552,56 +687,165 @@ object GraftMv {
       .getOrElse(throw new IllegalStateException(
         s"fresh mv ledger at $mv already held epoch $fBefore"))
     seed.unpersist()
-    if (auto) GraftVersions.withTableLock(fact) {
-      val p = GraftTableMeta.read(fact)
-      val joined = p.get("mv.dependents")
-        .map(_ + "," + name).getOrElse(name)
-      GraftTableMeta.write(fact, p + ("mv.dependents" -> joined))
+    // register on BOTH sides' dependents: a fact commit pays the
+    // incremental fold, and a DIM commit pays the reseed inline —
+    // without the dim-side entry a dim-heavy workload would lose the
+    // rewrite indefinitely (the view stays honest-stale until the
+    // next fact commit). `.distinct` on the read side absorbs a
+    // self-join view registering twice on one table.
+    if (auto) Seq(fact, dim).distinct.foreach { tbl =>
+      GraftVersions.withTableLock(tbl) {
+        val p = GraftTableMeta.read(tbl)
+        val joined = p.get("mv.dependents")
+          .map(_ + "," + name).getOrElse(name)
+        GraftTableMeta.write(tbl, p + ("mv.dependents" -> joined))
+      }
     }
     MvInfo(fBefore, groups, applied = groups, info.version,
       refreshed = true)
   }
 
-  /** REFRESH a join view: fact deltas fold incrementally against the
-    * pinned dim watermark; a moved dim triggers the full reseed. */
+  /** CREATE a CHAIN JOIN MATERIALIZED VIEW: the N-dim generalization
+    * of [[createJoin]] — maintains
+    *
+    *   SELECT <key>, SUM(<sum>), COUNT(*)
+    *   FROM <fact> f JOIN <dim1> d1 ON <l1> = <r1>
+    *                 JOIN <dim2> d2 ON <l2> = <r2> ...
+    *   GROUP BY <key>
+    *
+    * (a left-deep chain of INNER equi-joins: snowflakes like
+    * fact⋈dim⋈dim — the reference's full league-table shape,
+    * orders⋈customer⋈nation, Assignment-python.py:183-185 → :257).
+    * Condition i may reference f and any EARLIER dim (validated
+    * against the prefix). Fact deltas fold incrementally against ALL
+    * pinned dims; movement of ANY dim reseeds. `auto = true`
+    * registers on the fact and every dim. Role-playing dims (one
+    * table joined twice) are rejected — the rewrite's name-keyed
+    * side matching cannot disambiguate them. */
+  def createChain(spark: SparkSession, factName: String, fact: Path,
+      dims: Seq[(String, Path)], conds: Seq[(String, String)],
+      mv: Path, name: String, keyExpr: String, sumExpr: String,
+      auto: Boolean = false, maxAttempts: Int = 3): MvInfo = {
+    require(dims.nonEmpty && dims.size == conds.size,
+      "createChain needs one join condition per dim")
+    require((factName +: dims.map(_._1)).distinct.size == dims.size + 1,
+      "chain-mv sides must be distinct tables (role-playing dims are " +
+        "not supported)")
+    require(GraftVersions.latest(fact).isDefined,
+      s"chain-mv fact $fact must be a versioned table")
+    dims.foreach { case (n, p) =>
+      require(GraftVersions.latest(p).isDefined,
+        s"chain-mv dim $n ($p) must be a versioned table")
+    }
+    require(!Files.exists(mv), s"mv target $mv already exists")
+    val aliases = dims.indices.map(i => s"d${i + 1}")
+    conds.zipWithIndex.foreach { case ((l, r), i) =>
+      rejectNonMaintainable(l); rejectNonMaintainable(r)
+      val prefix = "f" +: aliases.take(i + 1)
+      validatedJoin(spark, s"join-${i + 1}-left", l, prefix)
+      validatedJoin(spark, s"join-${i + 1}-right", r, prefix)
+    }
+    Seq("key" -> keyExpr, "sum" -> sumExpr).foreach { case (what, sql) =>
+      rejectNonMaintainable(sql)
+      validatedJoin(spark, what, sql, "f" +: aliases)
+    }
+    val fBefore = GraftVersions.latest(fact).get.version
+    val dBefore = dims.map(d => GraftVersions.latest(d._2).get.version)
+    val seed = fold(name, joinedRows(
+      pathReader(spark, fact).load(),
+      dims.map(d => pathReader(spark, d._2).load()),
+      aliases, conds, keyExpr, sumExpr, lit(1L))).cache()
+    val groups = seed.count()
+    val moved = GraftVersions.latest(fact).get.version != fBefore ||
+      dims.map(d => GraftVersions.latest(d._2).get.version) != dBefore
+    if (moved) {
+      seed.unpersist()
+      require(maxAttempts > 1,
+        s"chain-mv create raced source commits; giving up")
+      return createChain(spark, factName, fact, dims, conds, mv, name,
+        keyExpr, sumExpr, auto, maxAttempts - 1)
+    }
+    Files.createDirectories(mv)
+    GraftVersions.enable(mv)
+    GraftTableMeta.write(mv, Map(
+      "mv.name" -> name, "mv.source" -> factName,
+      "mv.dims" -> dims.map(_._1).mkString(","),
+      "mv.key" -> keyExpr, "mv.sum" -> sumExpr) ++
+      conds.zipWithIndex.flatMap { case ((l, r), i) => Seq(
+        s"mv.join.${i + 1}.left" -> l, s"mv.join.${i + 1}.right" -> r)
+      }.toMap ++
+      dims.indices.map(i =>
+        s"mv.dim.${i + 1}.watermark" -> dBefore(i).toString).toMap)
+    val (info, _) = swapIn(mv, seed, "mv-create", epoch = fBefore,
+      expectWatermark = Some(None))
+      .getOrElse(throw new IllegalStateException(
+        s"fresh mv ledger at $mv already held epoch $fBefore"))
+    seed.unpersist()
+    if (auto) (fact +: dims.map(_._2)).distinct.foreach { tbl =>
+      GraftVersions.withTableLock(tbl) {
+        val p = GraftTableMeta.read(tbl)
+        val joined = p.get("mv.dependents")
+          .map(_ + "," + name).getOrElse(name)
+        GraftTableMeta.write(tbl, p + ("mv.dependents" -> joined))
+      }
+    }
+    MvInfo(fBefore, groups, applied = groups, info.version,
+      refreshed = true)
+  }
+
+  /** REFRESH a join view (legacy two-table or N-dim chain — one code
+    * path via [[joinViewSpec]]): fact deltas fold incrementally
+    * against the pinned dim watermarks; ANY moved dim triggers the
+    * full reseed.
+    * Audit contract: a RESEED always reports `applied = 0` — any fact
+    * deltas in the window are subsumed by the recompute (which never
+    * reads the CDF, so a vacuumed fact range cannot fail it) — and
+    * `recomputed` carries the work (= the reseeded group count). */
   private def refreshJoin(spark: SparkSession, mv: Path,
       resolveSource: String => Path, maxAttempts: Int): MvInfo = {
     val props0 = GraftTableMeta.read(mv)
     val name = props0("mv.name")
-    val fact = resolveSource(props0("mv.source"))
-    val dim = resolveSource(props0("mv.dim"))
-    val factKey = props0("mv.factkey"); val dimKey = props0("mv.dimkey")
+    val spec = joinViewSpec(props0).getOrElse(
+      throw new IllegalStateException(s"$mv is not a join view"))
+    val fact = resolveSource(spec.factName)
+    val dimPaths = spec.dims.map(resolveSource)
     val keyExpr = props0("mv.key"); val sumExpr = props0("mv.sum")
-    // one lock acquisition → coherent (fact watermark, dim watermark,
-    // view snapshot) triple, same reasoning as the single-table path
-    val (w, dimW, mvVersion) = GraftVersions.withTableLock(mv) {
+    // one lock acquisition → coherent (fact watermark, dim
+    // watermarks, view snapshot) tuple, same reasoning as the
+    // single-table path
+    val (w, dimWs, mvVersion) = GraftVersions.withTableLock(mv) {
+      val p = GraftTableMeta.read(mv)
       (GraftVersions.lastTxnEpoch(mv, AppId)
         .getOrElse(throw new IllegalStateException(
           s"join-mv $mv has no refresh ledger; re-create the view")),
-        GraftTableMeta.read(mv)("mv.dim.watermark").toLong,
+        spec.watermarkKeys.map(k => p(k).toLong),
         GraftVersions.latest(mv).map(_.version).getOrElse(0L))
     }
     val s = GraftVersions.latest(fact).map(_.version)
       .getOrElse(throw new IllegalStateException(
         s"join-mv fact $fact is no longer a versioned table"))
-    val dv = GraftVersions.latest(dim).map(_.version)
-      .getOrElse(throw new IllegalStateException(
-        s"join-mv dim $dim is no longer a versioned table"))
+    val dvs = dimPaths.zip(spec.dims).map { case (p, n) =>
+      GraftVersions.latest(p).map(_.version)
+        .getOrElse(throw new IllegalStateException(
+          s"join-mv dim $n ($p) is no longer a versioned table"))
+    }
     def liveGroups: Long = GraftVersions.latest(mv)
       .map(_.entries.flatMap(_.liveRows).sum).getOrElse(0L)
     def retryOnRace(e: GraftVersions.ConcurrentCommitException): MvInfo = {
       if (maxAttempts <= 1) throw e
       refreshJoin(spark, mv, resolveSource, maxAttempts - 1)
     }
-    if (dv != dimW) {
-      // RESEED: the dim moved — recompute the whole view from the
-      // PINNED pair (fact@s ⋈ dim@dv). s may equal w (a dim-only
+    if (dvs != dimWs) {
+      // RESEED: a dim moved — recompute the whole view from the
+      // PINNED tuple (fact@s ⋈ dims@dvs). s may equal w (a dim-only
       // change): then the txn ledger stays put and the swap commits
       // through the plain optimistic path instead.
       val rows = fold(name, joinedRows(
         pathReader(spark, fact).option("versionAsOf", s.toString).load(),
-        pathReader(spark, dim).option("versionAsOf", dv.toString).load(),
-        factKey, dimKey, keyExpr, sumExpr, lit(1L)))
+        dimPaths.zip(dvs).map { case (p, dv) =>
+          pathReader(spark, p).option("versionAsOf", dv.toString).load()
+        },
+        spec.aliases, spec.conds, keyExpr, sumExpr, lit(1L)))
       val committed =
         try {
           if (s > w) swapIn(mv, rows, "mv-reseed", epoch = s,
@@ -618,8 +862,10 @@ object GraftMv {
       committed match {
         case Some((info, groups)) =>
           GraftVersions.withTableLock(mv) {
-            GraftTableMeta.write(mv, GraftTableMeta.read(mv) +
-              ("mv.dim.watermark" -> dv.toString))
+            GraftTableMeta.write(mv, GraftTableMeta.read(mv) ++
+              spec.watermarkKeys.zip(dvs).map { case (k, dv) =>
+                k -> dv.toString
+              })
           }
           MvInfo(s, groups, applied = 0L, info.version,
             refreshed = true, recomputed = groups)
@@ -652,8 +898,10 @@ object GraftMv {
         .select(col("doc_id").as("k"), col("fp").as("s"),
           col("n_words").cast("long").as("c"))
       val deltas = joinedRows(changes,
-        pathReader(spark, dim).option("versionAsOf", dimW.toString).load(),
-        factKey, dimKey, keyExpr, sumExpr, cdfSign)
+        dimPaths.zip(dimWs).map { case (p, dw) =>
+          pathReader(spark, p).option("versionAsOf", dw.toString).load()
+        },
+        spec.aliases, spec.conds, keyExpr, sumExpr, cdfSign)
       val refreshed = fold(name, current.unionByName(deltas))
       val swapped =
         try swapIn(mv, refreshed, "mv-refresh", epoch = s,

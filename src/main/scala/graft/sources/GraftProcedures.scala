@@ -33,8 +33,8 @@ object GraftProcedures {
     Seq("vacuum", "optimize", "restore", "clone", "tag", "drop_tag",
       "branch", "fast_forward", "merge_branch", "drop_branch",
       "expire_snapshots", "remove_orphan_files", "analyze",
-      "create_mv", "create_join_mv", "refresh_mv", "vacuum_dry_run",
-      "optimize_where")
+      "create_mv", "create_join_mv", "create_chain_mv", "refresh_mv",
+      "vacuum_dry_run", "optimize_where")
 
   /** `resolve` maps a table name to its EXISTING directory (throws for
     * absent tables); `resolveNew` maps a name to the directory it WOULD
@@ -58,6 +58,7 @@ object GraftProcedures {
       case "analyze" => analyzeTable(resolve)
       case "create_mv" => createMv(resolve, resolveNew)
       case "create_join_mv" => createJoinMv(resolve, resolveNew)
+      case "create_chain_mv" => createChainMv(resolve, resolveNew)
       case "refresh_mv" => refreshMv(resolve)
       case "expire_snapshots" => expireSnapshots(resolve)
       case "remove_orphan_files" => removeOrphanFiles(resolve)
@@ -379,23 +380,32 @@ object GraftProcedures {
       // aggregate kind: 'sum' (default; signed-fold maintained),
       // 'min'/'max' (insert fast path + delete-scoped group recompute)
       ProcedureParameter.in("agg", StringType)
-        .defaultValue("'sum'").build())) {
+        .defaultValue("'sum'").build(),
+      // second key column for COMPOSITE-key views ('' = single-key);
+      // the view then maintains GROUP BY key_expr, key2_expr
+      ProcedureParameter.in("key2_expr", StringType)
+        .defaultValue("''").build())) {
       override def description(): String =
         "CREATE MATERIALIZED VIEW: seed `view` with SELECT key_expr, " +
           "AGG(sum_expr), COUNT(*) FROM source GROUP BY key_expr at " +
-          "the source's current version (agg: sum|min|max), ledger " +
-          "the watermark as a txn record; auto=true registers the " +
-          "view for inline refresh on every source data commit"
+          "the source's current version (agg: sum|min|max; a " +
+          "non-empty key2_expr makes the key composite — GROUP BY " +
+          "key_expr, key2_expr, sum only), ledger the watermark as a " +
+          "txn record; auto=true registers the view for inline " +
+          "refresh on every source data commit. DECIMAL(p<=18) sum " +
+          "expressions are maintained exactly (unscaled storage)"
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val view = input.getUTF8String(0).toString
         val srcName = input.getUTF8String(1).toString
+        val key2 = input.getUTF8String(6).toString
         val info = GraftMv.create(
           org.apache.spark.sql.SparkSession.active,
           srcName, resolve(srcName), resolveNew(view), view,
           input.getUTF8String(2).toString,
           input.getUTF8String(3).toString,
           auto = input.getBoolean(4),
-          agg = input.getUTF8String(5).toString)
+          agg = input.getUTF8String(5).toString,
+          key2Expr = if (key2.isEmpty) None else Some(key2))
         result(StructType(Seq(
           StructField("source_version", LongType, nullable = false),
           StructField("groups", LongType, nullable = false),
@@ -417,7 +427,8 @@ object GraftProcedures {
           "JOIN dim d ON fact_key = dim_key GROUP BY key_expr; all " +
           "expressions f./d.-qualified. Fact deltas fold " +
           "incrementally; dim movement triggers a full reseed at the " +
-          "next refresh. auto=true refreshes inline on fact commits"
+          "next refresh. auto=true registers on BOTH tables: fact " +
+          "commits fold and dim commits reseed inline"
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val view = input.getUTF8String(0).toString
         val factName = input.getUTF8String(1).toString
@@ -439,6 +450,49 @@ object GraftProcedures {
       }
     }
 
+  private def createChainMv(resolve: String => Path,
+      resolveNew: String => Path): UnboundProcedure =
+    new Proc("create_chain_mv", Array(
+      param("view", StringType), param("fact", StringType),
+      param("dim1", StringType), param("dim2", StringType),
+      param("j1_left", StringType), param("j1_right", StringType),
+      param("j2_left", StringType), param("j2_right", StringType),
+      param("key_expr", StringType), param("sum_expr", StringType),
+      param("auto", BooleanType))) {
+      override def description(): String =
+        "CREATE CHAIN JOIN MATERIALIZED VIEW (3-way snowflake): seed " +
+          "`view` with SELECT key_expr, SUM(sum_expr), COUNT(*) FROM " +
+          "fact f JOIN dim1 d1 ON j1_left = j1_right JOIN dim2 d2 ON " +
+          "j2_left = j2_right GROUP BY key_expr; expressions " +
+          "f./d1./d2.-qualified (condition i may reference f and " +
+          "earlier dims). Fact deltas fold incrementally; any dim " +
+          "movement reseeds. auto=true registers on all three tables. " +
+          "Deeper chains: GraftMv.createChain"
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val view = input.getUTF8String(0).toString
+        val factName = input.getUTF8String(1).toString
+        val d1 = input.getUTF8String(2).toString
+        val d2 = input.getUTF8String(3).toString
+        val info = GraftMv.createChain(
+          org.apache.spark.sql.SparkSession.active,
+          factName, resolve(factName),
+          Seq(d1 -> resolve(d1), d2 -> resolve(d2)),
+          Seq((input.getUTF8String(4).toString,
+            input.getUTF8String(5).toString),
+            (input.getUTF8String(6).toString,
+              input.getUTF8String(7).toString)),
+          resolveNew(view), view,
+          input.getUTF8String(8).toString,
+          input.getUTF8String(9).toString,
+          auto = input.getBoolean(10))
+        result(StructType(Seq(
+          StructField("fact_version", LongType, nullable = false),
+          StructField("groups", LongType, nullable = false),
+          StructField("mv_version", LongType, nullable = false))),
+          info.sourceVersion, info.groups, info.mvVersion)
+      }
+    }
+
   private def refreshMv(resolve: String => Path): UnboundProcedure =
     new Proc("refresh_mv", Array(param("view", StringType))) {
       override def description(): String =
@@ -446,7 +500,9 @@ object GraftProcedures {
           "ledgered watermark into the view via the change feed — " +
           "exactly-once (txn-record idempotence), cost proportional " +
           "to the changed rows, no source scan; already-fresh views " +
-          "no-op"
+          "no-op. Reseeds (join views after dim movement) always " +
+          "report applied_changes=0 — any fact deltas in the window " +
+          "are subsumed — and recomputed_groups carries the work"
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val dir = resolve(input.getUTF8String(0).toString)
         val info = GraftMv.refresh(

@@ -252,13 +252,15 @@ class Round17Spec extends SparkSpec {
            |GROUP BY d.doc_id""".stripMargin)
       assert(!scansPath(wrongCond, vj),
         "a different join condition must refuse")
-      // a residual WHERE above/below the join is out of scope
+      // a NON-KEY WHERE refuses (per-row filters change group
+      // contents); key-only predicates DO compose with the join-view
+      // rewrite — Round17.q290 covers that positive direction
       val filtered = q(
         s"""SELECT d.doc_id AS k, SUM(f.n_words) AS s FROM $cat.t f
            |JOIN $cat.d d ON f.doc_id % 4 = d.doc_id
            |WHERE f.n_words > 12 GROUP BY d.doc_id""".stripMargin)
       assert(!scansPath(filtered, vj),
-        "a WHERE on the join must refuse")
+        "a non-key WHERE on the join must refuse")
       // joining a DIFFERENT dim table is a different row set even
       // with an identical-looking condition
       val foreignDim = q(

@@ -27,6 +27,12 @@ def main() -> None:
         with open(path) as f:
             for line in f:
                 k, _, v = line.strip().partition(" ")
+                if k == "sf" and v and v != sf:
+                    # merging would relabel the prior file's cross-scale
+                    # baselines under the new sf, corrupting the trend
+                    # gate — refuse instead of silently mixing scales
+                    sys.exit(f"error: existing {path} is for sf '{v}', "
+                             f"not '{sf}'; delete it first to rebase")
                 if k and k != "sf":
                     prior[k] = v
     new_keys = set().union(*maps) if maps else set()
