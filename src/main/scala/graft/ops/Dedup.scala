@@ -179,30 +179,38 @@ object Dedup {
     }
     val sig = shingles.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
       .cache()
-    // (cfg, n_bands, rows_per_band, members-of-each-band)
-    val configs = Seq(
-      ("2x4", 2, 4, (0 until 2).map(b => (0 until 4).map(r => 4 * b + r))),
-      ("4x2", 4, 2, (0 until 4).map(b => (0 until 2).map(r => 2 * b + r))),
-      ("8x1", 8, 1, (0 until 8).map(b => Seq(b))))
-    val bands = configs.map { case (cfg, nb, rpb, bs) =>
-      sig.select($"doc_id", lit(cfg).as("cfg"), lit(nb).as("nb"),
-        lit(rpb).as("rpb"),
-        explode(array(bs.zipWithIndex.map { case (members, b) =>
-          struct((lit(b).as("bno") +: members.map(m => col(s"h$m"))
-            .padTo(4, lit(-1L)).zipWithIndex
-            .map { case (c, i) => c.as(s"m$i") }): _*)
-        }: _*)).as("band"))
-    }.reduce(_ unionByName _)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.cfg") === col("b.cfg") && col("a.band") === col("b.band")
+    // The configs NEST (an all-4-hashes band match implies both 2-hash
+    // bands match implies each 1-hash band matches — spec-pinned), so
+    // the ONLY band self-join needed is the loosest config's (8x1,
+    // single-hash bands): its candidate set is a superset of the other
+    // two, and membership in 4x2 / 2x4 is a pure function of the two
+    // docs' signatures. This replaces the former 3-config band union
+    // (14 band rows/doc shuffled + a 3-config-wide distinct) with one
+    // 8-rows/doc join + two |docs|-row signature joins — strictly
+    // fewer shuffled bytes at any scale (guide §2.3/§2.4); the exact
+    // (bno, hash) join key is kept, so no hash-collision candidate can
+    // appear and the candidate sets stay pair-for-pair the oracle's.
+    val bands8 = sig.select($"doc_id",
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("bno"), col(s"h$b").as("hv"))): _*)).as("band"))
+    val cand8 = bands8.as("a").join(bands8.as("b"),
+        col("a.band") === col("b.band")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.cfg").as("cfg"), col("a.nb").as("nb"),
-        col("a.rpb").as("rpb"),
-        col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+    def bandEq(members: Range): Column =
+      members.map(m => col(s"a.h$m") === col(s"b.h$m")).reduce(_ && _)
+    val cand = cand8
+      .join(sig.as("a"), $"da" === col("a.doc_id"))
+      .join(sig.as("b"), $"db" === col("b.doc_id"))
+      .select($"da", $"db",
+        ((0 until 2).map(g => bandEq(g * 4 until g * 4 + 4))
+          .reduce(_ || _)).as("in_2x4"),
+        ((0 until 4).map(g => bandEq(g * 2 until g * 2 + 2))
+          .reduce(_ || _)).as("in_4x2"))
       .cache()
     // exact verification once, on the loosest (8x1) superset
-    val superset = cand.filter($"cfg" === "8x1").select($"da", $"db")
+    val superset = cand.select($"da", $"db")
     val sizes = shingles.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
     val verified = superset
       .join(shingles.as("sa"), $"da" === col("sa.doc_id"))
@@ -213,11 +221,28 @@ object Dedup {
       .join(sizes.select($"doc_id".as("db"), $"nsh".as("nb2")), Seq("db"))
       .filter($"inter".cast("double") / ($"na" + $"nb2" - $"inter") >= 0.5)
       .select($"da", $"db", lit(true).as("dup"))
-    val out = OpsUtil.driverLiteral(cand
+    // one pass over the flagged candidate pairs yields all three
+    // configs' (n_cand, n_dup) — the former per-config groupBy over a
+    // 3× candidate union is now a single global aggregate
+    val counts = cand
       .join(verified, Seq("da", "db"), "left")
-      .groupBy($"cfg", $"nb", $"rpb")
-      .agg(count(lit(1)).as("n_cand"),
-        count(when($"dup", 1)).as("n_dup"))
+      .agg(
+        count(lit(1)).as("cand8"), count(when($"dup", 1)).as("dup8"),
+        count(when($"in_4x2", 1)).as("cand4"),
+        count(when($"in_4x2" && $"dup", 1)).as("dup4"),
+        count(when($"in_2x4", 1)).as("cand2"),
+        count(when($"in_2x4" && $"dup", 1)).as("dup2"))
+    val out = OpsUtil.driverLiteral(counts.select(explode(array(
+        struct(lit("2x4").as("cfg"), lit(2).as("nb"), lit(4).as("rpb"),
+          $"cand2".as("n_cand"), $"dup2".as("n_dup")),
+        struct(lit("4x2").as("cfg"), lit(4).as("nb"), lit(2).as("rpb"),
+          $"cand4".as("n_cand"), $"dup4".as("n_dup")),
+        struct(lit("8x1").as("cfg"), lit(8).as("nb"), lit(1).as("rpb"),
+          $"cand8".as("n_cand"), $"dup8".as("n_dup")))).as("r"))
+      .select($"r.cfg", $"r.nb", $"r.rpb", $"r.n_cand", $"r.n_dup")
+      // the former per-config groupBy emitted NO row for a config with
+      // zero candidates; reproduce that grouping semantics exactly
+      .filter($"n_cand" > 0)
       .withColumn("precision_ppm", expr("n_dup * 1000000 div n_cand"))
       .orderBy($"cfg"))
     cand.unpersist(); sig.unpersist(); shingles.unpersist()

@@ -54,6 +54,17 @@ object OpsUtil {
       .orderBy(col("h"), tie)
       .limit(k)
 
+  /** Multiset equality of two frames as ONE Spark action. The fixture
+    * audits used to run `a.exceptAll(b).isEmpty && b.exceptAll(a)
+    * .isEmpty` — two sequential jobs per audit, each paying its own
+    * scheduling + AQE round trips, which at the bench's tiny SF is
+    * most of the audit's wall time. The union form is the same
+    * multiset test (both directions empty ⟺ their union is empty)
+    * planned as one job; at cluster scale it is also better — one
+    * pass over each input instead of two. */
+  def sameRows(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty
+
   /** Materialize a SMALL (≤ a few hundred rows — profile/audit-sized)
     * result on the driver and rebuild it as a local DataFrame with the
     * identical schema. Lets a query unpersist its corpus-sized caches
@@ -62,6 +73,13 @@ object OpsUtil {
     * and return. Values and schema are bit-identical to the distributed
     * result, so oracle hashes are unchanged. */
   def driverLiteral(df: DataFrame): DataFrame = {
+    // Dev hook (plan evidence): a driverLiteral query's DECLARED frame
+    // is a LocalRelation, so `Explain` can't show the pipeline that
+    // computed it — with SPARK_GRAFT_EXPLAIN_INNER=1 the inner frame's
+    // formatted plan is printed before collection.
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN_INNER").contains("1"))
+      println("[inner-plan]\n" + df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     val rows = df.collect()
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)

@@ -61,13 +61,22 @@ object Relational {
     // that customer⋈nation joins it by broadcast with no further
     // shuffle (measured 2.0 s → see PLANS.md).
     val perOrder = l.groupBy($"l_orderkey").agg(sum(revenueExpr).as("rev"))
-    val perCust = perOrder.join(o, $"l_orderkey" === $"o_orderkey")
-      .groupBy($"o_custkey").agg(sum($"rev").as("crev"))
+    // NO per-customer collapse: the final groupBy(n_name) has map-side
+    // partial aggregation, so at most 25 rows per task reach its
+    // exchange no matter how many orders flow in — the former
+    // intermediate groupBy(o_custkey) was a full |orders|-row exchange
+    // that bought nothing (guide §2.4: two aggregations keyed
+    // differently = two shuffles; one suffices). Decimal sums
+    // re-associate exactly, so dropping the middle grouping is
+    // semantics-free; dimension joins stay broadcast.
     val custNation = c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .select($"c_custkey", $"n_name")
-    perCust.join(broadcast(custNation), $"o_custkey" === $"c_custkey")
+    perOrder
+      .join(o.select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(custNation), $"o_custkey" === $"c_custkey")
       .groupBy($"n_name")
-      .agg(sum($"crev").cast("double").as("revenue"))
+      .agg(sum($"rev").cast("double").as("revenue"))
       .orderBy($"revenue".desc, $"n_name")
       .limit(1)
   }

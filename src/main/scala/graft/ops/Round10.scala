@@ -391,11 +391,21 @@ object Round10 {
       // cross-DOC dedup within a source still needs the exchange, but
       // DistinctWordGrams pre-collapsed each document's repeats
       .distinct()
-    val srcDf = grams.groupBy($"g").agg(count(lit(1)).as("src_df"))
-    grams.join(srcDf, Seq("g"))
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_grams"),
-        count(when($"src_df" === 1, 1)).as("n_unique"))
+    // No join of the gram fan-out back to its df table: a gram with
+    // src_df = 1 has exactly ONE owning source, so min(source) in the
+    // same per-gram aggregate attributes it, and both outputs reduce
+    // to |sources|-row aggregates joined at the end — the former
+    // corpus-sized grams ⋈ srcDf reshuffle+probe never happens
+    // (guide §2.3: aggregate instead of join when the join only
+    // re-attaches an aggregate).
+    val perGram = grams.groupBy($"g")
+      .agg(count(lit(1)).as("src_df"), min($"source").as("only_src"))
+    val uniques = perGram.filter($"src_df" === 1)
+      .groupBy($"only_src".as("source"))
+      .agg(count(lit(1)).as("n_unique"))
+    grams.groupBy($"source").agg(count(lit(1)).as("n_grams"))
+      .join(uniques, Seq("source"), "left")
+      .na.fill(0L, Seq("n_unique"))
       .withColumn("unique_ppm", expr("n_unique * 1000000 div n_grams"))
       .orderBy($"source")
   }
@@ -663,12 +673,18 @@ object Round10 {
       // DistinctWordGrams pre-collapsed each document's repeats
       .distinct()
       .cache()
+    // No join of the gram fan-out back to its first-seen table: a
+    // gram is NEW in exactly the slice min(slice) names, so per-slice
+    // novelty is the |slices|-row aggregate of firstSeen itself, and
+    // per-slice volume a second tiny aggregate — the former
+    // corpus-sized grams ⋈ firstSeen reshuffle never happens (the
+    // q174 rewrite; guide §2.3).
     val firstSeen = grams.groupBy($"g").agg(min($"slice").as("fs"))
     val out = OpsUtil.driverLiteral(grams
-      .join(firstSeen, Seq("g"))
-      .groupBy($"slice")
-      .agg(count(lit(1)).as("n_grams"),
-        count(when($"fs" === $"slice", 1)).as("n_new"))
+      .groupBy($"slice").agg(count(lit(1)).as("n_grams"))
+      .join(firstSeen.groupBy($"fs".as("slice"))
+        .agg(count(lit(1)).as("n_new")), Seq("slice"), "left")
+      .na.fill(0L, Seq("n_new"))
       .withColumn("new_ppm", expr("n_new * 1000000 div n_grams"))
       .orderBy($"slice"))
     grams.unpersist()

@@ -905,18 +905,18 @@ object Round14 {
       // one sorted file per commit: ids are then doc_id-aligned, which
       // lets the DuckDB oracle derive every expected id from first
       // principles instead of trusting the engine under test
-      docs.filter(col("doc_id") < 10).orderBy("doc_id").coalesce(1)
+      docs.filter(col("doc_id") < 10).coalesce(1).sortWithinPartitions("doc_id")
         .writeTo(s"$cat.t").tableProperty("versioned", "true")
         .tableProperty("row.tracking", "true")
         .tableProperty("delete.mode", "merge-on-read")
         .tableProperty("update.mode", "merge-on-read")
         .create()                                  // v0 enable, v1 append
       docs.filter(col("doc_id") >= 10 && col("doc_id") < 15)
-        .orderBy("doc_id").coalesce(1)
+        .coalesce(1).sortWithinPartitions("doc_id")
         .writeTo(s"$cat.t").append()               // v2: ids 10-14
       spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (2, 11)") // v3: MOR
       spark.sql(s"CALL $cat.system.optimize('t', 1, '')")      // v4: concat
-      docs.filter(col("doc_id") >= 15).orderBy("doc_id").coalesce(1)
+      docs.filter(col("doc_id") >= 15).coalesce(1).sortWithinPartitions("doc_id")
         .writeTo(s"$cat.t").append()               // v5: ids 15-17
       spark.sql(
         s"UPDATE $cat.t SET n_words = n_words + 1000 WHERE doc_id = 5") // v6
@@ -931,7 +931,7 @@ object Round14 {
         s"SELECT doc_id, _row_id AS rid FROM $cat.t VERSION AS OF 3")
       val post = spark.sql(
         s"SELECT doc_id, _row_id AS rid FROM $cat.t VERSION AS OF 4")
-      require(pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty,
+      require(OpsUtil.sameRows(pre, post),
         "bin-packing OPTIMIZE must preserve every row id")
       // a clustered rewrite would reorder rows: reject, never reassign
       val zorderRejected =
@@ -972,9 +972,9 @@ object Round14 {
     try {
       val docs = spark.read.format("graft.sources.GraftDocsSource")
         .option("rows", "12").load()
-      docs.filter(col("doc_id") < 8).orderBy("doc_id").coalesce(1)
+      docs.filter(col("doc_id") < 8).coalesce(1).sortWithinPartitions("doc_id")
         .writeTo(s"$cat.t").tableProperty("versioned", "true").create()
-      docs.filter(col("doc_id") >= 8).orderBy("doc_id").coalesce(1)
+      docs.filter(col("doc_id") >= 8).coalesce(1).sortWithinPartitions("doc_id")
         .writeTo(s"$cat.t").append()
       val t = wh.resolve("t")
       // plant the three debris shapes a crash can leave
@@ -1036,18 +1036,18 @@ object Round14 {
     try {
       val docs = spark.read.format("graft.sources.GraftDocsSource")
         .option("rows", "14").load()
-      docs.filter(col("doc_id") < 8).orderBy("doc_id").coalesce(1)
+      docs.filter(col("doc_id") < 8).coalesce(1).sortWithinPartitions("doc_id")
         .writeTo(s"$cat.t").tableProperty("versioned", "true")
         .tableProperty("delete.mode", "merge-on-read")
         .tableProperty("update.mode", "merge-on-read")
         .create()                                   // v0 enable, v1 append
       docs.filter(col("doc_id") >= 8 && col("doc_id") < 12)
-        .orderBy("doc_id").coalesce(1)
+        .coalesce(1).sortWithinPartitions("doc_id")
         .writeTo(s"$cat.t").append()                // v2
       spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (1, 9)")      // v3
       spark.sql(
         s"UPDATE $cat.t SET n_words = n_words + 1000 WHERE doc_id = 3") // v4
-      docs.filter(col("doc_id") >= 12).orderBy("doc_id").coalesce(1)
+      docs.filter(col("doc_id") >= 12).coalesce(1).sortWithinPartitions("doc_id")
         .writeTo(s"$cat.t").append()                // v5
 
       def changes(opts: (String, String)*): DataFrame = {
@@ -1098,13 +1098,13 @@ object Round14 {
     try {
       val docs = spark.read.format("graft.sources.GraftDocsSource")
         .option("rows", "18").load()
-      docs.filter(col("doc_id") < 10).orderBy("doc_id").coalesce(1)
+      docs.filter(col("doc_id") < 10).coalesce(1).sortWithinPartitions("doc_id")
         .writeTo(s"$cat.t").tableProperty("versioned", "true")
         .tableProperty("delete.mode", "merge-on-read")
         .tableProperty("update.mode", "merge-on-read")
         .create()                                   // v0, v1
       docs.filter(col("doc_id") >= 10 && col("doc_id") < 16)
-        .orderBy("doc_id").coalesce(1)
+        .coalesce(1).sortWithinPartitions("doc_id")
         .writeTo(s"$cat.t").append()                // v2
 
       // materialize the aggregate AT snapshot v2 (the "last refresh")
@@ -1119,7 +1119,7 @@ object Round14 {
       spark.sql(s"DELETE FROM $cat.t WHERE doc_id IN (4, 13)")       // v3
       spark.sql(
         s"UPDATE $cat.t SET n_words = n_words + 1000 WHERE doc_id = 7") // v4
-      docs.filter(col("doc_id") >= 16).orderBy("doc_id").coalesce(1)
+      docs.filter(col("doc_id") >= 16).coalesce(1).sortWithinPartitions("doc_id")
         .writeTo(s"$cat.t").append()                // v5
 
       // refresh = materialized + signed CDF deltas since matVersion
@@ -1150,8 +1150,7 @@ object Round14 {
         .groupBy((col("doc_id") % 4).cast("long").as("k"))
         .agg(sum("n_words").cast("long").as("sum_words"),
           count(lit(1)).cast("long").as("n_docs"))
-      require(refreshed.exceptAll(full).isEmpty &&
-        full.exceptAll(refreshed).isEmpty,
+      require(OpsUtil.sameRows(refreshed, full),
         "incremental refresh must equal the full recompute")
       OpsUtil.driverLiteral(refreshed)
     } finally teardown(spark, cat, wh)
@@ -1188,7 +1187,7 @@ object Round14 {
            |  TBLPROPERTIES('versioned'='true')""".stripMargin)
       val docs = spark.read.format("graft.sources.GraftDocsSource")
         .option("rows", "16").load()
-      docs.filter(col("doc_id") < 8).orderBy("doc_id").coalesce(1)
+      docs.filter(col("doc_id") < 8).coalesce(1).sortWithinPartitions("doc_id")
         .writeTo(s"$cat.t").append()                          // v1: spec 0
       val t = wh.resolve("t")
       def snap(phase: String): DataFrame = {
@@ -1202,7 +1201,7 @@ object Round14 {
       val a = snap("a_two_buckets")
       spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES(" +
         "'layout.bucket'='doc_id:4')")                        // v2: DDL
-      docs.filter(col("doc_id") >= 8).orderBy("doc_id").coalesce(1)
+      docs.filter(col("doc_id") >= 8).coalesce(1).sortWithinPartitions("doc_id")
         .writeTo(s"$cat.t").append()                          // v3: spec 1
       val b = snap("b_evolved_mixed")
       spark.sql(s"CALL $cat.system.optimize('t', 1, '')").collect() // v4
@@ -1315,7 +1314,7 @@ object Round14 {
       // COW ≡ MOR before anything is hashed: same rows, both ways
       val cow = spark.table(s"$cat.cow")
       val mor = spark.table(s"$cat.mor")
-      require(cow.exceptAll(mor).isEmpty && mor.exceptAll(cow).isEmpty,
+      require(OpsUtil.sameRows(cow, mor),
         "copy-on-write and merge-on-read MERGE diverged")
       def masks(t: String): Long =
         GraftVersions.latest(wh.resolve(t)).get.entries
@@ -1404,7 +1403,7 @@ object Round14 {
       spark.sql(
         s"UPDATE $cat.s SET n_words = n_words + 1000 WHERE doc_id % 7 = 3")
       spark.sql(s"DELETE FROM $cat.s WHERE doc_id % 5 = 3")          // v3
-      docs.filter(col("doc_id") >= 20).orderBy("doc_id").coalesce(1)
+      docs.filter(col("doc_id") >= 20).coalesce(1).sortWithinPartitions("doc_id")
         .writeTo(s"$cat.s").append()                                 // v4
       // one CDF read since the bootstrap; newest image per key wins
       // (preimages dropped — the replica needs the AFTER state)
@@ -1429,7 +1428,7 @@ object Round14 {
       spark.catalog.dropTempView(s"${cat}_delta")
       val src = spark.table(s"$cat.s")
       val rep = spark.table(s"$cat.r")
-      require(src.exceptAll(rep).isEmpty && rep.exceptAll(src).isEmpty,
+      require(OpsUtil.sameRows(src, rep),
         "CDF replication diverged from the source")
       val audit = Seq("replica" -> rep, "source" -> src).map {
         case (m, df) =>
@@ -1567,7 +1566,7 @@ object Round14 {
       def audit(phase: String): DataFrame = {
         val src = spark.table(s"$cat.s")
         val rep = spark.table(s"$cat.r")
-        require(src.exceptAll(rep).isEmpty && rep.exceptAll(src).isEmpty,
+        require(OpsUtil.sameRows(src, rep),
           s"$phase: streaming replica diverged from the source")
         OpsUtil.driverLiteral(rep.agg(
           count(lit(1)).cast("long").as("n_rows"),

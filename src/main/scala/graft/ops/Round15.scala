@@ -147,7 +147,7 @@ object Round15 {
         spark.read.format("graft.sources.GraftDocsSource")
           .option("rows", hi.toString).load()
           .filter(col("doc_id") >= lo)
-          .repartition(1).sortWithinPartitions("doc_id")
+          .coalesce(1).sortWithinPartitions("doc_id")
           .createOrReplaceTempView(s"${cat}_b")
         spark.sql(
           s"""INSERT INTO $cat.t (doc_id, title, fp, n_words)

@@ -63,7 +63,7 @@ object Round16 {
     spark.read.format("graft.sources.GraftDocsSource")
       .option("rows", hi.toString).load()
       .filter(col("doc_id") >= lo)
-      .repartition(1).sortWithinPartitions("doc_id")
+      .coalesce(1).sortWithinPartitions("doc_id")
       .createOrReplaceTempView(s"${cat}_b")
     spark.sql(
       s"""INSERT INTO $cat.t (doc_id, title, fp, n_words)
@@ -212,7 +212,7 @@ object Round16 {
       spark.read.format("graft.sources.GraftDocsSource")
         .option("rows", "18").load().filter(col("doc_id") >= 12)
         .withColumn("tag", col("doc_id") * 10)
-        .repartition(1).sortWithinPartitions("doc_id")
+        .coalesce(1).sortWithinPartitions("doc_id")
         .createOrReplaceTempView(s"${cat}_b3")
       spark.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_b3")   // v3
       spark.catalog.dropTempView(s"${cat}_b3")
@@ -221,7 +221,7 @@ object Round16 {
       spark.read.format("graft.sources.GraftDocsSource")
         .option("rows", "21").load().filter(col("doc_id") >= 18)
         .withColumn("label", col("doc_id") * 100)
-        .repartition(1).sortWithinPartitions("doc_id")
+        .coalesce(1).sortWithinPartitions("doc_id")
         .createOrReplaceTempView(s"${cat}_b6")
       spark.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_b6")   // v6
       spark.catalog.dropTempView(s"${cat}_b6")
@@ -276,7 +276,7 @@ object Round16 {
       spark.sql(s"DELETE FROM $cat.t.branch_b WHERE doc_id = 3")
       spark.read.format("graft.sources.GraftDocsSource")
         .option("rows", "14").load().filter(col("doc_id") >= 10)
-        .repartition(1).sortWithinPartitions("doc_id")
+        .coalesce(1).sortWithinPartitions("doc_id")
         .createOrReplaceTempView(s"${cat}_bb")
       spark.sql(
         s"""INSERT INTO $cat.t.branch_b (doc_id, title, fp, n_words)
@@ -462,7 +462,7 @@ object Round16 {
         spark.read.format("graft.sources.GraftDocsSource")
           .option("rows", (4 * b + 4).toString).load()
           .filter(col("doc_id") >= 4 * b)
-          .repartition(1).sortWithinPartitions("doc_id")
+          .coalesce(1).sortWithinPartitions("doc_id")
           .createOrReplaceTempView(s"${cat}_b")
         spark.sql(s"INSERT INTO $cat.src SELECT * FROM ${cat}_b")
         spark.catalog.dropTempView(s"${cat}_b")
@@ -666,7 +666,7 @@ object Round16 {
         spark.read.format("graft.sources.GraftDocsSource")
           .option("rows", (4 * b + 4).toString).load()
           .filter(col("doc_id") >= 4 * b)
-          .repartition(1).sortWithinPartitions("doc_id")
+          .coalesce(1).sortWithinPartitions("doc_id")
           .createOrReplaceTempView(s"${cat}_b")
         spark.sql(s"INSERT INTO $cat.src SELECT * FROM ${cat}_b")
         spark.catalog.dropTempView(s"${cat}_b")
@@ -758,8 +758,7 @@ object Round16 {
       val (offScanned, offAggregated) = facts(viaSource)
       spark.conf.unset("spark.graft.mv.rewrite")
       // soundness: the rewrite must be invisible in the RESULT
-      require(viaMv.exceptAll(viaSource).isEmpty &&
-        viaSource.exceptAll(viaMv).isEmpty,
+      require(OpsUtil.sameRows(viaMv, viaSource),
         "mv rewrite changed the query result")
       val out = viaMv.orderBy("k")
         .withColumn("rewrite_scans_view", lit(mvScanned))
@@ -1062,11 +1061,9 @@ object Round16 {
       val globalViaSource = global()
       spark.conf.unset("spark.graft.mv.rewrite")
       // soundness: the roll-up must be invisible in the RESULT
-      require(viaMv.exceptAll(viaSource).isEmpty &&
-        viaSource.exceptAll(viaMv).isEmpty,
+      require(OpsUtil.sameRows(viaMv, viaSource),
         "mv roll-up rewrite changed the grouped query result")
-      require(globalViaMv.exceptAll(globalViaSource).isEmpty &&
-        globalViaSource.exceptAll(globalViaMv).isEmpty,
+      require(OpsUtil.sameRows(globalViaMv, globalViaSource),
         "mv roll-up rewrite changed the global aggregate result")
       val g = globalViaMv.head()
       val out = viaMv.orderBy("k2")
@@ -1225,11 +1222,9 @@ object Round16 {
       val viaSource = grouped()
       val globalViaSource = global()
       spark.conf.unset("spark.graft.mv.rewrite")
-      require(viaMv.exceptAll(viaSource).isEmpty &&
-        viaSource.exceptAll(viaMv).isEmpty,
+      require(OpsUtil.sameRows(viaMv, viaSource),
         "derived-aggregate rewrite changed the grouped result")
-      require(globalViaMv.exceptAll(globalViaSource).isEmpty &&
-        globalViaSource.exceptAll(globalViaMv).isEmpty,
+      require(OpsUtil.sameRows(globalViaMv, globalViaSource),
         "derived-aggregate rewrite changed the global result")
       val g = globalViaMv.head()
       val out = viaMv.orderBy("k3")
@@ -1299,11 +1294,9 @@ object Round16 {
       val viaSource = pinned()
       val globalViaSource = pinnedGlobal()
       spark.conf.unset("spark.graft.mv.rewrite")
-      require(viaMv.exceptAll(viaSource).isEmpty &&
-        viaSource.exceptAll(viaMv).isEmpty,
+      require(OpsUtil.sameRows(viaMv, viaSource),
         "historical rewrite changed the pinned grouped result")
-      require(globalViaMv.exceptAll(globalViaSource).isEmpty &&
-        globalViaSource.exceptAll(globalViaMv).isEmpty,
+      require(OpsUtil.sameRows(globalViaMv, globalViaSource),
         "historical rewrite changed the pinned global result")
       val g = globalViaMv.head()
       val out = viaMv.orderBy("k")

@@ -53,7 +53,7 @@ object Round17 {
     spark.read.format("graft.sources.GraftDocsSource")
       .option("rows", hi.toString).load()
       .filter(col("doc_id") >= lo)
-      .repartition(1).sortWithinPartitions("doc_id")
+      .coalesce(1).sortWithinPartitions("doc_id")
       .createOrReplaceTempView(s"${cat}_b")
     spark.sql(
       s"""INSERT INTO $cat.t (doc_id, title, fp, n_words)
@@ -79,7 +79,7 @@ object Round17 {
 
   private def requireSameResult(a: DataFrame, b: DataFrame, what: String)
       : Unit =
-    require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+    require(OpsUtil.sameRows(a, b),
       s"mv rewrite changed the $what result")
 
   // ---------------------------------------------------------------------
@@ -318,7 +318,7 @@ object Round17 {
       insertRange(spark, cat, 0, 36)                            // t v1
       spark.read.format("graft.sources.GraftDocsSource")
         .option("rows", "6").load()
-        .repartition(1).sortWithinPartitions("doc_id")
+        .coalesce(1).sortWithinPartitions("doc_id")
         .createOrReplaceTempView(s"${cat}_dim")
       spark.sql(
         s"""INSERT INTO $cat.d (doc_id, title, fp, n_words)
@@ -435,7 +435,7 @@ object Round17 {
       insertRange(spark, cat, 0, 48)                            // t v1
       spark.read.format("graft.sources.GraftDocsSource")
         .option("rows", "6").load()
-        .repartition(1).sortWithinPartitions("doc_id")
+        .coalesce(1).sortWithinPartitions("doc_id")
         .createOrReplaceTempView(s"${cat}_dim")
       spark.sql(
         s"""INSERT INTO $cat.d (doc_id, title, fp, n_words)

@@ -56,7 +56,7 @@ object Round18 {
     spark.read.format("graft.sources.GraftDocsSource")
       .option("rows", hi.toString).load()
       .filter(col("doc_id") >= lo)
-      .repartition(1).sortWithinPartitions("doc_id")
+      .coalesce(1).sortWithinPartitions("doc_id")
       .createOrReplaceTempView(s"${cat}_b")
     spark.sql(
       s"""INSERT INTO $cat.t (doc_id, title, fp, n_words)
@@ -82,7 +82,7 @@ object Round18 {
 
   private def requireSameResult(a: DataFrame, b: DataFrame, what: String)
       : Unit =
-    require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+    require(OpsUtil.sameRows(a, b),
       s"mv rewrite changed the $what result")
 
   // ---------------------------------------------------------------------
@@ -331,7 +331,7 @@ object Round18 {
       def seedDim(tbl: String, rows: Int): Unit = {
         spark.read.format("graft.sources.GraftDocsSource")
           .option("rows", rows.toString).load()
-          .repartition(1).sortWithinPartitions("doc_id")
+          .coalesce(1).sortWithinPartitions("doc_id")
           .createOrReplaceTempView(s"${cat}_$tbl")
         spark.sql(
           s"""INSERT INTO $cat.$tbl (doc_id, title, fp, n_words)

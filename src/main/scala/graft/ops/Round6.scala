@@ -285,11 +285,17 @@ object Round6 {
     // exchange; only the deduped fingerprint rows leave the operator.
     // The expression returns [] for docs shorter than one full window
     // (k+w-1 chars), so the old length filter is implicit.
+    // NO corpus-wide `.distinct()`: WinnowedFingerprints already emits
+    // each document's fingerprint SET (LinkedHashSet inside the
+    // expression), and doc_ids are unique across the union, so the
+    // exploded (doc_id, wm) rows are distinct by construction — the
+    // former distinct was a full extra exchange + aggregate over the
+    // fan-out for nothing (guide §2.4: a distinct on already-unique
+    // data is an accidental shuffle).
     val fps = Dedup.fanoutReady(corpus)
       .select($"doc_id",
         explode(graft.functions.TextExprs
           .winnowedFingerprints($"text", k, w)).as("wm"))
-      .distinct()
       .cache()
     // the df filter is corpus-derived, so it is NOT broadcast-hinted (at
     // 100 TB it is itself large); it shuffles on wm — the same key the

@@ -594,10 +594,17 @@ object Round7 {
     val corpus = base.unionByName(
       base.filter($"doc_id" % 7 === 0)
         .withColumn("doc_id", $"doc_id" + 1000000L)).cache()
+    // keep-first = the min-doc_id row per text: a hash AGGREGATE with
+    // map-side partial combine instead of the former text-partitioned
+    // window (shuffle + per-partition SORT + rank-filter) — same rows
+    // kept (doc_ids are unique so min_by is deterministic), one sort
+    // fewer, and partial aggregation collapses duplicate texts before
+    // the exchange (guide §2.3 aggregate-before-shuffle).
     val dedup = corpus
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"text").orderBy($"doc_id")))
-      .filter($"rn" === 1)
+      .groupBy($"text")
+      .agg(min($"doc_id").as("doc_id"),
+        min_by($"lang", $"doc_id").as("lang"),
+        min_by($"n_chars", $"doc_id").as("n_chars"))
       .select($"doc_id", $"lang", $"text", $"n_chars")
       .cache()
     val tok = Dedup.fanoutReady(dedup)
@@ -645,12 +652,14 @@ object Round7 {
       .filter($"boff" + $"rk_in" <= lit(nKept * 95 / 100))
       .select($"doc_id", $"lang")
       .cache()
+    // DistinctWordGrams (the q41/q167 rewrite): per-document distinct
+    // 5-grams emitted DURING the scan by one codegen'd expression —
+    // the interpreted per-position slice/concat_ws chain disappears,
+    // and both consumers below only test gram EXISTENCE (a distinct
+    // set joins identically to the positional stream).
     def grams5(df: DataFrame, idCol: String) = df
-      .select(col(idCol), split($"text", " ").as("w"))
-      .filter(size($"w") >= 5)
-      .select(col(idCol), $"w",
-        explode(sequence(lit(1), size($"w") - 4)).as("i"))
-      .select(col(idCol), concat_ws(" ", slice($"w", $"i", lit(5))).as("gram"))
+      .select(col(idCol), explode(graft.functions.TextExprs
+        .distinctWordGrams($"text", 5)).as("gram"))
     val bgram = grams5(corpus.filter($"doc_id" % 97 === 0), "doc_id")
       .select($"gram").distinct()
     val contam = grams5(

@@ -935,17 +935,15 @@ object Round9 {
     * recall of the probabilistic path against the exact one. */
   val q160ExactSimJoin: Q = (spark, dir) => {
     import spark.implicits._
-    val toks = Dedup.fanoutReady(Tables.documents(spark, dir))
+    // DistinctWordGrams shingles — the q41/q186 rewrite applied here
+    // too: per-document dedup happens DURING the scan, so the
+    // corpus-wide (doc, shingle) `.distinct()` exchange (formerly this
+    // query's largest shuffle) and the interpreted per-position HOF
+    // chain no longer exist (guide §2.4 remove shuffles outright).
+    val sh = Dedup.fanoutReady(Tables.documents(spark, dir))
       .select($"doc_id",
-        filter(split($"text", "\\s+"), t => length(t) > 0).as("t"))
-      .filter(size($"t") >= 3)
-    val sh = toks
-      .select($"doc_id", $"t",
-        explode(sequence(lit(0), size($"t") - 3)).as("i"))
-      .select($"doc_id",
-        concat_ws(" ", element_at($"t", $"i" + 1), element_at($"t", $"i" + 2),
-          element_at($"t", $"i" + 3)).as("s"))
-      .distinct()
+        explode(graft.functions.TextExprs
+          .distinctWordGrams($"text", 3)).as("s"))
       .cache()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
     // Intersections come from ONE co-shingle self-join: every pair's
@@ -981,13 +979,19 @@ object Round9 {
         .as(s"h$j")
     }
     val sig = sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
-    val lshCand = (0 until 4).map { b =>
-      sig.as("xa").join(sig.as("xb"),
-          col(s"xa.h${2 * b}") === col(s"xb.h${2 * b}")
-            && col(s"xa.h${2 * b + 1}") === col(s"xb.h${2 * b + 1}")
-            && col("xa.doc_id") < col("xb.doc_id"))
-        .select(col("xa.doc_id").as("doc_a"), col("xb.doc_id").as("doc_b"))
-    }.reduce(_ unionByName _).distinct()
+    // ONE band self-join on an exact (band#, h_lo, h_hi) struct key
+    // instead of four separate signature self-joins + union: same
+    // candidate set (struct equality is exact — no hash to match
+    // across engines), a quarter of the join stages and one distinct
+    // (guide §2.4; the q41/q186 banding shape reused).
+    val sigBands = sig.select($"doc_id", explode(array((0 until 4).map(b =>
+        struct(lit(b).as("bno"), col(s"h${2 * b}").as("lo"),
+          col(s"h${2 * b + 1}").as("hi"))): _*)).as("band"))
+    val lshCand = sigBands.as("xa").join(sigBands.as("xb"),
+        col("xa.band") === col("xb.band")
+          && col("xa.doc_id") < col("xb.doc_id"))
+      .select(col("xa.doc_id").as("doc_a"), col("xb.doc_id").as("doc_b"))
+      .distinct()
       .withColumn("lsh_hit", lit(true))
     truth.join(lshCand, Seq("doc_a", "doc_b"), "left")
       .withColumn("lsh_hit", coalesce($"lsh_hit", lit(false)))
