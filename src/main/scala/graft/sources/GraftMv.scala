@@ -245,7 +245,7 @@ object GraftMv {
     try {
       GraftVersions.enable(tmp)
       GraftTableMeta.write(tmp, GraftTableMeta.read(root))
-      rows.orderBy("doc_id").coalesce(1)
+      rows.coalesce(1).sortWithinPartitions("doc_id")
         .write.format("graft.sources.GraftDocsSource")
         .option("path", tmp.toString).mode("append").save()
       val staged = GraftVersions.latest(tmp).map(_.entries).getOrElse(Nil)
