@@ -204,17 +204,29 @@ object Round10 {
       .withColumn("h", md5($"v".cast("string")))
       .withColumn("blk", ($"v" / 65536L).cast("long"))
       .cache()
+    // The three probes below are INDEPENDENT reads of the same cached
+    // relation; the first collect materializes the cache, then the
+    // other two run as concurrent jobs instead of serial driver round
+    // trips (guide §2.6 overlap-independent-jobs — the back-fill shape;
+    // each result is a deterministic sorted collect, so concurrency
+    // cannot reorder anything observable).
     val direct = vals.orderBy($"h", $"v").limit(64)
       .select($"v").collect().map(_.getLong(0))
-    val merged = vals
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val mergedF = Future(vals
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(pmod($"v", lit(16L))).orderBy($"h", $"v")))
       .filter($"rn" <= 64)
       .orderBy($"h", $"v").limit(64)
-      .select($"v").collect().map(_.getLong(0))
-    val blkCounts = vals.groupBy($"blk").agg(count(lit(1)).as("bc"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .select($"v").collect().map(_.getLong(0)))
+    val blkCountsF = Future(vals.groupBy($"blk").agg(count(lit(1)).as("bc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1))
+    val merged = Await.result(mergedF, Duration.Inf)
+    val blkCounts = Await.result(blkCountsF, Duration.Inf)
     val n = blkCounts.map(_._2).sum
     val offsets = blkCounts.map(_._1)
       .zip(blkCounts.map(_._2).scanLeft(0L)(_ + _)).toSeq

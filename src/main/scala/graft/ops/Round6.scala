@@ -89,7 +89,10 @@ object Round6 {
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
       .filter(length($"tok") > 0)
       .cache()
-    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    // vocab-sized and consumed twice (the corpus-total scalar and the
+    // broadcast score join) — cached so the token aggregation runs
+    // once, not once per consumer
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt")).cache()
     // corpus token total: a vocab-sized agg collapsed to one driver long
     // (q76's corpus-scalar shape — the value parameterizes the plan)
     val total = vocab.agg(sum($"cnt")).head().getLong(0)

@@ -170,11 +170,14 @@ object Round7 {
   val q108DsirWeights: Q = (spark, dir) => {
     import spark.implicits._
     val t = toks(Tables.documents(spark, dir)).cache()
-    val raw = t.groupBy($"tok").agg(count(lit(1)).as("cnt_r"))
-    val tgt = t.filter($"lang" === "en")
-      .groupBy($"tok").agg(count(lit(1)).as("cnt_t"))
-    val model = raw.join(tgt, Seq("tok"), "left")
-      .withColumn("cnt_t", coalesce($"cnt_t", lit(0L)))
+    // ONE conditional aggregation builds both the raw and the target
+    // counts — the former separate en-only aggregation and the
+    // raw ⋈ tgt left join (a second full pass over the token stream
+    // plus a vocab-sized join) compute exactly count-when (guide §2.3
+    // aggregate-before-shuffle; 0-fill falls out of count's semantics)
+    val model = t.groupBy($"tok")
+      .agg(count(lit(1)).as("cnt_r"),
+        count(when($"lang" === "en", 1)).as("cnt_t"))
       .cache()
     val Seq(nR, nT, v) = {
       val r = model.agg(sum($"cnt_r"), sum($"cnt_t"), count(lit(1))).head()
@@ -468,10 +471,16 @@ object Round7 {
       .select($"doc_id", element_at($"w", $"i" + 1).as("w1"),
         element_at($"w", $"i" + 2).as("w2"))
       .cache()
-    val uni = grams.groupBy($"w1").agg(count(lit(1)).as("c1"))
-    // smoothing vocabulary = distinct bigram-prefix tokens (driver
-    // scalar, the q100 corpus-scalar shape)
-    val v = grams.select($"w1").distinct().count()
+    // vocab-sized and consumed twice (the smoothing-V count and the
+    // bigram join) — cached so the unigram aggregation over the bigram
+    // fan-out runs once, not twice
+    val uni = grams.groupBy($"w1").agg(count(lit(1)).as("c1")).cache()
+    // smoothing vocabulary = distinct bigram-prefix tokens = exactly
+    // the unigram table's row count (one row per distinct w1): the
+    // former separate distinct().count() re-aggregated the whole
+    // bigram stream a second time for a number uni already holds
+    // (guide §1.2: don't compute things you throw away)
+    val v = uni.count()
     val bi = grams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
       .join(uni, Seq("w1"))
       .withColumn("sq",
