@@ -137,8 +137,12 @@ object Pipelines {
     // models): submit them as concurrent Spark job groups so the fits
     // overlap instead of serializing — the standard parameter-sweep shape
     // on a real cluster. Results are collected in case order, and every
-    // fit is seeded, so the output stays deterministic.
-    val poolSize = sys.env.getOrElse("SPARK_GRAFT_ML_POOL", "4").toInt
+    // fit is seeded, so the output stays deterministic. All 8 fits fly
+    // at once (r19-verdict item 3, guide §2.6): each fit's jobs are
+    // short, driver-bound stages over the tiny cached splits, so a
+    // 4-deep pool left half the independent work serialized behind the
+    // other half's stage tails.
+    val poolSize = sys.env.getOrElse("SPARK_GRAFT_ML_POOL", "8").toInt
     val rows =
       if (poolSize <= 1) cases.map(fitCase)
       else {

@@ -65,6 +65,36 @@ object OpsUtil {
   def sameRows(a: DataFrame, b: DataFrame): Boolean =
     a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty
 
+  /** Multiset equality of two BOUNDED frames, decided on the driver.
+    *
+    * For the lakehouse/MV fixture audits both sides are tiny BY
+    * CONSTRUCTION at any data scale — view-grain aggregates (≤ the
+    * group count, 6–12 rows) or constant-size fixture tables (≤ ~50
+    * rows from GraftDocsSource): the frames never grow with the input
+    * dir, so two collects are scale-safe, while the distributed
+    * [[sameRows]] plan (two exceptAll aggregates, each shuffling both
+    * inputs, unioned under AQE) paid ~6 query-stage jobs of pure
+    * scheduling per audit at bench SF (guide §1.2). Row.equals handles
+    * NaN and compares decimals by value, matching exceptAll's
+    * null-safe semantics for these schemas; both sides share a schema
+    * at identical types, so map-key hashing is consistent. Keep
+    * [[sameRows]] for any comparison whose inputs scale with the
+    * corpus. */
+  def sameRowsLocal(a: DataFrame, b: DataFrame): Boolean = {
+    val ca = a.collect(); val cb = b.collect()
+    ca.length == cb.length && {
+      val counts = scala.collection.mutable.HashMap
+        .empty[org.apache.spark.sql.Row, Int]
+      ca.foreach(r => counts.update(r, counts.getOrElse(r, 0) + 1))
+      cb.forall { r =>
+        counts.get(r) match {
+          case Some(n) if n > 0 => counts.update(r, n - 1); true
+          case _ => false
+        }
+      }
+    }
+  }
+
   /** Materialize a SMALL (≤ a few hundred rows — profile/audit-sized)
     * result on the driver and rebuild it as a local DataFrame with the
     * identical schema. Lets a query unpersist its corpus-sized caches

@@ -931,7 +931,7 @@ object Round14 {
         s"SELECT doc_id, _row_id AS rid FROM $cat.t VERSION AS OF 3")
       val post = spark.sql(
         s"SELECT doc_id, _row_id AS rid FROM $cat.t VERSION AS OF 4")
-      require(OpsUtil.sameRows(pre, post),
+      require(OpsUtil.sameRowsLocal(pre, post),
         "bin-packing OPTIMIZE must preserve every row id")
       // a clustered rewrite would reorder rows: reject, never reassign
       val zorderRejected =
@@ -1150,7 +1150,7 @@ object Round14 {
         .groupBy((col("doc_id") % 4).cast("long").as("k"))
         .agg(sum("n_words").cast("long").as("sum_words"),
           count(lit(1)).cast("long").as("n_docs"))
-      require(OpsUtil.sameRows(refreshed, full),
+      require(OpsUtil.sameRowsLocal(refreshed, full),
         "incremental refresh must equal the full recompute")
       OpsUtil.driverLiteral(refreshed)
     } finally teardown(spark, cat, wh)
@@ -1314,7 +1314,7 @@ object Round14 {
       // COW ≡ MOR before anything is hashed: same rows, both ways
       val cow = spark.table(s"$cat.cow")
       val mor = spark.table(s"$cat.mor")
-      require(OpsUtil.sameRows(cow, mor),
+      require(OpsUtil.sameRowsLocal(cow, mor),
         "copy-on-write and merge-on-read MERGE diverged")
       def masks(t: String): Long =
         GraftVersions.latest(wh.resolve(t)).get.entries
@@ -1428,7 +1428,7 @@ object Round14 {
       spark.catalog.dropTempView(s"${cat}_delta")
       val src = spark.table(s"$cat.s")
       val rep = spark.table(s"$cat.r")
-      require(OpsUtil.sameRows(src, rep),
+      require(OpsUtil.sameRowsLocal(src, rep),
         "CDF replication diverged from the source")
       val audit = Seq("replica" -> rep, "source" -> src).map {
         case (m, df) =>
@@ -1566,7 +1566,7 @@ object Round14 {
       def audit(phase: String): DataFrame = {
         val src = spark.table(s"$cat.s")
         val rep = spark.table(s"$cat.r")
-        require(OpsUtil.sameRows(src, rep),
+        require(OpsUtil.sameRowsLocal(src, rep),
           s"$phase: streaming replica diverged from the source")
         OpsUtil.driverLiteral(rep.agg(
           count(lit(1)).cast("long").as("n_rows"),

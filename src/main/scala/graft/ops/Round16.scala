@@ -758,7 +758,7 @@ object Round16 {
       val (offScanned, offAggregated) = facts(viaSource)
       spark.conf.unset("spark.graft.mv.rewrite")
       // soundness: the rewrite must be invisible in the RESULT
-      require(OpsUtil.sameRows(viaMv, viaSource),
+      require(OpsUtil.sameRowsLocal(viaMv, viaSource),
         "mv rewrite changed the query result")
       val out = viaMv.orderBy("k")
         .withColumn("rewrite_scans_view", lit(mvScanned))
@@ -1061,9 +1061,9 @@ object Round16 {
       val globalViaSource = global()
       spark.conf.unset("spark.graft.mv.rewrite")
       // soundness: the roll-up must be invisible in the RESULT
-      require(OpsUtil.sameRows(viaMv, viaSource),
+      require(OpsUtil.sameRowsLocal(viaMv, viaSource),
         "mv roll-up rewrite changed the grouped query result")
-      require(OpsUtil.sameRows(globalViaMv, globalViaSource),
+      require(OpsUtil.sameRowsLocal(globalViaMv, globalViaSource),
         "mv roll-up rewrite changed the global aggregate result")
       val g = globalViaMv.head()
       val out = viaMv.orderBy("k2")
@@ -1222,9 +1222,9 @@ object Round16 {
       val viaSource = grouped()
       val globalViaSource = global()
       spark.conf.unset("spark.graft.mv.rewrite")
-      require(OpsUtil.sameRows(viaMv, viaSource),
+      require(OpsUtil.sameRowsLocal(viaMv, viaSource),
         "derived-aggregate rewrite changed the grouped result")
-      require(OpsUtil.sameRows(globalViaMv, globalViaSource),
+      require(OpsUtil.sameRowsLocal(globalViaMv, globalViaSource),
         "derived-aggregate rewrite changed the global result")
       val g = globalViaMv.head()
       val out = viaMv.orderBy("k3")
@@ -1294,9 +1294,9 @@ object Round16 {
       val viaSource = pinned()
       val globalViaSource = pinnedGlobal()
       spark.conf.unset("spark.graft.mv.rewrite")
-      require(OpsUtil.sameRows(viaMv, viaSource),
+      require(OpsUtil.sameRowsLocal(viaMv, viaSource),
         "historical rewrite changed the pinned grouped result")
-      require(OpsUtil.sameRows(globalViaMv, globalViaSource),
+      require(OpsUtil.sameRowsLocal(globalViaMv, globalViaSource),
         "historical rewrite changed the pinned global result")
       val g = globalViaMv.head()
       val out = viaMv.orderBy("k")

@@ -79,7 +79,10 @@ object Round17 {
 
   private def requireSameResult(a: DataFrame, b: DataFrame, what: String)
       : Unit =
-    require(OpsUtil.sameRows(a, b),
+    // view-grain aggregates: ≤ group-count rows at any scale, so the
+    // audit compares on the driver (OpsUtil.sameRowsLocal) instead of
+    // paying two exceptAll shuffles per check
+    require(OpsUtil.sameRowsLocal(a, b),
       s"mv rewrite changed the $what result")
 
   // ---------------------------------------------------------------------

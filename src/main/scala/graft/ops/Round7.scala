@@ -335,11 +335,17 @@ object Round7 {
           i => $"word".substr(i, lit(1)))))
       .localCheckpoint()
     val merges = (1 to 3).map { round =>
+      // cached: the positional fan-out feeds BOTH the pair-count pass
+      // (best-merge election) and the merge application below; without
+      // the cache each round re-runs the split+posexplode from the
+      // checkpoint twice (guide §1.2 — don't compute things twice).
+      // Unpersisted as soon as the round's eager checkpoint lands.
       val staged = cur
         .select($"word", $"wc", split($"tokstr", " ").as("t"))
         .select($"word", $"wc", $"t", posexplode($"t").as(Seq("p", "tok")))
         .withColumn("pair", when($"p" < size($"t") - 1,
           concat($"tok", lit(" "), element_at($"t", $"p" + 2))))
+        .cache()
       val best = staged.filter($"pair".isNotNull)
         .groupBy($"pair").agg(sum($"wc").as("cnt"))
         .orderBy($"cnt".desc, $"pair").limit(1).head()
@@ -363,6 +369,7 @@ object Round7 {
           array_sort(collect_list(struct($"p", $"newtok"))),
           s => s.getField("newtok")), " ").as("tokstr"))
         .localCheckpoint()
+      staged.unpersist()
       (round, bestPair, bestCnt)
     }
     merges.toDF("round", "pair", "cnt")
@@ -608,11 +615,19 @@ object Round7 {
     // window (shuffle + per-partition SORT + rank-filter) — same rows
     // kept (doc_ids are unique so min_by is deterministic), one sort
     // fewer, and partial aggregation collapses duplicate texts before
-    // the exchange (guide §2.3 aggregate-before-shuffle).
+    // the exchange (guide §2.3 aggregate-before-shuffle). The grouping
+    // KEY is a 128-bit md5 digest of the text, not the text itself
+    // (the q40 exact-dedup key, r19-verdict item 1): hashing/equality
+    // in the aggregate hash map and the exchange's partitioner then
+    // touch 32 bytes instead of whole documents (§2.3 shuffle narrow
+    // keys); min_by(text) carries each group's single surviving text
+    // through the same partial-aggregate state the old plan already
+    // moved.
     val dedup = corpus
-      .groupBy($"text")
+      .groupBy(md5($"text").as("tdigest"))
       .agg(min($"doc_id").as("doc_id"),
         min_by($"lang", $"doc_id").as("lang"),
+        min_by($"text", $"doc_id").as("text"),
         min_by($"n_chars", $"doc_id").as("n_chars"))
       .select($"doc_id", $"lang", $"text", $"n_chars")
       .cache()
