@@ -36,15 +36,37 @@ object Profile {
     val tasks = new AtomicInteger
     val taskMs = new AtomicLong
     val traceJobs = sys.env.get("SPARK_GRAFT_PROFILE_JOBS").contains("1")
+    val jobStartNs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val lastJobEndNs = new AtomicLong(System.nanoTime())
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
         if (traceJobs) {
           val site = j.stageInfos.lastOption.map(_.name).getOrElse("")
-          println(f"[job ${j.jobId}%4d] stages=${j.stageInfos.size}%2d $site")
+          jobStartNs.put(j.jobId, (System.nanoTime(), site))
         }
       }
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = stages.incrementAndGet()
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        if (traceJobs) Option(jobStartNs.remove(j.jobId)).foreach {
+          case (t0, site) =>
+            val now = System.nanoTime()
+            val gap = (t0 - lastJobEndNs.get()).max(0L) / 1e6
+            lastJobEndNs.set(now)
+            println(f"[job ${j.jobId}%4d] ${(now - t0) / 1e6}%6.0f ms (driver-gap $gap%6.0f ms) $site")
+        }
+      }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        if (sys.env.get("SPARK_GRAFT_PROFILE_STAGES").contains("1")) {
+          val si = s.stageInfo
+          val dur = (for { a <- si.submissionTime; b <- si.completionTime }
+            yield b - a).getOrElse(-1L)
+          val m = si.taskMetrics
+          println(f"[stage ${si.stageId}%4d] $dur%5d ms tasks=${si.numTasks}%3d " +
+            f"run=${m.executorRunTime}%6d cpu=${m.executorCpuTime / 1000000}%6d " +
+            f"${si.name.take(90)}%s")
+        }
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)

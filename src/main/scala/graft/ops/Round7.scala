@@ -631,17 +631,26 @@ object Round7 {
         min_by($"n_chars", $"doc_id").as("n_chars"))
       .select($"doc_id", $"lang", $"text", $"n_chars")
       .cache()
-    val tok = Dedup.fanoutReady(dedup)
-      .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
-      .filter(length($"tok") > 0)
-      .cache()
-    val rules = tok.groupBy($"doc_id", $"lang")
-      .agg(count(lit(1)).as("n_words"),
-        count(when($"tok".isin("the", "a"), 1)).as("n_stop"))
+    // Gopher-rule stats are ROW-LOCAL (word count, stopword count of one
+    // document), so the rule stage is a filter over dedup — the former
+    // corpus-wide explode → groupBy(doc) → join-back shape paid a token
+    // fan-out over EVERY deduped document plus two shuffles to compute
+    // per-row arithmetic (guide §1.2: don't compute things you throw
+    // away; §2.4 remove shuffles outright). Only rule-SURVIVORS explode
+    // below, and the rtok join disappears: survivors' tokens are emitted
+    // directly. Same kept docs: n_words/n_stop here are exactly the old
+    // aggregate's counts (split on single space, empty tokens dropped).
+    val ruled = dedup
+      .withColumn("toks",
+        filter(split($"text", " "), t => length(t) > 0))
+      .withColumn("n_words", size($"toks"))
+      .withColumn("n_stop",
+        size(filter($"toks", t => t === "the" || t === "a")))
       .filter($"n_words" >= 30 && $"n_words" <= 2000 && $"n_stop" >= 2)
-      .select($"doc_id", $"lang")
+    val rules = ruled.select($"doc_id", $"lang").cache()
+    val rtok = Dedup.fanoutReady(ruled.select($"doc_id", $"lang", $"toks"))
+      .select($"doc_id", $"lang", explode($"toks").as("tok"))
       .cache()
-    val rtok = tok.join(rules.select($"doc_id"), Seq("doc_id")).cache()
     val vocab = rtok.groupBy($"tok").agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum($"cnt")).head().getLong(0)
     val surprise = rtok
