@@ -652,6 +652,11 @@ object Round7 {
       .select($"doc_id", $"lang", explode($"toks").as("tok"))
       .cache()
     val vocab = rtok.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    // the smoothing total and the survivor count are INDEPENDENT driver
+    // scalars over already-cached inputs: overlap them as concurrent
+    // jobs (§2.6, the q170 pattern) instead of two serial round trips
+    val nKeptF = scala.concurrent.Future(rules.count())(
+      scala.concurrent.ExecutionContext.global)
     val total = vocab.agg(sum($"cnt")).head().getLong(0)
     val surprise = rtok
       .join(broadcast(vocab), Seq("tok"))
@@ -661,7 +666,8 @@ object Round7 {
       .groupBy($"doc_id", $"lang")
       .agg(expr("sum(tq) div count(1)").as("sq"))
       .cache()
-    val nKept = rules.count()
+    val nKept = scala.concurrent.Await.result(nKeptF,
+      scala.concurrent.duration.Duration.Inf)
     // Two-level distributed rank (the q104 shape): block survivors by a
     // RANGE of the sort key so block order == sort order and ties (same
     // sq) stay within one block, rank per-block under a key-partitioned
